@@ -1,0 +1,149 @@
+"""Config loading: dict / JSON / YAML → GraphConfig.
+
+Accepts the reference's v3 YAML shape (reference pkg/config/config.go:26-74:
+JSON accepted and converted, version-dispatched) plus our parquet/json source
+extension. Keys are camelCase as in the reference config surface.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+from nebula_importer_spark.config.model import (
+    ConfigError,
+    CsvOptions,
+    EdgeSpec,
+    GraphConfig,
+    Mode,
+    NodeIDSpec,
+    NodeSpec,
+    PropSpec,
+    SourceSpec,
+)
+
+
+def _prop(d: dict[str, Any]) -> PropSpec:
+    return PropSpec(
+        name=d["name"],
+        type=str(d.get("type", "STRING")).upper(),
+        index=int(d.get("index", 0)),
+        nullable=bool(d.get("nullable", False)),
+        null_value=str(d.get("nullValue", "")),
+        alternative_indices=[int(i) for i in d.get("alternativeIndices", [])],
+        default_value=None if d.get("defaultValue") is None else str(d["defaultValue"]),
+    )
+
+
+def _node_id(d: dict[str, Any], name: str = "id") -> NodeIDSpec:
+    return NodeIDSpec(
+        name=d.get("name", name),
+        type=str(d.get("type", "STRING")).upper(),
+        index=None if d.get("index") is None else int(d["index"]),
+        concat_items=list(d.get("concatItems", [])),
+        function=d.get("function"),
+    )
+
+
+def _filter_expr(d: dict[str, Any]) -> str | None:
+    f = d.get("filter")
+    if f is None:
+        return None
+    if isinstance(f, str):
+        return f
+    return f.get("expr")
+
+
+def _node(d: dict[str, Any]) -> NodeSpec:
+    return NodeSpec(
+        name=d["name"],
+        id=_node_id(d["id"]),
+        props=[_prop(p) for p in d.get("props", [])],
+        filter=_filter_expr(d),
+        mode=Mode(str(d.get("mode", "INSERT")).upper()),
+        ignore_existed_index=bool(d.get("ignoreExistedIndex", True)),
+    )
+
+
+def _edge(d: dict[str, Any]) -> EdgeSpec:
+    # src/dst may be {"id": {...}} (reference shape) or the id dict directly.
+    src = d["src"].get("id", d["src"])
+    dst = d["dst"].get("id", d["dst"])
+    rank = d.get("rank")
+    rank_index = None if rank is None else int(rank.get("index", 0) if isinstance(rank, dict) else rank)
+    return EdgeSpec(
+        name=d["name"],
+        src=_node_id(src, "src"),
+        dst=_node_id(dst, "dst"),
+        rank_index=rank_index,
+        props=[_prop(p) for p in d.get("props", [])],
+        filter=_filter_expr(d),
+        mode=Mode(str(d.get("mode", "INSERT")).upper()),
+        ignore_existed_index=bool(d.get("ignoreExistedIndex", True)),
+    )
+
+
+def _csv(d: dict[str, Any] | None) -> CsvOptions:
+    d = d or {}
+    return CsvOptions(
+        delimiter=d.get("delimiter", ","),
+        with_header=bool(d.get("withHeader", False)),
+        lazy_quotes=bool(d.get("lazyQuotes", False)),
+        comment=d.get("comment"),
+    )
+
+
+def _source(d: dict[str, Any], base_dir: Path | None) -> SourceSpec:
+    path = d["path"]
+    if base_dir is not None and not Path(path).is_absolute() and "://" not in path:
+        # Relative-path resolution against the config file, mirroring
+        # reference cfg.Optimize (pkg/config/v3/config.go:31-50).
+        path = str((base_dir / path).resolve())
+    return SourceSpec(
+        path=path,
+        csv=_csv(d.get("csv")),
+        format=d.get("format", "csv"),
+        batch=None if d.get("batch") is None else int(d["batch"]),
+        tags=[_node(t) for t in d.get("tags", [])],
+        edges=[_edge(e) for e in d.get("edges", [])],
+    )
+
+
+def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphConfig:
+    mgr = d.get("manager", {})
+    hooks = mgr.get("hooks", {})
+
+    def _stmts(key: str) -> list[str]:
+        out: list[str] = []
+        for h in hooks.get(key, []) or []:
+            out.extend(h.get("statements", []) if isinstance(h, dict) else [h])
+        return out
+
+    cfg = GraphConfig(
+        space=mgr.get("spaceName", d.get("space", "default")),
+        sources=[_source(s, base_dir) for s in d.get("sources", [])],
+        before_hooks=_stmts("before"),
+        after_hooks=_stmts("after"),
+        batch=int(mgr.get("batch", 128)),
+    )
+    cfg.validate()
+    return cfg
+
+
+def load_config(path: str | Path) -> GraphConfig:
+    """Load YAML or JSON config file (reference pkg/config/config.go:57-74)."""
+    p = Path(path)
+    text = p.read_text()
+    data: Any
+    if p.suffix == ".json":
+        data = json.loads(text)
+    else:
+        try:
+            import yaml  # optional dep; baked into this env
+        except ImportError as e:  # pragma: no cover
+            raise ConfigError("YAML config requires pyyaml; use JSON or dict") from e
+        data = yaml.safe_load(text)
+    if not isinstance(data, dict):
+        raise ConfigError(f"config {path}: expected a mapping at top level")
+    return config_from_dict(data, base_dir=p.parent)

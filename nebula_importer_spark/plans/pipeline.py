@@ -1,0 +1,210 @@
+"""Pipeline: schema config → vertex/edge DataFrames → materialized tables.
+
+The Spark re-expression of the reference's manager+importer data plane
+(pkg/manager/manager.go:161-245, pkg/importer/importer.go:99-124): one scan
+per source, fan-out to every tag/edge spec bound to it (G7 single-scan
+multi-sink, reference pkg/config/v3/source.go:42-62), each spec compiled to a
+filter + select of Column expressions (no per-row code), modes materialized
+through the snapshot TableStore, rejects + per-file lineage metrics written
+per run.
+
+Library surface (entry point 3 analog, reference pkg/manager/manager.go:68-91):
+
+    p = Pipeline(cfg, spark)
+    p.vertices("Person")      # mapped vertex DF (vid, props...)
+    p.edges("KNOWS")          # mapped edge DF (src, dst, rank, props...)
+    result = p.run(out_dir)   # materialize everything + rejects + metrics
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.config.model import (
+    EdgeSpec,
+    GraphConfig,
+    NodeSpec,
+    SourceSpec,
+)
+from nebula_importer_spark.functions.filter_dsl import compile_filter
+from nebula_importer_spark.functions.picker import compile_id, compile_prop, compile_rank
+from nebula_importer_spark.plans.merge import TableStore
+from nebula_importer_spark.plans.metrics import ElementStats, RunResult
+from nebula_importer_spark.sources.reader import FILE_COL, SEQ_COL, read_source
+
+VID = "vid"
+SRC = "src"
+DST = "dst"
+RANK = "rank"
+
+
+def map_node(df: DataFrame, spec: NodeSpec) -> DataFrame:
+    """Tag mapping (G1): filter → id → ordered props. Lineage cols pass through."""
+    cols = [c for c in df.columns if c not in (FILE_COL, SEQ_COL)]
+    if spec.filter:
+        df = df.filter(compile_filter(spec.filter, cols))
+    exprs = [compile_id(spec.id, cols, VID)]
+    exprs += [compile_prop(p, cols) for p in spec.props]
+    exprs += [F.col(c) for c in (FILE_COL, SEQ_COL) if c in df.columns]
+    return df.select(*exprs)
+
+
+def map_edge(df: DataFrame, spec: EdgeSpec) -> DataFrame:
+    """Edge mapping (G2/G3): filter → src,dst,rank → props."""
+    cols = [c for c in df.columns if c not in (FILE_COL, SEQ_COL)]
+    if spec.filter:
+        df = df.filter(compile_filter(spec.filter, cols))
+    exprs = [compile_id(spec.src, cols, SRC), compile_id(spec.dst, cols, DST)]
+    if spec.rank_index is not None:
+        exprs.append(compile_rank(spec.rank_index, cols))
+    else:
+        # Rank defaults to 0 and is always part of the edge key
+        # (reference pkg/spec/v3/edge.go: src->dst[@rank]).
+        exprs.append(F.lit(0).cast("long").alias(RANK))
+    exprs += [compile_prop(p, cols) for p in spec.props]
+    exprs += [F.col(c) for c in (FILE_COL, SEQ_COL) if c in df.columns]
+    return df.select(*exprs)
+
+
+class Pipeline:
+    def __init__(self, config: GraphConfig, spark: SparkSession):
+        config.validate()
+        self.config = config
+        self.spark = spark
+        self._scans: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+    # -- scans -------------------------------------------------------------
+    def _scan(self, i: int, spec: SourceSpec) -> tuple[DataFrame, DataFrame]:
+        if i not in self._scans:
+            # read_source caches the parsed scan: single scan feeds every
+            # tag/edge projection plus the rejects split (G7).
+            self._scans[i] = read_source(self.spark, spec)
+        return self._scans[i]
+
+    # -- library reads (no side effects) ------------------------------------
+    def vertices(self, tag: str) -> DataFrame:
+        """Union of every source's mapping for this tag; null vids excluded
+        (they are rejects in run())."""
+        parts = []
+        for i, s in enumerate(self.config.sources):
+            for t in s.tags:
+                if t.name == tag:
+                    good, _ = self._scan(i, s)
+                    parts.append(map_node(good, t).filter(F.col(VID).isNotNull()))
+        if not parts:
+            raise KeyError(f"tag {tag!r} not in config")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out.drop(FILE_COL, SEQ_COL)
+
+    def edges(self, edge: str) -> DataFrame:
+        parts = []
+        for i, s in enumerate(self.config.sources):
+            for e in s.edges:
+                if e.name == edge:
+                    good, _ = self._scan(i, s)
+                    parts.append(
+                        map_edge(good, e).filter(
+                            F.col(SRC).isNotNull() & F.col(DST).isNotNull()
+                        )
+                    )
+        if not parts:
+            raise KeyError(f"edge {edge!r} not in config")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out.drop(FILE_COL, SEQ_COL)
+
+    # -- full run ------------------------------------------------------------
+    def run(self, out_dir: str | Path, resume: bool = False) -> RunResult:
+        """Materialize all tags+edges into <out_dir>/<space>; write rejects +
+        per-file lineage metrics; resumable per (source, element) stage."""
+        t0 = time.time()
+        store = TableStore(Path(out_dir) / self.config.space, self.spark)
+        result = RunResult(space=self.config.space)
+        rejects_dir = Path(out_dir) / self.config.space / "_rejects"
+        metrics_rows: list[tuple] = []
+
+        for sql in self.config.before_hooks:  # W6 before-hooks
+            self._run_hook(sql)
+
+        for i, src in enumerate(self.config.sources):
+            good, csv_rejects = self._scan(i, src)
+            n_csv_rej = csv_rejects.count()
+            if n_csv_rej:
+                csv_rejects.write.mode("append").parquet(str(rejects_dir / "csv"))
+            result.csv_rejects += n_csv_rej
+            n_good = good.count()
+
+            for kind, specs in (("tag", src.tags), ("edge", src.edges)):
+                for spec in specs:
+                    stage = f"s{i}/{kind}/{spec.name}/{spec.mode.value}"
+                    if resume and store.stage_completed(stage):
+                        continue
+                    es = ElementStats(name=spec.name, kind=kind, source=src.path, total=n_good)
+                    if kind == "tag":
+                        mapped = map_node(good, spec)  # type: ignore[arg-type]
+                        keys = [VID]
+                        table = f"tags/{spec.name}"
+                        bad = mapped.filter(F.col(VID).isNull())
+                        ok = mapped.filter(F.col(VID).isNotNull())
+                    else:
+                        mapped = map_edge(good, spec)  # type: ignore[arg-type]
+                        keys = [SRC, DST, RANK]
+                        table = f"edges/{spec.name}"
+                        null_key = F.col(SRC).isNull() | F.col(DST).isNull()
+                        bad = mapped.filter(null_key)
+                        ok = mapped.filter(~null_key)
+                    n_mapped = mapped.count()
+                    es.filtered = n_good - n_mapped
+                    n_bad = bad.count()
+                    if n_bad:
+                        bad.select(
+                            F.col(FILE_COL),
+                            F.col(SEQ_COL),
+                            F.lit("null_key").alias("reason"),
+                            F.to_json(F.struct(*[c for c in bad.columns])).alias("raw"),
+                        ).write.mode("append").parquet(str(rejects_dir / kind))
+                    n_ok = n_mapped - n_bad
+                    # per-file lineage metrics (M3 analog)
+                    for r in (
+                        ok.groupBy(FILE_COL)
+                        .agg(F.count("*").alias("rows"))
+                        .collect()
+                    ):
+                        metrics_rows.append((stage, r[FILE_COL], r["rows"]))
+                    _, unmatched = store.merge_commit(ok, table, spec.mode, keys)
+                    es.rejected = n_bad + unmatched
+                    es.written = n_ok - unmatched
+                    store.mark_stage(stage, written=es.written, rejected=es.rejected)
+                    result.elements.append(es)
+
+        for sql in self.config.after_hooks:  # W6 after-hooks
+            self._run_hook(sql)
+
+        if metrics_rows:
+            mdf = self.spark.createDataFrame(
+                metrics_rows, "stage string, file string, rows long"
+            )
+            mpath = Path(out_dir) / self.config.space / "_metrics"
+            mdf.write.mode("append").parquet(str(mpath))
+            result.metrics_path = str(mpath)
+        result.rejects_path = str(rejects_dir)
+        result.duration_sec = time.time() - t0
+        return result
+
+    def _run_hook(self, sql: str) -> None:
+        """Pre/post DDL hooks (W6). nGQL DDL in reference configs is not Spark
+        SQL; hooks that fail to parse are skipped with a warning rather than
+        aborting (the reference's hooks target the remote server, which does
+        not exist here)."""
+        try:
+            for stmt in filter(None, (s.strip() for s in sql.split(";"))):
+                self.spark.sql(stmt)
+        except Exception:  # noqa: BLE001 — hook statements are best-effort
+            pass

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The conf choices are the ones we would ship to a 1000-executor cluster:
+AQE on (runtime coalesce + skew-join split), broadcast threshold sized for
+dimension tables, Arrow enabled for every pandas-UDF boundary, and shuffle
+partitions that the caller overrides per deployment (tests use 32 to match
+local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the sandbox (local[N], single JVM). On a real cluster the same
+# builder is used but master/memory come from spark-submit.
+_DEFAULTS = {
+    # AQE: runtime partition coalescing, skew-join splitting, join demotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / mapInPandas boundaries (the only Python hot path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Mirrors the reference's 128-record statement batching at the Arrow layer
+    # (reference: pkg/reader/option.go:7-9) — but sized for columnar batches.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast anything dimension-sized; explicit F.broadcast is still used
+    # at call sites so intent survives stats loss.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: the reference's converter semantics are "bad cast → null →
+    # rejected row", not "fail the job" (pkg/picker/converter_type.go).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "nebula-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]``; shuffle
+    partitions default to the parallelism level so small-scale runs do not
+    fragment into thousands of empty tasks (AQE coalesces the rest).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = b.config("spark.default.parallelism", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
