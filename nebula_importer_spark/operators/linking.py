@@ -1,0 +1,169 @@
+"""Entity linking: broadcast exact join + MinHash-LSH fuzzy blocking.
+
+All JVM-side: shingling via SQL ``transform/sequence/substring``, minhash via
+K independent xxhash64 seeds aggregated in ONE shuffle (groupBy key, K min()
+aggregates — not K passes), banding by hashing R consecutive minhashes, and
+candidate verification with exact Jaccard on shingle arrays
+(array_intersect/array_union). No Python UDFs anywhere.
+
+Scale shape (the part that must survive 100×):
+- dictionary side is dimension-sized → ``F.broadcast`` for both the exact
+  join and the band join (bands of a 10^6-alias dict ≈ a few 10^6 rows —
+  still broadcastable; beyond that set broadcast_right=False and the band
+  join degrades gracefully to a shuffle equi-join on band_key, never to a
+  cross join).
+- mention side is deduplicated FIRST (distinct normalized surface forms):
+  linking cost scales with |vocabulary|, not |corpus|.
+
+Derived operator per SURVEY §2.8 — the reference's only "linking" surface is
+the fixed HASH id function (pkg/picker/converter_function.go:21-33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BAND_SIZE = 2
+
+
+def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Add ``_shingles``: distinct char n-grams (strings shorter than n map
+    to a single shingle = the string itself)."""
+    c = F.col(text_col)
+    arr = F.when(F.length(c) < n, F.array(c)).otherwise(
+        F.expr(
+            f"transform(sequence(1, length(`{text_col}`) - {n - 1}),"
+            f" i -> substring(`{text_col}`, i, {n}))"
+        )
+    )
+    return df.withColumn("_shingles", F.array_distinct(arr))
+
+
+def _with_bands(df: DataFrame, key: str, num_hashes: int, band_size: int) -> DataFrame:
+    """Explode shingles once; K minhashes in one aggregation; emit
+    (key, band_idx, band_key)."""
+    ex = df.select(key, F.explode("_shingles").alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+    mh = ex.groupBy(key).agg(*aggs)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"_mh{b * band_size + r}") for r in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(key, F.posexplode(bands).alias("_band_idx", "_band_key"))
+
+
+def jaccard(a, b):
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_text: str,
+    right_text: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Approximate-similarity join: (left_key, right_key, jaccard) for pairs
+    whose char-n-gram Jaccard ≥ threshold AND that collide in ≥1 LSH band.
+
+    Recall follows the LSH s-curve P(collide) = 1-(1-s^band_size)^n_bands;
+    with 12 hashes in bands of 2: s=0.5 → ~0.90, s=0.7 → ~0.99.
+    """
+    lk, rk = "_lk", "_rk"
+    l_sh = _with_shingles(
+        left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")), "_lt", shingle_n
+    )
+    r_sh = _with_shingles(
+        right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")), "_rt", shingle_n
+    )
+    l_bands = _with_bands(l_sh, lk, num_hashes, band_size)
+    r_bands = _with_bands(r_sh, rk, num_hashes, band_size)
+    if broadcast_right:
+        r_bands = F.broadcast(r_bands)
+    cand = l_bands.join(r_bands, on=["_band_idx", "_band_key"]).select(lk, rk).distinct()
+    l_arr = l_sh.select(lk, F.col("_shingles").alias("_lsh"))
+    r_arr = r_sh.select(rk, F.col("_shingles").alias("_rsh"))
+    if broadcast_right:
+        r_arr = F.broadcast(r_arr)
+    verified = (
+        cand.join(l_arr, lk)
+        .join(r_arr, rk)
+        .select(lk, rk, jaccard(F.col("_lsh"), F.col("_rsh")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        F.col(lk).alias(left_key), F.col(rk).alias(right_key), "jaccard"
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    mention_col: str = "mention_norm",
+    alias_col: str = "alias_norm",
+    entity_col: str = "entity_id",
+    fuzzy_threshold: float = 0.5,
+) -> DataFrame:
+    """Resolve distinct mention surface forms against the alias dictionary.
+
+    Returns (mention_norm, entity_id, method['exact'|'fuzzy'], score).
+    Deterministic tie-breaks: min entity_id on exact; (max jaccard, then min
+    entity_id) on fuzzy. Mentions matching nothing are absent from the output
+    (callers route them to rejects).
+    """
+    m = mentions.select(mention_col).distinct()
+    d = alias_dict.select(alias_col, entity_col).distinct()
+
+    exact = (
+        m.join(F.broadcast(d), m[mention_col] == d[alias_col], "inner")
+        .groupBy(mention_col)
+        .agg(F.min(entity_col).alias(entity_col))
+        .select(
+            mention_col,
+            entity_col,
+            F.lit("exact").alias("method"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    unmatched = m.join(exact.select(mention_col), mention_col, "left_anti")
+    fuzzy_pairs = minhash_lsh_join(
+        unmatched,
+        d,
+        left_key=mention_col,
+        right_key=alias_col,
+        left_text=mention_col,
+        right_text=alias_col,
+        threshold=fuzzy_threshold,
+    )
+    w = Window.partitionBy(mention_col).orderBy(
+        F.col("jaccard").desc(), F.col(entity_col).asc()
+    )
+    best = (
+        fuzzy_pairs.join(F.broadcast(d), alias_col)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") == 1)
+        .select(
+            mention_col,
+            entity_col,
+            F.lit("fuzzy").alias("method"),
+            F.col("jaccard").alias("score"),
+        )
+    )
+    return exact.unionByName(best)

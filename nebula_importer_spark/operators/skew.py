@@ -1,0 +1,37 @@
+"""Skew handling: salted repartition for mega-keys.
+
+The north rule requires explicit skew handling for mega-threads (one conv_id
+holding a large share of all turns must not serialize into a single task).
+Two mechanisms, composable:
+
+1. AQE skew-join splitting (enabled in session.py) — covers joins.
+2. ``salted_repartition`` — covers per-key batch processing (mapInPandas et
+   al.) where work is per-ROW within a key: partition on
+   (key, xxhash64(row) % salt) so a mega-key spreads over ``salt`` tasks.
+
+Per-turn triple extraction is row-local, so salting is safe there; operators
+needing whole-key locality (window ordering) keep the unsalted key and rely
+on range partitioning of (conv_id, turn_idx) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    salt_buckets: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition on (key, salt) where salt = xxhash64(all columns) %
+    salt_buckets — deterministic, no RNG, stable under retries."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    out = df.withColumn("_salt", salt)
+    if num_partitions:
+        out = out.repartition(num_partitions, F.col(key), F.col("_salt"))
+    else:
+        out = out.repartition(F.col(key), F.col("_salt"))
+    return out.drop("_salt")

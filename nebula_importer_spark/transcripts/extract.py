@@ -1,0 +1,102 @@
+"""Vectorized mention detection + (subj, pred, obj) triple extraction.
+
+The Spark analog of the reference's per-record pick/convert hot path
+(reference pkg/spec/v3/node.go:149-196 — there: CSV record → nGQL values;
+here: transcript turn → triples). Runs as ``mapInPandas`` over Arrow batches
+(batch size = spark.sql.execution.arrow.maxRecordsPerBatch, the batching
+analog of reference pkg/reader/batch.go:52-79). No per-row Python: each batch
+is processed with pandas vectorized string ops.
+
+Extraction grammar (shared spec with the independent reference extractor in
+transcripts/reference.py — P/R is measured between the two):
+
+    sentence := <subject> ' ' <predicate-text> ' ' <object> '.'
+    subject  := capitalized word followed by words (no periods inside)
+    object   := any run of non-period chars (minimal)
+
+Predicates: works_at/lives_in/knows/uses/founded (generate.TEMPLATES).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+PRED_TEXT = {
+    "works_at": "works at",
+    "lives_in": "lives in",
+    "knows": "knows",
+    "uses": "uses",
+    "founded": "founded",
+}
+# One compiled pattern per predicate; subject must start uppercase, object
+# runs to the sentence-final period (aliases never contain periods).
+PATTERNS = {
+    pred: re.compile(rf"([A-Z]\w*(?: \w+)*?) {txt} ([^.]+?)\.")
+    for pred, txt in PRED_TEXT.items()
+}
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("subj_sf", T.StringType()),  # surface form
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj_sf", T.StringType()),
+    ]
+)
+
+
+def normalize_mention(col):
+    """Linking key normalization (shared with reference.py): lowercase,
+    collapse whitespace."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def ordered_turns(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering: window over (conv_id, turn_idx) assigning a
+    dense per-conversation position (north-rule per-turn text-equality
+    invariant depends on this, not on file order). ts breaks turn_idx ties
+    deterministically."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return transcripts.withColumn("turn_pos", F.row_number().over(w))
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        text = pdf["text"].fillna("")
+        for pred, pat in PATTERNS.items():
+            # vectorized C-level regex over the whole Arrow batch
+            found = text.str.findall(pat)
+            mask = found.str.len() > 0
+            if not mask.any():
+                continue
+            sub = pdf.loc[mask, ["conv_id", "turn_idx"]].copy()
+            sub["m"] = found[mask]
+            sub = sub.explode("m", ignore_index=True)
+            sub["subj_sf"] = sub["m"].str[0]
+            sub["obj_sf"] = sub["m"].str[1]
+            sub["pred"] = pred
+            out.append(sub[["conv_id", "turn_idx", "subj_sf", "pred", "obj_sf"]])
+        if out:
+            yield pd.concat(out, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {c: pd.Series(dtype=o) for c, o in
+                 [("conv_id", "object"), ("turn_idx", "int32"),
+                  ("subj_sf", "object"), ("pred", "object"), ("obj_sf", "object")]}
+            )
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """transcripts → surface-form triples (conv_id, turn_idx, subj_sf, pred,
+    obj_sf) via Arrow-batched mapInPandas."""
+    slim = transcripts.select("conv_id", F.col("turn_idx").cast("int"), "text")
+    return slim.mapInPandas(_extract_batches, TRIPLE_SCHEMA)

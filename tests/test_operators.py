@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.connected_components import (
+    canonical_mapping,
+    connected_components,
+)
+from nebula_importer_spark.operators.linking import link_mentions, minhash_lsh_join
+from nebula_importer_spark.operators.skew import salted_repartition
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f"
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path graph exercises multi-iteration convergence
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)], "src string, dst string"
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_canonical_mapping(spark):
+    same_as = spark.createDataFrame(
+        [("org:acme", "org:acme__dup"), ("org:acme__dup", "org:acme__dup2")],
+        "entity_id string, dup_id string",
+    )
+    m = {r["entity_id"]: r["canonical_id"] for r in canonical_mapping(same_as).collect()}
+    assert m["org:acme__dup"] == "org:acme"
+    assert m["org:acme__dup2"] == "org:acme"
+
+
+def test_minhash_lsh_join_pairs(spark):
+    left = spark.createDataFrame([("l1", "alice smith")], "lk string, lt string")
+    right = spark.createDataFrame(
+        [("r1", "alice smith"), ("r2", "alice smth"), ("r3", "zzz yyy xxx")],
+        "rk string, rt string",
+    )
+    got = {
+        (r["lk"], r["rk"])
+        for r in minhash_lsh_join(
+            left, right, "lk", "rk", "lt", "rt", threshold=0.4
+        ).collect()
+    }
+    assert ("l1", "r1") in got
+    assert ("l1", "r2") in got  # one-char deletion stays above 0.4
+    assert ("l1", "r3") not in got
+
+
+def test_link_mentions_exact_and_fuzzy(spark):
+    mentions = spark.createDataFrame(
+        [("alice smith",), ("alice smth",), ("nonsense qqq",)], "mention_norm string"
+    )
+    aliases = spark.createDataFrame(
+        [("alice smith", "person:alice"), ("bob j", "person:bob")],
+        "alias_norm string, entity_id string",
+    )
+    rows = {r["mention_norm"]: r for r in link_mentions(mentions, aliases).collect()}
+    assert rows["alice smith"]["method"] == "exact"
+    assert rows["alice smith"]["entity_id"] == "person:alice"
+    assert rows["alice smth"]["method"] == "fuzzy"
+    assert rows["alice smth"]["entity_id"] == "person:alice"
+    assert "nonsense qqq" not in rows  # unlinked → absent
+
+
+def test_salted_repartition_spreads_mega_key(spark):
+    df = spark.createDataFrame([("mega", i) for i in range(1000)], "k string, v int")
+    out = salted_repartition(df, "k", salt_buckets=8, num_partitions=8)
+    parts = (
+        out.groupBy(F.spark_partition_id().alias("p")).count().filter("count > 0").count()
+    )
+    assert parts >= 4  # one key no longer serializes into one task
