@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the engine surface per SURVEY.md §2 + §2.8:
+- reference-parity record→vertex/edge mapping (picker semantics, filter DSL,
+  concat IDs, nullable/default/fallback, rank) driven through the real
+  Pipeline/config path;
+- relational breadth (joins, aggregations, windows, top-k, time bucketing) —
+  capabilities the reference lacks (SURVEY §2.7) expressed Spark-first;
+- training-data operators (dedup ×5, similarity search, text analysis,
+  multimodal features);
+- the north-star transcript→triple KG pipeline (rows-only check: approximate
+  LSH linking + mapInPandas extraction are not SQL-expressible; pytest gates
+  it at P/R ≥ 0.95 vs an independent reference extractor instead).
+
+Every SQL-expressible query has a DuckDB oracle with identical column
+aliases; doubles produced by arithmetic are rounded on both sides so the
+value-hash comparison is not ULP-sensitive (raw stored doubles pass through
+unrounded).
 """
 
 from __future__ import annotations
@@ -12,27 +23,575 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity mapping queries (driven through the real Pipeline path)
+# ---------------------------------------------------------------------------
+
+
+def _customer_config(sf_dir: str):
+    from nebula_importer_spark.config.model import (
+        GraphConfig,
+        NodeIDSpec,
+        NodeSpec,
+        PropSpec,
+        SourceSpec,
+    )
+
+    return GraphConfig(
+        space="t",
+        sources=[
+            SourceSpec(
+                path=f"{sf_dir}/customer.parquet",
+                format="parquet",
+                tags=[
+                    NodeSpec(
+                        "Customer",
+                        NodeIDSpec(type="STRING", concat_items=["c_", 0]),
+                        [
+                            PropSpec("name", "STRING", 1),
+                            PropSpec("nation", "INT", 2),
+                            PropSpec("acctbal", "DOUBLE", 3),
+                            PropSpec(
+                                "mktsegment", "STRING", 4,
+                                nullable=True, default_value="UNKNOWN",
+                            ),
+                        ],
+                    )
+                ],
+            )
+        ],
+    )
+
+
+def q_vertex_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 tag mapping: concat id + typed props + nullable/default (P3/P5/P7/P8)."""
+    from nebula_importer_spark.plans.pipeline import Pipeline
+
+    return Pipeline(_customer_config(sf_dir), spark).vertices("Customer")
+
+
+def q_edge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3 edge mapping with rank + F1 filter DSL (Record[2] == "O")."""
+    from nebula_importer_spark.config.model import (
+        EdgeSpec,
+        GraphConfig,
+        NodeIDSpec,
+        PropSpec,
+        SourceSpec,
+    )
+    from nebula_importer_spark.plans.pipeline import Pipeline
+
+    cfg = GraphConfig(
+        space="t",
+        sources=[
+            SourceSpec(
+                path=f"{sf_dir}/orders.parquet",
+                format="parquet",
+                edges=[
+                    EdgeSpec(
+                        "HAS_ORDER",
+                        src=NodeIDSpec(type="STRING", concat_items=["c_", 1]),
+                        dst=NodeIDSpec(type="STRING", concat_items=["o_", 0]),
+                        rank_index=0,
+                        props=[
+                            PropSpec("totalprice", "DOUBLE", 3),
+                            PropSpec("priority", "STRING", 5),
+                        ],
+                        filter='Record[2] == "O"',
+                    )
+                ],
+            )
+        ],
+    )
+    return Pipeline(cfg, spark).edges("HAS_ORDER")
+
+
+def q_prop_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 alternativeIndices + P5 nullValue + P7 defaultValue precedence over
+    lineitem columns (linestatus with 'F' as the null sentinel, falling back
+    to returnflag, then the default)."""
+    from nebula_importer_spark.functions.picker import compile_prop
+    from nebula_importer_spark.config.model import PropSpec
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = list(li.columns)
+    flag = compile_prop(
+        PropSpec("flag", "STRING", 8, nullable=True, null_value="N", default_value="ZZ"),
+        cols,
+    )
+    fallback = compile_prop(
+        PropSpec(
+            "status_or_flag", "STRING", 9,
+            nullable=True, null_value="F", alternative_indices=[8],
+        ),
+        cols,
+    )
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        flag,
+        fallback,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (absent from the reference; Spark-first)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer⋈orders⋈lineitem (dimension side broadcast), aggregate
+    revenue, deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_window_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.text import subword_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.12
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.4, shingle_n=5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=3)
+    return top.select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = lsh_topk(emb, queries, k=3, n_planes=12, n_bands=4)
+    return top.select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star transcript→triple pipeline (rows-only; gated in pytest at
+# P/R ≥ 0.95 vs the independent reference extractor)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.transcripts.generate import gen_corpus_local
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    c = gen_corpus_local(seed=42, n_convs=12, turns_per_conv=10, mega_conv_turns=60)
+    d = c.to_spark(spark)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(d["transcripts"])
+    links = pipe.link_table(surface, d["alias_dict"])
+    triples, _ = pipe.canonical_triples(surface, links, d["same_as"])
+    return triples
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_importer_spark.operators.multimodal import extract_features, synth_assets
+
+    feats = extract_features(synth_assets(spark, n=48))
+    return feats.select("asset_id", "kind", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: config-driven vertex mapping (the reference's core
+    capability) at sf0.001."""
+    return q_vertex_customer(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "vertex_customer": q_vertex_customer,
+        "edge_orders": q_edge_orders,
+        "prop_fallback": q_prop_fallback,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "window_top_order": q_window_top_order,
+        "events_hourly": q_events_hourly,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "kg_triples": q_kg_triples,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "(the|a|and|of|to|in|is|that|it|for)"
+_DE = "(der|die|das|und|ist|nicht|ein|mit|auf)"
+_FR = "(le|la|et|les|des|est|un|une|dans)"
+_ES = "(el|la|los|que|es|una|por|con|para)"
+
+
+def _ratio_sql(words: str) -> str:
+    return (
+        f"case when len(regexp_extract_all(text, '\\S+')) = 0 then 0.0 "
+        f"else len(regexp_extract_all(lower(text), '\\b{words}\\b'))::DOUBLE "
+        f"/ len(regexp_extract_all(text, '\\S+')) end"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ratios = {k: _ratio_sql(w) for k, w in
+              [("en", _EN), ("de", _DE), ("fr", _FR), ("es", _ES)]}
+    return {
+        "vertex_customer": """
+            SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS vid,
+                   c_name AS name,
+                   CAST(c_nationkey AS BIGINT) AS nation,
+                   c_acctbal AS acctbal,
+                   COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS mktsegment
+            FROM customer
+        """,
+        "edge_orders": """
+            SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS src,
+                   'o_' || CAST(o_orderkey AS VARCHAR) AS dst,
+                   CAST(o_orderkey AS BIGINT) AS "rank",
+                   o_totalprice AS totalprice,
+                   o_orderpriority AS priority
+            FROM orders
+            WHERE o_orderstatus = 'O'
+        """,
+        "prop_fallback": """
+            SELECT l_orderkey AS orderkey,
+                   CAST(l_linenumber AS BIGINT) AS linenumber,
+                   COALESCE(NULLIF(l_returnflag, 'N'), 'ZZ') AS flag,
+                   COALESCE(NULLIF(l_linestatus, 'F'), NULLIF(l_returnflag, 'F'))
+                       AS status_or_flag
+            FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_topk": """
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "window_top_order": """
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   o_totalprice AS totalprice
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9]{1,4}'))::BIGINT
+                       AS n_subwords,
+                   length(coalesce(text,''))::BIGINT AS n_chars_actual
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       {ratios['en']} AS r_en, {ratios['de']} AS r_de,
+                       {ratios['fr']} AS r_fr, {ratios['es']} AS r_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN r_en > 0 AND r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                     WHEN r_de > 0 AND r_de > r_en AND r_de >= r_fr AND r_de >= r_es THEN 'de'
+                     WHEN r_fr > 0 AND r_fr > r_en AND r_fr > r_de AND r_fr >= r_es THEN 'fr'
+                     WHEN r_es > 0 AND r_es > r_en AND r_es > r_de AND r_es > r_fr THEN 'es'
+                     ELSE 'und'
+                   END AS lang_guess
+            FROM r
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   ROUND(
+                     LEAST(len(regexp_extract_all(coalesce(text,''), '\\S+'))::DOUBLE / 50.0, 1.0) * 0.4
+                     + (1.0 - len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]'))::DOUBLE
+                         / GREATEST(length(coalesce(text,''))::DOUBLE, 1.0)) * 0.3
+                     + LEAST({_ratio_sql(_EN)} * 5.0, 1.0) * 0.3
+                   , 6) AS quality
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(
+                     list_transform(
+                       CASE WHEN length(coalesce(text,'')) < 8
+                            THEN [coalesce(text,'')]
+                            ELSE list_transform(
+                                   range(1, length(coalesce(text,'')) - 6),
+                                   i -> substring(coalesce(text,''), i::INT, 8))
+                       END,
+                       s -> md5(s)),
+                     'min') AS fp
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                         / len(list_distinct(list_concat(sa.grams, sb.grams))), 6)
+                       AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+            WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                  / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(
+                           list_zip(q.qv, e.embedding::DOUBLE[]),
+                           x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))))
+                       AS cos
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(
+                     list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+                       AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
+        """,
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / kg_triples /
+        # multimodal_features: hash- or LSH-based (not ANSI-SQL-expressible)
+        # → rows-only driver check; gated in pytest instead.
+    }

@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the engine surface that matters at scale: config-driven
+vertex/edge mapping (the reference's core), join+agg+window relational
+queries, LSH dedup, similarity search, and the transcript→triple KG pipeline
+throughput (north star; measured in turns/s over a Spark-generated corpus).
+
+Scaling-efficiency evidence (N vs 4N cores on the same input) lives in
+tools/bench_scaling.py → reported in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "vertex_customer",
+    "edge_orders",
+    "pricing_summary",
+    "revenue_topk",
+    "window_top_order",
+    "events_hourly",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "kg_triples",
+]
+
+KG_BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_KG_TURNS", "200000"))
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from nebula_importer_spark.session import get_spark
+    from nebula_importer_spark.transcripts.generate import gen_transcripts_spark
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    # warm the JVM/codegen path once (excluded from timings)
+    qs["pricing_summary"](spark, sf_dir).collect()
+
+    for name in HEADLINE:
+        if name == "kg_triples":
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # KG pipeline throughput: Spark-generated corpus, extraction+linking only
+    # (the per-turn hot path), measured in turns/s.
+    t0 = time.time()
+    transcripts = gen_transcripts_spark(spark, n_turns=KG_BENCH_TURNS, n_convs=2000)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(transcripts)
+    n_triples = surface.count()
+    kg_sec = time.time() - t0
+    times["kg_triples"] = round(kg_sec, 3)
+    assert n_triples > 0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "kg_turns": KG_BENCH_TURNS,
+                "kg_turns_per_sec": round(KG_BENCH_TURNS / kg_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Five strategies, all over a ``documents(doc_id, text, ...)``-shaped table:
+
+- exact_dedup          hash-groupBy on the full text, keep min id
+- ngram_jaccard_pairs  EXACT all-pairs n-gram Jaccard via a shared-shingle
+                       equi-join (never a cross join) — also the oracle shape
+- minhash_lsh_pairs    approximate near-dup pairs via MinHash-LSH banding
+                       (the 100-TB scale path; reuses operators/linking.py)
+- simhash              64-bit SimHash per document, JVM-only (64 agg bits),
+                       + hamming-distance pair search over band prefixes
+- embedding_dup_pairs  cosine near-dup over an embedding column
+
+Scale notes: every strategy shuffles on content-derived keys (shingle, band,
+hash prefix), so work is proportional to candidate pairs, not |docs|².
+Frequent-shingle hotspots in the exact join are capped with a document-
+frequency cutoff (stop-shingles are dropped like stop-words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.linking import minhash_lsh_join
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text; survivor = min id (deterministic)."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
+
+
+def word_ngrams(col, n: int):
+    """Array of word n-grams (space-joined) of a text column."""
+    toks = F.split(F.trim(col), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Candidate generation is an equi-join on shared shingles (docs sharing no
+    shingle can't clear any threshold > 0), with a document-frequency cap on
+    shingles to bound hot keys. Verification recomputes exact Jaccard on the
+    full shingle sets.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_sh"))
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    rare = (
+        ex.groupBy("_g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df)
+    )
+    ex = ex.join(rare.select("_g"), "_g")
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_g")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size(F.array_union("_sha", "_shb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash-LSH banding (char shingles).
+    Self-join variant of operators.linking.minhash_lsh_join; the scale path
+    when the exact shared-shingle join is too hot."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t"))
+    pairs = minhash_lsh_join(
+        left,
+        right,
+        left_key="id_a",
+        right_key="id_b",
+        left_text="_t",
+        right_text="_t",
+        threshold=threshold,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        broadcast_right=False,  # self-join: both sides are corpus-sized
+    )
+    return pairs.filter(F.col("id_a") < F.col("id_b"))
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document — entirely JVM expressions.
+
+    Token hash = xxhash64(token); bit k of the signature is the sign of
+    sum over tokens of (2*((hash>>k)&1) - 1). One explode + one groupBy with
+    ``bits`` conditional-sum aggregates (single shuffle).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"_b{k}")
+        for k in range(bits)
+    ]
+    sums = toks.groupBy("_id").agg(*aggs)
+    sig = None
+    for k in range(bits):
+        bit = F.when(F.col(f"_b{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, k)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``n_blocks`` 16-bit
+    blocks; any pair within distance < n_blocks agrees on ≥1 block → equi-join
+    per block, then exact popcount verification (bit_count). No cross join.
+    """
+    sigs = simhash(df, id_col, text_col)
+    width = 64 // n_blocks
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_blk_idx", "_blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["_blk_idx", "_blk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+
+    Blocking: random-hyperplane sign bits split into ``n_bands`` bands
+    (hyperplanes drawn once on the driver from a seeded RNG → deterministic
+    plan constants); a pair is a candidate if ANY band agrees, giving recall
+    1-(1-p^(planes/bands))^bands with p = 1-θ/π (≈0.995 at cosine 0.95 with
+    12 planes / 4 bands). Verification: exact cosine via zip_with/aggregate
+    (JVM), so precision is exact.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dotp = F.aggregate(
+            F.zip_with(vec_d, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dotp >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    band_keys = []
+    for b in range(n_bands):
+        key = None
+        for r in range(per_band):
+            term = F.shiftleft(bits[b * per_band + r], r)
+            key = term if key is None else key.bitwiseXOR(term)
+        band_keys.append(key)
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        vec_d.alias("_v"),
+        norm.alias("_n"),
+        F.posexplode(F.array(*band_keys)).alias("_band", "_bkt"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._bkt") == F.col("b._bkt")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return cand.select(
+        "id_a", "id_b", (dot_ab / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

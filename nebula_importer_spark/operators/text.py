@@ -1,0 +1,96 @@
+"""Text analysis operators (training-data pipeline surface).
+
+All pure JVM expressions (regexp_count / split / length arithmetic) chosen so
+each has an exactly-equivalent ANSI-SQL form for the DuckDB oracle:
+
+- token_count          whitespace tokens + a BPE-ish subword estimate
+- lang_id              n-gram/stopword-ratio heuristic over small wordlists
+- quality_score        length / punctuation / stopword-ratio composite
+- fingerprint          document fingerprint = min MD5 over char shingles
+                       (rolling-hash style; MD5 so Spark and DuckDB agree
+                       bit-for-bit — xxhash has no DuckDB twin)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists (heuristic language ID, not a model).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para"],
+}
+
+
+def _word_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (empty/null → 0). regexp_count('\\S+') rather
+    than split(): identical semantics in ANSI SQL engines (oracle parity) and
+    no empty-string edge case."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+")).cast("long")
+
+
+def subword_count(col) -> Column:
+    """BPE-ish token estimate: count word chunks of ≤4 chars after splitting
+    long words (a deterministic regex proxy for BPE segmentation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"[A-Za-z0-9]{1,4}")).cast("long")
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    hits = F.regexp_count(F.lower(c), F.lit(_word_re(STOPWORDS[lang])))
+    toks = token_count(c)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def lang_id(col) -> Column:
+    """argmax of per-language stopword ratios; 'und' (undetermined) when all
+    zero. Deterministic tie-break: language list order en>de>fr>es."""
+    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        r = ratios[lang]
+        cond = r >= best_score
+        # strict '>' for later langs is achieved by iterating reversed with >=
+        best_lang = F.when((r > 0) & cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, r).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col) -> Column:
+    """Composite quality in [0,1]:
+    0.4 * min(tokens/50, 1) + 0.3 * (1 - punct_ratio) + 0.3 * min(stop_en*5, 1).
+    A length term, a symbol-noise term, and a natural-language term."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    toks = token_count(c).cast("double")
+    nchars = F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / nchars
+    stop = stopword_ratio(c, "en")
+    return (
+        F.least(toks / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct) * 0.3
+        + F.least(stop * 5.0, F.lit(1.0)) * 0.3
+    ).alias("quality")
+
+
+def fingerprint(col, shingle_n: int = 8) -> Column:
+    """Rolling document fingerprint: min MD5 digest over all char n-gram
+    shingles (n=8). Equal texts → equal fingerprints; near-equal texts
+    usually share the minimal shingle (winnowing-style robustness)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    shingles = F.when(F.length(c) < shingle_n, F.array(c)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (shingle_n - 1)),
+            lambda i: F.substring(c, i, shingle_n),
+        )
+    )
+    return F.array_min(F.transform(shingles, F.md5))

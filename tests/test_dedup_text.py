@@ -1,0 +1,174 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from nebula_importer_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_assets,
+)
+from nebula_importer_spark.operators.similarity import brute_force_topk, lsh_topk
+from nebula_importer_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup
+    (4, "der schnelle braune fuchs springt und das ist nicht ein problem mit auf"),
+    (5, "completely unrelated text about databases and distributed query engines"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    assert out.count() == 5  # 1&2 merge
+    assert out.filter(F.col("text") == DOCS[0][1]).first()["doc_id"] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert all(not (a in (4, 5) or b in (4, 5)) for a, b in pairs)
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, shingle_n=5).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert (4, 5) not in got
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs.filter("text != ''")).collect()}
+    assert sh[1] == sh[2]  # identical text → identical signature
+
+    def ham(x: int, y: int) -> int:
+        # mask to 64 bits: signatures are signed longs
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    ham13 = ham(sh[1], sh[3])
+    ham15 = ham(sh[1], sh[5])
+    assert ham13 < ham15  # near-dup closer than unrelated
+
+
+def test_simhash_dup_pairs(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dup_pairs(docs.filter("text != ''"), max_hamming=6).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 5) not in got
+
+
+def test_embedding_dup_pairs(spark):
+    base = [0.1, 0.2, 0.3, 0.4]
+    rows = [
+        (1, base),
+        (2, [x * 1.0001 for x in base]),  # same direction → cosine ≈ 1
+        (3, [0.4, -0.3, 0.2, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, threshold=0.999).collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((10, [1.0, 0.1, 0.0, 0.0]))  # near e0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(corpus, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [10, 1]  # 10 closest, then tie-break min id
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(900 + i, (vecs[i] + 0.01 * rng.standard_normal(16).astype("float32")).tolist()) for i in range(5)],
+        "query_id long, query_vec array<float>",
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(corpus, queries, k=1, n_planes=12, n_bands=4).collect()
+    }
+    # near-identical query should find its source vector via LSH most times
+    assert len(exact & approx) >= 3
+
+
+def test_text_ops(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("toks"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["toks"] == 14
+    assert rows[6]["toks"] == 0
+    assert rows[1]["lang"] == "en"
+    assert rows[4]["lang"] == "de"
+    assert rows[6]["lang"] == "und"
+    assert 0.0 <= rows[5]["q"] <= 1.0
+    assert rows[1]["fp"] == rows[2]["fp"]  # identical docs, identical fingerprint
+    assert rows[1]["fp"] != rows[5]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    assets = synth_assets(spark, n=12)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload → same sha + feature
+    again = {r["asset_id"]: r["sha256"] for r in extract_features(assets).collect()}
+    assert all(r["sha256"] == again[r["asset_id"]] for r in rows)
+    frames = sample_frames(assets, every_ms=400)
+    assert frames.count() > 0
+    assert frames.groupBy("asset_id").count().filter("count < 2").count() == 0
+
+
+def test_multimodal_decode_is_stubbed():
+    from nebula_importer_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
