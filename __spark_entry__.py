@@ -275,10 +275,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (word-3gram Jaccard ≥ 0.7) via MinHash-LSH. The planted
+    near-dups sit at j≈0.99 (LSH recall ≈ 1-(1-0.99²)⁸ ≈ 1), so the exact-SQL
+    oracle below is a faithful check despite LSH being approximate."""
     from nebula_importer_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4, shingle_n=5
+        _t(spark, sf_dir, "documents"), threshold=0.7
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -591,7 +594,25 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
         """,
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / kg_triples /
-        # multimodal_features: hash- or LSH-based (not ANSI-SQL-expressible)
-        # → rows-only driver check; gated in pytest instead.
+        "dedup_minhash_lsh": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+        """,
+        # dedup_simhash / ann_lsh_topk / kg_triples / multimodal_features:
+        # hash- or LSH-bit-based (not ANSI-SQL-expressible) → rows-only
+        # driver check; gated in pytest instead.
     }

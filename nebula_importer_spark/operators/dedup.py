@@ -22,30 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nebula_importer_spark.operators.linking import minhash_lsh_join
+from nebula_importer_spark.operators.linking import minhash_lsh_join, word_ngrams
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct text; survivor = min id (deterministic)."""
     return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
-
-
-def word_ngrams(col, n: int):
-    """Array of word n-grams (space-joined) of a text column."""
-    toks = F.split(F.trim(col), r"\s+")
-    if n == 1:
-        return F.array_distinct(toks)
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
 
 
 def ngram_jaccard_pairs(
@@ -97,14 +79,20 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.5,
+    threshold: float = 0.7,
     num_hashes: int = 16,
     band_size: int = 2,
-    shingle_n: int = 5,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHash-LSH banding (char shingles).
-    Self-join variant of operators.linking.minhash_lsh_join; the scale path
-    when the exact shared-shingle join is too hot."""
+    """Approximate near-dup pairs via MinHash-LSH banding.
+
+    Defaults tuned for near-duplicate semantics: WORD 3-gram shingles
+    (selective even on tiny-vocabulary corpora, where char shingles make
+    every pair a band candidate) and threshold 0.7; the minhash-estimate
+    prefilter inside minhash_lsh_join keeps verification off the false
+    candidates. Self-join variant — the scale path when the exact
+    shared-shingle join is too hot."""
     left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t"))
     pairs = minhash_lsh_join(
@@ -118,6 +106,7 @@ def minhash_lsh_pairs(
         num_hashes=num_hashes,
         band_size=band_size,
         shingle_n=shingle_n,
+        shingle_mode=shingle_mode,
         broadcast_right=False,  # self-join: both sides are corpus-sized
     )
     return pairs.filter(F.col("id_a") < F.col("id_b"))

@@ -29,10 +29,32 @@ DEFAULT_NUM_HASHES = 12
 DEFAULT_BAND_SIZE = 2
 
 
-def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Add ``_shingles``: distinct char n-grams (strings shorter than n map
-    to a single shingle = the string itself)."""
+def word_ngrams(col, n: int):
+    """Array of distinct word n-grams (space-joined) of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def _with_shingles(df: DataFrame, text_col: str, n: int, mode: str = "char") -> DataFrame:
+    """Add ``_shingles``: distinct char n-grams (mode='char'; strings shorter
+    than n map to a single shingle = the string itself) or word n-grams
+    (mode='word' — far more selective on small-vocabulary corpora)."""
     c = F.col(text_col)
+    if mode == "word":
+        return df.withColumn("_shingles", word_ngrams(c, n))
     arr = F.when(F.length(c) < n, F.array(c)).otherwise(
         F.expr(
             f"transform(sequence(1, length(`{text_col}`) - {n - 1}),"
@@ -42,15 +64,17 @@ def _with_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     return df.withColumn("_shingles", F.array_distinct(arr))
 
 
-def _with_bands(df: DataFrame, key: str, num_hashes: int, band_size: int) -> DataFrame:
-    """Explode shingles once; K minhashes in one aggregation; emit
-    (key, band_idx, band_key)."""
+def _minhashes(df: DataFrame, key: str, num_hashes: int) -> DataFrame:
+    """Explode shingles once; K minhashes in ONE aggregation → (key, _mh0..K)."""
     ex = df.select(key, F.explode("_shingles").alias("_sh"))
     aggs = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_mh{k}")
         for k in range(num_hashes)
     ]
-    mh = ex.groupBy(key).agg(*aggs)
+    return ex.groupBy(key).agg(*aggs)
+
+
+def _bands_of(mh: DataFrame, key: str, num_hashes: int, band_size: int) -> DataFrame:
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -61,6 +85,16 @@ def _with_bands(df: DataFrame, key: str, num_hashes: int, band_size: int) -> Dat
         ]
     )
     return mh.select(key, F.posexplode(bands).alias("_band_idx", "_band_key"))
+
+
+def _est_jaccard(num_hashes: int, lpfx: str, rpfx: str):
+    """Minhash-estimated Jaccard: fraction of agreeing signature slots —
+    num_hashes integer comparisons, no array ops."""
+    matches = sum(
+        F.when(F.col(f"{lpfx}_mh{k}") == F.col(f"{rpfx}_mh{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return matches / F.lit(float(num_hashes))
 
 
 def jaccard(a, b):
@@ -78,26 +112,58 @@ def minhash_lsh_join(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
+    shingle_mode: str = "char",
     broadcast_right: bool = True,
+    est_margin: float = 0.25,
 ) -> DataFrame:
     """Approximate-similarity join: (left_key, right_key, jaccard) for pairs
-    whose char-n-gram Jaccard ≥ threshold AND that collide in ≥1 LSH band.
+    whose n-gram Jaccard ≥ threshold AND that collide in ≥1 LSH band.
+
+    Three-stage funnel (cost drops an order of magnitude per stage):
+      1. band join      — equality on hashed minhash bands (shuffle equi-join)
+      2. estimate filter— minhash-estimated Jaccard from the signatures
+                          already in hand (num_hashes integer compares;
+                          cutoff threshold - est_margin) — kills the false
+                          candidates low-selectivity corpora produce WITHOUT
+                          touching shingle arrays
+      3. exact verify   — array_intersect/array_union Jaccard on survivors
 
     Recall follows the LSH s-curve P(collide) = 1-(1-s^band_size)^n_bands;
-    with 12 hashes in bands of 2: s=0.5 → ~0.90, s=0.7 → ~0.99.
+    with 12 hashes in bands of 2: s=0.5 → ~0.90, s=0.7 → ~0.99. The estimate
+    filter's false-negative rate at margin 0.25 is the binomial tail
+    P(Binom(K, s) < K·(threshold-margin)) — negligible for s ≥ threshold.
     """
     lk, rk = "_lk", "_rk"
     l_sh = _with_shingles(
-        left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")), "_lt", shingle_n
+        left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")),
+        "_lt", shingle_n, shingle_mode,
     )
     r_sh = _with_shingles(
-        right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")), "_rt", shingle_n
+        right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")),
+        "_rt", shingle_n, shingle_mode,
     )
-    l_bands = _with_bands(l_sh, lk, num_hashes, band_size)
-    r_bands = _with_bands(r_sh, rk, num_hashes, band_size)
+    l_mh = _minhashes(l_sh, lk, num_hashes)
+    r_mh = _minhashes(r_sh, rk, num_hashes)
+    l_bands = _bands_of(l_mh, lk, num_hashes, band_size)
+    r_bands = _bands_of(r_mh, rk, num_hashes, band_size)
     if broadcast_right:
         r_bands = F.broadcast(r_bands)
     cand = l_bands.join(r_bands, on=["_band_idx", "_band_key"]).select(lk, rk).distinct()
+
+    # stage 2: estimate filter on signatures (cheap integer compares)
+    l_sig = l_mh.select(lk, *[F.col(f"_mh{k}").alias(f"_l_mh{k}") for k in range(num_hashes)])
+    r_sig = r_mh.select(rk, *[F.col(f"_mh{k}").alias(f"_r_mh{k}") for k in range(num_hashes)])
+    if broadcast_right:
+        r_sig = F.broadcast(r_sig)
+    est = _est_jaccard(num_hashes, "_l", "_r")
+    cand = (
+        cand.join(l_sig, lk)
+        .join(r_sig, rk)
+        .filter(est >= F.lit(max(threshold - est_margin, 0.0)))
+        .select(lk, rk)
+    )
+
+    # stage 3: exact verification on shingle arrays
     l_arr = l_sh.select(lk, F.col("_shingles").alias("_lsh"))
     r_arr = r_sh.select(rk, F.col("_shingles").alias("_rsh"))
     if broadcast_right:

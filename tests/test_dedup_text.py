@@ -55,13 +55,24 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert all(not (a in (4, 5) or b in (4, 5)) for a, b in pairs)
 
 
-def test_minhash_lsh_pairs(spark, docs):
+def test_minhash_lsh_pairs_char(spark, docs):
     got = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(docs, threshold=0.5, shingle_n=5).collect()
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, shingle_n=5, shingle_mode="char"
+        ).collect()
     }
     assert (1, 2) in got
     assert (1, 3) in got
+    assert (4, 5) not in got
+
+
+def test_minhash_lsh_pairs_word_default(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert got[(1, 2)] == 1.0
     assert (4, 5) not in got
 
 
