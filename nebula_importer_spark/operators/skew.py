@@ -30,8 +30,13 @@ def salted_repartition(
     salt_buckets — deterministic, no RNG, stable under retries."""
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     out = df.withColumn("_salt", salt)
-    if num_partitions:
-        out = out.repartition(num_partitions, F.col(key), F.col("_salt"))
-    else:
-        out = out.repartition(F.col(key), F.col("_salt"))
+    if num_partitions is None:
+        # An explicit count is REQUIRED for CPU-bound downstream stages
+        # (e.g. pandas-UDF kernels): a bare repartition(cols) is subject to
+        # AQE partition coalescing, which sizes partitions by BYTES (64 MB
+        # advisory) and will happily collapse a compute-heavy stage onto a
+        # handful of tasks. 2× parallelism keeps every core busy with
+        # mild imbalance tolerance.
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    out = out.repartition(num_partitions, F.col(key), F.col("_salt"))
     return out.drop("_salt")

@@ -66,8 +66,17 @@ class TranscriptPipeline:
 
     # -- composable stages (each returns a DataFrame; no side effects) -----
     def triples_surface(self, transcripts: DataFrame) -> DataFrame:
-        """Stages 1-2: ordered turns → surface-form triples."""
-        turns = ordered_turns(transcripts).select("conv_id", "turn_idx", "text")
+        """Stages 1-2: turns → surface-form triples.
+
+        Extraction is row-local, so no ordering window is needed here (the
+        stable (conv_id, turn_idx) window — ordered_turns — backs the
+        text-equality invariant and any per-conversation operator, not the
+        extraction kernel). The salted repartition spreads mega-threads that
+        arrive clustered in input splits across all tasks: one conv_id with
+        10^6 turns in one parquet file must not serialize into one task.
+        Only the slim (conv_id, turn_idx, text) projection is shuffled.
+        """
+        turns = transcripts.select("conv_id", "turn_idx", "text")
         turns = salted_repartition(turns, "conv_id", self.salt_buckets)
         return extract_triples(turns)
 

@@ -30,6 +30,10 @@ spark.sparkContext.setLogLevel("ERROR")
 transcripts = gen_transcripts_spark(spark, n_turns=turns, n_convs=max(turns // 100, 10))
 transcripts = transcripts.localCheckpoint(eager=True)  # materialize input OUTSIDE the timed region
 pipe = TranscriptPipeline(spark, salt_buckets=max(cores * 2, 32))
+# Warm the Python worker pool (one tiny mapInPandas wave): workers are
+# long-lived on a real cluster; cold-starting {{cores}} pandas interpreters
+# at once costs ~0.5s/core and would measure import time, not throughput.
+pipe.triples_surface(transcripts.limit(cores * 10).repartition(cores)).count()
 t0 = time.time()
 n = pipe.triples_surface(transcripts).count()
 dt = time.time() - t0
@@ -51,7 +55,9 @@ def run(cores: int, turns: int) -> dict:
 
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    # sized so the local[N] run takes ~30s+: short jobs measure scheduler +
+    # Python-worker startup overhead, not throughput scaling
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     small = run(n_small, turns)
     big = run(n_small * 4, turns)
     eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
