@@ -1,0 +1,93 @@
+"""CLI — the spark-submit entry point.
+
+    spark-submit --py-files nebula_importer_spark.zip -m ...   (cluster)
+    python -m nebula_importer_spark import -c config.yaml -o out/   (local)
+    python -m nebula_importer_spark kg --turns 100000 -o out/ [--resume]
+
+``import`` is the reference-CLI analog (nebula-importer -c config.yaml,
+reference pkg/cmd/nebula-importer.go:50-80): parse+validate config → run →
+per-element stats printed → exit 1 if anything was rejected (M4 exit
+semantics, reference pkg/cmd/nebula-importer.go:126-128).
+
+``kg`` runs the north-star transcript→triple pipeline end-to-end on a
+deterministic generated corpus (or a parquet/Iceberg table via --input) and
+is resumable from the snapshot manifest (--resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_import(args: argparse.Namespace) -> int:
+    from nebula_importer_spark.config.parse import load_config
+    from nebula_importer_spark.plans.pipeline import Pipeline
+    from nebula_importer_spark.session import get_spark
+
+    cfg = load_config(args.config)
+    spark = get_spark("nebula-importer-spark", master=args.master)
+    result = Pipeline(cfg, spark).run(args.output, resume=args.resume)
+    print(result.to_json())
+    return 1 if result.is_failed() else 0
+
+
+def _cmd_kg(args: argparse.Namespace) -> int:
+    import json
+
+    from nebula_importer_spark.session import get_spark
+    from nebula_importer_spark.transcripts.generate import (
+        gen_corpus_local,
+        gen_transcripts_spark,
+    )
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    spark = get_spark("kg-pipeline", master=args.master)
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = gen_transcripts_spark(spark, n_turns=args.turns)
+    # alias dictionary + equivalences from the deterministic corpus universe
+    c = gen_corpus_local(seed=42, n_convs=1, turns_per_conv=1)
+    d = c.to_spark(spark)
+    pipe = TranscriptPipeline(spark)
+    res = pipe.run(transcripts, d["alias_dict"], d["same_as"], args.output, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "turns": res.turns,
+                "triples": res.triples,
+                "unlinked": res.unlinked_mentions,
+                "turns_per_sec": round(res.turns_per_sec(), 1),
+                "stages": {k: round(v, 2) for k, v in res.stages.items()},
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="nebula_importer_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import", help="run a tag/edge schema config")
+    imp.add_argument("-c", "--config", required=True)
+    imp.add_argument("-o", "--output", required=True)
+    imp.add_argument("--master", default=None)
+    imp.add_argument("--resume", action="store_true")
+    imp.set_defaults(fn=_cmd_import)
+
+    kg = sub.add_parser("kg", help="run the transcript→triple KG pipeline")
+    kg.add_argument("--input", default=None, help="parquet transcript table")
+    kg.add_argument("--turns", type=int, default=100_000)
+    kg.add_argument("-o", "--output", required=True)
+    kg.add_argument("--master", default=None)
+    kg.add_argument("--resume", action="store_true")
+    kg.set_defaults(fn=_cmd_kg)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

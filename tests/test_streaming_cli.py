@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from datetime import datetime, timedelta
+from pathlib import Path
+
+from nebula_importer_spark.streaming.events import (
+    run_stream_to_parquet,
+    windowed_event_counts,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("append").parquet(str(path))
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    indir, outdir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    rows = [
+        (1, t0 + timedelta(minutes=5), 1, "click", 1.0, ""),
+        (2, t0 + timedelta(minutes=50), 2, "click", 2.0, ""),
+        (3, t0 + timedelta(hours=1, minutes=5), 3, "view", 3.0, ""),
+        # a row far ahead advances the watermark past the first windows
+        (4, t0 + timedelta(hours=10), 4, "click", 4.0, ""),
+    ]
+    _write_events(spark, indir, rows)
+    q = run_stream_to_parquet(
+        spark, str(indir), str(outdir), str(ckpt), window="1 hour", watermark="2 hours"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    # append mode emits only windows finalized by the watermark (hour 0 and 1)
+    assert got[("2026-01-01T00:00:00", "click")] == 2
+    assert got[("2026-01-01T01:00:00", "view")] == 1
+
+    # resume from checkpoint: new file → only NEW finalized windows appended
+    _write_events(
+        spark, indir,
+        [(5, t0 + timedelta(hours=11), 5, "view", 5.0, ""),
+         (6, t0 + timedelta(hours=24), 6, "click", 6.0, "")],
+    )
+    q2 = run_stream_to_parquet(
+        spark, str(indir), str(outdir), str(ckpt), window="1 hour", watermark="2 hours"
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert got2[("2026-01-01T10:00:00", "click")] == 1  # finalized by the 24h row
+    assert len(got2) > len(got)
+
+
+def test_cli_import_and_exit_codes(tmp_path):
+    data = tmp_path / "p.csv"
+    data.write_text("a,Ann\nb,Bob\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+manager: {spaceName: clitest}
+sources:
+  - path: %s
+    tags:
+      - name: person
+        id: {type: STRING, index: 0}
+        props: [{name: name, type: STRING, index: 1}]
+"""
+        % data
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "import",
+         "-c", str(cfg), "-o", str(tmp_path / "out"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout[out.stdout.index("{"):])
+    assert payload["total_written"] == 2 and not payload["failed"]
+
+    # malformed row → rejects → nonzero exit (M4 semantics)
+    data.write_text('a,Ann\n"broken,row\n')
+    out2 = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "import",
+         "-c", str(cfg), "-o", str(tmp_path / "out2"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out2.returncode == 1
