@@ -73,11 +73,22 @@ class TableStore:
         self._write_manifest(m)
 
     # -- reads ------------------------------------------------------------
-    def read(self, table: str) -> DataFrame | None:
-        v = self.current_version(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame | None:
+        """Read a table at its current (or any historical) snapshot version —
+        snapshots are immutable, so time travel is just a different path."""
+        v = self.current_version(table) if version is None else version
         if v is None:
             return None
-        return self.spark.read.parquet(str(self.root / table / f"v={v}"))
+        path = self.root / table / f"v={v}"
+        if version is not None and not path.exists():
+            raise FileNotFoundError(f"{table} has no snapshot v={version}")
+        return self.spark.read.parquet(str(path))
+
+    def versions(self, table: str) -> list[int]:
+        base = self.root / table
+        if not base.exists():
+            return []
+        return sorted(int(p.name.split("=")[1]) for p in base.glob("v=*"))
 
     # -- merge + commit ----------------------------------------------------
     def _dedup_incoming(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -117,6 +128,9 @@ class TableStore:
             # UPDATE/DELETE against an empty table: everything is unmatched.
             if mode == Mode.UPDATE:
                 return self.spark.createDataFrame([], incoming.schema), incoming.count()
+            # DELETE: no table state to change, but still run ONE action over
+            # the incoming frame so caller-attached observe() metrics fire.
+            incoming.count()
             return None, 0  # type: ignore[return-value]
         keys = incoming.select(*key_cols)
         if mode == Mode.UPDATE:

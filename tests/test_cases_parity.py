@@ -363,3 +363,38 @@ def test_update_and_delete_modes_end_to_end(spark, tmp_path):
     stored = spark.read.parquet(str(out / "s" / "tags" / "person" / "v=3"))
     rows = {r["vid"]: r["name"] for r in stored.collect()}
     assert rows == {"p1": "Ann", "p2": "Bobby"}  # p2 updated, p3 deleted, pX rejected
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    base = tmp_path / "b.csv"
+    base.write_text("k1,v1\n")
+    upd = tmp_path / "u.csv"
+    upd.write_text("k1,v2\n")
+
+    def cfg(path):
+        return GraphConfig(
+            space="s",
+            sources=[
+                SourceSpec(
+                    path=str(path),
+                    tags=[
+                        NodeSpec(
+                            "t",
+                            NodeIDSpec(type="STRING", index=0),
+                            [PropSpec("val", "STRING", 1)],
+                        )
+                    ],
+                )
+            ],
+        )
+
+    from nebula_importer_spark.plans.merge import TableStore
+
+    out = tmp_path / "out"
+    Pipeline(cfg(base), spark).run(out)
+    Pipeline(cfg(upd), spark).run(out)
+    store = TableStore(out / "s", spark)
+    assert store.versions("tags/t") == [1, 2]
+    v1 = {r["vid"]: r["val"] for r in store.read("tags/t", version=1).collect()}
+    v2 = {r["vid"]: r["val"] for r in store.read("tags/t").collect()}
+    assert v1 == {"k1": "v1"} and v2 == {"k1": "v2"}
