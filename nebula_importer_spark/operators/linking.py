@@ -65,13 +65,20 @@ def _with_shingles(df: DataFrame, text_col: str, n: int, mode: str = "char") -> 
 
 
 def _minhashes(df: DataFrame, key: str, num_hashes: int) -> DataFrame:
-    """Explode shingles once; K minhashes in ONE aggregation → (key, _mh0..K)."""
-    ex = df.select(key, F.explode("_shingles").alias("_sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_mh{k}")
+    """K minhashes per row as pure array expressions — array_min over a
+    hashed transform of the shingle array. ZERO shuffle (the explode+groupBy
+    formulation shuffles |docs|×|shingles| rows; this touches none).
+
+    Built via SQL strings, NOT Python lambdas: PySpark deduplicates
+    higher-order-function lambdas by code object, so K structurally
+    identical ``lambda s, k=k: xxhash64(s, lit(k))`` closures all collapse
+    to the k=0 expression (verified on 4.1.2) — every signature slot came
+    out identical and LSH silently lost its seeds."""
+    cols = [
+        F.expr(f"array_min(transform(_shingles, s -> xxhash64(s, {k}L)))").alias(f"_mh{k}")
         for k in range(num_hashes)
     ]
-    return ex.groupBy(key).agg(*aggs)
+    return df.select(key, *cols)
 
 
 def _bands_of(mh: DataFrame, key: str, num_hashes: int, band_size: int) -> DataFrame:
@@ -134,16 +141,19 @@ def minhash_lsh_join(
     P(Binom(K, s) < K·(threshold-margin)) — negligible for s ≥ threshold.
     """
     lk, rk = "_lk", "_rk"
+    # The shingle and signature frames feed three plan subtrees each (bands,
+    # estimate filter, verify); persist so shingling runs once per side, not
+    # three times. Both are bounded: ids + shingle arrays / K longs per row.
     l_sh = _with_shingles(
         left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")),
         "_lt", shingle_n, shingle_mode,
-    )
+    ).persist()
     r_sh = _with_shingles(
         right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")),
         "_rt", shingle_n, shingle_mode,
-    )
-    l_mh = _minhashes(l_sh, lk, num_hashes)
-    r_mh = _minhashes(r_sh, rk, num_hashes)
+    ).persist()
+    l_mh = _minhashes(l_sh, lk, num_hashes).persist()
+    r_mh = _minhashes(r_sh, rk, num_hashes).persist()
     l_bands = _bands_of(l_mh, lk, num_hashes, band_size)
     r_bands = _bands_of(r_mh, rk, num_hashes, band_size)
     if broadcast_right:
