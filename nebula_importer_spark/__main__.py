@@ -86,7 +86,18 @@ def main(argv: list[str] | None = None) -> int:
     kg.set_defaults(fn=_cmd_kg)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except Exception as e:  # config/validation errors get one clean line
+        from nebula_importer_spark.config.model import ConfigError
+
+        if isinstance(e, ConfigError):
+            print(f"config error: {e}", file=sys.stderr)
+            return 2
+        raise
 
 
 if __name__ == "__main__":
