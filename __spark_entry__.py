@@ -30,6 +30,9 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone: timestamp rendering/compares must match the
+    # (naive-UTC) DuckDB oracle regardless of the caller's session defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -183,6 +186,39 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: all dimension tables broadcast, one
+    shuffle for the final aggregation — the join-tree shape Catalyst + AQE
+    should pick at 100 TB with the same hints."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(dim),
+            (cust["c_nationkey"] == dim["n_nationkey"])
+            & (supp["s_nationkey"] == dim["n_nationkey"]),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
     )
 
 
@@ -374,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_fallback": q_prop_fallback,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
+        "region_revenue": q_region_revenue,
         "window_top_order": q_window_top_order,
         "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
@@ -457,6 +494,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderpriority
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+                         AND s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
         """,
         "window_top_order": """
             SELECT o_custkey AS custkey, o_orderkey AS orderkey,

@@ -65,6 +65,87 @@ def windowed_event_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user session assembly with an inactivity
+    gap, via ``applyInPandasWithState`` (arbitrary stateful processing — the
+    escape hatch when built-in windows can't express the semantics).
+
+    Emits one row per CLOSED session: (user_id, session_start, session_end,
+    n_events, sum_value). A session closes when the event-time watermark
+    passes its last event + gap; open sessions stay in the state store.
+    """
+    import datetime as _dt
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _parse_duration_ms(gap)
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "last_ts long, start_ts long, n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            last_ts, start_ts, n, total = state.get
+            closed.append((user_id, start_ts, last_ts, n, total))
+            state.remove()
+        else:
+            last_ts, start_ts, n, total = (
+                state.get if state.exists else (None, None, 0, 0.0)
+            )
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    ts_ms = int(ts.value // 1_000_000)
+                    if last_ts is not None and ts_ms - last_ts > gap_ms:
+                        closed.append((user_id, start_ts, last_ts, n, total))
+                        start_ts, n, total = ts_ms, 0, 0.0
+                    if start_ts is None:
+                        start_ts = ts_ms
+                    last_ts = ts_ms
+                    n += 1
+                    total += float(value or 0.0)
+            state.update((last_ts, start_ts, n, total))
+            state.setTimeoutTimestamp(last_ts + gap_ms)
+        if closed:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [
+                        _dt.datetime.utcfromtimestamp(c[1] / 1000.0) for c in closed
+                    ],
+                    "session_end": [
+                        _dt.datetime.utcfromtimestamp(c[2] / 1000.0) for c in closed
+                    ],
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _parse_duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * mult
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_dir: str,

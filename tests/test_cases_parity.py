@@ -398,3 +398,31 @@ def test_snapshot_time_travel(spark, tmp_path):
     v1 = {r["vid"]: r["val"] for r in store.read("tags/t", version=1).collect()}
     v2 = {r["vid"]: r["val"] for r in store.read("tags/t").collect()}
     assert v1 == {"k1": "v1"} and v2 == {"k1": "v2"}
+
+
+def test_json_source_positional_binding(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(
+        '{"id": "j1", "name": "Ann", "age": 30}\n'
+        '{"id": "j2", "name": "Bob", "age": 40}\n'
+    )
+    cfg = GraphConfig(
+        space="s",
+        sources=[
+            SourceSpec(
+                path=str(p),
+                format="json",
+                tags=[
+                    NodeSpec(
+                        "person",
+                        # JSON keys bind positionally by the reader's column
+                        # order (alphabetical for spark.read.json): age,id,name
+                        NodeIDSpec(type="STRING", index=1),
+                        [PropSpec("name", "STRING", 2), PropSpec("age", "INT", 0)],
+                    )
+                ],
+            )
+        ],
+    )
+    rows = {r["vid"]: r for r in Pipeline(cfg, spark).vertices("person").collect()}
+    assert rows["j1"]["name"] == "Ann" and rows["j1"]["age"] == 30

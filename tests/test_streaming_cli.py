@@ -95,3 +95,38 @@ sources:
         capture_output=True, text=True, cwd=REPO, timeout=300,
     )
     assert out2.returncode == 1
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    from nebula_importer_spark.streaming.events import read_event_stream, sessionize
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    indir, outdir, ckpt = tmp_path / "sin", tmp_path / "sout", tmp_path / "sckpt"
+    rows = [
+        # user 1: two sessions separated by a >30min gap
+        (1, t0, 1, "click", 1.0, ""),
+        (2, t0 + timedelta(minutes=10), 1, "click", 2.0, ""),
+        (3, t0 + timedelta(hours=1), 1, "view", 3.0, ""),
+        # user 2: one session
+        (4, t0 + timedelta(minutes=1), 2, "click", 4.0, ""),
+        # watermark pusher far in the future closes everything
+        (5, t0 + timedelta(days=2), 9, "view", 0.0, ""),
+    ]
+    _write_events(spark, indir, rows)
+    q = (
+        sessionize(read_event_stream(spark, str(indir)), gap="30 minutes", watermark="1 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert got[(1, "2026-01-01T00:00:00")] == (2, 3.0)  # first session: 2 events
+    assert got[(1, "2026-01-01T01:00:00")] == (1, 3.0)  # second session
+    assert got[(2, "2026-01-01T00:01:00")] == (1, 4.0)
