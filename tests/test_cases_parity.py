@@ -426,3 +426,61 @@ def test_json_source_positional_binding(spark, tmp_path):
     )
     rows = {r["vid"]: r for r in Pipeline(cfg, spark).vertices("person").collect()}
     assert rows["j1"]["name"] == "Ann" and rows["j1"]["age"] == 30
+
+
+def test_multiple_sources_same_tag_union(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("a1,Ann\n")
+    (tmp_path / "b.csv").write_text("b1,Bob\n")
+    mk_source = lambda p: SourceSpec(
+        path=str(p),
+        tags=[
+            NodeSpec(
+                "person",
+                NodeIDSpec(type="STRING", index=0),
+                [PropSpec("name", "STRING", 1)],
+            )
+        ],
+    )
+    cfg = GraphConfig(
+        space="s", sources=[mk_source(tmp_path / "a.csv"), mk_source(tmp_path / "b.csv")]
+    )
+    p = Pipeline(cfg, spark)
+    rows = {r["vid"]: r["name"] for r in p.vertices("person").collect()}
+    assert rows == {"a1": "Ann", "b1": "Bob"}
+    res = p.run(tmp_path / "out")
+    stored = spark.read.parquet(str(tmp_path / "out" / "s" / "tags" / "person" / "v=2"))
+    assert stored.count() == 2  # second source upserts into the same table
+
+
+def test_edge_update_and_delete_modes(spark, tmp_path):
+    (tmp_path / "e_base.csv").write_text("a,b,0.1\na,c,0.2\n")
+    (tmp_path / "e_upd.csv").write_text("a,b,0.9\nx,y,0.5\n")
+    (tmp_path / "e_del.csv").write_text("a,c,0\n")
+
+    def cfg(path, mode):
+        return GraphConfig(
+            space="s",
+            sources=[
+                SourceSpec(
+                    path=str(path),
+                    edges=[
+                        EdgeSpec(
+                            "rel",
+                            src=NodeIDSpec(type="STRING", index=0),
+                            dst=NodeIDSpec(type="STRING", index=1),
+                            props=[PropSpec("w", "DOUBLE", 2)],
+                            mode=mode,
+                        )
+                    ],
+                )
+            ],
+        )
+
+    out = tmp_path / "out"
+    Pipeline(cfg(tmp_path / "e_base.csv", Mode.INSERT), spark).run(out)
+    r2 = Pipeline(cfg(tmp_path / "e_upd.csv", Mode.UPDATE), spark).run(out)
+    assert r2.elements[0].rejected == 1  # (x,y) addresses a missing edge
+    Pipeline(cfg(tmp_path / "e_del.csv", Mode.DELETE), spark).run(out)
+    stored = spark.read.parquet(str(out / "s" / "edges" / "rel" / "v=3"))
+    rows = {(r["src"], r["dst"]): r["w"] for r in stored.collect()}
+    assert rows == {("a", "b"): 0.9}
