@@ -93,11 +93,10 @@ def minhash_lsh_pairs(
     prefilter inside minhash_lsh_join keeps verification off the false
     candidates. Self-join variant — the scale path when the exact
     shared-shingle join is too hot."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t"))
+    side = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t"))
     pairs = minhash_lsh_join(
-        left,
-        right,
+        side,
+        side,  # identical object → join prepares one side (self-join path)
         left_key="id_a",
         right_key="id_b",
         left_text="_t",

@@ -144,16 +144,23 @@ def minhash_lsh_join(
     # The shingle and signature frames feed three plan subtrees each (bands,
     # estimate filter, verify); persist so shingling runs once per side, not
     # three times. Both are bounded: ids + shingle arrays / K longs per row.
+    # Self-joins (right is left) prepare ONE side and alias it — half the
+    # shingling/minhash work.
+    self_join = right is left and right_key != left_key
     l_sh = _with_shingles(
         left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")),
         "_lt", shingle_n, shingle_mode,
     ).persist()
-    r_sh = _with_shingles(
-        right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")),
-        "_rt", shingle_n, shingle_mode,
-    ).persist()
     l_mh = _minhashes(l_sh, lk, num_hashes).persist()
-    r_mh = _minhashes(r_sh, rk, num_hashes).persist()
+    if self_join:
+        r_sh = l_sh.withColumnRenamed(lk, rk)
+        r_mh = l_mh.withColumnRenamed(lk, rk)
+    else:
+        r_sh = _with_shingles(
+            right.select(F.col(right_key).alias(rk), F.col(right_text).alias("_rt")),
+            "_rt", shingle_n, shingle_mode,
+        ).persist()
+        r_mh = _minhashes(r_sh, rk, num_hashes).persist()
     l_bands = _bands_of(l_mh, lk, num_hashes, band_size)
     r_bands = _bands_of(r_mh, rk, num_hashes, band_size)
     if broadcast_right:
