@@ -1,0 +1,49 @@
+"""Physical-plan shape guards: the properties that keep these queries fast
+at 100 TB must survive refactors — filter pushdown into the parquet scan,
+column pruning, and broadcast joins for dimension tables."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_dsl_pushes_to_parquet_scan(spark):
+    plan = _plan(entrymod.queries()["edge_orders"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: o_orderdate is not referenced → must not be read
+    assert "o_orderdate" not in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = _plan(entrymod.queries()["text_stats"](spark, SF))
+    # only doc_id + text needed; lang/source/n_chars pruned from the scan
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read and "lang" not in read[0] and "source" not in read[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(entrymod.queries()["revenue_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan5 = _plan(entrymod.queries()["region_revenue"](spark, SF))
+    # every dimension join in the 6-table query is a broadcast, never SMJ
+    assert plan5.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan5.replace("SortMergeJoin(skew=", "")
+
+
+def test_shipdate_filter_pushes_down(spark):
+    plan = _plan(entrymod.queries()["pricing_summary"](spark, SF))
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
