@@ -252,6 +252,155 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP region→nation→grand total) over the
+    broadcast-dimension join tree — subtotal levels in one shuffle."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per group — Spark's
+    `percentile` aggregate (percentile_cont semantics, matching the oracle);
+    `approx_percentile` (t-digest) is the drop-in at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order (broadcast of the
+    distinct key set when dimension-sized; shuffle anti-join otherwise)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+def q_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: orders with at least one returned lineitem (EXISTS —
+    left_semi never duplicates or widens the probe side)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per day (the shuffle-heavy cardinality
+    shape; `approx_count_distinct` (HLL) is the 100-TB drop-in)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the most recent prior (or
+    simultaneous) error event of the same user — union + single-window
+    formulation (operators/temporal.py), one shuffle, no range explosion."""
+    from nebula_importer_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        "ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_seq="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_us",
+        F.col("event_id_asof").alias("err_event_id"),
+        F.col("value_asof").alias("err_value"),
+    )
+
+
+def q_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-range self-join: same-user event pairs within 60s, via
+    time-bucketed equi-join (candidates ∝ temporal density, never |rows|²)."""
+    from nebula_importer_spark.operators.temporal import range_self_join
+
+    ev = _t(spark, sf_dir, "events")
+    return range_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", max_gap_sec=60.0
+    )
+
+
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch twin of the
+    applyInPandasWithState streaming sessionizer — lag + running sum +
+    groupBy sharing one exchange."""
+    from nebula_importer_spark.operators.temporal import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev, key="user_id", ts="ts", id_col="event_id",
+        gap_sec=1800.0, value_col="value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -392,6 +541,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "kind", "n_bytes", "sha256")
 
 
+def q_multimodal_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked run of the multimodal binary kernel: documents.text
+    encoded to a binary payload column, pushed through the same Arrow-batched
+    mapInPandas feature extractor (byte length + sha256 verified against
+    DuckDB's sha256 over the identical UTF-8 bytes)."""
+    from nebula_importer_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("doc").alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
+    )
+    return extract_features(assets).select("asset_id", "n_bytes", "sha256")
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -413,6 +578,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "window_top_order": q_window_top_order,
         "events_hourly": q_events_hourly,
+        "rollup_revenue": q_rollup_revenue,
+        "quantile_stats": q_quantile_stats,
+        "customers_no_orders": q_customers_no_orders,
+        "returned_orders": q_returned_orders,
+        "distinct_users_daily": q_distinct_users_daily,
+        "asof_click_error": q_asof_click_error,
+        "range_event_pairs": q_range_event_pairs,
+        "sessionize_users": q_sessionize_users,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -426,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "kg_triples": q_kg_triples,
         "multimodal_features": q_multimodal_features,
+        "multimodal_doc_hash": q_multimodal_doc_hash,
     }
 
 
@@ -525,6 +699,110 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(r_name, 'ALL') AS region,
+                   COALESCE(n_name, 'ALL') AS nation,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "quantile_stats": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            )
+        """,
+        "returned_orders": """
+            SELECT o_orderkey AS orderkey, o_totalprice AS totalprice,
+                   o_orderstatus AS status
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+            )
+        """,
+        "distinct_users_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        "asof_click_error": """
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   (SELECT e.event_id FROM events e
+                    WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                      AND e.ts <= c.ts
+                    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS err_event_id,
+                   (SELECT e.value FROM events e
+                    WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                      AND e.ts <= c.ts
+                    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS err_value
+            FROM events c
+            WHERE c.event_type = 'click'
+        """,
+        "range_event_pairs": """
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a
+            JOIN events b ON a.user_id = b.user_id
+            WHERE (epoch_us(a.ts) < epoch_us(b.ts)
+                   OR (epoch_us(a.ts) = epoch_us(b.ts)
+                       AND a.event_id < b.event_id))
+              AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+        """,
+        "sessionize_users": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN us - lag(us) OVER (
+                                PARTITION BY user_id ORDER BY us, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS newf
+                FROM e
+            ),
+            g AS (
+                SELECT *,
+                       SUM(newf) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) + 1 AS session_id
+                FROM f
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(us) AS start_us,
+                   MAX(us) AS end_us,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM g
+            GROUP BY user_id, session_id
+        """,
+        "multimodal_doc_hash": """
+            SELECT doc_id AS asset_id,
+                   octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+                   sha256(coalesce(text, '')) AS sha256
+            FROM documents
         """,
         "text_stats": """
             SELECT doc_id,

@@ -22,9 +22,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / mapInPandas boundaries (the only Python hot path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Mirrors the reference's 128-record statement batching at the Arrow layer
-    # (reference: pkg/reader/option.go:7-9) — but sized for columnar batches.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # The Arrow-layer analog of the reference's record batching (reference:
+    # pkg/reader/option.go:7-9) — but sized for columnar transfer. Measured
+    # on the transcript-extraction kernel (4M turns, this box): 10k batches
+    # bottleneck the JVM↔Python round-trip at high core counts (32 cores:
+    # ~300k turns/s); 20k batches reach the physical-core ceiling (~810k
+    # turns/s); 100k starts losing pipelining overlap again (~700k).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
     # Broadcast anything dimension-sized; explicit F.broadcast is still used
     # at call sites so intent survives stats loss.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

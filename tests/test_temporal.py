@@ -1,0 +1,215 @@
+"""Temporal operators: as-of join, bounded range self-join, sessionization.
+
+Each test checks the DataFrame operator against a brute-force Python model
+over the same rows (the randomized-parity strategy used across this repo —
+stronger than fixed golden outputs)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.temporal import (
+    asof_join,
+    range_self_join,
+    sessionize_batch,
+)
+
+BASE = datetime(2026, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, sec_offset, kind, value)"""
+    return spark.createDataFrame(
+        [
+            (eid, uid, BASE + timedelta(seconds=s), kind, float(v))
+            for eid, uid, s, kind, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, kind string, value double",
+    )
+
+
+def test_asof_basic_prior_and_exact(spark):
+    rows = [
+        (1, 10, 0, "err", 1.0),
+        (2, 10, 5, "click", 0.0),   # → err 1
+        (3, 10, 10, "err", 2.0),
+        (4, 10, 10, "click", 0.0),  # exact ts → err 3 (allow_exact)
+        (5, 10, 20, "click", 0.0),  # → err 3
+        (6, 11, 3, "click", 0.0),   # no prior err → null
+    ]
+    ev = _events(spark, rows)
+    out = asof_join(
+        ev.filter(F.col("kind") == "click").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("kind") == "err").select("user_id", "ts", "event_id", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_seq="event_id",
+    )
+    got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
+    assert got == {2: 1, 4: 3, 5: 3, 6: None}
+
+
+def test_asof_strict_excludes_exact(spark):
+    rows = [
+        (1, 10, 0, "err", 1.0),
+        (3, 10, 10, "err", 2.0),
+        (4, 10, 10, "click", 0.0),  # exact ts excluded → err 1
+    ]
+    ev = _events(spark, rows)
+    out = asof_join(
+        ev.filter(F.col("kind") == "click").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("kind") == "err").select("user_id", "ts", "event_id", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        right_seq="event_id",
+        allow_exact=False,
+    )
+    got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
+    assert got == {4: 1}
+
+
+def test_asof_tie_break_largest_seq(spark):
+    # two err rows at the SAME ts for the same user → largest event_id wins
+    rows = [
+        (1, 10, 5, "err", 1.0),
+        (7, 10, 5, "err", 7.0),
+        (9, 10, 6, "click", 0.0),
+    ]
+    ev = _events(spark, rows)
+    out = asof_join(
+        ev.filter(F.col("kind") == "click").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("kind") == "err").select("user_id", "ts", "event_id", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_seq="event_id",
+    )
+    row = out.collect()[0]
+    assert row["event_id_asof"] == 7 and row["value_asof"] == 7.0
+
+
+def test_asof_random_parity(spark):
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        for _ in range(40):
+            eid += 1
+            rows.append(
+                (eid, uid, rng.randrange(0, 300), rng.choice(["err", "click"]), eid)
+            )
+    ev = _events(spark, rows)
+    out = asof_join(
+        ev.filter(F.col("kind") == "click").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("kind") == "err").select("user_id", "ts", "event_id", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        right_seq="event_id",
+    )
+    got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
+    # brute-force model: most recent err with ts <= click ts; ties → max id
+    for eid_l, uid, s, kind, _ in rows:
+        if kind != "click":
+            continue
+        cands = [
+            (s2, e2)
+            for e2, u2, s2, k2, _v in rows
+            if u2 == uid and k2 == "err" and s2 <= s
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[eid_l] == want, f"event {eid_l}"
+
+
+def test_range_self_join_parity(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(3), rng.randrange(0, 500), "e", 0.0) for i in range(120)
+    ]
+    ev = _events(spark, rows)
+    out = range_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", max_gap_sec=60.0
+    )
+    got = {(r["id_a"], r["id_b"], r["gap_us"]) for r in out.collect()}
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a[1] != b[1]:
+                continue
+            if (a[2], a[0]) >= (b[2], b[0]):
+                continue
+            gap = (b[2] - a[2]) * 1_000_000
+            if gap <= 60_000_000:
+                want.add((a[0], b[0], gap))
+    assert got == want and len(want) > 50
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # pair spanning a bucket boundary must appear exactly once
+    rows = [(1, 1, 59, "e", 0.0), (2, 1, 61, "e", 0.0)]
+    ev = _events(spark, rows)
+    out = range_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", max_gap_sec=60.0
+    ).collect()
+    assert len(out) == 1 and out[0]["gap_us"] == 2_000_000
+
+
+def test_sessionize_batch_parity(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randrange(4), rng.randrange(0, 20000), "e", 1.5) for i in range(200)
+    ]
+    ev = _events(spark, rows)
+    out = sessionize_batch(
+        ev, key="user_id", ts="ts", id_col="event_id", gap_sec=600.0,
+        value_col="value",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in out.collect()
+    }
+    # brute-force sessions per user
+    want = {}
+    for uid in range(4):
+        evs = sorted((s, i) for i, u, s, _, _ in rows if u == uid)
+        sess, cur = [], []
+        for s, i in evs:
+            if cur and s - cur[-1][0] > 600:
+                sess.append(cur)
+                cur = []
+            cur.append((s, i))
+        if cur:
+            sess.append(cur)
+        for si, chunk in enumerate(sess, start=1):
+            want[(uid, si)] = (
+                len(chunk),
+                chunk[0][0] * 1_000_000,
+                chunk[-1][0] * 1_000_000,
+            )
+    # timestamps offset from epoch of BASE
+    base_us = int(BASE.timestamp()) * 1_000_000  # session tz is UTC
+    got_rel = {k: (n, s - base_us, e - base_us) for k, (n, s, e) in got.items()}
+    assert got_rel == want
+
+
+def test_sessionize_single_event_sessions(spark):
+    rows = [(1, 1, 0, "e", 2.0), (2, 1, 10000, "e", 3.0)]
+    ev = _events(spark, rows)
+    out = sessionize_batch(
+        ev, key="user_id", ts="ts", id_col="event_id", gap_sec=60.0,
+        value_col="value",
+    ).collect()
+    assert sorted((r["session_id"], r["n_events"], r["sum_value"]) for r in out) == [
+        (1, 1, 2.0),
+        (2, 1, 3.0),
+    ]
