@@ -27,13 +27,15 @@ HEADLINE = [
     "revenue_topk",
     "window_top_order",
     "events_hourly",
+    "asof_click_error",
+    "sessionize_users",
     "text_fingerprint",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "kg_triples",
 ]
 
-KG_BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_KG_TURNS", "200000"))
+KG_BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_KG_TURNS", "1000000"))
 
 
 def main() -> None:
@@ -49,8 +51,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    # warm the JVM/codegen path once (excluded from timings)
+    # warm the JVM/codegen path AND the Python worker pool once (excluded
+    # from timings — workers are long-lived on a real cluster; cold-starting
+    # `cpus` pandas interpreters measures import time, not throughput)
     qs["pricing_summary"](spark, sf_dir).collect()
+    gen_transcripts_spark(spark, n_turns=cpus * 100, n_convs=10).repartition(
+        cpus
+    ).mapInPandas(lambda it: it, "conv_id string, turn_idx int, role string,"
+                  " text string, tool string, ts timestamp").count()
 
     for name in HEADLINE:
         if name == "kg_triples":

@@ -47,3 +47,32 @@ def test_dimension_joins_broadcast(spark):
 def test_shipdate_filter_pushes_down(spark):
     plan = _plan(entrymod.queries()["pricing_summary"](spark, SF))
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_asof_join_single_exchange_no_join(spark):
+    """The as-of join must stay a union+window plan: ONE hash exchange on the
+    key and NO join operator of any kind (a range/theta join here would
+    explode at scale)."""
+    plan = _plan(entrymod.queries()["asof_click_error"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # formatted explain mentions each node twice (tree + details)
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bounded range join must compile to a hash equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin / CartesianProduct."""
+    plan = _plan(entrymod.queries()["range_event_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_sessionize_shares_one_exchange(spark):
+    """Window (lag + running sum) and the session groupBy partition on the
+    same key: Catalyst must plan exactly one shuffle."""
+    plan = _plan(entrymod.queries()["sessionize_users"](spark, SF))
+    assert plan.count(") Exchange") == 1, plan
