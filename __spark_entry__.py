@@ -477,10 +477,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.45 (the testdata embeddings
+    are label-clustered with max pairwise cosine ≈ 0.51, so this threshold
+    makes the oracle comparison non-trivial). 24 planes / 12 bands keeps
+    deterministic-LSH recall ≈ 1 at this threshold (planes are seeded plan
+    constants — the recall realized on a fixed corpus is reproducible, and
+    the exact-SQL oracle check proves it captured every pair)."""
     from nebula_importer_spark.operators.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=24, n_bands=12
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -920,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45
         """,
         "dedup_minhash_lsh": """
             WITH sh AS (

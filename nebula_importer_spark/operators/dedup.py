@@ -19,6 +19,8 @@ frequency cutoff (stop-shingles are dropped like stop-words).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -210,10 +212,13 @@ def embedding_dup_pairs(
     (hyperplanes drawn once on the driver from a seeded RNG → deterministic
     plan constants); a pair is a candidate if ANY band agrees, giving recall
     1-(1-p^(planes/bands))^bands with p = 1-θ/π (≈0.995 at cosine 0.95 with
-    12 planes / 4 bands). Verification: exact cosine via zip_with/aggregate
-    (JVM), so precision is exact.
+    12 planes / 4 bands). Verification: exact cosine over PRE-NORMALIZED
+    vectors with a vectorized Arrow-batched pandas UDF (one numpy
+    elementwise-multiply/sum per batch) — the SQL higher-order-function dot
+    product is interpreted per element and was ~50× slower per candidate.
+    Precision is exact either way; only recall is LSH-bounded.
     """
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -222,6 +227,7 @@ def embedding_dup_pairs(
 
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(vec_d, lambda x: x / norm)
     bits = []
     for p in range(n_planes):
         w = F.array(*[F.lit(float(v)) for v in planes[p]])
@@ -239,8 +245,7 @@ def embedding_dup_pairs(
 
     v = df.select(
         F.col(id_col).alias("_id"),
-        vec_d.alias("_v"),
-        norm.alias("_n"),
+        unit.alias("_u"),
         F.posexplode(F.array(*band_keys)).alias("_band", "_bkt"),
     )
     a, b = v.alias("a"), v.alias("b")
@@ -250,18 +255,18 @@ def embedding_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
+            F.col("a._u").alias("_ua"),
+            F.col("b._u").alias("_ub"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    @pandas_udf("double")
+    def _cos(ua: pd.Series, ub: pd.Series) -> pd.Series:
+        va = np.stack(ua.to_numpy())
+        vb = np.stack(ub.to_numpy())
+        return pd.Series((va * vb).sum(axis=1))
+
+    return cand.select("id_a", "id_b", _cos("_ua", "_ub").alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
-    return cand.select(
-        "id_a", "id_b", (dot_ab / (F.col("_na") * F.col("_nb"))).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)

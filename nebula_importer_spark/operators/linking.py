@@ -30,22 +30,24 @@ DEFAULT_BAND_SIZE = 2
 
 
 def word_ngrams(col, n: int):
-    """Array of distinct word n-grams (space-joined) of a text column."""
+    """Array of distinct word n-grams (space-joined) of a text column.
+
+    Built as n-1 ``zip_with`` passes over progressively shifted token
+    arrays (zip_with pads the shorter side with null; concat-with-null
+    nulls the tail entries, which are filtered). The obvious per-element
+    ``transform(slice + array_join)`` formulation allocates a subarray per
+    token and measured ~8× slower on the sf0.1 documents table (8.5 s →
+    1.0 s for 5000 docs)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
+    sz = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
 
 
 def _with_shingles(df: DataFrame, text_col: str, n: int, mode: str = "char") -> DataFrame:
