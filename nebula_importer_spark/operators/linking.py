@@ -213,7 +213,10 @@ def link_mentions(
     entity_id) on fuzzy. Mentions matching nothing are absent from the output
     (callers route them to rejects).
     """
-    m = mentions.select(mention_col).distinct()
+    # The distinct vocabulary feeds three plan subtrees (exact join, anti
+    # join, fuzzy LSH); persist so the corpus-wide distinct shuffle runs
+    # once, not three times (measured 3× the stage cost on a 5M-turn run).
+    m = mentions.select(mention_col).distinct().persist()
     d = alias_dict.select(alias_col, entity_col).distinct()
 
     exact = (

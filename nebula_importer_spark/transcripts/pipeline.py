@@ -123,9 +123,12 @@ class TranscriptPipeline:
         o_link = links.withColumnRenamed("mention_norm", "obj_norm").withColumnRenamed(
             "entity_id", "obj"
         )
+        # Both outputs (ok-triples and unlinked-rejects) are counted/written
+        # by callers as separate actions; persist the joined frame so the
+        # extraction join tree runs once, not once per output.
         joined = st.join(F.broadcast(s_link), "subj_norm", "left").join(
             F.broadcast(o_link), "obj_norm", "left"
-        )
+        ).persist()
         ok = joined.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
         triples = ok.select("conv_id", "turn_idx", "subj", "pred", "obj").distinct()
         unlinked = (
