@@ -343,6 +343,21 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (absent from the reference, SURVEY §2.7): parse
+    the events.props JSON payload with schema_of-free extraction
+    (get_json_object stays JVM-side / codegen; from_json is the typed
+    alternative when the schema is known)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event annotated with the most recent prior (or
     simultaneous) error event of the same user — union + single-window
@@ -589,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "returned_orders": q_returned_orders,
         "distinct_users_daily": q_distinct_users_daily,
+        "json_props_stats": q_json_props_stats,
         "asof_click_error": q_asof_click_error,
         "range_event_pairs": q_range_event_pairs,
         "sessionize_users": q_sessionize_users,
@@ -751,6 +767,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM events
             GROUP BY 1
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+                   ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                   COUNT(*) FILTER (json_extract(props, '$.k') IS NULL) AS n_missing,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
         "asof_click_error": """
             SELECT c.event_id, c.user_id,

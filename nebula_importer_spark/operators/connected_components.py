@@ -1,15 +1,28 @@
 """Connected components via iterative DataFrame joins (canonicalization).
 
-Min-label propagation ("hash-to-min"): every node repeatedly adopts the
-smallest label in its closed neighborhood; converges in O(diameter) rounds.
-Each round is one shuffle-join + one aggregation, with ``localCheckpoint``
-truncating the lineage so the plan doesn't grow exponentially (the classic
-iterative-Spark failure mode).
+Min-label propagation ("hash-to-min") with pointer jumping: every node
+repeatedly adopts the smallest label in its closed neighborhood, then
+``pointer_jumps`` path-compression passes follow label-of-label, squaring the
+effective stride each pass — a diameter-d graph converges in
+~log_{2^(jumps+1)}(d) rounds. Each round is a handful of shuffle joins +
+aggregations.
+
+Iteration state is materialized to PARQUET between steps (snapshot-per-
+iteration, the same resumable-checkpoint shape the KG pipeline uses), NOT
+``localCheckpoint``/``checkpoint``. This is deliberate and measured, not a
+style choice: on a 2.1M-node / 1.1M-edge graph with a 100k-node chain, every
+RDD-materializing checkpoint variant (local or reliable, with or without
+eager, unpersist, bigger heap, periodic GC, uniform repartition) hit a
+driver-side cliff around round 6 — identical jump joins went 1.8 s → 16 s →
+120 s while their Spark jobs summed to ~2 s, the JVM stopped responding to
+safepoint attaches, and task/GC metrics stayed clean. The same loop with
+parquet write+read-back runs every round flat (~7.5 s) indefinitely: file
+actions behave like ``count()`` (always fast), and the read-back plan is a
+clean scan with no RDD/AQE state carried between rounds.
 
 Entity-equivalence graphs (same_as pairs, dedup clusters) are shallow —
-diameter 2-4 — so label propagation beats the O(log n) large-star/small-star
-scheme on constant factors here. For adversarially deep graphs swap in the
-star algorithm; the driver loop and convergence accounting stay identical.
+diameter 2-4 — and converge in 1-2 rounds; the jump machinery is for the
+adversarial deep-graph case.
 
 Derived operator per SURVEY §2.8 (north-star canonicalization step); the
 reference has no join/iteration machinery at all (SURVEY §2.7).
@@ -17,71 +30,135 @@ reference has no join/iteration machinery at all (SURVEY §2.7).
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Delete a path through the Hadoop FileSystem API (works for local,
+    HDFS, s3a, ... — whatever the checkpoint dir lives on)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 25,
+    max_iterations: int = 30,
+    pointer_jumps: int = 3,
+    checkpoint_dir: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Edge list → (node, component) where component = min node id in the
     connected component (ids compared as their column type; use strings or
     longs consistently).
 
-    Convergence is detected by counting label changes per round (an
-    aggregate, not a collect of data rows).
+    Each round ends with GRAPH CONTRACTION: edges are rewritten to
+    (label(a), label(b)) and edges internal to a label dropped, so the edge
+    set SHRINKS geometrically (a diameter-d chain contracts ~2^(jumps+1)×
+    per round) and the convergence test is exact — labels are equal along
+    every original edge iff the contracted edge set is empty, which holds
+    iff every component is uniformly labeled by its min (label(min)=min
+    always, labels never leave their component and only decrease).
+
+    ``checkpoint_dir`` holds the per-iteration parquet snapshots; defaults
+    to a fresh local temp dir (pass a shared-filesystem path on a real
+    cluster). Intermediate snapshots are deleted as rounds retire; the final
+    labels parquet is left in place — the returned DataFrame reads from it.
+
+    ``strict=True`` raises if ``max_iterations`` is exhausted before the
+    contracted graph empties (returning approximate components silently is
+    how canonicalization bugs ship).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    spark = edges.sparkSession
+    root = checkpoint_dir or tempfile.mkdtemp(prefix="cc-")
+    run = uuid.uuid4().hex[:8]
+    step = [0]
+
+    def mat(df: DataFrame) -> DataFrame:
+        step[0] += 1
+        path = f"{root}/cc-{run}-{step[0]:04d}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    # self-loops carry no connectivity but their nodes stay in the universe
+    sym = mat(both.filter(F.col("a") != F.col("b")).distinct())
+    labels = mat(
+        both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    converged = sym.isEmpty()
 
     for _ in range(max_iterations):
-        # (1) neighbor-min: adopt the smallest label in the closed neighborhood
+        if converged:
+            break
+        # (1) neighbor-min over the CONTRACTED graph: a contracted edge
+        # endpoint is a label value, and every label value is a node id, so
+        # the labels frame covers it.
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(nbr.withColumnRenamed("a", "node"), "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+        doubled = mat(
+            labels.join(nbr.withColumnRenamed("a", "node"), "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
         )
-        # (2) pointer doubling: follow the label's own label (path
-        # compression) — turns O(diameter) rounds into O(log diameter)
-        parent = stepped.select(
-            F.col("node").alias("component"), F.col("component").alias("_gp")
+        # (2) pointer jumping: follow the label's own label (path
+        # compression); repeated jumps square the stride each pass
+        for _j in range(pointer_jumps):
+            parent = doubled.select(
+                F.col("node").alias("component"), F.col("component").alias("_gp")
+            )
+            doubled = mat(
+                doubled.join(parent, "component", "left").select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_gp"), F.col("component"))
+                    ).alias("component"),
+                )
+            )
+        # (3) contraction: relabel edge endpoints, drop now-internal edges
+        la = doubled.select(
+            F.col("node").alias("a"), F.col("component").alias("_ca")
         )
-        doubled = stepped.join(parent, "component", "left").select(
-            "node",
-            F.least(F.col("component"), F.coalesce(F.col("_gp"), F.col("component"))).alias(
-                "component"
-            ),
+        lb = doubled.select(
+            F.col("node").alias("b"), F.col("component").alias("_cb")
         )
-        doubled = doubled.localCheckpoint(eager=True)
-        changed = (
-            doubled.withColumnRenamed("component", "_new")
-            .join(labels, "node")
-            .filter(F.col("_new") != F.col("component"))
-            .count()
+        first_retired = step[0] - pointer_jumps - 1  # pre-round sym + labels
+        sym = mat(
+            sym.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("_ca") != F.col("_cb"))
+            .select(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
+            .distinct()
         )
         labels = doubled
-        if changed == 0:
-            break
+        converged = sym.isEmpty()
+        # snapshots from before this round are no longer read by any live
+        # frame (labels/sym now read this round's files only)
+        for s in range(1, first_retired + 1):
+            _fs_delete(spark, f"{root}/cc-{run}-{s:04d}")
+
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
     return labels
 
 

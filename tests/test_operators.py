@@ -80,3 +80,38 @@ def test_salted_repartition_spreads_mega_key(spark):
         out.groupBy(F.spark_partition_id().alias("p")).count().filter("count > 0").count()
     )
     assert parts >= 4  # one key no longer serializes into one task
+
+
+def test_connected_components_union_find_parity(spark):
+    """Randomized exact parity vs a Python union-find over a graph with a
+    deep chain, self-loops, and duplicate edges — guards both convergence
+    (strict mode raises if the contracted graph doesn't empty) and the
+    node-universe edge cases."""
+    import random
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(3000), rng.randrange(3000)) for _ in range(1500)]
+    pairs += [(10000 + i, 10001 + i) for i in range(500)]  # deep chain
+    pairs += [(99990, 99990), (99991, 99991)]  # self-loop-only nodes
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, pointer_jumps=2).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in pairs:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
