@@ -243,22 +243,23 @@ def embedding_dup_pairs(
             key = term if key is None else key.bitwiseXOR(term)
         band_keys.append(key)
 
+    # Bands travel WITHOUT the vectors (ids + two longs per row); unit
+    # vectors attach to the deduplicated candidate pairs afterwards — at
+    # n_bands bands the explode would otherwise shuffle every vector
+    # n_bands times and again per colliding pair.
     v = df.select(
         F.col(id_col).alias("_id"),
-        unit.alias("_u"),
         F.posexplode(F.array(*band_keys)).alias("_band", "_bkt"),
     )
     a, b = v.alias("a"), v.alias("b")
+    units = df.select(F.col(id_col).alias("_id"), unit.alias("_u"))
     cand = (
         a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._bkt") == F.col("b._bkt")))
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._u").alias("_ua"),
-            F.col("b._u").alias("_ub"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(units.select(F.col("_id").alias("id_a"), F.col("_u").alias("_ua")), "id_a")
+        .join(units.select(F.col("_id").alias("id_b"), F.col("_u").alias("_ub")), "id_b")
     )
 
     @pandas_udf("double")
