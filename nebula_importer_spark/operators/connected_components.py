@@ -163,12 +163,18 @@ def connected_components(
 
 
 def canonical_mapping(
-    same_as: DataFrame, left: str = "entity_id", right: str = "dup_id"
+    same_as: DataFrame,
+    left: str = "entity_id",
+    right: str = "dup_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """same_as pairs → (entity_id, canonical_id) covering every id that
     appears in any pair; ids not in the mapping are their own canonical
-    (callers coalesce)."""
-    comp = connected_components(same_as, src=left, dst=right)
+    (callers coalesce). ``checkpoint_dir`` passes through to the iteration
+    snapshots (co-locate with the run's store on a shared FS)."""
+    comp = connected_components(
+        same_as, src=left, dst=right, checkpoint_dir=checkpoint_dir
+    )
     return comp.select(
         F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
     )

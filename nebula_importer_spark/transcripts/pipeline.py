@@ -101,12 +101,15 @@ class TranscriptPipeline:
         surface_triples: DataFrame,
         links: DataFrame,
         same_as: DataFrame | None,
+        checkpoint_dir: str | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Stages 3b-4: resolve surface forms → canonical entity triples.
-        Returns (triples, unlinked_mentions)."""
+        Returns (triples, unlinked_mentions). ``checkpoint_dir`` hosts the
+        connected-components iteration snapshots (run() co-locates them
+        with the store)."""
         links = links.select("mention_norm", "entity_id")
         if same_as is not None and not same_as.isEmpty():
-            canon = canonical_mapping(same_as)
+            canon = canonical_mapping(same_as, checkpoint_dir=checkpoint_dir)
             links = (
                 links.join(F.broadcast(canon), "entity_id", "left")
                 .select(
@@ -174,7 +177,9 @@ class TranscriptPipeline:
         links = _stage("stage/links", lambda: self.link_table(surface, alias_dict))
 
         t = time.time()
-        triples, unlinked = self.canonical_triples(surface, links, same_as)
+        triples, unlinked = self.canonical_triples(
+            surface, links, same_as, checkpoint_dir=str(store.root / "_cc_snapshots")
+        )
         triples = triples.cache()
         res.triples = triples.count()
         res.unlinked_mentions = unlinked.count()
