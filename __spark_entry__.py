@@ -4,8 +4,10 @@
 - reference-parity record→vertex/edge mapping (picker semantics, filter DSL,
   concat IDs, nullable/default/fallback, rank) driven through the real
   Pipeline/config path;
-- relational breadth (joins, aggregations, windows, top-k, time bucketing) —
-  capabilities the reference lacks (SURVEY §2.7) expressed Spark-first;
+- relational breadth (joins incl. semi/anti/as-of/bounded-range,
+  aggregations incl. rollup/percentiles/distinct, windows, top-k, time
+  bucketing, sessionization, JSON scalar functions) — capabilities the
+  reference lacks (SURVEY §2.7) expressed Spark-first;
 - training-data operators (dedup ×5, similarity search, text analysis,
   multimodal features);
 - the north-star transcript→triple KG pipeline (rows-only check: approximate

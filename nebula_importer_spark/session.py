@@ -53,13 +53,20 @@ def get_spark(
     fragment into thousands of empty tasks (AQE coalesces the rest).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the JVM already exists (PythonRunner hands this
+    # process a gateway) and spark.master comes from the submit command —
+    # setting .master() here would silently override the cluster master.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
-    b = SparkSession.builder.appName(app_name).master(master)
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     for k, v in _DEFAULTS.items():
         b = b.config(k, v)
-    if master.startswith("local"):
+    if master is not None and master.startswith("local"):
         # Local-mode shuffle goes to local disk (page cache), so the lz4
         # compress/decompress CPU competes directly with Python workers for
         # cores and buys nothing. Measured on the transcript pipeline at
