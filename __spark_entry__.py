@@ -38,6 +38,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dsum(col, scale: int = 2):
+    """Order-independent rounded SUM over a double column: cast to exact
+    decimal first (the testdata's doubles carry ≤4 decimal digits, so the
+    cast is exact), sum in decimal (exact, order-free), round, cast back.
+    Double summation is partition-order dependent and flips .xx5 rounding
+    boundaries run-to-run (the round-1 sessionize_users driver red row).
+    Oracle twin: CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    """Rounded AVG with an exact-decimal numerator (deterministic: the only
+    order-dependent step of avg is the sum). Oracle twin:
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), scale)
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity mapping queries (driven through the real Pipeline path)
 # ---------------------------------------------------------------------------
@@ -159,13 +178,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -182,9 +201,9 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -216,9 +235,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -249,7 +268,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
     )
 
@@ -274,9 +293,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
         .select(
@@ -297,7 +316,7 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99_price"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        _davg("l_extendedprice", 2).alias("avg_price"),
         F.count("*").alias("n_items"),
     )
 
@@ -341,7 +360,7 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _dsum("value").alias("sum_value"),
     )
 
 
@@ -672,11 +691,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -684,7 +703,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_topk": """
             SELECT o_orderkey, o_orderpriority,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -695,7 +714,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_revenue": """
             SELECT r_name, n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -720,14 +739,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
                    event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
         "rollup_revenue": """
             SELECT COALESCE(r_name, 'ALL') AS region,
                    COALESCE(n_name, 'ALL') AS nation,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -741,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
                    ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
                    ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
-                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
                    COUNT(*) AS n_items
             FROM lineitem
             GROUP BY l_returnflag
@@ -766,7 +785,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1
         """,
@@ -827,7 +846,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(us) AS start_us,
                    MAX(us) AS end_us,
-                   ROUND(SUM(value), 2) AS sum_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
             FROM g
             GROUP BY user_id, session_id
         """,

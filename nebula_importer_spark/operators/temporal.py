@@ -131,6 +131,10 @@ def range_self_join(
     """
     payload_cols = payload_cols or []
     gap_us = int(max_gap_sec * 1_000_000)
+    if gap_us < 1:
+        # floor(_us / 0) with ANSI off yields null buckets and the equi-join
+        # silently returns empty instead of the simultaneous pairs.
+        raise ValueError(f"max_gap_sec={max_gap_sec} is below 1 microsecond")
     base = df.select(
         F.col(key).alias("_k"),
         _us(ts).alias("_us"),
@@ -202,7 +206,17 @@ def sessionize_batch(
         F.max("_us").alias("end_us"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # Sum in exact decimal, not double: double summation is partition-
+        # order dependent, and a sum landing on a .xx5 rounding boundary
+        # flips the rounded value run-to-run (observed under the driver's
+        # partitioning at sf0.01). decimal(18,6) represents the source
+        # values exactly (≤4 decimal digits), the decimal sum is exact, and
+        # round-then-cast is deterministic across engines.
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value")
+        )
     return (
         flagged.groupBy(F.col(key), F.col("_sess").alias("session_id"))
         .agg(*aggs)
