@@ -33,7 +33,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -63,9 +63,12 @@ def connected_components(
     Each round ends with GRAPH CONTRACTION: edges are rewritten to
     (label(a), label(b)) and edges internal to a label dropped, so the edge
     set SHRINKS geometrically (a diameter-d chain contracts ~2^(jumps+1)×
-    per round) and the convergence test is exact — labels are equal along
-    every original edge iff the contracted edge set is empty, which holds
-    iff every component is uniformly labeled by its min (label(min)=min
+    per round). An empty contracted edge set proves every ACTIVE label
+    equals its component min; nodes retired from the contracted graph in
+    earlier rounds may still hold stale intermediate labels, so a final
+    pointer-jumping loop runs to an observed FIXPOINT (zero label changes)
+    before returning — label chains strictly decrease and terminate at
+    component mins once the contracted graph is empty (label(min)=min
     always, labels never leave their component and only decrease).
 
     ``checkpoint_dir`` holds the per-iteration parquet snapshots; defaults
@@ -159,6 +162,38 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
+    # Final path compression to a FIXPOINT. An empty contracted edge set
+    # proves every ACTIVE label is its component min, but nodes retired from
+    # the contracted graph in earlier rounds keep stale intermediate labels
+    # (their label's own label kept decreasing after they retired); the
+    # bounded per-round jumps are not guaranteed to have caught up (a
+    # 5000-node chain outruns jumps=3). Label chains are strictly decreasing
+    # and terminate at component mins once ``sym`` is empty, and each jump
+    # halves the remaining chain depth, so this loop is O(log depth) rounds.
+    # The changed-count observation rides the snapshot write: zero extra
+    # passes per jump.
+    while True:
+        parent = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("_gp")
+        )
+        new_lab = F.least(
+            F.col("component"), F.coalesce(F.col("_gp"), F.col("component"))
+        )
+        obs = Observation()
+        jumped = (
+            labels.join(parent, "component", "left")
+            .select(
+                "node",
+                new_lab.alias("component"),
+                (new_lab != F.col("component")).cast("long").alias("_chg"),
+            )
+            .observe(obs, F.sum("_chg").alias("chg"))
+        )
+        prev_step = step[0]
+        labels = mat(jumped.drop("_chg"))
+        _fs_delete(spark, f"{root}/cc-{run}-{prev_step:04d}")
+        if int(obs.get["chg"] or 0) == 0:
+            break
     return labels
 
 

@@ -115,3 +115,18 @@ def test_connected_components_union_find_parity(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_connected_components_deep_chain_default_jumps(spark):
+    """A 5000-node chain with default pointer_jumps: contraction can empty
+    the edge set while retired nodes still hold stale intermediate labels —
+    the final fixpoint compression must resolve every node to the chain
+    head (this exact shape returned 321 wrong labels before the fix)."""
+    n = 5000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components(edges)
+    bad = got.filter(F.col("component") != 0).count()
+    assert bad == 0
+    assert got.count() == n
