@@ -93,10 +93,16 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     except Exception as e:  # config/validation errors get one clean line
         from nebula_importer_spark.config.model import ConfigError
+        from nebula_importer_spark.plans.pipeline import HookError
 
         if isinstance(e, ConfigError):
             print(f"config error: {e}", file=sys.stderr)
             return 2
+        if isinstance(e, HookError):
+            # A failing before/after hook aborts the import (reference
+            # pkg/manager/manager.go:285-336).
+            print(f"hook error: {e}", file=sys.stderr)
+            return 1
         raise
 
 

@@ -211,6 +211,21 @@ class SourceSpec:
 
 
 @dataclass
+class HookSpec:
+    """One pre/post hook: a statement list plus an optional settle wait,
+    slept AFTER the hook's statements (reference pkg/manager/hooks.go:10-22,
+    manager.go:285-336 — wait follows the statements; a failing statement
+    aborts the import)."""
+
+    statements: list[str] = field(default_factory=list)
+    wait_sec: float = 0.0
+
+    def validate(self) -> None:
+        if self.wait_sec < 0:
+            raise ConfigError("hook: negative wait")
+
+
+@dataclass
 class GraphConfig:
     """Whole pipeline config: the Spark analog of the reference's
     client+manager+sources YAML. ``space`` maps to the output namespace
@@ -219,8 +234,8 @@ class GraphConfig:
 
     space: str
     sources: list[SourceSpec] = field(default_factory=list)
-    before_hooks: list[str] = field(default_factory=list)
-    after_hooks: list[str] = field(default_factory=list)
+    before_hooks: list[HookSpec] = field(default_factory=list)
+    after_hooks: list[HookSpec] = field(default_factory=list)
     batch: int = 128  # manager-level default (reference pkg/reader/option.go:7-9)
 
     def validate(self) -> None:
@@ -230,6 +245,8 @@ class GraphConfig:
             raise ConfigError("config: no sources")
         for s in self.sources:
             s.validate()
+        for h in (*self.before_hooks, *self.after_hooks):
+            h.validate()
 
     # Library-use constructors (entry point 3 analog, reference
     # pkg/manager/manager.go:68-91).

@@ -16,12 +16,29 @@ from nebula_importer_spark.config.model import (
     CsvOptions,
     EdgeSpec,
     GraphConfig,
+    HookSpec,
     Mode,
     NodeIDSpec,
     NodeSpec,
     PropSpec,
     SourceSpec,
 )
+
+_DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _duration_sec(v: Any) -> float:
+    """Parse a Go-style duration ('3s', '500ms', '1m') or a bare number of
+    seconds (reference hook wait is a time.Duration YAML string)."""
+    if v is None:
+        return 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    for unit in ("ms", "us", "ns", "h", "m", "s"):  # longest suffix first
+        if s.endswith(unit):
+            return float(s[: -len(unit)]) * _DURATION_UNITS[unit]
+    return float(s)
 
 
 def _prop(d: dict[str, Any]) -> PropSpec:
@@ -114,17 +131,25 @@ def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphCo
     mgr = d.get("manager", {})
     hooks = mgr.get("hooks", {})
 
-    def _stmts(key: str) -> list[str]:
-        out: list[str] = []
+    def _hooks(key: str) -> list[HookSpec]:
+        out: list[HookSpec] = []
         for h in hooks.get(key, []) or []:
-            out.extend(h.get("statements", []) if isinstance(h, dict) else [h])
+            if isinstance(h, dict):
+                out.append(
+                    HookSpec(
+                        statements=list(h.get("statements", [])),
+                        wait_sec=_duration_sec(h.get("wait")),
+                    )
+                )
+            else:
+                out.append(HookSpec(statements=[str(h)]))
         return out
 
     cfg = GraphConfig(
         space=mgr.get("spaceName", d.get("space", "default")),
         sources=[_source(s, base_dir) for s in d.get("sources", [])],
-        before_hooks=_stmts("before"),
-        after_hooks=_stmts("after"),
+        before_hooks=_hooks("before"),
+        after_hooks=_hooks("after"),
         batch=int(mgr.get("batch", 128)),
     )
     cfg.validate()

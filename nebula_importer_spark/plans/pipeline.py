@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 from nebula_importer_spark.config.model import (
     EdgeSpec,
     GraphConfig,
+    HookSpec,
     NodeSpec,
     SourceSpec,
 )
+
+
+class HookError(RuntimeError):
+    """A before/after hook statement failed — the run is aborted (reference
+    pkg/manager/manager.go:285-336 error semantics)."""
 from nebula_importer_spark.functions.filter_dsl import compile_filter
 from nebula_importer_spark.functions.picker import compile_id, compile_prop, compile_rank
 from nebula_importer_spark.plans.merge import TableStore
@@ -71,18 +77,27 @@ def map_edge(df: DataFrame, spec: EdgeSpec) -> DataFrame:
 
 
 class Pipeline:
-    def __init__(self, config: GraphConfig, spark: SparkSession):
+    def __init__(
+        self,
+        config: GraphConfig,
+        spark: SparkSession,
+        staging_dir: str | None = None,
+    ):
         config.validate()
         self.config = config
         self.spark = spark
+        # CSV staging location (one parsed-parquet write per source; see
+        # sources/reader.py) — pass a shared-filesystem path on a cluster.
+        self.staging_dir = staging_dir
         self._scans: dict[int, tuple[DataFrame, DataFrame]] = {}
 
     # -- scans -------------------------------------------------------------
     def _scan(self, i: int, spec: SourceSpec) -> tuple[DataFrame, DataFrame]:
         if i not in self._scans:
-            # read_source caches the parsed scan: single scan feeds every
-            # tag/edge projection plus the rejects split (G7).
-            self._scans[i] = read_source(self.spark, spec)
+            # read_source stages the parsed CSV scan once: a single pass
+            # over the raw text feeds every tag/edge projection plus the
+            # rejects split (G7).
+            self._scans[i] = read_source(self.spark, spec, self.staging_dir)
         return self._scans[i]
 
     # -- library reads (no side effects) ------------------------------------
@@ -128,48 +143,58 @@ class Pipeline:
         store = TableStore(Path(out_dir) / self.config.space, self.spark)
         result = RunResult(space=self.config.space)
         rejects_dir = Path(out_dir) / self.config.space / "_rejects"
-        metrics_rows: list[tuple] = []
+        mpath = Path(out_dir) / self.config.space / "_metrics"
 
-        for sql in self.config.before_hooks:  # W6 before-hooks
-            self._run_hook(sql)
+        for hook in self.config.before_hooks:  # W6 before-hooks
+            self._run_hook(hook)
 
         for i, src in enumerate(self.config.sources):
             good, csv_rejects = self._scan(i, src)
-            n_csv_rej = csv_rejects.count()
-            if n_csv_rej:
-                csv_rejects.write.mode("append").parquet(str(rejects_dir / "csv"))
-            result.csv_rejects += n_csv_rej
-            n_good = good.count()
+            # The rejects count rides the rejects write (observe — no
+            # standalone .count() pass; at scale every extra count is a
+            # full scan of the staged source).
+            rej_obs = Observation()
+            csv_rejects.observe(
+                rej_obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("append").parquet(str(rejects_dir / "csv"))
+            result.csv_rejects += int(rej_obs.get["n"])
 
             for kind, specs in (("tag", src.tags), ("edge", src.edges)):
                 for spec in specs:
                     stage = f"s{i}/{kind}/{spec.name}/{spec.mode.value}"
                     if resume and store.stage_completed(stage):
                         continue
-                    es = ElementStats(name=spec.name, kind=kind, source=src.path, total=n_good)
+                    es = ElementStats(name=spec.name, kind=kind, source=src.path)
+                    # Both counters ride the merge-commit write action:
+                    # pre-filter source rows (g_obs, below the element
+                    # filter) and mapped/bad rows (m_obs) cost ZERO extra
+                    # passes over the data (M1 analog).
+                    g_obs = Observation()
+                    src_rows = good.observe(
+                        g_obs, F.count(F.lit(1)).alias("n_src")
+                    )
                     if kind == "tag":
-                        mapped = map_node(good, spec)  # type: ignore[arg-type]
+                        mapped = map_node(src_rows, spec)  # type: ignore[arg-type]
                         keys = [VID]
                         table = f"tags/{spec.name}"
                         null_key = F.col(VID).isNull()
                     else:
-                        mapped = map_edge(good, spec)  # type: ignore[arg-type]
+                        mapped = map_edge(src_rows, spec)  # type: ignore[arg-type]
                         keys = [SRC, DST, RANK]
                         table = f"edges/{spec.name}"
                         null_key = F.col(SRC).isNull() | F.col(DST).isNull()
-                    # observe() rides the merge-commit write action: counters
-                    # cost ZERO extra passes over the data (M1 analog — at
-                    # scale every standalone .count() is a full scan).
-                    obs = Observation()
+                    m_obs = Observation()
                     mapped = mapped.observe(
-                        obs,
+                        m_obs,
                         F.count(F.lit(1)).alias("n_mapped"),
                         F.sum(null_key.cast("long")).alias("n_bad"),
                     )
                     ok = mapped.filter(~null_key)
                     _, unmatched = store.merge_commit(ok, table, spec.mode, keys)
-                    n_mapped = int(obs.get["n_mapped"])
-                    n_bad = int(obs.get["n_bad"] or 0)
+                    n_good = int(g_obs.get["n_src"])
+                    n_mapped = int(m_obs.get["n_mapped"])
+                    n_bad = int(m_obs.get["n_bad"] or 0)
+                    es.total = n_good
                     es.filtered = n_good - n_mapped
                     if n_bad:
                         bad = mapped.filter(null_key)
@@ -180,39 +205,42 @@ class Pipeline:
                             F.to_json(F.struct(*[c for c in bad.columns])).alias("raw"),
                         ).write.mode("append").parquet(str(rejects_dir / kind))
                     n_ok = n_mapped - n_bad
-                    # per-file lineage metrics (M3 analog)
-                    for r in (
-                        ok.groupBy(FILE_COL)
-                        .agg(F.count("*").alias("rows"))
-                        .collect()
-                    ):
-                        metrics_rows.append((stage, r[FILE_COL], r["rows"]))
+                    # Per-file lineage metrics (M3 analog) written as a
+                    # DataFrame — never .collect()ed: at 100 TB the file
+                    # count is 10^5-10^6 rows, which belongs on disk, not
+                    # in a driver-side Python list.
+                    ok.groupBy(FILE_COL).agg(F.count("*").alias("rows")).select(
+                        F.lit(stage).alias("stage"),
+                        F.col(FILE_COL).alias("file"),
+                        "rows",
+                    ).write.mode("append").parquet(str(mpath))
                     es.rejected = n_bad + unmatched
                     es.written = n_ok - unmatched
                     store.mark_stage(stage, written=es.written, rejected=es.rejected)
                     result.elements.append(es)
 
-        for sql in self.config.after_hooks:  # W6 after-hooks
-            self._run_hook(sql)
+        for hook in self.config.after_hooks:  # W6 after-hooks
+            self._run_hook(hook)
 
-        if metrics_rows:
-            mdf = self.spark.createDataFrame(
-                metrics_rows, "stage string, file string, rows long"
-            )
-            mpath = Path(out_dir) / self.config.space / "_metrics"
-            mdf.write.mode("append").parquet(str(mpath))
-            result.metrics_path = str(mpath)
+        result.metrics_path = str(mpath)
         result.rejects_path = str(rejects_dir)
         result.duration_sec = time.time() - t0
         return result
 
-    def _run_hook(self, sql: str) -> None:
-        """Pre/post DDL hooks (W6). nGQL DDL in reference configs is not Spark
-        SQL; hooks that fail to parse are skipped with a warning rather than
-        aborting (the reference's hooks target the remote server, which does
-        not exist here)."""
-        try:
+    def _run_hook(self, hook) -> None:
+        """Pre/post hooks (W6). A failing statement ABORTS the run, matching
+        the reference (pkg/manager/manager.go:285-336: exec error in a hook
+        returns an ImportError and stops the import — a typo'd hook must not
+        silently vanish). After a hook's statements succeed, its ``wait`` is
+        slept (reference hooks.go:10-22 settle delay, e.g. waiting for
+        schema agreement). Accepts a HookSpec or a bare SQL string."""
+        if isinstance(hook, str):
+            hook = HookSpec(statements=[hook])
+        for sql in hook.statements:
             for stmt in filter(None, (s.strip() for s in sql.split(";"))):
-                self.spark.sql(stmt)
-        except Exception:  # noqa: BLE001 — hook statements are best-effort
-            pass
+                try:
+                    self.spark.sql(stmt)
+                except Exception as e:  # noqa: BLE001 — re-raise typed
+                    raise HookError(f"hook statement failed: {stmt!r}: {e}") from e
+        if hook.wait_sec:
+            time.sleep(hook.wait_sec)

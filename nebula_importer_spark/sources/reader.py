@@ -24,11 +24,13 @@ load (statement order analog, reference pkg/reader/batch.go).
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
-from pyspark.sql.window import Window
 
 from nebula_importer_spark.config.model import SourceSpec
 
@@ -42,12 +44,20 @@ class SourceError(RuntimeError):
     pass
 
 
-def _csv_reader(spark: SparkSession, spec: SourceSpec):
+def _csv_reader(spark: SparkSession, spec: SourceSpec, header: bool = False):
     o = spec.csv
     r = (
         spark.read.format("csv")
         .option("sep", o.delimiter)
-        .option("header", False)  # header handled below: skip, never interpret
+        # With an EXPLICIT schema, header=true drops the first line of every
+        # file without interpreting it (names come from the schema, not the
+        # file) — the reference's skip-never-interpret semantics
+        # (pkg/reader/csv.go:66-76) with zero extra plan nodes. The previous
+        # row_number()-over-input_file_name() formulation hash-partitioned
+        # the whole scan by filename: a single multi-GB CSV became ONE
+        # reducer task at scale.
+        .option("header", header)
+        .option("enforceSchema", True)
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
         .option("escape", '"')  # RFC4180 "" quoting (Go encoding/csv default)
@@ -77,30 +87,31 @@ def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         [T.StructField(f"_c{i}", T.StringType(), True) for i in range(width)]
         + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    df = (
-        _csv_reader(spark, spec)
+    return (
+        _csv_reader(spark, spec, header=spec.csv.with_header)
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
         .load(spec.path)
     )
-    if spec.csv.with_header:
-        # Skip — never interpret — the first line of each FILE
-        # (reference pkg/reader/csv.go:66-76).
-        w = F.row_number().over(
-            Window.partitionBy(F.input_file_name()).orderBy(
-                F.monotonically_increasing_id()
-            )
-        )
-        df = df.withColumn("_rn", w).filter(F.col("_rn") > 1).drop("_rn")
-    return df
 
 
-def read_source(spark: SparkSession, spec: SourceSpec) -> tuple[DataFrame, DataFrame]:
+def read_source(
+    spark: SparkSession, spec: SourceSpec, staging_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Scan one source → (good_rows, rejects).
 
     good_rows: positional string columns ``_c0.._cN`` + lineage cols.
     rejects:   (_file, _seq, reason, raw) — the failed-row rejection stream
                (reference pkg/reader/csv.go:82-91 continue-error semantics).
+
+    CSV sources are STAGED: the parsed scan (with lineage + corrupt columns)
+    is written once to a parquet staging table and the good/reject splits
+    read from it. One pass over the raw text regardless of how many
+    tag/edge projections fan out (G7), no executor-memory cache to evict at
+    scale, and the staged reads are columnar with pushed-down filters. This
+    also sidesteps Spark's refusal of plans whose only referenced file
+    column is the corrupt-record column. ``staging_dir`` should sit on the
+    job's shared filesystem for a cluster run; defaults to a local temp dir.
     """
     if spec.format == "csv":
         df = _read_csv(spark, spec)
@@ -116,25 +127,18 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> tuple[DataFrame, DataF
     else:  # pragma: no cover — config validation rejects earlier
         raise SourceError(f"unsupported format {spec.format!r}")
 
-    # Lineage columns MUST be computed before the cache boundary below:
-    # input_file_name() evaluates to "" on top of an InMemoryRelation.
+    # Lineage columns MUST be computed before the staging boundary:
+    # input_file_name() evaluates to "" on top of a staged/cached relation.
     df = df.withColumn(FILE_COL, F.input_file_name()).withColumn(
         SEQ_COL, F.monotonically_increasing_id()
     )
     if spec.format == "csv":
-        # Spark refuses plans whose only referenced file column is the
-        # corrupt-record column; the documented workaround is caching the
-        # parsed scan (we also want the cache: every source fans out to
-        # multiple tag/edge projections + a rejects split — G7). At 100 TB
-        # the equivalent is a single-pass write of the parsed scan to a
-        # staging table, then reading good/reject splits from it.
-        df = df.cache()
+        root = staging_dir or tempfile.mkdtemp(prefix="nispark-stage-")
+        path = f"{root}/scan-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c not in (CORRUPT_COL, FILE_COL, SEQ_COL)]
     good = df.filter(F.col(CORRUPT_COL).isNull()).select(*data_cols, FILE_COL, SEQ_COL)
-    # Spark disallows queries whose only referenced file column is the corrupt
-    # record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
-    # referencing a data column in the projection lifts that without caching
-    # the whole scan.
     rejects = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(FILE_COL),
         F.col(SEQ_COL),

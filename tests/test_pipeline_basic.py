@@ -129,3 +129,48 @@ def test_run_resume_skips_completed(spark, tmp_path):
     p2 = Pipeline(_config(), spark)
     res2 = p2.run(tmp_path, resume=True)
     assert res2.elements == []  # every stage already committed
+
+
+def test_failing_before_hook_aborts_run(spark, tmp_path):
+    """W6 parity: a hook statement that fails must abort the import
+    (reference pkg/manager/manager.go:285-336), not silently vanish."""
+    import pytest
+
+    from nebula_importer_spark.config.model import HookSpec
+    from nebula_importer_spark.plans.pipeline import HookError
+
+    cfg = _config()
+    cfg.before_hooks = [HookSpec(statements=["SELEC BROKEN SYNTAX"])]
+    with pytest.raises(HookError):
+        Pipeline(cfg, spark).run(tmp_path)
+    # nothing was committed before the hook failed
+    assert not (tmp_path / "basic" / "tags").exists()
+
+
+def test_hook_wait_sleeps_after_statements(spark, tmp_path):
+    import time as _time
+
+    from nebula_importer_spark.config.model import HookSpec
+
+    cfg = _config()
+    cfg.before_hooks = [HookSpec(statements=["SELECT 1"], wait_sec=0.3)]
+    t0 = _time.time()
+    res = Pipeline(cfg, spark).run(tmp_path)
+    assert _time.time() - t0 >= 0.3
+    assert not res.is_failed()
+
+
+def test_csv_scan_plan_has_no_exchange(spark):
+    """Scale guard: the header-skip must not shuffle the scan (the old
+    row_number-over-input_file_name window hash-partitioned 100 TB by
+    filename — one multi-GB CSV file became ONE reducer task). The mapped
+    projection over a staged CSV scan must plan with zero Exchanges."""
+    import contextlib
+    import io
+
+    p = Pipeline(_config(), spark)
+    df = p.vertices("Person")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
