@@ -8,18 +8,27 @@ pkg/spec/v3/node.go:149-262, edge.go:195-363; mode enum pkg/spec/base/mode.go).
 Storage layout (Iceberg-shaped, dependency-free — the real deployment swaps
 this for an Iceberg catalog; the snapshot/manifest discipline is identical):
 
-    <root>/<table>/v=<N>/*.parquet      immutable snapshot N
-    <root>/_manifest.json               current version per table + stage log
+    <root>/<table>/v=<N>/_b=<B>/*.parquet   keyed table: bucket B at snapshot N
+    <root>/<table>/v=<N>/*.parquet          unkeyed stage snapshot (full)
+    <root>/_manifest.json                   current version + per-bucket
+                                            pointers + history + stage log
+
+Keyed tables are HASH-BUCKETED on their key columns (xxhash64 → pmod): a
+merge commit reads and rewrites ONLY the buckets the incoming batch touches,
+so N incremental loads into a large table cost O(delta) bucket rewrites, not
+N full-table rewrites. Untouched buckets keep their old snapshot files and
+the manifest records, per version, which bucket lives at which snapshot —
+time travel reconstructs any historical state from that map. This mirrors
+Iceberg's file-level MERGE INTO pruning with manifest-tracked data files.
 
 Snapshots make every run resumable (checkpoint analog of the north rule):
 a crashed run re-reads the manifest and continues from the last committed
 version; stages record completion so re-runs skip finished work.
 
-Scale notes: each commit writes a full new snapshot of the table in this
-dependency-free implementation — on Iceberg the same logic is MERGE INTO with
-file-level pruning. Merge joins shuffle on the key columns only; incoming
-batches are deduplicated map-side first (last-write-wins by _seq, the
-statement-order analog).
+Scale notes: merge joins shuffle on the key columns only; incoming batches
+are deduplicated map-side first (last-write-wins by _seq, the statement-order
+analog). ``n_buckets`` defaults to 16 for the sandbox; size it so one bucket
+≈ a few GB at the deployment's table size (e.g. 2^10-2^12 buckets at 100 TB).
 """
 
 from __future__ import annotations
@@ -37,12 +46,14 @@ from nebula_importer_spark.config.model import Mode
 from nebula_importer_spark.sources.reader import SEQ_COL
 
 MANIFEST = "_manifest.json"
+BUCKET_COL = "_b"
 
 
 class TableStore:
-    def __init__(self, root: str | Path, spark: SparkSession):
+    def __init__(self, root: str | Path, spark: SparkSession, n_buckets: int = 16):
         self.root = Path(root)
         self.spark = spark
+        self.n_buckets = n_buckets
         self.root.mkdir(parents=True, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -73,22 +84,53 @@ class TableStore:
         self._write_manifest(m)
 
     # -- reads ------------------------------------------------------------
+    def _bucket_map(self, entry: dict, version: int) -> dict[str, int] | None:
+        """Bucket→snapshot map at a given version (None for unkeyed tables)."""
+        if "buckets" not in entry:
+            return None
+        if version == entry["version"]:
+            return entry["buckets"]
+        for h in entry.get("history", []):
+            if h["version"] == version:
+                return h["buckets"]
+        raise FileNotFoundError(f"no bucket map recorded for version {version}")
+
     def read(self, table: str, version: int | None = None) -> DataFrame | None:
         """Read a table at its current (or any historical) snapshot version —
-        snapshots are immutable, so time travel is just a different path."""
-        v = self.current_version(table) if version is None else version
-        if v is None:
+        snapshots are immutable, so time travel is just a different set of
+        (bucket, version) paths."""
+        entry = self.read_manifest()["tables"].get(table)
+        if entry is None:
             return None
-        path = self.root / table / f"v={v}"
-        if version is not None and not path.exists():
-            raise FileNotFoundError(f"{table} has no snapshot v={version}")
-        return self.spark.read.parquet(str(path))
+        v = entry["version"] if version is None else version
+        bmap = self._bucket_map(entry, v)
+        if bmap is None:
+            path = self.root / table / f"v={v}"
+            if version is not None and not path.exists():
+                raise FileNotFoundError(f"{table} has no snapshot v={version}")
+            return self.spark.read.parquet(str(path))
+        if not bmap:  # keyed table emptied by DELETEs
+            # reconstruct an empty frame from any historical bucket's schema
+            for h in entry.get("history", []):
+                if h["buckets"]:
+                    b, bv = next(iter(h["buckets"].items()))
+                    schema = self.spark.read.parquet(
+                        str(self.root / table / f"v={bv}" / f"{BUCKET_COL}={b}")
+                    ).schema
+                    return self.spark.createDataFrame([], schema)
+            return None
+        paths = [
+            str(self.root / table / f"v={bv}" / f"{BUCKET_COL}={b}")
+            for b, bv in sorted(bmap.items(), key=lambda kv: int(kv[0]))
+        ]
+        return self.spark.read.parquet(*paths)
 
     def versions(self, table: str) -> list[int]:
-        base = self.root / table
-        if not base.exists():
+        entry = self.read_manifest()["tables"].get(table)
+        if entry is None:
             return []
-        return sorted(int(p.name.split("=")[1]) for p in base.glob("v=*"))
+        hist = [h["version"] for h in entry.get("history", [])]
+        return sorted(set(hist) | {entry["version"]})
 
     # -- merge + commit ----------------------------------------------------
     def _dedup_incoming(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -102,10 +144,30 @@ class TableStore:
             .drop("_rn", *([SEQ_COL] if SEQ_COL in df.columns else []))
         )
 
-    def apply(
+    def _with_bucket(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(*key_cols), F.lit(self.n_buckets))
+        )
+
+    def commit(self, df: DataFrame, table: str) -> int:
+        """Unkeyed full-snapshot commit (stage checkpoints): write a new
+        immutable snapshot and advance the manifest pointer."""
+        m = self.read_manifest()
+        prev = m["tables"].get(table, {}).get("version", 0)
+        v = prev + 1
+        out = self.root / table / f"v={v}"
+        df.write.mode("overwrite").parquet(str(out))
+        m["tables"][table] = {"version": v}
+        self._write_manifest(m)
+        return v
+
+    def merge_commit(
         self, df: DataFrame, table: str, mode: Mode, key_cols: list[str]
-    ) -> tuple[DataFrame, int]:
-        """Return (new_table_state, unmatched_update_count).
+    ) -> tuple[int, int]:
+        """Keyed incremental merge: dedup incoming → read ONLY the buckets
+        the batch touches → apply INSERT/UPDATE/DELETE against that slice →
+        rewrite those buckets under a new version; untouched buckets keep
+        their existing files (manifest records bucket→version).
 
         INSERT: upsert — incoming replaces existing rows on key
                 (Nebula INSERT overwrites existing element props).
@@ -113,51 +175,96 @@ class TableStore:
                 keys are dropped and counted (the reference's UPDATE on a
                 missing element errors → rejected record).
         DELETE: rows with matching keys removed.
+
+        Returns (new_version, unmatched_update_count).
         """
-        current = self.read(table)
+        m = self.read_manifest()
+        entry = m["tables"].get(table)
         incoming = self._dedup_incoming(df, key_cols)
-        drop_meta = [c for c in incoming.columns if c.startswith("_")]
-        incoming = incoming.drop(*drop_meta)
+        incoming = incoming.drop(*[c for c in incoming.columns if c.startswith("_")])
+        incoming = self._with_bucket(incoming, key_cols)
+
+        cur_map: dict[str, int] = dict(entry.get("buckets", {})) if entry else {}
+        prev_v = entry["version"] if entry else 0
         unmatched = 0
+
+        if entry is None and mode != Mode.INSERT:
+            # UPDATE/DELETE against a missing table: nothing to change, but
+            # still run ONE action over the incoming frame so caller-attached
+            # observe() metrics fire; UPDATE counts everything unmatched.
+            n = incoming.count()
+            return 0, (n if mode == Mode.UPDATE else 0)
+
+        # Which buckets does this batch touch? Bounded by n_buckets — a
+        # driver-side list of ≤ n_buckets ints, never data rows.
+        affected = sorted(
+            r[BUCKET_COL]
+            for r in incoming.select(BUCKET_COL).distinct().collect()
+        )
+        touched_live = [b for b in affected if str(b) in cur_map]
+        slice_paths = [
+            str(self.root / table / f"v={cur_map[str(b)]}" / f"{BUCKET_COL}={b}")
+            for b in touched_live
+        ]
+        current = (
+            self._with_bucket(self.spark.read.parquet(*slice_paths), key_cols)
+            if slice_paths
+            else None
+        )
+
         if mode == Mode.INSERT:
             if current is None:
-                return incoming, 0
-            kept = current.join(incoming.select(*key_cols), on=key_cols, how="left_anti")
-            return kept.unionByName(incoming), 0
-        if current is None:
-            # UPDATE/DELETE against an empty table: everything is unmatched.
-            if mode == Mode.UPDATE:
-                return self.spark.createDataFrame([], incoming.schema), incoming.count()
-            # DELETE: no table state to change, but still run ONE action over
-            # the incoming frame so caller-attached observe() metrics fire.
-            incoming.count()
-            return None, 0  # type: ignore[return-value]
-        keys = incoming.select(*key_cols)
-        if mode == Mode.UPDATE:
-            unmatched = incoming.join(current.select(*key_cols), key_cols, "left_anti").count()
-            matched_new = incoming.join(current.select(*key_cols), key_cols, "left_semi")
-            kept = current.join(keys, key_cols, "left_anti")
-            return kept.unionByName(matched_new), unmatched
-        if mode == Mode.DELETE:
-            return current.join(keys, key_cols, "left_anti"), 0
-        raise ValueError(f"unsupported mode {mode}")
+                state = incoming
+            else:
+                kept = current.join(
+                    incoming.select(*key_cols), on=key_cols, how="left_anti"
+                )
+                state = kept.unionByName(incoming)
+        elif mode == Mode.UPDATE:
+            if current is None:
+                n = incoming.count()
+                return prev_v, n
+            keys = current.select(*key_cols)
+            unmatched = incoming.join(keys, key_cols, "left_anti").count()
+            matched_new = incoming.join(keys, key_cols, "left_semi")
+            kept = current.join(incoming.select(*key_cols), key_cols, "left_anti")
+            state = kept.unionByName(matched_new)
+        elif mode == Mode.DELETE:
+            if current is None:
+                incoming.count()  # fire caller observations
+                return prev_v, 0
+            state = current.join(incoming.select(*key_cols), key_cols, "left_anti")
+        else:
+            raise ValueError(f"unsupported mode {mode}")
 
-    def commit(self, df: DataFrame, table: str) -> int:
-        """Write a new immutable snapshot and advance the manifest pointer."""
-        m = self.read_manifest()
-        prev = m["tables"].get(table, {}).get("version", 0)
-        v = prev + 1
+        v = prev_v + 1
         out = self.root / table / f"v={v}"
-        df.write.mode("overwrite").parquet(str(out))
-        m["tables"][table] = {"version": v}
-        m["tables"][table].setdefault("history", [])
-        self._write_manifest(m)
-        return v
+        state.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(str(out))
 
-    def merge_commit(
-        self, df: DataFrame, table: str, mode: Mode, key_cols: list[str]
-    ) -> tuple[int, int]:
-        state, unmatched = self.apply(df, table, mode, key_cols)
-        if state is None:
-            return self.current_version(table) or 0, unmatched
-        return self.commit(state, table), unmatched
+        # A bucket can come out empty (DELETE) — only materialized bucket
+        # dirs advance; affected-but-empty buckets drop out of the map.
+        written = {
+            int(p.name.split("=", 1)[1])
+            for p in out.glob(f"{BUCKET_COL}=*")
+            if p.is_dir()
+        }
+        new_map = dict(cur_map)
+        for b in affected:
+            if b in written:
+                new_map[str(b)] = v
+            else:
+                new_map.pop(str(b), None)
+        history = (entry or {}).get("history", [])
+        if entry is not None:
+            history = history + [
+                {"version": prev_v, "buckets": dict(cur_map)}
+            ]
+        m = self.read_manifest()
+        m["tables"][table] = {
+            "version": v,
+            "buckets": new_map,
+            "n_buckets": self.n_buckets,
+            "history": history,
+        }
+        self._write_manifest(m)
+        return v, unmatched

@@ -360,8 +360,13 @@ def test_update_and_delete_modes_end_to_end(spark, tmp_path):
     r2 = Pipeline(cfg(str(upd), Mode.UPDATE), spark).run(out)
     assert r2.elements[0].rejected == 1  # pX addresses a missing vertex
     Pipeline(cfg(str(dele), Mode.DELETE), spark).run(out)
-    stored = spark.read.parquet(str(out / "s" / "tags" / "person" / "v=3"))
-    rows = {r["vid"]: r["name"] for r in stored.collect()}
+    # v=3 on disk is an incremental delta (only touched buckets); the
+    # manifest-resolved read reconstructs the full table state.
+    from nebula_importer_spark.plans.merge import TableStore
+
+    store = TableStore(out / "s", spark)
+    assert store.current_version("tags/person") == 3
+    rows = {r["vid"]: r["name"] for r in store.read("tags/person").collect()}
     assert rows == {"p1": "Ann", "p2": "Bobby"}  # p2 updated, p3 deleted, pX rejected
 
 
@@ -448,8 +453,11 @@ def test_multiple_sources_same_tag_union(spark, tmp_path):
     rows = {r["vid"]: r["name"] for r in p.vertices("person").collect()}
     assert rows == {"a1": "Ann", "b1": "Bob"}
     res = p.run(tmp_path / "out")
-    stored = spark.read.parquet(str(tmp_path / "out" / "s" / "tags" / "person" / "v=2"))
-    assert stored.count() == 2  # second source upserts into the same table
+    from nebula_importer_spark.plans.merge import TableStore
+
+    store = TableStore(tmp_path / "out" / "s", spark)
+    assert store.current_version("tags/person") == 2
+    assert store.read("tags/person").count() == 2  # second source upserts
 
 
 def test_edge_update_and_delete_modes(spark, tmp_path):
@@ -481,6 +489,8 @@ def test_edge_update_and_delete_modes(spark, tmp_path):
     r2 = Pipeline(cfg(tmp_path / "e_upd.csv", Mode.UPDATE), spark).run(out)
     assert r2.elements[0].rejected == 1  # (x,y) addresses a missing edge
     Pipeline(cfg(tmp_path / "e_del.csv", Mode.DELETE), spark).run(out)
-    stored = spark.read.parquet(str(out / "s" / "edges" / "rel" / "v=3"))
-    rows = {(r["src"], r["dst"]): r["w"] for r in stored.collect()}
+    from nebula_importer_spark.plans.merge import TableStore
+
+    store = TableStore(out / "s", spark)
+    rows = {(r["src"], r["dst"]): r["w"] for r in store.read("edges/rel").collect()}
     assert rows == {("a", "b"): 0.9}
