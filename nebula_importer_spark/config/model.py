@@ -187,20 +187,44 @@ class SourceSpec:
 
     Reference pkg/config/v3/source.go:14-21,42-62; glob pkg/source/local.go:35-48.
     ``format`` extends the reference: parquet/json sources read natively.
+
+    Exactly one of ``path`` (local/URI) or a remote options block
+    (``s3``/``oss``/``gcs``/``hdfs``/``ftp``/``sftp``, reference
+    pkg/source/config.go:4-14) identifies the input; remote blocks carry
+    per-source endpoint/credential config resolved by sources/remote.py.
     """
 
-    path: str
+    path: str = ""
     csv: CsvOptions = field(default_factory=CsvOptions)
     format: str = "csv"  # csv | parquet | json
-    batch: int | None = None  # per-source batch override (arrow batch hint)
+    batch: int | None = None  # per-source Arrow batch override (S11)
     tags: list[NodeSpec] = field(default_factory=list)
     edges: list[EdgeSpec] = field(default_factory=list)
+    # remote source blocks (typed in sources/remote.py; kept loose here to
+    # avoid importing Spark-side modules into the pure config layer)
+    s3: object | None = None
+    oss: object | None = None
+    gcs: object | None = None
+    hdfs: object | None = None
+    ftp: object | None = None
+    sftp: object | None = None
+
+    def _remote_blocks(self) -> list[object]:
+        return [
+            b for b in (self.s3, self.oss, self.gcs, self.hdfs, self.ftp, self.sftp)
+            if b is not None
+        ]
 
     def validate(self) -> None:
-        if not self.path:
+        remotes = self._remote_blocks()
+        if len(remotes) > 1:
+            raise ConfigError(f"source {self.path!r}: multiple remote blocks")
+        if not self.path and not remotes:
             raise ConfigError("source with empty path")
         if self.format not in {"csv", "parquet", "json"}:
             raise ConfigError(f"source {self.path!r}: unsupported format {self.format!r}")
+        if self.batch is not None and self.batch <= 0:
+            raise ConfigError(f"source {self.path!r}: batch must be positive")
         self.csv.validate()
         if not self.tags and not self.edges:
             raise ConfigError(f"source {self.path!r}: no tags or edges")
@@ -237,6 +261,8 @@ class GraphConfig:
     before_hooks: list[HookSpec] = field(default_factory=list)
     after_hooks: list[HookSpec] = field(default_factory=list)
     batch: int = 128  # manager-level default (reference pkg/reader/option.go:7-9)
+    # M2 progress-meter period (reference manager.statsInterval, default 10s)
+    stats_interval_sec: float = 10.0
 
     def validate(self) -> None:
         if not self.space:

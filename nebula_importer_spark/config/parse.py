@@ -111,9 +111,75 @@ def _csv(d: dict[str, Any] | None) -> CsvOptions:
     )
 
 
+def _remote_blocks(d: dict[str, Any]) -> dict[str, Any]:
+    """Per-protocol remote source blocks (reference pkg/source/config.go:4-14),
+    camelCase keys as in the reference YAML surface."""
+    from nebula_importer_spark.sources.remote import (
+        FTPOptions,
+        GCSOptions,
+        HDFSOptions,
+        OSSOptions,
+        S3Options,
+        SFTPOptions,
+    )
+
+    out: dict[str, Any] = {}
+    if "s3" in d:
+        s = d["s3"]
+        out["s3"] = S3Options(
+            bucket=s.get("bucket", ""), key=s.get("key", ""),
+            endpoint=s.get("endpoint"), region=s.get("region"),
+            access_key_id=s.get("accessKeyID"),
+            access_key_secret=s.get("accessKeySecret"), token=s.get("token"),
+        )
+    if "oss" in d:
+        s = d["oss"]
+        out["oss"] = OSSOptions(
+            bucket=s.get("bucket", ""), key=s.get("key", ""),
+            endpoint=s.get("endpoint"), access_key_id=s.get("accessKeyID"),
+            access_key_secret=s.get("accessKeySecret"),
+        )
+    if "gcs" in d:
+        s = d["gcs"]
+        out["gcs"] = GCSOptions(
+            bucket=s.get("bucket", ""), key=s.get("key", ""),
+            endpoint=s.get("endpoint"),
+            credentials_file=s.get("credentialsFile"),
+            credentials_json=s.get("credentialsJSON"),
+            without_authentication=bool(s.get("withoutAuthentication", False)),
+        )
+    if "hdfs" in d:
+        s = d["hdfs"]
+        out["hdfs"] = HDFSOptions(
+            address=s.get("address", ""), path=s.get("path", ""),
+            user=s.get("user"),
+            service_principal_name=s.get("servicePrincipalName"),
+            krb5_config_file=s.get("krb5ConfigFile"),
+            ccache_file=s.get("ccacheFile"), keytab_file=s.get("keyTabFile"),
+            password=s.get("password"),
+            data_transfer_protection=s.get("dataTransferProtection"),
+        )
+    if "ftp" in d:
+        s = d["ftp"]
+        out["ftp"] = FTPOptions(
+            host=s.get("host", ""), path=s.get("path", ""),
+            port=int(s.get("port", 21)), user=s.get("user", "anonymous"),
+            password=s.get("password", ""),
+        )
+    if "sftp" in d:
+        s = d["sftp"]
+        out["sftp"] = SFTPOptions(
+            host=s.get("host", ""), path=s.get("path", ""),
+            port=int(s.get("port", 22)), user=s.get("user", ""),
+            password=s.get("password"), key_file=s.get("keyFile"),
+            key_data=s.get("keyData"), passphrase=s.get("passphrase"),
+        )
+    return out
+
+
 def _source(d: dict[str, Any], base_dir: Path | None) -> SourceSpec:
-    path = d["path"]
-    if base_dir is not None and not Path(path).is_absolute() and "://" not in path:
+    path = d.get("path", "")
+    if path and base_dir is not None and not Path(path).is_absolute() and "://" not in path:
         # Relative-path resolution against the config file, mirroring
         # reference cfg.Optimize (pkg/config/v3/config.go:31-50).
         path = str((base_dir / path).resolve())
@@ -124,6 +190,7 @@ def _source(d: dict[str, Any], base_dir: Path | None) -> SourceSpec:
         batch=None if d.get("batch") is None else int(d["batch"]),
         tags=[_node(t) for t in d.get("tags", [])],
         edges=[_edge(e) for e in d.get("edges", [])],
+        **_remote_blocks(d),
     )
 
 
@@ -151,6 +218,7 @@ def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphCo
         before_hooks=_hooks("before"),
         after_hooks=_hooks("after"),
         batch=int(mgr.get("batch", 128)),
+        stats_interval_sec=_duration_sec(mgr.get("statsInterval", 10.0)),
     )
     cfg.validate()
     return cfg

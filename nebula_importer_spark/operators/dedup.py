@@ -205,6 +205,7 @@ def embedding_dup_pairs(
     n_planes: int = 12,
     n_bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ threshold).
 
@@ -220,7 +221,17 @@ def embedding_dup_pairs(
     """
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # probe one row for the vector width; empty input → empty result
+        # (``dim`` should be passed explicitly at scale — no driver probe)
+        head = df.select(vec_col).head(1)
+        if not head:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cosine double"
+            )
+        dim = len(head[0][0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     per_band = n_planes // n_bands

@@ -205,6 +205,7 @@ def link_mentions(
     alias_col: str = "alias_norm",
     entity_col: str = "entity_id",
     fuzzy_threshold: float = 0.5,
+    track: list | None = None,
 ) -> DataFrame:
     """Resolve distinct mention surface forms against the alias dictionary.
 
@@ -212,11 +213,17 @@ def link_mentions(
     Deterministic tie-breaks: min entity_id on exact; (max jaccard, then min
     entity_id) on fuzzy. Mentions matching nothing are absent from the output
     (callers route them to rejects).
+
+    ``track``: optional list the persisted vocabulary frame is appended to —
+    the caller unpersists after its consuming actions (cached blocks must
+    not accumulate across runs in a long-lived session).
     """
     # The distinct vocabulary feeds three plan subtrees (exact join, anti
     # join, fuzzy LSH); persist so the corpus-wide distinct shuffle runs
     # once, not three times (measured 3× the stage cost on a 5M-turn run).
     m = mentions.select(mention_col).distinct().persist()
+    if track is not None:
+        track.append(m)
     d = alias_dict.select(alias_col, entity_col).distinct()
 
     exact = (

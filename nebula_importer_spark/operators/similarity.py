@@ -94,13 +94,24 @@ def lsh_topk(
     n_planes: int = 12,
     n_bands: int = 3,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane sign bits split into bands; candidates
     share ≥1 band with the query. Recall rises with n_bands (multi-probe).
-    Same output schema as brute_force_topk."""
+    Same output schema as brute_force_topk.
+
+    ``dim`` (vector width) should be passed explicitly at scale; when None
+    it is probed from one corpus row (an empty corpus yields an empty
+    result instead of a driver crash)."""
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        head = corpus.select(vec_col).head(1)
+        if not head:
+            return brute_force_topk(
+                corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+            ).limit(0)
+        dim = len(head[0][0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     per_band = n_planes // n_bands

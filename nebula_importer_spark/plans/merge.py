@@ -123,7 +123,9 @@ class TableStore:
             str(self.root / table / f"v={bv}" / f"{BUCKET_COL}={b}")
             for b, bv in sorted(bmap.items(), key=lambda kv: int(kv[0]))
         ]
-        return self.spark.read.parquet(*paths)
+        # multiple sibling leaf dirs → Spark partition discovery resurrects
+        # the bucket column from the shared ancestor; it is storage detail
+        return self.spark.read.parquet(*paths).drop(BUCKET_COL)
 
     def versions(self, table: str) -> list[int]:
         entry = self.read_manifest()["tables"].get(table)
@@ -207,7 +209,9 @@ class TableStore:
             for b in touched_live
         ]
         current = (
-            self._with_bucket(self.spark.read.parquet(*slice_paths), key_cols)
+            self._with_bucket(
+                self.spark.read.parquet(*slice_paths).drop(BUCKET_COL), key_cols
+            )
             if slice_paths
             else None
         )

@@ -18,6 +18,8 @@ Library surface (entry point 3 analog, reference pkg/manager/manager.go:68-91):
 
 from __future__ import annotations
 
+import contextlib
+import re
 import time
 from pathlib import Path
 
@@ -36,10 +38,44 @@ from nebula_importer_spark.config.model import (
 class HookError(RuntimeError):
     """A before/after hook statement failed — the run is aborted (reference
     pkg/manager/manager.go:285-336 error semantics)."""
+
+
+# NebulaGraph-server DDL statements that appear in reference example hooks
+# (examples/*/`*.yaml`): space/tag/edge/index management has no Spark analog
+# (namespaces are implicit in the TableStore), so these execute as no-ops.
+_NGQL_DDL = re.compile(
+    r"^\s*(CREATE\s+(SPACE|TAG|EDGE)\b|USE\s+|DROP\s+(SPACE|TAG|EDGE)\b"
+    r"|REBUILD\s+|SUBMIT\s+JOB\b)",
+    re.IGNORECASE,
+)
 from nebula_importer_spark.functions.filter_dsl import compile_filter
 from nebula_importer_spark.functions.picker import compile_id, compile_prop, compile_rank
 from nebula_importer_spark.plans.merge import TableStore
-from nebula_importer_spark.plans.metrics import ElementStats, RunResult
+from nebula_importer_spark.plans.metrics import ElementStats, RunResult, StatsMeter
+
+ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextlib.contextmanager
+def _arrow_batch_override(spark: SparkSession, batch: int | None):
+    """Per-source Arrow batch override (S11, reference
+    pkg/config/base/source.go:30-33: a source may override the manager
+    batch). Scoped to the source's stages; restores the session value."""
+    if batch is None:
+        yield
+        return
+    try:
+        old = spark.conf.get(ARROW_BATCH_KEY)
+    except Exception:  # pragma: no cover — key unset
+        old = None
+    spark.conf.set(ARROW_BATCH_KEY, str(batch))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(ARROW_BATCH_KEY, old)
 from nebula_importer_spark.sources.reader import FILE_COL, SEQ_COL, read_source
 
 VID = "vid"
@@ -148,76 +184,17 @@ class Pipeline:
         for hook in self.config.before_hooks:  # W6 before-hooks
             self._run_hook(hook)
 
-        for i, src in enumerate(self.config.sources):
-            good, csv_rejects = self._scan(i, src)
-            # The rejects count rides the rejects write (observe — no
-            # standalone .count() pass; at scale every extra count is a
-            # full scan of the staged source).
-            rej_obs = Observation()
-            csv_rejects.observe(
-                rej_obs, F.count(F.lit(1)).alias("n")
-            ).write.mode("append").parquet(str(rejects_dir / "csv"))
-            result.csv_rejects += int(rej_obs.get["n"])
-
-            for kind, specs in (("tag", src.tags), ("edge", src.edges)):
-                for spec in specs:
-                    stage = f"s{i}/{kind}/{spec.name}/{spec.mode.value}"
-                    if resume and store.stage_completed(stage):
-                        continue
-                    es = ElementStats(name=spec.name, kind=kind, source=src.path)
-                    # Both counters ride the merge-commit write action:
-                    # pre-filter source rows (g_obs, below the element
-                    # filter) and mapped/bad rows (m_obs) cost ZERO extra
-                    # passes over the data (M1 analog).
-                    g_obs = Observation()
-                    src_rows = good.observe(
-                        g_obs, F.count(F.lit(1)).alias("n_src")
+        # M2: periodic records/s + active-task meter (reference statsInterval)
+        meter = StatsMeter(self.spark, interval_sec=self.config.stats_interval_sec)
+        meter.start()
+        try:
+            for i, src in enumerate(self.config.sources):
+                with _arrow_batch_override(self.spark, src.batch):
+                    self._run_source(
+                        i, src, store, result, rejects_dir, mpath, resume, meter
                     )
-                    if kind == "tag":
-                        mapped = map_node(src_rows, spec)  # type: ignore[arg-type]
-                        keys = [VID]
-                        table = f"tags/{spec.name}"
-                        null_key = F.col(VID).isNull()
-                    else:
-                        mapped = map_edge(src_rows, spec)  # type: ignore[arg-type]
-                        keys = [SRC, DST, RANK]
-                        table = f"edges/{spec.name}"
-                        null_key = F.col(SRC).isNull() | F.col(DST).isNull()
-                    m_obs = Observation()
-                    mapped = mapped.observe(
-                        m_obs,
-                        F.count(F.lit(1)).alias("n_mapped"),
-                        F.sum(null_key.cast("long")).alias("n_bad"),
-                    )
-                    ok = mapped.filter(~null_key)
-                    _, unmatched = store.merge_commit(ok, table, spec.mode, keys)
-                    n_good = int(g_obs.get["n_src"])
-                    n_mapped = int(m_obs.get["n_mapped"])
-                    n_bad = int(m_obs.get["n_bad"] or 0)
-                    es.total = n_good
-                    es.filtered = n_good - n_mapped
-                    if n_bad:
-                        bad = mapped.filter(null_key)
-                        bad.select(
-                            F.col(FILE_COL),
-                            F.col(SEQ_COL),
-                            F.lit("null_key").alias("reason"),
-                            F.to_json(F.struct(*[c for c in bad.columns])).alias("raw"),
-                        ).write.mode("append").parquet(str(rejects_dir / kind))
-                    n_ok = n_mapped - n_bad
-                    # Per-file lineage metrics (M3 analog) written as a
-                    # DataFrame — never .collect()ed: at 100 TB the file
-                    # count is 10^5-10^6 rows, which belongs on disk, not
-                    # in a driver-side Python list.
-                    ok.groupBy(FILE_COL).agg(F.count("*").alias("rows")).select(
-                        F.lit(stage).alias("stage"),
-                        F.col(FILE_COL).alias("file"),
-                        "rows",
-                    ).write.mode("append").parquet(str(mpath))
-                    es.rejected = n_bad + unmatched
-                    es.written = n_ok - unmatched
-                    store.mark_stage(stage, written=es.written, rejected=es.rejected)
-                    result.elements.append(es)
+        finally:
+            meter.stop()
 
         for hook in self.config.after_hooks:  # W6 after-hooks
             self._run_hook(hook)
@@ -226,6 +203,78 @@ class Pipeline:
         result.rejects_path = str(rejects_dir)
         result.duration_sec = time.time() - t0
         return result
+
+    def _run_source(
+        self, i, src, store, result, rejects_dir, mpath, resume, meter
+    ) -> None:
+        good, csv_rejects = self._scan(i, src)
+        # The rejects count rides the rejects write (observe — no standalone
+        # .count() pass; at scale every extra count is a full scan of the
+        # staged source).
+        rej_obs = Observation()
+        csv_rejects.observe(
+            rej_obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("append").parquet(str(rejects_dir / "csv"))
+        result.csv_rejects += int(rej_obs.get["n"])
+
+        for kind, specs in (("tag", src.tags), ("edge", src.edges)):
+            for spec in specs:
+                stage = f"s{i}/{kind}/{spec.name}/{spec.mode.value}"
+                if resume and store.stage_completed(stage):
+                    continue
+                es = ElementStats(name=spec.name, kind=kind, source=src.path)
+                # Both counters ride the merge-commit write action:
+                # pre-filter source rows (g_obs, below the element filter)
+                # and mapped/bad rows (m_obs) cost ZERO extra passes over
+                # the data (M1 analog).
+                g_obs = Observation()
+                src_rows = good.observe(g_obs, F.count(F.lit(1)).alias("n_src"))
+                if kind == "tag":
+                    mapped = map_node(src_rows, spec)  # type: ignore[arg-type]
+                    keys = [VID]
+                    table = f"tags/{spec.name}"
+                    null_key = F.col(VID).isNull()
+                else:
+                    mapped = map_edge(src_rows, spec)  # type: ignore[arg-type]
+                    keys = [SRC, DST, RANK]
+                    table = f"edges/{spec.name}"
+                    null_key = F.col(SRC).isNull() | F.col(DST).isNull()
+                m_obs = Observation()
+                mapped = mapped.observe(
+                    m_obs,
+                    F.count(F.lit(1)).alias("n_mapped"),
+                    F.sum(null_key.cast("long")).alias("n_bad"),
+                )
+                ok = mapped.filter(~null_key)
+                _, unmatched = store.merge_commit(ok, table, spec.mode, keys)
+                n_good = int(g_obs.get["n_src"])
+                n_mapped = int(m_obs.get["n_mapped"])
+                n_bad = int(m_obs.get["n_bad"] or 0)
+                es.total = n_good
+                es.filtered = n_good - n_mapped
+                if n_bad:
+                    bad = mapped.filter(null_key)
+                    bad.select(
+                        F.col(FILE_COL),
+                        F.col(SEQ_COL),
+                        F.lit("null_key").alias("reason"),
+                        F.to_json(F.struct(*[c for c in bad.columns])).alias("raw"),
+                    ).write.mode("append").parquet(str(rejects_dir / kind))
+                n_ok = n_mapped - n_bad
+                # Per-file lineage metrics (M3 analog) written as a
+                # DataFrame — never .collect()ed: at 100 TB the file count
+                # is 10^5-10^6 rows, which belongs on disk, not in a
+                # driver-side Python list.
+                ok.groupBy(FILE_COL).agg(F.count("*").alias("rows")).select(
+                    F.lit(stage).alias("stage"),
+                    F.col(FILE_COL).alias("file"),
+                    "rows",
+                ).write.mode("append").parquet(str(mpath))
+                es.rejected = n_bad + unmatched
+                es.written = n_ok - unmatched
+                store.mark_stage(stage, written=es.written, rejected=es.rejected)
+                result.elements.append(es)
+                meter.add(es.written)
 
     def _run_hook(self, hook) -> None:
         """Pre/post hooks (W6). A failing statement ABORTS the run, matching
@@ -238,6 +287,12 @@ class Pipeline:
             hook = HookSpec(statements=[hook])
         for sql in hook.statements:
             for stmt in filter(None, (s.strip() for s in sql.split(";"))):
+                if _NGQL_DDL.match(stmt):
+                    # Recognized NebulaGraph server DDL (CREATE SPACE/TAG/...,
+                    # USE) from reference-shaped configs: the TableStore
+                    # creates spaces/tables implicitly, so these are declared
+                    # no-ops — NOT silently-swallowed failures.
+                    continue
                 try:
                     self.spark.sql(stmt)
                 except Exception as e:  # noqa: BLE001 — re-raise typed

@@ -59,7 +59,10 @@ def get_spark(
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if master is None and not under_submit:
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    # Under spark-submit an explicit caller value still wins, but the
+    # local-CPU-derived default must NOT override --conf
+    # spark.sql.shuffle.partitions sized for the cluster.
+    if shuffle_partitions is None and not under_submit:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
     b = SparkSession.builder.appName(app_name)
     if master is not None:
@@ -75,8 +78,9 @@ def get_spark(
         # keys are not set for non-local masters).
         b = b.config("spark.shuffle.compress", "false")
         b = b.config("spark.shuffle.spill.compress", "false")
-    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    b = b.config("spark.default.parallelism", str(shuffle_partitions))
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b = b.config("spark.default.parallelism", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

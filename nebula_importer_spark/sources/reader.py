@@ -3,8 +3,9 @@
 Reference parity:
   S1-S7  file/object-store scans → spark.read over file:/ s3a:/ hdfs:/ gs:/
          URIs (Hadoop FS connectors replace the per-protocol Go sources,
-         reference pkg/source/*.go). FTP/SFTP are intentionally out of scope
-         (no Hadoop FS; reference pkg/source/ftp.go, sftp.go).
+         reference pkg/source/*.go); per-source credential/endpoint blocks
+         resolve through sources/remote.py. FTP/SFTP (no Hadoop FS) use a
+         staged-download shim (reference pkg/source/ftp.go, sftp.go).
   S8     glob expansion is native to spark.read paths; a zero-match glob is
          an error (reference pkg/config/base/source.go:59-61) surfaced as
          SourceError.
@@ -73,13 +74,13 @@ def _csv_reader(spark: SparkSession, spec: SourceSpec, header: bool = False):
     return r
 
 
-def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+def _read_csv(spark: SparkSession, spec: SourceSpec, path: str) -> DataFrame:
     # Pass 1: let Spark size the row width from the data (cheap: schema
     # inference with inferSchema=false reads only the first rows).
     try:
-        probe = _csv_reader(spark, spec).load(spec.path)
+        probe = _csv_reader(spark, spec).load(path)
     except AnalysisException as e:
-        raise SourceError(f"source {spec.path!r}: no files matched ({e})") from e
+        raise SourceError(f"source {path!r}: no files matched ({e})") from e
     width = len(probe.columns)
     # Pass 2: explicit all-string schema + corrupt-record column so malformed
     # rows (wrong arity / broken quoting) become rejects instead of nulls.
@@ -91,7 +92,7 @@ def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         _csv_reader(spark, spec, header=spec.csv.with_header)
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
-        .load(spec.path)
+        .load(path)
     )
 
 
@@ -113,13 +114,18 @@ def read_source(
     column is the corrupt-record column. ``staging_dir`` should sit on the
     job's shared filesystem for a cluster run; defaults to a local temp dir.
     """
+    # Remote blocks (S2-S7): apply per-source credential/endpoint conf and
+    # resolve to a readable URI (FTP/SFTP: staged download) — see remote.py.
+    from nebula_importer_spark.sources.remote import resolve_remote
+
+    path = resolve_remote(spark, spec, staging_dir)
     if spec.format == "csv":
-        df = _read_csv(spark, spec)
+        df = _read_csv(spark, spec, path)
     elif spec.format in ("parquet", "json"):
         try:
-            raw = spark.read.format(spec.format).load(spec.path)
+            raw = spark.read.format(spec.format).load(path)
         except AnalysisException as e:
-            raise SourceError(f"source {spec.path!r}: no files matched ({e})") from e
+            raise SourceError(f"source {path!r}: no files matched ({e})") from e
         # Positional binding over typed files: column order IS the index space.
         df = raw.select(
             *[F.col(c).alias(f"_c{i}") for i, c in enumerate(raw.columns)]

@@ -63,6 +63,19 @@ class TranscriptPipeline:
         self.spark = spark
         self.fuzzy_threshold = fuzzy_threshold
         self.salt_buckets = salt_buckets
+        # persisted frames registered by stages; release() unpersists them
+        # so cached blocks do not accumulate across runs in a long session
+        self._persisted: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every frame the stages cached (call after the consuming
+        actions finish; run() does this automatically)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:  # pragma: no cover — session already stopped
+                pass
+        self._persisted.clear()
 
     # -- composable stages (each returns a DataFrame; no side effects) -----
     def triples_surface(self, transcripts: DataFrame) -> DataFrame:
@@ -93,7 +106,8 @@ class TranscriptPipeline:
             normalize_mention(F.col("alias")).alias("alias_norm"), "entity_id"
         )
         return link_mentions(
-            mentions, aliases, fuzzy_threshold=self.fuzzy_threshold
+            mentions, aliases, fuzzy_threshold=self.fuzzy_threshold,
+            track=self._persisted,
         )
 
     def canonical_triples(
@@ -132,6 +146,7 @@ class TranscriptPipeline:
         joined = st.join(F.broadcast(s_link), "subj_norm", "left").join(
             F.broadcast(o_link), "obj_norm", "left"
         ).persist()
+        self._persisted.append(joined)
         ok = joined.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
         triples = ok.select("conv_id", "turn_idx", "subj", "pred", "obj").distinct()
         unlinked = (
@@ -154,12 +169,30 @@ class TranscriptPipeline:
         same_as: DataFrame | None,
         out_dir: str | Path,
         resume: bool = False,
+        stats_interval_sec: float = 10.0,
     ) -> TranscriptRunResult:
-        """Full materialization with per-stage snapshots + metrics + rejects."""
+        """Full materialization with per-stage snapshots + metrics + rejects.
+        A StatsMeter ticks every ``stats_interval_sec`` (M2 analog:
+        turns processed, rate, live executor activity on stderr)."""
+        from nebula_importer_spark.plans.metrics import StatsMeter
+
         t0 = time.time()
         store = TableStore(Path(out_dir) / "kg", self.spark)
         res = TranscriptRunResult()
+        meter = StatsMeter(self.spark, interval_sec=stats_interval_sec)
+        meter.start()
+        try:
+            return self._run_metered(
+                transcripts, alias_dict, same_as, store, res, resume, t0, meter
+            )
+        finally:
+            meter.stop()
+
+    def _run_metered(
+        self, transcripts, alias_dict, same_as, store, res, resume, t0, meter
+    ) -> TranscriptRunResult:
         res.turns = transcripts.count()
+        meter.add(res.turns)
 
         def _stage(name: str, fn):
             if resume and store.stage_completed(name):
@@ -181,7 +214,9 @@ class TranscriptPipeline:
             surface, links, same_as, checkpoint_dir=str(store.root / "_cc_snapshots")
         )
         triples = triples.cache()
+        self._persisted.append(triples)
         res.triples = triples.count()
+        meter.add(res.triples)
         res.unlinked_mentions = unlinked.count()
         res.stages["canon"] = time.time() - t
 
@@ -216,6 +251,7 @@ class TranscriptPipeline:
         pm.write.mode("append").parquet(str(store.root / "_metrics" / "triples_by_partition"))
         res.stages["materialize"] = time.time() - t
         res.duration_sec = time.time() - t0
+        self.release()
         return res
 
     # -- evaluation ---------------------------------------------------------
@@ -228,7 +264,9 @@ class TranscriptPipeline:
         surface = self.triples_surface(transcripts)
         links = self.link_table(surface, alias_dict)
         triples, _ = self.canonical_triples(surface, links, same_as)
-        return {
+        out = {
             (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
             for r in triples.collect()
         }
+        self.release()
+        return out

@@ -99,8 +99,11 @@ def test_end_to_end_materialization(spark, sdfs, tmp_path):
     res = pipe.run(sdfs["transcripts"], sdfs["alias_dict"], sdfs["same_as"], tmp_path)
     assert res.triples > 0
     assert res.turns == sdfs["transcripts"].count()
-    ent = spark.read.parquet(str(tmp_path / "kg" / "tags" / "entity" / "v=1"))
-    rel = spark.read.parquet(str(tmp_path / "kg" / "edges" / "relation" / "v=1"))
+    from nebula_importer_spark.plans.merge import TableStore
+
+    store = TableStore(tmp_path / "kg", spark)
+    ent = store.read("tags/entity")
+    rel = store.read("edges/relation")
     assert set(ent.columns) == {"vid", "kind", "name"}
     assert {"src", "dst", "rank", "pred"} <= set(rel.columns)
     # canonicalization: no __dup entity may survive as a vid
