@@ -195,6 +195,12 @@ def _source(d: dict[str, Any], base_dir: Path | None) -> SourceSpec:
 
 
 def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphConfig:
+    # Version dispatch (reference pkg/config/config.go:26-46): a config that
+    # declares a client version we do not implement must ERROR, not silently
+    # run with v3 semantics. Absent client/version defaults to v3.
+    version = str((d.get("client") or {}).get("version", "v3")).lower()
+    if version != "v3":
+        raise ConfigError(f"unsupported config version {version!r} (supported: v3)")
     mgr = d.get("manager", {})
     hooks = mgr.get("hooks", {})
 

@@ -116,6 +116,21 @@ def test_s3_shaped_yaml_parses(tmp_path):
     assert s0.s3.resolve()[0].startswith("s3a://gdelt-open-data/")
 
 
+def test_unsupported_config_version_errors():
+    """Reference pkg/config/config.go:26-46 version dispatch: unknown
+    client.version must error, not silently run as v3."""
+    base = {
+        "client": {"version": "v9"},
+        "sources": [{"path": "x.csv", "tags": [
+            {"name": "t", "id": {"type": "STRING", "index": 0}}
+        ]}],
+    }
+    with pytest.raises(ConfigError, match="version"):
+        config_from_dict(base)
+    base["client"]["version"] = "v3"
+    assert config_from_dict(base).sources[0].path.endswith("x.csv")
+
+
 def test_multiple_remote_blocks_rejected():
     spec = SourceSpec(
         s3=S3Options(bucket="a", key="k"),
