@@ -557,6 +557,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (rows-only: the k-means quantizer is not
+    SQL-expressible; recall vs the exact baseline is pytest-gated).
+    Scale path: cells double as cluster keys so a probe reads only its
+    cells' files."""
+    from nebula_importer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivf_topk(emb, queries, k=3, nlist=16, nprobe=4)
+    return top.select(
+        "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star transcript→triple pipeline (rows-only; gated in pytest at
 # P/R ≥ 0.95 vs the independent reference extractor)
@@ -640,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "kg_triples": q_kg_triples,
         "multimodal_features": q_multimodal_features,
         "multimodal_doc_hash": q_multimodal_doc_hash,

@@ -7,13 +7,22 @@
 - lsh_topk: random-hyperplane bucket prefilter (the scale path): only
   candidates agreeing with the query on ≥1 band of sign bits are scored.
   Hyperplanes are seeded plan constants → deterministic, resumable.
+- ivf_topk: inverted-file index (IVF-flat): k-means coarse quantizer over
+  a bounded sample, corpus partitioned by nearest centroid, queries probe
+  the ``nprobe`` closest cells. Centroids are seeded plan constants;
+  assignment is a vectorized Arrow-batched argmax (one numpy matmul per
+  batch). At 100 TB the cell id doubles as the table's cluster/bucket key
+  so a probe reads only its cells' files.
 
-All arithmetic is JVM expressions (zip_with/aggregate in double precision,
-summed left-to-right — bit-reproducible against a sequential oracle).
+brute_force/lsh arithmetic is JVM expressions (zip_with/aggregate in double
+precision, summed left-to-right — bit-reproducible against a sequential
+oracle); IVF's hot paths are vectorized pandas UDFs (assignment + scoring).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,6 +80,110 @@ def brute_force_topk(
     )
 
 
+def _kmeans(sample, nlist: int, iters: int, seed: int):
+    """Tiny deterministic k-means (numpy, seeded kmeans++-ish init) over an
+    L2-normalized sample. Returns unit centroids. Driver-side by design:
+    the sample is bounded (train_size rows), and the centroids must become
+    broadcast plan constants — this replaces a pyspark.ml KMeans fit whose
+    model would live outside the plan."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # init: first centroid random, rest = farthest-from-nearest (maximin)
+    idx = [int(rng.randint(len(x)))]
+    d = 1.0 - x @ x[idx[0]]
+    while len(idx) < min(nlist, len(x)):
+        idx.append(int(np.argmax(d)))
+        d = np.minimum(d, 1.0 - x @ x[idx[-1]])
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_size: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus rows live in the
+    cell of their nearest (cosine) centroid; each query scores only rows in
+    its ``nprobe`` nearest cells. Same output schema as brute_force_topk.
+
+    Work per query ∝ corpus × (nprobe/nlist) instead of the full corpus;
+    recall depends on how well cells capture the data's cluster structure
+    (pytest gates recall vs brute force on the clustered test embeddings).
+    The train sample is a bounded driver-side collect (``train_size`` rows
+    via a deterministic per-id hash order — NOT the full corpus).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sample = (
+        corpus.select(_as_double(F.col(vec_col)).alias("_v"), F.col(id_col).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id")))  # deterministic, id-spread sample
+        .limit(train_size)
+        .toPandas()
+    )
+    if sample.empty:
+        return brute_force_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+        ).limit(0)
+    cents = _kmeans(np.stack(sample["_v"].to_numpy()), nlist, kmeans_iters, seed)
+    nprobe = min(nprobe, len(cents))
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cents.T, axis=1)).astype("int32")
+
+    @pandas_udf("array<int>")
+    def _probes(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    @pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.stack(qv.to_numpy()).astype(np.float64)
+        b = np.stack(cv.to_numpy()).astype(np.float64)
+        denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series((a * b).sum(axis=1) / np.maximum(denom, 1e-12))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cell", _cell("_cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_qv"),
+    ).withColumn("_cell", F.explode(_probes("_qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("_qv", "_cv").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def _sign_bucket(vec_col, planes) -> "F.Column":
     bucket = None
     for p, row in enumerate(planes):
@@ -103,8 +216,6 @@ def lsh_topk(
     ``dim`` (vector width) should be passed explicitly at scale; when None
     it is probed from one corpus row (an empty corpus yields an empty
     result instead of a driver crash)."""
-    import numpy as np
-
     if dim is None:
         head = corpus.select(vec_col).head(1)
         if not head:
