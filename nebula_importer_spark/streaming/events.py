@@ -139,6 +139,24 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``keys`` were already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``). The
+    state store holds one entry per distinct key seen in the horizon and
+    evicts as event time advances — bounded state, unlike a plain
+    ``dropDuplicates`` on a stream (which retains ALL keys forever). This
+    is the at-ingest twin of the batch ``exact_dedup`` operator for a
+    training-data pipeline: retries/replays of the same event/document id
+    are suppressed as they arrive, before they reach storage."""
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def _parse_duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,

@@ -7,6 +7,8 @@ from datetime import datetime, timedelta
 from pathlib import Path
 
 from nebula_importer_spark.streaming.events import (
+    dedup_stream,
+    read_event_stream,
     run_stream_to_parquet,
     windowed_event_counts,
 )
@@ -60,6 +62,33 @@ def test_streaming_windowed_counts(spark, tmp_path):
     }
     assert got2[("2026-01-01T10:00:00", "click")] == 1  # finalized by the 24h row
     assert len(got2) > len(got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed event_ids inside the watermark horizon are suppressed at
+    ingest (bounded-state streaming twin of batch exact_dedup)."""
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    indir, outdir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    rows = [
+        (1, t0, 1, "click", 1.0, ""),
+        (1, t0 + timedelta(minutes=1), 1, "click", 1.0, ""),  # replay of id 1
+        (2, t0 + timedelta(minutes=2), 2, "view", 2.0, ""),
+        (2, t0 + timedelta(minutes=3), 2, "view", 2.0, ""),  # replay of id 2
+        (3, t0 + timedelta(hours=5), 3, "click", 3.0, ""),
+    ]
+    _write_events(spark, indir, rows)
+    deduped = dedup_stream(read_event_stream(spark, str(indir)), keys=["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(str(outdir)).collect())
+    assert got == [1, 2, 3]
 
 
 def test_cli_import_and_exit_codes(tmp_path):
