@@ -379,6 +379,43 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): daily event counts, one column
+    per event type. The explicit value list keeps the schema static —
+    REQUIRED at scale (an unlisted pivot runs a distinct-values job first
+    and bakes a data-dependent schema into the plan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+    )
+
+
+def q_orders_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based windows: per-customer running revenue (rows unbounded
+    preceding → current) and a bounded 3-order moving sum — the
+    window-FRAME surface the ranking queries don't touch. Both frames in
+    exact decimal (order-free, engine-identical); one exchange on the key
+    serves both."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(
+            F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2,
+        ).cast("double").alias("running_total"),
+        F.round(F.sum(dec).over(w.rowsBetween(-2, Window.currentRow)), 2)
+        .cast("double")
+        .alias("moving_sum3"),
+    )
+
+
 def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event annotated with the most recent prior (or
     simultaneous) error event of the same user — union + single-window
@@ -643,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders": q_returned_orders,
         "distinct_users_daily": q_distinct_users_daily,
         "json_props_stats": q_json_props_stats,
+        "events_pivot": q_events_pivot,
+        "orders_moving_sum": q_orders_moving_sum,
         "asof_click_error": q_asof_click_error,
         "range_event_pairs": q_range_event_pairs,
         "sessionize_users": q_sessionize_users,
@@ -815,6 +854,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events
+            GROUP BY 1
+        """,
+        "orders_moving_sum": """
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS DOUBLE) AS running_total,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 2) AS DOUBLE) AS moving_sum3
+            FROM orders
         """,
         "asof_click_error": """
             SELECT c.event_id, c.user_id,

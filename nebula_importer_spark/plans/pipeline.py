@@ -210,12 +210,21 @@ class Pipeline:
         good, csv_rejects = self._scan(i, src)
         # The rejects count rides the rejects write (observe — no standalone
         # .count() pass; at scale every extra count is a full scan of the
-        # staged source).
-        rej_obs = Observation()
-        csv_rejects.observe(
-            rej_obs, F.count(F.lit(1)).alias("n")
-        ).write.mode("append").parquet(str(rejects_dir / "csv"))
-        result.csv_rejects += int(rej_obs.get["n"])
+        # staged source). The write is a resumable stage of its own: a
+        # resumed run must not append the same reject rows twice.
+        rej_stage = f"s{i}/rejects"
+        if not (resume and store.stage_completed(rej_stage)):
+            rej_obs = Observation()
+            csv_rejects.observe(
+                rej_obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("append").parquet(str(rejects_dir / "csv"))
+            n_rej = int(rej_obs.get["n"])
+            result.csv_rejects += n_rej
+            store.mark_stage(rej_stage, rejected=n_rej)
+        else:
+            result.csv_rejects += int(
+                store.read_manifest()["stages"][rej_stage].get("rejected", 0)
+            )
 
         for kind, specs in (("tag", src.tags), ("edge", src.edges)):
             for spec in specs:

@@ -131,6 +131,35 @@ def test_run_resume_skips_completed(spark, tmp_path):
     assert res2.elements == []  # every stage already committed
 
 
+def test_resume_does_not_duplicate_csv_rejects(spark, tmp_path):
+    """The per-source rejects write is a resumable stage: a resumed run must
+    report the prior reject count without appending the rows again."""
+    bad = tmp_path / "bad.csv"
+    bad.write_text('x1,Ok\n"broken,row\n')
+    cfg = GraphConfig(
+        space="s",
+        sources=[
+            SourceSpec(
+                path=str(bad),
+                tags=[
+                    NodeSpec(
+                        "t",
+                        NodeIDSpec(type="STRING", index=0),
+                        [PropSpec("v", "STRING", 1)],
+                    )
+                ],
+            )
+        ],
+    )
+    out = tmp_path / "out"
+    r1 = Pipeline(cfg, spark).run(out)
+    assert r1.csv_rejects == 1
+    r2 = Pipeline(cfg, spark).run(out, resume=True)
+    assert r2.csv_rejects == 1  # reported from the manifest, not re-counted
+    stored = spark.read.parquet(str(out / "s" / "_rejects" / "csv"))
+    assert stored.count() == 1  # no duplicate append
+
+
 def test_failing_before_hook_aborts_run(spark, tmp_path):
     """W6 parity: a hook statement that fails must abort the import
     (reference pkg/manager/manager.go:285-336), not silently vanish."""

@@ -116,6 +116,39 @@ def test_s3_shaped_yaml_parses(tmp_path):
     assert s0.s3.resolve()[0].startswith("s3a://gdelt-open-data/")
 
 
+def test_all_remote_protocol_yaml_shapes_parse(tmp_path):
+    """Every reference example protocol block (examples/{oss,gcs,hdfs,ftp,
+    sftp}) re-expressed: parse → typed options → resolvable URI/conf."""
+    import yaml
+
+    tag = [{"name": "t", "id": {"type": "STRING", "index": 0}}]
+    cfg = {
+        "sources": [
+            {"oss": {"endpoint": "oss-cn-hangzhou.aliyuncs.com",
+                     "accessKeyID": "ak", "accessKeySecret": "sk",
+                     "bucket": "ob", "key": "d.csv"}, "tags": tag},
+            {"gcs": {"withoutAuthentication": True, "bucket": "gb",
+                     "key": "d.csv"}, "tags": tag},
+            {"hdfs": {"address": "nn:8020", "path": "/d/*.csv",
+                      "user": "etl"}, "tags": tag},
+            {"ftp": {"host": "f.example", "port": 2121, "user": "u",
+                     "password": "p", "path": "/d.csv"}, "tags": tag},
+            {"sftp": {"host": "s.example", "user": "u", "keyFile": "/k",
+                      "passphrase": "x", "path": "/d.csv"}, "tags": tag},
+        ]
+    }
+    f = tmp_path / "remotes.yaml"
+    f.write_text(yaml.safe_dump(cfg))
+    parsed = load_config(f)
+    oss, gcs, hdfs, ftp, sftp = parsed.sources
+    assert oss.oss.resolve()[0] == "s3a://ob/d.csv"
+    uri, conf = gcs.gcs.resolve()
+    assert uri == "gs://gb/d.csv" and conf["fs.gs.auth.type"] == "UNAUTHENTICATED"
+    assert hdfs.hdfs.resolve()[0] == "hdfs://nn:8020/d/*.csv"
+    assert ftp.ftp.port == 2121 and ftp.ftp.user == "u"
+    assert sftp.sftp.key_file == "/k" and sftp.sftp.passphrase == "x"
+
+
 def test_unsupported_config_version_errors():
     """Reference pkg/config/config.go:26-46 version dispatch: unknown
     client.version must error, not silently run as v3."""
