@@ -386,11 +386,14 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bakes a data-dependent schema into the plan)."""
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+    # .pivot(col, values) plans pivotfirst behind TWO exchanges ((day,type)
+    # pre-agg, then day); the conditional-aggregation spelling is the same
+    # result with ONE exchange on day and plain partial counts map-side.
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in types
+        ]
     )
 
 

@@ -198,12 +198,18 @@ class TableStore:
             return 0, (n if mode == Mode.UPDATE else 0)
 
         # Which buckets does this batch touch? Bounded by n_buckets — a
-        # driver-side list of ≤ n_buckets ints, never data rows.
-        affected = sorted(
-            r[BUCKET_COL]
-            for r in incoming.select(BUCKET_COL).distinct().collect()
-        )
-        touched_live = [b for b in affected if str(b) in cur_map]
+        # driver-side list of ≤ n_buckets ints, never data rows. On an
+        # initial load there are no live buckets to prune against, so skip
+        # the pass entirely and derive the touched set from the partition
+        # dirs the write produces (affected == written when nothing is live).
+        if cur_map:
+            affected = sorted(
+                r[BUCKET_COL]
+                for r in incoming.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            affected = None  # resolved from written dirs after the write
+        touched_live = [b for b in (affected or []) if str(b) in cur_map]
         slice_paths = [
             str(self.root / table / f"v={cur_map[str(b)]}" / f"{BUCKET_COL}={b}")
             for b in touched_live
@@ -252,6 +258,8 @@ class TableStore:
             for p in out.glob(f"{BUCKET_COL}=*")
             if p.is_dir()
         }
+        if affected is None:
+            affected = sorted(written)
         new_map = dict(cur_map)
         for b in affected:
             if b in written:

@@ -76,3 +76,19 @@ def test_sessionize_shares_one_exchange(spark):
     same key: Catalyst must plan exactly one shuffle."""
     plan = _plan(entrymod.queries()["sessionize_users"](spark, SF))
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_window_frames_share_one_exchange(spark):
+    """Running total + bounded moving sum partition and sort identically:
+    one exchange, one sort, both frames computed in a single Window node."""
+    plan = _plan(entrymod.queries()["orders_moving_sum"](spark, SF))
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") Sort") == 1, plan
+
+
+def test_pivot_is_single_aggregate_no_join(spark):
+    """An explicit-value pivot must compile to conditional aggregation —
+    one shuffle on the group key, no join, no extra distinct-values job."""
+    plan = _plan(entrymod.queries()["events_pivot"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 1, plan
