@@ -656,6 +656,27 @@ def q_multimodal_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets).select("asset_id", "n_bytes", "sha256")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: the n-gram Jaccard dup pairs are
+    an undirected graph whose connected components are the duplicate
+    clusters (component id = min doc_id — the canonical survivor). This is
+    the exact canonicalization loop the KG pipeline runs on entity same-as
+    edges (operators/connected_components.py: contraction + pointer jumping
+    + fixpoint compression), oracle-checked against a DuckDB recursive-CTE
+    transitive closure. Covers only docs that appear in ≥1 dup pair —
+    everything else is trivially its own singleton."""
+    from nebula_importer_spark.operators.connected_components import (
+        connected_components,
+    )
+    from nebula_importer_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.12)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -703,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "multimodal_features": q_multimodal_features,
         "multimodal_doc_hash": q_multimodal_doc_hash,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -937,6 +959,48 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
                    sha256(coalesce(text, '')) AS sha256
             FROM documents
+        """,
+        # Same pair derivation as dedup_ngram_jaccard, then connected
+        # components as a recursive-CTE transitive closure (fine at oracle
+        # scale; the Spark side is the log-depth contraction loop).
+        "dedup_components": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+                WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                      / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+            FROM reach GROUP BY a
         """,
         "text_stats": """
             SELECT doc_id,

@@ -102,6 +102,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     converged = sym.isEmpty()
+    last_jump_chg: int | None = None  # None until a final-jump observation
 
     for _ in range(max_iterations):
         if converged:
@@ -123,19 +124,35 @@ def connected_components(
             )
         )
         # (2) pointer jumping: follow the label's own label (path
-        # compression); repeated jumps square the stride each pass
+        # compression); repeated jumps square the stride each pass. The
+        # last jump observes its change count (riding the snapshot write it
+        # already does): labels never increase, so zero changes here means
+        # label∘label = label — already a fixpoint — and the final
+        # compression loop below can be skipped entirely.
         for _j in range(pointer_jumps):
             parent = doubled.select(
                 F.col("node").alias("component"), F.col("component").alias("_gp")
             )
-            doubled = mat(
-                doubled.join(parent, "component", "left").select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("_gp"), F.col("component"))
-                    ).alias("component"),
-                )
+            jump_lab = F.least(
+                F.col("component"), F.coalesce(F.col("_gp"), F.col("component"))
             )
+            jumped = doubled.join(parent, "component", "left")
+            if _j == pointer_jumps - 1:
+                jump_obs = Observation()
+                doubled = mat(
+                    jumped.select(
+                        "node",
+                        jump_lab.alias("component"),
+                        (jump_lab != F.col("component")).cast("long").alias("_chg"),
+                    )
+                    .observe(jump_obs, F.sum("_chg").alias("chg"))
+                    .drop("_chg")
+                )
+                last_jump_chg = int(jump_obs.get["chg"] or 0)
+            else:
+                doubled = mat(
+                    jumped.select("node", jump_lab.alias("component"))
+                )
         # (3) contraction: relabel edge endpoints, drop now-internal edges
         la = doubled.select(
             F.col("node").alias("a"), F.col("component").alias("_ca")
@@ -171,8 +188,10 @@ def connected_components(
     # and terminate at component mins once ``sym`` is empty, and each jump
     # halves the remaining chain depth, so this loop is O(log depth) rounds.
     # The changed-count observation rides the snapshot write: zero extra
-    # passes per jump.
-    while True:
+    # passes per jump. If the main loop's final jump already observed zero
+    # changes, that IS the fixpoint proof — skip the loop (common case:
+    # shallow components compress well before contraction empties).
+    while last_jump_chg != 0:
         parent = labels.select(
             F.col("node").alias("component"), F.col("component").alias("_gp")
         )
