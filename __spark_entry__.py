@@ -677,6 +677,46 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.1}
+
+
+def _mix_domains_sql() -> str:
+    """Same md5-threshold mix as q_mix_domains, as DuckDB SQL (MD5 and
+    string comparison are engine-identical, so thresholds transfer)."""
+    from nebula_importer_spark.operators.sampling import hash_threshold
+
+    clauses = " OR ".join(
+        f"(source = '{dom}' AND md5('mix' || CAST(doc_id AS VARCHAR)) "
+        f"< '{hash_threshold(rate)}')"
+        for dom, rate in sorted(MIX_WEIGHTS.items())
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {clauses}"
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (corpus prep): per-source Bernoulli keep
+    rates keyed off md5(doc_id) — a pure scan-level filter, ZERO shuffles,
+    reproducible across retries/cluster layouts (rand() is neither)."""
+    from nebula_importer_spark.operators.sampling import weighted_domain_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_domain_sample(d, "source", "doc_id", MIX_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum reproducible random sample (md5 order). Spark
+    plans a map-side WindowGroupLimit: each task forwards only its local
+    top-k per stratum into the one shuffle — mega-strata never travel."""
+    from nebula_importer_spark.operators.sampling import stratified_topk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_topk_sample(d, "lang", "doc_id", k=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -725,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "dedup_components": q_dedup_components,
+        "mix_domains": q_mix_domains,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1001,6 +1043,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
             FROM reach GROUP BY a
+        """,
+        "mix_domains": _mix_domains_sql(),
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('strat' || CAST(doc_id AS VARCHAR))
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 10
         """,
         "text_stats": """
             SELECT doc_id,

@@ -1,0 +1,89 @@
+"""Deterministic sampling / domain-mixing operators (training-data surface).
+
+A 100-TB training-data pipeline needs REPRODUCIBLE sampling — `rand()` is
+out (non-deterministic across retries/re-runs, and a retried task silently
+resamples). Both operators here key every keep/drop decision off a
+content-derived MD5, so the same input always yields the same sample, on
+any cluster layout, and each has an exactly-equivalent ANSI-SQL form for
+the DuckDB oracle (MD5 is bit-identical across engines; xxhash is not).
+
+- weighted_domain_sample  per-domain Bernoulli rates as a pure scan-level
+                          filter: ZERO shuffles, fully pushable — the plan
+                          for "mix 60% en, 20% de, ..." is Scan+Filter.
+                          This is the "domain mixing" step of corpus prep.
+- stratified_topk_sample  exactly-k-per-stratum by hash order. A window
+                          rank over (stratum, md5) — Spark ≥3.5 plans a
+                          map-side WindowGroupLimit, so each task forwards
+                          only its local top-k per stratum into the single
+                          shuffle (the reducer sees ≤ k·tasks rows per
+                          stratum, not the stratum's full population).
+
+Scale note (skew): stratified_topk_sample shuffles by stratum — a handful
+of mega-strata is fine BECAUSE the group-limit already cut each to
+k·tasks rows map-side. weighted_domain_sample has no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HEX_WIDTH = 8  # rate granularity = 1 / 16^8 ≈ 2.3e-10
+
+
+def hash_threshold(rate: float) -> str:
+    """MD5-comparable threshold for a keep-rate in [0, 1]: a row is kept
+    iff md5(key) < threshold (lexicographic on the 32-hex string — uniform
+    because MD5 digits are uniform). Realized rate = floor(rate·16^8)/16^8."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    bucket = int(rate * 16**HEX_WIDTH)
+    if bucket >= 16**HEX_WIDTH:
+        return "g"  # > every hex digest: keep all
+    return format(bucket, f"0{HEX_WIDTH}x") + "0" * (32 - HEX_WIDTH)
+
+
+def _md5_key(id_col: str | Column, salt: str) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(salt), c.cast("string")))
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row of domain d with probability weights[d] (deterministic
+    in id). Domains absent from ``weights`` are dropped — a mix spec is a
+    whitelist. Pure filter: no shuffle, no UDF, pushes to the scan."""
+    key = _md5_key(id_col, salt)
+    keep = None
+    for dom, rate in sorted(weights.items()):
+        cond = (F.col(domain_col) == dom) & (key < F.lit(hash_threshold(rate)))
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        raise ValueError("weights must name at least one domain")
+    return df.filter(keep)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, selected by MD5 order
+    (uniform ⇒ a simple random sample per stratum, reproducible). Ties are
+    impossible for distinct ids (MD5 over the id), so the sample is unique."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(_md5_key(id_col, salt))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

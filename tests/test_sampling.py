@@ -1,0 +1,90 @@
+"""Deterministic sampling operators: realized rates, exact-k strata,
+layout-independence (the property rand() cannot give), and the plan
+shapes that make them scale (no shuffle for the mix; map-side
+WindowGroupLimit for the stratified sample)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.sampling import (
+    hash_threshold,
+    stratified_topk_sample,
+    weighted_domain_sample,
+)
+
+
+def _docs(spark, n=4000, domains=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % domains).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def test_hash_threshold_bounds():
+    assert hash_threshold(0.0) == "0" * 32
+    assert hash_threshold(1.0) == "g"  # above every hex digest
+    assert hash_threshold(0.5).startswith("80000000")
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+
+
+def test_mix_realized_rates(spark):
+    df = _docs(spark)
+    out = weighted_domain_sample(
+        df, "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    )
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "src3" not in by  # unlisted domain dropped (mix is a whitelist)
+    assert by["src0"] == 1000  # rate 1.0 keeps everything
+    assert 400 <= by["src1"] <= 600  # 1000 Bernoulli(0.5) draws
+    assert 50 <= by["src2"] <= 160  # 1000 Bernoulli(0.1) draws
+
+
+def test_mix_deterministic_across_layout(spark):
+    df = _docs(spark, n=1000)
+    w = {"src1": 0.4, "src2": 0.7}
+    a = weighted_domain_sample(df, "source", "doc_id", w)
+    b = weighted_domain_sample(df.repartition(13), "source", "doc_id", w)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_mix_plan_has_no_exchange(spark):
+    out = weighted_domain_sample(_docs(spark), "source", "doc_id", {"src0": 0.5})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert ") Exchange" not in buf.getvalue()
+
+
+def test_stratified_exact_k_and_deterministic(spark):
+    df = _docs(spark, n=2000)
+    out = stratified_topk_sample(df, "source", "doc_id", k=25)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {f"src{i}": 25 for i in range(4)}
+    again = stratified_topk_sample(df.repartition(7), "source", "doc_id", k=25)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # small stratum: min(k, |stratum|) rows, never an error
+    tiny = stratified_topk_sample(df.limit(3), "source", "doc_id", k=25)
+    assert tiny.count() == 3
+
+
+def test_stratified_plan_uses_window_group_limit(spark):
+    out = stratified_topk_sample(_docs(spark), "source", "doc_id", k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # rank filter must run map-side BEFORE the one shuffle on the stratum
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count(") Exchange") == 1, plan
