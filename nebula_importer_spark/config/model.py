@@ -249,6 +249,30 @@ class HookSpec:
             raise ConfigError("hook: negative wait")
 
 
+_LOG_LEVELS = ("debug", "info", "warn", "error")
+
+
+@dataclass
+class LogSpec:
+    """``log:`` section (reference pkg/config/base/log.go:10-15): level,
+    console toggle, and log files. The Spark analog routes the engine's own
+    run/stage/metric lines through a ``nebula_importer_spark`` Python logger
+    (console and/or files) and maps ``level`` onto the JVM side via
+    ``sparkContext.setLogLevel``. ``fields`` (static structured fields) are
+    prefixed onto every line."""
+
+    level: str | None = None
+    console: bool = True
+    files: list[str] = field(default_factory=list)
+    fields: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if self.level is not None and self.level.lower() not in _LOG_LEVELS:
+            raise ConfigError(
+                f"log: unknown level {self.level!r} (expected one of {_LOG_LEVELS})"
+            )
+
+
 @dataclass
 class GraphConfig:
     """Whole pipeline config: the Spark analog of the reference's
@@ -263,12 +287,27 @@ class GraphConfig:
     batch: int = 128  # manager-level default (reference pkg/reader/option.go:7-9)
     # M2 progress-meter period (reference manager.statsInterval, default 10s)
     stats_interval_sec: float = 10.0
+    # Concurrency knobs (reference pkg/config/base/manager.go reader/importer
+    # concurrency): on Spark these become partition-count CAPS — reader on
+    # the source scan / staging write, importer on each merge-commit write
+    # stage. None = let Spark size both (input splits / shuffle partitions).
+    reader_concurrency: int | None = None
+    importer_concurrency: int | None = None
+    log: LogSpec | None = None
 
     def validate(self) -> None:
         if not self.space:
             raise ConfigError("config: empty space name")
         if not self.sources:
             raise ConfigError("config: no sources")
+        for c, name in (
+            (self.reader_concurrency, "readerConcurrency"),
+            (self.importer_concurrency, "importerConcurrency"),
+        ):
+            if c is not None and c < 1:
+                raise ConfigError(f"config: {name} must be positive")
+        if self.log is not None:
+            self.log.validate()
         for s in self.sources:
             s.validate()
         for h in (*self.before_hooks, *self.after_hooks):

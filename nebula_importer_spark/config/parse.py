@@ -17,6 +17,7 @@ from nebula_importer_spark.config.model import (
     EdgeSpec,
     GraphConfig,
     HookSpec,
+    LogSpec,
     Mode,
     NodeIDSpec,
     NodeSpec,
@@ -218,6 +219,29 @@ def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphCo
                 out.append(HookSpec(statements=[str(h)]))
         return out
 
+    log_spec = None
+    if isinstance(d.get("log"), dict):
+        lg = d["log"]
+        log_spec = LogSpec(
+            level=lg.get("level"),
+            console=bool(lg.get("console", True)),
+            # relative log files resolve against the config file's dir
+            # (reference Log.OptimizePath, pkg/config/base/log.go:18-29)
+            files=[
+                str(
+                    (base_dir / f)
+                    if base_dir is not None and not Path(f).is_absolute()
+                    else Path(f)
+                )
+                for f in (lg.get("files") or [])
+            ],
+            fields=dict(lg.get("fields") or {}),
+        )
+
+    def _opt_int(key: str) -> int | None:
+        v = mgr.get(key)
+        return None if v is None else int(v)
+
     cfg = GraphConfig(
         space=mgr.get("spaceName", d.get("space", "default")),
         sources=[_source(s, base_dir) for s in d.get("sources", [])],
@@ -225,6 +249,9 @@ def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphCo
         after_hooks=_hooks("after"),
         batch=int(mgr.get("batch", 128)),
         stats_interval_sec=_duration_sec(mgr.get("statsInterval", 10.0)),
+        reader_concurrency=_opt_int("readerConcurrency"),
+        importer_concurrency=_opt_int("importerConcurrency"),
+        log=log_spec,
     )
     cfg.validate()
     return cfg

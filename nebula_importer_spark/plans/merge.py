@@ -50,11 +50,25 @@ BUCKET_COL = "_b"
 
 
 class TableStore:
-    def __init__(self, root: str | Path, spark: SparkSession, n_buckets: int = 16):
+    def __init__(
+        self,
+        root: str | Path,
+        spark: SparkSession,
+        n_buckets: int = 16,
+        write_partitions: int | None = None,
+    ):
         self.root = Path(root)
         self.spark = spark
         self.n_buckets = n_buckets
+        # importerConcurrency analog: cap the task count of every snapshot
+        # write stage (None = whatever partitioning the plan produced)
+        self.write_partitions = write_partitions
         self.root.mkdir(parents=True, exist_ok=True)
+
+    def _capped(self, df: DataFrame) -> DataFrame:
+        if self.write_partitions is not None:
+            return df.coalesce(self.write_partitions)
+        return df
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> Path:
@@ -158,7 +172,7 @@ class TableStore:
         prev = m["tables"].get(table, {}).get("version", 0)
         v = prev + 1
         out = self.root / table / f"v={v}"
-        df.write.mode("overwrite").parquet(str(out))
+        self._capped(df).write.mode("overwrite").parquet(str(out))
         m["tables"][table] = {"version": v}
         self._write_manifest(m)
         return v
@@ -249,7 +263,9 @@ class TableStore:
 
         v = prev_v + 1
         out = self.root / table / f"v={v}"
-        state.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(str(out))
+        self._capped(state).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            str(out)
+        )
 
         # A bucket can come out empty (DELETE) — only materialized bucket
         # dirs advance; affected-but-empty buckets drop out of the map.

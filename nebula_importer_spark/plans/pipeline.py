@@ -19,6 +19,7 @@ Library surface (entry point 3 analog, reference pkg/manager/manager.go:68-91):
 from __future__ import annotations
 
 import contextlib
+import logging
 import re
 import time
 from pathlib import Path
@@ -132,8 +133,13 @@ class Pipeline:
         if i not in self._scans:
             # read_source stages the parsed CSV scan once: a single pass
             # over the raw text feeds every tag/edge projection plus the
-            # rejects split (G7).
-            self._scans[i] = read_source(self.spark, spec, self.staging_dir)
+            # rejects split (G7). readerConcurrency caps its parallelism.
+            self._scans[i] = read_source(
+                self.spark,
+                spec,
+                self.staging_dir,
+                reader_concurrency=self.config.reader_concurrency,
+            )
         return self._scans[i]
 
     # -- library reads (no side effects) ------------------------------------
@@ -175,11 +181,24 @@ class Pipeline:
     def run(self, out_dir: str | Path, resume: bool = False) -> RunResult:
         """Materialize all tags+edges into <out_dir>/<space>; write rejects +
         per-file lineage metrics; resumable per (source, element) stage."""
+        from nebula_importer_spark.logging_util import build_logger
+
         t0 = time.time()
-        store = TableStore(Path(out_dir) / self.config.space, self.spark)
+        log = build_logger(self.config.log, self.spark)
+        store = TableStore(
+            Path(out_dir) / self.config.space,
+            self.spark,
+            write_partitions=self.config.importer_concurrency,
+        )
         result = RunResult(space=self.config.space)
         rejects_dir = Path(out_dir) / self.config.space / "_rejects"
         mpath = Path(out_dir) / self.config.space / "_metrics"
+        log.info(
+            "import start: space=%s sources=%d out=%s",
+            self.config.space,
+            len(self.config.sources),
+            out_dir,
+        )
 
         for hook in self.config.before_hooks:  # W6 before-hooks
             self._run_hook(hook)
@@ -202,6 +221,25 @@ class Pipeline:
         result.metrics_path = str(mpath)
         result.rejects_path = str(rejects_dir)
         result.duration_sec = time.time() - t0
+        for es in result.elements:
+            log.info(
+                "element %s/%s: total=%d filtered=%d written=%d rejected=%d",
+                es.kind,
+                es.name,
+                es.total,
+                es.filtered,
+                es.written,
+                es.rejected,
+            )
+        failed = result.is_failed()
+        log.log(
+            logging.WARNING if failed else logging.INFO,
+            "import %s: written=%d rejected=%d in %.1fs",
+            "FAILED" if failed else "done",
+            result.total_written,
+            result.total_rejected,
+            result.duration_sec,
+        )
         return result
 
     def _run_source(

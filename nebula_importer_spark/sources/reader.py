@@ -97,7 +97,10 @@ def _read_csv(spark: SparkSession, spec: SourceSpec, path: str) -> DataFrame:
 
 
 def read_source(
-    spark: SparkSession, spec: SourceSpec, staging_dir: str | None = None
+    spark: SparkSession,
+    spec: SourceSpec,
+    staging_dir: str | None = None,
+    reader_concurrency: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Scan one source → (good_rows, rejects).
 
@@ -133,6 +136,11 @@ def read_source(
     else:  # pragma: no cover — config validation rejects earlier
         raise SourceError(f"unsupported format {spec.format!r}")
 
+    # readerConcurrency (reference manager knob): cap concurrent read tasks.
+    # coalesce() is a narrow merge of scan splits — no shuffle; per-row
+    # lineage (input_file_name) stays correct across merged splits.
+    if reader_concurrency is not None:
+        df = df.coalesce(reader_concurrency)
     # Lineage columns MUST be computed before the staging boundary:
     # input_file_name() evaluates to "" on top of a staged/cached relation.
     df = df.withColumn(FILE_COL, F.input_file_name()).withColumn(
