@@ -269,7 +269,24 @@ def load_config(path: str | Path) -> GraphConfig:
             import yaml  # optional dep; baked into this env
         except ImportError as e:  # pragma: no cover
             raise ConfigError("YAML config requires pyyaml; use JSON or dict") from e
-        data = yaml.safe_load(text)
+
+        # Date/datetime scalars in importer configs are STRING values
+        # (defaultValue: 0000-00-00T00:00:00 in the reference's own
+        # examples — year 0 doesn't even construct in Python): drop
+        # PyYAML's implicit timestamp resolution so they load verbatim,
+        # matching the Go yaml.v3 behavior for string-typed fields.
+        class _Loader(yaml.SafeLoader):
+            pass
+
+        _Loader.yaml_implicit_resolvers = {
+            key: [
+                (tag, regexp)
+                for tag, regexp in resolvers
+                if tag != "tag:yaml.org,2002:timestamp"
+            ]
+            for key, resolvers in yaml.SafeLoader.yaml_implicit_resolvers.items()
+        }
+        data = yaml.load(text, Loader=_Loader)
     if not isinstance(data, dict):
         raise ConfigError(f"config {path}: expected a mapping at top level")
     return config_from_dict(data, base_dir=p.parent)
