@@ -243,16 +243,40 @@ class TableStore:
                 kept = current.join(
                     incoming.select(*key_cols), on=key_cols, how="left_anti"
                 )
-                state = kept.unionByName(incoming)
+                # INSERT replaces the element: props the new statement does
+                # not name come back null (Nebula INSERT overwrite shape);
+                # props new to the table extend the schema (null elsewhere).
+                state = kept.unionByName(incoming, allowMissingColumns=True)
         elif mode == Mode.UPDATE:
             if current is None:
                 n = incoming.count()
                 return prev_v, n
             keys = current.select(*key_cols)
             unmatched = incoming.join(keys, key_cols, "left_anti").count()
-            matched_new = incoming.join(keys, key_cols, "left_semi")
+            # UPDATE ... SET assigns ONLY the props the statement names
+            # (reference pkg/spec/v3/node.go update statement builder); a
+            # matched row keeps its other columns. The reference's own
+            # basic.*.update example updates a prop subset, so incoming's
+            # schema is narrower than the table's here.
+            upd_cols = [c for c in incoming.columns if c not in (*key_cols, BUCKET_COL)]
+            unknown = [c for c in upd_cols if c not in current.columns]
+            if unknown:
+                # the reference's UPDATE on a schema-less prop is an
+                # execution error, not a silent widen/drop
+                raise ValueError(
+                    f"UPDATE {table}: props not in table schema: {unknown}"
+                )
+            renamed = incoming.select(
+                *key_cols, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
+            )
+            updated = current.join(renamed, key_cols, "inner").select(
+                *[
+                    F.col(f"_u_{c}").alias(c) if c in upd_cols else F.col(c)
+                    for c in current.columns
+                ]
+            )
             kept = current.join(incoming.select(*key_cols), key_cols, "left_anti")
-            state = kept.unionByName(matched_new)
+            state = kept.unionByName(updated)
         elif mode == Mode.DELETE:
             if current is None:
                 incoming.count()  # fire caller observations

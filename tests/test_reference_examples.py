@@ -73,3 +73,46 @@ def test_reference_insert_example_runs_end_to_end(spark, tmp_path):
         if r["vid"].startswith("person_")
     }
     assert alias_vids == {"person_933_id", "person_17592186045684_id"}
+
+
+def _run_example(spark, which, out, staging):
+    cfg = load_config(str(EXAMPLES / "basic" / f"basic.string.{which}.v3.yaml"))
+    cfg.log = None
+    for h in (*cfg.before_hooks, *cfg.after_hooks):
+        h.wait_sec = 0
+    return cfg, Pipeline(cfg, spark, staging_dir=str(staging)).run(out)
+
+
+def test_reference_update_delete_sequence(spark, tmp_path):
+    """insert → update → delete with the reference's own example configs.
+    The update names a SINGLE prop (browserUsed): matched rows must keep
+    their other columns (UPDATE ... SET semantics), which is exactly the
+    narrower-than-table incoming schema the whole-row merge used to crash
+    on. The delete's alias-keyed rows mostly address missing vertices —
+    a no-op, as the reference treats DELETE on absent keys."""
+    from nebula_importer_spark.plans.merge import TableStore
+
+    out = tmp_path / "out"
+    _run_example(spark, "insert", out, tmp_path / "s1")
+    _, res_u = _run_example(spark, "update", out, tmp_path / "s2")
+    assert not res_u.is_failed()
+    store = TableStore(out / "basic_string_examples", spark)
+    rows = {r["vid"]: r for r in store.read("tags/Person").collect()}
+    # Reference quirk reproduced faithfully: the insert example's first
+    # Person tag declares browserUsed WITHOUT an index → Go zero value 0 →
+    # the prop picks Record[0] (the id). The update example DOES give
+    # index 7, so updated rows get the real browser string; Mahinda (933)
+    # is excluded by the update filter and keeps the quirky value.
+    assert rows["933"]["firstName"] == "Mahinda"
+    assert rows["933"]["browserUsed"] == "933"
+    assert rows["1129"]["browserUsed"] == "Internet Explorer"
+    assert rows["1129"]["firstName"] == "Carmen"  # non-updated col retained
+
+    _, res_d = _run_example(spark, "delete", out, tmp_path / "s3")
+    assert not res_d.is_failed()
+    left = store.read("tags/Person")
+    # female-filtered deletes address person_<id>_id alias keys; only male
+    # aliases were ever inserted, so all 15 vertices survive
+    assert left.count() == 15
+    # edge deletes: concat-id edges with src != 933 removed (6 of 9)
+    assert store.read("edges/KNOWS").count() == 12
