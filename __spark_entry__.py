@@ -677,6 +677,61 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (corpus-prep compliance pass): the documents corpus is
+    synthetic and PII-free, so each doc is first augmented with a
+    deterministic email/phone/IP derived from its id (both engines build
+    the identical string), then counted + redacted. Pure regexp chain —
+    zero-shuffle, map-only at any scale; patterns are RE2-safe so Spark
+    (java.util.regex) and DuckDB (RE2) agree byte-for-byte."""
+    from nebula_importer_spark.operators.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.coalesce("text", F.lit("")),
+        F.lit(" reach me at user"), did,
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or +1 555-00"), did,
+        F.lit(" via 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    counts = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        redact_pii(aug).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+    )
+
+
+def _redact_pii_sql() -> str:
+    """Same augmentation + patterns as q_text_redact_pii, in DuckDB SQL
+    (built from the shared PII_PATTERNS so the engines cannot drift)."""
+    from nebula_importer_spark.operators.text import PII_PATTERNS
+
+    aug = (
+        "coalesce(text,'') || ' reach me at user' || doc_id || '@mail' || "
+        "(doc_id % 7) || '.org or +1 555-00' || doc_id || ' via 10.0.' || "
+        "(doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+    )
+    red = aug
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    count = {
+        name: f"len(regexp_extract_all({aug}, '{pat}'))::BIGINT"
+        for name, pat, _ in PII_PATTERNS
+    }
+    return f"""
+        SELECT doc_id, {red} AS redacted,
+               {count['email']} AS n_email,
+               {count['phone']} AS n_phone,
+               {count['ipv4']} AS n_ip
+        FROM documents
+    """
+
+
 MIX_WEIGHTS = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.1}
 
 
@@ -767,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "mix_domains": q_mix_domains,
         "sample_stratified": q_sample_stratified,
+        "text_redact_pii": q_text_redact_pii,
     }
 
 
@@ -1045,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "mix_domains": _mix_domains_sql(),
+        "text_redact_pii": _redact_pii_sql(),
         "sample_stratified": """
             SELECT doc_id, lang, source FROM (
                 SELECT doc_id, lang, source,

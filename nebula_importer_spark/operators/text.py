@@ -82,6 +82,36 @@ def quality_score(col) -> Column:
     ).alias("quality")
 
 
+# PII patterns shared by the redactor and its oracle: RE2-safe (no
+# lookaround — DuckDB is RE2, Spark is java.util.regex; the intersection
+# keeps both engines bit-identical), ordered so earlier redactions cannot
+# manufacture later matches.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-category PII match counts (name → long Column)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col) -> Column:
+    """Replace every PII match with its category placeholder. Pure JVM
+    regexp_replace chain (zero-shuffle scan-level transform — corpus-prep
+    redaction at 100 TB is a map-only pass)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col, shingle_n: int = 8) -> Column:
     """Rolling document fingerprint: min MD5 digest over all char n-gram
     shingles (n=8). Equal texts → equal fingerprints; near-equal texts

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from pathlib import Path
 
@@ -140,6 +141,52 @@ class TableStore:
         # multiple sibling leaf dirs → Spark partition discovery resurrects
         # the bucket column from the shared ancestor; it is storage detail
         return self.spark.read.parquet(*paths).drop(BUCKET_COL)
+
+    def expire_snapshots(self, table: str, keep: int = 1) -> list[str]:
+        """Iceberg expire-snapshots analog: retain the current version plus
+        the newest ``keep`` history entries, delete every (version, bucket)
+        dir no retained snapshot references, truncate history. The deletion
+        unit is a BUCKET dir, not a version dir — untouched buckets are
+        shared across versions (the manifest's bucket→version map points
+        back), so a version dir stays partially alive while any retained
+        snapshot references one of its buckets. Returns deleted paths.
+        Time travel to an expired version raises (map no longer recorded)."""
+        m = self.read_manifest()
+        entry = m["tables"].get(table)
+        if entry is None:
+            return []
+        history = entry.get("history", [])
+        kept_hist = history[-keep:] if keep > 0 else []
+        if "buckets" in entry:
+            live: set[tuple[int, int]] = set()
+            for bmap in [entry["buckets"], *[h["buckets"] for h in kept_hist]]:
+                live |= {(int(v), int(b)) for b, v in bmap.items()}
+            doomed = [
+                str(bdir)
+                for vdir in (self.root / table).glob("v=*")
+                for bdir in vdir.glob(f"{BUCKET_COL}=*")
+                if (
+                    int(vdir.name.split("=", 1)[1]),
+                    int(bdir.name.split("=", 1)[1]),
+                )
+                not in live
+            ]
+        else:
+            live_v = {entry["version"]} | {h["version"] for h in kept_hist}
+            doomed = [
+                str(vdir)
+                for vdir in (self.root / table).glob("v=*")
+                if int(vdir.name.split("=", 1)[1]) not in live_v
+            ]
+        for p in doomed:
+            shutil.rmtree(p, ignore_errors=True)
+        # drop now-empty version dirs so the layout stays readable
+        for vdir in (self.root / table).glob("v=*"):
+            if not any(vdir.iterdir()):
+                vdir.rmdir()
+        entry["history"] = kept_hist
+        self._write_manifest(m)
+        return doomed
 
     def versions(self, table: str) -> list[int]:
         entry = self.read_manifest()["tables"].get(table)

@@ -66,3 +66,42 @@ def test_update_missing_table_counts_all_unmatched(spark, tmp_path):
     v, unmatched = store.merge_commit(upd, "tags/none", Mode.UPDATE, ["vid"])
     assert v == 0 and unmatched == 2
     assert store.read("tags/none") is None
+
+
+def test_expire_snapshots_keeps_shared_buckets_alive(spark, tmp_path):
+    """Vacuum must delete per-BUCKET, not per-version: an old version dir
+    can still host buckets the CURRENT snapshot points at."""
+    import pytest
+
+    store = TableStore(tmp_path / "s", spark, n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(64)], "vid string, val string"
+    )
+    store.merge_commit(base, "tags/t", Mode.INSERT, ["vid"])
+    for i, k in enumerate(("k3", "k3", "k5")):
+        delta = spark.createDataFrame([(k, f"n{i}")], "vid string, val string")
+        store.merge_commit(delta, "tags/t", Mode.INSERT, ["vid"])
+    assert store.versions("tags/t") == [1, 2, 3, 4]
+
+    deleted = store.expire_snapshots("tags/t", keep=0)
+    # v=2's k3-bucket rewrite is now unreferenced (v=3 superseded it);
+    # v=1 keeps its 6 untouched buckets (shared into the current map)
+    assert deleted and all(f"{BUCKET_COL}=" in p for p in deleted)
+    got = {r["vid"]: r["val"] for r in store.read("tags/t").collect()}
+    assert len(got) == 64 and got["k3"] == "n1" and got["k5"] == "n2"
+    assert got["k7"] == "v7"  # row from a v=1 shared bucket
+    with pytest.raises(FileNotFoundError):
+        store.read("tags/t", version=2)
+    # expiring again is a no-op
+    assert store.expire_snapshots("tags/t", keep=0) == []
+
+
+def test_expire_snapshots_unkeyed_stage(spark, tmp_path):
+    store = TableStore(tmp_path / "s", spark)
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    store.commit(df, "stage/x")
+    store.commit(df, "stage/x")
+    store.commit(df, "stage/x")
+    deleted = store.expire_snapshots("stage/x", keep=0)
+    assert len(deleted) == 2  # v=1, v=2 gone; v=3 (current) retained
+    assert store.read("stage/x").count() == 1
