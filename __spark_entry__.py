@@ -706,6 +706,16 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: every document split into consecutive
+    32-token chunks (tail chunk shorter). Map-only tokenize→slice→explode —
+    no shuffle at any scale."""
+    from nebula_importer_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", k=32, id_cols=["doc_id"])
+
+
 def _redact_pii_sql() -> str:
     """Same augmentation + patterns as q_text_redact_pii, in DuckDB SQL
     (built from the shared PII_PATTERNS so the engines cannot drift)."""
@@ -823,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_domains": q_mix_domains,
         "sample_stratified": q_sample_stratified,
         "text_redact_pii": q_text_redact_pii,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1102,6 +1113,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mix_domains": _mix_domains_sql(),
         "text_redact_pii": _redact_pii_sql(),
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+                FROM documents
+            ),
+            i AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT)))
+                           AS chunk_idx
+                FROM t
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+                       AS chunk_text,
+                   len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32])::BIGINT
+                       AS n_chunk_tokens
+            FROM i
+        """,
         "sample_stratified": """
             SELECT doc_id, lang, source FROM (
                 SELECT doc_id, lang, source,

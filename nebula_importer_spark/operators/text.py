@@ -112,6 +112,31 @@ def redact_pii(col) -> Column:
     return c
 
 
+def chunk_documents(df, text_col: str, k: int, id_cols: list[str]):
+    """Split each document into consecutive ``k``-token chunks (the
+    context-window packing step of training-data prep): returns one row per
+    chunk with ``chunk_idx``, ``chunk_text`` and ``n_chunk_tokens`` (< k
+    only for the tail chunk). Zero-shuffle: tokenize → slice → posexplode
+    is a map-only pass at any scale; empty/null docs produce no rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    chunks = F.when(n == 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast("int") - 1),
+            lambda i: F.slice(toks, i * k + 1, k),
+        )
+    )
+    return df.select(*id_cols, F.posexplode(chunks).alias("chunk_idx", "_toks")).select(
+        *id_cols,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join("_toks", " ").alias("chunk_text"),
+        F.size("_toks").cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def fingerprint(col, shingle_n: int = 8) -> Column:
     """Rolling document fingerprint: min MD5 digest over all char n-gram
     shingles (n=8). Equal texts → equal fingerprints; near-equal texts

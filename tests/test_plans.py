@@ -92,3 +92,11 @@ def test_pivot_is_single_aggregate_no_join(spark):
     plan = _plan(entrymod.queries()["events_pivot"](spark, SF))
     assert "Join" not in plan
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_chunking_and_redaction_are_map_only(spark):
+    """Corpus-prep passes (chunking, PII redaction) must be pure map
+    pipelines: tokenize/slice/explode and regexp chains add ZERO exchanges."""
+    for q in ("chunk_documents", "text_redact_pii"):
+        plan = _plan(entrymod.queries()[q](spark, SF))
+        assert ") Exchange" not in plan, (q, plan)
