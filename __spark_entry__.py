@@ -656,6 +656,56 @@ def q_multimodal_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets).select("asset_id", "n_bytes", "sha256")
 
 
+def q_multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checks the FEATURE leg of the multimodal kernel (the
+    deterministic stand-in for decoded-content features): sha256(payload)
+    expanded to 16 floats. The oracle recomputes the identical expansion in
+    SQL — little-endian uint32s from the hex digest (doubled past 32 bytes)
+    mod 10⁴ / 10⁴ — so the Arrow-batched mapInPandas path is value-checked
+    end-to-end, not just row-counted. Floats rounded to 6dp on both sides
+    (the true values are k/10000 rationals, so rounding is exact)."""
+    from nebula_importer_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("doc").alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
+    )
+    return extract_features(assets).select(
+        "asset_id",
+        F.transform("feature", lambda x: F.round(x.cast("double"), 6)).alias(
+            "feature"
+        ),
+    )
+
+
+def _doc_features_sql() -> str:
+    """DuckDB twin of _fake_feature: hex-digit arithmetic reconstruction of
+    numpy's frombuffer(digest*2, uint32-LE) % 10000 / 10000."""
+    feats = []
+    for i in range(16):
+        j = (4 * i) % 32  # doubled digest wraps at 32 bytes
+        terms = []
+        for k in range(4):  # little-endian byte order
+            p = 2 * (j + k) + 1  # 1-based hex char position of byte j+k
+            byte = (
+                f"((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1) * 16"
+                f" + strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+            )
+            terms.append(f"{byte} * {256 ** k}")
+        u32 = " + ".join(terms)
+        feats.append(f"round((({u32}) % 10000) / 10000.0, 6)")
+    arr = "[" + ", ".join(feats) + "]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS asset_id, sha256(coalesce(text, '')) AS h
+            FROM documents
+        )
+        SELECT asset_id, {arr} AS feature FROM t
+    """
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: the n-gram Jaccard dup pairs are
     an undirected graph whose connected components are the duplicate
@@ -834,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_redact_pii": q_text_redact_pii,
         "chunk_documents": q_chunk_documents,
+        "multimodal_doc_features": q_multimodal_doc_features,
     }
 
 
@@ -1113,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mix_domains": _mix_domains_sql(),
         "text_redact_pii": _redact_pii_sql(),
+        "multimodal_doc_features": _doc_features_sql(),
         "chunk_documents": """
             WITH t AS (
                 SELECT doc_id,
