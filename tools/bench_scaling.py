@@ -42,7 +42,13 @@ from nebula_importer_spark.transcripts.generate import gen_transcripts_spark
 from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
 
 cores = int(sys.argv[1]); turns = int(sys.argv[2]); reps = int(sys.argv[3])
-spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
+import os
+if os.environ.get("NIS_UNDER_SUBMIT") == "1":
+    # spark-submit owns master/conf (--master local[K] --py-files pkg.zip);
+    # get_spark must not override what submit configured
+    spark = get_spark("scaling")
+else:
+    spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 transcripts = gen_transcripts_spark(spark, n_turns=turns, n_convs=max(turns // 100, 10))
 transcripts = transcripts.localCheckpoint(eager=True)  # materialize input OUTSIDE the timed region
@@ -67,29 +73,56 @@ print(json.dumps({{"cores": cores, "turns": turns, "reps": reps,
 """
 
 
-def run(cores: int, turns: int, reps: int) -> dict:
+def run(cores: int, turns: int, reps: int, submit: bool = False) -> dict:
     # Pin the whole process tree (JVM + Python workers) to `cores` vCPUs:
     # an N-parallelism "cluster" gets exactly N cores of host CPU.
     cmd = ["taskset", "-c", f"0-{cores - 1}"] if cores < 99 else []
-    out = subprocess.run(
-        [*cmd, sys.executable, "-c", _CHILD.format(repo=str(REPO)),
-         str(cores), str(turns), str(reps)],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        check=True,
-    )
+    if submit:
+        # the north rule's deployment shape: spark-submit --py-files, the
+        # package resolved from the zip, master/conf owned by submit
+        import os
+        import tempfile
+
+        tmp = Path(tempfile.mkdtemp(prefix="nis-submit-"))
+        zip_path = tmp / "nis.zip"
+        subprocess.run(
+            [sys.executable, "-m", "zipfile", "-c", str(zip_path),
+             "nebula_importer_spark"],
+            cwd=REPO, check=True,
+        )
+        child = tmp / "child.py"
+        child.write_text(_CHILD.format(repo=str(tmp)))  # import from zip, not repo
+        out = subprocess.run(
+            [*cmd, "spark-submit", "--master", f"local[{cores}]",
+             "--conf", f"spark.sql.shuffle.partitions={cores}",
+             "--conf", f"spark.default.parallelism={cores}",
+             "--py-files", str(zip_path), str(child),
+             str(cores), str(turns), str(reps)],
+            capture_output=True, text=True, timeout=3600, check=True,
+            env={**os.environ, "NIS_UNDER_SUBMIT": "1"},
+        )
+    else:
+        out = subprocess.run(
+            [*cmd, sys.executable, "-c", _CHILD.format(repo=str(REPO)),
+             str(cores), str(turns), str(reps)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            check=True,
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    submit = "--submit" in sys.argv
+    argv = [a for a in sys.argv if a != "--submit"]
+    n_small = int(argv[1]) if len(argv) > 1 else 4
     # sized so the local[N] run takes ~30s+: short jobs measure scheduler +
     # Python-worker startup overhead, not throughput scaling
-    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    small = run(n_small, turns, reps)
-    big = run(n_small * 4, turns, reps)
+    turns = int(argv[2]) if len(argv) > 2 else 4_000_000
+    reps = int(argv[3]) if len(argv) > 3 else 5
+    small = run(n_small, turns, reps, submit=submit)
+    big = run(n_small * 4, turns, reps, submit=submit)
     eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
     print(
         json.dumps(
@@ -97,6 +130,7 @@ def main() -> None:
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": "ratio",
+                "via": "spark-submit --py-files" if submit else "python",
                 "small": small,
                 "big": big,
                 "target": 0.8,
