@@ -706,6 +706,61 @@ def _doc_features_sql() -> str:
     """
 
 
+def q_kg_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checks the NORTH-STAR extraction kernel (the Arrow-batched
+    mapInPandas regex path in transcripts/extract.py) against an
+    independent DuckDB regexp implementation: every doc_id deterministically
+    yields transcript-shaped sentences (multi-word lazy subjects, three
+    predicates, an adversarial nested-predicate object), both engines build
+    the identical text, and the triples must match exactly. kg_triples
+    itself generates its corpus in-flight (not oracle-visible); this puts
+    the same kernel under the value gate."""
+    from nebula_importer_spark.transcripts.extract import extract_triples
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Ann"), did, F.lit(" Lee works at Acme"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(" Corp. Bob"), did, F.lit(" lives in City"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(". Cara"), did, F.lit(" Q knows Dan"), did,
+        F.lit(" who knows Eve."),
+    )
+    turns = d.select(
+        did.alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        text.alias("text"),
+    )
+    return extract_triples(turns).select("conv_id", "subj_sf", "pred", "obj_sf")
+
+
+def _kg_extract_docs_sql() -> str:
+    """DuckDB twin: same synthetic text, same patterns (RE2 lazy quantifiers
+    ≡ Python re here), full-match extraction then anchored group re-parse."""
+    from nebula_importer_spark.transcripts.extract import PRED_TEXT
+
+    aug = (
+        "'Ann' || doc_id || ' Lee works at Acme' || (doc_id % 13) || "
+        "' Corp. Bob' || doc_id || ' lives in City' || (doc_id % 7) || "
+        "'. Cara' || doc_id || ' Q knows Dan' || doc_id || ' who knows Eve.'"
+    )
+    legs = []
+    for pred, txt in PRED_TEXT.items():
+        pat = rf"([A-Z]\w*(?: \w+)*?) {txt} ([^.]+?)\."
+        legs.append(f"""
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   regexp_extract(m, '^{pat}$', 1) AS subj_sf,
+                   '{pred}' AS pred,
+                   regexp_extract(m, '^{pat}$', 2) AS obj_sf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all({aug}, '{pat}')) AS m
+                FROM documents
+            )""")
+    return " UNION ALL ".join(legs)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: the n-gram Jaccard dup pairs are
     an undirected graph whose connected components are the duplicate
@@ -885,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "chunk_documents": q_chunk_documents,
         "multimodal_doc_features": q_multimodal_doc_features,
+        "kg_extract_docs": q_kg_extract_docs,
     }
 
 
@@ -1165,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_domains": _mix_domains_sql(),
         "text_redact_pii": _redact_pii_sql(),
         "multimodal_doc_features": _doc_features_sql(),
+        "kg_extract_docs": _kg_extract_docs_sql(),
         "chunk_documents": """
             WITH t AS (
                 SELECT doc_id,
