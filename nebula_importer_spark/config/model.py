@@ -219,6 +219,12 @@ class SourceSpec:
         remotes = self._remote_blocks()
         if len(remotes) > 1:
             raise ConfigError(f"source {self.path!r}: multiple remote blocks")
+        if self.path and remotes:
+            # a remote block carries its own object path; a local path next
+            # to it would be silently ignored — reject the ambiguity
+            raise ConfigError(
+                f"source {self.path!r}: both path and a remote block given"
+            )
         if not self.path and not remotes:
             raise ConfigError("source with empty path")
         if self.format not in {"csv", "parquet", "json"}:

@@ -29,17 +29,25 @@ _DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h":
 
 
 def _duration_sec(v: Any) -> float:
-    """Parse a Go-style duration ('3s', '500ms', '1m') or a bare number of
-    seconds (reference hook wait is a time.Duration YAML string)."""
+    """Parse a Go-style duration — composite terms like '1m30s' or
+    '1h10m500ms' included, matching time.ParseDuration — or a bare number
+    of seconds (reference hook wait is a time.Duration YAML string).
+    Malformed values raise ConfigError (the CLI's one-line error path)."""
+    import re as _re
+
     if v is None:
         return 0.0
     if isinstance(v, (int, float)):
         return float(v)
     s = str(v).strip()
-    for unit in ("ms", "us", "ns", "h", "m", "s"):  # longest suffix first
-        if s.endswith(unit):
-            return float(s[: -len(unit)]) * _DURATION_UNITS[unit]
-    return float(s)
+    try:
+        return float(s)  # bare seconds
+    except ValueError:
+        pass
+    terms = _re.findall(r"(\d+(?:\.\d+)?)(ms|us|ns|h|m|s)", s)
+    if not terms or "".join(n + u for n, u in terms) != s.lstrip("+"):
+        raise ConfigError(f"invalid duration {v!r} (expected e.g. '10s', '1m30s')")
+    return sum(float(n) * _DURATION_UNITS[u] for n, u in terms)
 
 
 def _prop(d: dict[str, Any]) -> PropSpec:

@@ -139,8 +139,15 @@ class TableStore:
             for b, bv in sorted(bmap.items(), key=lambda kv: int(kv[0]))
         ]
         # multiple sibling leaf dirs → Spark partition discovery resurrects
-        # the bucket column from the shared ancestor; it is storage detail
-        return self.spark.read.parquet(*paths).drop(BUCKET_COL)
+        # the bucket column from the shared ancestor; it is storage detail.
+        # mergeSchema: buckets at different snapshot versions can carry
+        # different column sets after a schema-widening INSERT — a single
+        # footer's schema would silently drop the new columns.
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop(BUCKET_COL)
+        )
 
     def expire_snapshots(self, table: str, keep: int = 1) -> list[str]:
         """Iceberg expire-snapshots analog: retain the current version plus
@@ -207,20 +214,27 @@ class TableStore:
             .drop("_rn", *([SEQ_COL] if SEQ_COL in df.columns else []))
         )
 
-    def _with_bucket(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+    def _with_bucket(
+        self, df: DataFrame, key_cols: list[str], n_buckets: int | None = None
+    ) -> DataFrame:
         return df.withColumn(
-            BUCKET_COL, F.pmod(F.xxhash64(*key_cols), F.lit(self.n_buckets))
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets or self.n_buckets)),
         )
 
     def commit(self, df: DataFrame, table: str) -> int:
         """Unkeyed full-snapshot commit (stage checkpoints): write a new
         immutable snapshot and advance the manifest pointer."""
         m = self.read_manifest()
-        prev = m["tables"].get(table, {}).get("version", 0)
+        prev_entry = m["tables"].get(table, {})
+        prev = prev_entry.get("version", 0)
         v = prev + 1
         out = self.root / table / f"v={v}"
         self._capped(df).write.mode("overwrite").parquet(str(out))
-        m["tables"][table] = {"version": v}
+        history = prev_entry.get("history", [])
+        if prev:
+            history = history + [{"version": prev}]
+        m["tables"][table] = {"version": v, "history": history}
         self._write_manifest(m)
         return v
 
@@ -243,9 +257,13 @@ class TableStore:
         """
         m = self.read_manifest()
         entry = m["tables"].get(table)
+        # An existing table's bucketing is frozen at creation (a different
+        # pmod would route keys past their live rows and corrupt the merge);
+        # self.n_buckets only sizes NEW tables.
+        nb = entry.get("n_buckets", self.n_buckets) if entry else self.n_buckets
         incoming = self._dedup_incoming(df, key_cols)
         incoming = incoming.drop(*[c for c in incoming.columns if c.startswith("_")])
-        incoming = self._with_bucket(incoming, key_cols)
+        incoming = self._with_bucket(incoming, key_cols, nb)
 
         cur_map: dict[str, int] = dict(entry.get("buckets", {})) if entry else {}
         prev_v = entry["version"] if entry else 0
@@ -264,6 +282,10 @@ class TableStore:
         # the pass entirely and derive the touched set from the partition
         # dirs the write produces (affected == written when nothing is live).
         if cur_map:
+            # incoming is consumed 2-3× below (bucket discovery, UPDATE's
+            # unmatched count, the snapshot write) — persist so the upstream
+            # plan (dedup window over the mapped source) runs once.
+            incoming = incoming.persist()
             affected = sorted(
                 r[BUCKET_COL]
                 for r in incoming.select(BUCKET_COL).distinct().collect()
@@ -277,7 +299,11 @@ class TableStore:
         ]
         current = (
             self._with_bucket(
-                self.spark.read.parquet(*slice_paths).drop(BUCKET_COL), key_cols
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*slice_paths)
+                .drop(BUCKET_COL),
+                key_cols,
+                nb,
             )
             if slice_paths
             else None
@@ -297,6 +323,7 @@ class TableStore:
         elif mode == Mode.UPDATE:
             if current is None:
                 n = incoming.count()
+                incoming.unpersist()
                 return prev_v, n
             keys = current.select(*key_cols)
             unmatched = incoming.join(keys, key_cols, "left_anti").count()
@@ -327,6 +354,7 @@ class TableStore:
         elif mode == Mode.DELETE:
             if current is None:
                 incoming.count()  # fire caller observations
+                incoming.unpersist()
                 return prev_v, 0
             state = current.join(incoming.select(*key_cols), key_cols, "left_anti")
         else:
@@ -337,6 +365,7 @@ class TableStore:
         self._capped(state).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
             str(out)
         )
+        incoming.unpersist()  # no-op when the initial-load path skipped persist
 
         # A bucket can come out empty (DELETE) — only materialized bucket
         # dirs advance; affected-but-empty buckets drop out of the map.
@@ -362,7 +391,7 @@ class TableStore:
         m["tables"][table] = {
             "version": v,
             "buckets": new_map,
-            "n_buckets": self.n_buckets,
+            "n_buckets": nb,
             "history": history,
         }
         self._write_manifest(m)

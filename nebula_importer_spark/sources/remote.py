@@ -227,13 +227,29 @@ class SFTPOptions:
         if self.key_data or self.key_file:
             import io
 
-            src = io.StringIO(self.key_data) if self.key_data else open(self.key_file)
-            try:
-                kwargs["pkey"] = paramiko.RSAKey.from_private_key(
-                    src, password=self.passphrase
-                )
-            finally:
-                src.close()
+            # any key type, like the reference's ssh.ParsePrivateKey
+            # (pkg/source/sftp.go) — try each paramiko class in turn
+            text = self.key_data or Path(self.key_file).read_text()
+            key_err: Exception | None = None
+            for cls in (
+                paramiko.Ed25519Key,
+                paramiko.ECDSAKey,
+                paramiko.RSAKey,
+                paramiko.DSSKey,
+            ):
+                try:
+                    kwargs["pkey"] = cls.from_private_key(
+                        io.StringIO(text), password=self.passphrase
+                    )
+                    break
+                except paramiko.SSHException as e:
+                    key_err = e
+            else:
+                from nebula_importer_spark.sources.reader import SourceError
+
+                raise SourceError(
+                    f"sftp: unreadable private key ({key_err})"
+                ) from key_err
         elif self.password is not None:
             kwargs["password"] = self.password
         cli = paramiko.SSHClient()

@@ -84,16 +84,23 @@ def run_incremental_kg(
     keyed INSERT-merge into `<out>/kg/triples`; unlinked mentions append to
     `<out>/kg/_rejects/stream`. With ``available_now`` the call processes
     every file currently present and returns (incremental batch job shape);
-    pass False for a continuously-running query (caller manages the handle).
+    pass False for a continuously-running query — the caller gets the
+    StreamingQuery handle under "query" (stop/awaitTermination/exception
+    are the caller's to manage).
 
-    Returns {"batches": n, "rows": total-triple-rows-merged}.
+    Returns {"batches": n, "rows": cumulative-batch-triple-rows} — the
+    per-batch row counter counts the BATCH's triples (over the stage's
+    persisted join frame), NOT a re-scan of the accumulated table:
+    per-trigger cost stays ∝ the new turns. (An Observation riding the
+    merge write would be free, but Observation.get is unsupported inside
+    foreachBatch workers on this Spark version.)
     """
     from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
 
     spark = stream.sparkSession
     out = Path(out_dir)
     store = TableStore(out / "kg", spark)
-    seen = {"batches": 0, "rows": 0}
+    seen: dict = {"batches": 0, "rows": 0}
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         p = TranscriptPipeline(spark)
@@ -108,8 +115,7 @@ def run_incremental_kg(
                 .parquet(str(out / "kg" / "_rejects" / "stream"))
             )
             seen["batches"] += 1
-            cur = store.read("triples")
-            seen["rows"] = cur.count() if cur is not None else 0
+            seen["rows"] += triples.count()  # batch-sized (persisted join)
         finally:
             p.release()
 
@@ -120,8 +126,8 @@ def run_incremental_kg(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return dict(seen)
-    writer.start()
-    return dict(seen)
+    seen["query"] = writer.start()
+    return seen
 
 
 def compact_canonicalize(

@@ -102,6 +102,53 @@ def test_expire_snapshots_unkeyed_stage(spark, tmp_path):
     store.commit(df, "stage/x")
     store.commit(df, "stage/x")
     store.commit(df, "stage/x")
+    assert store.versions("stage/x") == [1, 2, 3]
+    deleted = store.expire_snapshots("stage/x", keep=1)
+    assert len(deleted) == 1  # keep honors history: v=2 retained with v=3
+    assert store.read("stage/x", version=2).count() == 1
     deleted = store.expire_snapshots("stage/x", keep=0)
-    assert len(deleted) == 2  # v=1, v=2 gone; v=3 (current) retained
+    assert len(deleted) == 1  # now v=2 goes too; v=3 (current) retained
     assert store.read("stage/x").count() == 1
+
+
+def test_reopened_store_keeps_table_bucketing(spark, tmp_path):
+    """A table's pmod is frozen at creation: reopening the store with a
+    different n_buckets must route keys to their EXISTING buckets, or
+    upserts duplicate keys and deletes miss."""
+    s8 = TableStore(tmp_path / "s", spark, n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(64)], "vid string, val string"
+    )
+    s8.merge_commit(base, "tags/t", Mode.INSERT, ["vid"])
+
+    s16 = TableStore(tmp_path / "s", spark, n_buckets=16)  # different default
+    delta = spark.createDataFrame([("k3", "NEW")], "vid string, val string")
+    s16.merge_commit(delta, "tags/t", Mode.INSERT, ["vid"])
+    got = {r["vid"]: r["val"] for r in s16.read("tags/t").collect()}
+    assert len(got) == 64 and got["k3"] == "NEW"  # replaced, not duplicated
+
+    s16.merge_commit(delta.select("vid"), "tags/t", Mode.DELETE, ["vid"])
+    assert s16.read("tags/t").count() == 63  # delete found its bucket
+
+
+def test_schema_widening_insert_survives_mixed_version_reads(spark, tmp_path):
+    """A widening INSERT touches few buckets; untouched buckets keep the old
+    schema — reads must mergeSchema or the new column silently vanishes."""
+    store = TableStore(tmp_path / "s", spark, n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(64)], "vid string, val string"
+    )
+    store.merge_commit(base, "tags/t", Mode.INSERT, ["vid"])
+    wide = spark.createDataFrame([("k3", "v3w", 42)], "vid string, val string, age int")
+    store.merge_commit(wide, "tags/t", Mode.INSERT, ["vid"])
+
+    df = store.read("tags/t")
+    assert "age" in df.columns
+    got = {r["vid"]: (r["val"], r["age"]) for r in df.collect()}
+    assert got["k3"] == ("v3w", 42)
+    assert got["k5"] == ("v5", None)
+    # UPDATE on the widened column merges against the mixed-schema slice
+    upd = spark.createDataFrame([("k3", 43)], "vid string, age int")
+    store.merge_commit(upd, "tags/t", Mode.UPDATE, ["vid"])
+    got = {r["vid"]: r["age"] for r in store.read("tags/t").collect()}
+    assert got["k3"] == 43

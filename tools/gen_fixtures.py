@@ -20,8 +20,11 @@ from pathlib import Path
 
 from nebula_importer_spark.config.model import GraphConfig, NodeIDSpec, SourceSpec
 
-# strictness order: later wins when two specs bind the same column
-_ORDER = ["STRING", "GEOGRAPHY", "DATE", "TIME", "DATETIME", "TIMESTAMP",
+# strictness order: later wins when two specs bind the same column.
+# Parameterized geography types (GEOGRAPHY(POINT) etc., all valid per
+# config VALUE_TYPES) normalize to their own entries.
+_ORDER = ["STRING", "GEOGRAPHY", "GEOGRAPHY(POINT)", "GEOGRAPHY(LINESTRING)",
+          "GEOGRAPHY(POLYGON)", "DATE", "TIME", "DATETIME", "TIMESTAMP",
           "BOOL", "FLOAT", "DOUBLE", "INT"]
 
 
@@ -38,8 +41,13 @@ def _value(kind: str, row: int, col: int) -> str:
         return f"{row % 24:02d}:{col % 60:02d}:00"
     if kind in ("DATETIME", "TIMESTAMP"):
         return f"2020-01-{(row % 27) + 1:02d}T{col % 24:02d}:00:00"
-    if kind == "GEOGRAPHY":
-        return f"POINT({(col % 60) + 1} {(row % 60) + 1})"
+    if kind.startswith("GEOGRAPHY"):
+        x, y = (col % 60) + 1, (row % 60) + 1
+        if kind == "GEOGRAPHY(LINESTRING)":
+            return f"LINESTRING({x} {y}, {x + 1} {y + 1})"
+        if kind == "GEOGRAPHY(POLYGON)":
+            return f"POLYGON(({x} {y}, {x + 1} {y}, {x} {y + 1}, {x} {y}))"
+        return f"POINT({x} {y})"
     return f"s{row}_{col}"
 
 
