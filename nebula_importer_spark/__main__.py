@@ -3,6 +3,7 @@
     spark-submit --py-files nebula_importer_spark.zip -m ...   (cluster)
     python -m nebula_importer_spark import -c config.yaml -o out/   (local)
     python -m nebula_importer_spark kg --turns 100000 -o out/ [--resume]
+    python -m nebula_importer_spark statements -c config.yaml -o out/
 
 ``import`` is the reference-CLI analog (nebula-importer -c config.yaml,
 reference pkg/cmd/nebula-importer.go:50-80): parse+validate config → run →
@@ -66,6 +67,27 @@ def _cmd_kg(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_statements(args: argparse.Namespace) -> int:
+    """Render the literal nGQL statement stream (plans/ngql.py) for one or
+    all elements of a config — text files a nebula-console/graphd loader
+    can replay, written distributed (one part per partition)."""
+    from nebula_importer_spark.config.parse import load_config
+    from nebula_importer_spark.plans.pipeline import Pipeline
+    from nebula_importer_spark.session import get_spark
+
+    cfg = load_config(args.config)
+    spark = get_spark("nebula-importer-spark", master=args.master)
+    p = Pipeline(cfg, spark)
+    names = [args.element] if args.element else [*cfg.tag_names(), *cfg.edge_names()]
+    for name in names:
+        df = p.statements(name, batch=args.batch)
+        df.select("statement").write.mode("overwrite").text(
+            f"{args.output}/{name}.ngql"
+        )
+        print(f"{name}: statements written to {args.output}/{name}.ngql/")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nebula_importer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -84,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
     kg.add_argument("--master", default=None)
     kg.add_argument("--resume", action="store_true")
     kg.set_defaults(fn=_cmd_kg)
+
+    st = sub.add_parser(
+        "statements", help="render nGQL statement files for a config"
+    )
+    st.add_argument("-c", "--config", required=True)
+    st.add_argument("-o", "--output", required=True)
+    st.add_argument("--element", default=None, help="one tag/edge (default all)")
+    st.add_argument("--batch", type=int, default=None)
+    st.add_argument("--master", default=None)
+    st.set_defaults(fn=_cmd_statements)
 
     args = ap.parse_args(argv)
     try:

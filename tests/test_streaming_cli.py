@@ -159,3 +159,32 @@ def test_sessionize_stateful(spark, tmp_path):
     assert got[(1, "2026-01-01T00:00:00")] == (2, 3.0)  # first session: 2 events
     assert got[(1, "2026-01-01T01:00:00")] == (1, 3.0)  # second session
     assert got[(2, "2026-01-01T00:01:00")] == (1, 4.0)
+
+
+def test_cli_statements_renders_ngql_files(tmp_path):
+    data = tmp_path / "p.csv"
+    data.write_text("a,Ann\nb,Bob\n")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+manager: {spaceName: clistmt}
+sources:
+  - path: %s
+    tags:
+      - name: person
+        id: {type: STRING, index: 0}
+        props: [{name: name, type: STRING, index: 1}]
+"""
+        % data
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "statements",
+         "-c", str(cfg), "-o", str(tmp_path / "st"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = "".join(
+        p.read_text() for p in (tmp_path / "st" / "person.ngql").glob("part-*")
+    )
+    assert "INSERT VERTEX IGNORE_EXISTED_INDEX `person`(`name`) VALUES " in text
+    assert '"a":("Ann")' in text and '"b":("Bob")' in text
