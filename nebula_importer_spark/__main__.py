@@ -71,6 +71,7 @@ def _cmd_statements(args: argparse.Namespace) -> int:
     """Render the literal nGQL statement stream (plans/ngql.py) for one or
     all elements of a config — text files a nebula-console/graphd loader
     can replay, written distributed (one part per partition)."""
+    from nebula_importer_spark.config.model import ConfigError
     from nebula_importer_spark.config.parse import load_config
     from nebula_importer_spark.plans.pipeline import Pipeline
     from nebula_importer_spark.session import get_spark
@@ -78,13 +79,20 @@ def _cmd_statements(args: argparse.Namespace) -> int:
     cfg = load_config(args.config)
     spark = get_spark("nebula-importer-spark", master=args.master)
     p = Pipeline(cfg, spark)
-    names = [args.element] if args.element else [*cfg.tag_names(), *cfg.edge_names()]
-    for name in names:
-        df = p.statements(name, batch=args.batch)
-        df.select("statement").write.mode("overwrite").text(
-            f"{args.output}/{name}.ngql"
-        )
-        print(f"{name}: statements written to {args.output}/{name}.ngql/")
+    # tag and edge names are independent namespaces → separate output
+    # subdirs, each rendered exactly once
+    targets = [("tag", n) for n in cfg.tag_names()] + [
+        ("edge", n) for n in cfg.edge_names()
+    ]
+    if args.element:
+        targets = [(k, n) for k, n in targets if n == args.element]
+        if not targets:
+            raise ConfigError(f"element {args.element!r} not in config")
+    for kind, name in targets:
+        df = p.statements(name, batch=args.batch, kind=kind)
+        path = f"{args.output}/{kind}s/{name}.ngql"
+        df.select("statement").write.mode("overwrite").text(path)
+        print(f"{kind} {name}: statements written to {path}/")
     return 0
 
 

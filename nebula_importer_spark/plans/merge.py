@@ -267,7 +267,6 @@ class TableStore:
 
         cur_map: dict[str, int] = dict(entry.get("buckets", {})) if entry else {}
         prev_v = entry["version"] if entry else 0
-        unmatched = 0
 
         if entry is None and mode != Mode.INSERT:
             # UPDATE/DELETE against a missing table: nothing to change, but
@@ -285,7 +284,25 @@ class TableStore:
             # incoming is consumed 2-3× below (bucket discovery, UPDATE's
             # unmatched count, the snapshot write) — persist so the upstream
             # plan (dedup window over the mapped source) runs once.
+            # try/finally: an UPDATE schema error or failed write must not
+            # leave the cache pinned (long-lived streaming drivers call
+            # merge_commit per micro-batch).
             incoming = incoming.persist()
+            try:
+                return self._merge_live(
+                    m, entry, table, mode, key_cols, incoming, cur_map, prev_v, nb
+                )
+            finally:
+                incoming.unpersist()
+        return self._merge_live(
+            m, entry, table, mode, key_cols, incoming, cur_map, prev_v, nb
+        )
+
+    def _merge_live(
+        self, m, entry, table, mode, key_cols, incoming, cur_map, prev_v, nb
+    ) -> tuple[int, int]:
+        unmatched = 0
+        if cur_map:
             affected = sorted(
                 r[BUCKET_COL]
                 for r in incoming.select(BUCKET_COL).distinct().collect()
@@ -322,9 +339,7 @@ class TableStore:
                 state = kept.unionByName(incoming, allowMissingColumns=True)
         elif mode == Mode.UPDATE:
             if current is None:
-                n = incoming.count()
-                incoming.unpersist()
-                return prev_v, n
+                return prev_v, incoming.count()
             keys = current.select(*key_cols)
             unmatched = incoming.join(keys, key_cols, "left_anti").count()
             # UPDATE ... SET assigns ONLY the props the statement names
@@ -354,7 +369,6 @@ class TableStore:
         elif mode == Mode.DELETE:
             if current is None:
                 incoming.count()  # fire caller observations
-                incoming.unpersist()
                 return prev_v, 0
             state = current.join(incoming.select(*key_cols), key_cols, "left_anti")
         else:
@@ -365,7 +379,6 @@ class TableStore:
         self._capped(state).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
             str(out)
         )
-        incoming.unpersist()  # no-op when the initial-load path skipped persist
 
         # A bucket can come out empty (DELETE) — only materialized bucket
         # dirs advance; affected-but-empty buckets drop out of the map.

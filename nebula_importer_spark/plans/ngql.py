@@ -60,8 +60,26 @@ def _wrap(fn: str, c: Column) -> Column:
     return F.concat(F.lit(f'{fn}("'), c, F.lit('")'))
 
 
+def _dt_string(c: Column) -> Column:
+    """Datetime column → string, preserving sub-second precision when
+    present (the reference passes the source text through; whole-second
+    values must not grow a spurious .000 and fractional ones must not be
+    truncated)."""
+    whole = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.date_format(c, "SSS")
+    return F.when(frac == "000", whole).otherwise(
+        F.concat(whole, F.lit("."), frac)
+    )
+
+
 def render_value(c: Column, value_type: str) -> Column:
-    """Typed column → nGQL literal (reference converter_type.go mapping)."""
+    """Typed column → nGQL literal (reference converter_type.go mapping).
+
+    TIMESTAMP renders as TIMESTAMP("<datetime string>") — the reference's
+    string-input form, which graphd interprets in its own timezone (the
+    session here is pinned UTC by get_spark). Integer-epoch inputs lose
+    their original TIMESTAMP(<n>) spelling but not their value.
+    """
     t = value_type.upper()
     if t == "STRING":
         lit = go_quote(c)
@@ -70,9 +88,9 @@ def render_value(c: Column, value_type: str) -> Column:
     elif t == "TIME":
         lit = _wrap("TIME", c)  # validated canonical string column
     elif t == "DATETIME":
-        lit = _wrap("DATETIME", F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"))
+        lit = _wrap("DATETIME", _dt_string(c))
     elif t == "TIMESTAMP":
-        lit = F.concat(F.lit("TIMESTAMP("), F.unix_timestamp(c).cast("string"), F.lit(")"))
+        lit = _wrap("TIMESTAMP", _dt_string(c))
     elif t.startswith("GEOGRAPHY"):
         lit = _wrap("ST_GeogFromText", c)
     else:  # BOOL / INT / FLOAT / DOUBLE: raw literal text
@@ -98,13 +116,18 @@ def _batched(df: DataFrame, fragment: Column, prefix: str, sep: str, batch: int)
     """Group per-record fragments into ≤batch-record statements. The batch
     id comes from monotonically_increasing_id (partition-prefixed and
     contiguous per partition), so batches are partition-local; only the
-    rendered fragments shuffle, grouped and ordered deterministically."""
+    rendered fragments shuffle, grouped and ordered deterministically.
+
+    Rows whose fragment is null (an unrenderable key, e.g. a null rank on
+    a ranked edge) are EXCLUDED before grouping — they neither count in
+    n_records nor produce an empty/invalid statement; callers reject them
+    upstream like the reference's record errors."""
     order = F.col(SEQ_COL) if SEQ_COL in df.columns else F.monotonically_increasing_id()
     rows = df.select(
         (F.monotonically_increasing_id() / batch).cast("long").alias("_bid"),
         order.alias("_ord"),
         fragment.alias("_frag"),
-    )
+    ).filter(F.col("_frag").isNotNull())
     return (
         rows.groupBy("_bid")
         .agg(
@@ -124,56 +147,21 @@ def _batched(df: DataFrame, fragment: Column, prefix: str, sep: str, batch: int)
     )
 
 
-def render_node_statements(
-    mapped: DataFrame, spec: NodeSpec, batch: int = 128
+def _render(
+    mapped: DataFrame,
+    spec: NodeSpec | EdgeSpec,
+    key: Column,
+    kind: str,  # "VERTEX" | "EDGE"
+    delete_stmt: tuple[str, str],  # (prefix-fmt with {name}, separator)
+    batch: int,
 ) -> DataFrame:
-    """map_node output (vid + typed prop cols) → (statement, n_records)."""
+    """Shared body of node/edge rendering — the formats differ only in the
+    key expression, the VERTEX/EDGE keyword, and DELETE phrasing."""
     name = escape_identifier(spec.name)
-    vid = _id_value(VID, spec.id.type)
     if spec.mode == Mode.INSERT:
         props = ", ".join(escape_identifier(p.name) for p in spec.props)
         ignore = "IGNORE_EXISTED_INDEX " if spec.ignore_existed_index else ""
-        prefix = f"INSERT VERTEX {ignore}{name}({props}) VALUES "
-        frag = F.concat(
-            vid,
-            F.lit(":("),
-            F.concat_ws(
-                ", ", *[render_value(F.col(p.name), p.type) for p in spec.props]
-            ),
-            F.lit(")"),
-        )
-        return _batched(mapped, frag, prefix, ", ", batch)
-    if spec.mode == Mode.UPDATE:
-        sets = F.concat_ws(
-            ", ",
-            *[
-                F.concat(
-                    F.lit(f"{escape_identifier(p.name)} = "),
-                    render_value(F.col(p.name), p.type),
-                )
-                for p in spec.props
-            ],
-        )
-        frag = F.concat(
-            F.lit(f"UPDATE VERTEX ON {name} "), vid, F.lit(" SET "), sets, F.lit(";")
-        )
-        return _batched(mapped, frag, "", "", batch)
-    if spec.mode == Mode.DELETE:
-        frag = F.concat(F.lit(f"DELETE TAG {name} FROM "), vid, F.lit(";"))
-        return _batched(mapped, frag, "", "", batch)
-    raise ValueError(f"unsupported mode {spec.mode}")
-
-
-def render_edge_statements(
-    mapped: DataFrame, spec: EdgeSpec, batch: int = 128
-) -> DataFrame:
-    """map_edge output (src/dst/rank + typed prop cols) → (statement, n)."""
-    name = escape_identifier(spec.name)
-    key = _edge_key(spec)
-    if spec.mode == Mode.INSERT:
-        props = ", ".join(escape_identifier(p.name) for p in spec.props)
-        ignore = "IGNORE_EXISTED_INDEX " if spec.ignore_existed_index else ""
-        prefix = f"INSERT EDGE {ignore}{name}({props}) VALUES "
+        prefix = f"INSERT {kind} {ignore}{name}({props}) VALUES "
         frag = F.concat(
             key,
             F.lit(":("),
@@ -195,9 +183,36 @@ def render_edge_statements(
             ],
         )
         frag = F.concat(
-            F.lit(f"UPDATE EDGE ON {name} "), key, F.lit(" SET "), sets, F.lit(";")
+            F.lit(f"UPDATE {kind} ON {name} "), key, F.lit(" SET "), sets, F.lit(";")
         )
         return _batched(mapped, frag, "", "", batch)
     if spec.mode == Mode.DELETE:
-        return _batched(mapped, key, f"DELETE EDGE {name} ", ", ", batch)
+        prefix_fmt, sep = delete_stmt
+        if sep == "":  # per-record full statements (DELETE TAG)
+            frag = F.concat(F.lit(prefix_fmt.format(name=name)), key, F.lit(";"))
+            return _batched(mapped, frag, "", "", batch)
+        return _batched(mapped, key, prefix_fmt.format(name=name), sep, batch)
     raise ValueError(f"unsupported mode {spec.mode}")
+
+
+def render_node_statements(
+    mapped: DataFrame, spec: NodeSpec, batch: int = 128
+) -> DataFrame:
+    """map_node output (vid + typed prop cols) → (statement, n_records)."""
+    return _render(
+        mapped,
+        spec,
+        _id_value(VID, spec.id.type),
+        "VERTEX",
+        ("DELETE TAG {name} FROM ", ""),
+        batch,
+    )
+
+
+def render_edge_statements(
+    mapped: DataFrame, spec: EdgeSpec, batch: int = 128
+) -> DataFrame:
+    """map_edge output (src/dst/rank + typed prop cols) → (statement, n)."""
+    return _render(
+        mapped, spec, _edge_key(spec), "EDGE", ("DELETE EDGE {name} ", ", "), batch
+    )

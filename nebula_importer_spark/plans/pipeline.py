@@ -177,11 +177,15 @@ class Pipeline:
             out = out.unionByName(p, allowMissingColumns=True)
         return out.drop(FILE_COL, SEQ_COL)
 
-    def statements(self, name: str, batch: int | None = None) -> DataFrame:
+    def statements(
+        self, name: str, batch: int | None = None, kind: str | None = None
+    ) -> DataFrame:
         """Render the nGQL statements the reference would emit for this
         tag/edge — (statement, n_records) rows, batched at the manager (or
-        per-source) batch size. The literal statement plane of the sink;
-        see plans/ngql.py for the format contract."""
+        per-source) batch size. Tag and edge names are independent
+        namespaces in the reference; pass ``kind`` ("tag"/"edge") to
+        disambiguate when a config uses one name for both. The literal
+        statement plane of the sink; see plans/ngql.py for the format."""
         from nebula_importer_spark.plans.ngql import (
             render_edge_statements,
             render_node_statements,
@@ -190,18 +194,20 @@ class Pipeline:
         parts = []
         for i, s in enumerate(self.config.sources):
             b = batch or s.batch or self.config.batch
-            for t in s.tags:
-                if t.name == name:
-                    good, _ = self._scan(i, s)
-                    mapped = map_node(good, t).filter(F.col(VID).isNotNull())
-                    parts.append(render_node_statements(mapped, t, batch=b))
-            for e in s.edges:
-                if e.name == name:
-                    good, _ = self._scan(i, s)
-                    mapped = map_edge(good, e).filter(
-                        F.col(SRC).isNotNull() & F.col(DST).isNotNull()
-                    )
-                    parts.append(render_edge_statements(mapped, e, batch=b))
+            if kind in (None, "tag"):
+                for t in s.tags:
+                    if t.name == name:
+                        good, _ = self._scan(i, s)
+                        mapped = map_node(good, t).filter(F.col(VID).isNotNull())
+                        parts.append(render_node_statements(mapped, t, batch=b))
+            if kind in (None, "edge"):
+                for e in s.edges:
+                    if e.name == name:
+                        good, _ = self._scan(i, s)
+                        mapped = map_edge(good, e).filter(
+                            F.col(SRC).isNotNull() & F.col(DST).isNotNull()
+                        )
+                        parts.append(render_edge_statements(mapped, e, batch=b))
         if not parts:
             raise KeyError(f"element {name!r} not in config")
         out = parts[0]

@@ -228,28 +228,43 @@ class SFTPOptions:
             import io
 
             # any key type, like the reference's ssh.ParsePrivateKey
-            # (pkg/source/sftp.go) — try each paramiko class in turn
+            # (pkg/source/sftp.go) — try each paramiko class in turn.
+            # DSSKey via getattr: paramiko >= 4 removed DSA support.
             text = self.key_data or Path(self.key_file).read_text()
-            key_err: Exception | None = None
-            for cls in (
-                paramiko.Ed25519Key,
-                paramiko.ECDSAKey,
-                paramiko.RSAKey,
-                paramiko.DSSKey,
-            ):
+            classes = [
+                cls
+                for cls in (
+                    paramiko.Ed25519Key,
+                    paramiko.ECDSAKey,
+                    paramiko.RSAKey,
+                    getattr(paramiko, "DSSKey", None),
+                )
+                if cls is not None
+            ]
+            errors: list[Exception] = []
+            for cls in classes:
                 try:
                     kwargs["pkey"] = cls.from_private_key(
                         io.StringIO(text), password=self.passphrase
                     )
                     break
+                except paramiko.PasswordRequiredException as e:
+                    # the key parsed far enough to know it is encrypted —
+                    # report the passphrase problem, not a format guess
+                    from nebula_importer_spark.sources.reader import SourceError
+
+                    raise SourceError(
+                        f"sftp: private key needs a passphrase ({e})"
+                    ) from e
                 except paramiko.SSHException as e:
-                    key_err = e
+                    errors.append(e)
             else:
                 from nebula_importer_spark.sources.reader import SourceError
 
-                raise SourceError(
-                    f"sftp: unreadable private key ({key_err})"
-                ) from key_err
+                detail = "; ".join(
+                    f"{c.__name__}: {e}" for c, e in zip(classes, errors)
+                )
+                raise SourceError(f"sftp: unreadable private key ({detail})")
         elif self.password is not None:
             kwargs["password"] = self.password
         cli = paramiko.SSHClient()

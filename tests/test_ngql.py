@@ -197,3 +197,39 @@ def test_pipeline_statements_from_reference_example(spark, tmp_path):
     assert "INSERT VERTEX IGNORE_EXISTED_INDEX `Person`(`firstName`" in joined
     assert '"933":("Mahinda"' in joined
     assert 'DATE("1989-12-03")' in joined
+
+
+def test_null_rank_fragments_are_excluded(spark):
+    """Unrenderable keys (null rank on a ranked edge) must neither count in
+    n_records nor leave an empty/invalid VALUES list."""
+    df = spark.createDataFrame(
+        [(1, "a", 7, "x"), (2, "b", None, "y")],
+        "src long, dst string, rank long, prop1 string",
+    ).coalesce(1)
+    spec = EdgeSpec(
+        "e",
+        src=NodeIDSpec(type="INT", index=0),
+        dst=NodeIDSpec(type="STRING", index=1),
+        rank_index=0,
+        props=[PropSpec("prop1", "STRING", 2)],
+    )
+    got = _stmts(render_edge_statements(df, spec))
+    assert got == [
+        ('INSERT EDGE IGNORE_EXISTED_INDEX `e`(`prop1`) VALUES 1->"a"@7:("x")', 1)
+    ]
+    # an all-null batch renders NO statement at all
+    all_null = df.filter("rank is null")
+    assert render_edge_statements(all_null, spec).count() == 0
+
+
+def test_datetime_preserves_fractional_seconds(spark):
+    df = spark.createDataFrame(
+        [("k", "2020-01-01 12:00:00.123"), ("k2", "2020-01-01 12:00:00")],
+        "vid string, dt string",
+    ).select("vid", F.col("dt").cast("timestamp_ntz").alias("dt"))
+    spec = NodeSpec(
+        "t", NodeIDSpec(type="STRING", index=0), [PropSpec("dt", "DATETIME", 1)]
+    )
+    joined = " ".join(s for s, _ in _stmts(render_node_statements(df, spec, batch=1)))
+    assert 'DATETIME("2020-01-01T12:00:00.123")' in joined
+    assert 'DATETIME("2020-01-01T12:00:00")' in joined  # no spurious .000

@@ -184,7 +184,8 @@ sources:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     text = "".join(
-        p.read_text() for p in (tmp_path / "st" / "person.ngql").glob("part-*")
+        p.read_text()
+        for p in (tmp_path / "st" / "tags" / "person.ngql").glob("part-*")
     )
     assert "INSERT VERTEX IGNORE_EXISTED_INDEX `person`(`name`) VALUES " in text
     assert '"a":("Ann")' in text and '"b":("Bob")' in text
