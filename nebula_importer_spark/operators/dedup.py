@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nebula_importer_spark.operators.linking import minhash_lsh_join, word_ngrams
+from nebula_importer_spark.operators.skew import spread_small_input
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -57,6 +58,7 @@ def ngram_jaccard_pairs(
     corpus where no shingle exceeds the cap (all test scales) the result is
     exactly the uncapped Jaccard.
     """
+    df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
     sh = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_sh"))
     ex = sh.select("_id", F.explode("_sh").alias("_g"))
     rare = (
@@ -163,7 +165,7 @@ def simhash_dup_pairs(
     blocks; any pair within distance < n_blocks agrees on ≥1 block → equi-join
     per block, then exact popcount verification (bit_count). No cross join.
     """
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(spread_small_input(df), id_col, text_col)
     width = 64 // n_blocks
     blocks = sigs.select(
         id_col,

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nebula_importer_spark.operators.skew import spread_small_input
+
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BAND_SIZE = 2
 
@@ -149,6 +151,10 @@ def minhash_lsh_join(
     # Self-joins (right is left) prepare ONE side and alias it — half the
     # shingling/minhash work.
     self_join = right is left and right_key != left_key
+    # shingling/minhash are CPU-bound per-row expressions: spread a
+    # few-split input across the cluster first (no-op at scale)
+    left = spread_small_input(left)
+    right = left if self_join else spread_small_input(right)
     l_sh = _with_shingles(
         left.select(F.col(left_key).alias(lk), F.col(left_text).alias("_lt")),
         "_lt", shingle_n, shingle_mode,

@@ -40,3 +40,16 @@ def salted_repartition(
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     out = out.repartition(num_partitions, F.col(key), F.col("_salt"))
     return out.drop("_salt")
+
+
+def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin a narrow input across the cluster BEFORE a CPU-heavy
+    per-row stage (shingling, minhash, hashing). A small parquet table is
+    one split, so every downstream expression runs on ONE core no matter
+    how many the session has — the classic small-input parallelism trap.
+    No-op when the input already has enough partitions (a 100-TB scan
+    does), so no shuffle is added at scale."""
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
