@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nebula_importer_spark.operators.skew import spread_small_input
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -56,7 +58,9 @@ def brute_force_topk(
     """(query_id, neighbor_id, rank, cosine) — exact top-k per query.
     Deterministic tie-break on neighbor id. Self-matches (same id) excluded
     when id columns share a domain."""
-    c = corpus.select(
+    # the NLJ scores |corpus|×|queries| dot products on the corpus side's
+    # tasks — a one-split corpus would compute them all on one core
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(
