@@ -260,6 +260,7 @@ def embedding_dup_pairs(
     # vectors attach to the deduplicated candidate pairs afterwards — at
     # n_bands bands the explode would otherwise shuffle every vector
     # n_bands times and again per colliding pair.
+    df = spread_small_input(df)  # hyperplane dots are CPU-bound per row
     v = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array(*band_keys)).alias("_band", "_bkt"),

@@ -168,7 +168,7 @@ def ivf_topk(
         denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         return pd.Series((a * b).sum(axis=1) / np.maximum(denom, 1e-12))
 
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cell", _cell("_cv"))
     q = queries.select(
@@ -240,7 +240,7 @@ def lsh_topk(
             ]
         )
 
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
     ).select(
