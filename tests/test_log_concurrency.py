@@ -95,3 +95,17 @@ def test_reader_concurrency_caps_scan_partitions(spark):
     )
     # the staged scan was written by a single task → a single split
     assert good.rdd.getNumPartitions() == 1
+
+
+def test_duration_parsing_composite_and_errors():
+    from nebula_importer_spark.config.parse import _duration_sec
+
+    assert _duration_sec("1m30s") == 90.0
+    assert _duration_sec("1h10m") == 4200.0
+    assert _duration_sec("500ms") == 0.5
+    assert _duration_sec("3") == 3.0
+    assert _duration_sec(2.5) == 2.5
+    assert _duration_sec(None) == 0.0
+    for bad in ("abc", "1x", "m30", "30s1m x"):
+        with pytest.raises(ConfigError):
+            _duration_sec(bad)
