@@ -233,3 +233,45 @@ def test_datetime_preserves_fractional_seconds(spark):
     joined = " ".join(s for s, _ in _stmts(render_node_statements(df, spec, batch=1)))
     assert 'DATETIME("2020-01-01T12:00:00.123")' in joined
     assert 'DATETIME("2020-01-01T12:00:00")' in joined  # no spurious .000
+
+
+def test_go_quote_roundtrip_property(spark):
+    """Property: for any text over the supported escape alphabet, the
+    rendered statement literal unescapes back to the original string —
+    i.e. go_quote is injective and lossless for graph data."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nebula_importer_spark.plans.ngql import go_quote
+
+    alphabet = st.sampled_from(
+        list("abzAZ09 _-.,:;!?()[]{}") + ['"', "\\", "\n", "\t", "\r", "é", "界"]
+    )
+
+    def unquote(lit: str) -> str:
+        assert lit[0] == '"' and lit[-1] == '"'
+        body = lit[1:-1]
+        out, i = [], 0
+        mapping = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
+        while i < len(body):
+            if body[i] == "\\":
+                out.append(mapping[body[i + 1]])
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        return "".join(out)
+
+    # one Spark action for the whole sample set (hypothesis drives data
+    # generation only; the comparison is vectorized through one collect)
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(alphabet, max_size=30), min_size=1, max_size=8))
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        rows = df.select(go_quote(F.col("s")).alias("q"), "s").collect()
+        for r in rows:
+            assert unquote(r["q"]) == r["s"], (r["q"], r["s"])
+
+    check()
