@@ -58,6 +58,20 @@ class ConfigError(ValueError):
     """Raised for invalid schema configs (Validate()-time failures)."""
 
 
+def _validate_filter(expr: str | None, where: str) -> None:
+    """Grammar-check a filter DSL expression at config-validate time so an
+    off-grammar filter (expr-lang superset constructs the translator does not
+    support) fails before the job starts, not mid-run."""
+    if not expr:
+        return
+    from nebula_importer_spark.functions.filter_dsl import FilterError, validate_filter
+
+    try:
+        validate_filter(expr)
+    except FilterError as e:
+        raise ConfigError(f"{where}: invalid filter: {e}") from e
+
+
 @dataclass
 class PropSpec:
     """One typed property bound to a 0-based source column index.
@@ -126,6 +140,7 @@ class NodeSpec:
         if not self.name:
             raise ConfigError("node with empty name")
         self.id.validate()
+        _validate_filter(self.filter, f"node {self.name!r}")
         seen: set[str] = set()
         for p in self.props:
             p.validate()
@@ -157,6 +172,7 @@ class EdgeSpec:
         self.dst.validate()
         if self.rank_index is not None and self.rank_index < 0:
             raise ConfigError(f"edge {self.name!r}: negative rank index")
+        _validate_filter(self.filter, f"edge {self.name!r}")
         seen: set[str] = set()
         for p in self.props:
             p.validate()

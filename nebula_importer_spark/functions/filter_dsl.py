@@ -8,6 +8,22 @@ indexing ``Record[i]``). That grammar is a strict subset of Spark SQL, so the
 translation is purely syntactic: ``Record[i]`` becomes a reference to the
 i-th source column *cast to string* (record values are strings in the
 reference, so comparisons must be string comparisons).
+
+Two deliberate properties of the translator:
+
+1. **String literals are opaque.** Substitution (``Record[i]``, ``&&``,
+   ``||``, ``!``) happens ONLY outside quoted literals — ``Record[0] !=
+   "a&&b"`` keeps its literal intact, and ``== "no!"`` does not grow a
+   ``not``. The expression is tokenized around literals first (both quote
+   styles, with backslash escapes — expr-lang accepts both).
+2. **The grammar is validated, not passed through.** expr-lang is a full
+   expression language (the reference would also compile ``len()``, ``in``,
+   arithmetic, string methods); everything outside the documented filter
+   grammar raises :class:`FilterError` at config-validate/compile time
+   instead of falling through to Spark SQL with possibly different
+   semantics mid-job. The supported surface is exactly the documented one:
+   comparisons, boolean connectives, parentheses, ``Record[i]``, string and
+   numeric literals.
 """
 
 from __future__ import annotations
@@ -18,14 +34,57 @@ from pyspark.sql import Column, functions as F
 
 _RECORD_REF = re.compile(r"Record\[(\d+)\]")
 _BANG_NOT = re.compile(r"!(?!=)")  # standalone ! (but not !=) → NOT
+# A quoted literal in either style; backslash escapes any next char.
+_STRING_LIT = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+# Tokens legal OUTSIDE literals once Record refs are resolved. Order matters:
+# multi-char operators before their single-char prefixes.
+_TOKEN = re.compile(
+    r"\s+|==|!=|<=|>=|&&|\|\||[<>()!]"
+    r"|\b(?:and|or|not|true|false)\b"
+    r"|-?\d+(?:\.\d+)?"
+)
 
 
 class FilterError(ValueError):
     pass
 
 
+def _map_segments(expr: str, fn) -> str:
+    """Apply ``fn`` to the parts of ``expr`` outside quoted string literals;
+    literals pass through byte-identical. An unterminated quote is a grammar
+    error (expr-lang would reject it too)."""
+    out: list[str] = []
+    last = 0
+    for m in _STRING_LIT.finditer(expr):
+        out.append(fn(expr[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    tail = expr[last:]
+    if '"' in tail or "'" in tail:
+        raise FilterError(f"unterminated string literal in filter: {expr!r}")
+    out.append(fn(tail))
+    return "".join(out)
+
+
+def _validate_segment(seg: str, expr: str) -> None:
+    """Every char outside literals must belong to a documented-grammar token.
+    ``seg`` arrives with Record refs already replaced by a placeholder."""
+    pos = 0
+    while pos < len(seg):
+        m = _TOKEN.match(seg, pos)
+        if m is None:
+            raise FilterError(
+                f"unsupported filter construct at {seg[pos:pos + 20]!r} in "
+                f"{expr!r}: the filter grammar is Record[i], string/number "
+                "literals, == != < > <= >=, and/&&, or/||, not/!, parentheses "
+                "(reference docs/filter-expression.md)"
+            )
+        pos = m.end()
+
+
 def translate_filter(expr: str, cols: list[str]) -> str:
-    """Return a Spark SQL boolean expression string."""
+    """Return a Spark SQL boolean expression string (raises
+    :class:`FilterError` on out-of-range refs or off-grammar constructs)."""
 
     def _ref(m: re.Match[str]) -> str:
         i = int(m.group(1))
@@ -33,13 +92,25 @@ def translate_filter(expr: str, cols: list[str]) -> str:
             raise FilterError(f"filter references Record[{i}] but row width is {len(cols)}")
         return f"cast(`{cols[i]}` as string)"
 
-    out = _RECORD_REF.sub(_ref, expr)
-    out = out.replace("&&", " and ").replace("||", " or ")
-    out = _BANG_NOT.sub(" not ", out)
-    return out
+    def _rewrite(seg: str) -> str:
+        _validate_segment(_RECORD_REF.sub(" 0 ", seg), expr)
+        seg = _RECORD_REF.sub(_ref, seg)
+        # `&&` is a Spark SQL synonym for AND, but `||` is CONCAT there —
+        # both get rewritten to the keyword forms for unambiguous semantics.
+        seg = seg.replace("&&", " and ").replace("||", " or ")
+        return _BANG_NOT.sub(" not ", seg)
+
+    return _map_segments(expr, _rewrite)
 
 
 def compile_filter(expr: str, cols: list[str]) -> Column:
     """Filter DSL string → boolean Column (rows failing are silently skipped,
     not rejected — reference pkg/spec/v3/node.go:160-167)."""
     return F.expr(translate_filter(expr, cols))
+
+
+def validate_filter(expr: str) -> None:
+    """Config-time validation without needing the source column list: checks
+    literal termination + grammar only (width checks happen at compile time
+    when the source schema is known). Raises :class:`FilterError`."""
+    _map_segments(expr, lambda seg: (_validate_segment(_RECORD_REF.sub(" 0 ", seg), expr), seg)[1])
