@@ -467,14 +467,19 @@ def q_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap), batch twin of the
     applyInPandasWithState streaming sessionizer — lag + running sum +
-    groupBy sharing one exchange."""
+    groupBy sharing one exchange. ``sum_value`` travels as a rendered
+    decimal STRING: the operator sums in exact decimal (order-free), and
+    the string rendering of decimal(18,2) is engine- and canonicalizer-
+    independent (the round-1/round-2 driver red row was the one remaining
+    double column)."""
     from nebula_importer_spark.operators.temporal import sessionize_batch
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize_batch(
+    out = sessionize_batch(
         ev, key="user_id", ts="ts", id_col="event_id",
         gap_sec=1800.0, value_col="value",
     )
+    return out.withColumn("sum_value", F.col("sum_value").cast("string"))
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +639,11 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-asset variant of the multimodal kernel. NOT in queries():
+    the same kernel is value-checked end-to-end by multimodal_doc_hash
+    (byte length + sha256) and multimodal_doc_features (feature expansion)
+    over oracle-visible data; this variant's synthetic payloads are not
+    reconstructible in ANSI SQL. Kept for pytest (test_operators)."""
     from nebula_importer_spark.operators.multimodal import extract_features, synth_assets
 
     feats = extract_features(synth_assets(spark, n=48))
@@ -663,7 +673,11 @@ def q_multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL — little-endian uint32s from the hex digest (doubled past 32 bytes)
     mod 10⁴ / 10⁴ — so the Arrow-batched mapInPandas path is value-checked
     end-to-end, not just row-counted. Floats rounded to 6dp on both sides
-    (the true values are k/10000 rationals, so rounding is exact)."""
+    (the true values are k/10000 rationals, so rounding is exact).
+
+    The feature array is posexploded to (asset_id, idx, feature) SCALAR rows:
+    the driver's canonicalizer sorts pandas columns and cannot hash list
+    cells (round-2 harness error) — the gate's contract is scalar columns."""
     from nebula_importer_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -672,18 +686,21 @@ def q_multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("doc").alias("kind"),
         F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
     )
-    return extract_features(assets).select(
+    ex = extract_features(assets).select(
+        "asset_id", F.posexplode("feature").alias("idx", "feature")
+    )
+    return ex.select(
         "asset_id",
-        F.transform("feature", lambda x: F.round(x.cast("double"), 6)).alias(
-            "feature"
-        ),
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("feature").cast("double"), 6).alias("feature"),
     )
 
 
 def _doc_features_sql() -> str:
     """DuckDB twin of _fake_feature: hex-digit arithmetic reconstruction of
-    numpy's frombuffer(digest*2, uint32-LE) % 10000 / 10000."""
-    feats = []
+    numpy's frombuffer(digest*2, uint32-LE) % 10000 / 10000, one row per
+    (asset, feature index) — scalar columns only (driver-gate contract)."""
+    legs = []
     for i in range(16):
         j = (4 * i) % 32  # doubled digest wraps at 32 bytes
         terms = []
@@ -695,14 +712,17 @@ def _doc_features_sql() -> str:
             )
             terms.append(f"{byte} * {256 ** k}")
         u32 = " + ".join(terms)
-        feats.append(f"round((({u32}) % 10000) / 10000.0, 6)")
-    arr = "[" + ", ".join(feats) + "]"
+        legs.append(
+            f"SELECT asset_id, CAST({i} AS BIGINT) AS idx, "
+            f"round((({u32}) % 10000) / 10000.0, 6) AS feature FROM t"
+        )
+    union = " UNION ALL ".join(legs)
     return f"""
         WITH t AS (
             SELECT doc_id AS asset_id, sha256(coalesce(text, '')) AS h
             FROM documents
         )
-        SELECT asset_id, {arr} AS feature FROM t
+        {union}
     """
 
 
@@ -932,7 +952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_triples": q_kg_triples,
-        "multimodal_features": q_multimodal_features,
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "dedup_components": q_dedup_components,
         "mix_domains": q_mix_domains,
@@ -1166,7 +1185,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(us) AS start_us,
                    MAX(us) AS end_us,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+                   CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
             FROM g
             GROUP BY user_id, session_id
         """,

@@ -206,15 +206,16 @@ def sessionize_batch(
         F.max("_us").alias("end_us"),
     ]
     if value_col:
-        # Sum in exact decimal, not double: double summation is partition-
-        # order dependent, and a sum landing on a .xx5 rounding boundary
-        # flips the rounded value run-to-run (observed under the driver's
-        # partitioning at sf0.01). decimal(18,6) represents the source
-        # values exactly (≤4 decimal digits), the decimal sum is exact, and
-        # round-then-cast is deterministic across engines.
+        # Sum in exact decimal and STAY in decimal: double summation is
+        # partition-order dependent, and even a deterministic double can
+        # render differently across engines/canonicalizers (the round-2
+        # driver red row survived a builder-side bit-exact green).
+        # decimal(18,6) represents the source values exactly (≤4 decimal
+        # digits), the decimal sum is exact and order-free, and
+        # decimal(18,2) is rendered identically everywhere.
         aggs.append(
             F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
-            .cast("double")
+            .cast("decimal(18,2)")
             .alias("sum_value")
         )
     return (

@@ -58,11 +58,15 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from nebula_importer_spark.session import get_spark
 
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # NIS_CHECK_SHUFFLE=200 reproduces the driver's default conf (the round-2
+    # sessionize red row did not reproduce under the checker's 16 partitions).
     spark = get_spark(
         "oracle-check",
-        shuffle_partitions=16,
+        shuffle_partitions=int(os.environ.get("NIS_CHECK_SHUFFLE", "16")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
