@@ -552,9 +552,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, EXACT configuration: with max_hamming(3) <
+    n_blocks(4) the pigeonhole block cover is complete, so the block join +
+    popcount verify returns exactly the pairs an all-pairs scan would — the
+    DuckDB oracle computes that all-pairs twin over the same md5-derived
+    32-bit signatures (hex-digit arithmetic; xxhash64 stays the scale
+    default but has no cross-engine twin)."""
     from nebula_importer_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    pairs = simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        n_blocks=4,
+        bits=32,
+        hash_mode="md5_32",
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _dedup_simhash_sql() -> str:
+    """DuckDB twin of the md5_32 SimHash: parse the first 8 hex chars of
+    md5(token) with strpos arithmetic, majority-vote each of the 32 bits,
+    rebuild the signature, then all-pairs popcount (exact — the Spark side's
+    pigeonhole cover is complete at max_hamming < n_blocks)."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, {hexval} AS hv
+            FROM (SELECT doc_id, md5(tok) AS m FROM toks)
+        ),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS s FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,16 +635,71 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k. Value-checked, not just row-counted:
+    the hyperplanes are seeded plan constants (seed 42, dim 64), so the
+    DuckDB oracle embeds the SAME plane values as SQL literals and
+    reproduces the full LSH semantics — sign bits → band keys → ≥1-band
+    candidate filter → exact cosine top-3 — making the approximate
+    operator's exact realized output the thing being verified."""
     from nebula_importer_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = lsh_topk(emb, queries, k=3, n_planes=12, n_bands=4)
+    top = lsh_topk(emb, queries, k=3, n_planes=12, n_bands=4, dim=64)
     return top.select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _ann_lsh_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplanes are regenerated here
+    (same numpy RandomState stream as operators/similarity.py) and embedded
+    as SQL array literals; band keys and the ≥1-band candidate rule mirror
+    the Spark expressions bit for bit."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+    bit_cols = ", ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(float(x)) for x in planes[p])
+        + f"]), x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END) AS bit{p}"
+        for p in range(n_planes)
+    )
+    band_cols = ", ".join(
+        " + ".join(f"bit{b * per_band + r} * {1 << r}" for r in range(per_band))
+        + f" AS band{b}"
+        for b in range(n_bands)
+    )
+    any_band = " OR ".join(f"c.band{b} = q.band{b}" for b in range(n_bands))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bits AS (SELECT vec_id, v, {bit_cols} FROM e),
+        k AS (SELECT vec_id, v, {band_cols} FROM bits),
+        cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.v AS qv, c.v AS cv
+            FROM k c JOIN k q
+              ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND ({any_band})
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+            FROM cand
+        )
+        SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,7 +1507,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
         """,
-        # dedup_simhash / ann_lsh_topk / kg_triples / multimodal_features:
-        # hash- or LSH-bit-based (not ANSI-SQL-expressible) → rows-only
-        # driver check; gated in pytest instead.
+        "dedup_simhash": _dedup_simhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # ann_ivf_topk: the k-means coarse quantizer is the one genuinely
+        # non-SQL-expressible piece (iterative, data-dependent centroids) →
+        # rows-only driver check; recall vs the exact baseline is gated in
+        # pytest (test_operators) instead.
     }

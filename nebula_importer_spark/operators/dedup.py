@@ -125,18 +125,40 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document — entirely JVM expressions.
+    """SimHash per document — entirely JVM expressions.
 
-    Token hash = xxhash64(token); bit k of the signature is the sign of
-    sum over tokens of (2*((hash>>k)&1) - 1). One explode + one groupBy with
-    ``bits`` conditional-sum aggregates (single shuffle).
+    Token hash: ``hash_mode='xxhash64'`` (default, fastest — one JVM hash per
+    token, 64 bits) or ``'md5_32'`` (first 8 hex chars of md5 parsed as a
+    32-bit value — slightly slower but reproducible in any engine with md5,
+    which is how the DuckDB oracle value-checks this operator; pass
+    ``bits=32`` with it). Bit k of the signature is the sign of sum over
+    tokens of (2*((hash>>k)&1) - 1). One explode + one groupBy with ``bits``
+    conditional-sum aggregates (single shuffle). Tokens are ``\\S+`` runs
+    (whitespace-only text yields no tokens and therefore no signature row —
+    identical semantics across engines, unlike split('') quirks).
     """
+    if hash_mode == "xxhash64":
+        h = F.xxhash64("_tok")
+    elif hash_mode == "md5_32":
+        if bits > 32:
+            raise ValueError("md5_32 token hashes carry 32 bits; pass bits<=32")
+        h = F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+        F.explode(F.expr(f"regexp_extract_all(`{text_col}`, '\\\\S+', 0)")).alias(
+            "_tok"
+        ),
+    ).withColumn("_h", h)
     aggs = [
         F.sum(
             (F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -158,15 +180,20 @@ def simhash_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole blocking: split the 64-bit signature into ``n_blocks`` 16-bit
-    blocks; any pair within distance < n_blocks agrees on ≥1 block → equi-join
-    per block, then exact popcount verification (bit_count). No cross join.
+    Pigeonhole blocking: split the ``bits``-wide signature into ``n_blocks``
+    equal blocks; any pair within distance < n_blocks agrees on ≥1 block →
+    equi-join per block, then exact popcount verification (bit_count). No
+    cross join. With ``max_hamming < n_blocks`` the result is EXACT (the
+    pigeonhole cover is complete); beyond that it is a high-recall
+    approximation (documented, like every LSH family here).
     """
-    sigs = simhash(spread_small_input(df), id_col, text_col)
-    width = 64 // n_blocks
+    sigs = simhash(spread_small_input(df), id_col, text_col, bits=bits, hash_mode=hash_mode)
+    width = bits // n_blocks
     blocks = sigs.select(
         id_col,
         "simhash",
