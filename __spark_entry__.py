@@ -726,16 +726,123 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nebula_importer_spark.transcripts.generate import gen_corpus_local
+    """The NORTH-STAR pipeline end-to-end — salted extraction (mapInPandas),
+    entity linking (exact + fuzzy stages), connected-components
+    canonicalization — value-checked against a full SQL reconstruction.
+
+    The corpus, alias dictionary, and same_as graph all derive
+    deterministically from the oracle-visible documents table: every doc
+    yields 3 transcript sentences; every mention has an alias (one with a
+    competing second entity to exercise the min-entity tie-break); same_as
+    chains dan→cara (d%3==0) and cara→ann (d%6==0) so components of size
+    2 AND 3 flow through the CC canonicalizer. The oracle mirrors each
+    stage: the proven extraction regex legs, normalized alias join with
+    MIN(entity_id), recursive-CTE transitive closure with LEAST-min
+    canonical ids. (The generated-corpus variant with typo'd fuzzy links
+    stays pytest-gated at P/R ≥ 0.95 — test_transcripts.)"""
     from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
 
-    c = gen_corpus_local(seed=42, n_convs=12, turns_per_conv=10, mega_conv_turns=60)
-    d = c.to_spark(spark)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    k13 = (F.col("doc_id") % 13).cast("string")
+    j7 = (F.col("doc_id") % 7).cast("string")
+    text = F.concat(
+        F.lit("Ann"), did, F.lit(" Lee works at Acme"), k13,
+        F.lit(" Corp. Bob"), did, F.lit(" lives in City"), j7,
+        F.lit(". Cara"), did, F.lit(" Q knows Dan"), did,
+        F.lit(" who knows Eve."),
+    )
+    transcripts = d.select(
+        did.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"), text.alias("text")
+    )
+
+    def mk(alias, ent):
+        return d.select(alias.alias("alias"), ent.alias("entity_id"))
+
+    alias_dict = (
+        mk(F.concat(F.lit("Ann"), did, F.lit(" Lee")), F.concat(F.lit("person:ann"), did))
+        .unionByName(mk(F.concat(F.lit("Acme"), k13, F.lit(" Corp")), F.concat(F.lit("org:acme"), k13)))
+        .unionByName(mk(F.concat(F.lit("Bob"), did), F.concat(F.lit("person:bob"), did)))
+        # competing entity for the same alias — exact link takes MIN(entity_id)
+        .unionByName(mk(F.concat(F.lit("Bob"), did), F.concat(F.lit("person:bobalt"), did)))
+        .unionByName(mk(F.concat(F.lit("City"), j7), F.concat(F.lit("place:city"), j7)))
+        .unionByName(mk(F.concat(F.lit("Cara"), did, F.lit(" Q")), F.concat(F.lit("person:cara"), did)))
+        .unionByName(mk(F.concat(F.lit("Dan"), did, F.lit(" who knows Eve")), F.concat(F.lit("person:dan"), did)))
+    )
+    same_as = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("person:dan"), did).alias("entity_id"),
+            F.concat(F.lit("person:cara"), did).alias("dup_id"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 6 == 0).select(
+                F.concat(F.lit("person:cara"), did).alias("entity_id"),
+                F.concat(F.lit("person:ann"), did).alias("dup_id"),
+            )
+        )
+    )
     pipe = TranscriptPipeline(spark)
-    surface = pipe.triples_surface(d["transcripts"])
-    links = pipe.link_table(surface, d["alias_dict"])
-    triples, _ = pipe.canonical_triples(surface, links, d["same_as"])
+    surface = pipe.triples_surface(transcripts)
+    links = pipe.link_table(surface, alias_dict)
+    triples, _ = pipe.canonical_triples(surface, links, same_as)
     return triples
+
+
+def _kg_triples_sql() -> str:
+    """DuckDB twin of the full pipeline over the documents-derived corpus:
+    extraction legs (shared with _kg_extract_docs_sql), mention
+    normalization, exact alias linking with the MIN(entity_id) tie-break,
+    and recursive-CTE canonicalization of the same_as graph."""
+    sur = _kg_extract_docs_sql()
+    norm = "lower(regexp_replace(trim({c}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH RECURSIVE sur AS ({sur}),
+        alias AS (
+            SELECT 'ann' || doc_id || ' lee' AS alias_norm,
+                   'person:ann' || doc_id AS entity_id FROM documents
+            UNION ALL SELECT 'acme' || (doc_id % 13) || ' corp',
+                   'org:acme' || (doc_id % 13) FROM documents
+            UNION ALL SELECT 'bob' || doc_id, 'person:bob' || doc_id FROM documents
+            UNION ALL SELECT 'bob' || doc_id, 'person:bobalt' || doc_id FROM documents
+            UNION ALL SELECT 'city' || (doc_id % 7),
+                   'place:city' || (doc_id % 7) FROM documents
+            UNION ALL SELECT 'cara' || doc_id || ' q',
+                   'person:cara' || doc_id FROM documents
+            UNION ALL SELECT 'dan' || doc_id || ' who knows eve',
+                   'person:dan' || doc_id FROM documents
+        ),
+        link AS (
+            SELECT alias_norm, MIN(entity_id) AS entity_id
+            FROM alias GROUP BY alias_norm
+        ),
+        sameas AS (
+            SELECT 'person:dan' || doc_id AS a, 'person:cara' || doc_id AS b
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'person:cara' || doc_id, 'person:ann' || doc_id
+            FROM documents WHERE doc_id % 6 = 0
+        ),
+        ed AS (SELECT a, b FROM sameas UNION SELECT b, a FROM sameas),
+        reach(a, b) AS (
+            SELECT a, b FROM ed
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a
+        ),
+        canon AS (
+            SELECT a AS entity_id, LEAST(a, MIN(b)) AS canonical_id
+            FROM reach GROUP BY a
+        )
+        SELECT DISTINCT s.conv_id, CAST(0 AS INTEGER) AS turn_idx,
+               COALESCE(cs.canonical_id, ls.entity_id) AS subj,
+               s.pred,
+               COALESCE(co.canonical_id, lo.entity_id) AS obj
+        FROM sur s
+        JOIN link ls ON {norm.format(c='s.subj_sf')} = ls.alias_norm
+        JOIN link lo ON {norm.format(c='s.obj_sf')} = lo.alias_norm
+        LEFT JOIN canon cs ON cs.entity_id = ls.entity_id
+        LEFT JOIN canon co ON co.entity_id = lo.entity_id
+    """
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1509,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "kg_triples": _kg_triples_sql(),
         # ann_ivf_topk: the k-means coarse quantizer is the one genuinely
         # non-SQL-expressible piece (iterative, data-dependent centroids) →
         # rows-only driver check; recall vs the exact baseline is gated in
