@@ -26,10 +26,15 @@ exact integer microseconds (``unix_micros``) so semantics are reproducible
 across engines (the DuckDB oracle uses ``epoch_us``).
 
 At 100 TB: every operator here shuffles exactly once on the entity key
-(user_id/conv_id). Skewed keys (one user with 10^8 events) can be pre-salted
-for asof/sessionize only if the gap logic is applied per salt-span with
-boundary stitching; we keep the unsalted form and rely on AQE skew-split for
-the window sort, which Spark handles since the window is rows-based.
+(user_id/conv_id). Skewed keys are the honest caveat: AQE skew handling
+splits JOIN partitions, NOT window exchanges, so a single key with 10^8
+events serializes its window sort into one task in the default paths.
+``sessionize_batch(span_sec=...)`` is the mitigation: time-span salting with
+boundary stitching (gap logic is per-adjacent-pair, so sessionizing within
+(key, time-span) partitions and merging sessions across span boundaries is
+exactly equivalent — proven by the equivalence test in test_temporal). For
+``asof_join`` the same span trick would need right-row carry-over across
+spans (a second pass); it stays unsalted and documented as such.
 """
 
 from __future__ import annotations
@@ -173,23 +178,37 @@ def sessionize_batch(
     id_col: str = "event_id",
     gap_sec: float = 1800.0,
     value_col: str | None = None,
+    span_sec: float | None = None,
 ) -> DataFrame:
     """Gap-based sessionization, batch form: a new session starts when the
     gap to the previous event of the same key exceeds ``gap_sec``.
 
     Output: (key, session_id, n_events, start_us, end_us[, sum_value]) where
-    ``session_id`` is 1-based per key in time order. Exactly one shuffle on
-    the key (window + groupBy share the partitioning; Catalyst reuses the
-    exchange).
+    ``session_id`` is 1-based per key in time order. Default path: exactly
+    one shuffle on the key (window + groupBy share the partitioning).
+
+    ``span_sec`` opts into MEGA-KEY salting (the 100-TB path for skewed
+    keys, e.g. one user holding 10% of all events): rows are windowed
+    within (key, floor(ts/span)) partitions — a mega key spreads over
+    time-span tasks instead of serializing into one — then sessions are
+    stitched across span boundaries on a per-(key, span) SUMMARY frame
+    (rows ∝ spans, not events). The stitch is exact: a span's first
+    session merges with the previous span's last session iff their
+    boundary events are within the gap, and the global session id is
+    cumulative-sessions-before − cumulative-merges + local id, which
+    collapses chained merges transitively. Result is row-identical to the
+    unsalted path (equivalence-tested).
     """
     gap_us = int(gap_sec * 1_000_000)
-    w = Window.partitionBy(key).orderBy("_us", id_col)
     ev = events.select(
         key,
         _us(ts).alias("_us"),
         id_col,
         *([F.col(value_col)] if value_col else []),
     )
+    if span_sec is not None:
+        return _sessionize_spans(ev, key, id_col, gap_us, int(span_sec * 1_000_000), value_col)
+    w = Window.partitionBy(key).orderBy("_us", id_col)
     flagged = ev.withColumn(
         "_new",
         F.when(
@@ -221,4 +240,82 @@ def sessionize_batch(
     return (
         flagged.groupBy(F.col(key), F.col("_sess").alias("session_id"))
         .agg(*aggs)
+    )
+
+
+def _sessionize_spans(
+    ev: DataFrame,
+    key: str,
+    id_col: str,
+    gap_us: int,
+    span_us: int,
+    value_col: str | None,
+) -> DataFrame:
+    """Salt-span sessionization with boundary stitching (see
+    sessionize_batch). Value sums stay UNROUNDED exact decimal through the
+    local stage so the final rounded sum is identical to the unsalted path.
+    """
+    if span_us < 1:
+        raise ValueError("span_sec must be at least 1 microsecond")
+    ev = ev.withColumn("_span", F.floor(F.col("_us") / span_us))
+    w = Window.partitionBy(key, "_span").orderBy("_us", id_col)
+    flagged = ev.withColumn(
+        "_new",
+        F.when(F.col("_us") - F.lag("_us").over(w) > F.lit(gap_us), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "_lsess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + 1,
+    )
+    loc_aggs = [
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+    ]
+    if value_col:
+        loc_aggs.append(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sumv"))
+    loc = flagged.groupBy(key, "_span", "_lsess").agg(*loc_aggs)
+
+    # span-level summary: rows ∝ number of (key, span) pairs — tiny relative
+    # to events; the only per-KEY serial work happens here.
+    summ = loc.groupBy(key, "_span").agg(
+        F.max("_lsess").alias("_n"),
+        F.min("start_us").alias("_first"),
+        F.max("end_us").alias("_last"),
+    )
+    ws = Window.partitionBy(key).orderBy("_span")
+    summ = (
+        summ.withColumn(
+            "_merge",
+            F.when(
+                F.col("_first") - F.lag("_last").over(ws) <= F.lit(gap_us), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("_merge").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(key, "_span", "_off")
+    )
+    out_aggs = [
+        F.sum("n_events").alias("n_events"),
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+    ]
+    if value_col:
+        out_aggs.append(
+            F.round(F.sum("_sumv"), 2).cast("decimal(18,2)").alias("sum_value")
+        )
+    return (
+        loc.join(summ, [key, "_span"])
+        .groupBy(F.col(key), (F.col("_off") + F.col("_lsess")).alias("session_id"))
+        .agg(*out_aggs)
     )

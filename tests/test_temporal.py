@@ -202,6 +202,65 @@ def test_sessionize_batch_parity(spark):
     assert got_rel == want
 
 
+def test_sessionize_spans_equivalence_with_mega_key(spark):
+    """Salt-span path (span_sec) must be row-identical to the unsalted
+    window, including chained cross-span merges, on a skewed corpus where
+    ONE key holds ~50% of all rows."""
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    # mega user 99: one event every ~200s over ~55h → long session chains
+    # that cross many 1-hour spans (exercises transitive stitch merges)
+    t = 0
+    for _ in range(1000):
+        eid += 1
+        t += rng.randrange(1, 400)  # gaps mostly < 600 → sessions span spans
+        rows.append((eid, 99, t, "e", rng.randrange(1, 100) / 4.0))
+    for uid in range(5):
+        for _ in range(200):
+            eid += 1
+            rows.append((eid, uid, rng.randrange(0, 200000), "e", 1.25))
+    ev = _events(spark, rows)
+    kw = dict(key="user_id", ts="ts", id_col="event_id", gap_sec=600.0,
+              value_col="value")
+    plain = sessionize_batch(ev, **kw)
+    salted = sessionize_batch(ev, **kw, span_sec=3600.0)
+    to_set = lambda df: {
+        (r["user_id"], r["session_id"], r["n_events"], r["start_us"],
+         r["end_us"], str(r["sum_value"]))
+        for r in df.collect()
+    }
+    assert to_set(plain) == to_set(salted)
+    # the mega key genuinely spreads: its rows land in many (key, span)
+    # groups, i.e. many tasks under hash partitioning — not one.
+    n_spans = (
+        ev.filter(F.col("user_id") == 99)
+        .select(F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_spans > 10
+
+
+def test_sessionize_spans_boundary_merge_exact(spark):
+    """Two events straddling a span boundary within the gap must stitch into
+    ONE session; just outside the gap must stay two."""
+    # span = 100s; events at 95s and 105s (gap 10s ≤ 60) → one session
+    rows = [(1, 1, 95, "e", 1.0), (2, 1, 105, "e", 2.0)]
+    out = sessionize_batch(
+        _events(spark, rows), key="user_id", ts="ts", id_col="event_id",
+        gap_sec=60.0, value_col="value", span_sec=100.0,
+    ).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+    assert str(out[0]["sum_value"]) == "3.00"
+    rows = [(1, 1, 95, "e", 1.0), (2, 1, 199, "e", 2.0)]
+    out = sessionize_batch(
+        _events(spark, rows), key="user_id", ts="ts", id_col="event_id",
+        gap_sec=60.0, value_col="value", span_sec=100.0,
+    ).collect()
+    assert sorted(r["session_id"] for r in out) == [1, 2]
+
+
 def test_sessionize_single_event_sessions(spark):
     rows = [(1, 1, 0, "e", 2.0), (2, 1, 10000, "e", 3.0)]
     ev = _events(spark, rows)
