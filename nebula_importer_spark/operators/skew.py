@@ -42,14 +42,98 @@ def salted_repartition(
     return out.drop("_salt")
 
 
-def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+_SPREAD_NOOP_OPS = (
+    # analyzed-logical-plan nodes that imply the frame is already spread
+    # (a shuffle repartitions downstream of the scan) or needs no spreading
+    # (LocalRelation/createDataFrame parallelizes over defaultParallelism)
+    "Aggregate",
+    "Join",
+    "Window",
+    "Deduplicate",
+    "Distinct",
+    "Repartition",
+    "RepartitionByExpression",
+    "Sort",
+    "LocalRelation",
+    "LogicalRDD",  # createDataFrame — parallelized over default slices already
+)
+
+
+def _parse_byte_conf(s: str) -> int:
+    """'134217728b' / '128m' / '1g' → bytes (Spark byte-conf syntax)."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def _scan_split_estimate(df: DataFrame, enough: int) -> int:
+    """Estimate the scan's split count WITHOUT converting the plan to an RDD
+    (``df.rdd`` physical-plans + instantiates the whole RDD chain on every
+    call — measurable driver overhead on wide plans at scale).
+
+    Cheap two-step: ``inputFiles()`` count first (files never merge into
+    fewer splits under the default openCostInBytes, so n_files is a lower
+    bound that is already conclusive when ≥ ``enough``); only when the file
+    count is small, stat those few files and count maxPartitionBytes chunks
+    — a handful of driver-side FileSystem calls, never one per split."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover — exotic non-file relations
+        return 0
+    n = len(files)
+    if n >= enough or n == 0:
+        return n
+    sess = df.sparkSession
+    try:
+        mpb = _parse_byte_conf(
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        jvm = sess.sparkContext._jvm
+        hconf = sess.sparkContext._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // mpb))
+        return int(splits)
+    except Exception:  # pragma: no cover — FS without status support
+        return n
+
+
+def spread_small_input(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    input_splits: int | None = None,
+) -> DataFrame:
     """Round-robin a narrow input across the cluster BEFORE a CPU-heavy
     per-row stage (shingling, minhash, hashing). A small parquet table is
     one split, so every downstream expression runs on ONE core no matter
     how many the session has — the classic small-input parallelism trap.
-    No-op when the input already has enough partitions (a 100-TB scan
-    does), so no shuffle is added at scale."""
+
+    No-op when the input is already spread — decided WITHOUT an RDD
+    conversion: (a) ``input_splits`` caller hint, else (b) the analyzed
+    logical plan contains a shuffle-introducing operator (already
+    repartitioned downstream of the scan), else (c) the scan's split
+    estimate from inputFiles()/file sizes. The trigger is splits <
+    cores/2 (not < cores): a half-spread input keeps every core busy
+    within 2×, and the laxer gate avoids paying the round-robin shuffle
+    warm when the scan is already mostly parallel. At 100-TB scans the
+    estimate is conclusive at the file-count step — zero added work."""
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    trigger = max(2, want // 2)
+    if input_splits is None:
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:  # pragma: no cover — defensive
+            plan = ""
+        if any(op in plan for op in _SPREAD_NOOP_OPS):
+            return df
+        input_splits = _scan_split_estimate(df, trigger)
+    if input_splits >= trigger:
         return df
     return df.repartition(want)

@@ -130,3 +130,44 @@ def test_connected_components_deep_chain_default_jumps(spark):
     bad = got.filter(F.col("component") != 0).count()
     assert bad == 0
     assert got.count() == n
+
+
+def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
+    """spread_small_input must decide via plan/file inspection, never via
+    df.rdd (which physical-plans + instantiates the RDD chain per call)."""
+    from pyspark.sql import DataFrame
+
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    p = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+
+    def boom(self):  # noqa: ANN001
+        raise AssertionError(".rdd must not be touched on the spread path")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+
+    # single-file scan → spread (Repartition node appears)
+    scan = spark.read.parquet(p)
+    out = spread_small_input(scan)
+    assert "Repartition" in out._jdf.queryExecution().analyzed().toString()
+
+    # caller hint says the scan is already parallel → no-op, same object
+    assert spread_small_input(scan, input_splits=64) is scan
+
+    # post-shuffle frame (groupBy) is already spread → no-op
+    agg = scan.groupBy("id").count()
+    assert spread_small_input(agg) is agg
+
+    # createDataFrame local relation parallelizes on its own → no-op
+    local = spark.createDataFrame([(1,), (2,)], "x long")
+    assert spread_small_input(local) is local
+
+
+def test_spread_small_input_result_correct(spark, tmp_path):
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    p = str(tmp_path / "s2.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    out = spread_small_input(spark.read.parquet(p))
+    assert out.count() == 1000
