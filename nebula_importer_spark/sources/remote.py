@@ -32,16 +32,115 @@ ones (``dfs.data.transfer.protection``, auth mode).
 
 from __future__ import annotations
 
+import fnmatch
 import os
+import posixpath
 import tempfile
+import uuid
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Callable
 
 from pyspark.sql import SparkSession
 
 
 class RemoteConfigError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Protocol-agnostic glob walker (reference pkg/source/glob.go:14-98).
+#
+# The reference wires its walker to local/HDFS sources only; here the same
+# algorithm runs over any (is_dir, listdir) pair, so FTP/SFTP globs —
+# ``path: /dir/*.csv`` — expand to N staged downloads instead of
+# one-file-or-fail. Semantics match sourceGlob: per-directory name match
+# (Go filepath.Match ≈ fnmatch: *, ?, [] — * never crosses a separator
+# because matching is per path segment), names sorted, glob directories
+# recursed, a non-glob pattern returned verbatim.
+# ---------------------------------------------------------------------------
+
+_GLOB_CHARS = "*?[\\"  # sourceGlobHas (glob.go:96-98)
+
+
+def _has_glob(path: str) -> bool:
+    return any(c in path for c in _GLOB_CHARS)
+
+
+def _remote_glob(
+    pattern: str,
+    is_dir: Callable[[str], bool],
+    listdir: Callable[[str], list[str]],
+    _depth: int = 0,
+) -> list[str]:
+    """Expand ``pattern`` against a remote listing. Mirrors
+    sourceGlobWithLimit (glob.go:18-57), including the recursion guard."""
+    if _depth >= 100:  # CVE-2022-30632-style depth cap (glob.go:20-23)
+        raise RemoteConfigError(f"glob pattern too deep: {pattern!r}")
+    if not _has_glob(pattern):
+        return [pattern]
+    head, file = posixpath.split(pattern)
+    # cleanGlobPath (glob.go:60-70)
+    if head == "":
+        head = "."
+    if not _has_glob(head):
+        return _glob_dir(head, file, is_dir, listdir)
+    if head == pattern:  # no separator left yet still glob → malformed
+        raise RemoteConfigError(f"bad glob pattern: {pattern!r}")
+    out: list[str] = []
+    for d in _remote_glob(head, is_dir, listdir, _depth + 1):
+        out.extend(_glob_dir(d, file, is_dir, listdir))
+    return out
+
+
+def _glob_dir(
+    dir_: str,
+    pattern: str,
+    is_dir: Callable[[str], bool],
+    listdir: Callable[[str], list[str]],
+) -> list[str]:
+    """One directory level of the walk (glob.go:72-94)."""
+    if not is_dir(dir_):
+        return []
+    names = sorted(n for n in listdir(dir_) if n not in (".", ".."))
+    return [
+        posixpath.join(dir_, n)
+        for n in names
+        if fnmatch.fnmatchcase(n, pattern)
+    ]
+
+
+def _stage_matches(
+    pattern: str,
+    dest_dir: str,
+    is_dir: Callable[[str], bool],
+    listdir: Callable[[str], list[str]],
+    fetch: Callable[[str, str], None],
+    proto: str,
+) -> str:
+    """Expand ``pattern``, fetch every match into a fresh staging subdir,
+    and return the scan path: the single staged file for a non-glob path
+    (unchanged shim behavior), else the subdir holding all matches.
+
+    Zero matches on a glob is an error — parity with the reference's
+    empty-glob rejection (pkg/config/base/source.go:59-61)."""
+    from nebula_importer_spark.sources.reader import SourceError
+
+    if not _has_glob(pattern):
+        out = Path(dest_dir) / posixpath.basename(pattern)
+        fetch(pattern, str(out))
+        return str(out)
+    matches = _remote_glob(pattern, is_dir, listdir)
+    if not matches:
+        raise SourceError(f"{proto} source {pattern!r}: no files matched")
+    sub = Path(dest_dir) / f"{proto}-{uuid.uuid4().hex[:8]}"
+    sub.mkdir(parents=True, exist_ok=True)
+    # Matches from different remote dirs can share a basename; an ordinal
+    # prefix keeps staged names unique (lineage _file shows the staged
+    # name either way — that is already true of the single-file shim).
+    for i, m in enumerate(matches):
+        fetch(m, str(sub / f"{i:05d}-{posixpath.basename(m)}"))
+    return str(sub)
 
 
 @dataclass
@@ -187,18 +286,40 @@ class FTPOptions:
     password: str = ""
 
     def download(self, dest_dir: str) -> str:
+        """Stage the remote path locally. Glob patterns (``*?[``) expand via
+        the shared walker over one control connection (NLST + CWD probes);
+        non-glob paths stay the original single-file fetch."""
         import ftplib
 
-        out = Path(dest_dir) / Path(self.path).name
         ftp = ftplib.FTP()
         ftp.connect(self.host, self.port, timeout=5)  # ftp.go:40 5s timeout
         try:
             ftp.login(self.user, self.password)
-            with open(out, "wb") as fh:
-                ftp.retrbinary(f"RETR {self.path}", fh.write)
+
+            def is_dir(p: str) -> bool:
+                # CWD probe: portable across servers that lack MLST.
+                cur = ftp.pwd()
+                try:
+                    ftp.cwd(p)
+                except ftplib.error_perm:
+                    return False
+                ftp.cwd(cur)
+                return True
+
+            def listdir(p: str) -> list[str]:
+                # NLST may return full paths or bare names by server;
+                # normalize to names.
+                return [posixpath.basename(n) for n in ftp.nlst(p)]
+
+            def fetch(remote: str, local: str) -> None:
+                with open(local, "wb") as fh:
+                    ftp.retrbinary(f"RETR {remote}", fh.write)
+
+            return _stage_matches(
+                self.path, dest_dir, is_dir, listdir, fetch, "ftp"
+            )
         finally:
             ftp.quit()
-        return str(out)
 
 
 @dataclass
@@ -222,7 +343,6 @@ class SFTPOptions:
             raise RemoteConfigError(
                 "sftp sources require the 'paramiko' package"
             ) from e
-        out = Path(dest_dir) / Path(self.path).name
         kwargs: dict = {"username": self.user}
         if self.key_data or self.key_file:
             import io
@@ -272,10 +392,28 @@ class SFTPOptions:
         cli.connect(self.host, port=self.port, timeout=5, **kwargs)
         try:
             sftp = cli.open_sftp()
-            sftp.get(self.path, str(out))
+            return self._stage(sftp, dest_dir)
         finally:
             cli.close()
-        return str(out)
+
+    def _stage(self, sftp, dest_dir: str) -> str:
+        """Glob-aware staging over an open SFTP client (separable from
+        connect for testability — paramiko is absent in the sandbox)."""
+        import stat as stat_mod
+
+        def is_dir(p: str) -> bool:
+            try:
+                st = sftp.stat(p)
+            except OSError:
+                return False
+            return stat_mod.S_ISDIR(st.st_mode)
+
+        def fetch(remote: str, local: str) -> None:
+            sftp.get(remote, local)
+
+        return _stage_matches(
+            self.path, dest_dir, is_dir, sftp.listdir, fetch, "sftp"
+        )
 
 
 def apply_hadoop_conf(spark: SparkSession, conf: dict[str, str]) -> None:

@@ -7,6 +7,7 @@ sandbox; the ftplib call surface is exercised via injection)."""
 from __future__ import annotations
 
 import textwrap
+from pathlib import Path
 
 import pytest
 
@@ -174,6 +175,179 @@ def test_multiple_remote_blocks_rejected():
         config_from_dict({"sources": []})  # no sources is also an error
     with pytest.raises(ConfigError):
         spec.validate()
+
+
+def test_remote_glob_walker_matches_reference_semantics():
+    """_remote_glob mirrors pkg/source/glob.go:14-98: per-segment match,
+    sorted names, glob-directory recursion, non-glob passthrough."""
+    from nebula_importer_spark.sources.remote import RemoteConfigError, _remote_glob
+
+    tree = {
+        "/data": ["b2", "a1", "readme.txt"],
+        "/data/a1": ["y.csv", "x.csv", "notes.md"],
+        "/data/b2": ["z.csv", "sub"],
+        "/data/b2/sub": ["w.csv"],
+    }
+
+    def is_dir(p):
+        return p in tree
+
+    def listdir(p):
+        return tree[p]
+
+    # plain file part over one dir — sorted
+    assert _remote_glob("/data/a1/*.csv", is_dir, listdir) == [
+        "/data/a1/x.csv",
+        "/data/a1/y.csv",
+    ]
+    # glob directory component recurses; dirs that match also list
+    assert _remote_glob("/data/*/*.csv", is_dir, listdir) == [
+        "/data/a1/x.csv",
+        "/data/a1/y.csv",
+        "/data/b2/z.csv",
+    ]
+    # ? and [] classes
+    assert _remote_glob("/data/a?/[xy].csv", is_dir, listdir) == [
+        "/data/a1/x.csv",
+        "/data/a1/y.csv",
+    ]
+    # non-glob pattern returned verbatim (glob.go:29-31)
+    assert _remote_glob("/data/a1/x.csv", is_dir, listdir) == ["/data/a1/x.csv"]
+    # zero matches → empty list (caller raises)
+    assert _remote_glob("/data/a1/*.json", is_dir, listdir) == []
+    # recursion guard (glob.go:20-23 pathSeparatorsLimit analog)
+    deep = "/" + "/".join(["*"] * 120) + "/x.csv"
+    with pytest.raises(RemoteConfigError, match="too deep"):
+        _remote_glob(deep, lambda p: True, lambda p: ["a"])
+
+
+class _GlobFakeFTP:
+    """ftplib surface for glob staging: pwd/cwd/nlst/retrbinary."""
+
+    tree = {
+        "/pub": ["two.csv", "one.csv", "skip.txt"],
+    }
+    files = {
+        "/pub/one.csv": b"a1,Amy\n",
+        "/pub/two.csv": b"a2,Ben\n",
+    }
+
+    def __init__(self):
+        self._cwd = "/"
+
+    def connect(self, host, port, timeout=None):
+        pass
+
+    def login(self, user, password):
+        pass
+
+    def pwd(self):
+        return self._cwd
+
+    def cwd(self, path):
+        import ftplib
+
+        if path not in self.tree and path != "/":
+            raise ftplib.error_perm(f"550 {path}: Not a directory")
+        self._cwd = path
+
+    def nlst(self, path):
+        return [f"{path}/{n}" for n in self.tree[path]]
+
+    def retrbinary(self, cmd, sink):
+        sink(self.files[cmd.removeprefix("RETR ")])
+
+    def quit(self):
+        pass
+
+
+def test_ftp_glob_stages_all_matches(tmp_path, monkeypatch):
+    import ftplib
+
+    from nebula_importer_spark.sources.remote import FTPOptions
+
+    monkeypatch.setattr(ftplib, "FTP", _GlobFakeFTP)
+    out = FTPOptions(host="h", path="/pub/*.csv").download(str(tmp_path))
+    staged = sorted(p.name for p in Path(out).iterdir())
+    assert staged == ["00000-one.csv", "00001-two.csv"]
+    assert (Path(out) / "00000-one.csv").read_bytes() == b"a1,Amy\n"
+
+
+def test_ftp_glob_zero_match_is_source_error(tmp_path, monkeypatch):
+    import ftplib
+
+    from nebula_importer_spark.sources.reader import SourceError
+    from nebula_importer_spark.sources.remote import FTPOptions
+
+    monkeypatch.setattr(ftplib, "FTP", _GlobFakeFTP)
+    with pytest.raises(SourceError, match="no files matched"):
+        FTPOptions(host="h", path="/pub/*.parquet").download(str(tmp_path))
+
+
+def test_sftp_glob_stages_all_matches(tmp_path):
+    """SFTP staging through a fake client (paramiko absent in sandbox);
+    exercises the stat/listdir/get surface _stage drives."""
+    import stat as stat_mod
+
+    from nebula_importer_spark.sources.remote import SFTPOptions
+
+    class St:
+        def __init__(self, d):
+            self.st_mode = stat_mod.S_IFDIR if d else stat_mod.S_IFREG
+
+    class FakeSFTP:
+        tree = {"/d": ["b.csv", "a.csv"]}
+        files = {"/d/a.csv": b"x\n", "/d/b.csv": b"y\n"}
+
+        def stat(self, p):
+            if p in self.tree:
+                return St(True)
+            if p in self.files:
+                return St(False)
+            raise FileNotFoundError(p)
+
+        def listdir(self, p):
+            return self.tree[p]
+
+        def get(self, remote, local):
+            Path(local).write_bytes(self.files[remote])
+
+    out = SFTPOptions(host="h", path="/d/?.csv")._stage(FakeSFTP(), str(tmp_path))
+    staged = sorted(p.name for p in Path(out).iterdir())
+    assert staged == ["00000-a.csv", "00001-b.csv"]
+
+
+def test_ftp_glob_ingest_end_to_end(spark, tmp_path, monkeypatch):
+    """Glob FTP source → N staged files → one CSV scan → mapped vertices."""
+    import ftplib
+
+    from nebula_importer_spark.config.model import (
+        GraphConfig,
+        NodeIDSpec,
+        NodeSpec,
+        PropSpec,
+    )
+    from nebula_importer_spark.plans.pipeline import Pipeline
+
+    monkeypatch.setattr(ftplib, "FTP", _GlobFakeFTP)
+    cfg = GraphConfig(
+        space="s",
+        sources=[
+            SourceSpec(
+                ftp=FTPOptions(host="h", path="/pub/*.csv"),
+                tags=[
+                    NodeSpec(
+                        "person",
+                        NodeIDSpec(type="STRING", index=0),
+                        [PropSpec("name", "STRING", 1)],
+                    )
+                ],
+            )
+        ],
+    )
+    p = Pipeline(cfg, spark, staging_dir=str(tmp_path))
+    rows = {r["vid"]: r["name"] for r in p.vertices("person").collect()}
+    assert rows == {"a1": "Amy", "a2": "Ben"}
 
 
 def test_ftp_staged_ingest_end_to_end(spark, tmp_path, monkeypatch):
