@@ -298,10 +298,27 @@ class TableStore:
             m, entry, table, mode, key_cols, incoming, cur_map, prev_v, nb
         )
 
+    def _table_columns(self, entry: dict | None, table: str) -> list[str] | None:
+        """The table's FULL column set, independent of which buckets a batch
+        touches. Recorded in the manifest at every merge commit; for a
+        pre-existing manifest without the record, reconstructed once by a
+        mergeSchema read across all live buckets (footer-only, no data scan).
+        After a schema-widening INSERT rewrote only some buckets, validating
+        against a touched-bucket slice would make UPDATE acceptance depend
+        on which buckets the batch happens to hash into."""
+        if entry is None:
+            return None
+        cols = entry.get("columns")
+        if cols is None:
+            df = self.read(table)
+            cols = list(df.columns) if df is not None else []
+        return cols
+
     def _merge_live(
         self, m, entry, table, mode, key_cols, incoming, cur_map, prev_v, nb
     ) -> tuple[int, int]:
         unmatched = 0
+        table_cols = self._table_columns(entry, table)
         if cur_map:
             affected = sorted(
                 r[BUCKET_COL]
@@ -348,7 +365,8 @@ class TableStore:
             # basic.*.update example updates a prop subset, so incoming's
             # schema is narrower than the table's here.
             upd_cols = [c for c in incoming.columns if c not in (*key_cols, BUCKET_COL)]
-            unknown = [c for c in upd_cols if c not in current.columns]
+            known = set(table_cols) if table_cols is not None else set(current.columns)
+            unknown = [c for c in upd_cols if c not in known]
             if unknown:
                 # the reference's UPDATE on a schema-less prop is an
                 # execution error, not a silent widen/drop
@@ -358,14 +376,20 @@ class TableStore:
             renamed = incoming.select(
                 *key_cols, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
             )
+            # A valid prop can be absent from THIS bucket slice (the widening
+            # INSERT rewrote other buckets) — extend the output columns so
+            # the update still lands; kept rows null-fill via unionByName.
+            out_cols = list(current.columns) + [
+                c for c in upd_cols if c not in current.columns
+            ]
             updated = current.join(renamed, key_cols, "inner").select(
                 *[
                     F.col(f"_u_{c}").alias(c) if c in upd_cols else F.col(c)
-                    for c in current.columns
+                    for c in out_cols
                 ]
             )
             kept = current.join(incoming.select(*key_cols), key_cols, "left_anti")
-            state = kept.unionByName(updated)
+            state = kept.unionByName(updated, allowMissingColumns=True)
         elif mode == Mode.DELETE:
             if current is None:
                 incoming.count()  # fire caller observations
@@ -405,6 +429,13 @@ class TableStore:
             "version": v,
             "buckets": new_map,
             "n_buckets": nb,
+            # full-table column set: union of what was known with what this
+            # commit wrote (a widening INSERT extends it; UPDATE/DELETE keep
+            # it) — the UPDATE validation source, bucket-independent
+            "columns": sorted(
+                set(table_cols or [])
+                | {c for c in state.columns if c != BUCKET_COL}
+            ),
             "history": history,
         }
         self._write_manifest(m)

@@ -44,15 +44,33 @@ def escape_identifier(name: str) -> str:
     return "`" + name.replace("\\", "\\\\").replace("`", "\\`") + "`"
 
 
+# Go strconv.Quote escape table (reference pkg/utils/string.go): named
+# escapes for \a \b \f \v (plus \n \t \r handled above them), \xNN lowercase
+# hex for the remaining C0 controls and DEL. Built once at import; the chain
+# is constant-folded JVM replaces — a no-op scan for clean strings.
+_GO_ESCAPES: list[tuple[str, str]] = [
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\t", "\\t"),
+    ("\r", "\\r"),
+    ("\a", "\\a"),
+    ("\b", "\\b"),
+    ("\f", "\\f"),
+    ("\v", "\\v"),
+] + [
+    (chr(i), f"\\x{i:02x}")
+    for i in list(range(0x00, 0x07)) + list(range(0x0E, 0x20)) + [0x7F]
+]
+
+
 def go_quote(c: Column) -> Column:
-    """Go strconv.Quote for the characters that occur in graph data:
-    backslash, double quote, newline, tab, CR. (Go additionally hex-escapes
-    non-printables — out of scope for statement parity.)"""
-    s = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-    s = F.replace(s, F.lit('"'), F.lit('\\"'))
-    s = F.replace(s, F.lit("\n"), F.lit("\\n"))
-    s = F.replace(s, F.lit("\t"), F.lit("\\t"))
-    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+    """Go strconv.Quote for statement string literals: backslash, double
+    quote, the named C escapes, and \\xNN hex for remaining C0 controls and
+    DEL — full parity with the reference's quoting of non-printables."""
+    s = c
+    for raw, esc in _GO_ESCAPES:
+        s = F.replace(s, F.lit(raw), F.lit(esc))
     return F.concat(F.lit('"'), s, F.lit('"'))
 
 
@@ -66,8 +84,10 @@ def _dt_string(c: Column) -> Column:
     values must not grow a spurious .000 and fractional ones must not be
     truncated)."""
     whole = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
-    frac = F.date_format(c, "SSS")
-    return F.when(frac == "000", whole).otherwise(
+    # Spark timestamps carry microseconds; render all six digits and trim
+    # trailing zeros so .123 stays .123 and .000123 is not truncated to .000.
+    frac = F.regexp_replace(F.date_format(c, "SSSSSS"), "0+$", "")
+    return F.when(frac == "", whole).otherwise(
         F.concat(whole, F.lit("."), frac)
     )
 
@@ -123,8 +143,11 @@ def _batched(df: DataFrame, fragment: Column, prefix: str, sep: str, batch: int)
     n_records nor produce an empty/invalid statement; callers reject them
     upstream like the reference's record errors."""
     order = F.col(SEQ_COL) if SEQ_COL in df.columns else F.monotonically_increasing_id()
+    # Integer `div`, not double division: beyond 2^53 (high partition
+    # indices) float arithmetic rounds and a row could land in the
+    # neighboring batch, overflowing the configured statement size.
     rows = df.select(
-        (F.monotonically_increasing_id() / batch).cast("long").alias("_bid"),
+        F.expr(f"monotonically_increasing_id() div {int(batch)}").alias("_bid"),
         order.alias("_ord"),
         fragment.alias("_frag"),
     ).filter(F.col("_frag").isNotNull())

@@ -152,3 +152,50 @@ def test_schema_widening_insert_survives_mixed_version_reads(spark, tmp_path):
     store.merge_commit(upd, "tags/t", Mode.UPDATE, ["vid"])
     got = {r["vid"]: r["age"] for r in store.read("tags/t").collect()}
     assert got["k3"] == 43
+
+
+def test_update_new_prop_on_untouched_bucket(spark, tmp_path):
+    """UPDATE validation must use the TABLE schema, not the touched-bucket
+    slice: after a widening INSERT rewrote only k3's bucket, updating the
+    new prop on a key hashing to a not-yet-rewritten bucket must succeed
+    (previously raised 'props not in table schema')."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(tmp_path / "s", spark, n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(64)], "vid string, val string"
+    )
+    store.merge_commit(base, "tags/t", Mode.INSERT, ["vid"])
+    wide = spark.createDataFrame([("k3", "v3w", 42)], "vid string, val string, age int")
+    store.merge_commit(wide, "tags/t", Mode.INSERT, ["vid"])
+
+    cands = ["k5", "k7", "k11", "k13", "k17"]
+    buckets = {
+        r["vid"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in ["k3", *cands]], "vid string")
+        .select("vid", F.pmod(F.xxhash64("vid"), F.lit(8)).alias("b"))
+        .collect()
+    }
+    others = [k for k in cands if buckets[k] != buckets["k3"]]
+    assert others, "need a key in a different bucket than k3"
+
+    upd = spark.createDataFrame([(others[0], 99)], "vid string, age int")
+    _, unmatched = store.merge_commit(upd, "tags/t", Mode.UPDATE, ["vid"])
+    assert unmatched == 0
+    got = {r["vid"]: r["age"] for r in store.read("tags/t").collect()}
+    assert got[others[0]] == 99 and got["k3"] == 42
+
+    # legacy manifest without the columns record: reconstructed from a
+    # mergeSchema read across live buckets, same outcome
+    mpath = store.root / "_manifest.json"
+    m = json.loads(mpath.read_text())
+    m["tables"]["tags/t"].pop("columns")
+    mpath.write_text(json.dumps(m))
+    if len(others) > 1:
+        upd2 = spark.createDataFrame([(others[1], 77)], "vid string, age int")
+        _, unmatched = store.merge_commit(upd2, "tags/t", Mode.UPDATE, ["vid"])
+        assert unmatched == 0
+        got = {r["vid"]: r["age"] for r in store.read("tags/t").collect()}
+        assert got[others[1]] == 77

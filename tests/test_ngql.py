@@ -235,6 +235,21 @@ def test_datetime_preserves_fractional_seconds(spark):
     assert 'DATETIME("2020-01-01T12:00:00")' in joined  # no spurious .000
 
 
+def test_datetime_preserves_microseconds(spark):
+    """Sub-millisecond precision must survive rendering (ADVICE: SSS
+    pattern silently truncated micros)."""
+    df = spark.createDataFrame(
+        [("k", "2020-01-01 12:00:00.000123"), ("k2", "2020-01-01 12:00:00.120")],
+        "vid string, dt string",
+    ).select("vid", F.col("dt").cast("timestamp_ntz").alias("dt"))
+    spec = NodeSpec(
+        "t", NodeIDSpec(type="STRING", index=0), [PropSpec("dt", "DATETIME", 1)]
+    )
+    joined = " ".join(s for s, _ in _stmts(render_node_statements(df, spec, batch=1)))
+    assert 'DATETIME("2020-01-01T12:00:00.000123")' in joined
+    assert 'DATETIME("2020-01-01T12:00:00.12")' in joined  # trailing zeros trimmed
+
+
 def test_go_quote_roundtrip_property(spark):
     """Property: for any text over the supported escape alphabet, the
     rendered statement literal unescapes back to the original string —
@@ -247,18 +262,29 @@ def test_go_quote_roundtrip_property(spark):
     from nebula_importer_spark.plans.ngql import go_quote
 
     alphabet = st.sampled_from(
-        list("abzAZ09 _-.,:;!?()[]{}") + ['"', "\\", "\n", "\t", "\r", "é", "界"]
+        list("abzAZ09 _-.,:;!?()[]{}")
+        + ['"', "\\", "\n", "\t", "\r", "é", "界"]
+        # full C0 + DEL coverage for the strconv.Quote hex/named escapes
+        + [chr(i) for i in range(0x00, 0x20)]
+        + ["\x7f"]
     )
 
     def unquote(lit: str) -> str:
         assert lit[0] == '"' and lit[-1] == '"'
         body = lit[1:-1]
         out, i = [], 0
-        mapping = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
+        mapping = {
+            "\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r",
+            "a": "\a", "b": "\b", "f": "\f", "v": "\v",
+        }
         while i < len(body):
             if body[i] == "\\":
-                out.append(mapping[body[i + 1]])
-                i += 2
+                if body[i + 1] == "x":
+                    out.append(chr(int(body[i + 2 : i + 4], 16)))
+                    i += 4
+                else:
+                    out.append(mapping[body[i + 1]])
+                    i += 2
             else:
                 out.append(body[i])
                 i += 1
