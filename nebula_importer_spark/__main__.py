@@ -96,8 +96,28 @@ def _cmd_statements(args: argparse.Namespace) -> int:
     return 0
 
 
+def _version_string() -> str:
+    """Build-info banner (reference pkg/version/version.go GetVersion:
+    version/commit/runtime/platform; cobra --version flag at
+    pkg/cmd/nebula-importer.go:81-86). Commit/build-date are undefined for
+    a source checkout, like the reference's un-stamped default build."""
+    import platform
+
+    import pyspark
+
+    from nebula_importer_spark import __version__
+
+    return (
+        f"nebula_importer_spark version {__version__}\n"
+        f"pyspark: {pyspark.__version__}\n"
+        f"python: {platform.python_version()}\n"
+        f"platform: {platform.system().lower()}/{platform.machine()}"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nebula_importer_spark")
+    ap.add_argument("--version", action="version", version=_version_string())
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     imp = sub.add_parser("import", help="run a tag/edge schema config")

@@ -210,6 +210,17 @@ def config_from_dict(d: dict[str, Any], base_dir: Path | None = None) -> GraphCo
     version = str((d.get("client") or {}).get("version", "v3")).lower()
     if version != "v3":
         raise ConfigError(f"unsupported config version {version!r} (supported: v3)")
+    if (d.get("client") or {}).get("ssl") is not None:
+        # client.ssl (reference pkg/config/base/client.go:32-40) configures
+        # the graphd TLS channel; this engine's sink is the TableStore, so
+        # there is no channel to secure — accept the block (reference
+        # example configs keep parsing) and note that it is inert here.
+        import logging
+
+        logging.getLogger("nebula_importer_spark").info(
+            "client.ssl block accepted but inert: no graphd connection in "
+            "this engine (statements render to files; sink is the table store)"
+        )
     mgr = d.get("manager", {})
     hooks = mgr.get("hooks", {})
 

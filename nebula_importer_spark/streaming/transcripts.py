@@ -109,9 +109,16 @@ def run_incremental_kg(
             links = p.link_table(surface, alias_dict)
             triples, unlinked = p.canonical_triples(surface, links, same_as=None)
             store.merge_commit(triples, "triples", Mode.INSERT, TRIPLE_KEY)
+            # Rejects keyed by batch_id with DYNAMIC partition overwrite:
+            # a replayed micro-batch (crash between this write and the
+            # checkpoint commit) rewrites its own _batch_id partition
+            # instead of appending duplicates — the reject stream gets the
+            # same exactly-once shape as the keyed triple merge.
             (
                 unlinked.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
                 .parquet(str(out / "kg" / "_rejects" / "stream"))
             )
             seen["batches"] += 1

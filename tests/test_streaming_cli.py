@@ -126,6 +126,50 @@ sources:
     assert out2.returncode == 1
 
 
+def test_cli_version_flag():
+    """--version prints the build-info banner and exits 0 (reference
+    pkg/cmd/nebula-importer.go:81-86 cobra version flag)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "--version"],
+        capture_output=True, text=True, cwd=REPO, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "nebula_importer_spark version" in out.stdout
+    assert "pyspark:" in out.stdout and "platform:" in out.stdout
+
+
+def test_client_ssl_block_accepted(tmp_path, caplog):
+    """client.ssl (reference pkg/config/base/client.go:32-40) parses
+    cleanly — accepted and noted as inert, never an error."""
+    import logging
+
+    from nebula_importer_spark.config.parse import load_config
+
+    cfg = tmp_path / "ssl.yaml"
+    cfg.write_text(
+        """
+client:
+  version: v3
+  ssl:
+    enable: true
+    certPath: /c.pem
+    keyPath: /k.pem
+    caPath: /ca.pem
+manager: {spaceName: ssltest}
+sources:
+  - path: x.csv
+    tags:
+      - name: t
+        id: {type: STRING, index: 0}
+        props: []
+"""
+    )
+    with caplog.at_level(logging.INFO, logger="nebula_importer_spark"):
+        parsed = load_config(cfg)
+    assert parsed.space == "ssltest"
+    assert any("ssl" in r.message for r in caplog.records)
+
+
 def test_sessionize_stateful(spark, tmp_path):
     from nebula_importer_spark.streaming.events import read_event_stream, sessionize
 

@@ -80,11 +80,16 @@ def test_replay_is_idempotent(spark, tmp_path):
     half_a.coalesce(1).write.mode("append").parquet(str(indir))
 
     store = TableStore(out / "kg", spark)
+    rejects_counts = []
     for ckpt in (tmp_path / "ckpt1", tmp_path / "ckpt2"):  # 2nd = full replay
         stream = read_transcript_stream(spark, str(indir))
         run_incremental_kg(stream, d["alias_dict"], out, ckpt)
+        rej = spark.read.parquet(str(out / "kg" / "_rejects" / "stream"))
+        rejects_counts.append(rej.count())
     first = _triples_set(store.read("triples", version=1))
     assert _triples_set(store.read("triples")) == first
+    # the reject stream is batch-id-keyed: replay overwrites, not appends
+    assert rejects_counts[0] == rejects_counts[1]
 
 
 def test_compact_canonicalize(spark, tmp_path):
