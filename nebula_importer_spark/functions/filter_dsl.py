@@ -17,13 +17,27 @@ Two deliberate properties of the translator:
    ``not``. The expression is tokenized around literals first (both quote
    styles, with backslash escapes — expr-lang accepts both).
 2. **The grammar is validated, not passed through.** expr-lang is a full
-   expression language (the reference would also compile ``len()``, ``in``,
-   arithmetic, string methods); everything outside the documented filter
-   grammar raises :class:`FilterError` at config-validate/compile time
-   instead of falling through to Spark SQL with possibly different
-   semantics mid-job. The supported surface is exactly the documented one:
-   comparisons, boolean connectives, parentheses, ``Record[i]``, string and
-   numeric literals.
+   expression language; everything outside the supported grammar raises
+   :class:`FilterError` at config-validate/compile time instead of falling
+   through to Spark SQL with possibly different semantics mid-job.
+
+Beyond the documented subset, the translator maps the expr-lang built-ins
+whose semantics carry over 1:1 (the reference compiles the FULL language,
+so real-world configs use these):
+
+   ``x in ["a", "b"]``      → ``x in ('a', 'b')``
+   ``s matches "^re$"``     → ``s rlike '^re$'``
+   ``len(s)``               → ``length(s)``  (char count on strings)
+   ``hasPrefix(s, p)``      → ``startswith(s, p)``
+   ``hasSuffix(s, p)``      → ``endswith(s, p)``
+   ``abs/upper/lower/trim`` → same name in Spark SQL
+
+Deliberately NOT mapped (semantics differ or need real parsing, and no
+reference example uses them): arithmetic (record values are strings, so
+expr-lang ``+`` concatenates where Spark would numeric-cast — silent
+divergence), closures (``all/any/filter/map``), ``contains``/
+``startsWith`` as infix operators, ``indexOf`` (0- vs 1-based),
+method-call syntax. These fail validation with a clear error.
 """
 
 from __future__ import annotations
@@ -37,12 +51,23 @@ _BANG_NOT = re.compile(r"!(?!=)")  # standalone ! (but not !=) → NOT
 # A quoted literal in either style; backslash escapes any next char.
 _STRING_LIT = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
 # Tokens legal OUTSIDE literals once Record refs are resolved. Order matters:
-# multi-char operators before their single-char prefixes.
+# multi-char operators before their single-char prefixes. Mapped built-in
+# function names must be CALLED (paren lookahead) — a bare `len` is an
+# unresolvable identifier in Spark SQL, so it fails here instead.
 _TOKEN = re.compile(
-    r"\s+|==|!=|<=|>=|&&|\|\||[<>()!]"
-    r"|\b(?:and|or|not|true|false)\b"
+    r"\s+|==|!=|<=|>=|&&|\|\||[<>()!,\[\]]"
+    r"|\b(?:and|or|not|true|false|in|matches)\b"
+    r"|\b(?:len|abs|upper|lower|trim|hasPrefix|hasSuffix)\b(?=\s*\()"
     r"|-?\d+(?:\.\d+)?"
 )
+# expr-lang built-in → Spark SQL function (names already identical pass
+# through via the token above: abs, upper, lower, trim).
+_FN_RENAMES = [
+    (re.compile(r"\blen\s*\("), "length("),
+    (re.compile(r"\bhasPrefix\s*\("), "startswith("),
+    (re.compile(r"\bhasSuffix\s*\("), "endswith("),
+    (re.compile(r"\bmatches\b"), "rlike"),
+]
 
 
 class FilterError(ValueError):
@@ -98,6 +123,11 @@ def translate_filter(expr: str, cols: list[str]) -> str:
         # `&&` is a Spark SQL synonym for AND, but `||` is CONCAT there —
         # both get rewritten to the keyword forms for unambiguous semantics.
         seg = seg.replace("&&", " and ").replace("||", " or ")
+        for pat, repl in _FN_RENAMES:
+            seg = pat.sub(repl, seg)
+        # Record refs are resolved above, so remaining brackets are
+        # expr-lang list literals (`in [..]`) → SQL IN-list parens.
+        seg = seg.replace("[", "(").replace("]", ")")
         return _BANG_NOT.sub(" not ", seg)
 
     return _map_segments(expr, _rewrite)

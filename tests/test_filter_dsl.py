@@ -70,15 +70,42 @@ def test_bang_outside_literal_still_translates(spark):
     assert _rows(spark, '!(Record[0] == "no!")', rows) == [("other",)]
 
 
+def test_expr_lang_builtins_map_to_spark(spark):
+    """The expr-lang built-ins with 1:1 Spark semantics are translated,
+    not rejected — the reference compiles the full language, so real
+    configs use these (pkg/spec/base/filter.go:13-23)."""
+    rows = [("abcd", "x"), ("ab", "y"), ("Zed", "z")]
+    assert _rows(spark, "len(Record[0]) > 3", rows) == [("abcd", "x")]
+    assert _rows(spark, 'Record[1] in ["x", "z"]', rows) == [
+        ("abcd", "x"),
+        ("Zed", "z"),
+    ]
+    assert _rows(spark, 'Record[0] matches "^ab"', rows) == [
+        ("abcd", "x"),
+        ("ab", "y"),
+    ]
+    assert _rows(spark, 'upper(Record[1]) == "X"', rows) == [("abcd", "x")]
+    assert _rows(spark, 'lower(Record[0]) == "zed"', rows) == [("Zed", "z")]
+    assert _rows(spark, 'hasPrefix(Record[0], "ab") && len(Record[0]) == 2', rows) == [
+        ("ab", "y")
+    ]
+    assert _rows(spark, 'hasSuffix(Record[0], "cd")', rows) == [("abcd", "x")]
+    assert _rows(spark, 'trim(Record[1]) in ["y"]', rows) == [("ab", "y")]
+
+
 def test_off_grammar_constructs_rejected():
-    # expr-lang superset constructs must fail at validate/compile time, not
-    # fall through to Spark SQL with different semantics.
+    # expr-lang superset constructs WITHOUT clean Spark equivalents must
+    # fail at validate/compile time, not fall through with different
+    # semantics (arithmetic: expr-lang concatenates strings, Spark would
+    # numeric-cast them).
     for bad in [
-        'len(Record[0]) > 3',
-        'Record[0] in ["a", "b"]',
         'Record[0] + Record[1] == "ab"',
-        'Record[0] matches "^a"',
-        'upper(Record[0]) == "A"',
+        "len(Record[0]) * 2 > 4",
+        'Record[0] contains "a"',
+        'all(Record, {# != ""})',
+        'indexOf(Record[0], "a") == 0',
+        "Record[0].Trim()",
+        'len Record[0] > 3',  # built-ins must be CALLED
     ]:
         with pytest.raises(FilterError):
             translate_filter(bad, ["_c0", "_c1"])
@@ -96,6 +123,8 @@ def test_config_validate_rejects_bad_filter():
         NodeSpec,
     )
 
-    spec = NodeSpec("T", NodeIDSpec(type="STRING", index=0), filter="len(Record[0]) > 1")
+    spec = NodeSpec(
+        "T", NodeIDSpec(type="STRING", index=0), filter='Record[0] + "x" == "ax"'
+    )
     with pytest.raises(ConfigError):
         spec.validate()
