@@ -32,15 +32,20 @@ events serializes its window sort into one task in the default paths.
 ``sessionize_batch(span_sec=...)`` is the mitigation: time-span salting with
 boundary stitching (gap logic is per-adjacent-pair, so sessionizing within
 (key, time-span) partitions and merging sessions across span boundaries is
-exactly equivalent — proven by the equivalence test in test_temporal). For
-``asof_join`` the same span trick would need right-row carry-over across
-spans (a second pass); it stays unsalted and documented as such.
+exactly equivalent — proven by the equivalence test in test_temporal).
+``asof_join(span_sec=...)`` is the same idea with right-row CARRY-OVER:
+matching runs within (key, time-span) partitions, then the last right row
+of each span (a per-(key, span) SUMMARY frame, rows ∝ spans) is carried
+forward across span boundaries so left rows whose match lives in an
+earlier span still find it — row-identical to the unsalted path
+(equivalence-tested on a mega-key corpus).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -63,6 +68,7 @@ def asof_join(
     right_seq: str | None = None,
     allow_exact: bool = True,
     suffix: str = "_asof",
+    span_sec: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` (or ``<`` when ``allow_exact=False``) for the same
@@ -74,8 +80,18 @@ def asof_join(
 
     Plan shape: union(tagged left, tagged right) → window(partitionBy=key,
     orderBy=(ts, side, seq), rowsBetween(unboundedPreceding, currentRow))
-    with ``last(ignorenulls)`` per carried column → filter side=left. One hash
-    shuffle on the key; the window sort is the only per-key work.
+    with ``last(ignorenulls)`` over ONE whole-row struct → filter side=left.
+    One hash shuffle on the key; the window sort is the only per-key work.
+    The struct carry keeps whole-row semantics: a matched right row whose
+    carried column is legitimately NULL stays NULL instead of borrowing
+    that column from an older right row.
+
+    ``span_sec`` opts into MEGA-KEY salting (the 100-TB path for one key
+    holding a large fraction of all rows): matching runs within
+    (key, floor(ts/span)) partitions, and left rows with no in-span match
+    take the carried last-right-row of the nearest earlier span — computed
+    on a per-(key, span) summary frame (rows ∝ spans, not events), so no
+    task ever sorts a whole mega key. Row-identical to the unsalted path.
     """
     lcols = left.columns
     # side tag: right rows must sort BEFORE left rows at equal ts when
@@ -89,7 +105,13 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_seq"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+            )
+        )
+        .alias("_rrow"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -97,8 +119,17 @@ def asof_join(
         right_side.alias("_side"),
         seq.cast("long").alias("_seq"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
     )
+
+    def _out(matched: DataFrame) -> DataFrame:
+        return matched.select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+            *[F.col(f"_rmatch.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+
+    if span_sec is not None:
+        return _out(_asof_spans(l_tagged, r_tagged, int(span_sec * 1_000_000)))
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side", F.col("_seq").asc_nulls_first())
@@ -107,11 +138,82 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "_side",
         "_lrow",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rmatch"),
     )
-    return filled.filter(F.col("_side") == 1).select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    return _out(filled.filter(F.col("_side") == 1))
+
+
+def _asof_spans(l_tagged: DataFrame, r_tagged: DataFrame, span_us: int) -> DataFrame:
+    """Span-salted asof core over the tagged frames (see asof_join). Returns
+    left rows as (_lrow, _rmatch). Exactness argument: span boundaries
+    partition time, so a left row's match is either (a) the last preceding
+    right row in its OWN span — found by the in-span window with identical
+    ordering — or (b) the overall last right row of the nearest earlier
+    span that has one. The per-span last right row is order-reduced with
+    max_by over the same (ts, seq) order; the carry across spans uses a
+    summary-level window where a left span sorts BEFORE the right summary
+    of the same span, so only strictly-earlier spans are visible (in-span
+    rights are already handled by (a), whatever their tie order)."""
+    if span_us < 1:
+        raise ValueError("span_sec must be at least 1 microsecond")
+    # exact integer span label (us - us % span): double division would
+    # round beyond 2^53 microseconds and could mislabel boundary rows
+    def _span_label(df: DataFrame) -> DataFrame:
+        us = _us(F.col("_ts"))
+        return df.withColumn("_span", us - F.pmod(us, F.lit(span_us)))
+
+    l_sp = _span_label(l_tagged)
+    r_sp = _span_label(r_tagged)
+    w_in = (
+        Window.partitionBy("_k", "_span")
+        .orderBy("_ts", "_side", F.col("_seq").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lefts = (
+        l_sp.unionByName(r_sp)
+        .select(
+            "_k",
+            "_span",
+            "_side",
+            "_lrow",
+            F.last("_rrow", ignorenulls=True).over(w_in).alias("_rin"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+    # Last right row per (key, span): max_by over (ts, seq) mirrors the
+    # window order for right rows (side is constant within the right side;
+    # null seq sorts first in the window ⇒ coalesce to MIN_LONG here).
+    r_summ = r_sp.groupBy("_k", "_span").agg(
+        F.max_by(
+            "_rrow",
+            F.struct(F.col("_ts"), F.coalesce("_seq", F.lit(-(2**63))).alias("_seq")),
+        ).alias("_rlast")
+    )
+    rlast_type = r_summ.schema["_rlast"].dataType
+    l_spans = (
+        lefts.select("_k", "_span")
+        .distinct()
+        .withColumn("_tag", F.lit(0))
+        .withColumn("_rlast", F.lit(None).cast(rlast_type))
+    )
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_span", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        l_spans.unionByName(r_summ.withColumn("_tag", F.lit(1)))
+        .select(
+            "_k",
+            "_span",
+            "_tag",
+            F.last("_rlast", ignorenulls=True).over(w_carry).alias("_rprev"),
+        )
+        .filter(F.col("_tag") == 0)
+        .select("_k", "_span", "_rprev")
+    )
+    return lefts.join(carry, ["_k", "_span"], "left").select(
+        "_lrow", F.coalesce("_rin", "_rprev").alias("_rmatch")
     )
 
 

@@ -272,3 +272,96 @@ def test_sessionize_single_event_sessions(spark):
         (1, 1, 2.0),
         (2, 1, 3.0),
     ]
+
+
+def _asof_kwargs(ev):
+    return dict(
+        left=ev.filter(F.col("kind") == "click").select("event_id", "user_id", "ts"),
+        right=ev.filter(F.col("kind") == "err").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_seq="event_id",
+    )
+
+
+def test_asof_spans_equivalence_with_mega_key(spark):
+    """Span-salted asof (span_sec) must be row-identical to the unsalted
+    window on a skewed corpus where ONE key holds ~60% of all rows and
+    matches routinely live several spans back."""
+    rng = random.Random(23)
+    rows, eid = [], 0
+    # mega user 99: dense clicks, SPARSE errors (long cross-span carries)
+    t = 0
+    for _ in range(900):
+        eid += 1
+        t += rng.randrange(1, 30)
+        kind = "err" if rng.random() < 0.05 else "click"
+        rows.append((eid, 99, t, kind, eid))
+    # normal users, incl. one with no errors at all (all-null matches)
+    for uid in range(4):
+        for _ in range(50):
+            eid += 1
+            rows.append(
+                (eid, uid, rng.randrange(0, 20000), rng.choice(["err", "click"]), eid)
+            )
+    ev = _events(spark, rows)
+    kw = _asof_kwargs(ev)
+    plain = asof_join(**kw)
+    salted = asof_join(**kw, span_sec=600.0)  # mega key spans ~25 spans
+
+    def to_map(df):
+        return {
+            r["event_id"]: (r["event_id_asof"], r["value_asof"]) for r in df.collect()
+        }
+
+    assert to_map(plain) == to_map(salted)
+
+
+def test_asof_spans_cross_span_carry_and_ties(spark):
+    """A left row whose only match is several EMPTY spans back must carry it
+    in; same-ts ties inside the carried span resolve to max seq (identical
+    to the unsalted rule)."""
+    rows = [
+        (1, 7, 10, "err", 1.0),
+        (2, 7, 10, "err", 2.0),   # tie at ts=10 → max event_id wins
+        (3, 7, 905, "click", 0.0),  # spans of 100s: match is ~8 spans back
+        (4, 8, 905, "click", 0.0),  # user with no errors → null match
+    ]
+    ev = _events(spark, rows)
+    out = asof_join(**_asof_kwargs(ev), span_sec=100.0).collect()
+    got = {r["event_id"]: r["event_id_asof"] for r in out}
+    assert got == {3: 2, 4: None}
+
+
+def test_asof_spans_multiple_tasks_touch_mega_key(spark):
+    """The salt actually spreads the mega key: with span_sec set, >1 span
+    partition key exists for the hot user (the unsalted path would sort it
+    in ONE window partition)."""
+    rows = [(i, 1, i * 10, "click" if i % 3 else "err", i) for i in range(1, 400)]
+    ev = _events(spark, rows)
+    kw = _asof_kwargs(ev)
+    l_sp = ev.filter(F.col("kind") == "click").select(
+        "user_id", F.col("ts")
+    )
+    # count distinct span labels the operator derives for this key
+    from nebula_importer_spark.operators.temporal import _us
+
+    span_us = int(300.0 * 1_000_000)
+    us = _us(F.col("ts"))
+    n_spans = (
+        ev.select((us - F.pmod(us, F.lit(span_us))).alias("_span"))
+        .distinct()
+        .count()
+    )
+    assert n_spans > 1
+    # and the salted result still matches the unsalted one
+    assert sorted(
+        (r["event_id"], r["event_id_asof"])
+        for r in asof_join(**kw, span_sec=300.0).collect()
+    ) == sorted(
+        (r["event_id"], r["event_id_asof"]) for r in asof_join(**kw).collect()
+    )

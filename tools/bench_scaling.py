@@ -76,7 +76,17 @@ print(json.dumps({{"cores": cores, "turns": turns, "reps": reps,
 def run(cores: int, turns: int, reps: int, submit: bool = False) -> dict:
     # Pin the whole process tree (JVM + Python workers) to `cores` vCPUs:
     # an N-parallelism "cluster" gets exactly N cores of host CPU.
-    cmd = ["taskset", "-c", f"0-{cores - 1}"] if cores < 99 else []
+    # NIS_PIN_OFFSET moves the pinned range off cores 0..K-1: vCPU 0 (and
+    # its SMT sibling) absorb host IRQ/softirq work on a shared box, which
+    # taxes a 2-core run far more than an 8-core one and reads as fake
+    # scaling loss. Offsetting both levels to the same quiet range keeps
+    # the comparison apples-to-apples.
+    import os as _os
+
+    off = int(_os.environ.get("NIS_PIN_OFFSET", "0"))
+    cmd = (
+        ["taskset", "-c", f"{off}-{off + cores - 1}"] if cores < 99 else []
+    )
     if submit:
         # the north rule's deployment shape: spark-submit --py-files, the
         # package resolved from the zip, master/conf owned by submit
