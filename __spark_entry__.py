@@ -453,6 +453,44 @@ def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_error_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEGA-KEY variant of asof_click_error: span_sec salting partitions
+    each user's window work into (user, 6-hour-span) tasks with a
+    summary-frame carry across spans (operators/temporal.py:_asof_spans) —
+    the 100-TB path where one key holding 10^8 events must not serialize
+    into one window task. Same oracle as the unsalted query: the driver
+    hash-check IS the row-identity proof for the salted rewrite."""
+    from nebula_importer_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        "ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_seq="event_id",
+        span_sec=21600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_us",
+        F.col("event_id_asof").alias("err_event_id"),
+        F.col("value_asof").alias("err_value"),
+    )
+
+
 def q_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-range self-join: same-user event pairs within 60s, via
     time-bucketed equi-join (candidates ∝ temporal density, never |rows|²)."""
@@ -478,6 +516,23 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sessionize_batch(
         ev, key="user_id", ts="ts", id_col="event_id",
         gap_sec=1800.0, value_col="value",
+    )
+    return out.withColumn("sum_value", F.col("sum_value").cast("string"))
+
+
+def q_sessionize_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEGA-KEY variant of sessionize_users: span_sec salting windows
+    within (user, 6-hour-span) partitions and stitches sessions across span
+    boundaries on a summary frame (operators/temporal.py:_sessionize_spans)
+    — no task ever sorts a whole mega key. Same oracle as the unsalted
+    query: the driver hash-check IS the row-identity proof (session ids,
+    counts, bounds AND the exact decimal sums survive the salt)."""
+    from nebula_importer_spark.operators.temporal import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(
+        ev, key="user_id", ts="ts", id_col="event_id",
+        gap_sec=1800.0, value_col="value", span_sec=21600.0,
     )
     return out.withColumn("sum_value", F.col("sum_value").cast("string"))
 
@@ -703,17 +758,24 @@ def _ann_lsh_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int 
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (rows-only: the k-means quantizer is not
-    SQL-expressible; recall vs the exact baseline is pytest-gated).
-    Scale path: cells double as cluster keys so a probe reads only its
-    cells' files."""
+    """IVF-flat ANN, run FULL-PROBE (nprobe == nlist) so the result is exact
+    by the cell-partition property — every corpus row lives in exactly one
+    k-means cell and each probed (query, cell) pair is distinct, so the
+    candidate set is precisely the whole corpus. That makes the brute-force
+    SQL twin a true oracle for the IVF machinery itself: if cell assignment
+    dropped/duplicated a vector, or the probe join missed a cell, the hash
+    would break. (The k-means quantizer still isn't SQL-expressible — it
+    doesn't need to be, because full probing makes the output independent
+    of where the centroids landed.) The APPROXIMATE path (nprobe < nlist)
+    is recall-gated in pytest on clustered embeddings. Scale path: cells
+    double as cluster keys so a probe reads only its cells' files."""
     from nebula_importer_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    top = ivf_topk(emb, queries, k=3, nlist=16, nprobe=4)
+    top = ivf_topk(emb, queries, k=3, nlist=16, nprobe=16, jvm_scores=True)
     return top.select(
         "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
@@ -1144,8 +1206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "orders_moving_sum": q_orders_moving_sum,
         "asof_click_error": q_asof_click_error,
+        "asof_click_error_salted": q_asof_click_error_salted,
         "range_event_pairs": q_range_event_pairs,
         "sessionize_users": q_sessionize_users,
+        "sessionize_users_salted": q_sessionize_users_salted,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1187,7 +1251,7 @@ def _ratio_sql(words: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ratios = {k: _ratio_sql(w) for k, w in
               [("en", _EN), ("de", _DE), ("fr", _FR), ("es", _ES)]}
-    return {
+    return _with_salted_twins({
         "vertex_customer": """
             SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS vid,
                    c_name AS name,
@@ -1616,9 +1680,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        # Full-probe IVF is exact by the cell-partition property (see
+        # q_ann_ivf_topk), so the brute-force ranking is its true oracle.
+        "ann_ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(
+                           list_zip(q.qv, e.embedding::DOUBLE[]),
+                           x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))))
+                       AS cos
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rn AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
         "kg_triples": _kg_triples_sql(),
-        # ann_ivf_topk: the k-means coarse quantizer is the one genuinely
-        # non-SQL-expressible piece (iterative, data-dependent centroids) →
-        # rows-only driver check; recall vs the exact baseline is gated in
-        # pytest (test_operators) instead.
-    }
+    })
+
+
+def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
+    """The salted mega-key variants are defined to be ROW-IDENTICAL to
+    their unsalted forms, so they share one oracle text — the driver's
+    hash check is exactly the salted-rewrite equivalence proof."""
+    sql["asof_click_error_salted"] = sql["asof_click_error"]
+    sql["sessionize_users_salted"] = sql["sessionize_users"]
+    return sql

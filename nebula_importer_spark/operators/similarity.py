@@ -122,6 +122,7 @@ def ivf_topk(
     train_size: int = 4096,
     kmeans_iters: int = 8,
     seed: int = 42,
+    jvm_scores: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows live in the
     cell of their nearest (cosine) centroid; each query scores only rows in
@@ -132,6 +133,16 @@ def ivf_topk(
     (pytest gates recall vs brute force on the clustered test embeddings).
     The train sample is a bounded driver-side collect (``train_size`` rows
     via a deterministic per-id hash order — NOT the full corpus).
+
+    With ``nprobe == nlist`` the search is EXACT by the cell-partition
+    property: every corpus row lives in exactly one cell and each probed
+    (query, cell) pair is distinct, so the candidate set is the whole
+    corpus with no duplicates — any drop/dup in assignment or probing
+    breaks the equality with brute force (that invariant is what the
+    full-probe driver oracle checks). ``jvm_scores=True`` scores candidates
+    with the same left-to-right JVM aggregate as brute_force_topk (the
+    vectorized numpy kernel uses pairwise summation — equal to ~1e-15 but
+    not bit-identical, which matters only for engine-vs-engine hashing).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -178,10 +189,13 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    score = (
+        cosine(F.col("_qv"), F.col("_cv")) if jvm_scores else _cos("_qv", "_cv")
+    )
     return (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("_qv", "_cv").alias("cosine"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
