@@ -273,6 +273,83 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver gate: the events table replayed
+    through readStream → watermarked hourly window agg → availableNow drain
+    into a memory sink (streaming/events.py — the same code path the
+    production parquet-sink stream runs). Append-mode watermark semantics
+    are part of the checked contract: only windows the final watermark
+    (max event time − 2 h) closed are emitted — the oracle reproduces that
+    cutoff in SQL, so the hash check verifies the streaming engine's
+    late-data/finalization behavior, not just the arithmetic. Sums are
+    exact decimal: micro-batch partial aggregation makes double summation
+    batch-boundary-dependent, decimal is associative. (The file path is
+    wrapped in a one-char glob because FileStreamSource accepts a directory
+    or glob, not a bare file.)"""
+    from nebula_importer_spark.streaming.events import (
+        EVENT_SCHEMA,
+        drain_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 100_000)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out = drain_to_memory(agg, "q_stream_events_hourly_sink")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("string").alias("sum_value"),
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR under the driver gate: per-user
+    session assembly via ``applyInPandasWithState`` (event-time timeout),
+    replayed over the events table with availableNow and value-checked
+    against a SQL reconstruction of the operator's full contract:
+      - sessions form in ms-truncated event time ordered by (ts, event_id)
+        (the kernel's deterministic total order);
+      - a session closed INLINE (a later event of the same user arrived
+        beyond the gap) always emits;
+      - a user's LAST session emits iff its state timed out — empirically
+        pinned semantics: last_event_ms + gap < final watermark
+        (max event ms − 2 h), STRICT (equality does not emit; regression-
+        tested in test_streaming_cli);
+      - sums are exact integer micro-units in the state store, rendered as
+        half-away-rounded cents — identical to ROUND(SUM(DECIMAL),2).
+    This is the strongest check in the suite of the streaming engine's
+    state/timeout machinery, not just the arithmetic."""
+    from nebula_importer_spark.streaming.events import (
+        EVENT_SCHEMA,
+        drain_to_memory,
+        sessionize,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 100_000)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    out = drain_to_memory(
+        sessionize(stream, gap="30 minutes", watermark="2 hours"),
+        "q_stream_sessionize_sink",
+    )
+    return out.select(
+        "user_id",
+        (F.unix_micros("session_start") / 1000).cast("long").alias("start_ms"),
+        (F.unix_micros("session_end") / 1000).cast("long").alias("end_ms"),
+        "n_events",
+        F.col("sum_value").cast("decimal(18,2)").cast("string").alias("sum_value"),
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation (ROLLUP region→nation→grand total) over the
     broadcast-dimension join tree — subtotal levels in one shuffle."""
@@ -1197,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "window_top_order": q_window_top_order,
         "events_hourly": q_events_hourly,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_sessionize": q_stream_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "quantile_stats": q_quantile_stats,
         "customers_no_orders": q_customers_no_orders,
@@ -1330,6 +1409,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # Streaming twin: append-mode emission = windows closed by the
+        # final watermark (max ts - 2h); the cutoff is reproduced here so
+        # the hash verifies watermark finalization semantics. max(ts) has
+        # microsecond precision in this data, so it never lands exactly on
+        # an (hour boundary + 2h) and the <= / < edge cannot be hit.
+        "stream_events_hourly": """
+            WITH wm AS (
+                SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM events
+            ),
+            a AS (
+                SELECT date_trunc('hour', ts) AS ws, event_type,
+                       COUNT(*) AS n_events,
+                       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                            AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:00') AS hour, event_type,
+                   n_events, sum_value
+            FROM a, wm WHERE ws + INTERVAL 1 HOUR <= cutoff
+        """,
+        # Stateful-streaming twin: the kernel works in ms-truncated event
+        # time ordered by (ts, event_id); inline-closed sessions always
+        # emit, a user's last session emits iff last_ms + gap < final
+        # watermark (STRICT — equality does not time out, empirically
+        # pinned and regression-tested).
+        "stream_sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts)//1000 AS ms, event_id, value,
+                       epoch_us(ts) AS us FROM events
+            ),
+            f AS (
+                SELECT *, CASE WHEN ms - lag(ms) OVER (
+                              PARTITION BY user_id ORDER BY us, event_id)
+                              > 1800000 THEN 1 ELSE 0 END AS newf
+                FROM e
+            ),
+            g AS (
+                SELECT *, SUM(newf) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS sid
+                FROM f
+            ),
+            s AS (
+                SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+                       COUNT(*) AS n_events,
+                       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                            AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+                FROM g GROUP BY user_id, sid
+            ),
+            sm AS (
+                SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+                FROM s
+            ),
+            wm AS (SELECT (max(epoch_us(ts))//1000) - 7200000 AS w FROM events)
+            SELECT user_id, start_ms, end_ms, n_events, sum_value
+            FROM sm, wm
+            WHERE sm.sid < sm.max_sid OR sm.end_ms + 1800000 < wm.w
         """,
         "rollup_revenue": """
             SELECT COALESCE(r_name, 'ALL') AS region,

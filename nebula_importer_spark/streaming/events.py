@@ -54,7 +54,15 @@ def windowed_event_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal sum (order-free) — double summation across
+            # micro-batch partial aggregates would be batch-boundary
+            # dependent, breaking replay determinism and oracle hashing
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
@@ -88,7 +96,16 @@ def sessionize(
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
-    state_schema = "last_ts long, start_ts long, n long, total double"
+    # value sums are carried as EXACT integer micro-units (state must be
+    # replay-deterministic: double accumulation is arrival-order dependent,
+    # and order across micro-batch boundaries is not a contract). Rendered
+    # at close time as half-away-rounded cents — identical to SQL
+    # ROUND(SUM(DECIMAL(18,6)), 2).
+    state_schema = "last_ts long, start_ts long, n long, total_micros long"
+
+    def _cents(micros: int) -> float:
+        sign = -1 if micros < 0 else 1
+        return sign * ((abs(micros) + 5_000) // 10_000) / 100.0
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -99,20 +116,23 @@ def sessionize(
             state.remove()
         else:
             last_ts, start_ts, n, total = (
-                state.get if state.exists else (None, None, 0, 0.0)
+                state.get if state.exists else (None, None, 0, 0)
             )
             for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
+                # (ts, event_id) makes same-timestamp processing order a
+                # total order — session assembly is replay-identical no
+                # matter how the shuffle delivered the rows
+                pdf = pdf.sort_values(["ts", "event_id"])
                 for ts, value in zip(pdf["ts"], pdf["value"]):
                     ts_ms = int(ts.value // 1_000_000)
                     if last_ts is not None and ts_ms - last_ts > gap_ms:
                         closed.append((user_id, start_ts, last_ts, n, total))
-                        start_ts, n, total = ts_ms, 0, 0.0
+                        start_ts, n, total = ts_ms, 0, 0
                     if start_ts is None:
                         start_ts = ts_ms
                     last_ts = ts_ms
                     n += 1
-                    total += float(value or 0.0)
+                    total += int(round(float(value or 0.0) * 1_000_000))
             state.update((last_ts, start_ts, n, total))
             state.setTimeoutTimestamp(last_ts + gap_ms)
         if closed:
@@ -126,7 +146,7 @@ def sessionize(
                         _dt.datetime.utcfromtimestamp(c[2] / 1000.0) for c in closed
                     ],
                     "n_events": [c[3] for c in closed],
-                    "sum_value": [c[4] for c in closed],
+                    "sum_value": [_cents(c[4]) for c in closed],
                 }
             )
 
@@ -155,6 +175,32 @@ def dedup_stream(
     are suppressed as they arrive, before they reach storage."""
     keys = keys or ["event_id"]
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def drain_to_memory(agg: DataFrame, name: str, checkpoint_dir: str | None = None) -> DataFrame:
+    """Run a streaming frame to completion under ``trigger(availableNow)``
+    into an in-memory sink and return the materialized result table.
+
+    Append-mode semantics are preserved end-to-end: only windows/groups the
+    final watermark finalized are present (Spark runs no-data micro-batches
+    after the last data batch, so state the advanced watermark closes IS
+    flushed before termination). This is the batch-replay harness for
+    verifying streaming semantics against a SQL oracle — the memory sink is
+    driver-resident, so it is strictly a TEST/verification surface; the
+    production sink is run_stream_to_parquet."""
+    import tempfile
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"nis_ck_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
 
 
 def _parse_duration_ms(s: str) -> int:

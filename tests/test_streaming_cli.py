@@ -170,6 +170,34 @@ sources:
     assert any("ssl" in r.message for r in caplog.records)
 
 
+def test_sessionize_timeout_boundary_is_strict(spark, tmp_path):
+    """Event-time timeout fires only when timeout_ts < final watermark,
+    STRICTLY: a session whose (last_event + gap) equals the watermark does
+    NOT emit, one 1 ms below does. The stream_sessionize driver oracle's
+    cutoff comparison encodes exactly this — if Spark's semantics ever
+    shift to <=, this test and that oracle fail together."""
+    from nebula_importer_spark.streaming.events import drain_to_memory, sessionize
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    indir = tmp_path / "bnd"
+    rows = [
+        # timeout = t0 + 30min == watermark (pusher at t0+2.5h) → held
+        (1, t0, 1, "click", 1.0, ""),
+        # timeout = watermark - 1ms → emitted
+        (2, t0 - timedelta(milliseconds=1), 2, "click", 1.0, ""),
+        (3, t0 + timedelta(hours=2, minutes=30), 9, "view", 0.0, ""),
+    ]
+    _write_events(spark, indir, rows)
+    out = drain_to_memory(
+        sessionize(
+            read_event_stream(spark, str(indir)), gap="30 minutes", watermark="2 hours"
+        ),
+        "t_sess_boundary",
+        checkpoint_dir=str(tmp_path / "bnd_ck"),
+    )
+    assert sorted(r["user_id"] for r in out.collect()) == [2]
+
+
 def test_sessionize_stateful(spark, tmp_path):
     from nebula_importer_spark.streaming.events import read_event_stream, sessionize
 
