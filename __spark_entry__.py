@@ -350,6 +350,36 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) under the
+    driver gate: at-ingest replay suppression with state bounded by the
+    watermark horizon. The projection keeps ONLY the dedup keys: within a
+    key the surviving row is arrival-order dependent (a documented property
+    of streaming dedup), so the deterministic, checkable contract is the
+    distinct KEY SET — which is what the oracle verifies. Emission is
+    immediate (dedup is not an aggregation), so no watermark cutoff applies
+    to the output."""
+    from nebula_importer_spark.streaming.events import (
+        EVENT_SCHEMA,
+        dedup_stream,
+        drain_to_memory,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 100_000)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    deduped = dedup_stream(
+        stream, keys=["user_id", "event_type"], ts="ts", watermark="2 hours"
+    )
+    out = drain_to_memory(
+        deduped.select("user_id", "event_type"), "q_stream_dedup_sink"
+    )
+    return out.distinct()
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation (ROLLUP region→nation→grand total) over the
     broadcast-dimension join tree — subtotal levels in one shuffle."""
@@ -1276,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "stream_events_hourly": q_stream_events_hourly,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
         "rollup_revenue": q_rollup_revenue,
         "quantile_stats": q_quantile_stats,
         "customers_no_orders": q_customers_no_orders,
@@ -1469,6 +1500,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, start_ms, end_ms, n_events, sum_value
             FROM sm, wm
             WHERE sm.sid < sm.max_sid OR sm.end_ms + 1800000 < wm.w
+        """,
+        # Streaming-dedup twin: dropDuplicatesWithinWatermark keeps ONE
+        # arbitrary survivor per key (arrival-order dependent), so the
+        # checkable deterministic contract is the distinct key set.
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "rollup_revenue": """
             SELECT COALESCE(r_name, 'ALL') AS region,
