@@ -115,6 +115,70 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return slim.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resized(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for decode→resample→encode: a sha256 keystream
+    of the source payload, one byte per target pixel. Swapped for the real
+    codec path (`decode_image` + a resampler) when a codec library exists."""
+    n = max(w * h, 1)
+    seed = hashlib.sha256(payload or b"").digest()
+    return bytes((seed * (n // len(seed) + 1))[:n])
+
+
+def resize_images(assets: DataFrame, max_w: int = 16, max_h: int = 16) -> DataFrame:
+    """Resize plumbing for image assets: aspect-preserving fit into
+    (max_w, max_h), never upscaling.
+
+    The geometry (scale factor, floor-clamped target dims) is pure JVM
+    arithmetic on the metadata columns — no payload bytes touched until the
+    kernel. The pixel resample itself is the STUBBED codec step: the Arrow
+    kernel emits a deterministic fake payload sized to the target area, so
+    schema, batch shape, and metadata propagation are real and testable
+    while the one genuinely-unavailable library call stays isolated."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    sized = assets.filter(F.col("kind") == "image").select(
+        "asset_id",
+        "payload",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("int")
+        .alias("new_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("int")
+        .alias("new_height"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "new_width": pdf["new_width"],
+                    "new_height": pdf["new_height"],
+                    "payload": [
+                        _fake_resized(p, int(w), int(h))
+                        for p, w, h in zip(
+                            pdf["payload"], pdf["new_width"], pdf["new_height"]
+                        )
+                    ],
+                }
+            )
+
+    return sized.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling plumbing for video assets: emits (asset_id, frame_ts_ms)
     rows from duration metadata — pure JVM (sequence/explode); the per-frame

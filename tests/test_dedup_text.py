@@ -220,6 +220,28 @@ def test_multimodal_plumbing(spark):
     assert frames.groupBy("asset_id").count().filter("count < 2").count() == 0
 
 
+def test_multimodal_resize_plumbing(spark):
+    from nebula_importer_spark.operators.multimodal import resize_images
+
+    assets = synth_assets(spark, n=12)  # widths/heights 32..39, kind cycles
+    resized = resize_images(assets, max_w=16, max_h=8)
+    rows = {r["asset_id"]: r for r in resized.collect()}
+    n_images = assets.filter("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    src = {r["asset_id"]: r for r in assets.collect()}
+    for aid, r in rows.items():
+        w, h = src[aid]["width"], src[aid]["height"]
+        scale = min(16 / w, 8 / h, 1.0)
+        # aspect-preserving fit, floor-clamped, never upscaled
+        assert r["new_width"] == max(int(w * scale), 1)
+        assert r["new_height"] == max(int(h * scale), 1)
+        assert r["new_width"] <= 16 and r["new_height"] <= 8
+        # fake payload is one byte per target pixel, deterministic
+        assert len(r["payload"]) == r["new_width"] * r["new_height"]
+    again = {r["asset_id"]: bytes(r["payload"]) for r in resized.collect()}
+    assert all(bytes(r["payload"]) == again[a] for a, r in rows.items())
+
+
 def test_multimodal_decode_is_stubbed():
     from nebula_importer_spark.operators.multimodal import decode_image
 
