@@ -1072,6 +1072,32 @@ def q_multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_doc_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checks the resize plumbing: documents become image assets with
+    deterministic (width, height) metadata; the aspect-preserving fit into
+    16×16 (JVM geometry) and the kernel's one-byte-per-target-pixel payload
+    sizing are both recomputed by the SQL twin. The identical IEEE double
+    expression shape (floor(w * least(16/w, 16/h, 1))) makes the geometry
+    bit-reproducible across engines; the stubbed pixel keystream itself is
+    checked via its LENGTH contract (new_width * new_height)."""
+    from nebula_importer_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
+        (F.lit(20) + F.col("doc_id") % 45).cast("int").alias("width"),
+        (F.lit(10) + F.col("doc_id") % 30).cast("int").alias("height"),
+    )
+    return resize_images(assets, max_w=16, max_h=16).select(
+        "asset_id",
+        "new_width",
+        "new_height",
+        F.length("payload").cast("long").alias("n_payload_bytes"),
+    )
+
+
 def _doc_features_sql() -> str:
     """DuckDB twin of _fake_feature: hex-digit arithmetic reconstruction of
     numpy's frombuffer(digest*2, uint32-LE) % 10000 / 10000, one row per
@@ -1340,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "chunk_documents": q_chunk_documents,
         "multimodal_doc_features": q_multimodal_doc_features,
+        "multimodal_doc_resize": q_multimodal_doc_resize,
         "kg_extract_docs": q_kg_extract_docs,
     }
 
@@ -1688,6 +1715,28 @@ def oracle_sql() -> dict[str, str]:
         "mix_domains": _mix_domains_sql(),
         "text_redact_pii": _redact_pii_sql(),
         "multimodal_doc_features": _doc_features_sql(),
+        # Resize twin: identical IEEE double geometry; payload checked by
+        # its length contract (one fake byte per target pixel).
+        "multimodal_doc_resize": """
+            WITH t AS (
+                SELECT doc_id AS asset_id,
+                       CAST(20 + doc_id % 45 AS INTEGER) AS w,
+                       CAST(10 + doc_id % 30 AS INTEGER) AS h
+                FROM documents
+            ),
+            s AS (
+                SELECT asset_id, w, h,
+                       least(16.0 / w, 16.0 / h, 1.0) AS scale
+                FROM t
+            )
+            SELECT asset_id,
+                   CAST(greatest(floor(w * scale), 1) AS INTEGER) AS new_width,
+                   CAST(greatest(floor(h * scale), 1) AS INTEGER) AS new_height,
+                   CAST(greatest(floor(w * scale), 1)
+                        * greatest(floor(h * scale), 1) AS BIGINT)
+                       AS n_payload_bytes
+            FROM s
+        """,
         "kg_extract_docs": _kg_extract_docs_sql(),
         "chunk_documents": """
             WITH t AS (
