@@ -117,7 +117,15 @@ def _version_string() -> str:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nebula_importer_spark")
-    ap.add_argument("--version", action="version", version=_version_string())
+    # lazy banner: argparse's version= evaluates at PARSER construction, so
+    # the eager form would import pyspark (multi-second) on every CLI call
+    # including --help and argument errors
+    class _Version(argparse.Action):
+        def __call__(self, parser, *a, **k):  # noqa: ANN001, ANN002, ANN003
+            print(_version_string())  # stdout, like argparse's version action
+            parser.exit()
+
+    ap.add_argument("--version", action=_Version, nargs=0)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     imp = sub.add_parser("import", help="run a tag/edge schema config")

@@ -92,9 +92,14 @@ def _map_segments(expr: str, fn) -> str:
 
 
 def _validate_segment(seg: str, expr: str) -> None:
-    """Every char outside literals must belong to a documented-grammar token.
-    ``seg`` arrives with Record refs already replaced by a placeholder."""
+    """Every char outside literals must belong to a documented-grammar token,
+    and operand tokens must not be ADJACENT: the signed-number token would
+    otherwise tokenize ``5-3`` as ``5`` then ``-3`` and let arithmetic slip
+    through to Spark SQL, where string operands numeric-cast instead of
+    type-erroring as expr-lang would (review finding). ``seg`` arrives with
+    Record refs already replaced by a number placeholder."""
     pos = 0
+    prev_operand = False
     while pos < len(seg):
         m = _TOKEN.match(seg, pos)
         if m is None:
@@ -104,7 +109,23 @@ def _validate_segment(seg: str, expr: str) -> None:
                 "literals, == != < > <= >=, and/&&, or/||, not/!, parentheses "
                 "(reference docs/filter-expression.md)"
             )
+        tok = m.group(0)
         pos = m.end()
+        if tok.isspace():
+            continue
+        is_value = (
+            tok in ("true", "false")
+            or tok[0].isdigit()
+            or (tok[0] == "-" and len(tok) > 1 and tok[1].isdigit())
+        )
+        if prev_operand and is_value:
+            raise FilterError(
+                f"adjacent operands (arithmetic?) at {tok!r} in {expr!r}: "
+                "arithmetic is not part of the filter grammar (expr-lang "
+                "would type-error on string records; Spark SQL would "
+                "numeric-cast — silent divergence, so it is rejected)"
+            )
+        prev_operand = is_value or tok in (")", "]")
 
 
 def translate_filter(expr: str, cols: list[str]) -> str:
@@ -119,16 +140,27 @@ def translate_filter(expr: str, cols: list[str]) -> str:
 
     def _rewrite(seg: str) -> str:
         _validate_segment(_RECORD_REF.sub(" 0 ", seg), expr)
-        seg = _RECORD_REF.sub(_ref, seg)
+        # Stash resolved Record refs behind inert placeholders so NO later
+        # textual rewrite can touch the substituted column names — a source
+        # column literally named "matches" (or containing &&/[/!) must come
+        # through byte-identical inside its backticks (review finding).
+        refs: list[str] = []
+
+        def _stash(m: re.Match[str]) -> str:
+            refs.append(_ref(m))
+            return f"\x00{len(refs) - 1}\x00"
+
+        seg = _RECORD_REF.sub(_stash, seg)
         # `&&` is a Spark SQL synonym for AND, but `||` is CONCAT there —
         # both get rewritten to the keyword forms for unambiguous semantics.
         seg = seg.replace("&&", " and ").replace("||", " or ")
         for pat, repl in _FN_RENAMES:
             seg = pat.sub(repl, seg)
-        # Record refs are resolved above, so remaining brackets are
+        # Record refs are stashed above, so remaining brackets are
         # expr-lang list literals (`in [..]`) → SQL IN-list parens.
         seg = seg.replace("[", "(").replace("]", ")")
-        return _BANG_NOT.sub(" not ", seg)
+        seg = _BANG_NOT.sub(" not ", seg)
+        return re.sub(r"\x00(\d+)\x00", lambda m: refs[int(m.group(1))], seg)
 
     return _map_segments(expr, _rewrite)
 

@@ -153,11 +153,15 @@ def simhash(
         )
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    from nebula_importer_spark.operators.text import NOT_WS
+
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.expr(f"regexp_extract_all(`{text_col}`, '\\\\S+', 0)")).alias(
-            "_tok"
-        ),
+        # explicit RE2-compatible class, not \S: Java counts \x0B as
+        # whitespace, RE2 (the DuckDB oracle) does not
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(NOT_WS + "+"), F.lit(0))
+        ).alias("_tok"),
     ).withColumn("_h", h)
     aggs = [
         F.sum(

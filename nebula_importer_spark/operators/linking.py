@@ -41,7 +41,9 @@ def word_ngrams(col, n: int):
     token and measured ~8× slower on the sf0.1 documents table (8.5 s →
     1.0 s for 5000 docs)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(c), r"\s+")
+    from nebula_importer_spark.operators.text import WS
+
+    toks = F.split(F.trim(c), WS + "+")
     if n == 1:
         return F.array_distinct(toks)
     sz = F.size(toks)

@@ -42,30 +42,47 @@ def salted_repartition(
     return out.drop("_salt")
 
 
-_SPREAD_NOOP_OPS = (
-    # analyzed-logical-plan nodes that imply the frame is already spread
-    # (a shuffle repartitions downstream of the scan) or needs no spreading
-    # (LocalRelation/createDataFrame parallelizes over defaultParallelism)
-    "Aggregate",
-    "Join",
-    "Window",
-    "Deduplicate",
-    "Distinct",
-    "Repartition",
-    "RepartitionByExpression",
-    "Sort",
-    "LocalRelation",
-    "LogicalRDD",  # createDataFrame — parallelized over default slices already
+import re as _re
+
+# Node names are matched ANCHORED at plan-node positions (line start after
+# tree-drawing indentation), never as bare substrings — a column named
+# "SortKey" appears inside the bracketed attribute list, not at a node
+# position, so it cannot false-positive a "Sort" node.
+_SHUFFLE_HINT_NODES = _re.compile(
+    r"(?m)^[\s:+|-]*(?:Aggregate|Join|Window|Deduplicate|Distinct|"
+    r"Repartition|RepartitionByExpression|Sort)[\s\[]"
+)
+_LOCAL_NODES = _re.compile(r"(?m)^[\s:+|-]*(?:LocalRelation|LogicalRDD)[\s\[,]")
+_FILE_RELATION = _re.compile(r"(?m)^[\s:+|-]*Relation\s*\[")
+# coalesce(n) prints as `Repartition n, false` — it CAPS the partition count
+# (no shuffle), so a small cap means the frame is definitely narrow
+_COALESCE = _re.compile(r"(?m)^[\s:+|-]*Repartition (\d+), false")
+# only a real shuffle Exchange proves the data is redistributed; a
+# BroadcastExchange (broadcast join) and Exchange SinglePartition do not.
+# The non-greedy group can under-read nested-paren partitionings — that
+# errs toward "not spread" (an extra round-robin), never toward serializing.
+_SHUFFLE_EXCHANGE = _re.compile(
+    r"Exchange (?:hash|range)partitioning\(.*?(\d+)\)"
+    r"|Exchange RoundRobinPartitioning\((\d+)\)"
 )
 
 
 def _parse_byte_conf(s: str) -> int:
-    """'134217728b' / '128m' / '1g' → bytes (Spark byte-conf syntax)."""
+    """'134217728b' / '128m' / '128mb' / '1g' → bytes (Spark byte-conf
+    syntax: optional trailing 'b', then an optional k/m/g/t/p magnitude)."""
     s = s.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suffix, m in (
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("p", 1 << 50),
+    ):
         if s.endswith(suffix):
-            s = s[: -len(suffix)]
+            s = s[:-1]
             mult = m
             break
     return int(float(s) * mult)
@@ -116,23 +133,46 @@ def spread_small_input(
     how many the session has — the classic small-input parallelism trap.
 
     No-op when the input is already spread — decided WITHOUT an RDD
-    conversion: (a) ``input_splits`` caller hint, else (b) the analyzed
-    logical plan contains a shuffle-introducing operator (already
-    repartitioned downstream of the scan), else (c) the scan's split
-    estimate from inputFiles()/file sizes. The trigger is splits <
-    cores/2 (not < cores): a half-spread input keeps every core busy
-    within 2×, and the laxer gate avoids paying the round-robin shuffle
-    warm when the scan is already mostly parallel. At 100-TB scans the
-    estimate is conclusive at the file-count step — zero added work."""
+    conversion: (a) ``input_splits`` caller hint, else (b) a small
+    ``coalesce`` cap in the analyzed plan forces a spread, else (c) when
+    the analyzed plan has shuffle-CAPABLE nodes (anchored node-name match,
+    not substrings), the initial physical plan must show a real shuffle
+    Exchange with ≥ trigger partitions (a broadcast join or coalesce has
+    those node names but no shuffle — confirmed false positives in review),
+    else (d) the scan's split estimate from inputFiles()/file sizes.
+    Physical planning is only paid on the rare already-complex plans; the
+    common scan-only caller stays on the analyzed plan + file stat. AQE
+    byte-based post-shuffle coalescing can still narrow a tiny shuffled
+    input at runtime — pass ``input_splits`` explicitly for CPU-bound
+    stages downstream of an aggregation over tiny data. The trigger is
+    splits < cores/2 (not < cores): a half-spread input keeps every core
+    busy within 2×, and the laxer gate avoids paying the round-robin
+    shuffle warm when the scan is already mostly parallel. At 100-TB scans
+    the estimate is conclusive at the file-count step — zero added work."""
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     trigger = max(2, want // 2)
     if input_splits is None:
         try:
-            plan = df._jdf.queryExecution().analyzed().toString()
+            qe = df._jdf.queryExecution()
+            plan = qe.analyzed().toString()
         except Exception:  # pragma: no cover — defensive
-            plan = ""
-        if any(op in plan for op in _SPREAD_NOOP_OPS):
+            qe, plan = None, ""
+        caps = [int(m) for m in _COALESCE.findall(plan)]
+        if caps and min(caps) < trigger:
+            return df.repartition(want)
+        # purely-local frames (createDataFrame) parallelize on their own;
+        # a LocalRelation that is merely the broadcast side of a join over
+        # a file scan must NOT mask the narrow scan side
+        if _LOCAL_NODES.search(plan) and not _FILE_RELATION.search(plan):
             return df
+        if qe is not None and _SHUFFLE_HINT_NODES.search(plan):
+            try:
+                phys = qe.executedPlan().toString()
+            except Exception:  # pragma: no cover — defensive
+                phys = ""
+            for m in _SHUFFLE_EXCHANGE.finditer(phys):
+                if int(m.group(1) or m.group(2)) >= trigger:
+                    return df
         input_splits = _scan_split_estimate(df, trigger)
     if input_splits >= trigger:
         return df

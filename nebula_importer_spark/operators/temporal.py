@@ -143,6 +143,16 @@ def asof_join(
     return _out(filled.filter(F.col("_side") == 1))
 
 
+def _floor_div_us(col_name: str, unit_us: int) -> Column:
+    """floor(us / unit) in EXACT integer arithmetic. Double division rounds
+    beyond 2^53 µs and can mislabel boundary rows into a neighboring
+    bucket/span (the hazard _asof_spans documents); ``us - pmod(us, unit)``
+    is an exact multiple of ``unit`` at any long magnitude, so integer
+    ``div`` recovers the floor quotient exactly (pmod ≥ 0 makes this true
+    for negative timestamps too, where ``div`` alone truncates upward)."""
+    return F.expr(f"(`{col_name}` - pmod(`{col_name}`, {unit_us})) div {unit_us}")
+
+
 def _asof_spans(l_tagged: DataFrame, r_tagged: DataFrame, span_us: int) -> DataFrame:
     """Span-salted asof core over the tagged frames (see asof_join). Returns
     left rows as (_lrow, _rmatch). Exactness argument: span boundaries
@@ -248,7 +258,7 @@ def range_self_join(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
-    a = base.withColumn("_bkt", F.floor(F.col("_us") / gap_us))
+    a = base.withColumn("_bkt", _floor_div_us("_us", gap_us))
     b = a.withColumn("_jb", F.explode(F.array(F.col("_bkt"), F.col("_bkt") - 1))).drop(
         "_bkt"
     )
@@ -359,7 +369,7 @@ def _sessionize_spans(
     """
     if span_us < 1:
         raise ValueError("span_sec must be at least 1 microsecond")
-    ev = ev.withColumn("_span", F.floor(F.col("_us") / span_us))
+    ev = ev.withColumn("_span", _floor_div_us("_us", span_us))
     w = Window.partitionBy(key, "_span").orderBy("_us", id_col)
     flagged = ev.withColumn(
         "_new",

@@ -16,6 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Whitespace written as an EXPLICIT class rather than \s/\S: Java regex
+# (Spark) counts \x0B (vertical tab) as whitespace, RE2 (the DuckDB oracles)
+# does not — the literal class pins both engines to identical RE2 semantics,
+# so a \x0B in data cannot silently diverge tokenization (review finding).
+WS = "[\t\n\f\r ]"
+NOT_WS = "[^\t\n\f\r ]"
+
 # Tiny deterministic stopword lists (heuristic language ID, not a model).
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
@@ -30,11 +37,11 @@ def _word_re(words: list[str]) -> str:
 
 
 def token_count(col) -> Column:
-    """Whitespace token count (empty/null → 0). regexp_count('\\S+') rather
+    """Whitespace token count (empty/null → 0). regexp_count(NOT_WS+) rather
     than split(): identical semantics in ANSI SQL engines (oracle parity) and
     no empty-string edge case."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+")).cast("long")
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(NOT_WS + "+")).cast("long")
 
 
 def subword_count(col) -> Column:
@@ -73,7 +80,7 @@ def quality_score(col) -> Column:
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     toks = token_count(c).cast("double")
     nchars = F.greatest(F.length(c).cast("double"), F.lit(1.0))
-    punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / nchars
+    punct = F.regexp_count(c, F.lit("[^\\w\t\n\f\r ]")).cast("double") / nchars
     stop = stopword_ratio(c, "en")
     return (
         F.least(toks / F.lit(50.0), F.lit(1.0)) * 0.4
@@ -121,7 +128,7 @@ def chunk_documents(df, text_col: str, k: int, id_cols: list[str]):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(c, WS + "+"), lambda t: t != "")
     n = F.size(toks)
     chunks = F.when(n == 0, F.array()).otherwise(
         F.transform(

@@ -67,7 +67,10 @@ _GO_ESCAPES: list[tuple[str, str]] = [
 def go_quote(c: Column) -> Column:
     """Go strconv.Quote for statement string literals: backslash, double
     quote, the named C escapes, and \\xNN hex for remaining C0 controls and
-    DEL — full parity with the reference's quoting of non-printables."""
+    DEL. Parity scope: ASCII — Go additionally \\u-escapes non-ASCII
+    non-graphic runes (U+0085, U+00A0, U+2028…), which pass through raw
+    here (they are legal inside UTF-8 nGQL literals; only the rendered
+    escape spelling differs from the reference for such data)."""
     s = c
     for raw, esc in _GO_ESCAPES:
         s = F.replace(s, F.lit(raw), F.lit(esc))

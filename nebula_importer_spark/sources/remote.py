@@ -130,7 +130,9 @@ def _stage_matches(
         out = Path(dest_dir) / posixpath.basename(pattern)
         fetch(pattern, str(out))
         return str(out)
-    matches = _remote_glob(pattern, is_dir, listdir)
+    # a glob's final segment can match directory NAMES too — only files can
+    # be staged (a dir match contributes zero files, like an empty dir)
+    matches = [m for m in _remote_glob(pattern, is_dir, listdir) if not is_dir(m)]
     if not matches:
         raise SourceError(f"{proto} source {pattern!r}: no files matched")
     sub = Path(dest_dir) / f"{proto}-{uuid.uuid4().hex[:8]}"
@@ -308,8 +310,17 @@ class FTPOptions:
 
             def listdir(p: str) -> list[str]:
                 # NLST may return full paths or bare names by server;
-                # normalize to names.
-                return [posixpath.basename(n) for n in ftp.nlst(p)]
+                # normalize to names. Many servers answer an EMPTY directory
+                # with 550 ("No files found") instead of an empty list — the
+                # Go walker treats that as zero entries, so do we; a real
+                # permission failure on a non-empty dir still surfaces via
+                # the later CWD/RETR steps.
+                try:
+                    return [posixpath.basename(n) for n in ftp.nlst(p)]
+                except ftplib.error_perm as e:
+                    if str(e).startswith("550"):
+                        return []
+                    raise
 
             def fetch(remote: str, local: str) -> None:
                 with open(local, "wb") as fh:

@@ -118,11 +118,19 @@ def sessionize(
             last_ts, start_ts, n, total = (
                 state.get if state.exists else (None, None, 0, 0)
             )
-            for pdf in pdfs:
-                # (ts, event_id) makes same-timestamp processing order a
-                # total order — session assembly is replay-identical no
-                # matter how the shuffle delivered the rows
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # (ts, event_id) makes same-timestamp processing order a total
+            # order — session assembly is replay-identical no matter how
+            # the shuffle delivered the rows. The group arrives as MULTIPLE
+            # Arrow chunks (split at maxRecordsPerBatch); sorting must span
+            # all of them, so concatenate first — per-chunk sorting would
+            # interleave out-of-order across chunk boundaries for >10k-event
+            # keys (exactly the mega-key case). One key's micro-batch rows
+            # in memory is the operator's inherent working set.
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                pdf = _pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
                 for ts, value in zip(pdf["ts"], pdf["value"]):
                     ts_ms = int(ts.value // 1_000_000)
                     if last_ts is not None and ts_ms - last_ts > gap_ms:

@@ -55,8 +55,9 @@ TRIPLE_SCHEMA = T.StructType(
 
 def normalize_mention(col):
     """Linking key normalization (shared with reference.py): lowercase,
-    collapse whitespace."""
-    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    collapse whitespace (explicit RE2-compatible class — Java's \\s counts
+    \\x0B, RE2/DuckDB's does not)."""
+    return F.lower(F.regexp_replace(F.trim(col), "[\t\n\f\r ]+", " "))
 
 
 def ordered_turns(transcripts: DataFrame) -> DataFrame:

@@ -247,3 +247,19 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_tokenization_re2_compatible(spark):
+    """\\x0B is whitespace to Java \\s but NOT to RE2 (the DuckDB oracles):
+    the explicit class pins the Spark side to RE2 semantics so tokenization
+    cannot silently diverge on such data (review finding)."""
+    import duckdb
+
+    from nebula_importer_spark.operators.text import token_count
+
+    df = spark.createDataFrame([("a\x0bb c",)], "text string")
+    n = df.select(token_count("text").alias("n")).collect()[0]["n"]
+    dn = duckdb.sql(
+        "select len(regexp_extract_all('a' || chr(11) || 'b c', '\\S+')) as n"
+    ).fetchone()[0]
+    assert n == dn == 2

@@ -111,6 +111,30 @@ def test_off_grammar_constructs_rejected():
             translate_filter(bad, ["_c0", "_c1"])
 
 
+def test_column_named_like_keyword_untouched():
+    # A source column literally named "matches" (or containing operator
+    # chars) must come through byte-identical inside its backticks — the
+    # rename pass must never see substituted column names (review finding).
+    got = translate_filter('Record[0] == "x"', ["matches"])
+    assert "`matches`" in got and "rlike" not in got
+    got = translate_filter('Record[0] != "y"', ["a&&b!c[0]"])
+    assert "`a&&b!c[0]`" in got
+
+
+def test_arithmetic_adjacent_operands_rejected():
+    # signed-number tokenization must not let `5-3` (→ tokens 5, -3) slip
+    # through as silent Spark arithmetic (review finding)
+    for bad in [
+        'Record[0] == 5-3',
+        'Record[1]-1 > 0',
+        'Record[0] > 1 2',
+    ]:
+        with pytest.raises(FilterError):
+            translate_filter(bad, ["_c0", "_c1"])
+    # unary minus after a comparison operator is legitimate grammar
+    assert "-1" in translate_filter("Record[0] >= -1", ["_c0"])
+
+
 def test_unterminated_literal_rejected():
     with pytest.raises(FilterError):
         translate_filter('Record[0] == "oops', ["_c0"])

@@ -164,6 +164,48 @@ def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
     assert spread_small_input(local) is local
 
 
+def test_spread_small_input_heuristic_false_positives(spark, tmp_path):
+    """Review-confirmed traps: plan-SUBSTRING matching treated a column
+    named SortKey, a coalesce(1), and a broadcast join as already-spread,
+    silently reintroducing the one-core trap. All three must spread."""
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    def n_parts(df):
+        return df.rdd.getNumPartitions()
+
+    # (a) column whose NAME contains a node name ("SortKey" ⊃ "Sort")
+    p = str(tmp_path / "sortkey.parquet")
+    spark.range(100).select(
+        F.col("id"), F.col("id").alias("SortKey"), F.col("id").alias("JoinCol")
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert n_parts(spread_small_input(scan)) >= 2
+
+    # (b) explicit coalesce(1) caps the width — must be re-spread
+    assert n_parts(spread_small_input(scan.coalesce(1))) >= 2
+
+    # (c) broadcast join has a Join node but NO shuffle — must be re-spread
+    dim = spark.createDataFrame([(0, "a")], "id long, v string")
+    bj = scan.join(F.broadcast(dim), "id", "left")
+    assert n_parts(spread_small_input(bj)) >= 2
+
+    # control: a real shuffle at full width stays a no-op
+    agg = scan.repartition(4, "id")
+    assert spread_small_input(agg) is agg
+
+
+def test_parse_byte_conf_suffixes():
+    from nebula_importer_spark.operators.skew import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128mb") == 128 << 20
+    assert _parse_byte_conf("1gb") == 1 << 30
+    assert _parse_byte_conf("2t") == 2 << 40
+
+
 def test_spread_small_input_result_correct(spark, tmp_path):
     from nebula_importer_spark.operators.skew import spread_small_input
 

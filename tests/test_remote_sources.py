@@ -284,6 +284,35 @@ def test_ftp_glob_zero_match_is_source_error(tmp_path, monkeypatch):
         FTPOptions(host="h", path="/pub/*.parquet").download(str(tmp_path))
 
 
+def test_ftp_glob_empty_dir_550_is_zero_entries(tmp_path, monkeypatch):
+    """Many FTP servers answer NLST on an EMPTY directory with 550 instead
+    of an empty list; the walker must treat that as zero entries (like the
+    Go reference), not abort the whole glob (review finding)."""
+    import ftplib
+
+    from nebula_importer_spark.sources.remote import FTPOptions
+
+    class EmptyDirFTP(_GlobFakeFTP):
+        tree = {"/pub": ["sub", "one.csv"], "/pub/sub": []}
+        files = {"/pub/one.csv": b"a1,Amy\n"}
+
+        def nlst(self, path):
+            if not self.tree.get(path):
+                raise ftplib.error_perm("550 No files found")
+            return [f"{path}/{n}" for n in self.tree[path]]
+
+        def cwd(self, path):
+            if path not in self.tree and path != "/":
+                raise ftplib.error_perm(f"550 {path}: Not a directory")
+            self._cwd = path
+
+    monkeypatch.setattr(ftplib, "FTP", EmptyDirFTP)
+    # glob descends into sub/ (empty → 550) AND matches the real file
+    out = FTPOptions(host="h", path="/pub/*").download(str(tmp_path))
+    staged = sorted(p.name for p in Path(out).iterdir())
+    assert staged == ["00000-one.csv"]
+
+
 def test_sftp_glob_stages_all_matches(tmp_path):
     """SFTP staging through a fake client (paramiko absent in sandbox);
     exercises the stat/listdir/get surface _stage drives."""

@@ -233,6 +233,56 @@ def test_sessionize_stateful(spark, tmp_path):
     assert got[(2, "2026-01-01T00:01:00")] == (1, 4.0)
 
 
+def test_sessionize_multi_chunk_group(spark, tmp_path):
+    """A key whose micro-batch rows span MULTIPLE Arrow chunks must still be
+    processed in (ts, event_id) order — per-chunk sorting interleaves events
+    across chunk boundaries and splits/merges sessions wrongly (review
+    finding). Forced here with a tiny maxRecordsPerBatch and reversed
+    arrival order."""
+    from nebula_importer_spark.streaming.events import read_event_stream, sessionize
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    indir, outdir, ckpt = tmp_path / "cin", tmp_path / "cout", tmp_path / "cckpt"
+    # 120 events 1 min apart (one session), written in DESCENDING ts order so
+    # chunk k holds later events than chunk k+1 → per-chunk sorting would
+    # see time going backwards between chunks and fabricate huge gaps.
+    rows = [
+        (i, t0 + timedelta(minutes=119 - i), 1, "click", 1.0, "")
+        for i in range(120)
+    ]
+    rows.append((999, t0 + timedelta(days=2), 9, "view", 0.0, ""))
+    _write_events(spark, indir, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        q = (
+            sessionize(
+                read_event_stream(spark, str(indir)),
+                gap="30 minutes",
+                watermark="1 minutes",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = [
+        r
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r["user_id"] == 1
+    ]
+    # exactly ONE session covering all 120 events
+    assert len(got) == 1
+    assert got[0]["n_events"] == 120
+    assert got[0]["session_start"].isoformat() == "2026-01-01T00:00:00"
+    assert got[0]["session_end"].isoformat() == "2026-01-01T01:59:00"
+
+
 def test_cli_statements_renders_ngql_files(tmp_path):
     data = tmp_path / "p.csv"
     data.write_text("a,Ann\nb,Bob\n")

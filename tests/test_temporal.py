@@ -365,3 +365,18 @@ def test_asof_spans_multiple_tasks_touch_mega_key(spark):
     ) == sorted(
         (r["event_id"], r["event_id_asof"]) for r in asof_join(**kw).collect()
     )
+
+
+def test_floor_div_us_exact_at_large_magnitude(spark):
+    """Span/bucket labels must be exact integer floor division: at
+    us = 10^18 - 1 the double path rounds to 10^18 and mislabels the row
+    into the NEXT span (floor(double) = 10^12 vs exact 10^12 - 1)."""
+    from nebula_importer_spark.operators.temporal import _floor_div_us
+
+    vals = [10**18 - 1, 10**18, -(10**18) - 1, -1, 0, 999_999, 1_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "_us long")
+    got = [
+        r[0]
+        for r in df.select(_floor_div_us("_us", 1_000_000).alias("q")).collect()
+    ]
+    assert got == [v // 1_000_000 for v in vals]  # python // == floor
