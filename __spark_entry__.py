@@ -682,6 +682,59 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_text_dup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter, unigram leg: repeated-token fraction
+    per document. Map-only (zero-shuffle corpus scan at any scale)."""
+    from nebula_importer_spark.operators.text import dup_token_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(dup_token_fraction("text"), 6).alias("dup_token_frac")
+    )
+
+
+def q_text_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter, n-gram leg: most frequent word 2-gram
+    per document and the character fraction its occurrences cover. Shuffles
+    only on document-scoped keys (see operators/text.top_ngram_stats)."""
+    from nebula_importer_spark.operators.text import top_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_ngram_stats(d, n=2)
+    return out.select(
+        "doc_id",
+        "top_gram",
+        "top_n",
+        F.round("top_gram_char_frac", 6).alias("top_gram_frac"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: distinct shared word-3-grams between each
+    corpus doc and each eval doc (deterministic eval split: doc_id % 50 = 0),
+    pairs with overlap ≥ 2. The eval side broadcasts, gram strings are
+    reduced to xxhash64 before the join — the corpus is never shuffled."""
+    from nebula_importer_spark.operators.decontaminate import ngram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    co = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_overlap(co, ev, n=3, min_overlap=2)
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a 3-term probe query —
+    corpus QA / targeted subset extraction. One map pass + one 1-row agg
+    broadcast back: zero explodes, no data shuffle (see operators/search)."""
+    from nebula_importer_spark.operators.search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_scores(d, ["spark", "vector", "merge"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (documents table)
 # ---------------------------------------------------------------------------
@@ -1350,6 +1403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_dup_tokens": q_text_dup_tokens,
+        "text_top_ngram": q_text_top_ngram,
+        "decontaminate": q_decontaminate,
+        "search_bm25": q_search_bm25,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1815,6 +1872,90 @@ def oracle_sql() -> dict[str, str]:
                        s -> md5(s)),
                      'min') AS fp
             FROM documents
+        """,
+        "text_dup_tokens": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE
+                              / len(toks) END, 6) AS dup_token_frac
+            FROM t
+        """,
+        "text_top_ngram": """
+            WITH t AS (
+                SELECT doc_id, length(coalesce(text,'')) AS nc,
+                       regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, nc,
+                       unnest(list_transform(
+                         range(1, greatest(len(toks) - 1, 0) + 1),
+                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM t
+            ),
+            c AS (SELECT doc_id, nc, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                  FROM c)
+            SELECT doc_id, gram AS top_gram, cnt::BIGINT AS top_n,
+                   ROUND(cnt * length(gram) / greatest(nc, 1)::DOUBLE, 6)
+                       AS top_gram_frac
+            FROM r WHERE rn = 1
+        """,
+        "decontaminate": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                           AS grams
+                FROM t
+            ),
+            ev AS (SELECT doc_id AS eval_id, unnest(grams) AS g
+                   FROM sh WHERE doc_id % 50 = 0),
+            co AS (SELECT doc_id, unnest(grams) AS g
+                   FROM sh WHERE doc_id % 50 <> 0)
+            SELECT co.doc_id, ev.eval_id, COUNT(*)::BIGINT AS n_overlap
+            FROM co JOIN ev USING (g)
+            GROUP BY co.doc_id, ev.eval_id
+            HAVING COUNT(*) >= 2
+        """,
+        "search_bm25": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text,''), '\\S+'))::DOUBLE AS dl,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bspark\\b'))::DOUBLE AS tf0,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bvector\\b'))::DOUBLE AS tf1,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bmerge\\b'))::DOUBLE AS tf2
+                FROM documents
+            ),
+            st AS (
+                SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl,
+                       SUM((tf0 > 0)::BIGINT)::DOUBLE AS df0,
+                       SUM((tf1 > 0)::BIGINT)::DOUBLE AS df1,
+                       SUM((tf2 > 0)::BIGINT)::DOUBLE AS df2
+                FROM base
+            )
+            SELECT doc_id,
+                   ROUND(  ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                             / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                         + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                             / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                         + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                             / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   , 6) AS score
+            FROM base, st
+            WHERE tf0 + tf1 + tf2 > 0
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text

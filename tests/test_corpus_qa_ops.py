@@ -1,0 +1,130 @@
+"""Unit tests for the corpus-QA operators added in round 3: Gopher-style
+repetition signals, eval-set decontamination, and BM25 keyword scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "x y x y x"),
+            (3, ""),
+            (4, None),
+            (5, "solo"),
+            (6, "  lead  and   trail  "),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dup_token_fraction(spark, docs):
+    from nebula_importer_spark.operators.text import dup_token_fraction
+
+    got = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", F.round(dup_token_fraction("text"), 6).alias("f")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1 / 3)
+    assert got[2] == pytest.approx(3 / 5)
+    assert got[3] == 0.0  # empty
+    assert got[4] == 0.0  # null
+    assert got[5] == 0.0  # single token
+    assert got[6] == 0.0  # whitespace runs don't create empty tokens
+
+
+def test_top_ngram_stats(spark, docs):
+    from nebula_importer_spark.operators.text import top_ngram_stats
+
+    rows = {r.doc_id: r for r in top_ngram_stats(docs, n=2).collect()}
+    # doc 1: grams 'a a' and 'a b' tie at 1 -> lexicographically largest wins
+    assert rows[1].top_gram == "a b" and rows[1].top_n == 1
+    assert rows[1].top_gram_char_frac == pytest.approx(3 / 5)
+    # doc 2: 'x y' x2 vs 'y x' x2 tie -> 'y x'; coverage 2*3/9
+    assert rows[2].top_gram == "y x" and rows[2].top_n == 2
+    assert rows[2].top_gram_char_frac == pytest.approx(6 / 9)
+    # docs with < n tokens are absent (oracle's unnest mirrors this)
+    assert 3 not in rows and 4 not in rows and 5 not in rows
+    # doc 6: tokens ['lead','and','trail'] -> both grams unique; largest gram
+    assert rows[6].top_gram == "lead and" and rows[6].top_n == 1
+
+
+def test_ngram_overlap_and_contaminated_ids(spark):
+    from nebula_importer_spark.operators.decontaminate import (
+        contaminated_ids,
+        ngram_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "p q r s t"), (11, "zz yy xx"), (12, "q r s only here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "q r s t u"), (2, "totally disjoint words")],
+        "eval_id long, text string",
+    )
+    pairs = {
+        (r.doc_id, r.eval_id): r.n_overlap
+        for r in ngram_overlap(corpus, ev, n=3).collect()
+    }
+    # doc 10 shares 'q r s' and 'r s t' with eval 1; doc 12 shares 'q r s'
+    assert pairs == {(10, 1): 2, (12, 1): 1}
+    # min_overlap filters; broadcast off must agree with broadcast on
+    strict = ngram_overlap(corpus, ev, n=3, min_overlap=2, broadcast_eval=False)
+    assert [(r.doc_id, r.eval_id, r.n_overlap) for r in strict.collect()] == [
+        (10, 1, 2)
+    ]
+    assert sorted(r.doc_id for r in contaminated_ids(
+        ngram_overlap(corpus, ev, n=3)).collect()) == [10, 12]
+
+
+def test_ngram_overlap_null_and_short_docs(spark):
+    from nebula_importer_spark.operators.decontaminate import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "too short"), (3, "a b c")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "a b c d")], "eval_id long, text string")
+    got = ngram_overlap(corpus, ev, n=3).collect()
+    assert [(r.doc_id, r.eval_id, r.n_overlap) for r in got] == [(3, 9, 1)]
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_scores(spark):
+    from nebula_importer_spark.operators.search import bm25_scores
+
+    corp = spark.createDataFrame(
+        [
+            (1, "spark spark fast"),
+            (2, "slow table"),
+            (3, "spark table"),
+            (4, "nothing relevant"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_scores(corp, ["Spark", "table"]).collect()}
+    n, avgdl = 5, (3 + 2 + 2 + 2 + 0) / 5
+    assert set(got) == {1, 2, 3}  # score>0 only; null/miss docs absent
+    assert got[1] == pytest.approx(_bm25(2, 2, n, 3, avgdl))
+    assert got[2] == pytest.approx(_bm25(1, 2, n, 2, avgdl))
+    assert got[3] == pytest.approx(
+        _bm25(1, 2, n, 2, avgdl) + _bm25(1, 2, n, 2, avgdl)
+    )
+    # word boundaries: 'spark' must not match inside 'sparkle'
+    corp2 = spark.createDataFrame([(1, "sparkle")], "doc_id long, text string")
+    assert bm25_scores(corp2, ["spark"]).count() == 0
+    with pytest.raises(ValueError):
+        bm25_scores(corp, [])
