@@ -724,6 +724,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(co, ev, n=3, min_overlap=2)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style cleaning cascade: keep/drop verdict + first failing
+    rule per document. Map-only scan; `keep` rendered as INT (0/1) — the
+    driver harness is proven on int/long/string/double columns."""
+    from nebula_importer_spark.operators.text import corpus_filter_flags
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus_filter_flags(d)
+    return out.select(
+        "doc_id", "n_tokens", F.col("keep").cast("int").alias("keep"), "reject_reason"
+    )
+
+
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a 3-term probe query —
     corpus QA / targeted subset extraction. One map pass + one 1-row agg
@@ -1406,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_tokens": q_text_dup_tokens,
         "text_top_ngram": q_text_top_ngram,
         "decontaminate": q_decontaminate,
+        "corpus_filter": q_corpus_filter,
         "search_bm25": q_search_bm25,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1929,6 +1943,39 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN ev USING (g)
             GROUP BY co.doc_id, ev.eval_id
             HAVING COUNT(*) >= 2
+        """,
+        "corpus_filter": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text,'') AS tx,
+                       regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, len(toks)::BIGINT AS nt,
+                       len(regexp_extract_all(tx, '[^\\w\\t\\n\\f\\r ]'))::DOUBLE
+                           / greatest(length(tx), 1)::DOUBLE AS symr,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE
+                                 / len(toks) END AS dupf,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(lower(tx),
+                                 '\\b(the|a|and|of|to|in|is|that|it|for)\\b'))::DOUBLE
+                                 / len(toks) END AS stopr
+                FROM t
+            ),
+            v AS (
+                SELECT doc_id, nt,
+                       CASE WHEN nt < 20 THEN 'too_short'
+                            WHEN nt > 5000 THEN 'too_long'
+                            WHEN symr > 0.2 THEN 'high_symbol'
+                            WHEN dupf > 0.6 THEN 'repetition'
+                            WHEN stopr < 0.02 THEN 'low_stopword'
+                       END AS reject_reason
+                FROM s
+            )
+            SELECT doc_id, nt AS n_tokens,
+                   (reject_reason IS NULL)::INT AS keep, reject_reason
+            FROM v
         """,
         "search_bm25": """
             WITH base AS (

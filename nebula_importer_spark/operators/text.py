@@ -219,6 +219,52 @@ def top_ngram_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int =
     )
 
 
+def corpus_filter_flags(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    max_symbol_ratio: float = 0.2,
+    max_dup_token_frac: float = 0.6,
+    min_stopword_ratio: float = 0.02,
+):
+    """C4/Gopher-style quality rule cascade: every document gets a
+    ``keep`` verdict plus the FIRST failing rule's name (``reject_reason``,
+    null when kept). Rule order (fixed, documented, mirrored by the oracle):
+    ``too_short → too_long → high_symbol → repetition → low_stopword``.
+
+    Map-only JVM expressions end-to-end — a 100-TB corpus-cleaning pass is a
+    single zero-shuffle scan, and keeping the reason column makes the drop
+    auditable (the per-rule drop counts a pipeline reports come free from a
+    groupBy on reject_reason). Every signal reuses an oracle-proven
+    expression (token_count, dup_token_fraction, stopword_ratio, the
+    text_quality symbol ratio).
+
+    Output: ``(id_col, n_tokens, keep, reject_reason)``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = token_count(c)
+    nchars = F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    symbol = F.regexp_count(c, F.lit("[^\\w\t\n\f\r ]")).cast("double") / nchars
+    dup = dup_token_fraction(c)
+    stop = stopword_ratio(c, "en")
+    reason = (
+        F.when(toks < min_tokens, F.lit("too_short"))
+        .when(toks > max_tokens, F.lit("too_long"))
+        .when(symbol > max_symbol_ratio, F.lit("high_symbol"))
+        .when(dup > max_dup_token_frac, F.lit("repetition"))
+        .when(stop < min_stopword_ratio, F.lit("low_stopword"))
+    )
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def fingerprint(col, shingle_n: int = 8) -> Column:
     """Rolling document fingerprint: min MD5 digest over all char n-gram
     shingles (n=8). Equal texts → equal fingerprints; near-equal texts

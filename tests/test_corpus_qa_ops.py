@@ -97,6 +97,34 @@ def test_ngram_overlap_null_and_short_docs(spark):
     assert [(r.doc_id, r.eval_id, r.n_overlap) for r in got] == [(3, 9, 1)]
 
 
+def test_corpus_filter_flags(spark):
+    from nebula_importer_spark.operators.text import corpus_filter_flags
+
+    long_ok = (
+        "the quick brown fox jumps over a lazy dog and it runs far "
+        "because that open field is full of fresh air for everyone here"
+    )  # 24 distinct tokens: no rule fires
+    docs = spark.createDataFrame(
+        [
+            (1, "way too short"),
+            (2, long_ok),  # ≥20 tokens, stopwords, low symbols -> keep
+            (3, "the " + "!@#$%^&*()" * 40 + " " + "word " * 25),  # symbols
+            (4, ("dup " * 30) + "the of and is it that in to for a"),  # repetition
+            (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lamda mu nu xi omicron pi rho sigma tau upsilon"),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus_filter_flags(docs).collect()}
+    assert rows[1].reject_reason == "too_short" and not rows[1].keep
+    assert rows[2].keep and rows[2].reject_reason is None
+    assert rows[3].reject_reason == "high_symbol"
+    assert rows[4].reject_reason == "repetition"
+    assert rows[5].reject_reason == "low_stopword"
+    # rule ORDER: doc 1 is also stopword-poor, but too_short wins (first rule)
+    assert rows[1].reject_reason == "too_short"
+
+
 def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
     idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
