@@ -724,6 +724,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(co, ev, n=3, min_overlap=2)
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget cap (700 tokens per source) via the two-level
+    distributed prefix sum — the exact "sample each domain to N tokens" mix
+    step. The oracle is the mathematically-identical single-window cumsum
+    (the bucket decomposition is an execution strategy, not a semantics
+    change)."""
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(d, 700, domain_col="source", id_col="doc_id")
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style cleaning cascade: keep/drop verdict + first failing
     rule per document. Map-only scan; `keep` rendered as INT (0/1) — the
@@ -1420,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngram": q_text_top_ngram,
         "decontaminate": q_decontaminate,
         "corpus_filter": q_corpus_filter,
+        "sample_token_budget": q_sample_token_budget,
         "search_bm25": q_search_bm25,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1943,6 +1957,24 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN ev USING (g)
             GROUP BY co.doc_id, ev.eval_id
             HAVING COUNT(*) >= 2
+        """,
+        "sample_token_budget": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT
+                           AS n_tokens,
+                       md5('budget' || CAST(doc_id AS VARCHAR)) AS k
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY k, doc_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 700
         """,
         "corpus_filter": """
             WITH t AS (

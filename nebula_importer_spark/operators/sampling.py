@@ -18,9 +18,17 @@ the DuckDB oracle (MD5 is bit-identical across engines; xxhash is not).
                           shuffle (the reducer sees ≤ k·tasks rows per
                           stratum, not the stratum's full population).
 
+- token_budget_sample    per-domain "keep until N tokens" cap via a
+                          TWO-LEVEL distributed prefix sum (order-
+                          preserving MD5 range buckets + broadcast bucket
+                          offsets) — exact, but no domain-sized window
+                          task (see its docstring).
+
 Scale note (skew): stratified_topk_sample shuffles by stratum — a handful
 of mega-strata is fine BECAUSE the group-limit already cut each to
 k·tasks rows map-side. weighted_domain_sample has no shuffle at all.
+token_budget_sample bounds its longest window task to 1/n_buckets of the
+largest domain.
 """
 
 from __future__ import annotations
@@ -86,4 +94,87 @@ def stratified_topk_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "budget",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-domain token-budget cap: keep documents in deterministic MD5(id)
+    order until the domain's cumulative token count reaches ``budget``
+    (a row is kept iff its INCLUSIVE running sum ≤ budget). This is the
+    "sample each domain down to N tokens" step of training-mix prep, exact
+    and reproducible (same sample on any cluster layout or retry).
+
+    A naive window cumsum over each domain serializes a whole domain into
+    one task — at 100 TB a domain is 10⁹ docs and that task runs for hours.
+    Instead, a TWO-LEVEL distributed prefix sum:
+
+    1. Rows land in one of ``n_buckets`` ORDER-PRESERVING key ranges (the
+       first 4 hex chars of the MD5 split [0, 16⁴) evenly; hex strings sort
+       identically to their values, so (bucket, key) order == key order).
+    2. The local cumsum windows over (domain, bucket) — per-task work drops
+       ``n_buckets``-fold; raise ``n_buckets`` (any power of two ≤ 65536)
+       as domains grow.
+    3. Bucket subtotals (|domains|·n_buckets rows — tiny) get their own
+       exclusive cumsum and BROADCAST-join back as per-bucket offsets;
+       global running sum = bucket offset + local cumsum. Identical to the
+       single-window result, but the long pole is 1/n_buckets as tall.
+
+    Output: the input columns plus ``n_tokens`` and ``cum_tokens``
+    (the inclusive running sum within the domain, ≤ budget).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_buckets < 1 or 65536 % n_buckets != 0:
+        raise ValueError(f"n_buckets must divide 65536, got {n_buckets}")
+    if tokens_col is None:
+        from nebula_importer_spark.operators.text import token_count
+
+        toks = token_count(text_col)
+    else:
+        toks = F.col(tokens_col).cast("long")
+    key = _md5_key(id_col, salt)
+    span = 65536 // n_buckets
+    base = df.select(
+        "*",
+        toks.alias("n_tokens"),
+        key.alias("_key"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") / span)
+        .cast("long")
+        .alias("_bkt"),
+    )
+    local_w = (
+        Window.partitionBy(domain_col, "_bkt")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum_local", F.sum("n_tokens").over(local_w))
+    offsets_w = (
+        Window.partitionBy(domain_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(domain_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_bkt_sum"))
+        .select(
+            domain_col,
+            "_bkt",
+            F.coalesce(F.sum("_bkt_sum").over(offsets_w), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), [domain_col, "_bkt"])
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_cum_local")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_key", "_bkt", "_cum_local", "_off")
     )

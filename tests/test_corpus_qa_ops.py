@@ -125,6 +125,57 @@ def test_corpus_filter_flags(spark):
     assert rows[1].reject_reason == "too_short"
 
 
+def test_token_budget_sample_matches_single_window(spark):
+    """The two-level prefix sum must equal the naive one-window cumsum."""
+    import hashlib
+
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"d{i % 3}", "tok " * (5 + i % 17)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def naive(budget):
+        per_dom: dict[str, list[tuple[str, int, int]]] = {}
+        for i, dom, text in rows:
+            k = hashlib.md5(f"budget{i}".encode()).hexdigest()
+            per_dom.setdefault(dom, []).append((k, i, len(text.split())))
+        keep = {}
+        for dom, docs in per_dom.items():
+            cum = 0
+            for k, i, nt in sorted(docs):
+                cum += nt
+                if cum > budget:
+                    break
+                keep[i] = cum
+        return keep
+
+    for budget, n_buckets in ((0, 64), (37, 64), (200, 2), (10**6, 16)):
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in token_budget_sample(
+                df, budget, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == naive(budget), (budget, n_buckets)
+
+
+def test_token_budget_sample_validates(spark):
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        token_budget_sample(df, -1)
+    with pytest.raises(ValueError):
+        token_budget_sample(df, 10, n_buckets=3)  # does not divide 65536
+    # precomputed token column path
+    df2 = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 7)], "doc_id long, source string, nt long"
+    )
+    got = token_budget_sample(df2, 12, tokens_col="nt").collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+    assert max(r.cum_tokens for r in got) == 12
+
+
 def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
     idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
