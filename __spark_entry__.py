@@ -781,6 +781,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: n-gram containment |A∩B|/min(|A|,|B|) ≥ 0.5
+    — catches a doc embedded inside a larger one, which Jaccard misses."""
+    from nebula_importer_spark.operators.dedup import ngram_containment_pairs
+
+    pairs = ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+def q_domain_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus report: doc count, token total, vocabulary size,
+    type-token ratio (exact distinct at gate scale; approx_count_distinct is
+    the documented 100-TB drop-in)."""
+    from nebula_importer_spark.operators.text import domain_vocab_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = domain_vocab_stats(d)
+    return out.select(
+        "source", "n_docs", "total_tokens", "vocab", F.round("ttr", 6).alias("ttr")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (word-3gram Jaccard ≥ 0.7) via MinHash-LSH. The planted
     near-dups sit at j≈0.99 (LSH recall ≈ 1-(1-0.99²)⁸ ≈ 1), so the exact-SQL
@@ -1437,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
+        "domain_vocab": q_domain_vocab,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2066,6 +2092,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = id_b
             WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
                   / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+        """,
+        "dedup_containment": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                         / least(len(sa.grams), len(sb.grams)), 6) AS containment
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+            WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                  / least(len(sa.grams), len(sb.grams)) >= 0.5
+        """,
+        "domain_vocab": """
+            WITH t AS (
+                SELECT source,
+                       regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+                FROM documents
+            ),
+            a AS (
+                SELECT source, COUNT(*)::BIGINT AS n_docs,
+                       SUM(len(toks))::BIGINT AS total_tokens
+                FROM t GROUP BY source
+            ),
+            v AS (
+                SELECT source, COUNT(*)::BIGINT AS vocab
+                FROM (SELECT DISTINCT source, unnest(list_distinct(toks)) AS tok
+                      FROM t)
+                GROUP BY source
+            )
+            SELECT a.source, n_docs, total_tokens,
+                   COALESCE(vocab, 0)::BIGINT AS vocab,
+                   ROUND(CASE WHEN total_tokens = 0 THEN 0.0
+                         ELSE COALESCE(vocab, 0)::DOUBLE / total_tokens END, 6)
+                       AS ttr
+            FROM a LEFT JOIN v USING (source)
         """,
         "ann_cosine_topk": """
             WITH q AS (

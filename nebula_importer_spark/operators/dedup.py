@@ -5,6 +5,7 @@ Five strategies, all over a ``documents(doc_id, text, ...)``-shaped table:
 - exact_dedup          hash-groupBy on the full text, keep min id
 - ngram_jaccard_pairs  EXACT all-pairs n-gram Jaccard via a shared-shingle
                        equi-join (never a cross join) — also the oracle shape
+- ngram_containment_pairs  EXACT containment (|A∩B|/min) — subset dup catch
 - minhash_lsh_pairs    approximate near-dup pairs via MinHash-LSH banding
                        (the 100-TB scale path; reuses operators/linking.py)
 - simhash              64-bit SimHash per document, JVM-only (64 agg bits),
@@ -58,6 +59,24 @@ def ngram_jaccard_pairs(
     corpus where no shingle exceeds the cap (all test scales) the result is
     exactly the uncapped Jaccard.
     """
+    sized = _shared_shingle_counts(df, id_col, text_col, n, max_shingle_df)
+    return sized.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("_inter")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shared_shingle_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int
+) -> DataFrame:
+    """Candidate pairs with intersection + per-side set sizes:
+    ``(id_a, id_b, _inter, _sza, _szb)`` for id_a < id_b, over the
+    stop-shingle-capped universe (shared by the Jaccard and containment
+    operators)."""
     df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
     sh = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_sh"))
     ex = sh.select("_id", F.explode("_sh").alias("_g"))
@@ -73,19 +92,32 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("_inter"))
     )
-    return (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("_inter")
-                / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a"
+    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: ``containment = |A∩B| / min(|A|,|B|)``
+    (the Broder containment of the smaller side in the larger). Catches
+    subset duplication Jaccard misses — a doc embedded verbatim inside a
+    10× larger one has containment 1.0 but Jaccard ≈ 0.1, so a
+    Jaccard-thresholded dedup never pairs them. Same shared-shingle
+    counts-based machinery as :func:`ngram_jaccard_pairs` (arrays never
+    shuffle; stop-shingle cap bounds hot keys)."""
+    sized = _shared_shingle_counts(df, id_col, text_col, n, max_shingle_df)
+    return sized.select(
+        "id_a",
+        "id_b",
+        (F.col("_inter") / F.least("_sza", "_szb")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 def minhash_lsh_pairs(

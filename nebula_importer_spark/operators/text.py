@@ -219,6 +219,51 @@ def top_ngram_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int =
     )
 
 
+def domain_vocab_stats(
+    df,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-domain corpus statistics: document count, total whitespace tokens,
+    vocabulary size (distinct tokens), and type-token ratio — the
+    "what does each slice of the mix look like" report of corpus prep.
+
+    Two subplans joined on the (tiny) domain key: a map-side-combined scan
+    agg for counts/totals, and explode(array_distinct) → two-level distinct
+    for the vocabulary (keys are (domain, token) — popular tokens don't
+    hot-spot because each doc contributes a token at most once, and the
+    count itself is a partial-agg'd groupBy, never a countDistinct expand).
+    At 100-TB scale swap the exact vocabulary for approx_count_distinct —
+    the one-line variant is noted rather than defaulted so the oracle stays
+    exact.
+
+    Output: ``(domain_col, n_docs, total_tokens, vocab, ttr)``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(c, F.lit(NOT_WS + "+"), 0)
+    totals = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+    )
+    vocab = (
+        df.select(F.col(domain_col), F.explode(F.array_distinct(toks)).alias("_tok"))
+        .groupBy(domain_col, "_tok")
+        .agg(F.lit(1))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("vocab"))
+    )
+    return totals.join(vocab, domain_col, "left").select(
+        F.col(domain_col),
+        "n_docs",
+        "total_tokens",
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(F.coalesce("vocab", F.lit(0)).cast("double") / F.col("total_tokens"))
+        .alias("ttr"),
+    )
+
+
 def corpus_filter_flags(
     df,
     *,

@@ -125,6 +125,45 @@ def test_corpus_filter_flags(spark):
     assert rows[1].reject_reason == "too_short"
 
 
+def test_ngram_containment_pairs(spark):
+    from nebula_importer_spark.operators.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon"  # 3 distinct 3-grams
+    big = small + " zeta eta theta iota kappa lamda mu nu xi omicron"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.containment for r in
+            ngram_containment_pairs(docs, n=3, threshold=0.9).collect()}
+    # small's 3 grams all inside big -> containment 1.0; Jaccard is only 3/13
+    assert rows == {(1, 2): pytest.approx(1.0)}
+    from nebula_importer_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    assert jac == []  # the pair Jaccard misses at the same threshold
+
+
+def test_domain_vocab_stats(spark):
+    from nebula_importer_spark.operators.text import domain_vocab_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x y x"),
+            (2, "a", "x z"),
+            (3, "b", ""),
+            (4, "b", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in domain_vocab_stats(docs).collect()}
+    assert (rows["a"].n_docs, rows["a"].total_tokens, rows["a"].vocab) == (2, 5, 3)
+    assert rows["a"].ttr == pytest.approx(3 / 5)
+    # empty domain: vocab 0, ttr 0 (left join + zero guard)
+    assert (rows["b"].n_docs, rows["b"].total_tokens, rows["b"].vocab) == (2, 0, 0)
+    assert rows["b"].ttr == 0.0
+
+
 def test_token_budget_sample_matches_single_window(spark):
     """The two-level prefix sum must equal the naive one-window cumsum."""
     import hashlib
