@@ -100,3 +100,43 @@ def test_chunking_and_redaction_are_map_only(spark):
     for q in ("chunk_documents", "text_redact_pii"):
         plan = _plan(entrymod.queries()[q](spark, SF))
         assert ") Exchange" not in plan, (q, plan)
+
+
+def test_corpus_filter_is_map_only(spark):
+    """The cleaning cascade must stay a zero-shuffle scan (its whole point
+    at 100 TB)."""
+    plan = _plan(entrymod.queries()["corpus_filter"](spark, SF))
+    assert ") Exchange" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_text_dup_tokens_is_map_only(spark):
+    plan = _plan(entrymod.queries()["text_dup_tokens"](spark, SF))
+    assert ") Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The corpus side must never shuffle: eval grams broadcast, the only
+    Exchange is the per-pair count aggregation (∝ contaminated pairs)."""
+    plan = _plan(entrymod.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.replace("SortMergeJoin(skew=", "")
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_bm25_single_one_row_exchange(spark):
+    """BM25 = map pass + ONE 1-row stats aggregate broadcast back — no
+    explode, no data shuffle, no sort-merge join."""
+    plan = _plan(entrymod.queries()["search_bm25"](spark, SF))
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_token_budget_offsets_broadcast_back(spark):
+    """The two-level prefix sum joins its (tiny) bucket-offset table back as
+    a broadcast — the data side is shuffled only by the window's
+    (domain, bucket) partitioning, never sort-merge-joined."""
+    plan = _plan(entrymod.queries()["sample_token_budget"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.replace("SortMergeJoin(skew=", "")
