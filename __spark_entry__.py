@@ -1061,6 +1061,24 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree report over the CONSTRUCTED graph — the first analytics query a
+    KG consumer runs. Reuses the oracle-proven canonical-triples pipeline,
+    then one union + one shuffle: out/in contributions are tagged map-side
+    and summed per entity (hot entities are safe — plain partial-agg'd
+    sums, no row collection per key)."""
+    t = q_kg_triples(spark, sf_dir)
+    contrib = t.select(
+        F.col("subj").alias("entity"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
+    ).unionByName(
+        t.select(F.col("obj").alias("entity"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
+    )
+    return contrib.groupBy("entity").agg(
+        F.sum("_o").cast("long").alias("out_deg"),
+        F.sum("_i").cast("long").alias("in_deg"),
+    )
+
+
 def _kg_triples_sql() -> str:
     """DuckDB twin of the full pipeline over the documents-derived corpus:
     extraction legs (shared with _kg_extract_docs_sql), mention
@@ -1470,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_triples": q_kg_triples,
+        "kg_degree": q_kg_degree,
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "dedup_components": q_dedup_components,
         "mix_domains": q_mix_domains,
@@ -2228,6 +2247,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "kg_triples": _kg_triples_sql(),
+        "kg_degree": f"""
+            SELECT entity, SUM(o)::BIGINT AS out_deg, SUM(i)::BIGINT AS in_deg
+            FROM (
+                SELECT subj AS entity, 1 AS o, 0 AS i FROM ({_kg_triples_sql()})
+                UNION ALL
+                SELECT obj AS entity, 0 AS o, 1 AS i FROM ({_kg_triples_sql()})
+            ) GROUP BY entity
+        """,
     })
 
 
