@@ -50,6 +50,11 @@ def ngram_overlap(
     document, so the join row count per pair IS the distinct intersection
     size — no per-pair array intersection pass.
     """
+    if eval_id_col == id_col:
+        raise ValueError(
+            "eval_id_col must differ from id_col (both survive into the "
+            f"output); rename one side, got {id_col!r} for both"
+        )
     co = corpus.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),

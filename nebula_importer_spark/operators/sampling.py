@@ -141,7 +141,10 @@ def token_budget_sample(
 
         toks = token_count(text_col)
     else:
-        toks = F.col(tokens_col).cast("long")
+        # null-safe: a null count must consume 0 budget, not poison the
+        # running sum (window SUM skips nulls, so leading nulls would
+        # otherwise yield null cum_tokens and silently drop rows)
+        toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     key = _md5_key(id_col, salt)
     span = 65536 // n_buckets
     base = df.select(

@@ -206,13 +206,19 @@ def test_token_budget_sample_validates(spark):
         token_budget_sample(df, -1)
     with pytest.raises(ValueError):
         token_budget_sample(df, 10, n_buckets=3)  # does not divide 65536
-    # precomputed token column path
+    # precomputed token column path; a null count consumes 0 budget
     df2 = spark.createDataFrame(
-        [(1, "a", 5), (2, "a", 7)], "doc_id long, source string, nt long"
+        [(1, "a", 5), (2, "a", 7), (3, "a", None)],
+        "doc_id long, source string, nt long",
     )
     got = token_budget_sample(df2, 12, tokens_col="nt").collect()
-    assert sorted(r.doc_id for r in got) == [1, 2]
+    assert sorted(r.doc_id for r in got) == [1, 2, 3]
     assert max(r.cum_tokens for r in got) == 12
+    # decontamination: identical id/eval_id column names are rejected
+    from nebula_importer_spark.operators.decontaminate import ngram_overlap
+
+    with pytest.raises(ValueError):
+        ngram_overlap(df, df, eval_id_col="doc_id")
 
 
 def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
