@@ -1064,15 +1064,28 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree report over the CONSTRUCTED graph — the first analytics query a
     KG consumer runs. Reuses the oracle-proven canonical-triples pipeline,
-    then one union + one shuffle: out/in contributions are tagged map-side
-    and summed per entity (hot entities are safe — plain partial-agg'd
-    sums, no row collection per key)."""
+    then ONE pass over it: each triple map-side explodes into its subj/obj
+    contribution rows (a unionByName of two selects would execute the whole
+    extraction+linking plan twice), then one shuffle sums per entity (hot
+    entities are safe — plain partial-agg'd sums, no row collection per
+    key)."""
     t = q_kg_triples(spark, sf_dir)
     contrib = t.select(
-        F.col("subj").alias("entity"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
-    ).unionByName(
-        t.select(F.col("obj").alias("entity"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("entity"),
+                    F.lit(1).alias("_o"),
+                    F.lit(0).alias("_i"),
+                ),
+                F.struct(
+                    F.col("obj").alias("entity"),
+                    F.lit(0).alias("_o"),
+                    F.lit(1).alias("_i"),
+                ),
+            )
+        ).alias("_c")
+    ).select("_c.*")
     return contrib.groupBy("entity").agg(
         F.sum("_o").cast("long").alias("out_deg"),
         F.sum("_i").cast("long").alias("in_deg"),
@@ -2248,11 +2261,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": _kg_triples_sql(),
         "kg_degree": f"""
+            WITH kg_t AS MATERIALIZED ({_kg_triples_sql()})
             SELECT entity, SUM(o)::BIGINT AS out_deg, SUM(i)::BIGINT AS in_deg
             FROM (
-                SELECT subj AS entity, 1 AS o, 0 AS i FROM ({_kg_triples_sql()})
+                SELECT subj AS entity, 1 AS o, 0 AS i FROM kg_t
                 UNION ALL
-                SELECT obj AS entity, 0 AS o, 1 AS i FROM ({_kg_triples_sql()})
+                SELECT obj AS entity, 0 AS o, 1 AS i FROM kg_t
             ) GROUP BY entity
         """,
     })

@@ -39,11 +39,18 @@ def word_ngrams(col, n: int):
     nulls the tail entries, which are filtered). The obvious per-element
     ``transform(slice + array_join)`` formulation allocates a subarray per
     token and measured ~8× slower on the sf0.1 documents table (8.5 s →
-    1.0 s for 5000 docs)."""
+    1.0 s for 5000 docs).
+
+    Tokenization is exactly ``NOT_WS+`` (regexp ``\\S+`` under RE2
+    semantics): a bare split can emit empty strings for leading/trailing
+    whitespace (``F.trim`` strips spaces only, not tabs/newlines), so empty
+    tokens are filtered out — otherwise a doc starting with a tab would
+    grow a phantom ``' a b'`` gram that the ``regexp_extract_all``-based
+    DuckDB oracles never see."""
     c = F.col(col) if isinstance(col, str) else col
     from nebula_importer_spark.operators.text import WS
 
-    toks = F.split(F.trim(c), WS + "+")
+    toks = F.filter(F.split(c, WS + "+"), lambda t: t != "")
     if n == 1:
         return F.array_distinct(toks)
     sz = F.size(toks)

@@ -136,6 +136,19 @@ def token_budget_sample(
         raise ValueError(f"budget must be >= 0, got {budget}")
     if n_buckets < 1 or 65536 % n_buckets != 0:
         raise ValueError(f"n_buckets must divide 65536, got {n_buckets}")
+    # Internal scratch names and the output column must not collide with
+    # input columns (select("*", alias) would raise AMBIGUOUS_REFERENCE much
+    # later, and withColumn would silently destroy the caller's column).
+    reserved = {"_key", "_bkt", "_cum_local", "_dom_off", "_bkt_off", "_off",
+                "cum_tokens"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    if "n_tokens" in df.columns and tokens_col != "n_tokens":
+        raise ValueError(
+            "input already has an 'n_tokens' column; pass tokens_col='n_tokens' "
+            "to use it, or rename it"
+        )
     if tokens_col is None:
         from nebula_importer_spark.operators.text import token_count
 
@@ -147,13 +160,13 @@ def token_budget_sample(
         toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     key = _md5_key(id_col, salt)
     span = 65536 // n_buckets
-    base = df.select(
-        "*",
-        toks.alias("n_tokens"),
-        key.alias("_key"),
-        (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") / span)
-        .cast("long")
-        .alias("_bkt"),
+    base = (
+        df.withColumn("n_tokens", toks)  # replaces, never duplicates
+        .withColumn("_key", key)
+        .withColumn(
+            "_bkt",
+            (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") / span).cast("long"),
+        )
     )
     local_w = (
         Window.partitionBy(domain_col, "_bkt")
@@ -170,14 +183,22 @@ def token_budget_sample(
         base.groupBy(domain_col, "_bkt")
         .agg(F.sum("n_tokens").alias("_bkt_sum"))
         .select(
-            domain_col,
-            "_bkt",
+            F.col(domain_col).alias("_dom_off"),
+            F.col("_bkt").alias("_bkt_off"),
             F.coalesce(F.sum("_bkt_sum").over(offsets_w), F.lit(0)).alias("_off"),
         )
     )
+    # NULL-safe join on the domain: groupBy and the window both treat a NULL
+    # domain as a real group, so the offsets join must too — a null-unsafe
+    # equi-join would silently drop every NULL-domain row (neither kept nor
+    # counted), diverging from the oracle's PARTITION BY semantics.
     return (
-        local.join(F.broadcast(offsets), [domain_col, "_bkt"])
+        local.join(
+            F.broadcast(offsets),
+            F.col(domain_col).eqNullSafe(F.col("_dom_off"))
+            & (F.col("_bkt") == F.col("_bkt_off")),
+        )
         .withColumn("cum_tokens", (F.col("_off") + F.col("_cum_local")).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
-        .drop("_key", "_bkt", "_cum_local", "_off")
+        .drop("_key", "_bkt", "_cum_local", "_dom_off", "_bkt_off", "_off")
     )

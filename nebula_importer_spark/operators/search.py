@@ -33,6 +33,21 @@ from pyspark.sql import functions as F
 from nebula_importer_spark.operators.text import token_count
 
 
+def _term_pattern(term: str) -> str:
+    """Word-boundary-wrapped pattern for one lowercased query term.
+
+    ``\\b`` is only meaningful next to a word character: ``\\bc\\+\\+\\b``
+    can never match ('+' is a non-word char, so the trailing boundary
+    requires a word char right after the final '+') — terms like ``c++`` or
+    ``.net`` would silently score 0 everywhere. Anchor each side with
+    ``\\b`` only when that side of the term starts/ends with a word
+    character; otherwise the literal non-word character itself delimits."""
+    t = term.lower()
+    pre = r"\b" if re.match(r"\w", t) else ""
+    suf = r"\b" if re.search(r"\w$", t) else ""
+    return pre + re.escape(t) + suf
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],
@@ -52,12 +67,14 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("bm25_scores requires at least one query term")
+    if any(not t or not t.strip() for t in terms):
+        raise ValueError("bm25_scores terms must be non-empty")
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(
         F.col(id_col),
         token_count(text_col).cast("double").alias("_dl"),
         *[
-            F.regexp_count(low, F.lit(r"\b" + re.escape(t.lower()) + r"\b"))
+            F.regexp_count(low, F.lit(_term_pattern(t)))
             .cast("double")
             .alias(f"_tf{i}")
             for i, t in enumerate(terms)
@@ -79,9 +96,14 @@ def bm25_scores(
             F.lit(1.0)
             + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
         )
-        norm = tf + F.lit(k1) * (
-            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-        )
+        # avgdl == 0 (corpus of only empty/null texts) would make dl/avgdl
+        # NaN, and Spark orders NaN > everything so `score > 0` would pass —
+        # returning every doc with a NaN score where the oracle returns none.
+        # All tf are 0 in that case, so a 0 ratio yields score 0 → filtered.
+        dl_ratio = F.when(
+            F.col("_avgdl") > 0, F.col("_dl") / F.col("_avgdl")
+        ).otherwise(F.lit(0.0))
+        norm = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_ratio)
         term_score = idf * tf * F.lit(k1 + 1.0) / norm
         score = term_score if score is None else score + term_score
     return scored.select(F.col(id_col), score.alias("score")).filter(

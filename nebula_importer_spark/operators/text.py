@@ -248,8 +248,7 @@ def domain_vocab_stats(
     )
     vocab = (
         df.select(F.col(domain_col), F.explode(F.array_distinct(toks)).alias("_tok"))
-        .groupBy(domain_col, "_tok")
-        .agg(F.lit(1))
+        .distinct()
         .groupBy(domain_col)
         .agg(F.count("*").alias("vocab"))
     )

@@ -252,3 +252,102 @@ def test_bm25_scores(spark):
     assert bm25_scores(corp2, ["spark"]).count() == 0
     with pytest.raises(ValueError):
         bm25_scores(corp, [])
+
+
+def test_word_ngrams_no_phantom_tokens(spark):
+    """Leading/trailing non-space whitespace must not create empty tokens or
+    phantom grams (F.trim strips spaces only; the \\S+-based oracles never
+    see them)."""
+    from nebula_importer_spark.operators.linking import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "\ta b c"), (2, "a b c\n"), (3, "\t\n"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: sorted(r.g)
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c"]  # no ' a b'
+    assert got[2] == ["a b c"]
+    assert got[3] == [] and got[4] == []
+    uni = {
+        r.doc_id: sorted(r.g)
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 1).alias("g")).collect()
+    }
+    assert uni[3] == [] and uni[4] == []  # no '' unigram
+
+
+def test_bm25_non_word_boundary_terms(spark):
+    """Terms starting/ending with non-word chars ('c++', '.net') must match;
+    \\b next to a non-word char can never match."""
+    from nebula_importer_spark.operators.search import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "use c++ daily"), (2, "prefer rust"), (3, "the .net runtime")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in bm25_scores(df, ["c++"]).collect()}
+    assert got == {1}
+    got = {r.doc_id for r in bm25_scores(df, [".net"]).collect()}
+    assert got == {3}
+    # \b is still honored on word-char sides: 'rust' ⊄ 'prefer rusty'
+    got = {r.doc_id for r in bm25_scores(df.withColumn(
+        "text", F.regexp_replace("text", "rust$", "rusty")), ["rust"]).collect()}
+    assert got == set()
+
+    with pytest.raises(ValueError):
+        bm25_scores(df, [""])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["ok", "  "])
+
+
+def test_bm25_all_empty_corpus_returns_nothing(spark):
+    """avgdl == 0 must not produce NaN scores that pass `score > 0`."""
+    from nebula_importer_spark.operators.search import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    assert bm25_scores(df, ["anything"]).count() == 0
+
+
+def test_token_budget_sample_null_domain_kept(spark):
+    """NULL-domain rows form a real group (window PARTITION BY semantics);
+    the offsets join must be null-safe, not silently drop them."""
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, None, "one two three"), (2, None, "four five"), (3, "en", "a b c d")],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(df, 100, n_buckets=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # the two NULL-domain docs share one running sum
+    assert {rows[1].cum_tokens, rows[2].cum_tokens} == {3, 5} or {
+        rows[1].cum_tokens,
+        rows[2].cum_tokens,
+    } == {2, 5}
+
+
+def test_token_budget_sample_column_collisions(spark):
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    pre = spark.createDataFrame(
+        [(1, "en", 7), (2, "en", 5)], "doc_id long, source string, n_tokens long"
+    )
+    # precomputed counts: tokens_col='n_tokens' is the documented path
+    out = token_budget_sample(pre, 100, tokens_col="n_tokens", n_buckets=4)
+    assert out.count() == 2 and "cum_tokens" in out.columns
+    # ...but an ambiguous pre-existing n_tokens without tokens_col must raise
+    with pytest.raises(ValueError, match="n_tokens"):
+        token_budget_sample(
+            pre.withColumn("text", F.lit("a b")), 100, n_buckets=4
+        )
+    # reserved/output name collisions fail fast, not mid-plan
+    clash = spark.createDataFrame(
+        [(1, "en", "a", 9)], "doc_id long, source string, text string, cum_tokens long"
+    )
+    with pytest.raises(ValueError, match="cum_tokens"):
+        token_budget_sample(clash, 100, n_buckets=4)
