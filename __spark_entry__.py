@@ -1092,6 +1092,90 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (operators/graph.py) over the customer↔supplier
+    interaction graph (an edge each way per distinct trading pair, so rank
+    mass actually circulates). Integer scaling is what makes this driver-
+    gateable at all: float PageRank sums in aggregation order and could
+    never hash-match a SQL twin; scaled longs with floor division are
+    bit-identical on both engines."""
+    from nebula_importer_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=4)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts sharing an
+    order are adjacent; every-3rd-order sample keeps the gate cheap).
+    Exercises the degree-ordered orientation in operators/graph.py — the
+    wedge fan-out is bounded by oriented out-degree, which is what survives
+    power-law co-purchase hubs at scale."""
+    from nebula_importer_spark.operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+    )
+    edges = pairs.select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+def _pagerank_sql(iterations: int = 4) -> str:
+    """DuckDB twin of q_graph_pagerank: the same integer recurrence unrolled
+    into one CTE per superstep (// is integer division; SUM over BIGINT is
+    exact, cast back at the end)."""
+    scale = 10**12
+    base = (scale * 15) // 100
+    ctes = [
+        """cs AS (
+            SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM cs
+              UNION ALL SELECT s, c FROM cs),
+        deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM n)""" % scale
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+            SELECT n.node,
+                   CAST({base} + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+            FROM n LEFT JOIN (
+                SELECT e.dst, SUM(p.r // deg.dg) AS m
+                FROM e JOIN deg USING (src) JOIN r{k - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            ) m ON m.dst = n.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT node, r AS rank_scaled FROM r{iterations}"
+    )
+
+
 def _kg_triples_sql() -> str:
     """DuckDB twin of the full pipeline over the documents-derived corpus:
     extraction legs (shared with _kg_extract_docs_sql), mention
@@ -1229,6 +1313,26 @@ def q_multimodal_doc_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_width",
         "new_height",
         F.length("payload").cast("long").alias("n_payload_bytes"),
+    )
+
+
+def q_multimodal_doc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checks the frame-sampling plumbing: documents become video
+    assets with deterministic duration metadata; sample_frames' pure-JVM
+    sequence/explode (one row per sampled timestamp, endpoints inclusive)
+    is reproduced by the SQL twin's generate_series. The per-frame decode
+    is the stubbed codec step — the sampled-timestamp plan is the real,
+    scale-bearing part (map-only, zero shuffle)."""
+    from nebula_importer_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        (F.lit(100) + (F.col("doc_id") * 37) % 7000).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(assets, every_ms=500).select(
+        "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
 
 
@@ -1502,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_triples": q_kg_triples,
         "kg_degree": q_kg_degree,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "dedup_components": q_dedup_components,
         "mix_domains": q_mix_domains,
@@ -1510,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "multimodal_doc_features": q_multimodal_doc_features,
         "multimodal_doc_resize": q_multimodal_doc_resize,
+        "multimodal_doc_frames": q_multimodal_doc_frames,
         "kg_extract_docs": q_kg_extract_docs,
     }
 
@@ -2260,6 +2367,33 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "kg_triples": _kg_triples_sql(),
+        "graph_pagerank": _pagerank_sql(4),
+        "graph_triangles": """
+            WITH li AS (
+                SELECT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node
+        """,
+        "multimodal_doc_frames": """
+            SELECT doc_id AS asset_id,
+                   unnest(generate_series(
+                       0, (100 + (doc_id * 37) % 7000)::INT, 500))::BIGINT
+                       AS frame_ts_ms
+            FROM documents
+        """,
         "kg_degree": f"""
             WITH kg_t AS MATERIALIZED ({_kg_triples_sql()})
             SELECT entity, SUM(o)::BIGINT AS out_deg, SUM(i)::BIGINT AS in_deg

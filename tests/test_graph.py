@@ -1,0 +1,108 @@
+"""Graph analytics: exact-integer PageRank and degree-ordered triangle
+counting, parity-tested against independent pure-Python references on
+randomized graphs."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.graph import (
+    PAGERANK_SCALE,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _py_pagerank(edges, iterations, damping_pct=85, scale=PAGERANK_SCALE):
+    """Independent integer-arithmetic reference (dicts, no Spark)."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    base = (scale * (100 - damping_pct)) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        recv = {n: 0 for n in nodes}
+        for u, v in e:
+            recv[v] += rank[u] // out[u]
+        rank = {n: base + (damping_pct * recv[n]) // 100 for n in nodes}
+    return rank
+
+
+def _py_triangles(edges):
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = sorted({x for p in e for x in p})
+    adj = {n: set() for n in nodes}
+    for a, b in e:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_pagerank_matches_integer_reference(spark, seed):
+    rng = random.Random(seed)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iterations=5).collect()}
+    want = _py_pagerank(edges, iterations=5)
+    assert got == want  # exact to the bit — integer arithmetic end-to-end
+
+
+def test_pagerank_dangling_and_source_nodes(spark):
+    # b is dangling (no out-edges): keeps base + received, mass not pushed.
+    # a is a pure source: after iteration 1 its rank is exactly `base`.
+    df = spark.createDataFrame([(1, 2), (3, 2), (2, 3)], "src int, dst int")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
+    want = _py_pagerank([(1, 2), (3, 2), (2, 3)], iterations=3)
+    assert got == want
+    base = (PAGERANK_SCALE * 15) // 100
+    assert got[1] == base  # nothing points at the source
+    assert set(got) == {1, 2, 3}
+
+
+def test_pagerank_validates_args(spark):
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=101)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangles_match_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)
+
+
+def test_triangles_canonicalization(spark):
+    # duplicates, reversed duplicates, and self-loops must not multiply counts
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src int, dst int"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_none_in_bipartite(spark):
+    # bipartite graphs have no triangles — output is empty, not zero rows
+    df = spark.createDataFrame(
+        [(u, v) for u in (1, 2, 3) for v in (10, 20)], "src int, dst int"
+    )
+    assert triangle_counts(df).count() == 0

@@ -140,3 +140,28 @@ def test_token_budget_offsets_broadcast_back(spark):
     plan = _plan(entrymod.queries()["sample_token_budget"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan.replace("SortMergeJoin(skew=", "")
+
+
+def test_frame_sampling_is_map_only(spark):
+    """Frame sampling = sequence/explode over duration metadata: one
+    Generate, zero exchanges (a 100-TB video catalog samples in one scan)."""
+    plan = _plan(entrymod.queries()["multimodal_doc_frames"](spark, SF))
+    assert ") Exchange" not in plan, plan
+    assert "Generate" in plan
+
+
+def test_triangles_all_equi_joins(spark):
+    """Degree-ordered triangle counting must stay in hash/sort equi-joins:
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere (the naive
+    all-pairs formulation would smuggle one in)."""
+    plan = _plan(entrymod.queries()["graph_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_all_equi_joins(spark):
+    """Every PageRank superstep is an equi-join + partial-agg'd groupBy —
+    no nested-loop joins, no cartesian products, nothing collected."""
+    plan = _plan(entrymod.queries()["graph_pagerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
