@@ -181,3 +181,50 @@ def compact_canonicalize(
     ).distinct()
     v, _ = store.merge_commit(rewritten, "triples", Mode.INSERT, TRIPLE_KEY)
     return v
+
+
+def refresh_analytics(store: TableStore, *, pagerank_iterations: int = 4) -> int:
+    """Recompute the graph-analytics tables over the CURRENT triples table
+    and commit them as a new ``entity_rank`` snapshot (entity, out_deg,
+    in_deg, rank_scaled). Rides the same maintenance cadence as
+    ``compact_canonicalize`` — analytics are a full recompute, not an
+    incremental merge, because PageRank is a global fixpoint like CC: a new
+    snapshot per refresh is the lambda-style split (hot path appends
+    triples; the periodic job rebuilds the derived view).
+
+    Exact-integer PageRank means the refreshed table is BIT-IDENTICAL to a
+    batch run over the same triples — streamed-then-refreshed vs
+    batch-computed analytics cannot drift (tested), which is the property
+    an incremental float implementation could not give. Returns the new
+    snapshot version (0 when there are no triples yet)."""
+    from nebula_importer_spark.operators.graph import pagerank
+
+    triples = store.read("triples")
+    if triples is None:
+        return 0
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    contrib = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("entity"),
+                    F.lit(1).alias("_o"),
+                    F.lit(0).alias("_i"),
+                ),
+                F.struct(
+                    F.col("dst").alias("entity"),
+                    F.lit(0).alias("_o"),
+                    F.lit(1).alias("_i"),
+                ),
+            )
+        ).alias("_c")
+    ).select("_c.*")
+    deg = contrib.groupBy("entity").agg(
+        F.sum("_o").cast("long").alias("out_deg"),
+        F.sum("_i").cast("long").alias("in_deg"),
+    )
+    pr = pagerank(edges, iterations=pagerank_iterations)
+    ranked = deg.join(pr, deg["entity"] == pr["node"]).select(
+        "entity", "out_deg", "in_deg", "rank_scaled"
+    )
+    return store.commit(ranked, "entity_rank")

@@ -120,3 +120,55 @@ def test_compact_canonicalize(spark, tmp_path):
     # idempotent: a second compaction rewrites nothing it shouldn't
     compact_canonicalize(store, d["same_as"])
     assert _triples_set(store.read("triples")) == _triples_set(after)
+
+
+def test_refresh_analytics_matches_batch_bit_exact(spark, tmp_path):
+    """Analytics refreshed after streaming ingest must be BIT-IDENTICAL to
+    the same analytics computed over a batch run — the exact-integer
+    PageRank makes this an equality test, not an approx comparison."""
+    from nebula_importer_spark.operators.graph import pagerank
+    from nebula_importer_spark.streaming.transcripts import refresh_analytics
+
+    d, half_a, _, _ = _setup(spark)
+    indir, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    half_a.coalesce(1).write.mode("append").parquet(str(indir))
+    stream = read_transcript_stream(spark, str(indir))
+    run_incremental_kg(stream, d["alias_dict"], out, ckpt)
+
+    store = TableStore(out / "kg", spark)
+    # empty store (no triples yet) → version 0, nothing written
+    empty = TableStore(tmp_path / "none", spark)
+    assert refresh_analytics(empty) == 0
+
+    v = refresh_analytics(store)
+    assert v == 1
+    got = {
+        r["entity"]: (r["out_deg"], r["in_deg"], r["rank_scaled"])
+        for r in store.read("entity_rank").collect()
+    }
+
+    p = TranscriptPipeline(spark)
+    surface = p.triples_surface(half_a)
+    links = p.link_table(surface, d["alias_dict"])
+    batch_triples, _ = p.canonical_triples(surface, links, same_as=None)
+    edges = batch_triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    want_rank = {r.node: r.rank_scaled for r in pagerank(edges, iterations=4).collect()}
+    p.release()
+
+    assert set(got) == set(want_rank)
+    assert {k: v[2] for k, v in got.items()} == want_rank
+    # degrees count triple participation (parallel predicates included)
+    n_triples = batch_triples.count()
+    assert sum(v[0] for v in got.values()) == n_triples
+    assert sum(v[1] for v in got.values()) == n_triples
+
+    # refresh again: a new immutable snapshot, same content
+    v2 = refresh_analytics(store)
+    assert v2 == 2
+    again = {
+        r["entity"]: (r["out_deg"], r["in_deg"], r["rank_scaled"])
+        for r in store.read("entity_rank").collect()
+    }
+    assert again == got
