@@ -1064,31 +1064,14 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree report over the CONSTRUCTED graph — the first analytics query a
     KG consumer runs. Reuses the oracle-proven canonical-triples pipeline,
-    then ONE pass over it: each triple map-side explodes into its subj/obj
-    contribution rows (a unionByName of two selects would execute the whole
-    extraction+linking plan twice), then one shuffle sums per entity (hot
-    entities are safe — plain partial-agg'd sums, no row collection per
-    key)."""
+    then operators/graph.py:degree_counts — ONE pass (map-side explode into
+    endpoint contributions + one partial-agg'd shuffle; a union of two
+    selects would execute the whole extraction+linking plan twice)."""
+    from nebula_importer_spark.operators.graph import degree_counts
+
     t = q_kg_triples(spark, sf_dir)
-    contrib = t.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("subj").alias("entity"),
-                    F.lit(1).alias("_o"),
-                    F.lit(0).alias("_i"),
-                ),
-                F.struct(
-                    F.col("obj").alias("entity"),
-                    F.lit(0).alias("_o"),
-                    F.lit(1).alias("_i"),
-                ),
-            )
-        ).alias("_c")
-    ).select("_c.*")
-    return contrib.groupBy("entity").agg(
-        F.sum("_o").cast("long").alias("out_deg"),
-        F.sum("_i").cast("long").alias("in_deg"),
+    return degree_counts(t, src="subj", dst="obj").select(
+        F.col("node").alias("entity"), "out_deg", "in_deg"
     )
 
 
@@ -1111,9 +1094,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # symmetrize in ONE pass of the join+distinct subplan (a union of two
+    # selects re-executes it unless exchange reuse happens to fire)
+    edges = cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
     return pagerank(edges, iterations=4)
 
 
@@ -1141,11 +1131,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(iterations: int = 4) -> str:
-    """DuckDB twin of q_graph_pagerank: the same integer recurrence unrolled
-    into one CTE per superstep (// is integer division; SUM over BIGINT is
-    exact, cast back at the end)."""
+    """DuckDB twin of q_graph_pagerank: the same mass-normalized integer
+    recurrence unrolled into one CTE per superstep (init = scale // |V|;
+    // is integer division; SUM over BIGINT is exact, cast back at the
+    end)."""
     scale = 10**12
-    base = (scale * 15) // 100
     ctes = [
         """cs AS (
             SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
@@ -1155,13 +1145,17 @@ def _pagerank_sql(iterations: int = 4) -> str:
               UNION ALL SELECT s, c FROM cs),
         deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        r0 AS (SELECT node, CAST(%d AS BIGINT) AS r FROM n)""" % scale
+        prm AS (SELECT CAST(%d AS BIGINT) // COUNT(*) AS i0,
+                       CAST(%d AS BIGINT) // COUNT(*) * 15 // 100 AS b
+                FROM n),
+        r0 AS (SELECT node, (SELECT i0 FROM prm) AS r FROM n)""" % (scale, scale)
     ]
     for k in range(1, iterations + 1):
         ctes.append(
             f"""r{k} AS (
             SELECT n.node,
-                   CAST({base} + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+                   CAST((SELECT b FROM prm)
+                        + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
             FROM n LEFT JOIN (
                 SELECT e.dst, SUM(p.r // deg.dg) AS m
                 FROM e JOIN deg USING (src) JOIN r{k - 1} p ON p.node = e.src

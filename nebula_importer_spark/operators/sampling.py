@@ -53,8 +53,16 @@ def hash_threshold(rate: float) -> str:
 
 
 def _md5_key(id_col: str | Column, salt: str) -> Column:
+    """Deterministic per-row key. NULL-safe: concat(salt, NULL) is NULL, so
+    a NULL id would yield a NULL key — which silently FAILS every `key <
+    threshold` keep test and every null-unsafe bucket join downstream
+    (rows counted into budgets but never kept). NULL ids hash under a
+    reserved sentinel instead ('\\0null' cannot collide with any cast
+    string — casts never produce NUL bytes)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.md5(
+        F.concat(F.lit(salt), F.coalesce(c.cast("string"), F.lit("\x00null")))
+    )
 
 
 def weighted_domain_sample(

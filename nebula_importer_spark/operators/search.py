@@ -99,12 +99,17 @@ def bm25_scores(
         # avgdl == 0 (corpus of only empty/null texts) would make dl/avgdl
         # NaN, and Spark orders NaN > everything so `score > 0` would pass —
         # returning every doc with a NaN score where the oracle returns none.
-        # All tf are 0 in that case, so a 0 ratio yields score 0 → filtered.
         dl_ratio = F.when(
             F.col("_avgdl") > 0, F.col("_dl") / F.col("_avgdl")
         ).otherwise(F.lit(0.0))
         norm = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_ratio)
-        term_score = idf * tf * F.lit(k1 + 1.0) / norm
+        # tf == 0 short-circuits BEFORE the division: with b=1.0 an
+        # empty-text doc has norm == 0, and 0/0 is DIVIDE_BY_ZERO under
+        # ANSI sessions (NULL-then-filtered under ANSI-off — right answer,
+        # wrong reason). tf > 0 implies dl ≥ tf > 0, so norm > 0 there.
+        term_score = F.when(
+            tf > 0, idf * tf * F.lit(k1 + 1.0) / norm
+        ).otherwise(F.lit(0.0))
         score = term_score if score is None else score + term_score
     return scored.select(F.col(id_col), score.alias("score")).filter(
         F.col("score") > 0

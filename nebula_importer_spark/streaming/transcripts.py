@@ -197,32 +197,17 @@ def refresh_analytics(store: TableStore, *, pagerank_iterations: int = 4) -> int
     batch-computed analytics cannot drift (tested), which is the property
     an incremental float implementation could not give. Returns the new
     snapshot version (0 when there are no triples yet)."""
-    from nebula_importer_spark.operators.graph import pagerank
+    from nebula_importer_spark.operators.graph import degree_counts, pagerank
 
     triples = store.read("triples")
     if triples is None:
         return 0
     edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-    contrib = edges.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("src").alias("entity"),
-                    F.lit(1).alias("_o"),
-                    F.lit(0).alias("_i"),
-                ),
-                F.struct(
-                    F.col("dst").alias("entity"),
-                    F.lit(0).alias("_o"),
-                    F.lit(1).alias("_i"),
-                ),
-            )
-        ).alias("_c")
-    ).select("_c.*")
-    deg = contrib.groupBy("entity").agg(
-        F.sum("_o").cast("long").alias("out_deg"),
-        F.sum("_i").cast("long").alias("in_deg"),
-    )
+    # degrees = triple participation (parallel predicates each count);
+    # pagerank collapses parallel edges internally (rank is a topology
+    # property) — the asymmetry is deliberate and shared with the
+    # kg_degree / graph_pagerank driver-gate queries.
+    deg = degree_counts(edges).withColumnRenamed("node", "entity")
     pr = pagerank(edges, iterations=pagerank_iterations)
     ranked = deg.join(pr, deg["entity"] == pr["node"]).select(
         "entity", "out_deg", "in_deg", "rank_scaled"

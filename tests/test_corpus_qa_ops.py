@@ -351,3 +351,33 @@ def test_token_budget_sample_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="cum_tokens"):
         token_budget_sample(clash, 100, n_buckets=4)
+
+
+def test_token_budget_sample_null_id_kept(spark):
+    """A NULL id row must be kept AND counted — not counted-but-dropped
+    (the md5 key hashes NULL ids under a reserved sentinel, so the bucket
+    join never sees a NULL key)."""
+    from nebula_importer_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", "one two three"), (None, "en", "four five"), (3, "en", "a b")],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(df, 100, n_buckets=4).collect()
+    assert len(out) == 3
+    assert sorted(r.cum_tokens for r in out)[-1] == 7  # all 3+2+2 counted
+    # and the NULL-id row is genuinely present
+    assert any(r.doc_id is None for r in out)
+
+
+def test_bm25_b_one_empty_doc_no_division_hole(spark):
+    """b=1.0 gives norm == 0 for an empty doc; the tf>0 short-circuit must
+    keep that row out of the division entirely (ANSI sessions would raise
+    DIVIDE_BY_ZERO; ANSI-off would pass only by 0/0→NULL accident)."""
+    from nebula_importer_spark.operators.search import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark rules"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in bm25_scores(df, ["spark"], b=1.0).collect()}
+    assert got == {1}

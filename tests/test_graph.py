@@ -18,14 +18,17 @@ from nebula_importer_spark.operators.graph import (
 
 
 def _py_pagerank(edges, iterations, damping_pct=85, scale=PAGERANK_SCALE):
-    """Independent integer-arithmetic reference (dicts, no Spark)."""
+    """Independent integer-arithmetic reference (dicts, no Spark).
+    Python ints are arbitrary-precision, so this also detects any int64
+    wrap in the Spark implementation."""
     e = sorted(set(edges))
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
     out = {}
     for u, _ in e:
         out[u] = out.get(u, 0) + 1
-    base = (scale * (100 - damping_pct)) // 100
-    rank = {n: scale for n in nodes}
+    init = scale // len(nodes)
+    base = (init * (100 - damping_pct)) // 100
+    rank = {n: init for n in nodes}
     for _ in range(iterations):
         recv = {n: 0 for n in nodes}
         for u, v in e:
@@ -68,9 +71,27 @@ def test_pagerank_dangling_and_source_nodes(spark):
     got = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
     want = _py_pagerank([(1, 2), (3, 2), (2, 3)], iterations=3)
     assert got == want
-    base = (PAGERANK_SCALE * 15) // 100
+    base = ((PAGERANK_SCALE // 3) * 15) // 100
     assert got[1] == base  # nothing points at the source
     assert set(got) == {1, 2, 3}
+
+
+def test_pagerank_mega_hub_no_overflow(spark):
+    """A 120k-spoke star wrapped int64 under the unnormalized formulation
+    (hub rank went NEGATIVE); mass normalization bounds every intermediate
+    by 100·scale regardless of graph size, so the hub matches the
+    arbitrary-precision Python reference exactly."""
+    n = 120_000
+    edges = [(i, n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hub = (
+        pagerank(df, iterations=1)
+        .filter(F.col("node") == n)
+        .collect()[0]
+        .rank_scaled
+    )
+    want = _py_pagerank(edges, iterations=1)[n]
+    assert hub == want and hub > 0
 
 
 def test_pagerank_validates_args(spark):
@@ -79,6 +100,10 @@ def test_pagerank_validates_args(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank(df, scale=10**17)  # 100·scale must stay inside int64
+    with pytest.raises(ValueError, match="resolution"):
+        pagerank(df, scale=10**4)  # 2 nodes × 10^4 floor: too coarse
 
 
 @pytest.mark.parametrize("seed", [3, 11])
