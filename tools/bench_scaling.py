@@ -87,6 +87,36 @@ def run(cores: int, turns: int, reps: int, submit: bool = False) -> dict:
     cmd = (
         ["taskset", "-c", f"{off}-{off + cores - 1}"] if cores < 99 else []
     )
+    # NIS_EQUALIZE=1: keep every core OUTSIDE the pinned range busy with a
+    # spin load while the leg runs. On an otherwise-idle VM a 2-core pinned
+    # job turbo-boosts ~10% above the per-core clock an 8-core job gets
+    # (measured: 7.4-7.7M vs 6.8M iters/s/core on a no-Spark control), so
+    # the raw N-vs-4N ratio under-reports scaling by the frequency delta —
+    # a real N-executor vs 4N-executor cluster comparison runs both at the
+    # SAME clocks. Loading the complement pins both legs to all-core turbo,
+    # removing the artifact without touching the measured job.
+    spinners: list[subprocess.Popen] = []
+    if _os.environ.get("NIS_EQUALIZE") == "1" and cores < 99:
+        n_host = _os.cpu_count() or 32
+        busy = [c for c in range(n_host) if not off <= c < off + cores]
+        spinners = [
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c",
+                 "while True:\n    pass"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            for c in busy
+        ]
+    try:
+        return _run_leg(cmd, cores, turns, reps, submit)
+    finally:
+        for p in spinners:
+            p.kill()
+
+
+def _run_leg(
+    cmd: list[str], cores: int, turns: int, reps: int, submit: bool
+) -> dict:
     if submit:
         # the north rule's deployment shape: spark-submit --py-files, the
         # package resolved from the zip, master/conf owned by submit
