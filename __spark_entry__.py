@@ -1130,6 +1130,70 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=4) of the co-purchase graph — the graph-denoising primitive
+    ("parts with ≥4 robust co-purchase ties after weakly-attached noise is
+    peeled away"). The operator peels ADAPTIVELY to the unique fixpoint;
+    the oracle unrolls a fixed 12 rounds — peeling is monotone, so extra
+    rounds are no-ops and the hash match proves the adaptive loop reached
+    the same fixpoint."""
+    from nebula_importer_spark.operators.graph import kcore
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    pairs = li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+    )
+    edges = pairs.select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    return kcore(edges, 4).select(F.col("node").alias("part"), "core_deg")
+
+
+def _kcore_sql(k: int = 4, rounds: int = 12) -> str:
+    """DuckDB twin of q_graph_kcore: the peel round unrolled `rounds` times
+    (degree filter + both-endpoints-survive edge filter per round). Every
+    round CTE is MATERIALIZED: DuckDB inlines CTEs by default and each
+    round references the previous one three times, so un-materialized
+    unrolling expands 3^rounds-fold (observed as a file-handle explosion
+    on the base parquet)."""
+    ctes = [
+        """li AS MATERIALIZED (
+            SELECT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey % 3 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT x.p AS a, y.p AS b
+            FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""kp{r} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT a AS node FROM e{r - 1}
+                UNION ALL SELECT b FROM e{r - 1}
+            ) GROUP BY node HAVING COUNT(*) >= {k}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM e{r - 1}
+            WHERE a IN (SELECT node FROM kp{r})
+              AND b IN (SELECT node FROM kp{r})
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node AS part, COUNT(*)::BIGINT AS core_deg
+        FROM (SELECT a AS node FROM e{rounds}
+              UNION ALL SELECT b FROM e{rounds})
+        GROUP BY node"""
+    )
+
+
 def _pagerank_sql(iterations: int = 4) -> str:
     """DuckDB twin of q_graph_pagerank: the same mass-normalized integer
     recurrence unrolled into one CTE per superstep (init = scale // |V|;
@@ -1602,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree": q_kg_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "dedup_components": q_dedup_components,
         "mix_domains": q_mix_domains,
@@ -2362,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": _kg_triples_sql(),
         "graph_pagerank": _pagerank_sql(4),
+        "graph_kcore": _kcore_sql(4, 12),
         "graph_triangles": """
             WITH li AS (
                 SELECT l_orderkey AS o, l_partkey AS p

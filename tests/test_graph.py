@@ -131,3 +131,66 @@ def test_triangles_none_in_bipartite(spark):
         [(u, v) for u in (1, 2, 3) for v in (10, 20)], "src int, dst int"
     )
     assert triangle_counts(df).count() == 0
+
+
+def _py_kcore(edges, k):
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    while True:
+        deg: dict = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(a, b) for a, b in e if a in keep and b in keep}
+        if e2 == e:
+            break
+        e = e2
+    out: dict = {}
+    for a, b in e:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("seed,k", [(5, 2), (13, 3)])
+def test_kcore_matches_peeling_reference(spark, seed, k):
+    from nebula_importer_spark.operators.graph import kcore
+
+    rng = random.Random(seed)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(100)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.core_deg for r in kcore(df, k).collect()}
+    assert got == _py_kcore(edges, k)
+    assert all(d >= k for d in got.values())  # fixpoint property
+
+
+def test_kcore_peels_pendant_chain(spark):
+    from nebula_importer_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a pendant chain 3-4-5: the chain must peel away
+    # ROUND BY ROUND (5 first, then 4) — a single degree filter would stop
+    # after removing 5 and wrongly keep 4
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    got = {r.node: r.core_deg for r in kcore(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_and_validation(spark):
+    from nebula_importer_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    assert kcore(df, 2).count() == 0  # a path has no 2-core
+    with pytest.raises(ValueError):
+        kcore(df, 0)
+    with pytest.raises(RuntimeError, match="converge"):
+        # triangle+chain needs 2 peel rounds + 1 fixpoint confirmation
+        kcore(
+            spark.createDataFrame(
+                [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+            ),
+            2,
+            max_rounds=1,
+        )
