@@ -1115,18 +1115,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law co-purchase hubs at scale."""
     from nebula_importer_spark.operators.graph import triangle_counts
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 3 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    )
-    pairs = li.alias("x").join(
-        li.alias("y"),
-        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
-    )
-    edges = pairs.select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-    return triangle_counts(edges).select(
+    return triangle_counts(_copurchase_edges(spark, sf_dir)).select(
         F.col("node").alias("part"), "n_triangles"
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph: parts sharing an order are adjacent
+    (operators/graph.py:cooccurrence_edges — the bipartite projection with
+    the mega-group guard; every-3rd-order sample keeps the gate cheap)."""
+    from nebula_importer_spark.operators.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    return cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", max_group_size=64
     )
 
 
@@ -1139,17 +1141,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fixpoint."""
     from nebula_importer_spark.operators.graph import kcore
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 3 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    return kcore(_copurchase_edges(spark, sf_dir), 4).select(
+        F.col("node").alias("part"), "core_deg"
     )
-    pairs = li.alias("x").join(
-        li.alias("y"),
-        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
-    )
-    edges = pairs.select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-    return kcore(edges, 4).select(F.col("node").alias("part"), "core_deg")
 
 
 def _kcore_sql(k: int = 4, rounds: int = 12) -> str:

@@ -194,3 +194,25 @@ def test_kcore_empty_and_validation(spark):
             2,
             max_rounds=1,
         )
+
+
+def test_cooccurrence_edges(spark):
+    from nebula_importer_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1), ("g1", 2), ("g1", 3), ("g1", 2),  # dup item collapses
+            ("g2", 3), ("g2", 4),
+            ("g3", 9),  # singleton: no pairs
+        ],
+        "grp string, item int",
+    )
+    got = {(r.src, r.dst) for r in
+           cooccurrence_edges(df, group_col="grp", item_col="item").collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    # mega-group guard: g1 (3 items) dropped entirely at cap 2
+    capped = {(r.src, r.dst) for r in cooccurrence_edges(
+        df, group_col="grp", item_col="item", max_group_size=2).collect()}
+    assert capped == {(3, 4)}
+    with pytest.raises(ValueError):
+        cooccurrence_edges(df, group_col="grp", item_col="item", max_group_size=1)
