@@ -1952,10 +1952,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
                 SELECT *,
-                       SUM(newf) OVER (
+                       -- CAST: DuckDB windowed SUM returns HUGEINT, which
+                       -- pandas converts to float64 ("4.0" vs Spark's long
+                       -- "4") — the 3-round hash-red root cause.
+                       CAST(SUM(newf) OVER (
                            PARTITION BY user_id ORDER BY us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) + 1 AS session_id
+                       ) + 1 AS BIGINT) AS session_id
                 FROM f
             )
             SELECT user_id, session_id,

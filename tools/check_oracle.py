@@ -27,15 +27,22 @@ def _canon(v) -> str:
     import datetime
     import math
 
+    import numpy as np
+
     if v is None:
         return "NULL"
+    if isinstance(v, np.generic):
+        # pandas fetch path yields numpy scalars; unwrap to the Python value
+        # so int64 renders "4" and float64 renders "4.0" exactly as the
+        # driver's pandas canonicalizer sees them.
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
 
@@ -83,7 +90,12 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            # Fetch through pandas (Arrow) — the driver canonicalizes via
+            # pandas, and value rendering must match that path, not
+            # Row.collect() (round-3 lesson: HUGEINT->float64 divergences are
+            # invisible to a fetchall()-based replica).
+            pdf = df.toPandas()
+            rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failures += 1
@@ -95,14 +107,23 @@ def main() -> int:
                 print(f"      WARNING {name}: zero rows")
             continue
         try:
-            ores = con.execute(osql[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            orel = con.sql(osql[name])
+            ocols = list(orel.columns)
+            otypes = [str(t).upper() for t in orel.types]
+            odf = orel.df()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             failures += 1
             continue
         problems = []
+        # Hard audit: a HUGEINT (or >BIGINT decimal) projection converts to
+        # float64 under pandas and silently hash-diverges from Spark longs.
+        # Every oracle must cast such columns explicitly (round-3 red row).
+        for c, t in zip(ocols, otypes):
+            if "HUGEINT" in t:
+                problems.append(f"oracle type audit: column {c} is {t} "
+                                "(cast to BIGINT in the oracle SQL)")
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
         if len(rows) != len(orows):
