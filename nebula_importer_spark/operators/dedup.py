@@ -30,8 +30,20 @@ from nebula_importer_spark.operators.skew import spread_small_input
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per distinct text; survivor = min id (deterministic)."""
-    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
+    """One row per distinct text; survivor = min id (deterministic).
+
+    Groups on ``sha2(text, 256)`` — a fixed-width digest — never on the raw
+    text: at corpus scale a text grouping key would shuffle-compare every
+    byte of every document. The text column still travels once as an
+    aggregation payload (all values within a digest group are byte-identical,
+    so ``first`` is deterministic in value); NULL text digests to NULL and
+    groups together, matching the raw-text grouping semantics.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_k"))
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .select(id_col, text_col)
+    )
 
 
 def ngram_jaccard_pairs(

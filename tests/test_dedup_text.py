@@ -45,6 +45,25 @@ def test_exact_dedup(spark, docs):
     assert out.filter(F.col("text") == DOCS[0][1]).first()["doc_id"] == 1
 
 
+def test_exact_dedup_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["text"] for r in exact_dedup(df).collect()}
+    assert rows == {1: None, 3: "x"}  # NULL texts group together, min id wins
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, docs):
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, plan
+    # the exchange key must be the fixed-width sha2 digest (Catalyst folds
+    # the alias into _groupingexpression#N), never the raw document text —
+    # at 100 TB a text grouping key shuffles the whole corpus as key bytes
+    assert all("text#" not in ln for ln in exchanges), exchanges
+    assert "sha2" in plan, plan
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
