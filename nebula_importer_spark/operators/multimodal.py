@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; decode/
-feature-extraction run as Arrow-batched ``mapInPandas`` kernels. The actual
-codec step is STUBBED (no image/audio libraries in this container — clearly
-marked below); everything Spark-side is real and tested: schema, batch shape,
-partitioning, UDF signatures, and the deterministic fake feature path used by
-the tests.
+feature-extraction run as Arrow-batched ``mapInPandas`` kernels.
+
+Codec strategy (real, not stubbed, for PNG): ``decode_image`` uses PIL when
+importable (any format) and otherwise falls back to a built-in pure-numpy PNG
+codec (8-bit gray/GA/RGB/RGBA, non-interlaced — decode, encode, and
+nearest-neighbor resample below, stdlib ``zlib`` only). Payloads that decode
+get REAL content features and real resampled-PNG resize output; payloads in
+formats with no available codec (e.g. JPEG without PIL) degrade per-row to
+the documented deterministic stand-ins so the pipeline shape never breaks.
 
 At scale: payloads dominate bytes → keep them OUT of shuffles. Kernels are
 applied before any wide transformation, and feature outputs (small, fixed
@@ -16,6 +20,8 @@ scan granularity, not row counts.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -70,35 +76,182 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — image decoding requires a codec library not present in this
-    environment. The Spark plumbing calls `_fake_feature` instead; swap this
-    in when PIL/libjpeg are available."""
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IEND":
+            break
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-numpy PNG decoder (stdlib zlib): 8-bit depth, color types
+    0/2/4/6, non-interlaced. Returns (H, W, C) uint8. Filters per the PNG
+    spec; uint8 numpy arithmetic wraps mod 256 exactly as required."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    width = height = channels = None
+    interlace = depth = 0
+    idat: list[bytes] = []
+    for typ, chunk in _png_chunks(data):
+        if typ == b"IHDR":
+            width = int.from_bytes(chunk[0:4], "big")
+            height = int.from_bytes(chunk[4:8], "big")
+            depth, color, _comp, _filt, interlace = chunk[8:13]
+            channels = _PNG_CHANNELS.get(color)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+    if width is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    if depth != 8 or channels is None or interlace:
+        raise NotImplementedError(
+            "built-in PNG decoder supports 8-bit gray/GA/RGB/RGBA, "
+            "non-interlaced (install PIL for other variants)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        flt = raw[pos]
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if flt == 1:  # Sub
+            for x in range(channels, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+        elif flt == 2:  # Up
+            cur += prev
+        elif flt == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"unknown PNG filter {flt}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Pure-zlib PNG encoder (filter 0 rows, 8-bit): (H, W[, C]) uint8 →
+    PNG bytes; C ∈ {1, 2, 3, 4} maps to gray/GA/RGB/RGBA."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample via index maps (PIL NEAREST
+    convention: source index = floor((i + 0.5) * src/dst))."""
+    src_h, src_w = arr.shape[:2]
+    ys = np.minimum(((np.arange(h) + 0.5) * src_h / h).astype(np.int64), src_h - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * src_w / w).astype(np.int64), src_w - 1)
+    return arr[ys][:, xs]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    PIL when importable (any format it knows); otherwise the built-in PNG
+    decoder for PNG payloads. Anything else raises NotImplementedError and
+    the calling kernels degrade to the deterministic stand-in path."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        arr = np.asarray(Image.open(BytesIO(payload)))
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    except ImportError:
+        pass
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decode requires an image codec library (not in this container)"
+        "no codec for this payload format in this environment "
+        "(built-in codec handles PNG; install PIL for JPEG etc.)"
     )
 
 
 def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a decoded-content feature vector: sha256 of
-    the payload expanded to FEATURE_DIM floats in [0,1)."""
+    """Deterministic stand-in for a decoded-content feature vector (payloads
+    with no available codec): sha256 of the payload expanded to FEATURE_DIM
+    floats in [0,1)."""
     h = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
     return (raw % 10_000).astype(np.float32) / 10_000.0
 
 
+def _pixel_feature(arr: np.ndarray) -> np.ndarray:
+    """Real decoded-content feature: 4 grayscale moments (mean/std/min/max,
+    /255) + a 12-bin grayscale density histogram — FEATURE_DIM floats,
+    deterministic given pixels."""
+    gray = arr[:, :, :3].mean(axis=2) if arr.shape[2] >= 3 else arr[:, :, 0].astype(np.float64)
+    stats = np.array(
+        [gray.mean(), gray.std(), gray.min(), gray.max()], dtype=np.float64
+    ) / 255.0
+    hist, _ = np.histogram(gray, bins=FEATURE_DIM - 4, range=(0.0, 255.0))
+    dens = hist.astype(np.float64) / max(gray.size, 1)
+    return np.concatenate([stats, dens]).astype(np.float32)
+
+
+def _feature(payload: bytes) -> np.ndarray:
+    try:
+        return _pixel_feature(decode_image(payload or b""))
+    except Exception:  # no codec for this format → deterministic stand-in
+        return _fake_feature(payload)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real plumbing: batches arrive as pandas DataFrames with ``bytes`` cells;
-    output is a fixed-width float vector per asset. The decode step is the
-    stub above; the rest is production-shaped.
+    Batches arrive as pandas DataFrames with ``bytes`` cells; output is a
+    fixed-width float vector per asset — real pixel statistics when the
+    payload decodes (PNG always; any PIL format when PIL is present), the
+    deterministic sha-expansion stand-in otherwise.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [_fake_feature(p).tolist() for p in payloads]
+            feats = [_feature(p).tolist() for p in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -126,12 +279,20 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _fake_resized(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for decode→resample→encode: a sha256 keystream
-    of the source payload, one byte per target pixel. Swapped for the real
-    codec path (`decode_image` + a resampler) when a codec library exists."""
+    """Deterministic stand-in for decode→resample→encode when the payload
+    has no available codec: a sha256 keystream of the source payload, one
+    byte per target pixel."""
     n = max(w * h, 1)
     seed = hashlib.sha256(payload or b"").digest()
     return bytes((seed * (n // len(seed) + 1))[:n])
+
+
+def _resized(payload: bytes, w: int, h: int) -> bytes:
+    try:
+        arr = decode_image(payload or b"")
+    except Exception:  # no codec for this format → deterministic stand-in
+        return _fake_resized(payload, w, h)
+    return encode_png(resize_nearest(arr, w, h))
 
 
 def resize_images(assets: DataFrame, max_w: int = 16, max_h: int = 16) -> DataFrame:
@@ -140,10 +301,11 @@ def resize_images(assets: DataFrame, max_w: int = 16, max_h: int = 16) -> DataFr
 
     The geometry (scale factor, floor-clamped target dims) is pure JVM
     arithmetic on the metadata columns — no payload bytes touched until the
-    kernel. The pixel resample itself is the STUBBED codec step: the Arrow
-    kernel emits a deterministic fake payload sized to the target area, so
-    schema, batch shape, and metadata propagation are real and testable
-    while the one genuinely-unavailable library call stays isolated."""
+    kernel. The Arrow kernel then runs decode → nearest-neighbor resample →
+    PNG encode for payloads with an available codec (PNG built-in; any PIL
+    format when PIL is importable) and degrades per-row to the deterministic
+    one-byte-per-target-pixel stand-in for codec-less formats, so schema,
+    batch shape, and metadata propagation hold on every row."""
     scale = F.least(
         F.lit(float(max_w)) / F.col("width"),
         F.lit(float(max_h)) / F.col("height"),
@@ -168,7 +330,7 @@ def resize_images(assets: DataFrame, max_w: int = 16, max_h: int = 16) -> DataFr
                     "new_width": pdf["new_width"],
                     "new_height": pdf["new_height"],
                     "payload": [
-                        _fake_resized(p, int(w), int(h))
+                        _resized(p, int(w), int(h))
                         for p, w, h in zip(
                             pdf["payload"], pdf["new_width"], pdf["new_height"]
                         )

@@ -261,11 +261,125 @@ def test_multimodal_resize_plumbing(spark):
     assert all(bytes(r["payload"]) == again[a] for a, r in rows.items())
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_unknown_format_raises():
     from nebula_importer_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x00")
+        decode_image(b"\x00\x01\x02")  # no codec for arbitrary bytes
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+        arr = rng.randint(0, 256, (5, 7, c), dtype=np.uint8)
+        out = decode_image(encode_png(arr))
+        assert out.shape == (5, 7, c)
+        assert (out == arr).all()
+
+
+def test_png_decoder_all_filter_types():
+    """The built-in decoder must invert every PNG row filter (0-4), not just
+    the filter-0 rows our encoder emits: forward-filter known pixels per the
+    spec, wrap in a valid PNG, and check exact pixel recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import PNG_MAGIC, decode_png
+
+    rng = np.random.RandomState(11)
+    c, w, h = 3, 6, 5
+    arr = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+    flat = arr.reshape(h, w * c).astype(int)
+    stride = w * c
+    raw = b""
+    prev = np.zeros(stride, dtype=int)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        enc = np.empty(stride, dtype=int)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (cur[x] - pred) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", zlib.crc32(typ + body)
+        )
+
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == arr).all()
+
+
+def test_resize_nearest_geometry():
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import resize_nearest
+
+    arr = np.arange(8, dtype=np.uint8).reshape(2, 4, 1)
+    # center mapping: row floor(0.5*2)=1; cols floor((i+0.5)*2) = 1, 3
+    assert resize_nearest(arr, 2, 1).tolist() == [[[5], [7]]]
+
+
+def test_multimodal_real_png_path(spark):
+    """PNG assets exercise the REAL codec path end-to-end through Spark:
+    features are pixel statistics (not the sha stand-in) and resize output
+    is a decodable PNG matching a local nearest-neighbor resample."""
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        _pixel_feature,
+        decode_png,
+        encode_png,
+        extract_features,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(3)
+    arrs, rows = {}, []
+    for i in range(4):
+        w, h = 8 + i, 6 + i
+        arrs[i] = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((i, "image", bytes(encode_png(arrs[i])), "image/png", w, h, 0))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    feats = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    for i, got in feats.items():
+        np.testing.assert_allclose(got, _pixel_feature(arrs[i]), rtol=1e-6)
+
+    resized = {r["asset_id"]: r for r in resize_images(assets, max_w=4, max_h=4).collect()}
+    assert len(resized) == 4
+    for i, r in resized.items():
+        out = decode_png(bytes(r["payload"]))
+        assert out.shape == (r["new_height"], r["new_width"], 3)
+        assert (out == resize_nearest(arrs[i], r["new_width"], r["new_height"])).all()
 
 
 def test_tokenization_re2_compatible(spark):
