@@ -28,8 +28,12 @@ across engines (the DuckDB oracle uses ``epoch_us``).
 At 100 TB: every operator here shuffles exactly once on the entity key
 (user_id/conv_id). Skewed keys are the honest caveat: AQE skew handling
 splits JOIN partitions, NOT window exchanges, so a single key with 10^8
-events serializes its window sort into one task in the default paths.
-``sessionize_batch(span_sec=...)`` is the mitigation: time-span salting with
+events would serialize its window sort into one task in the unsalted
+paths. Both asof_join and sessionize_batch therefore default to
+``span_sec="auto"``: a bounded sampled probe (``_auto_span_sec``) estimates
+the hottest key's row count and engages span salting only when it exceeds
+``skew_threshold`` (default 5M rows — one comfortable window-sort task).
+``sessionize_batch(span_sec=...)`` is that mitigation: time-span salting with
 boundary stitching (gap logic is per-adjacent-pair, so sessionizing within
 (key, time-span) partitions and merging sessions across span boundaries is
 exactly equivalent — proven by the equivalence test in test_temporal).
@@ -58,6 +62,55 @@ def _us(col) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+# Auto-salting probe knobs. DEFAULT_SKEW_THRESHOLD is the per-key row count
+# one window task is allowed to sort serially before span salting kicks in;
+# 5M rows ≈ a few hundred MB of tagged rows, comfortably one-task work.
+DEFAULT_SKEW_THRESHOLD = 5_000_000
+_PROBE_ROWS = 100_000  # target sample size for the per-key estimate
+_OVERSPLIT = 4  # events cluster in time; oversplit so real spans stay small
+
+
+def _auto_span_sec(probe: DataFrame, key: str, ts: str, threshold: int) -> float | None:
+    """Sampled skew probe backing ``span_sec="auto"``: estimate the hottest
+    key's row count; return a salting span (seconds) that splits that key
+    into time slices of ≲ threshold/``_OVERSPLIT`` estimated rows, or None
+    when no key needs salting.
+
+    Cost discipline (this is AQE-style planning statistics, not data-path
+    work): one column-pruned ``count()`` always; if and only if the total
+    could hide a >threshold key, one seeded-sample aggregation whose result
+    is a SINGLE row (the only ``.collect()`` here is that 1-row summary).
+    Deterministic for a fixed input + seed, so plans are reproducible.
+    """
+    if probe.isStreaming:
+        return None  # batch-only mitigation; streaming has its own sessionizer
+    total = probe.count()
+    if total <= threshold:
+        return None  # no key can exceed the threshold; skip the sample pass
+    frac = min(1.0, _PROBE_ROWS / total)
+    hot = (
+        probe.select(F.col(key).alias("_k"), _us(ts).alias("_pus"))
+        .sample(fraction=frac, seed=7)
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min("_pus").alias("_mn"),
+            F.max("_pus").alias("_mx"),
+        )
+        .orderBy(F.desc("_c"), "_k")
+        .limit(1)
+        .collect()
+    )
+    if not hot:
+        return None
+    est = hot[0]["_c"] / frac
+    if est <= threshold:
+        return None
+    dur_us = max(int(hot[0]["_mx"]) - int(hot[0]["_mn"]), 1)
+    splits = max(int(est * _OVERSPLIT // threshold) + 1, 2)
+    return max(dur_us // splits, 1) / 1e6
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -68,7 +121,8 @@ def asof_join(
     right_seq: str | None = None,
     allow_exact: bool = True,
     suffix: str = "_asof",
-    span_sec: float | None = None,
+    span_sec: float | str | None = "auto",
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` (or ``<`` when ``allow_exact=False``) for the same
@@ -86,13 +140,25 @@ def asof_join(
     carried column is legitimately NULL stays NULL instead of borrowing
     that column from an older right row.
 
-    ``span_sec`` opts into MEGA-KEY salting (the 100-TB path for one key
+    ``span_sec`` controls MEGA-KEY salting (the 100-TB path for one key
     holding a large fraction of all rows): matching runs within
     (key, floor(ts/span)) partitions, and left rows with no in-span match
     take the carried last-right-row of the nearest earlier span — computed
     on a per-(key, span) summary frame (rows ∝ spans, not events), so no
     task ever sorts a whole mega key. Row-identical to the unsalted path.
+    The default ``"auto"`` runs the sampled skew probe (``_auto_span_sec``)
+    over the UNION of both sides' (key, ts) — the window sorts the union —
+    and salts only when the hottest key is estimated above
+    ``skew_threshold`` rows; pass ``None`` to force the unsalted window or
+    a float to force a specific span.
     """
+    if span_sec == "auto":
+        probe = left.select(
+            F.col(on).alias("_k"), F.col(left_ts).alias("_pts")
+        ).unionByName(
+            right.select(F.col(on).alias("_k"), F.col(right_ts).alias("_pts"))
+        )
+        span_sec = _auto_span_sec(probe, "_k", "_pts", skew_threshold)
     lcols = left.columns
     # side tag: right rows must sort BEFORE left rows at equal ts when
     # allow_exact (so an exact-ts right row is visible), after otherwise.
@@ -290,7 +356,8 @@ def sessionize_batch(
     id_col: str = "event_id",
     gap_sec: float = 1800.0,
     value_col: str | None = None,
-    span_sec: float | None = None,
+    span_sec: float | str | None = "auto",
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
 ) -> DataFrame:
     """Gap-based sessionization, batch form: a new session starts when the
     gap to the previous event of the same key exceeds ``gap_sec``.
@@ -299,7 +366,7 @@ def sessionize_batch(
     ``session_id`` is 1-based per key in time order. Default path: exactly
     one shuffle on the key (window + groupBy share the partitioning).
 
-    ``span_sec`` opts into MEGA-KEY salting (the 100-TB path for skewed
+    ``span_sec`` controls MEGA-KEY salting (the 100-TB path for skewed
     keys, e.g. one user holding 10% of all events): rows are windowed
     within (key, floor(ts/span)) partitions — a mega key spreads over
     time-span tasks instead of serializing into one — then sessions are
@@ -310,8 +377,15 @@ def sessionize_batch(
     cumulative-sessions-before − cumulative-merges + local id, which
     collapses chained merges transitively. Result is row-identical to the
     unsalted path (equivalence-tested).
+
+    The default ``"auto"`` runs the sampled skew probe (``_auto_span_sec``)
+    and salts only when the hottest key is estimated above
+    ``skew_threshold`` rows; pass ``None`` to force the unsalted window or
+    a float to force a specific span.
     """
     gap_us = int(gap_sec * 1_000_000)
+    if span_sec == "auto":
+        span_sec = _auto_span_sec(events, key, ts, skew_threshold)
     ev = events.select(
         key,
         _us(ts).alias("_us"),

@@ -380,3 +380,80 @@ def test_floor_div_us_exact_at_large_magnitude(spark):
         for r in df.select(_floor_div_us("_us", 1_000_000).alias("q")).collect()
     ]
     assert got == [v // 1_000_000 for v in vals]  # python // == floor
+
+
+def test_auto_span_probe_decisions(spark):
+    """The span_sec="auto" probe: small totals short-circuit on the count
+    alone; a genuinely skewed corpus with a low threshold yields a span
+    that splits the hot key into many time slices."""
+    from nebula_importer_spark.operators.temporal import _auto_span_sec
+
+    rows = [(i, i % 10, i * 7, "e", 1.0) for i in range(1, 500)]
+    assert _auto_span_sec(_events(spark, rows), "user_id", "ts", 1000) is None
+
+    # hot key 99: 1200 rows over 60000s; threshold 200 → must salt
+    rows = [(i, 99, i * 50, "e", 1.0) for i in range(1, 1201)]
+    rows += [(5000 + i, i % 5, i * 11, "e", 1.0) for i in range(100)]
+    span = _auto_span_sec(_events(spark, rows), "user_id", "ts", 200)
+    assert span is not None and 0 < span < 60000 / 2  # many spans, not one
+
+
+def test_sessionize_auto_salts_mega_key_without_opt_in(spark):
+    """Default span_sec="auto" + a skew_threshold the corpus trips: span
+    salting engages with NO explicit span_sec, the plan carries the span
+    label, and rows are identical to the forced-unsalted path."""
+    rng = random.Random(13)
+    rows, eid, t = [], 0, 0
+    for _ in range(1000):
+        eid += 1
+        t += rng.randrange(1, 400)
+        rows.append((eid, 99, t, "e", rng.randrange(1, 100) / 4.0))
+    for uid in range(5):
+        for _ in range(100):
+            eid += 1
+            rows.append((eid, uid, rng.randrange(0, 200000), "e", 1.25))
+    ev = _events(spark, rows)
+    kw = dict(key="user_id", ts="ts", id_col="event_id", gap_sec=600.0,
+              value_col="value")
+    auto = sessionize_batch(ev, **kw, skew_threshold=300)
+    assert "_span" in auto._jdf.queryExecution().analyzed().toString()
+    plain = sessionize_batch(ev, **kw, span_sec=None)
+    to_set = lambda df: {
+        (r["user_id"], r["session_id"], r["n_events"], r["start_us"],
+         r["end_us"], str(r["sum_value"]))
+        for r in df.collect()
+    }
+    assert to_set(auto) == to_set(plain)
+    # and with the default 5M threshold the same call stays unsalted
+    quiet = sessionize_batch(ev, **kw)
+    assert "_span" not in quiet._jdf.queryExecution().analyzed().toString()
+
+
+def test_asof_auto_salts_mega_key_without_opt_in(spark):
+    """asof_join's default "auto" likewise engages span salting on a skewed
+    corpus without explicit span_sec, row-identical to the unsalted path."""
+    rng = random.Random(23)
+    rows, eid, t = [], 0, 0
+    for _ in range(900):
+        eid += 1
+        t += rng.randrange(1, 30)
+        kind = "err" if rng.random() < 0.05 else "click"
+        rows.append((eid, 99, t, kind, eid))
+    for uid in range(4):
+        for _ in range(50):
+            eid += 1
+            rows.append(
+                (eid, uid, rng.randrange(0, 20000), rng.choice(["err", "click"]), eid)
+            )
+    ev = _events(spark, rows)
+    kw = _asof_kwargs(ev)
+    auto = asof_join(**kw, skew_threshold=150)
+    assert "_span" in auto._jdf.queryExecution().analyzed().toString()
+    plain = asof_join(**kw, span_sec=None)
+
+    def to_map(df):
+        return {
+            r["event_id"]: (r["event_id_asof"], r["value_asof"]) for r in df.collect()
+        }
+
+    assert to_map(auto) == to_map(plain)
