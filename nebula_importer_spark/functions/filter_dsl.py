@@ -1,43 +1,64 @@
-"""Row-filter DSL → Spark SQL expression.
+"""Row-filter DSL (expr-lang) → Spark SQL expression, via a typed parser.
 
-The reference compiles a boolean expression over ``Record[i]`` with expr-lang
-once per tag/edge and silently skips rows evaluating false
-(pkg/spec/base/filter.go:13-34; grammar docs/filter-expression.md:1-35:
+The reference compiles a boolean expression over ``Record[i]`` with
+antonmedv/expr once per tag/edge and silently skips rows evaluating false
+(pkg/spec/base/filter.go:13-34; grammar docs/filter-expression.md:
 ``== != < > <= >=``, ``not``/``!``, ``and``/``&&``, ``or``/``||``,
-indexing ``Record[i]``). That grammar is a strict subset of Spark SQL, so the
-translation is purely syntactic: ``Record[i]`` becomes a reference to the
-i-th source column *cast to string* (record values are strings in the
-reference, so comparisons must be string comparisons).
+membership ``[]``, indexing ``Record[i]``). Record values are STRINGS
+(docs/filter-expression.md "an array of strings").
 
-Two deliberate properties of the translator:
+This module implements a recursive-descent parser over that grammar plus
+the expr-lang operators whose semantics carry over faithfully, produces a
+TYPED AST (str/int/float/bool), and emits a Spark SQL expression with the
+casts that reproduce expr-lang's dynamic semantics:
 
-1. **String literals are opaque.** Substitution (``Record[i]``, ``&&``,
-   ``||``, ``!``) happens ONLY outside quoted literals — ``Record[0] !=
-   "a&&b"`` keeps its literal intact, and ``== "no!"`` does not grow a
-   ``not``. The expression is tokenized around literals first (both quote
-   styles, with backslash escapes — expr-lang accepts both).
-2. **The grammar is validated, not passed through.** expr-lang is a full
-   expression language; everything outside the supported grammar raises
-   :class:`FilterError` at config-validate/compile time instead of falling
-   through to Spark SQL with possibly different semantics mid-job.
+=================== =========================================== ==========
+expr-lang           Spark SQL                                   type
+=================== =========================================== ==========
+``Record[i]``       ``cast(`col` as string)``                   str
+``"lit"``/``'lit'`` literal (both quote styles pass through)    str
+``42`` / ``4.2``    literal / ``cast(4.2 as double)``           int/float
+``s1 + s2``         ``concat(s1, s2)``                          str
+``a + b - c * d``   same (int stays int, like Go int64)         int/float
+``a / b``           ``cast(a as double) / cast(b as double)``   float
+                    (expr-lang runtime.Divide is float64-always)
+``a % b``           ``a % b`` (both truncated remainder)        int
+``== != < > <= >=`` same; operands must be the SAME type class  bool
+``x in ["a", "b"]`` ``x in ('a', 'b')`` (``in []`` → false)     bool
+``s matches "re"``  ``s rlike 're'``                            bool
+``len(s)``          ``length(s)``                               int
+``abs/upper/lower`` same name                                   preserved
+``trim(s)``         ``trim(s)``                                 str
+``hasPrefix(s, p)`` ``startswith(s, p)``                        bool
+``hasSuffix(s, p)`` ``endswith(s, p)``                          bool
+``not/! and/&& …``  keyword forms (``||`` is CONCAT in Spark)   bool
+=================== =========================================== ==========
 
-Beyond the documented subset, the translator maps the expr-lang built-ins
-whose semantics carry over 1:1 (the reference compiles the FULL language,
-so real-world configs use these):
+Three deliberate properties:
 
-   ``x in ["a", "b"]``      → ``x in ('a', 'b')``
-   ``s matches "^re$"``     → ``s rlike '^re$'``
-   ``len(s)``               → ``length(s)``  (char count on strings)
-   ``hasPrefix(s, p)``      → ``startswith(s, p)``
-   ``hasSuffix(s, p)``      → ``endswith(s, p)``
-   ``abs/upper/lower/trim`` → same name in Spark SQL
+1. **Type errors surface at config time.** expr-lang is dynamically typed
+   and errors per-record at RUN time on e.g. ``Record[0] > 1`` (string vs
+   int — runtime.Less has no such case). Since ``Record`` is always a
+   string array, every such expression fails for every record; the
+   translator rejects it at compile/validate time with :class:`FilterError`
+   instead of letting Spark's implicit string→numeric coercion silently
+   compute something expr-lang never would.
+2. **String literals are opaque.** ``Record[0] != "a&&b"`` keeps its
+   literal intact; operator rewriting happens in the parser, which never
+   looks inside literals, and resolved column names are emitted directly
+   (a source column literally named ``matches`` stays byte-identical
+   inside its backticks).
+3. **Off-grammar constructs fail loudly.** Closures (``all/any/filter``),
+   method calls, ``contains``/``startsWith`` as infix, ``indexOf``, ``?:``
+   etc. raise :class:`FilterError` at validate time rather than falling
+   through to Spark SQL with different semantics mid-job.
 
-Deliberately NOT mapped (semantics differ or need real parsing, and no
-reference example uses them): arithmetic (record values are strings, so
-expr-lang ``+`` concatenates where Spark would numeric-cast — silent
-divergence), closures (``all/any/filter/map``), ``contains``/
-``startsWith`` as infix operators, ``indexOf`` (0- vs 1-based),
-method-call syntax. These fail validation with a clear error.
+Documented divergences (none reachable from the reference's examples,
+which use only string equality/comparison): expr-lang ``len`` counts Go
+BYTES while Spark ``length`` counts CHARACTERS (identical on ASCII
+records); ``a % 0`` is a per-record runtime error in expr-lang but NULL
+(row filtered) here. Float division by zero agrees (±Inf/NaN) because
+both sides compute in IEEE double.
 """
 
 from __future__ import annotations
@@ -46,123 +67,338 @@ import re
 
 from pyspark.sql import Column, functions as F
 
-_RECORD_REF = re.compile(r"Record\[(\d+)\]")
-_BANG_NOT = re.compile(r"!(?!=)")  # standalone ! (but not !=) → NOT
 # A quoted literal in either style; backslash escapes any next char.
 _STRING_LIT = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
-# Tokens legal OUTSIDE literals once Record refs are resolved. Order matters:
-# multi-char operators before their single-char prefixes. Mapped built-in
-# function names must be CALLED (paren lookahead) — a bare `len` is an
-# unresolvable identifier in Spark SQL, so it fails here instead.
-_TOKEN = re.compile(
-    r"\s+|==|!=|<=|>=|&&|\|\||[<>()!,\[\]]"
-    r"|\b(?:and|or|not|true|false|in|matches)\b"
-    r"|\b(?:len|abs|upper|lower|trim|hasPrefix|hasSuffix)\b(?=\s*\()"
-    r"|-?\d+(?:\.\d+)?"
+_NUMBER = re.compile(r"\d+(?:\.\d+)?")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_OPS = (
+    "==", "!=", "<=", ">=", "&&", "||",
+    "<", ">", "!", "+", "-", "*", "/", "%", "(", ")", "[", "]", ",",
 )
-# expr-lang built-in → Spark SQL function (names already identical pass
-# through via the token above: abs, upper, lower, trim).
-_FN_RENAMES = [
-    (re.compile(r"\blen\s*\("), "length("),
-    (re.compile(r"\bhasPrefix\s*\("), "startswith("),
-    (re.compile(r"\bhasSuffix\s*\("), "endswith("),
-    (re.compile(r"\bmatches\b"), "rlike"),
-]
+_FUNCS = {
+    # name -> (spark_name, arg types, result type or None=same as arg 0)
+    "len": ("length", ("str",), "int"),
+    "abs": ("abs", ("num",), None),
+    "upper": ("upper", ("str",), "str"),
+    "lower": ("lower", ("str",), "str"),
+    "trim": ("trim", ("str",), "str"),
+    "hasPrefix": ("startswith", ("str", "str"), "bool"),
+    "hasSuffix": ("endswith", ("str", "str"), "bool"),
+}
+_KEYWORDS = {"and", "or", "not", "in", "matches", "true", "false", "Record"}
 
 
 class FilterError(ValueError):
     pass
 
 
-def _map_segments(expr: str, fn) -> str:
-    """Apply ``fn`` to the parts of ``expr`` outside quoted string literals;
-    literals pass through byte-identical. An unterminated quote is a grammar
-    error (expr-lang would reject it too)."""
-    out: list[str] = []
-    last = 0
-    for m in _STRING_LIT.finditer(expr):
-        out.append(fn(expr[last : m.start()]))
-        out.append(m.group(0))
-        last = m.end()
-    tail = expr[last:]
-    if '"' in tail or "'" in tail:
-        raise FilterError(f"unterminated string literal in filter: {expr!r}")
-    out.append(fn(tail))
-    return "".join(out)
-
-
-def _validate_segment(seg: str, expr: str) -> None:
-    """Every char outside literals must belong to a documented-grammar token,
-    and operand tokens must not be ADJACENT: the signed-number token would
-    otherwise tokenize ``5-3`` as ``5`` then ``-3`` and let arithmetic slip
-    through to Spark SQL, where string operands numeric-cast instead of
-    type-erroring as expr-lang would (review finding). ``seg`` arrives with
-    Record refs already replaced by a number placeholder."""
-    pos = 0
-    prev_operand = False
-    while pos < len(seg):
-        m = _TOKEN.match(seg, pos)
-        if m is None:
-            raise FilterError(
-                f"unsupported filter construct at {seg[pos:pos + 20]!r} in "
-                f"{expr!r}: the filter grammar is Record[i], string/number "
-                "literals, == != < > <= >=, and/&&, or/||, not/!, parentheses "
-                "(reference docs/filter-expression.md)"
-            )
-        tok = m.group(0)
-        pos = m.end()
-        if tok.isspace():
+def _lex(expr: str) -> list[tuple[str, str]]:
+    """Tokenize to (kind, text) where kind ∈ {str, num, ident, op}."""
+    toks: list[tuple[str, str]] = []
+    pos, n = 0, len(expr)
+    while pos < n:
+        ch = expr[pos]
+        if ch.isspace():
+            pos += 1
             continue
-        is_value = (
-            tok in ("true", "false")
-            or tok[0].isdigit()
-            or (tok[0] == "-" and len(tok) > 1 and tok[1].isdigit())
-        )
-        if prev_operand and is_value:
+        if ch in "\"'":
+            m = _STRING_LIT.match(expr, pos)
+            if not m:
+                raise FilterError(f"unterminated string literal in filter: {expr!r}")
+            toks.append(("str", m.group(0)))
+            pos = m.end()
+            continue
+        m = _NUMBER.match(expr, pos)
+        if m:
+            toks.append(("num", m.group(0)))
+            pos = m.end()
+            continue
+        m = _IDENT.match(expr, pos)
+        if m:
+            toks.append(("ident", m.group(0)))
+            pos = m.end()
+            continue
+        for op in _OPS:
+            if expr.startswith(op, pos):
+                toks.append(("op", op))
+                pos += len(op)
+                break
+        else:
             raise FilterError(
-                f"adjacent operands (arithmetic?) at {tok!r} in {expr!r}: "
-                "arithmetic is not part of the filter grammar (expr-lang "
-                "would type-error on string records; Spark SQL would "
-                "numeric-cast — silent divergence, so it is rejected)"
+                f"unsupported character {expr[pos]!r} in filter {expr!r}"
             )
-        prev_operand = is_value or tok in (")", "]")
+    return toks
+
+
+class _Parser:
+    """Recursive descent over the grammar above. Produces (sql, type) pairs
+    bottom-up; ``cols=None`` (validate-only mode) skips the width check and
+    emits a placeholder column reference."""
+
+    def __init__(self, expr: str, cols: list[str] | None):
+        self.expr = expr
+        self.cols = cols
+        self.toks = _lex(expr)
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+    def _peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise FilterError(f"unexpected end of filter expression: {self.expr!r}")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _eat(self, kind: str, text: str) -> None:
+        t = self._next()
+        if t != (kind, text):
+            raise FilterError(
+                f"expected {text!r} but found {t[1]!r} in filter {self.expr!r}"
+            )
+
+    def _match(self, *texts: str) -> str | None:
+        t = self._peek()
+        if t and t[1] in texts and (t[0] in ("op", "ident")):
+            self.i += 1
+            return t[1]
+        return None
+
+    def _fail(self, what: str) -> FilterError:
+        return FilterError(
+            f"unsupported filter construct ({what}) in {self.expr!r}: the "
+            "grammar is Record[i], string/number literals, == != < > <= >=, "
+            "and/&&, or/||, not/!, in [..], matches, + - * / %, and the "
+            "built-ins len/abs/upper/lower/trim/hasPrefix/hasSuffix "
+            "(reference docs/filter-expression.md + mapped expr-lang ops)"
+        )
+
+    # -- type utilities ---------------------------------------------------
+    @staticmethod
+    def _is_num(t: str) -> bool:
+        return t in ("int", "float")
+
+    def _require(self, t: str, want: str, ctx: str) -> None:
+        ok = t == want or (want == "num" and self._is_num(t))
+        if not ok:
+            raise FilterError(
+                f"type error in filter {self.expr!r}: {ctx} needs {want}, "
+                f"got {t} (Record values are strings; expr-lang would raise "
+                "a per-record runtime error here, so it is rejected up front)"
+            )
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> tuple[str, str]:
+        if not self.toks:
+            # expr.Compile("") errors in the reference too (filter_test.go)
+            raise FilterError("empty filter expression")
+        out = self._or()
+        if self._peek() is not None:
+            raise self._fail(f"trailing {self._peek()[1]!r}")
+        return out
+
+    def _or(self) -> tuple[str, str]:
+        sql, t = self._and()
+        while self._match("or", "||"):
+            self._require(t, "bool", "'or'")
+            rsql, rt = self._and()
+            self._require(rt, "bool", "'or'")
+            sql, t = f"({sql} or {rsql})", "bool"
+        return sql, t
+
+    def _and(self) -> tuple[str, str]:
+        sql, t = self._not()
+        while self._match("and", "&&"):
+            self._require(t, "bool", "'and'")
+            rsql, rt = self._not()
+            self._require(rt, "bool", "'and'")
+            sql, t = f"({sql} and {rsql})", "bool"
+        return sql, t
+
+    def _not(self) -> tuple[str, str]:
+        if self._match("not", "!"):
+            sql, t = self._not()
+            self._require(t, "bool", "'not'")
+            return f"(not {sql})", "bool"
+        return self._comparison()
+
+    def _comparison(self) -> tuple[str, str]:
+        sql, t = self._additive()
+        tok = self._peek()
+        if tok is None:
+            return sql, t
+        if tok[1] in ("==", "!=", "<", ">", "<=", ">="):
+            op = self._next()[1]
+            rsql, rt = self._additive()
+            same_class = (t == rt) or (self._is_num(t) and self._is_num(rt))
+            if not same_class or (t == "bool" and op not in ("==", "!=")):
+                raise FilterError(
+                    f"type error in filter {self.expr!r}: cannot compare "
+                    f"{t} {op} {rt} (expr-lang would raise a per-record "
+                    "runtime error; compare strings to strings — Record "
+                    "values are strings — or numbers to numbers)"
+                )
+            sqlop = "=" if op == "==" else op
+            return f"({sql} {sqlop} {rsql})", "bool"
+        if tok == ("ident", "in"):
+            self._next()
+            items = self._list(elem_type=t)
+            if not items:
+                return "false", "bool"  # expr-lang: `x in []` is false
+            return f"({sql} in ({', '.join(items)}))", "bool"
+        if tok == ("ident", "matches"):
+            self._next()
+            self._require(t, "str", "'matches'")
+            rsql, rt = self._additive()
+            self._require(rt, "str", "'matches'")
+            return f"({sql} rlike {rsql})", "bool"
+        return sql, t
+
+    def _additive(self) -> tuple[str, str]:
+        sql, t = self._multiplicative()
+        while True:
+            op = None
+            tok = self._peek()
+            if tok and tok[1] in ("+", "-") and tok[0] == "op":
+                op = self._next()[1]
+            if op is None:
+                return sql, t
+            rsql, rt = self._multiplicative()
+            if op == "+" and t == "str" and rt == "str":
+                # expr-lang runtime.Add concatenates string + string
+                sql, t = f"concat({sql}, {rsql})", "str"
+                continue
+            self._require(t, "num", f"'{op}'")
+            self._require(rt, "num", f"'{op}'")
+            t = "float" if "float" in (t, rt) else "int"
+            sql = f"({sql} {op} {rsql})"
+
+    def _multiplicative(self) -> tuple[str, str]:
+        sql, t = self._unary()
+        while True:
+            tok = self._peek()
+            if not (tok and tok[0] == "op" and tok[1] in ("*", "/", "%")):
+                return sql, t
+            op = self._next()[1]
+            rsql, rt = self._unary()
+            self._require(t, "num", f"'{op}'")
+            self._require(rt, "num", f"'{op}'")
+            if op == "/":
+                # expr-lang runtime.Divide is ALWAYS float64 (5/2 == 2.5)
+                sql, t = (
+                    f"(cast({sql} as double) / cast({rsql} as double))",
+                    "float",
+                )
+            elif op == "%":
+                # runtime.Modulo is int-only; both engines truncate toward 0
+                self._require(t, "int", "'%'")
+                self._require(rt, "int", "'%'")
+                sql, t = f"({sql} % {rsql})", "int"
+            else:
+                t = "float" if "float" in (t, rt) else "int"
+                sql = f"({sql} {op} {rsql})"
+
+    def _unary(self) -> tuple[str, str]:
+        if self._match("-"):
+            sql, t = self._unary()
+            self._require(t, "num", "unary '-'")
+            return f"(- {sql})", t
+        return self._primary()
+
+    def _primary(self) -> tuple[str, str]:
+        kind, text = self._next()
+        if kind == "str":
+            return text, "str"
+        if kind == "num":
+            if "." in text:
+                return f"cast({text} as double)", "float"
+            return text, "int"
+        if kind == "op" and text == "(":
+            out = self._or()
+            self._eat("op", ")")
+            return out
+        if kind == "ident":
+            if text in ("true", "false"):
+                return text, "bool"
+            if text == "Record":
+                return self._record_ref()
+            if text in _FUNCS:
+                return self._call(text)
+            raise self._fail(f"identifier {text!r}")
+        raise self._fail(f"token {text!r}")
+
+    def _record_ref(self) -> tuple[str, str]:
+        self._eat("op", "[")
+        kind, text = self._next()
+        if kind != "num" or "." in text:
+            raise self._fail("non-integer Record index")
+        self._eat("op", "]")
+        i = int(text)
+        if self.cols is None:
+            return "cast(`__record__` as string)", "str"
+        if i >= len(self.cols):
+            raise FilterError(
+                f"filter references Record[{i}] but row width is {len(self.cols)}"
+            )
+        return f"cast(`{self.cols[i]}` as string)", "str"
+
+    def _call(self, name: str) -> tuple[str, str]:
+        spark_name, want, result = _FUNCS[name]
+        tok = self._peek()
+        if tok != ("op", "("):
+            # a bare built-in name is an unresolvable identifier in expr-lang
+            raise self._fail(f"built-in {name!r} must be called")
+        self._next()
+        args: list[tuple[str, str]] = []
+        if self._peek() != ("op", ")"):
+            args.append(self._or())
+            while self._match(","):
+                args.append(self._or())
+        self._eat("op", ")")
+        if len(args) != len(want):
+            raise FilterError(
+                f"{name}() takes {len(want)} argument(s), got {len(args)} "
+                f"in filter {self.expr!r}"
+            )
+        for (asql, at), w in zip(args, want):
+            self._require(at, w, f"{name}()")
+        rtype = result if result is not None else args[0][1]
+        return f"{spark_name}({', '.join(a for a, _ in args)})", rtype
+
+    def _list(self, elem_type: str) -> list[str]:
+        self._eat("op", "[")
+        items: list[str] = []
+        if self._peek() != ("op", "]"):
+            while True:
+                sql, t = self._or()
+                same = t == elem_type or (
+                    self._is_num(t) and self._is_num(elem_type)
+                )
+                if not same:
+                    raise FilterError(
+                        f"type error in filter {self.expr!r}: 'in' list "
+                        f"element is {t} but the subject is {elem_type}"
+                    )
+                items.append(sql)
+                if not self._match(","):
+                    break
+        self._eat("op", "]")
+        return items
 
 
 def translate_filter(expr: str, cols: list[str]) -> str:
     """Return a Spark SQL boolean expression string (raises
-    :class:`FilterError` on out-of-range refs or off-grammar constructs)."""
-
-    def _ref(m: re.Match[str]) -> str:
-        i = int(m.group(1))
-        if i >= len(cols):
-            raise FilterError(f"filter references Record[{i}] but row width is {len(cols)}")
-        return f"cast(`{cols[i]}` as string)"
-
-    def _rewrite(seg: str) -> str:
-        _validate_segment(_RECORD_REF.sub(" 0 ", seg), expr)
-        # Stash resolved Record refs behind inert placeholders so NO later
-        # textual rewrite can touch the substituted column names — a source
-        # column literally named "matches" (or containing &&/[/!) must come
-        # through byte-identical inside its backticks (review finding).
-        refs: list[str] = []
-
-        def _stash(m: re.Match[str]) -> str:
-            refs.append(_ref(m))
-            return f"\x00{len(refs) - 1}\x00"
-
-        seg = _RECORD_REF.sub(_stash, seg)
-        # `&&` is a Spark SQL synonym for AND, but `||` is CONCAT there —
-        # both get rewritten to the keyword forms for unambiguous semantics.
-        seg = seg.replace("&&", " and ").replace("||", " or ")
-        for pat, repl in _FN_RENAMES:
-            seg = pat.sub(repl, seg)
-        # Record refs are stashed above, so remaining brackets are
-        # expr-lang list literals (`in [..]`) → SQL IN-list parens.
-        seg = seg.replace("[", "(").replace("]", ")")
-        seg = _BANG_NOT.sub(" not ", seg)
-        return re.sub(r"\x00(\d+)\x00", lambda m: refs[int(m.group(1))], seg)
-
-    return _map_segments(expr, _rewrite)
+    :class:`FilterError` on out-of-range refs, off-grammar constructs, or
+    type errors that expr-lang would hit at run time)."""
+    sql, t = _Parser(expr, cols).parse()
+    if t != "bool":
+        raise FilterError(
+            f"filter must be a boolean expression (expr.AsBool in the "
+            f"reference, pkg/spec/base/filter.go:17); {expr!r} is {t}"
+        )
+    return sql
 
 
 def compile_filter(expr: str, cols: list[str]) -> Column:
@@ -172,7 +408,11 @@ def compile_filter(expr: str, cols: list[str]) -> Column:
 
 
 def validate_filter(expr: str) -> None:
-    """Config-time validation without needing the source column list: checks
-    literal termination + grammar only (width checks happen at compile time
-    when the source schema is known). Raises :class:`FilterError`."""
-    _map_segments(expr, lambda seg: (_validate_segment(_RECORD_REF.sub(" 0 ", seg), expr), seg)[1])
+    """Config-time validation without needing the source column list: full
+    parse + type check with width checks deferred to compile time (when the
+    source schema is known). Raises :class:`FilterError`."""
+    sql, t = _Parser(expr, None).parse()
+    if t != "bool":
+        raise FilterError(
+            f"filter must be a boolean expression; {expr!r} is {t}"
+        )

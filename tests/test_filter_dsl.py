@@ -96,16 +96,15 @@ def test_expr_lang_builtins_map_to_spark(spark):
 def test_off_grammar_constructs_rejected():
     # expr-lang superset constructs WITHOUT clean Spark equivalents must
     # fail at validate/compile time, not fall through with different
-    # semantics (arithmetic: expr-lang concatenates strings, Spark would
-    # numeric-cast them).
+    # semantics.
     for bad in [
-        'Record[0] + Record[1] == "ab"',
-        "len(Record[0]) * 2 > 4",
         'Record[0] contains "a"',
         'all(Record, {# != ""})',
         'indexOf(Record[0], "a") == 0',
         "Record[0].Trim()",
         'len Record[0] > 3',  # built-ins must be CALLED
+        'Record[0] ? "a" : "b"',
+        "Record",  # bare Record (an array) is not a boolean
     ]:
         with pytest.raises(FilterError):
             translate_filter(bad, ["_c0", "_c1"])
@@ -121,18 +120,25 @@ def test_column_named_like_keyword_untouched():
     assert "`a&&b!c[0]`" in got
 
 
-def test_arithmetic_adjacent_operands_rejected():
-    # signed-number tokenization must not let `5-3` (→ tokens 5, -3) slip
-    # through as silent Spark arithmetic (review finding)
+def test_string_vs_number_type_errors_rejected():
+    # Record values are STRINGS; expr-lang raises a per-record runtime
+    # error on string-vs-number comparison/arithmetic (runtime.Less has no
+    # string/int case), so the translator rejects these at compile time
+    # instead of letting Spark numeric-cast the string side silently.
     for bad in [
-        'Record[0] == 5-3',
-        'Record[1]-1 > 0',
-        'Record[0] > 1 2',
+        "Record[0] == 5-3",
+        "Record[1]-1 > 0",
+        "Record[0] > 1 2",  # trailing token → parse error
+        "Record[0] >= -1",
+        'Record[0] + 1 == "a1"',
+        "len(Record[0]) == Record[1]",
+        'Record[0] in [1, 2]',
+        "1 < true",
     ]:
         with pytest.raises(FilterError):
             translate_filter(bad, ["_c0", "_c1"])
-    # unary minus after a comparison operator is legitimate grammar
-    assert "-1" in translate_filter("Record[0] >= -1", ["_c0"])
+    # unary minus against a NUMERIC operand is legitimate grammar
+    assert "- 1" in translate_filter("len(Record[0]) >= -1", ["_c0"])
 
 
 def test_unterminated_literal_rejected():
@@ -148,7 +154,220 @@ def test_config_validate_rejects_bad_filter():
     )
 
     spec = NodeSpec(
-        "T", NodeIDSpec(type="STRING", index=0), filter='Record[0] + "x" == "ax"'
+        "T", NodeIDSpec(type="STRING", index=0), filter='Record[0].Trim() == "ax"'
     )
     with pytest.raises(ConfigError):
         spec.validate()
+
+
+def test_arithmetic_with_expr_lang_semantics(spark):
+    """The grammar superset: + - * / % over typed operands with expr-lang
+    semantics — string + string concatenates, int ops stay int, / is
+    ALWAYS float64 (antonmedv/expr runtime.Divide), % is int-only."""
+    rows = [("ab", "cd"), ("a", "b")]
+    # string + string → concat
+    assert _rows(spark, 'Record[0] + Record[1] == "abcd"', rows) == [("ab", "cd")]
+    assert _rows(spark, '"x" + Record[0] + "y" == "xay"', rows) == [("a", "b")]
+    # len arithmetic, precedence (* before +), unary minus
+    assert _rows(spark, "len(Record[0]) * 2 > 3", rows) == [("ab", "cd")]
+    assert _rows(spark, "len(Record[0]) + len(Record[1]) == 4", rows) == [
+        ("ab", "cd")
+    ]
+    assert _rows(spark, "1 + 2 * 3 == 7", rows) == rows
+    assert _rows(spark, "(1 + 2) * 3 == 9", rows) == rows
+    assert _rows(spark, "-len(Record[0]) == -2", rows) == [("ab", "cd")]
+    # / is float: 5/2 == 2.5 (NOT Go-int division — expr's Divide is float64)
+    assert _rows(spark, "5 / 2 == 2.5", rows) == rows
+    assert _rows(spark, "len(Record[0]) / 4 == 0.5", rows) == [("ab", "cd")]
+    # % is int-only truncated remainder
+    assert _rows(spark, "7 % 3 == 1", rows) == rows
+    assert _rows(spark, "abs(1 - 4) == 3", rows) == rows
+    with pytest.raises(FilterError):
+        translate_filter("1.5 % 2 == 1", ["_c0"])
+    with pytest.raises(FilterError):
+        translate_filter('Record[0] % 2 == 0', ["_c0"])
+
+
+def test_empty_in_list_is_false(spark):
+    rows = [("a",)]
+    assert _rows(spark, "Record[0] in []", rows) == []
+    assert _rows(spark, "not (Record[0] in [])", rows) == rows
+
+
+def test_empty_filter_rejected():
+    # expr.Compile("") errors in the reference (filter_test.go "build failed")
+    with pytest.raises(FilterError):
+        translate_filter("", ["_c0"])
+
+
+def test_all_reference_example_filters_compile():
+    """Every filter expression in the reference's shipped example configs
+    must compile (VERDICT r3 #7 acceptance)."""
+    import re as _re
+    from pathlib import Path
+
+    exprs = set()
+    for p in Path("/root/reference/examples").rglob("*.yaml"):
+        for m in _re.finditer(r"expr:\s*(.+)", p.read_text()):
+            e = m.group(1).strip()
+            if e and (e[0] == e[-1] and e[0] in "\"'"):
+                e = e[1:-1]
+            exprs.add(e)
+    assert len(exprs) >= 4  # the examples genuinely carry filters
+    for e in exprs:
+        sql = translate_filter(e, [f"_c{i}" for i in range(10)])
+        assert sql  # compiles to a non-empty boolean SQL expression
+
+
+# ---------------------------------------------------------------------------
+# Property test: random expressions from the typed grammar, evaluated by
+# Spark (via translate_filter) and by an INDEPENDENT Python model that
+# implements expr-lang's semantics. The generator is the spec; any
+# divergence in parsing, precedence, typing, or SQL emission fails here.
+# ---------------------------------------------------------------------------
+
+_ALPHA = ["", "a", "b", "ab", "ba", "a&&b", "no!", "10", "9", "Mahinda", " x "]
+
+
+def _gen(rng, want, depth, width):
+    """Return (expr_text, python_eval) where python_eval(record) follows
+    expr-lang semantics for the generated node of type `want`."""
+    def lit(s):
+        return '"' + s + '"', (lambda rec, s=s: s)
+
+    if want == "str":
+        opts = ["rec", "lit", "case", "trim"] + (["concat"] if depth > 0 else [])
+        k = rng.choice(opts)
+        if k == "rec":
+            i = rng.randrange(width)
+            return f"Record[{i}]", (lambda rec, i=i: rec[i])
+        if k == "lit":
+            return lit(rng.choice(_ALPHA))
+        if k == "case":
+            t, f = _gen(rng, "str", depth - 1, width)
+            fn = rng.choice(["upper", "lower"])
+            py = str.upper if fn == "upper" else str.lower
+            return f"{fn}({t})", (lambda rec, f=f, py=py: py(f(rec)))
+        if k == "trim":
+            t, f = _gen(rng, "str", depth - 1, width)
+            # Spark trim strips ASCII spaces; our alphabet has only spaces
+            return f"trim({t})", (lambda rec, f=f: f(rec).strip(" "))
+        a, fa = _gen(rng, "str", depth - 1, width)
+        b, fb = _gen(rng, "str", depth - 1, width)
+        return f"({a} + {b})", (lambda rec, fa=fa, fb=fb: fa(rec) + fb(rec))
+
+    if want == "num":
+        opts = ["int", "len"] + (["add", "mul", "div", "mod", "abs", "neg"]
+                                 if depth > 0 else [])
+        k = rng.choice(opts)
+        if k == "int":
+            v = rng.randrange(-9, 10)
+            return (f"({v})" if v < 0 else str(v)), (lambda rec, v=v: v)
+        if k == "len":
+            t, f = _gen(rng, "str", depth - 1, width)
+            return f"len({t})", (lambda rec, f=f: len(f(rec)))
+        if k == "abs":
+            t, f = _gen(rng, "num", depth - 1, width)
+            return f"abs({t})", (lambda rec, f=f: abs(f(rec)))
+        if k == "neg":
+            t, f = _gen(rng, "num", depth - 1, width)
+            return f"(-{t})", (lambda rec, f=f: -f(rec))
+        a, fa = _gen(rng, "num", depth - 1, width)
+        if k == "mod":
+            d = rng.randrange(1, 7)  # nonzero int divisor; int-only operand
+            ia, ifa = _gen(rng, "num", 0, width)  # depth-0 num is int-typed
+            return f"({ia} % {d})", (
+                # Go % truncates toward zero, like C — NOT Python's floor mod
+                lambda rec, ifa=ifa, d=d: int(
+                    __import__("math").fmod(ifa(rec), d)
+                )
+            )
+        b, fb = _gen(rng, "num", depth - 1, width)
+        if k == "add":
+            op = rng.choice(["+", "-", "*"])
+            import operator as _op
+            py = {"+": _op.add, "-": _op.sub, "*": _op.mul}[op]
+            return f"({a} {op} {b})", (lambda rec, fa=fa, fb=fb, py=py: py(fa(rec), fb(rec)))
+        if k == "mul":
+            return f"({a} * {b})", (lambda rec, fa=fa, fb=fb: fa(rec) * fb(rec))
+        # div → float64 always
+        d = rng.randrange(1, 9)
+        return f"({a} / {d})", (lambda rec, fa=fa, d=d: fa(rec) / d)
+
+    # bool
+    opts = ["cmp_str", "cmp_num", "in", "prefix", "matches"] + (
+        ["and", "or", "not"] if depth > 0 else []
+    )
+    k = rng.choice(opts)
+    if k == "and" or k == "or":
+        a, fa = _gen(rng, "bool", depth - 1, width)
+        b, fb = _gen(rng, "bool", depth - 1, width)
+        sym = rng.choice(["and", "&&"] if k == "and" else ["or", "||"])
+        if k == "and":
+            return f"({a} {sym} {b})", (lambda rec, fa=fa, fb=fb: fa(rec) and fb(rec))
+        return f"({a} {sym} {b})", (lambda rec, fa=fa, fb=fb: fa(rec) or fb(rec))
+    if k == "not":
+        a, fa = _gen(rng, "bool", depth - 1, width)
+        sym = rng.choice(["not ", "!"])
+        return f"({sym}{a})", (lambda rec, fa=fa: not fa(rec))
+    if k == "cmp_str" or k == "cmp_num":
+        t = "str" if k == "cmp_str" else "num"
+        a, fa = _gen(rng, t, depth - 1, width)
+        b, fb = _gen(rng, t, depth - 1, width)
+        op = rng.choice(["==", "!=", "<", ">", "<=", ">="])
+        import operator as _op
+        py = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, ">": _op.gt,
+              "<=": _op.le, ">=": _op.ge}[op]
+        return f"({a} {op} {b})", (lambda rec, fa=fa, fb=fb, py=py: py(fa(rec), fb(rec)))
+    if k == "in":
+        a, fa = _gen(rng, "str", depth - 1, width)
+        items = rng.sample(_ALPHA, rng.randrange(0, 4))
+        lst = "[" + ", ".join(f'"{s}"' for s in items) + "]"
+        return f"({a} in {lst})", (lambda rec, fa=fa, items=tuple(items): fa(rec) in items)
+    if k == "prefix":
+        a, fa = _gen(rng, "str", depth - 1, width)
+        p = rng.choice(["a", "b", "ab", "no"])
+        fn = rng.choice(["hasPrefix", "hasSuffix"])
+        py = str.startswith if fn == "hasPrefix" else str.endswith
+        return f'{fn}({a}, "{p}")', (lambda rec, fa=fa, p=p, py=py: py(fa(rec), p))
+    # matches: anchored-literal regexes — identical in RE2 and Java regex
+    a, fa = _gen(rng, "str", depth - 1, width)
+    pat = rng.choice(["^a", "b$", "^ab$", "a", "^$"])
+    import re as _re
+    return f'({a} matches "{pat}")', (
+        lambda rec, fa=fa, pat=pat: _re.search(pat, fa(rec)) is not None
+    )
+
+
+def test_property_grammar_parity_with_python_model(spark):
+    """300 random expressions from the typed grammar: Spark evaluation of
+    the translated SQL must equal the independent Python model on every
+    record (floats are IEEE-double on both sides, ints exact)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(42)
+    width = 3
+    records = [
+        tuple(rng.choice(_ALPHA) for _ in range(width)) for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        records, ", ".join(f"_c{i} string" for i in range(width))
+    )
+    cols, models = [], []
+    n = 0
+    while n < 300:
+        text, py = _gen(rng, "bool", depth=3, width=width)
+        sql = translate_filter(text, df.columns)  # must always compile
+        cols.append(F.expr(sql).alias(f"e{n}"))
+        models.append((text, py))
+        n += 1
+    got = df.select(*cols).collect()
+    for ri, rec in enumerate(records):
+        for ei, (text, py) in enumerate(models):
+            want = bool(py(rec))
+            have = got[ri][f"e{ei}"]
+            assert have == want, (
+                f"expr {text!r} on record {rec!r}: spark={have} python={want}"
+            )
