@@ -36,6 +36,11 @@ HEADLINE = [
 ]
 
 KG_BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_KG_TURNS", "1000000"))
+# Best-of-N: co-tenant noise dominated two rounds of single-shot driver
+# numbers (BASELINE.md records same-binary spreads of 14.6-34.7s); the
+# minimum over a few repetitions is the standard noise-robust estimator
+# for a deterministic workload.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
 
 def main() -> None:
@@ -63,22 +68,29 @@ def main() -> None:
     for name in HEADLINE:
         if name == "kg_triples":
             continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+            assert n >= 0
+        times[name] = round(best, 3)
 
     # KG pipeline throughput: Spark-generated corpus, extraction+linking only
     # (the per-turn hot path), measured in turns/s.
-    t0 = time.time()
-    transcripts = gen_transcripts_spark(spark, n_turns=KG_BENCH_TURNS, n_convs=2000)
-    pipe = TranscriptPipeline(spark)
-    surface = pipe.triples_surface(transcripts)
-    n_triples = surface.count()
-    kg_sec = time.time() - t0
+    kg_sec = float("inf")
+    for _ in range(BENCH_REPS):
+        t0 = time.time()
+        transcripts = gen_transcripts_spark(
+            spark, n_turns=KG_BENCH_TURNS, n_convs=2000
+        )
+        pipe = TranscriptPipeline(spark)
+        surface = pipe.triples_surface(transcripts)
+        n_triples = surface.count()
+        kg_sec = min(kg_sec, time.time() - t0)
+        assert n_triples > 0
     times["kg_triples"] = round(kg_sec, 3)
-    assert n_triples > 0
 
     total = round(sum(times.values()), 3)
     print(
@@ -90,6 +102,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_dir,
                 "cpus": cpus,
+                "reps": BENCH_REPS,
                 "kg_turns": KG_BENCH_TURNS,
                 "kg_turns_per_sec": round(KG_BENCH_TURNS / kg_sec, 1),
             }
