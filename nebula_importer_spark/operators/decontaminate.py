@@ -55,6 +55,13 @@ def ngram_overlap(
             "eval_id_col must differ from id_col (both survive into the "
             f"output); rename one side, got {id_col!r} for both"
         )
+    for reserved in ("_g", "_h"):
+        if reserved in (id_col, eval_id_col):
+            raise ValueError(
+                f"id_col/eval_id_col may not be the reserved scratch name "
+                f"{reserved!r} (used internally for the gram/hash columns); "
+                "rename the column before calling ngram_overlap"
+            )
     co = corpus.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),

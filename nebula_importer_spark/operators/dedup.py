@@ -123,7 +123,11 @@ def ngram_containment_pairs(
     10× larger one has containment 1.0 but Jaccard ≈ 0.1, so a
     Jaccard-thresholded dedup never pairs them. Same shared-shingle
     counts-based machinery as :func:`ngram_jaccard_pairs` (arrays never
-    shuffle; stop-shingle cap bounds hot keys)."""
+    shuffle; stop-shingle cap bounds hot keys) — and the same capped-
+    universe semantics: intersection AND set sizes are computed over the
+    stop-shingle-capped universe, so containment stays internally
+    consistent under the cap and equals the uncapped containment exactly
+    whenever no shingle exceeds ``max_shingle_df`` (all test scales)."""
     sized = _shared_shingle_counts(df, id_col, text_col, n, max_shingle_df)
     return sized.select(
         "id_a",

@@ -381,3 +381,20 @@ def test_bm25_b_one_empty_doc_no_division_hole(spark):
     )
     got = {r.doc_id for r in bm25_scores(df, ["spark"], b=1.0).collect()}
     assert got == {1}
+
+
+def test_ngram_overlap_rejects_reserved_scratch_names(spark):
+    """id columns named after internal scratch columns must fail fast with
+    a clear error, not produce ambiguous mid-plan duplicates (ADVICE r3)."""
+    import pytest
+
+    from nebula_importer_spark.operators.decontaminate import ngram_overlap
+
+    df = spark.createDataFrame([("a", "x y z")], "_g string, text string")
+    ev = spark.createDataFrame([("e", "x y z")], "eval_id string, text string")
+    with pytest.raises(ValueError, match="reserved scratch name"):
+        ngram_overlap(df, ev, id_col="_g")
+    ev2 = spark.createDataFrame([("e", "x y z")], "_h string, text string")
+    ok = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="reserved scratch name"):
+        ngram_overlap(ok, ev2, eval_id_col="_h")

@@ -112,6 +112,8 @@ def run(cores: int, turns: int, reps: int, submit: bool = False) -> dict:
     finally:
         for p in spinners:
             p.kill()
+        for p in spinners:
+            p.wait()  # reap — kill() alone leaves zombies for the whole run
 
 
 def _run_leg(
@@ -119,28 +121,31 @@ def _run_leg(
 ) -> dict:
     if submit:
         # the north rule's deployment shape: spark-submit --py-files, the
-        # package resolved from the zip, master/conf owned by submit
+        # package zip built fresh at deploy time (never committed — a
+        # committed binary went stale against source once), master/conf
+        # owned by submit
         import os
         import tempfile
 
-        tmp = Path(tempfile.mkdtemp(prefix="nis-submit-"))
-        zip_path = tmp / "nis.zip"
-        subprocess.run(
-            [sys.executable, "-m", "zipfile", "-c", str(zip_path),
-             "nebula_importer_spark"],
-            cwd=REPO, check=True,
-        )
-        child = tmp / "child.py"
-        child.write_text(_CHILD.format(repo=str(tmp)))  # import from zip, not repo
-        out = subprocess.run(
-            [*cmd, "spark-submit", "--master", f"local[{cores}]",
-             "--conf", f"spark.sql.shuffle.partitions={cores}",
-             "--conf", f"spark.default.parallelism={cores}",
-             "--py-files", str(zip_path), str(child),
-             str(cores), str(turns), str(reps)],
-            capture_output=True, text=True, timeout=3600, check=True,
-            env={**os.environ, "NIS_UNDER_SUBMIT": "1"},
-        )
+        with tempfile.TemporaryDirectory(prefix="nis-submit-") as tmpdir:
+            tmp = Path(tmpdir)
+            zip_path = tmp / "nis.zip"
+            subprocess.run(
+                [sys.executable, "-m", "zipfile", "-c", str(zip_path),
+                 "nebula_importer_spark"],
+                cwd=REPO, check=True,
+            )
+            child = tmp / "child.py"
+            child.write_text(_CHILD.format(repo=str(tmp)))  # import from zip
+            out = subprocess.run(
+                [*cmd, "spark-submit", "--master", f"local[{cores}]",
+                 "--conf", f"spark.sql.shuffle.partitions={cores}",
+                 "--conf", f"spark.default.parallelism={cores}",
+                 "--py-files", str(zip_path), str(child),
+                 str(cores), str(turns), str(reps)],
+                capture_output=True, text=True, timeout=3600, check=True,
+                env={**os.environ, "NIS_UNDER_SUBMIT": "1"},
+            )
     else:
         out = subprocess.run(
             [*cmd, sys.executable, "-c", _CHILD.format(repo=str(REPO)),
