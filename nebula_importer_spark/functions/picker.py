@@ -21,8 +21,10 @@ Operator parity map:
   P6 null rendering        → real SQL null                 (converter_null.go:25-31)
   P7 default value         → F.coalesce(expr, lit(d))      (converter_default.go:9-15)
   P8 type cast             → convert_type                  (converter_type.go:58-121)
-  P9 HASH function         → F.xxhash64 (declared: hash BITS differ from
-                             Nebula murmur64 — structural parity only)
+  P9 HASH function         → nebula_hash (BIT-EXACT with the server-side
+                             HASH() the reference's rendered text invokes:
+                             GCC std::hash, golden-tested vs g++; xxhash64
+                             available as the pure-JVM scale option)
                                                            (converter_function.go:21-33)
   P13 int-literal detect   → rlike UNSIGNED_INT_RE         (utils/string.go:5-48)
 """
@@ -66,8 +68,21 @@ def compile_prop(spec: PropSpec, cols: list[str]) -> Column:
     return convert_type(picked, spec.type).alias(spec.name)
 
 
-def compile_id(spec: NodeIDSpec, cols: list[str], alias: str | None = None) -> Column:
-    """NodeIDSpec → key Column (vid / src / dst)."""
+def compile_id(
+    spec: NodeIDSpec,
+    cols: list[str],
+    alias: str | None = None,
+    hash_impl: str = "nebula",
+) -> Column:
+    """NodeIDSpec → key Column (vid / src / dst).
+
+    ``hash_impl`` selects the ``function: hash`` implementation:
+    ``"nebula"`` (default) is BIT-EXACT with NebulaGraph's server-side
+    ``HASH()`` (GCC std::hash — functions/nebula_hash.py, golden-tested
+    against a real g++ binary) so materialized vids equal what the
+    reference's rendered ``HASH("v")`` would produce on the server;
+    ``"xxhash64"`` is the pure-JVM whole-stage-codegen alternative for
+    pipelines that only need a deterministic 64-bit id at 100-TB scale."""
     if spec.concat_items:
         # Mixed constants (str) and column indices (int) — reference
         # picker_concat.go:21-86. concat() is null-propagating like the
@@ -81,9 +96,17 @@ def compile_id(spec: NodeIDSpec, cols: list[str], alias: str | None = None) -> C
     else:
         picked = _raw(cols, int(spec.index or 0))
     if spec.function and spec.function.upper() == "HASH":
-        # Deterministic 64-bit hash. NOT bit-compatible with NebulaGraph's
-        # murmur64 (evaluated server-side there); tests compare structure.
-        out = F.xxhash64(picked)
+        if hash_impl == "nebula":
+            from nebula_importer_spark.functions.nebula_hash import nebula_hash
+
+            out = nebula_hash(picked)
+        elif hash_impl == "xxhash64":
+            out = F.xxhash64(picked)
+        else:
+            raise PickError(
+                f"unknown hash_impl {hash_impl!r}: use 'nebula' (bit-exact "
+                "server HASH) or 'xxhash64' (pure-JVM)"
+            )
     elif spec.type.upper() == "INT":
         out = convert_type(picked, "INT")
     else:
