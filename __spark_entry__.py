@@ -737,6 +737,22 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training windows, sharded by
+    doc_id % 16 (an oracle-expressible shard; the operator's default shard
+    is pmod(xxhash64(id), n_shards)). The per-shard greedy sweep is a data
+    dependency chain (each doc's pack depends on all prior fill state), so
+    the oracle is a recursive CTE stepping rank-by-rank within each shard
+    (operators/packing.py)."""
+    from nebula_importer_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "shard16", F.pmod(F.col("doc_id"), F.lit(16))
+    )
+    out = pack_documents(d, budget=256, shard_col="shard16")
+    return out.select("doc_id", "shard", "n_tokens", "pack_id", "offset_tokens")
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style cleaning cascade: keep/drop verdict + first failing
     rule per document. Map-only scan; `keep` rendered as INT (0/1) — the
@@ -1656,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "mix_domains": q_mix_domains,
         "sample_stratified": q_sample_stratified,
+        "pack_documents": q_pack_documents,
         "search_bm25": q_search_bm25,
         "domain_vocab": q_domain_vocab,
         # dedup family
@@ -1665,9 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_components": q_dedup_components,
-        # similarity search
+        # similarity search (the LSH variant sits in the tail: its band
+        # machinery is window-covered by dedup_minhash_lsh/dedup_embedding)
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # knowledge graph + graph analytics
         "kg_triples": q_kg_triples,
@@ -1682,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_doc_resize": q_multimodal_doc_resize,
         "multimodal_doc_frames": q_multimodal_doc_frames,
         # --- position 51+: twins / variants of machinery checked above ---
+        "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
         "dedup_containment": q_dedup_containment,
@@ -2216,6 +2234,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 700
+        """,
+        "pack_documents": """
+            WITH RECURSIVE docs AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(doc_id % 16 AS INT) AS shard,
+                       len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT
+                           AS n_tokens,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            rec AS (
+                SELECT shard, doc_id, n_tokens, rn,
+                       1::BIGINT AS pack_id,
+                       n_tokens AS fill,
+                       0::BIGINT AS offset_tokens
+                FROM docs WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+                       CASE WHEN r.fill + d.n_tokens > 256
+                            THEN r.pack_id + 1 ELSE r.pack_id END::BIGINT,
+                       CASE WHEN r.fill + d.n_tokens > 256
+                            THEN d.n_tokens ELSE r.fill + d.n_tokens END,
+                       CASE WHEN r.fill + d.n_tokens > 256
+                            THEN 0::BIGINT ELSE r.fill END
+                FROM rec r
+                JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+            )
+            SELECT doc_id, shard, n_tokens, pack_id, offset_tokens FROM rec
         """,
         "corpus_filter": """
             WITH t AS (
