@@ -56,9 +56,11 @@ Three deliberate properties:
 Documented divergences (none reachable from the reference's examples,
 which use only string equality/comparison): expr-lang ``len`` counts Go
 BYTES while Spark ``length`` counts CHARACTERS (identical on ASCII
-records); ``a % 0`` is a per-record runtime error in expr-lang but NULL
-(row filtered) here. Float division by zero agrees (±Inf/NaN) because
-both sides compute in IEEE double.
+records); division or modulo by a runtime zero yields NULL here (the row
+is silently filtered — Spark ANSI-off returns NULL even for double
+division, verified) where expr-lang produces ±Inf/NaN for ``/`` and a
+per-record runtime error for ``%``. Division/modulo by a LITERAL zero is
+rejected at compile time.
 """
 
 from __future__ import annotations
@@ -285,6 +287,12 @@ class _Parser:
             rsql, rt = self._unary()
             self._require(t, "num", f"'{op}'")
             self._require(rt, "num", f"'{op}'")
+            if op in ("/", "%") and rsql in ("0", "cast(0.0 as double)", "(- 0)"):
+                raise FilterError(
+                    f"division by literal zero in filter {self.expr!r}: "
+                    "Spark would yield NULL (row silently filtered) where "
+                    "expr-lang gives ±Inf (/) or a runtime error (%)"
+                )
             if op == "/":
                 # expr-lang runtime.Divide is ALWAYS float64 (5/2 == 2.5)
                 sql, t = (

@@ -126,24 +126,35 @@ def decode_png(data: bytes) -> np.ndarray:
         flt = raw[pos]
         cur = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
         pos += 1 + stride
-        if flt == 1:  # Sub
-            for x in range(channels, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+        if flt == 1:  # Sub: Recon(x) = Raw(x) + Recon(x-bpp) — a per-channel
+            # prefix sum mod 256, fully vectorized (no per-byte Python)
+            px = np.cumsum(cur.reshape(width, channels).astype(np.int64), axis=0)
+            cur = (px & 0xFF).astype(np.uint8).reshape(stride)
         elif flt == 2:  # Up
             cur += prev
-        elif flt == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - channels]) if x >= channels else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif flt == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+        elif flt == 3:  # Average — sequential in x by spec (left depends on
+            # the previous RECON pixel); channels vectorized per step
+            px = cur.reshape(width, channels).astype(np.int64)
+            pv = prev.reshape(width, channels).astype(np.int64)
+            left = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                left = (px[x] + ((left + pv[x]) >> 1)) & 0xFF
+                px[x] = left
+            cur = px.astype(np.uint8).reshape(stride)
+        elif flt == 4:  # Paeth — sequential in x; channels vectorized
+            px = cur.reshape(width, channels).astype(np.int64)
+            pv = prev.reshape(width, channels).astype(np.int64)
+            a = np.zeros(channels, dtype=np.int64)
+            c = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (px[x] + pred) & 0xFF
+                px[x] = a
+                c = b
+            cur = px.astype(np.uint8).reshape(stride)
         elif flt != 0:
             raise ValueError(f"unknown PNG filter {flt}")
         out[y] = cur
@@ -198,7 +209,24 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         from PIL import Image  # type: ignore[import-not-found]
 
-        arr = np.asarray(Image.open(BytesIO(payload)))
+        img = Image.open(BytesIO(payload))
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            # Normalize exotic modes to 8-bit so downstream kernels (which
+            # assume uint8 0-255) never silently mis-scale: 16/32-bit gray
+            # maps high byte → 8-bit; palette/CMYK/etc. convert via PIL
+            # (palette transparency promotes to RGBA).
+            if img.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+                wide = np.asarray(img)
+                if wide.dtype == np.uint16:
+                    arr = (wide >> 8).astype(np.uint8)
+                else:
+                    arr = np.clip(wide, 0, 255).astype(np.uint8)
+                return arr[:, :, None]
+            has_alpha = "A" in img.mode or (
+                img.mode == "P" and "transparency" in img.info
+            )
+            img = img.convert("RGBA" if has_alpha else "RGB")
+        arr = np.asarray(img)
         return arr[:, :, None] if arr.ndim == 2 else arr
     except ImportError:
         pass

@@ -61,8 +61,11 @@ def pack_documents(
             f"id_col {id_col!r} collides with a packing output column; "
             "rename it before calling pack_documents"
         )
+    # coalesce caller-supplied counts to 0: a NULL would reach the executor
+    # kernel as NaN and crash the int64 conversion mid-job (the default
+    # token_count path already maps null text to 0 — same semantics)
     toks = (
-        F.col(token_col).cast("long")
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0))
         if token_col
         else token_count(F.col(text_col))
     )

@@ -81,6 +81,13 @@ def _auto_span_sec(probe: DataFrame, key: str, ts: str, threshold: int) -> float
     could hide a >threshold key, one seeded-sample aggregation whose result
     is a SINGLE row (the only ``.collect()`` here is that 1-row summary).
     Deterministic for a fixed input + seed, so plans are reproducible.
+
+    Honest caveat: the probe EXECUTES the input's lineage at DataFrame-
+    construction time (1-2 jobs), and the real query recomputes it — cheap
+    for source scans (column-pruned count over parquet), but for an
+    expensive un-persisted upstream this can double input compute. Callers
+    with such inputs should persist the input first or pass an explicit
+    ``span_sec`` (``None`` forces the unsalted window, no probe).
     """
     if probe.isStreaming:
         return None  # batch-only mitigation; streaming has its own sessionizer
@@ -105,6 +112,11 @@ def _auto_span_sec(probe: DataFrame, key: str, ts: str, threshold: int) -> float
         return None
     est = hot[0]["_c"] / frac
     if est <= threshold:
+        return None
+    if hot[0]["_mx"] is None or hot[0]["_mn"] is None:
+        # hottest key's sampled timestamps are all NULL/uncastable — span
+        # labels would be meaningless; fall back to the unsalted window,
+        # which handles null timestamps exactly as before auto-salting
         return None
     dur_us = max(int(hot[0]["_mx"]) - int(hot[0]["_mn"]), 1)
     splits = max(int(est * _OVERSPLIT // threshold) + 1, 2)
@@ -153,10 +165,15 @@ def asof_join(
     a float to force a specific span.
     """
     if span_sec == "auto":
+        # cast both ts to timestamp BEFORE the union: the two sides may use
+        # different-but-supported ts types (timestamp vs epoch seconds) that
+        # _us() reconciles per side but unionByName cannot
         probe = left.select(
-            F.col(on).alias("_k"), F.col(left_ts).alias("_pts")
+            F.col(on).alias("_k"), F.col(left_ts).cast("timestamp").alias("_pts")
         ).unionByName(
-            right.select(F.col(on).alias("_k"), F.col(right_ts).alias("_pts"))
+            right.select(
+                F.col(on).alias("_k"), F.col(right_ts).cast("timestamp").alias("_pts")
+            )
         )
         span_sec = _auto_span_sec(probe, "_k", "_pts", skew_threshold)
     lcols = left.columns
@@ -165,9 +182,12 @@ def asof_join(
     right_side = F.lit(0 if allow_exact else 2)
     seq = F.col(right_seq) if right_seq else F.col(right_ts).cast("long")
 
+    # _ts is normalized to timestamp on BOTH sides: ordering is unchanged
+    # for timestamp inputs, and mixed-but-castable ts types (timestamp vs
+    # epoch-seconds long) union cleanly — _us() applies the same cast.
     l_tagged = left.select(
         F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
+        F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_seq"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
@@ -181,7 +201,7 @@ def asof_join(
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
         right_side.alias("_side"),
         seq.cast("long").alias("_seq"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),

@@ -396,3 +396,37 @@ def test_tokenization_re2_compatible(spark):
         "select len(regexp_extract_all('a' || chr(11) || 'b c', '\\S+')) as n"
     ).fetchone()[0]
     assert n == dn == 2
+
+
+def test_decode_image_normalizes_16bit_gray_when_pil_present():
+    """With PIL installed, exotic modes must normalize to uint8 (high byte
+    for 16-bit gray) instead of silently leaking uint16 into kernels that
+    assume 0-255 (review finding). Skips where PIL is absent — the built-in
+    codec path is 8-bit-only by construction."""
+    pytest.importorskip("PIL")
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import PNG_MAGIC, decode_image
+
+    # hand-build a 2x2 16-bit grayscale PNG (depth 16, color 0, filter 0)
+    vals = np.array([[0, 257], [32896, 65535]], dtype=np.uint16)
+    raw = b"".join(b"\x00" + vals[y].astype(">u2").tobytes() for y in range(2))
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_image(png)
+    assert out.dtype == np.uint8 and out.shape == (2, 2, 1)
+    assert out[:, :, 0].tolist() == (vals >> 8).tolist()

@@ -371,3 +371,14 @@ def test_property_grammar_parity_with_python_model(spark):
             assert have == want, (
                 f"expr {text!r} on record {rec!r}: spark={have} python={want}"
             )
+
+
+def test_division_by_literal_zero_rejected():
+    # Spark yields NULL on runtime zero division (row silently filtered,
+    # ANSI off) where expr-lang gives ±Inf / a runtime error; a LITERAL
+    # zero divisor is detectable at compile time so it fails loudly there.
+    for bad in ["1 / 0 == 1.0", "len(Record[0]) % 0 == 1", "5 / 0.0 > 1.0"]:
+        with pytest.raises(FilterError, match="literal zero"):
+            translate_filter(bad, ["_c0"])
+    # a nonzero literal divisor is fine
+    assert translate_filter("4 / 2 == 2.0", ["_c0"])

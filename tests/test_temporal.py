@@ -457,3 +457,40 @@ def test_asof_auto_salts_mega_key_without_opt_in(spark):
         }
 
     assert to_map(auto) == to_map(plain)
+
+
+def test_auto_probe_null_timestamps_fall_back(spark):
+    """A hottest key whose timestamps are all NULL must fall back to the
+    unsalted window (review finding: int(None) crashed the probe)."""
+    from nebula_importer_spark.operators.temporal import _auto_span_sec
+
+    rows = [(i, 99, None) for i in range(400)] + [(1000 + i, i, i * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long").select(
+        "event_id", "user_id",
+        (F.timestamp_seconds(F.col("sec"))).alias("ts"),
+    )
+    assert _auto_span_sec(df, "user_id", "ts", 100) is None
+    # and the default sessionize path over such data still builds + runs
+    out = sessionize_batch(
+        df, key="user_id", ts="ts", id_col="event_id", gap_sec=60.0,
+        skew_threshold=100,
+    )
+    assert out.count() > 0
+
+
+def test_asof_auto_probe_mixed_ts_types(spark):
+    """asof_join with timestamp on one side and epoch-seconds long on the
+    other is supported (_us casts per side); the auto probe's union must
+    reconcile the types instead of raising (review finding)."""
+    left = spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 200)], "event_id long, user_id long, sec long"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, 7, 50), (11, 7, 150)], "event_id long, user_id long, ts long"
+    )  # ts stays LONG epoch seconds on this side
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], right_seq="event_id",
+    )
+    got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
+    assert got == {1: 10, 2: 11}

@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import re
 import sys
 import time
 from pathlib import Path
@@ -121,9 +122,15 @@ def main() -> int:
         # float64 under pandas and silently hash-diverges from Spark longs.
         # Every oracle must cast such columns explicitly (round-3 red row).
         for c, t in zip(ocols, otypes):
-            if "HUGEINT" in t:
+            flagged = "HUGEINT" in t
+            m = re.match(r"DECIMAL\((\d+)", t)
+            if m and int(m.group(1)) > 18:
+                flagged = True  # wider than int64 → pandas object/float64
+            if flagged:
                 problems.append(f"oracle type audit: column {c} is {t} "
-                                "(cast to BIGINT in the oracle SQL)")
+                                "(cast to BIGINT/DECIMAL(18,*) in the "
+                                "oracle SQL — pandas converts wider types "
+                                "to float64/object and hash-diverges)")
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
         if len(rows) != len(orows):
