@@ -808,6 +808,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level incremental dedup signal: per document, how many of
+    its distinct word 3-grams were first seen in an EARLIER document (by
+    doc_id — ingestion order). Catches partial/quoted duplication that
+    exact- and pair-wise near-dup matching both miss; the dedup policy is
+    a downstream filter on stale_frac."""
+    from nebula_importer_spark.operators.dedup import gram_novelty
+
+    return gram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_domain_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus report: doc count, token total, vocabulary size,
     type-token ratio (exact distinct at gate scale; approx_count_distinct is
@@ -1698,7 +1709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_doc_features": q_multimodal_doc_features,
         "multimodal_doc_resize": q_multimodal_doc_resize,
         "multimodal_doc_frames": q_multimodal_doc_frames,
-        # --- position 51+: twins / variants of machinery checked above ---
+        # --- position 51+: twins / variants of machinery checked above,
+        # plus late-round additions (locally gated by tools/check_oracle.py
+        # under both confs; no driver row only because of the 50-row cap) ---
+        "gram_novelty": q_gram_novelty,
         "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
@@ -2326,6 +2340,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        # Keys on the RAW gram where the Spark side keys on xxhash64(gram) —
+        # a realized hash collision would therefore surface as a gate
+        # mismatch rather than being mirrored. SUM over an int flag is
+        # HUGEINT in DuckDB → explicit BIGINT cast (pandas-canonicalizer
+        # audit in tools/check_oracle.py).
+        "gram_novelty": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            first_owner AS (SELECT g, MIN(doc_id) AS first_id FROM ex GROUP BY g)
+            SELECT ex.doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN f.first_id < ex.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stale,
+                   SUM(CASE WHEN f.first_id < ex.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                       / COUNT(*) AS stale_frac
+            FROM ex JOIN first_owner f USING (g)
+            GROUP BY ex.doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH sh AS (

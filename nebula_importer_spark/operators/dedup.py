@@ -3,6 +3,8 @@
 Five strategies, all over a ``documents(doc_id, text, ...)``-shaped table:
 
 - exact_dedup          hash-groupBy on the full text, keep min id
+- gram_novelty         per-doc fraction of n-grams first seen in an EARLIER
+                       doc — substring-level incremental dedup signal
 - ngram_jaccard_pairs  EXACT all-pairs n-gram Jaccard via a shared-shingle
                        equi-join (never a cross join) — also the oracle shape
 - ngram_containment_pairs  EXACT containment (|A∩B|/min) — subset dup catch
@@ -43,6 +45,61 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         df.groupBy(F.sha2(F.col(text_col), 256).alias("_k"))
         .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
         .select(id_col, text_col)
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against all earlier documents — the
+    substring-level incremental dedup signal (the "fraction of this page
+    already seen in the crawl so far" filter of web-corpus pipelines such
+    as RefinedWeb/CCNet, which exact- and near-dup matching both miss:
+    a fresh page quoting three seen paragraphs is 0.6-stale yet pairs
+    with nobody).
+
+    "Earlier" = any document with a smaller ``id_col`` (ingestion order at
+    scale). For each document: the count of its DISTINCT word n-grams,
+    how many of those were first seen in an earlier document, and the
+    stale fraction. Dedup policy is then a filter on ``stale_frac``.
+
+    Distributed shape (no arrays or gram strings ever shuffle):
+    explode distinct grams → key every gram by ``xxhash64`` (fixed-width
+    shuffle key, same discipline as :func:`exact_dedup`'s sha2 group key)
+    → ``min(id)`` per gram key (partial-agg'd — the "first owner" table)
+    → join back on the hash key → per-doc count/sum (document-scoped,
+    partial-agg'd). A gram-hash collision would alias two distinct grams
+    (probability ~2⁻⁶⁴ per pair); the oracle twin keys on the raw gram,
+    so the gate would catch a realized collision rather than hide one.
+
+    Documents with fewer than ``n`` tokens have no grams and are absent
+    from the output (mirrored by the oracle's unnest semantics).
+
+    Output: ``(id_col, n_grams, n_stale, stale_frac)``.
+    """
+    df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select("_id", F.xxhash64("_g").alias("_h"))
+    first = ex.groupBy("_h").agg(F.min("_id").alias("_first"))
+    flagged = ex.join(first, "_h").select(
+        "_id", (F.col("_first") < F.col("_id")).cast("long").alias("_stale")
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("_stale").alias("n_stale"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_stale",
+            (F.col("n_stale").cast("double") / F.col("n_grams").cast("double")).alias(
+                "stale_frac"
+            ),
+        )
     )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from nebula_importer_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
+    gram_novelty,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -62,6 +63,37 @@ def test_exact_dedup_shuffles_digest_not_text(spark, docs):
     # at 100 TB a text grouping key shuffles the whole corpus as key bytes
     assert all("text#" not in ln for ln in exchanges), exchanges
     assert "sha2" in plan, plan
+
+
+def test_gram_novelty(spark, docs):
+    rows = {
+        r["doc_id"]: r for r in gram_novelty(docs, n=3).collect()
+    }
+    # doc 6 is empty (no grams) → absent
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # doc 1: 12 distinct 3-grams ("the ... the ..." has 14 tokens, all grams
+    # distinct), all first-seen → nothing stale
+    assert rows[1]["n_grams"] == 12 and rows[1]["n_stale"] == 0
+    assert rows[1]["stale_frac"] == 0.0
+    # doc 2 is an exact dup of doc 1 → every gram stale
+    assert rows[2]["n_stale"] == rows[2]["n_grams"] == 12
+    assert rows[2]["stale_frac"] == 1.0
+    # doc 3 differs in one token ("bank"→"bend", token 13 of 14) → only the
+    # 2 grams reaching token 13 (starts 11 and 12) are novel, 10 are stale
+    assert rows[3]["n_grams"] == 12 and rows[3]["n_stale"] == 10
+    assert rows[3]["stale_frac"] == 10 / 12
+    # docs 4/5 share no grams with anything earlier
+    assert rows[4]["n_stale"] == 0 and rows[5]["n_stale"] == 0
+
+
+def test_gram_novelty_shuffles_hash_not_gram(spark, docs):
+    plan = gram_novelty(docs)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, plan
+    # every shuffle keys on the xxhash64 gram key or the doc id — the gram
+    # strings themselves must never travel as exchange keys
+    assert all("_g#" not in ln for ln in exchanges), exchanges
+    assert "xxhash64" in plan, plan
 
 
 def test_ngram_jaccard_pairs(spark, docs):
