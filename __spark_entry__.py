@@ -1173,6 +1173,29 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction candidates over the co-purchase graph: non-adjacent
+    part pairs sharing ≥5 co-purchase neighbors, scored by neighborhood
+    Jaccard — the KG-completion step after construction ("suggest the
+    missing edge"). Wedge join bounded by shared-middle degree; the
+    max_degree hub guard is exercised in pytest (no co-purchase node
+    exceeds it at gate scale, same no-op-at-gate pattern as the kcore
+    mega-group guard)."""
+    from nebula_importer_spark.operators.graph import neighborhood_similarity
+
+    out = neighborhood_similarity(
+        _copurchase_edges(spark, sf_dir),
+        min_common=5,
+        exclude_existing=True,
+    )
+    return out.select(
+        F.col("node_a").alias("part_a"),
+        F.col("node_b").alias("part_b"),
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def _kcore_sql(k: int = 4, rounds: int = 12) -> str:
     """DuckDB twin of q_graph_kcore: the peel round unrolled `rounds` times
     (degree filter + both-endpoints-survive edge filter per round). Every
@@ -1713,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus late-round additions (locally gated by tools/check_oracle.py
         # under both confs; no driver row only because of the 50-row cap) ---
         "gram_novelty": q_gram_novelty,
+        "graph_link_predict": q_graph_link_predict,
         "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
@@ -2550,6 +2574,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # COUNT(*) pair counts and degree sums are BIGINT already; the one
+        # division is a single DOUBLE op (deterministic on both engines).
+        "graph_link_predict": """
+            WITH li AS (
+                SELECT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+            ),
+            adj AS (
+                SELECT a AS n, b AS nb FROM e
+                UNION ALL
+                SELECT b AS n, a AS nb FROM e
+            ),
+            sz AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+            pairs AS (
+                SELECT x.n AS part_a, y.n AS part_b, COUNT(*) AS common
+                FROM adj x JOIN adj y ON x.nb = y.nb AND x.n < y.n
+                GROUP BY x.n, y.n
+            )
+            SELECT part_a, part_b, common::BIGINT AS common,
+                   ROUND(common::DOUBLE / (sa.d + sb.d - common), 6) AS jaccard
+            FROM pairs
+            JOIN sz sa ON sa.n = part_a
+            JOIN sz sb ON sb.n = part_b
+            WHERE common >= 5
+              AND NOT EXISTS (
+                  SELECT 1 FROM e
+                  WHERE e.a = part_a AND e.b = part_b
+              )
         """,
         "multimodal_doc_frames": """
             SELECT doc_id AS asset_id,

@@ -196,6 +196,94 @@ def test_kcore_empty_and_validation(spark):
         )
 
 
+def _py_neighborhood_similarity(edges, min_common=1, max_degree=None,
+                                exclude_existing=False):
+    """Independent pure-Python reference (sets, no Spark)."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if max_degree is not None:
+        hubs = {n for n, nb in adj.items() if len(nb) > max_degree}
+        capped = {n: nb - hubs for n, nb in adj.items()}
+    else:
+        capped = adj
+    out = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        common = capped[a] & capped[b]
+        if len(common) < max(min_common, 1) or not common:
+            continue
+        if exclude_existing and tuple(sorted((a, b))) in e:
+            continue
+        union = len(capped[a] | capped[b])
+        out[(a, b)] = (len(common), len(common) / union)
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_neighborhood_similarity_matches_reference(spark, seed):
+    from nebula_importer_spark.operators.graph import neighborhood_similarity
+
+    rng = random.Random(seed)
+    n = 25
+    edges = list({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                  for _ in range(80)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for kwargs in (
+        {},
+        {"min_common": 2},
+        {"max_degree": 6},
+        {"exclude_existing": True},
+        {"min_common": 2, "max_degree": 6, "exclude_existing": True},
+    ):
+        got = {(r.node_a, r.node_b): (r.common, r.jaccard)
+               for r in neighborhood_similarity(df, **kwargs).collect()}
+        want = _py_neighborhood_similarity(edges, **kwargs)
+        assert set(got) == set(want), kwargs
+        for k, (c, j) in want.items():
+            assert got[k][0] == c, (kwargs, k)
+            assert abs(got[k][1] - j) < 1e-12, (kwargs, k)
+
+
+def test_neighborhood_similarity_hub_cap_and_exclusion(spark):
+    from nebula_importer_spark.operators.graph import neighborhood_similarity
+
+    # star: hub 0 connected to 1..5, plus edge (1,2). Uncapped: every pair
+    # among 1..5 shares middle 0; with the hub capped out, no pairs remain.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    uncapped = {(r.node_a, r.node_b): r.common
+                for r in neighborhood_similarity(df).collect()}
+    assert all(uncapped[(a, b)] >= 1 for a, b in itertools.combinations(range(1, 6), 2))
+    # (1,2) are adjacent AND share middle 0 — exclude_existing drops them
+    # even though the hub edge set is what carries the adjacency
+    excl = neighborhood_similarity(df, exclude_existing=True, max_degree=4)
+    assert (1, 2) not in {(r.node_a, r.node_b) for r in excl.collect()}
+    # two CONNECTED hubs sharing non-hub middles: their edge survives only
+    # in the uncapped adjacency (both directions point at a hub), so this
+    # fails if exclusion anti-joins the capped adjacency instead
+    hub2 = [(0, i) for i in range(1, 6)] + [(10, i) for i in range(1, 6)] + [(0, 10)]
+    df2 = spark.createDataFrame(hub2, "src int, dst int")
+    got2 = {(r.node_a, r.node_b)
+            for r in neighborhood_similarity(
+                df2, max_degree=5, exclude_existing=True).collect()}
+    assert (0, 10) not in got2
+    assert got2 == set(_py_neighborhood_similarity(
+        hub2, max_degree=5, exclude_existing=True))
+    capped = neighborhood_similarity(df, max_degree=4).collect()
+    # node 0 (degree 5) leaves all neighborhoods: 1..5 share nothing; the
+    # only remaining adjacency rows are 0-{1..5} minus nothing — pairs via
+    # middles 1 or 2 connect 0 with nobody else → no pairs at all except
+    # (0 excluded as middle? 0 still an endpoint: 1 and 2 both neighbor 0)
+    got = {(r.node_a, r.node_b): (r.common, r.jaccard) for r in capped}
+    want = _py_neighborhood_similarity(edges, max_degree=4)
+    assert got.keys() == want.keys()
+    with pytest.raises(ValueError):
+        neighborhood_similarity(df, max_degree=0)
+
+
 def test_cooccurrence_edges(spark):
     from nebula_importer_spark.operators.graph import cooccurrence_edges
 
