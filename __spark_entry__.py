@@ -994,6 +994,68 @@ def _ann_lsh_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int 
     """
 
 
+def q_embedding_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: majority label + purity per LSH bucket of the
+    embeddings table. The hyperplanes are the ANN path's seeded plan
+    constants (seed 42, dim 64), so the oracle embeds the SAME plane
+    values as SQL literals and reproduces sign bits → band keys → counts;
+    everything downstream of the dots is integer arithmetic."""
+    from nebula_importer_spark.operators.similarity import embedding_bucket_purity
+
+    return embedding_bucket_purity(
+        _t(spark, sf_dir, "embeddings"), n_planes=12, n_bands=4, dim=64
+    )
+
+
+def _bucket_purity_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of q_embedding_bucket_purity: same seeded hyperplanes as
+    SQL literals (the numpy RandomState stream of operators/similarity.py),
+    same band keys, then plain integer group-bys. Windowed SUM is HUGEINT →
+    explicit BIGINT casts (pandas-canonicalizer audit)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+    bit_cols = ", ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(float(x)) for x in planes[p])
+        + f"]), x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END) AS bit{p}"
+        for p in range(n_planes)
+    )
+    band_cols = ", ".join(
+        " + ".join(f"bit{b * per_band + r} * {1 << r}" for r in range(per_band))
+        + f" AS band{b}"
+        for b in range(n_bands)
+    )
+    ex = " UNION ALL ".join(
+        f"SELECT {b} AS band, CAST(band{b} AS BIGINT) AS bucket, label FROM k"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE label IS NOT NULL
+        ),
+        bits AS (SELECT label, {bit_cols} FROM e),
+        k AS (SELECT label, {band_cols} FROM bits),
+        ex AS ({ex}),
+        cnt AS (
+            SELECT band, bucket, label, COUNT(*) AS c
+            FROM ex GROUP BY band, bucket, label
+        ),
+        ranked AS (
+            SELECT band, bucket, label, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY band, bucket ORDER BY c DESC, label ASC) AS rn,
+                   SUM(c) OVER (PARTITION BY band, bucket) AS nv
+            FROM cnt
+        )
+        SELECT band, bucket, CAST(nv AS BIGINT) AS n_vecs, label AS top_label,
+               CAST(c AS BIGINT) AS top_n, c::DOUBLE / nv::DOUBLE AS purity
+        FROM ranked WHERE rn = 1
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN, run FULL-PROBE (nprobe == nlist) so the result is exact
     by the cell-partition property — every corpus row lives in exactly one
@@ -1737,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under both confs; no driver row only because of the 50-row cap) ---
         "gram_novelty": q_gram_novelty,
         "graph_link_predict": q_graph_link_predict,
+        "embedding_bucket_purity": q_embedding_bucket_purity,
         "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
@@ -2528,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_bucket_purity": _bucket_purity_sql(),
         # Full-probe IVF is exact by the cell-partition property (see
         # q_ann_ivf_topk), so the brute-force ranking is its true oracle.
         "ann_ivf_topk": """

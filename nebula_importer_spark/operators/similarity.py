@@ -13,6 +13,9 @@
   assignment is a vectorized Arrow-batched argmax (one numpy matmul per
   batch). At 100 TB the cell id doubles as the table's cluster/bucket key
   so a probe reads only its cells' files.
+- embedding_bucket_purity: per-LSH-bucket majority label + purity — the
+  label-noise audit over embedding space (integer aggregates only after
+  the plan-constant hyperplane dots).
 
 brute_force/lsh arithmetic is JVM expressions (zip_with/aggregate in double
 precision, summed left-to-right — bit-reproducible against a sequential
@@ -199,6 +202,77 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_bucket_purity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Label-noise audit over embedding space: bucket every vector by its
+    LSH band keys (the same seeded hyperplane sign bits the ANN path uses),
+    then report each (band, bucket)'s majority label and purity — impure
+    buckets are where geometrically-close vectors disagree on their label,
+    the standard first look for mislabeled / contaminated training data.
+
+    Everything after the (plan-constant) hyperplane dots is INTEGER
+    arithmetic: one explode (n_bands rows per vector, ids+two ints — the
+    vectors never travel) and two partial-agg'd groupBys. Majority ties
+    break to the SMALLEST label (min over a (−count, label) struct — a
+    sort-free argmax). Rows with a NULL label are excluded up front.
+
+    ``dim`` should be passed explicitly at scale; when None it is probed
+    from one row (empty input → empty result).
+
+    Returns ``(band, bucket, n_vecs, top_label, top_n, purity)``.
+    """
+    df = df.filter(F.col(label_col).isNotNull())
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head:
+            return df.sparkSession.createDataFrame(
+                [], "band int, bucket long, n_vecs long, "
+                    f"top_label {df.schema[label_col].dataType.simpleString()}, "
+                    "top_n long, purity double"
+            )
+        dim = len(head[0][0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+
+    full = _sign_bucket(_as_double(F.col(vec_col)), planes)
+    bands = F.array(
+        *[
+            F.shiftright(full, b * per_band).bitwiseAND(F.lit((1 << per_band) - 1))
+            for b in range(n_bands)
+        ]
+    )
+    ex = spread_small_input(df).select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(bands).alias("band", "bucket"),
+    )
+    cnt = ex.groupBy("band", "bucket", "_lbl").agg(F.count("*").alias("_c"))
+    top = cnt.groupBy("band", "bucket").agg(
+        F.sum("_c").alias("n_vecs"),
+        F.min(F.struct((-F.col("_c")).alias("negc"), F.col("_lbl").alias("lbl"))).alias(
+            "_top"
+        ),
+    )
+    return top.select(
+        "band",
+        "bucket",
+        "n_vecs",
+        F.col("_top.lbl").alias("top_label"),
+        (-F.col("_top.negc")).alias("top_n"),
+        ((-F.col("_top.negc")).cast("double") / F.col("n_vecs").cast("double")).alias(
+            "purity"
+        ),
     )
 
 

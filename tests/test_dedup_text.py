@@ -196,6 +196,57 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) >= 3
 
 
+def test_embedding_bucket_purity(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import embedding_bucket_purity
+
+    # two tight clusters with one planted cross-label point + a NULL label
+    rng = np.random.RandomState(3)
+    c0 = rng.standard_normal(8).astype("float64")
+    c1 = -c0  # antipodal → different sign buckets under any plane set
+    rows = []
+    for i in range(10):
+        rows.append((i, (c0 + 0.01 * rng.standard_normal(8)).tolist(), 0))
+    for i in range(10, 20):
+        rows.append((i, (c1 + 0.01 * rng.standard_normal(8)).tolist(), 1))
+    rows.append((20, (c0 + 0.01 * rng.standard_normal(8)).tolist(), 1))  # mislabeled
+    rows.append((21, c0.tolist(), None))  # NULL label: excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_bucket_purity(df, n_planes=8, n_bands=2, dim=8).collect()
+    assert out, "no buckets"
+    by_bucket = {(r.band, r.bucket): r for r in out}
+    # counts: every (band,bucket) row's top_n ≤ n_vecs, purity consistent
+    for r in out:
+        assert r.top_n <= r.n_vecs
+        assert abs(r.purity - r.top_n / r.n_vecs) < 1e-12
+    # total bucket membership = 22 labeled? no — 21 labeled rows × 2 bands
+    assert sum(r.n_vecs for r in out) == 21 * 2
+    # the planted mislabel sits in cluster-0's bucket: that bucket's top
+    # label is 0 with purity 11/12? (10 clean + 1 mislabeled = 11 rows)
+    impure = [r for r in out if 0 < r.purity < 1.0]
+    assert impure, "planted mislabel should make some bucket impure"
+    for r in impure:
+        assert r.top_label == 0 and r.n_vecs == 11 and r.top_n == 10
+
+
+def test_embedding_bucket_purity_tie_breaks_min_label(spark):
+    from nebula_importer_spark.operators.similarity import embedding_bucket_purity
+
+    # identical vectors, labels 2/2 split → tie; top_label must be the min
+    rows = [(i, [1.0, 0.0], 5 - 3 * (i % 2)) for i in range(4)]  # labels 5,2,5,2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_bucket_purity(df, n_planes=4, n_bands=2, dim=2).collect()
+    assert out and all(r.top_label == 2 and r.purity == 0.5 for r in out)
+
+
+def test_embedding_bucket_purity_empty(spark):
+    from nebula_importer_spark.operators.similarity import embedding_bucket_purity
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert embedding_bucket_purity(df).count() == 0
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """IVF-flat: clustered corpus (the realistic ANN shape) — probing
     nprobe cells must recover ≥ 80% of the exact top-1 neighbors."""
