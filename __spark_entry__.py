@@ -819,6 +819,36 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of gram_novelty under the gate: the documents
+    table replayed through the foreachBatch incremental-novelty pipeline
+    (gram store + dynamic-overwrite batch partitions, availableNow) and
+    value-checked against the BATCH operator's oracle — the shared hash is
+    the stream≡batch equivalence proof, exactly like the salted twins.
+    Multi-batch arrival (where the gram store actually carries state
+    across triggers) is soak-tested in pytest with an id-ordered file
+    sequence; the gate replay exercises the full machinery end-to-end."""
+    import tempfile
+
+    from nebula_importer_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        read_novelty,
+        run_incremental_novelty,
+    )
+
+    work = tempfile.mkdtemp(prefix="nis_stream_novelty_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/documents.parque[t]")
+    )
+    run_incremental_novelty(
+        stream, out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt", n=3
+    )
+    return read_novelty(spark, f"{work}/out")
+
+
 def q_domain_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus report: doc count, token total, vocabulary size,
     type-token ratio (exact distinct at gate scale; approx_count_distinct is
@@ -1798,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus late-round additions (locally gated by tools/check_oracle.py
         # under both confs; no driver row only because of the 50-row cap) ---
         "gram_novelty": q_gram_novelty,
+        "stream_gram_novelty": q_stream_gram_novelty,
         "graph_link_predict": q_graph_link_predict,
         "embedding_bucket_purity": q_embedding_bucket_purity,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2697,4 +2728,8 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     hash check is exactly the salted-rewrite equivalence proof."""
     sql["asof_click_error_salted"] = sql["asof_click_error"]
     sql["sessionize_users_salted"] = sql["sessionize_users"]
+    # same idea for the streaming novelty twin: defined to be ROW-IDENTICAL
+    # to the batch operator under id-ordered arrival, so it shares the
+    # batch oracle — the hash match IS the stream≡batch equivalence proof
+    sql["stream_gram_novelty"] = sql["gram_novelty"]
     return sql

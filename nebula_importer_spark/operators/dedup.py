@@ -80,15 +80,36 @@ def gram_novelty(
 
     Output: ``(id_col, n_grams, n_stale, stale_frac)``.
     """
-    df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
-    ).select("_id", F.xxhash64("_g").alias("_h"))
+    ex = doc_gram_hashes(df, id_col=id_col, text_col=text_col, n=n)
     first = ex.groupBy("_h").agg(F.min("_id").alias("_first"))
     flagged = ex.join(first, "_h").select(
         "_id", (F.col("_first") < F.col("_id")).cast("long").alias("_stale")
     )
+    return novelty_stats(flagged, id_col=id_col)
+
+
+def doc_gram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """``(_id, _h)`` — one row per DISTINCT word n-gram per document, the
+    gram carried only as its ``xxhash64`` (fixed-width; gram strings never
+    leave the map side). Shared by batch :func:`gram_novelty` and the
+    streaming incremental twin (streaming/corpus.py) so the two paths
+    cannot drift."""
+    df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select("_id", F.xxhash64("_g").alias("_h"))
+
+
+def novelty_stats(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc novelty report from a ``(_id, _stale)`` gram-flag table:
+    ``(id_col, n_grams, n_stale, stale_frac)`` (document-scoped partial-
+    agg'd groupBy). Shared by the batch and streaming novelty paths."""
     return (
         flagged.groupBy("_id")
         .agg(F.count("*").alias("n_grams"), F.sum("_stale").alias("n_stale"))
