@@ -1288,6 +1288,26 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength for co-purchase pairs: document-level PMI over
+    parts sharing an order (≥2 shared orders) — the scoring step that
+    turns co-occurrence counts into candidate KG edges. Integer counts
+    throughout; one deterministic ln per output row, rounded like the
+    BM25 oracle pair."""
+    from nebula_importer_spark.operators.graph import cooccurrence_pmi
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    out = cooccurrence_pmi(
+        li, group_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+    return out.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        "pair_count",
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
 def _kcore_sql(k: int = 4, rounds: int = 12) -> str:
     """DuckDB twin of q_graph_kcore: the peel round unrolled `rounds` times
     (degree filter + both-endpoints-survive edge filter per round). Every
@@ -1830,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_novelty": q_gram_novelty,
         "stream_gram_novelty": q_stream_gram_novelty,
         "graph_link_predict": q_graph_link_predict,
+        "graph_pmi": q_graph_pmi,
         "embedding_bucket_purity": q_embedding_bucket_purity,
         "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
@@ -2669,6 +2690,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        "graph_pmi": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            n AS (SELECT COUNT(DISTINCT o) AS total FROM li),
+            marg AS (SELECT p, COUNT(*) AS c FROM li GROUP BY p),
+            pairs AS (
+                SELECT x.p AS part_a, y.p AS part_b, COUNT(*) AS pair_count
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                GROUP BY x.p, y.p
+                HAVING COUNT(*) >= 2
+            )
+            SELECT part_a, part_b, pair_count,
+                   ROUND(ln((n.total * pair_count)::DOUBLE
+                            / (ma.c * mb.c)::DOUBLE), 6) AS pmi
+            FROM pairs
+            JOIN marg ma ON ma.p = part_a
+            JOIN marg mb ON mb.p = part_b
+            CROSS JOIN n
         """,
         # COUNT(*) pair counts and degree sums are BIGINT already; the one
         # division is a single DOUBLE op (deterministic on both engines).

@@ -284,6 +284,45 @@ def test_neighborhood_similarity_hub_cap_and_exclusion(spark):
         neighborhood_similarity(df, max_degree=0)
 
 
+def test_cooccurrence_pmi(spark):
+    import math
+
+    from nebula_importer_spark.operators.graph import cooccurrence_pmi
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g3", 1), ("g3", 4), ("g3", 4),  # dup item collapses
+        ("g4", 5),
+    ]
+    df = spark.createDataFrame(rows, "grp string, item int")
+    got = {(r.src, r.dst): (r.pair_count, r.pmi)
+           for r in cooccurrence_pmi(df, group_col="grp", item_col="item").collect()}
+    # independent reference: N=4 groups; c1=3 c2=2 c3=1 c4=1 c5=1
+    want = {
+        (1, 2): (2, math.log(4 * 2 / (3 * 2))),
+        (1, 3): (1, math.log(4 * 1 / (3 * 1))),
+        (2, 3): (1, math.log(4 * 1 / (2 * 1))),
+        (1, 4): (1, math.log(4 * 1 / (3 * 1))),
+    }
+    assert got.keys() == want.keys()
+    for k, (c, p) in want.items():
+        assert got[k][0] == c and abs(got[k][1] - p) < 1e-12, k
+    # min_pair_count filter
+    filtered = cooccurrence_pmi(
+        df, group_col="grp", item_col="item", min_pair_count=2
+    ).collect()
+    assert {(r.src, r.dst) for r in filtered} == {(1, 2)}
+    # mega-group guard: with cap 2, g1 drops; marginals/N recompute over
+    # the capped universe (N=3: g2,g3,g4)
+    capped = {(r.src, r.dst): (r.pair_count, r.pmi) for r in cooccurrence_pmi(
+        df, group_col="grp", item_col="item", max_group_size=2).collect()}
+    assert capped.keys() == {(1, 2), (1, 4)}
+    assert abs(capped[(1, 2)][1] - math.log(3 * 1 / (2 * 1))) < 1e-12
+    with pytest.raises(ValueError):
+        cooccurrence_pmi(df, group_col="grp", item_col="item", max_group_size=1)
+
+
 def test_cooccurrence_edges(spark):
     from nebula_importer_spark.operators.graph import cooccurrence_edges
 
