@@ -1226,6 +1226,75 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HITS over the DIRECTED customer→supplier purchase
+    graph (hub = buys from good suppliers, authority = bought from by
+    good customers — the two roles PageRank's symmetrized variant
+    conflates). Same scaled-long/floor-div contract that makes iterative
+    algorithms driver-gateable; oracle = the power iteration unrolled
+    CTE-per-half-step with the same integer renormalization."""
+    from nebula_importer_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(cs, iterations=3).select("node", "auth_scaled", "hub_scaled")
+
+
+def _hits_sql(iterations: int = 3) -> str:
+    """DuckDB twin of q_graph_hits: the integer power iteration unrolled
+    (two half-steps per iteration, each with its L1-renormalization
+    total). Every unrolled CTE is MATERIALIZED — ra/a/rh/h are each
+    referenced twice, so default inlining grows the tree 4^iterations.
+    SUMs are HUGEINT internally; the BIGINT cast happens per half-step
+    exactly where the Spark side is a long."""
+    scale = 10**12
+    ctes = [
+        """cs AS MATERIALIZED (
+            SELECT DISTINCT 'c_' || o_custkey AS src, 's_' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        n AS MATERIALIZED (SELECT src AS node FROM cs UNION SELECT dst FROM cs),
+        prm AS (SELECT CAST(%d AS BIGINT) // COUNT(*) AS i0 FROM n),
+        a0 AS (SELECT node, (SELECT i0 FROM prm) AS v FROM n),
+        h0 AS (SELECT node, (SELECT i0 FROM prm) AS v FROM n)""" % scale
+    ]
+    for k in range(1, iterations + 1):
+        for raw_cte, q_cte, out_cte, prev, from_col, to_col in (
+            (f"ra{k}", f"qa{k}", f"a{k}", f"h{k - 1}", "src", "dst"),
+            (f"rh{k}", f"qh{k}", f"h{k}", f"a{k}", "dst", "src"),
+        ):
+            ctes.append(
+                f"""{raw_cte} AS MATERIALIZED (
+            SELECT cs.{to_col} AS node, SUM(p.v) AS raw
+            FROM cs JOIN {prev} p ON p.node = cs.{from_col}
+            GROUP BY cs.{to_col}
+        ),
+        {q_cte} AS (SELECT GREATEST(SUM(raw) // {scale}, 1) AS q FROM {raw_cte}),
+        {out_cte} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(COALESCE(r.raw, 0) // (SELECT q FROM {q_cte}) AS BIGINT) AS v
+            FROM n LEFT JOIN {raw_cte} r ON r.node = n.node
+        )"""
+            )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT n.node, a.v AS auth_scaled, h.v AS hub_scaled
+        FROM n
+        JOIN a{iterations} a ON a.node = n.node
+        JOIN h{iterations} h ON h.node = n.node"""
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the co-purchase graph (parts sharing an
     order are adjacent; every-3rd-order sample keeps the gate cheap).
@@ -1851,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gram_novelty": q_stream_gram_novelty,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
+        "graph_hits": q_graph_hits,
         "embedding_bucket_purity": q_embedding_bucket_purity,
         "ann_lsh_topk": q_ann_lsh_topk,
         "asof_click_error_salted": q_asof_click_error_salted,
@@ -2671,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": _kg_triples_sql(),
         "graph_pagerank": _pagerank_sql(4),
+        "graph_hits": _hits_sql(3),
         "graph_kcore": _kcore_sql(4, 12),
         "graph_triangles": """
             WITH li AS (

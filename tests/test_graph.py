@@ -196,6 +196,64 @@ def test_kcore_empty_and_validation(spark):
         )
 
 
+def _py_hits(edges, iterations, scale=PAGERANK_SCALE):
+    """Independent integer-arithmetic HITS reference (dicts, Python ints —
+    arbitrary precision, so it also detects int64 wrap)."""
+    e = sorted(set(edges))
+    nodes = sorted({x for p in e for x in p})
+    init = scale // len(nodes)
+    auth = {n: init for n in nodes}
+    hub = {n: init for n in nodes}
+
+    def half(scores, forward):
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            if forward:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        q = max(sum(raw.values()) // scale, 1)
+        return {n: raw[n] // q for n in nodes}
+
+    for _ in range(iterations):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    return {n: (auth[n], hub[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hits_matches_integer_reference(spark, seed):
+    from nebula_importer_spark.operators.graph import hits
+
+    rng = random.Random(seed)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: (r.auth_scaled, r.hub_scaled)
+           for r in hits(df, iterations=3).collect()}
+    assert got == _py_hits(edges, 3)
+
+
+def test_hits_bipartite_roles(spark):
+    from nebula_importer_spark.operators.graph import hits
+
+    # one-directional bipartite graph: left nodes are pure hubs, right
+    # nodes pure authorities; the better-covered right node wins
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: (r.auth_scaled, r.hub_scaled)
+           for r in hits(df, iterations=2).collect()}
+    assert got == _py_hits(edges, 2)
+    for left in (1, 2, 3):
+        assert got[left][0] == 0  # no in-edges → zero authority
+    for right in (10, 11):
+        assert got[right][1] == 0  # no out-edges → zero hub
+    assert got[10][0] > got[11][0]  # 3 hubs point at 10, 1 at 11
+    with pytest.raises(ValueError):
+        hits(df, iterations=0)
+
+
 def _py_neighborhood_similarity(edges, min_common=1, max_degree=None,
                                 exclude_existing=False):
     """Independent pure-Python reference (sets, no Spark)."""
