@@ -849,6 +849,15 @@ def q_stream_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_novelty(spark, f"{work}/out")
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training statistic: corpus-weighted adjacent character
+    pair counts. The corpus is read once (word frequency table); pair
+    enumeration runs over the vocabulary only."""
+    from nebula_importer_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=2)
+
+
 def q_domain_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus report: doc count, token total, vocabulary size,
     type-token ratio (exact distinct at gate scale; approx_count_distinct is
@@ -1918,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under both confs; no driver row only because of the 50-row cap) ---
         "gram_novelty": q_gram_novelty,
         "stream_gram_novelty": q_stream_gram_novelty,
+        "bpe_pairs": q_bpe_pairs,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2761,6 +2771,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # SUM(f) over BIGINT word freqs → HUGEINT: explicit BIGINT cast
+        "bpe_pairs": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+                FROM documents
+            ),
+            freq AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+            ex AS (
+                SELECT substring(w, i, 2) AS pair, f
+                FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM freq)
+            )
+            SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count
+            FROM ex GROUP BY pair HAVING SUM(f) >= 2
         """,
         "graph_pmi": """
             WITH li AS (

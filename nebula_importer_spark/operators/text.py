@@ -309,6 +309,49 @@ def corpus_filter_flags(
     )
 
 
+def bpe_pair_counts(
+    df,
+    text_col: str = "text",
+    min_count: int = 1,
+):
+    """Corpus-wide adjacent-symbol pair counts — the inner statistic of
+    BPE tokenizer training (the pair with the max count is the next
+    merge). One BPE training step at corpus scale is exactly this table.
+
+    Distributed shape — the part that matters at 100 TB: the corpus text
+    is touched ONCE, to build the word frequency table (explode tokens +
+    one partial-agg'd groupBy); pair enumeration then runs over the
+    VOCABULARY (distinct words — millions of rows, not terabytes),
+    weighting each word's pairs by its corpus frequency. This is the same
+    vocabulary-first factorization real BPE trainers use, and it means
+    adding merge rounds later re-reads the small side only. Pairs are
+    character pairs within tokens (``NOT_WS``-run tokenization, same
+    class as every other operator here); counts include multiplicity
+    within a word ("aaa" contributes "aa" twice per occurrence).
+
+    Returns ``(pair, pair_count)`` with ``pair_count >= min_count``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.explode(F.regexp_extract_all(c, F.lit(NOT_WS + "+"), F.lit(0))).alias("_w")
+    )
+    freq = toks.groupBy("_w").agg(F.count("*").alias("_f"))
+    chars = F.split(F.col("_w"), "")
+    shifted = F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(chars, shifted, lambda x, y: F.concat(x, y)),
+        lambda p: p.isNotNull() & (F.length(p) == 2),
+    )
+    out = (
+        freq.select("_f", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("_f").alias("pair_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("pair_count") >= min_count)
+    return out
+
+
 def fingerprint(col, shingle_n: int = 8) -> Column:
     """Rolling document fingerprint: min MD5 digest over all char n-gram
     shingles (n=8). Equal texts → equal fingerprints; near-equal texts

@@ -308,6 +308,32 @@ def test_text_ops(spark, docs):
     assert rows[1]["fp"] != rows[5]["fp"]
 
 
+def test_bpe_pair_counts(spark):
+    from nebula_importer_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "aaa"), (3, "x"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df).collect()}
+    # "aaa" occurs twice in the corpus, contributing "aa" 2× per occurrence
+    # (within-word multiplicity); "ab" once; "x"/None/"" contribute nothing
+    assert got == {"aa": 4, "ab": 1}
+    filtered = {r["pair"]: r["pair_count"]
+                for r in bpe_pair_counts(df, min_count=2).collect()}
+    assert filtered == {"aa": 4}
+
+
+def test_bpe_pair_counts_corpus_read_once(spark):
+    from nebula_importer_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    plan = bpe_pair_counts(df)._jdf.queryExecution().optimizedPlan().toString()
+    # pair enumeration must run over the vocabulary (post-aggregation),
+    # never re-scan the corpus: exactly one scan of the input relation
+    assert plan.count("LogicalRDD") == 1, plan
+
+
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, n=12)
     feats = extract_features(assets)
