@@ -858,6 +858,17 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=2)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
+    min md5 per sliding window of 4 consecutive word-3-gram hashes — the
+    PARTIAL-overlap dedup signal (any shared passage of >= window+n-1
+    tokens guarantees a shared fingerprint). Candidate pairs downstream
+    are an equi-join on the fingerprint."""
+    from nebula_importer_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), n=3, window=4)
+
+
 def q_domain_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus report: doc count, token total, vocabulary size,
     type-token ratio (exact distinct at gate scale; approx_count_distinct is
@@ -1928,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_novelty": q_gram_novelty,
         "stream_gram_novelty": q_stream_gram_novelty,
         "bpe_pairs": q_bpe_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2771,6 +2783,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # Winnowing: hash the POSITIONAL gram occurrences (duplicates
+        # kept), min per sliding window of 4, whole-doc min for docs with
+        # fewer than 4 grams. md5 hex min is lexicographic — byte-identical
+        # across engines. Parallel unnest zips (pos, hash).
+        "winnow_fingerprints": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> md5(array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' '))
+                       ) AS hs
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(range(1, len(hs) + 1)) AS pos,
+                       unnest(hs) AS h
+                FROM sh WHERE len(hs) > 0
+            ),
+            w AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       MIN(h) OVER (PARTITION BY doc_id) AS allmin
+                FROM ex
+            )
+            SELECT DISTINCT doc_id,
+                   CASE WHEN n < 4 THEN allmin ELSE fp END AS fingerprint
+            FROM w WHERE n < 4 OR pos <= n - 4 + 1
         """,
         # SUM(f) over BIGINT word freqs → HUGEINT: explicit BIGINT cast
         "bpe_pairs": """

@@ -124,6 +124,72 @@ def novelty_stats(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003) —
+    the PARTIAL-overlap detector: from every sliding window of ``window``
+    consecutive word-n-gram hashes, select the minimum; two documents
+    sharing any sufficiently long passage are guaranteed to share a
+    selected fingerprint, which whole-document fingerprints (min over ALL
+    shingles — :func:`nebula_importer_spark.operators.text.fingerprint`)
+    and thresholded pair metrics both miss for small overlaps. Candidate
+    pairs are then an equi-join on the fingerprint — the same
+    content-keyed funnel shape as every LSH family here.
+
+    Hashes are ``md5`` hex strings (engine-reproducible, like the
+    SimHash md5 twin); the min is lexicographic, byte-identical across
+    engines on hex. Gram OCCURRENCES keep positions (duplicates matter —
+    winnowing is positional). Documents with fewer grams than the window
+    contribute their single overall min; documents with no grams are
+    absent. Plan shape: one explode + ONE exchange on the doc id (both
+    window passes share the partition key; the short-doc fallback is a
+    conditional projection, not a union — a union would duplicate the
+    whole scan+window subtree); the trailing distinct on
+    (doc, fingerprint) reuses the doc-id partitioning (hashpartitioning
+    on a key subset satisfies the aggregate's ClusteredDistribution), so
+    no second exchange. Selected density is ~2/(window+1) of grams.
+
+    Returns ``(id_col, fingerprint)`` distinct rows.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql.window import Window as W
+
+    from nebula_importer_spark.operators.text import _word_ngrams_all
+
+    df = spread_small_input(df)
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), n)
+        ).alias("_pos", "_g"),
+    ).select("_id", "_pos", F.md5(F.col("_g").cast("binary")).alias("_h"))
+    part = W.partitionBy("_id")
+    frame = part.orderBy("_pos").rowsBetween(0, window - 1)
+    scored = g.select(
+        "_id",
+        "_pos",
+        F.count("*").over(part).alias("_n"),
+        F.min("_h").over(frame).alias("_fp"),
+        F.min("_h").over(part).alias("_all"),
+    )
+    short = F.col("_n") < window
+    return (
+        scored.filter(short | (F.col("_pos") <= F.col("_n") - window))
+        .select(
+            "_id",
+            F.when(short, F.col("_all")).otherwise(F.col("_fp")).alias("fingerprint"),
+        )
+        .distinct()
+        .select(F.col("_id").alias(id_col), "fingerprint")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

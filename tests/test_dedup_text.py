@@ -11,6 +11,7 @@ from nebula_importer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_pairs,
+    winnow_fingerprints,
 )
 from nebula_importer_spark.operators.multimodal import (
     extract_features,
@@ -94,6 +95,95 @@ def test_gram_novelty_shuffles_hash_not_gram(spark, docs):
     # strings themselves must never travel as exchange keys
     assert all("_g#" not in ln for ln in exchanges), exchanges
     assert "xxhash64" in plan, plan
+
+
+def _winnow_ref(docs, n=3, window=4):
+    import hashlib
+
+    out = set()
+    for did, text in docs:
+        toks = (text or "").split()
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+            for i in range(len(toks) - n + 1)
+        ]
+        if not hs:
+            continue
+        if len(hs) < window:
+            out.add((did, min(hs)))
+        else:
+            for i in range(len(hs) - window + 1):
+                out.add((did, min(hs[i : i + window])))
+    return out
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(L)))
+        for i, L in enumerate(
+            rng.choice([0, 1, 2, 3, 5, 8, 20, 40]) for _ in range(60)
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(df, n=3, window=4).collect()
+    }
+    assert got == _winnow_ref(rows)
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    # the winnowing guarantee: ANY shared passage of >= window+n-1 tokens
+    # forces a shared fingerprint — even when whole-document similarity is
+    # tiny (here the two docs differ everywhere outside the passage)
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "aa bb cc " + passage + " dd ee"),
+        (2, "zz yy xx ww vv uu tt ss " + passage),
+        (3, "totally unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, n=3, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]
+    assert not (fps[3] & (fps[1] | fps[2]))
+
+
+def test_winnow_short_and_empty_docs(spark):
+    rows = [(1, "a b c d"), (2, "a b"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(df, n=3, window=4).collect()
+    }
+    # doc 1: 2 grams < window → single whole-doc min; doc 2: no 3-grams;
+    # docs 3/4: empty/NULL → absent
+    assert got == _winnow_ref(rows)
+    assert {d for d, _ in got} == {1}
+
+
+def test_winnow_single_exchange_plan(spark, docs):
+    # one exchange on the doc id only: both window passes share the
+    # partition key, the short-doc fallback is a conditional projection
+    # (not a union that would duplicate the subtree), and the trailing
+    # distinct reuses the doc-id partitioning (key-subset satisfaction)
+    plan = (
+        winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+
+
+def test_winnow_validates_window(spark, docs):
+    with pytest.raises(ValueError, match="window"):
+        winnow_fingerprints(docs, window=0)
 
 
 def test_ngram_jaccard_pairs(spark, docs):
