@@ -858,6 +858,20 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=2)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: an add-one-smoothed bigram LM
+    trained on the even-doc_id half of the corpus scores the odd half's
+    per-token cross-entropy. Per-bigram log terms are floored to integer
+    micro-nats so the per-doc sum is exact-integer (accumulation-order-proof
+    — a float sum of logs would be partition-order-dependent)."""
+    from nebula_importer_spark.operators.text import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
     min md5 per sliding window of 4 consecutive word-3-gram hashes — the
@@ -1940,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gram_novelty": q_stream_gram_novelty,
         "bpe_pairs": q_bpe_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "lm_perplexity": q_lm_perplexity,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2783,6 +2798,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # Bigram-LM perplexity: joins on RAW grams/words where Spark keys
+        # on xxhash64 (collisions surface as gate diffs, not mirrored).
+        # Per-term FLOOR(LN(p)*1e6) → BIGINT makes the per-doc SUM exact
+        # integer — accumulation-order-proof across engines; the final
+        # division and EXP are one deterministic libm call per output row
+        # (graph_pmi precedent). SUM(BIGINT) is HUGEINT but only appears
+        # inside a ::DOUBLE expression, never projected.
+        "lm_perplexity": """
+            WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+            tt AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM tr),
+            uni AS (SELECT w, COUNT(*) AS cu FROM tt GROUP BY w),
+            v AS (SELECT COUNT(DISTINCT w) AS v FROM tt),
+            bi AS (
+                SELECT unnest(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 1], ' ')
+                       )) AS g
+                FROM tr
+            ),
+            bic AS (SELECT g, COUNT(*) AS cb FROM bi GROUP BY g),
+            sb AS (
+                SELECT doc_id, unnest(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 1], ' ')
+                       )) AS g
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            terms AS (
+                SELECT sb.doc_id,
+                       CAST(FLOOR(LN((COALESCE(cb, 0) + 1)::DOUBLE
+                                     / (COALESCE(cu, 0) + v.v + 1)) * 1000000)
+                            AS BIGINT) AS micro
+                FROM sb
+                LEFT JOIN bic USING (g)
+                LEFT JOIN uni ON uni.w = split_part(sb.g, ' ', 1)
+                CROSS JOIN v
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(-(SUM(micro)::DOUBLE) / (1000000.0 * COUNT(*)), 6)
+                       AS cross_entropy,
+                   ROUND(EXP(-(SUM(micro)::DOUBLE) / (1000000.0 * COUNT(*))), 6)
+                       AS perplexity
+            FROM terms GROUP BY doc_id
         """,
         # Winnowing: hash the POSITIONAL gram occurrences (duplicates
         # kept), min per sliding window of 4, whole-doc min for docs with

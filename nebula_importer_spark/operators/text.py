@@ -352,6 +352,100 @@ def bpe_pair_counts(
     return out
 
 
+def bigram_lm_score(
+    score_df,
+    train_df=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    precision: int = 1_000_000,
+):
+    """Bigram language-model perplexity scoring — the CCNet-style quality
+    filter (Wenzek et al. 2020): train add-one-smoothed bigram counts on a
+    reference corpus, score each document's per-token cross-entropy; high
+    perplexity = off-distribution text, the classic pretraining-data
+    quality signal. ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V + 1)`` with
+    ``V`` the train vocabulary size and plain-unigram denominators (the
+    standard approximation); unseen bigrams/contexts degrade smoothly to
+    the additive floor.
+
+    Partition-order-proof by construction (same ethos as the
+    exact-integer PageRank/HITS): a float SUM of per-bigram logs would be
+    accumulation-order-dependent and could hash-diverge from the oracle,
+    so each term is floored to integer micro-nats
+    (``floor(ln(p) * precision)``) and the per-doc SUM runs over exact
+    integers; the final cross-entropy is a single deterministic division
+    and ``exp`` (one libm call per output row, the ``graph_pmi``
+    precedent).
+
+    Distributed shape: train-side unigram/bigram counts shuffle only as
+    ``xxhash64`` keys (token strings never travel as exchange keys —
+    a realized collision would surface as a gate diff against the
+    raw-string oracle, not be mirrored); the vocabulary size is a 1-row
+    broadcast; scoring is two equi-joins on 64-bit keys; the per-doc
+    reduce is a partial-agg'd groupBy on the doc id. At 100 TB the count
+    tables are vocabulary-sized (Zipf-bounded), not corpus-sized, and
+    AQE picks broadcast when they fit.
+
+    Documents with fewer than 2 tokens have no bigrams and are absent.
+    Returns ``(id_col, n_bigrams, cross_entropy, perplexity)`` with the
+    floats rounded to 6 places.
+    """
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    if train_df is None:
+        train_df = score_df
+    tc = F.coalesce(F.col(text_col), F.lit(""))
+    train_df = spread_small_input(train_df)
+    ttoks = train_df.select(F.explode(_word_ngrams_all(tc, 1)).alias("_w"))
+    uni = ttoks.groupBy(F.xxhash64("_w").alias("_k1")).agg(
+        F.count("*").alias("_cu")
+    )
+    vocab = ttoks.agg(F.count_distinct(F.xxhash64("_w")).alias("_v"))
+    bi = (
+        train_df.select(F.explode(_word_ngrams_all(tc, 2)).alias("_g"))
+        .groupBy(F.xxhash64("_g").alias("_k2"))
+        .agg(F.count("*").alias("_cb"))
+    )
+    sb = spread_small_input(score_df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_ngrams_all(tc, 2)).alias("_g"),
+    )
+    terms = (
+        sb.select(
+            "_id",
+            F.xxhash64("_g").alias("_k2"),
+            F.xxhash64(F.substring_index("_g", " ", 1)).alias("_k1"),
+        )
+        .join(bi, "_k2", "left")
+        .join(uni, "_k1", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("_cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("_cu"), F.lit(0)) + F.col("_v") + 1)
+                )
+                * precision
+            )
+            .cast("long")
+            .alias("_micro"),
+        )
+    )
+    per_doc = terms.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("_micro").alias("_s")
+    )
+    ce = -F.col("_s").cast("double") / (
+        F.lit(float(precision)) * F.col("n_bigrams")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
+
+
 def fingerprint(col, shingle_n: int = 8) -> Column:
     """Rolling document fingerprint: min MD5 digest over all char n-gram
     shingles (n=8). Equal texts → equal fingerprints; near-equal texts

@@ -424,6 +424,99 @@ def test_bpe_pair_counts_corpus_read_once(spark):
     assert plan.count("LogicalRDD") == 1, plan
 
 
+def _lm_ref(score, train, precision=1_000_000):
+    import math
+    from collections import Counter
+
+    uw, bw = Counter(), Counter()
+    for _, t in train:
+        toks = (t or "").split()
+        uw.update(toks)
+        bw.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    v = len(uw)
+    out = {}
+    for did, t in score:
+        toks = (t or "").split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            continue
+        s = sum(
+            math.floor(
+                math.log(
+                    (bw.get(g, 0) + 1) / (uw.get(g.split(" ")[0], 0) + v + 1)
+                )
+                * precision
+            )
+            for g in grams
+        )
+        ce = -s / (precision * len(grams))
+        out[did] = (len(grams), round(ce, 6), round(math.exp(ce), 6))
+    return out
+
+
+def test_bigram_lm_score_matches_reference(spark):
+    import random
+
+    from nebula_importer_spark.operators.text import bigram_lm_score
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda L: " ".join(rng.choice(vocab) for _ in range(L))  # noqa: E731
+    train = [(i, mk(rng.choice([0, 1, 5, 30, 60]))) for i in range(50)]
+    score = [(i, mk(rng.choice([0, 1, 2, 8, 40]))) for i in range(40)]
+    # entirely-unseen tokens exercise the additive smoothing floor
+    score.append((99, "unseen tokens entirely outside the training set"))
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in bigram_lm_score(sdf, tdf).collect()
+    }
+    assert got == _lm_ref(score, train)
+    # self-trained mode (train_df defaults to score_df)
+    got_self = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in bigram_lm_score(sdf).collect()
+    }
+    assert got_self == _lm_ref(score, score)
+
+
+def test_bigram_lm_score_ranks_quality(spark):
+    from nebula_importer_spark.operators.text import bigram_lm_score
+
+    train = [(i, "the cat sat on the mat and the dog ran") for i in range(5)]
+    score = [
+        (1, "the cat sat on the mat"),  # in-distribution
+        (2, "zzz qqq vvv kkk jjj www"),  # gibberish
+    ]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    ppl = {r["doc_id"]: r["perplexity"] for r in bigram_lm_score(sdf, tdf).collect()}
+    assert ppl[2] > 3 * ppl[1]
+
+
+def test_bigram_lm_score_shuffles_hash_not_token(spark):
+    from nebula_importer_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bigram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, plan
+    # every exchange keys on the xxhash64 of the token/gram (directly, via
+    # its _k1/_k2 alias, or Catalyst-folded into _groupingexpression#N —
+    # all fixed-width longs) or on the doc id; the token/gram STRING
+    # columns themselves must never travel as exchange keys (outside an
+    # xxhash64(...) argument list, which reduces them to a long)
+    import re
+
+    for ln in exchanges:
+        bare = re.sub(r"xxhash64\([^)]*\)", "HASH", ln)
+        assert "_w#" not in bare and "_g#" not in bare, ln
+    assert "xxhash64" in plan, plan
+
+
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, n=12)
     feats = extract_features(assets)
