@@ -858,6 +858,62 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=2)
 
 
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style 2-hop rule mining over a typed TPC-H knowledge graph
+    (customers/suppliers in nations, nations in regions, customers placing
+    orders containing parts, plus derived in_region and urgent-only bought
+    edges): for each predicate path p1∘p2 and head p3, support / body-pair
+    count / CWA confidence. The derived edges make the mined confidences
+    land strictly inside (0,1): in_nation∘in_region ⇒ in_region holds for
+    customers but not suppliers; placed∘contains ⇒ bought holds only for
+    urgent orders."""
+    from nebula_importer_spark.operators.graph import rule_mining
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def tr(df, s_pfx, s_col, pred, o_pfx, o_col):
+        return df.select(
+            F.concat(F.lit(s_pfx), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_pfx), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    tri = (
+        tr(c, "c:", "c_custkey", "in_nation", "n:", "c_nationkey")
+        .unionByName(tr(s, "s:", "s_suppkey", "in_nation", "n:", "s_nationkey"))
+        .unionByName(tr(n, "n:", "n_nationkey", "in_region", "r:", "n_regionkey"))
+        .unionByName(
+            tr(
+                c.join(n, c["c_nationkey"] == n["n_nationkey"]),
+                "c:", "c_custkey", "in_region", "r:", "n_regionkey",
+            )
+        )
+        .unionByName(tr(o, "c:", "o_custkey", "placed", "o:", "o_orderkey"))
+        .unionByName(tr(li, "o:", "l_orderkey", "contains", "p:", "l_partkey"))
+        .unionByName(
+            tr(
+                o.filter(F.col("o_orderpriority") == "1-URGENT").join(
+                    li, o["o_orderkey"] == li["l_orderkey"]
+                ),
+                "c:", "o_custkey", "bought", "p:", "l_partkey",
+            )
+        )
+    )
+    out = rule_mining(tri)
+    return out.select(
+        "body_pred1",
+        "body_pred2",
+        "head_pred",
+        "support",
+        "body_count",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: an add-one-smoothed bigram LM
     trained on the even-doc_id half of the corpus scores the odd half's
@@ -1955,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lm_perplexity": q_lm_perplexity,
+        "kg_rules": q_kg_rules,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2798,6 +2855,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # AMIE-style rule mining over the typed TPC-H KG; DISTINCT path
+        # universe, distinct-based support (parallel edges never inflate).
+        "kg_rules": """
+            WITH tri AS (
+                SELECT 'c:' || c_custkey AS s, 'in_nation' AS p,
+                       'n:' || c_nationkey AS o FROM customer
+                UNION ALL
+                SELECT 's:' || s_suppkey, 'in_nation', 'n:' || s_nationkey
+                FROM supplier
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+                FROM nation
+                UNION ALL
+                SELECT 'c:' || c_custkey, 'in_region', 'r:' || n_regionkey
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'c:' || o_custkey, 'placed', 'o:' || o_orderkey
+                FROM orders
+                UNION ALL
+                SELECT 'o:' || l_orderkey, 'contains', 'p:' || l_partkey
+                FROM lineitem
+                UNION ALL
+                SELECT 'c:' || o_custkey, 'bought', 'p:' || l_partkey
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderpriority = '1-URGENT'
+            ),
+            t AS (SELECT DISTINCT s, p, o FROM tri),
+            paths AS (
+                SELECT DISTINCT a.s, a.p AS body_pred1, b.p AS body_pred2, b.o
+                FROM t a JOIN t b ON a.o = b.s
+            ),
+            body AS (
+                SELECT body_pred1, body_pred2, COUNT(*) AS body_count
+                FROM paths GROUP BY body_pred1, body_pred2
+            ),
+            sup AS (
+                SELECT body_pred1, body_pred2, h.p AS head_pred,
+                       COUNT(*) AS support
+                FROM paths JOIN t h ON h.s = paths.s AND h.o = paths.o
+                GROUP BY body_pred1, body_pred2, h.p
+            )
+            SELECT body_pred1, body_pred2, head_pred, support, body_count,
+                   ROUND(support::DOUBLE / body_count, 6) AS confidence
+            FROM sup JOIN body USING (body_pred1, body_pred2)
         """,
         # Bigram-LM perplexity: joins on RAW grams/words where Spark keys
         # on xxhash64 (collisions surface as gate diffs, not mirrored).

@@ -401,3 +401,118 @@ def test_cooccurrence_edges(spark):
     assert capped == {(3, 4)}
     with pytest.raises(ValueError):
         cooccurrence_edges(df, group_col="grp", item_col="item", max_group_size=1)
+
+
+def _py_rule_mining(triples, min_body=1, cap=None):
+    from collections import Counter
+
+    t = set(triples)
+    ind, outd = Counter(), Counter()
+    for s, p, o in t:
+        outd[s] += 1
+        ind[o] += 1
+    paths = {
+        (s, p1, p2, o2)
+        for s, p1, m in t
+        for m2, p2, o2 in t
+        if m == m2 and (cap is None or ind[m] * outd[m] <= cap)
+    }
+    body = Counter((p1, p2) for _, p1, p2, _ in paths)
+    sup = Counter(
+        (p1, p2, p3)
+        for s, p1, p2, o in paths
+        for s3, p3, o3 in t
+        if s3 == s and o3 == o
+    )
+    return {
+        (p1, p2, p3): (c, body[(p1, p2)], c / body[(p1, p2)])
+        for (p1, p2, p3), c in sup.items()
+        if body[(p1, p2)] >= min_body
+    }
+
+
+def test_rule_mining_hand_case(spark):
+    from nebula_importer_spark.operators.graph import rule_mining
+
+    tri = [
+        ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),   # p∘q ⇒ r holds
+        ("d", "p", "e"), ("e", "q", "f"),                     # p∘q path, no head
+        ("a", "p", "b"),                                      # duplicate edge
+    ]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    got = {
+        (r.body_pred1, r.body_pred2, r.head_pred): (
+            r.support, r.body_count, r.confidence
+        )
+        for r in rule_mining(df).collect()
+    }
+    # body p∘q has 2 (s,o) pairs {(a,c),(d,f)}; only (a,c) holds head r
+    assert got == {("p", "q", "r"): (1, 2, 0.5)}
+
+
+def test_rule_mining_matches_reference(spark):
+    from nebula_importer_spark.operators.graph import rule_mining
+
+    rng = random.Random(23)
+    nodes = [f"e{i}" for i in range(25)]
+    preds = ["p", "q", "r", "s"]
+    tri = [
+        (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+        for _ in range(220)
+    ]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    got = {
+        (r.body_pred1, r.body_pred2, r.head_pred): (
+            r.support, r.body_count, round(r.confidence, 9)
+        )
+        for r in rule_mining(df).collect()
+    }
+    want = {
+        k: (c, b, round(conf, 9))
+        for k, (c, b, conf) in _py_rule_mining(tri).items()
+    }
+    assert got == want
+    # capped run matches the capped reference
+    got_cap = {
+        (r.body_pred1, r.body_pred2, r.head_pred): (
+            r.support, r.body_count, round(r.confidence, 9)
+        )
+        for r in rule_mining(df, max_mid_degree=12).collect()
+    }
+    want_cap = {
+        k: (c, b, round(conf, 9))
+        for k, (c, b, conf) in _py_rule_mining(tri, cap=12).items()
+    }
+    assert got_cap == want_cap
+    assert got != got_cap  # the cap actually bites on this graph
+
+
+def test_rule_mining_hub_guard_and_validation(spark):
+    from nebula_importer_spark.operators.graph import rule_mining
+
+    # hub m: 3 in × 3 out = 9 paths; side chain x->y->z stays
+    tri = (
+        [(f"a{i}", "p", "m") for i in range(3)]
+        + [("m", "q", f"b{i}") for i in range(3)]
+        + [("x", "p", "y"), ("y", "q", "z")]
+    )
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    # no head edges anywhere → no rules, regardless of the cap
+    assert rule_mining(df).count() == 0
+    assert rule_mining(df, max_mid_degree=8).count() == 0
+    # add a head edge over a hub path and one over the side chain: the cap
+    # drops the hub-path rule but keeps the side-chain one
+    tri2 = tri + [("a0", "r", "b0"), ("x", "r", "z")]
+    df2 = spark.createDataFrame(tri2, "subj string, pred string, obj string")
+    full = {
+        (r.body_pred1, r.body_pred2, r.head_pred): (r.support, r.body_count)
+        for r in rule_mining(df2).collect()
+    }
+    assert full[("p", "q", "r")] == (2, 10)  # 9 hub paths + 1 chain path
+    capped = {
+        (r.body_pred1, r.body_pred2, r.head_pred): (r.support, r.body_count)
+        for r in rule_mining(df2, max_mid_degree=8).collect()
+    }
+    assert capped[("p", "q", "r")] == (1, 1)  # hub dropped, chain kept
+    with pytest.raises(ValueError, match="max_mid_degree"):
+        rule_mining(df, max_mid_degree=0)
