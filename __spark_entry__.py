@@ -914,6 +914,36 @@ def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling (TransE-style) over the customer/supplier/
+    nation membership KG: k=2 deterministic corrupt-tail twins per triple,
+    identity and accidental-positive corruptions dropped. The md5-pick and
+    the md5-ordered dense entity index make the sample engine-reproducible."""
+    from nebula_importer_spark.operators.graph import negative_samples
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def tr(df, s_pfx, s_col, pred, o_pfx, o_col):
+        return df.select(
+            F.concat(F.lit(s_pfx), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_pfx), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    tri = (
+        tr(c, "c:", "c_custkey", "in_nation", "n:", "c_nationkey")
+        .unionByName(tr(s, "s:", "s_suppkey", "in_nation", "n:", "s_nationkey"))
+        .unionByName(tr(n, "n:", "n_nationkey", "in_region", "r:", "n_regionkey"))
+    )
+    out = negative_samples(tri, k=2)
+    return out.select(
+        "subj", "pred", "obj", "neg",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: an add-one-smoothed bigram LM
     trained on the even-doc_id half of the corpus scores the odd half's
@@ -1125,6 +1155,61 @@ def q_embedding_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_bucket_purity(
         _t(spark, sf_dir, "embeddings"), n_planes=12, n_bands=4, dim=64
     )
+
+
+def _kg_negatives_sql(k: int = 2, seed: str = "neg") -> str:
+    """DuckDB twin of q_kg_negatives: the dense entity index is a plain
+    ROW_NUMBER over (md5(e), e) — the Spark side's two-level bucketed
+    construction must reproduce exactly this global order — and the pick
+    parses the first 8 hex chars of md5(s ␟ p ␟ o ␟ seed ␟ j) with strpos
+    arithmetic (the SimHash md5_32 precedent), mod |entities|."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        WITH tri AS (
+            SELECT 'c:' || c_custkey AS s, 'in_nation' AS p,
+                   'n:' || c_nationkey AS o FROM customer
+            UNION ALL
+            SELECT 's:' || s_suppkey, 'in_nation', 'n:' || s_nationkey
+            FROM supplier
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+            FROM nation
+        ),
+        t AS (SELECT DISTINCT s, p, o FROM tri),
+        ents AS (
+            SELECT DISTINCT e FROM (
+                SELECT s AS e FROM t UNION ALL SELECT o FROM t
+            )
+        ),
+        idx AS (
+            SELECT e, ROW_NUMBER() OVER (ORDER BY md5(e), e) - 1 AS i
+            FROM ents
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM ents),
+        cand AS (
+            SELECT s, p, o, j AS sample_idx, ({hexval}) % nn.n AS pick
+            FROM (
+                SELECT s, p, o, j,
+                       md5(s || chr(31) || p || chr(31) || o || chr(31)
+                           || '{seed}' || chr(31) || CAST(j AS VARCHAR)) AS m
+                FROM t, (SELECT unnest(range({k})) AS j)
+            )
+            CROSS JOIN nn
+        ),
+        neg AS (
+            SELECT c.s, c.p, c.o, c.sample_idx, idx.e AS neg
+            FROM cand c JOIN idx ON idx.i = c.pick
+        )
+        SELECT g.s AS subj, g.p AS pred, g.o AS obj, g.neg, g.sample_idx
+        FROM neg g
+        WHERE g.neg <> g.o
+          AND NOT EXISTS (
+            SELECT 1 FROM t WHERE t.s = g.s AND t.p = g.p AND t.o = g.neg
+          )
+    """
 
 
 def _bucket_purity_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int = 42) -> str:
@@ -2012,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "lm_perplexity": q_lm_perplexity,
         "kg_rules": q_kg_rules,
+        "kg_negatives": q_kg_negatives,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2856,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
         """,
+        "kg_negatives": _kg_negatives_sql(),
         # AMIE-style rule mining over the typed TPC-H KG; DISTINCT path
         # universe, distinct-based support (parallel edges never inflate).
         "kg_rules": """

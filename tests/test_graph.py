@@ -516,3 +516,90 @@ def test_rule_mining_hub_guard_and_validation(spark):
     assert capped[("p", "q", "r")] == (1, 1)  # hub dropped, chain kept
     with pytest.raises(ValueError, match="max_mid_degree"):
         rule_mining(df, max_mid_degree=0)
+
+
+def _py_negative_samples(triples, k=2, seed="neg", corrupt="obj"):
+    import hashlib
+
+    sep = "\x1f"
+    t = set(triples)
+    ents = sorted(
+        {s for s, _, _ in t} | {o for _, _, o in t},
+        key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e),
+    )
+    out = set()
+    for s, p, o in t:
+        for j in range(k):
+            src = sep.join([s, p, o, seed, str(j)])
+            pick = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % len(ents)
+            e = ents[pick]
+            if corrupt == "obj" and (e == o or (s, p, e) in t):
+                continue
+            if corrupt == "subj" and (e == s or (e, p, o) in t):
+                continue
+            out.add((s, p, o, e, j))
+    return out
+
+
+def test_negative_samples_matches_reference(spark):
+    from nebula_importer_spark.operators.graph import negative_samples
+
+    rng = random.Random(5)
+    nodes = [f"e{i}" for i in range(30)]
+    preds = ["p", "q", "r"]
+    tri = [
+        (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    for corrupt in ("obj", "subj"):
+        got = {
+            (r.subj, r.pred, r.obj, r.neg, r.sample_idx)
+            for r in negative_samples(df, k=2, corrupt=corrupt).collect()
+        }
+        assert got == _py_negative_samples(tri, corrupt=corrupt), corrupt
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    # the dense md5-order index must be identical under any input layout —
+    # the whole point of the two-level construction
+    from nebula_importer_spark.operators.graph import negative_samples
+
+    rng = random.Random(9)
+    tri = [
+        (f"s{rng.randrange(20)}", "p", f"o{rng.randrange(20)}")
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    base = {
+        tuple(r) for r in negative_samples(df, k=3, n_buckets=16).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in negative_samples(df.repartition(13), k=3, n_buckets=64).collect()
+    }
+    assert base == shuffled and base
+
+
+def test_negative_samples_filters_positives_and_identity(spark):
+    from nebula_importer_spark.operators.graph import negative_samples
+
+    # dense graph: every (s, p, o) pair over 3×3 entities exists, so every
+    # corruption is an accidental positive (or identity) → empty output
+    tri = [(s, "p", o) for s in ("a", "b", "c") for o in ("a", "b", "c")]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    assert negative_samples(df, k=4).count() == 0
+
+
+def test_negative_samples_validation(spark):
+    from nebula_importer_spark.operators.graph import negative_samples
+
+    df = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(df, k=0)
+    with pytest.raises(ValueError, match="corrupt"):
+        negative_samples(df, corrupt="pred")
+    with pytest.raises(ValueError, match="n_buckets"):
+        negative_samples(df, n_buckets=7)
