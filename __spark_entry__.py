@@ -944,6 +944,19 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split over documents: the split key is
+    the exact-duplicate group (md5 of text), so duplicate documents can
+    never straddle splits — the contamination-safe assignment. Map-only:
+    zero shuffles at any scale."""
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "dup_group", F.md5(F.col("text").cast("binary"))
+    )
+    return grouped_split(d, group_col="dup_group")
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: an add-one-smoothed bigram LM
     trained on the even-doc_id half of the corpus scores the odd half's
@@ -2098,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "kg_rules": q_kg_rules,
         "kg_negatives": q_kg_negatives,
+        "grouped_split": q_grouped_split,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2943,6 +2957,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "kg_negatives": _kg_negatives_sql(),
+        # Leakage-safe split: thresholds are hash_threshold(0.9/0.95)
+        # literals (floor(c·16⁸)/16⁸ hex — plan constants, exact in any
+        # engine); comparison is lexicographic on the 32-hex md5.
+        "grouped_split": """
+            SELECT doc_id, md5(text) AS split_group,
+                   CASE
+                     WHEN md5('split' || md5(text))
+                          < 'e6666666000000000000000000000000' THEN 'train'
+                     WHEN md5('split' || md5(text))
+                          < 'f3333333000000000000000000000000' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
         # AMIE-style rule mining over the typed TPC-H KG; DISTINCT path
         # universe, distinct-based support (parallel edges never inflate).
         "kg_rules": """

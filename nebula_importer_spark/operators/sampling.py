@@ -210,3 +210,72 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_key", "_bkt", "_cum_local", "_dom_off", "_bkt_off", "_off")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    groups: DataFrame | None = None,
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the SPLIT KEY is the
+    group, not the document, so every member of a duplicate cluster (or
+    any other correlation group — same source page, same conversation,
+    same near-dup component from ``connected_components``) lands in the
+    same split. Splitting independent rows uniformly is how eval
+    contamination happens — a near-duplicate of a test document in train
+    is an answer key; group-keyed splitting is the standard fix.
+
+    Assignment is a pure expression: ``md5(salt ‖ group)`` compared
+    against cumulative-weight hex thresholds (``hash_threshold``
+    literals — realized proportions are exact at 1/16⁸ granularity,
+    deterministic on any cluster layout or retry, reproducible in any
+    engine with md5). With ``group_col`` the whole operator is MAP-ONLY
+    (zero shuffles at any scale); with a ``groups`` side table it is one
+    equi-join on the id, and ungrouped ids fall back to singleton groups
+    of themselves (absent ids must still be split — silently dropping
+    them would bias the sample).
+
+    Returns ``(id_col, split_group, split)``.
+    """
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError(
+            f"weights/names must align with >= 2 entries, got {weights}/{names}"
+        )
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be >= 0 and sum to 1, got {weights}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"split names must be distinct, got {names}")
+    if (group_col is None) == (groups is None):
+        raise ValueError("pass exactly one of group_col or groups")
+    if group_col is not None:
+        base = df.select(
+            F.col(id_col), F.col(group_col).cast("string").alias("split_group")
+        )
+    else:
+        gcols = [c for c in groups.columns if c != id_col]
+        if len(gcols) != 1:
+            raise ValueError(
+                f"groups must have exactly ({id_col}, <group>) columns, "
+                f"got {groups.columns}"
+            )
+        base = df.select(id_col).join(groups, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(
+                F.col(gcols[0]).cast("string"), F.col(id_col).cast("string")
+            ).alias("split_group"),
+        )
+    key = _md5_key("split_group", salt)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    cases = []
+    for w, nm in zip(weights[:-1], names[:-1]):
+        cum += w
+        cases.append((hash_threshold(cum), nm))
+    for thr, nm in reversed(cases):
+        expr = F.when(key < thr, F.lit(nm)).otherwise(expr)
+    return base.select(id_col, "split_group", expr.alias("split"))

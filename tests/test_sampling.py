@@ -88,3 +88,92 @@ def test_stratified_plan_uses_window_group_limit(spark):
     # rank filter must run map-side BEFORE the one shuffle on the stratum
     assert "WindowGroupLimit" in plan, plan
     assert plan.count(") Exchange") == 1, plan
+
+
+def _py_grouped_split(rows, weights=(0.9, 0.05, 0.05),
+                      names=("train", "val", "test"), salt="split"):
+    import hashlib
+
+    from nebula_importer_spark.operators.sampling import hash_threshold
+
+    thrs = []
+    cum = 0.0
+    for w in weights[:-1]:
+        cum += w
+        thrs.append(hash_threshold(cum))
+    out = {}
+    for did, grp in rows:
+        key = hashlib.md5((salt + str(grp)).encode()).hexdigest()
+        split = names[-1]
+        for thr, nm in zip(thrs, names[:-1]):
+            if key < thr:
+                split = nm
+                break
+        out[did] = (str(grp), split)
+    return out
+
+
+def test_grouped_split_matches_reference_and_no_leakage(spark):
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    rows = [(i, f"g{i % 37}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, dup_group string")
+    got = {
+        r["doc_id"]: (r["split_group"], r["split"])
+        for r in grouped_split(df, group_col="dup_group").collect()
+    }
+    assert got == _py_grouped_split(rows)
+    # leakage property: every member of a group shares one split
+    by_group: dict = {}
+    for _, (g, s) in got.items():
+        by_group.setdefault(g, set()).add(s)
+    assert all(len(v) == 1 for v in by_group.values())
+    # all three splits realized over 37 groups at 0.9/0.05/0.05... not
+    # guaranteed for the tails; assert train dominates instead
+    splits = [s for _, s in got.values()]
+    assert splits.count("train") > len(splits) * 0.6
+
+
+def test_grouped_split_side_table_and_singleton_fallback(spark):
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    # only even ids are grouped; odd ids must fall back to themselves
+    groups = spark.createDataFrame(
+        [(i, f"c{i % 5}") for i in range(0, 50, 2)], "doc_id long, comp string"
+    )
+    out = {
+        r["doc_id"]: (r["split_group"], r["split"])
+        for r in grouped_split(docs, groups=groups).collect()
+    }
+    assert len(out) == 50  # nobody dropped
+    ref_rows = [(i, f"c{i % 5}" if i % 2 == 0 else str(i)) for i in range(50)]
+    assert out == _py_grouped_split(ref_rows)
+
+
+def test_grouped_split_map_only_plan(spark):
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame([(1, "g")], "doc_id long, dup_group string")
+    plan = (
+        grouped_split(df, group_col="dup_group")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan  # pure expression — zero shuffles
+
+
+def test_grouped_split_validation(spark):
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame([(1, "g")], "doc_id long, dup_group string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(df, group_col="dup_group", weights=(0.5, 0.2, 0.2))
+    with pytest.raises(ValueError, match="exactly one"):
+        grouped_split(df)
+    with pytest.raises(ValueError, match="distinct"):
+        grouped_split(
+            df, group_col="dup_group",
+            weights=(0.5, 0.5), names=("train", "train"),
+        )
