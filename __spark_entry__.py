@@ -957,6 +957,19 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_split(d, group_col="dup_group")
 
 
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window burst detection: hourly event counts per type scored
+    against the trailing 24h mean rate (RANGE frame — empty hours count as
+    zero baseline); warm-up rows with <6 nonempty baseline hours dropped."""
+    from nebula_importer_spark.operators.temporal import burst_scores
+
+    out = burst_scores(_t(spark, sf_dir, "events"))
+    return out.select(
+        "event_type", "bucket", "n_events", "baseline_total",
+        F.round("burst_score", 6).alias("burst_score"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: an add-one-smoothed bigram LM
     trained on the even-doc_id half of the corpus scores the odd half's
@@ -2112,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules": q_kg_rules,
         "kg_negatives": q_kg_negatives,
         "grouped_split": q_grouped_split,
+        "event_bursts": q_event_bursts,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -2957,6 +2971,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "kg_negatives": _kg_negatives_sql(),
+        # Burst detection: windowed SUM over BIGINT counts is HUGEINT —
+        # explicit BIGINT cast on the projection (pandas-canonicalizer
+        # audit); RANGE frame so empty hours depress nothing silently.
+        "event_bursts": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY event_type, bucket
+            ),
+            w AS (
+                SELECT event_type, bucket, n_events,
+                       SUM(n_events) OVER (
+                         PARTITION BY event_type ORDER BY bucket
+                         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+                       ) AS baseline_total,
+                       COUNT(n_events) OVER (
+                         PARTITION BY event_type ORDER BY bucket
+                         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+                       ) AS nprev
+                FROM c
+            )
+            SELECT event_type, bucket, n_events,
+                   CAST(baseline_total AS BIGINT) AS baseline_total,
+                   ROUND((n_events * 24)::DOUBLE / baseline_total, 6)
+                       AS burst_score
+            FROM w WHERE nprev >= 6
+        """,
         # Leakage-safe split: thresholds are hash_threshold(0.9/0.95)
         # literals (floor(c·16⁸)/16⁸ hex — plan constants, exact in any
         # engine); comparison is lexicographic on the 32-hex md5.

@@ -525,3 +525,77 @@ def _sessionize_spans(
         .groupBy(F.col(key), (F.col("_off") + F.col("_lsess")).alias("session_id"))
         .agg(*out_aggs)
     )
+
+
+def burst_scores(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_sec: int = 3600,
+    baseline_buckets: int = 24,
+    min_baseline_buckets: int = 6,
+) -> DataFrame:
+    """Sliding-window burst detection over an event stream: per
+    (key, time bucket), the event count scored against the trailing
+    baseline window — ``burst_score = n · baseline_buckets / Σ n_prev``,
+    i.e. the ratio of this bucket's count to the baseline's mean
+    PER-BUCKET rate with empty buckets counted as zero (a RANGE frame
+    over the integer bucket index, not a ROWS frame — a ROWS frame would
+    silently skip gaps and understate bursts after quiet periods).
+
+    Scale shape: one partial-agg'd groupBy onto (key, bucket) — the raw
+    events reduce map-side, so the window pass runs over |keys|·|buckets|
+    rows, not |events| — then one window per key. Key domains are small
+    (event taxonomies); a mega-key is impossible after bucketing because
+    the window rows per key are bounded by the time range / bucket_sec.
+    Everything up to the final ratio is integer arithmetic (exact sums,
+    deterministic division — the one double op per output row).
+
+    Warm-up rows with fewer than ``min_baseline_buckets`` NONEMPTY
+    baseline buckets are dropped (a 1-bucket baseline calls everything a
+    burst). Returns ``(key_col, bucket, n_events, baseline_total,
+    burst_score)``; ``bucket`` is the epoch//bucket_sec integer — render
+    with ``to_timestamp(bucket * bucket_sec)``.
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if baseline_buckets < 1:
+        raise ValueError(f"baseline_buckets must be >= 1, got {baseline_buckets}")
+    if not 1 <= min_baseline_buckets <= baseline_buckets:
+        raise ValueError(
+            f"min_baseline_buckets must be in [1, {baseline_buckets}], "
+            f"got {min_baseline_buckets}"
+        )
+    counts = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec)
+            ).cast("long").alias("bucket"),
+        )
+        .groupBy("_k", "bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("bucket")
+        .rangeBetween(-baseline_buckets, -1)
+    )
+    scored = counts.select(
+        "_k",
+        "bucket",
+        "n_events",
+        F.sum("n_events").over(w).alias("baseline_total"),
+        F.count("n_events").over(w).alias("_nprev"),
+    )
+    return scored.filter(F.col("_nprev") >= min_baseline_buckets).select(
+        F.col("_k").alias(key_col),
+        "bucket",
+        "n_events",
+        "baseline_total",
+        (
+            (F.col("n_events") * baseline_buckets).cast("double")
+            / F.col("baseline_total")
+        ).alias("burst_score"),
+    )

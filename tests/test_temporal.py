@@ -494,3 +494,84 @@ def test_asof_auto_probe_mixed_ts_types(spark):
     )
     got = {r["event_id"]: r["event_id_asof"] for r in out.collect()}
     assert got == {1: 10, 2: 11}
+
+
+def _py_burst(rows, bucket_sec=3600, baseline=24, min_nonempty=6):
+    from collections import Counter
+
+    counts = Counter(
+        (k, int(ts.timestamp()) // bucket_sec) for k, ts in rows
+    )
+    out = {}
+    for (k, b), n in counts.items():
+        prev = [
+            counts[(k, pb)]
+            for pb in range(b - baseline, b)
+            if (k, pb) in counts
+        ]
+        if len(prev) < min_nonempty:
+            continue
+        total = sum(prev)
+        out[(k, b)] = (n, total, n * baseline / total)
+    return out
+
+
+def test_burst_scores_matches_reference(spark):
+    from nebula_importer_spark.operators.temporal import burst_scores
+
+    rng = random.Random(17)
+    rows = []
+    for h in range(80):  # 80 hours, steady ~3/hour with gaps and one spike
+        k = "click"
+        n = 0 if h % 11 == 5 else rng.choice([1, 2, 3, 4])
+        if h == 60:
+            n = 40  # planted burst
+        for i in range(n):
+            rows.append((k, BASE + timedelta(hours=h, minutes=i % 60)))
+    for h in range(0, 80, 2):  # sparser second key
+        rows.append(("error", BASE + timedelta(hours=h, minutes=7)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.baseline_total, r.burst_score)
+        for r in burst_scores(df).collect()
+    }
+    want = _py_burst(rows)
+    assert got == want
+    # the planted spike is the top burst
+    top = max(got.items(), key=lambda kv: kv[1][2])
+    assert top[0][0] == "click" and top[1][0] == 40 and top[1][2] > 10
+
+
+def test_burst_scores_range_frame_counts_gaps(spark):
+    from nebula_importer_spark.operators.temporal import burst_scores
+
+    # 6 busy hours, a 17-hour gap, then 1 event: the baseline must still
+    # see the 6 busy buckets through the gap (RANGE frame), giving a LOW
+    # burst score — a ROWS frame over nonempty buckets gives the same
+    # baseline here, but the score must divide by the full 24-bucket width
+    rows = []
+    for h in range(6):
+        for i in range(10):
+            rows.append(("k", BASE + timedelta(hours=h, minutes=i)))
+    rows.append(("k", BASE + timedelta(hours=23)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r.bucket: r for r in burst_scores(df).collect()}
+    b0 = int(BASE.timestamp()) // 3600
+    assert set(got) == {b0 + 23}
+    r = got[b0 + 23]
+    assert (r.n_events, r.baseline_total) == (1, 60)
+    assert r.burst_score == 1 * 24 / 60  # mean-rate baseline, zeros counted
+
+
+def test_burst_scores_warmup_and_validation(spark):
+    from nebula_importer_spark.operators.temporal import burst_scores
+
+    rows = [("k", BASE + timedelta(hours=h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    # only 3 nonempty baseline buckets ever precede a row → all warm-up
+    assert burst_scores(df).count() == 0
+    assert burst_scores(df, min_baseline_buckets=2).count() == 2
+    with pytest.raises(ValueError, match="bucket_sec"):
+        burst_scores(df, bucket_sec=0)
+    with pytest.raises(ValueError, match="min_baseline_buckets"):
+        burst_scores(df, baseline_buckets=4, min_baseline_buckets=5)
