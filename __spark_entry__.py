@@ -1238,6 +1238,82 @@ def _kg_negatives_sql(k: int = 2, seed: str = "neg") -> str:
     """
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means over the embeddings table — the semantic
+    clustering primitive of data curation (cluster-balanced sampling,
+    semantic dedup, diversity audits). Vectors are quantized to positive
+    longs (floor(x·2²⁰) + offset — exact: double cast and power-of-two
+    multiply never round), so assignment, centroid floor-division, and the
+    returned squared distances are all integer arithmetic: bit-identical on
+    any partition layout, retry, or engine. The DuckDB twin unrolls the
+    same 4 iterations as MATERIALIZED CTEs and must hash-match exactly —
+    an oracle over an ITERATIVE geometry algorithm, same discipline as
+    PageRank/HITS/k-core."""
+    from nebula_importer_spark.operators.similarity import int_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return int_kmeans(emb, k=8, iterations=4, dim=64)
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of q_embedding_kmeans: identical quantization
+    (floor(x·2²⁰)+2·2²⁰ over exact double casts), init = the k smallest
+    vec_ids, per-round exact-integer argmin (ties → smallest cid, matching
+    the Spark fold's strict <) and floor-division centroid update (all
+    components positive → floor == trunc on both engines), empty clusters
+    carried via LEFT JOIN + COALESCE. Every round CTE is MATERIALIZED
+    (DuckDB inlines CTEs: round r references round r-1 several times →
+    exponential expansion otherwise). list_sum returns HUGEINT → final
+    projections cast to BIGINT for the pandas canonicalizer."""
+    q, off = 1 << 20, 2 * (1 << 20)
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {q}.0) AS BIGINT) + {off}) AS q
+            FROM embeddings
+        ), c0 AS MATERIALIZED (
+            SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS cid, q AS cq
+            FROM (SELECT id, q FROM pts ORDER BY id LIMIT {k})
+        )"""
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f""", d{r} AS (
+            SELECT p.id, p.q, c.cid,
+                   list_sum(list_transform(list_zip(p.q, c.cq),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+            FROM pts p CROSS JOIN c{r - 1} c
+        ), a{r} AS MATERIALIZED (
+            SELECT id, q, cid, d FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d ASC, cid ASC) AS rn
+                FROM d{r}
+            ) WHERE rn = 1
+        ), s{r} AS (
+            SELECT cid, i, SUM(q[CAST(i AS INT) + 1]) AS s, COUNT(*) AS n
+            FROM a{r}, range({dim}) t(i) GROUP BY cid, i
+        ), u{r} AS (
+            SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS ncq FROM s{r} GROUP BY cid
+        ), c{r} AS MATERIALIZED (
+            SELECT c.cid, COALESCE(u.ncq, c.cq) AS cq
+            FROM c{r - 1} c LEFT JOIN u{r} u USING (cid)
+        )"""
+        )
+    parts.append(
+        f""", df AS (
+            SELECT p.id, c.cid,
+                   list_sum(list_transform(list_zip(p.q, c.cq),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+            FROM pts p CROSS JOIN c{iterations} c
+        )
+        SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d AS BIGINT) AS sq_dist
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d ASC, cid ASC) AS rn FROM df
+        ) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
 def _bucket_purity_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int = 42) -> str:
     """DuckDB twin of q_embedding_bucket_purity: same seeded hyperplanes as
     SQL literals (the numpy RandomState stream of operators/similarity.py),
@@ -2140,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders": q_returned_orders,
         "distinct_users_daily": q_distinct_users_daily,
         "orders_moving_sum": q_orders_moving_sum,
+        "embedding_kmeans": q_embedding_kmeans,
     }
 
 
@@ -2922,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),
+        "embedding_kmeans": _kmeans_sql(),
         # Full-probe IVF is exact by the cell-partition property (see
         # q_ann_ivf_topk), so the brute-force ranking is its true oracle.
         "ann_ivf_topk": """

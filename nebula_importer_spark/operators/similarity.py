@@ -355,3 +355,126 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+KMEANS_Q = 1 << 20  # quantization scale: floor(x · 2^20) — see int_kmeans
+
+
+def int_kmeans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_abs: float = 2.0,
+) -> DataFrame:
+    """Exact-integer Lloyd k-means over an embedding column — the semantic
+    clustering step of data curation (cluster-balanced sampling, semantic
+    dedup, diversity audits), built so an ITERATIVE float algorithm
+    becomes hash-gateable (the PageRank/HITS discipline applied to
+    geometry):
+
+    - Vectors are quantized ``q_i = floor(double(x_i) · 2²⁰) + 2·2²⁰``:
+      float→double is exact and multiplying by a power of two only shifts
+      the exponent, so quantization is bit-determined (no float-rounding
+      hazard anywhere); the offset keeps every component positive, making
+      centroid floor-division unambiguous across engines (floor == trunc
+      on non-negatives) — and squared distances are translation-invariant,
+      so the offset never affects an assignment.
+    - Assignment is an exact-integer argmin of squared L2 distance with
+      ties broken to the smallest cluster id (the fold keeps the earlier
+      centroid on equal distance over a cid-sorted pack).
+    - Centroid update is an exact integer component sum + floor division.
+      Every quantity is partition-order-proof, so the result is
+      bit-identical on any layout, retry, or engine.
+
+    Scale shape: init is the k smallest ids (deterministic, no sampling
+    job); each iteration is ONE map-only pass over the points (the k
+    centroids travel as a broadcast 1-row pack; the per-point argmin is a
+    JVM fold over the pack) plus one partial-agg'd groupBy on the cluster
+    id (k keys, ``dim`` integer sums each). Centroids are
+    ``localCheckpoint``-ed per round (k rows — the lineage otherwise
+    doubles per iteration); empty clusters keep their previous centroid.
+
+    Returns ``(id_col, cluster, sq_dist)`` — the final assignment and its
+    exact quantized squared distance.
+    """
+    if k < 1 or iterations < 1 or dim < 1:
+        raise ValueError(f"k/iterations/dim must be >= 1, got {k}/{iterations}/{dim}")
+    offset = int(max_abs) * KMEANS_Q
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * float(KMEANS_Q)).cast("long")
+            + F.lit(offset),
+        ).alias("_q"),
+    ).localCheckpoint()
+
+    cents = (
+        pts.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("_cid"),
+            F.col("_q").alias("_cq"),
+        )
+    )
+
+    def assign(points, cents_df):
+        pack = cents_df.groupBy().agg(
+            F.sort_array(F.collect_list(F.struct("_cid", "_cq"))).alias("_cents")
+        )
+
+        def dist(cq):
+            return F.aggregate(
+                F.zip_with(F.col("_q"), cq, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            )
+
+        init = F.struct(
+            F.lit(2**62).cast("long").alias("d"),
+            F.lit(-1).cast("int").alias("cid"),
+        )
+        best = F.aggregate(
+            F.col("_cents"),
+            init,
+            lambda acc, c: F.when(
+                dist(c["_cq"]) < acc["d"],
+                F.struct(dist(c["_cq"]).alias("d"), c["_cid"].alias("cid")),
+            ).otherwise(acc),
+        )
+        return points.join(F.broadcast(pack)).select(
+            "_id", "_q", best.alias("_best")
+        ).select(
+            "_id",
+            "_q",
+            F.col("_best.cid").alias("_cid"),
+            F.col("_best.d").alias("_d"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(pts, cents)
+        sums = assigned.groupBy("_cid").agg(
+            F.count("*").alias("_n"),
+            F.array(*[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dim)]).alias(
+                "_sums"
+            ),
+        )
+        new_c = sums.select(
+            "_cid", F.expr("transform(_sums, s -> s div _n)").alias("_ncq")
+        )
+        cents = (
+            cents.join(new_c, "_cid", "left")
+            .select("_cid", F.coalesce("_ncq", "_cq").alias("_cq"))
+            .localCheckpoint()
+        )
+
+    final = assign(pts, cents)
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.col("_cid").alias("cluster"),
+        F.col("_d").alias("sq_dist"),
+    )

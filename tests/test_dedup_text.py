@@ -722,3 +722,69 @@ def test_decode_image_normalizes_16bit_gray_when_pil_present():
     out = decode_image(png)
     assert out.dtype == np.uint8 and out.shape == (2, 2, 1)
     assert out[:, :, 0].tolist() == (vals >> 8).tolist()
+
+
+def test_int_kmeans_separates_clusters(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import int_kmeans
+
+    # two tight antipodal clusters → k=2 must split them exactly
+    rng = np.random.RandomState(7)
+    c0 = rng.standard_normal(8).astype("float32")
+    rows = []
+    for i in range(12):
+        base = c0 if i % 2 == 0 else -c0
+        rows.append((i, (base + 0.01 * rng.standard_normal(8).astype("float32")).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = int_kmeans(df, k=2, iterations=4, dim=8).collect()
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+
+
+def test_int_kmeans_partition_order_proof(spark):
+    """Bit-identical result under a different physical layout — the
+    exact-integer design means no float accumulation order can leak in."""
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import int_kmeans
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.standard_normal(6).astype("float32").tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["sq_dist"])
+        for r in int_kmeans(df, k=3, iterations=3, dim=6).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["sq_dist"])
+        for r in int_kmeans(df.repartition(13, "vec_id"), k=3, iterations=3, dim=6).collect()
+    )
+    assert a == b
+
+
+def test_int_kmeans_empty_cluster_keeps_centroid(spark):
+    from nebula_importer_spark.operators.similarity import int_kmeans
+
+    # 2 distinct locations but k=3: the orphaned init centroid keeps its
+    # coordinates and simply wins nothing (its seed point defects to the
+    # tighter mass), so every point still lands in a real cluster.
+    rows = [(i, [1.0, 0.0] if i < 5 else [0.0, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = int_kmeans(df, k=3, iterations=3, dim=2).collect()
+    assert len(out) == 10
+    groups = {}
+    for r in out:
+        groups.setdefault(r["vec_id"] < 5, set()).add(r["cluster"])
+    assert len(groups[True]) == 1 and len(groups[False]) == 1
+
+
+def test_int_kmeans_rejects_bad_params(spark):
+    from nebula_importer_spark.operators.similarity import int_kmeans
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        int_kmeans(df, k=0, iterations=1, dim=1)
