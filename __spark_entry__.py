@@ -957,6 +957,115 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_split(d, group_col="dup_group")
 
 
+# ---------------------------------------------------------------------------
+# Conversation-level transcript analytics (transcripts/analytics.py) — the
+# corpus-QA family over the pipeline's canonical input shape
+# (conv_id, turn_idx, role, text, tool, ts).  The transcript table derives
+# deterministically from the oracle-visible documents table so both engines
+# build the identical corpus: doc d → 3 + d%4 turns; turn i is 'tool' when
+# i%3==2 (tool name 'tool'||(d+i)%3), else user/assistant alternating;
+# text embeds doc- and turn-varying digits (so template normalization has
+# real work to do); ts = epoch 1700000000 + (d%997)*1000 + i*(30 + d%7)
+# (per-conv response latency varies by doc).
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS_CTE = """
+tr AS MATERIALIZED (
+    SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(i AS INT) AS turn_idx,
+           CASE WHEN i % 3 = 2 THEN 'tool'
+                WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           CASE WHEN i % 3 = 2 THEN 'tool' || CAST((doc_id + i) % 3 AS VARCHAR) END AS tool,
+           'Turn ' || i || ' of conv ' || doc_id || ' says  number '
+               || ((doc_id * (i + 1)) % 1000) || ' ok' AS text,
+           1700000000 + (doc_id % 997) * 1000 + i * (30 + doc_id % 7) AS ts_sec
+    FROM documents, range(7) t(i) WHERE i < 3 + doc_id % 4
+)
+"""
+
+
+def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of _TRANSCRIPTS_CTE — the same deterministic transcript
+    corpus in the BASELINE input_hint shape (conv_id string, turn_idx int,
+    role string, text string, tool string, ts timestamp)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4 + 2).cast("int"))
+        ).alias("i"),
+    )
+    role = (
+        F.when(F.col("i") % 3 == 2, "tool")
+        .when(F.col("i") % 2 == 0, "user")
+        .otherwise("assistant")
+    )
+    tool = F.when(
+        F.col("i") % 3 == 2,
+        F.concat(F.lit("tool"), ((F.col("doc_id") + F.col("i")) % 3).cast("string")),
+    )
+    text = F.concat(
+        F.lit("Turn "), F.col("i").cast("string"),
+        F.lit(" of conv "), F.col("doc_id").cast("string"),
+        F.lit(" says  number "),
+        ((F.col("doc_id") * (F.col("i") + 1)) % 1000).cast("string"),
+        F.lit(" ok"),
+    )
+    ts = F.timestamp_seconds(
+        F.lit(1700000000)
+        + (F.col("doc_id") % 997) * 1000
+        + F.col("i") * (F.lit(30) + F.col("doc_id") % 7)
+    )
+    return t.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.col("i").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        tool.alias("tool"),
+        text.alias("text"),
+        ts.alias("ts"),
+    )
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation shape report (turn counts by role, tool calls,
+    distinct tools, chars, first/last role, duration). ONE conv_id shuffle;
+    every aggregate partial-aggregable; text reduced to its length
+    map-side."""
+    from nebula_importer_spark.transcripts.analytics import conv_stats
+
+    return conv_stats(_synth_transcripts(spark, sf_dir))
+
+
+def q_conv_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-call chain mining: turn-ordered tool sequences per
+    conversation, counted corpus-wide. Non-tool turns filtered before the
+    shuffle; chains capped (max_chain) so a runaway agent loop can't build
+    an unbounded grouped array."""
+    from nebula_importer_spark.transcripts.analytics import tool_chains
+
+    return tool_chains(_synth_transcripts(spark, sf_dir))
+
+
+def q_conv_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User→assistant response latency per conversation (adjacent-turn
+    pairs; integer seconds). One window exchange on conv_id, reused by the
+    follow-up groupBy."""
+    from nebula_importer_spark.transcripts.analytics import response_latency
+
+    return response_latency(_synth_transcripts(spark, sf_dir))
+
+
+def q_conv_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-template dedup: identical turn-ordered NORMALIZED text
+    sequences (digits→0, whitespace collapsed, lowercased) collapse to the
+    MIN conv_id. Spark groups 64-bit per-turn hashes (text never shuffles);
+    the oracle groups the actual normalized sequences — a hash collision or
+    ordering bug would surface as a driver hash mismatch."""
+    from nebula_importer_spark.transcripts.analytics import template_dedup
+
+    return template_dedup(_synth_transcripts(spark, sf_dir))
+
+
 def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window burst detection: hourly event counts per type scored
     against the trailing 24h mean rate (RANGE frame — empty hours count as
@@ -2202,6 +2311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "grouped_split": q_grouped_split,
         "event_bursts": q_event_bursts,
+        # conversation-level transcript analytics (input_hint shape)
+        "conv_stats": q_conv_stats,
+        "conv_tool_chains": q_conv_tool_chains,
+        "conv_response_latency": q_conv_response_latency,
+        "conv_template_dedup": q_conv_template_dedup,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3049,6 +3163,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "kg_negatives": _kg_negatives_sql(),
+        # Conversation analytics over the shared deterministic transcript
+        # corpus (_TRANSCRIPTS_CTE). Windowed/plain SUM and COUNT return
+        # HUGEINT/BIGINT in DuckDB — every numeric projection cast BIGINT
+        # (pandas-canonicalizer audit).
+        "conv_stats": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id,
+                   COUNT(*)::BIGINT AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role,
+                   CAST(MAX(ts_sec) - MIN(ts_sec) AS BIGINT) AS duration_sec
+            FROM tr GROUP BY conv_id
+        """,
+        "conv_tool_chains": f"""
+            WITH {_TRANSCRIPTS_CTE}, ch AS (
+                SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS chain
+                FROM tr WHERE tool IS NOT NULL GROUP BY conv_id
+            )
+            SELECT chain, COUNT(*)::BIGINT AS n_convs FROM ch GROUP BY chain
+        """,
+        "conv_response_latency": f"""
+            WITH {_TRANSCRIPTS_CTE}, nx AS (
+                SELECT conv_id, role, ts_sec,
+                       LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+                       LEAD(ts_sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+                FROM tr
+            )
+            SELECT conv_id, COUNT(*)::BIGINT AS n_responses,
+                   CAST(SUM(nts - ts_sec) AS BIGINT) AS total_latency_sec,
+                   CAST(MAX(nts - ts_sec) AS BIGINT) AS max_latency_sec
+            FROM nx WHERE role = 'user' AND nrole = 'assistant'
+            GROUP BY conv_id
+        """,
+        # The oracle groups by the ACTUAL normalized turn sequence
+        # (chr(30)-joined), while Spark groups by xxhash64 fingerprints —
+        # equal partitions modulo a 64-bit collision, which would surface
+        # here as a hash mismatch.
+        "conv_template_dedup": f"""
+            WITH {_TRANSCRIPTS_CTE}, norm AS (
+                SELECT conv_id,
+                       string_agg(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                                '[0-9]+', '0', 'g'), '\\s+', ' ', 'g')),
+                           chr(30) ORDER BY turn_idx) AS tmpl
+                FROM tr GROUP BY conv_id
+            )
+            SELECT conv_id, MIN(conv_id) OVER (PARTITION BY tmpl) AS canon_conv_id
+            FROM norm
+        """,
         # Burst detection: windowed SUM over BIGINT counts is HUGEINT —
         # explicit BIGINT cast on the projection (pandas-canonicalizer
         # audit); RANGE frame so empty hours depress nothing silently.

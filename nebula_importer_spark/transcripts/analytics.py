@@ -1,0 +1,199 @@
+"""Conversation-level analytics over transcript tables.
+
+The input is the pipeline's canonical transcript shape (BASELINE
+input_hint): ``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` — the same table the KG-construction
+pipeline consumes (reference analog: nebula-importer's per-file record
+streams, pkg/reader + pkg/stats; here the unit is the conversation, not
+the CSV file). These are the corpus-QA queries an owner of a transcript
+lake runs before and after KG construction: per-conversation shape
+stats, agent tool-call chain mining, user→assistant response latency,
+and template-level conversation dedup.
+
+Scale shape, uniformly:
+
+- Per-turn derivations (lengths, hashes, epoch casts) are projected
+  MAP-SIDE first, so the conversation shuffle moves fixed-width
+  integers — the turn text itself never travels as a shuffle key or
+  grouped value (template_dedup hashes each turn before grouping).
+- Every aggregate is partial-aggregable (sum/count/min/max/min_by/
+  max_by), so the single conv_id exchange ships combiner output.
+- Conversations are bounded (turns per conv ≪ partition size), so a
+  per-conv collect_list of (turn_idx, tool-id/hash) structs is a small
+  array, never a mega-group; the window ops partition by conv_id, the
+  one natural key.
+
+All outputs are integers/strings only (driver-gate discipline: no
+doubles on either side of an oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "conv_stats",
+    "tool_chains",
+    "response_latency",
+    "template_dedup",
+]
+
+
+def _ordered_field(field: str) -> "F.Column":
+    """Per-conv values of `field` in turn order, as an array — via
+    array_sort over (turn_idx, field) structs (turn_idx is unique within
+    a conversation, so the sort is total and partition-order-proof)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", field))),
+        lambda s: s[field],
+    )
+
+
+def conv_stats(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation shape report: turn counts by role, tool-call
+    count, distinct tools, total text chars, first/last role in turn
+    order, and wall-clock duration in whole seconds.
+
+    ONE shuffle on conv_id; every input to it is a map-side projected
+    integer (text length, epoch seconds), and every aggregate has a
+    partial, so the exchange carries combiner rows. first/last role ride
+    min_by/max_by on the unique turn_idx — no window, no second sort.
+    """
+    per = df.select(
+        F.col(conv_col).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "tool",
+        F.length("text").alias("_chars"),
+        F.col(ts_col).cast("long").alias("_ts"),
+    )
+    return per.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant"
+        ),
+        F.sum(F.col("tool").isNotNull().cast("int")).alias("n_tool_calls"),
+        F.count_distinct("tool").alias("n_distinct_tools"),
+        F.sum("_chars").alias("total_chars"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        (F.max("_ts") - F.min("_ts")).alias("duration_sec"),
+    )
+
+
+def tool_chains(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    sep: str = ">",
+    max_chain: int = 1000,
+) -> DataFrame:
+    """Agent tool-call chain mining: the turn-ordered sequence of tool
+    invocations per conversation, collapsed to a `sep`-joined chain
+    string, counted corpus-wide → ``(chain, n_convs)``.
+
+    Conversations with no tool calls are absent by definition (an empty
+    chain is not a behavior). Non-tool turns are filtered BEFORE the
+    conv shuffle, so only (turn_idx, tool) pairs travel; `max_chain`
+    truncates a runaway agent loop (slice after sort — deterministic
+    prefix) so one pathological conversation cannot produce an unbounded
+    grouped array. Two shuffles total: conv_id, then the chain key —
+    both partial-agg'd.
+    """
+    t = df.filter(F.col("tool").isNotNull()).select(
+        F.col(conv_col).alias("conv_id"), "turn_idx", "tool"
+    )
+    chains = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.slice(_ordered_field("tool"), 1, max_chain), sep
+        ).alias("chain")
+    )
+    return chains.groupBy("chain").agg(F.count("*").cast("long").alias("n_convs"))
+
+
+def response_latency(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """User→assistant response latency per conversation: for every user
+    turn whose NEXT turn (by turn_idx) is an assistant turn, the gap in
+    whole seconds; aggregated to ``(conv_id, n_responses,
+    total_latency_sec, max_latency_sec)``. Conversations with no such
+    adjacent pair are absent.
+
+    One window over (conv_id ORDER BY turn_idx) = one exchange; the
+    follow-up groupBy reuses the same hash partitioning (no second
+    exchange — Catalyst sees the co-partitioning). Integer seconds only.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = df.select(
+        F.col(conv_col).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.col(ts_col).cast("long").alias("_ts"),
+    )
+    lat = (
+        per.withColumn("_nrole", F.lead("role").over(w))
+        .withColumn("_nts", F.lead("_ts").over(w))
+        .filter((F.col("role") == "user") & (F.col("_nrole") == "assistant"))
+        .select("conv_id", (F.col("_nts") - F.col("_ts")).alias("_lat"))
+    )
+    return lat.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.sum("_lat").alias("total_latency_sec"),
+        F.max("_lat").alias("max_latency_sec"),
+    )
+
+
+def normalize_template(col: "F.Column") -> "F.Column":
+    """Template normalization: lowercase, digit runs → '0', whitespace
+    runs → one space, trimmed. Conversations that differ only in
+    numbers/ids/spacing normalize to the same template."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[0-9]+", "0")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def template_dedup(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Conversation-template dedup: two conversations are duplicates
+    when their turn-ordered sequences of NORMALIZED turn texts
+    (normalize_template) are identical. Returns ``(conv_id,
+    canon_conv_id)`` — the canonical survivor is the MIN conv_id of the
+    template group, for every conversation (survivors map to
+    themselves).
+
+    The scale move: each turn's normalized text is hashed to a 64-bit
+    xxhash64 MAP-SIDE, so the conv shuffle groups fixed-width longs and
+    the corpus text never travels. The conversation fingerprint is
+    xxhash64 over the turn-ordered hash sequence; the canonical id is a
+    min-window over the fingerprint (same discipline as exact_dedup's
+    hash-keyed survivor — collisions are xxhash64-rare and would surface
+    as an oracle hash mismatch, since the DuckDB twin groups by the
+    actual normalized text sequence).
+    """
+    per = df.select(
+        F.col(conv_col).alias("conv_id"),
+        "turn_idx",
+        F.xxhash64(normalize_template(F.col("text"))).cast("string").alias("_h"),
+    )
+    fp = per.groupBy("conv_id").agg(
+        F.xxhash64(F.array_join(_ordered_field("_h"), ",")).alias("_fp")
+    )
+    w = Window.partitionBy("_fp")
+    return fp.select(
+        "conv_id", F.min("conv_id").over(w).alias("canon_conv_id")
+    )

@@ -1,0 +1,152 @@
+"""Conversation-level transcript analytics (transcripts/analytics.py).
+
+Unit values are hand-computed on tiny frames; the sf-scale hash parity
+vs DuckDB lives in __spark_entry__ (conv_stats / conv_tool_chains /
+conv_response_latency / conv_template_dedup oracles).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.transcripts.analytics import (
+    conv_stats,
+    response_latency,
+    template_dedup,
+    tool_chains,
+)
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    rows = [
+        # conv a: user(0) → assistant(10) → tool → assistant, 40s span
+        ("a", 0, "user", None, "hello world 42", 100),
+        ("a", 1, "assistant", None, "hi there", 110),
+        ("a", 2, "tool", "search", "q=5", 120),
+        ("a", 3, "assistant", None, "answer", 140),
+        # conv b: user → user (no adjacent user→assistant pair)
+        ("b", 0, "user", None, "one", 200),
+        ("b", 1, "user", None, "two", 260),
+        # conv c: same template as a modulo digits/spacing
+        ("c", 0, "user", None, "HELLO   world 7", 300),
+        ("c", 1, "assistant", None, "hi  THERE", 305),
+        ("c", 2, "tool", "wiki", "q=9", 310),
+        ("c", 3, "assistant", None, "answer", 350),
+    ]
+    return spark.createDataFrame(
+        [(c, i, r, t, x, ts) for c, i, r, t, x, ts in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select(
+        "conv_id", "turn_idx", "role", "tool", "text",
+        F.timestamp_seconds("_sec").alias("ts"),
+    )
+
+
+def test_conv_stats_values(tr):
+    got = {r["conv_id"]: r.asDict() for r in conv_stats(tr).collect()}
+    a = got["a"]
+    assert a["n_turns"] == 4 and a["n_user"] == 1 and a["n_assistant"] == 2
+    assert a["n_tool_calls"] == 1 and a["n_distinct_tools"] == 1
+    assert a["total_chars"] == len("hello world 42") + len("hi there") + len("q=5") + len("answer")
+    assert a["first_role"] == "user" and a["last_role"] == "assistant"
+    assert a["duration_sec"] == 40
+    b = got["b"]
+    assert b["n_turns"] == 2 and b["n_tool_calls"] == 0 and b["n_distinct_tools"] == 0
+    assert b["duration_sec"] == 60
+
+
+def test_tool_chains_order_and_count(spark):
+    rows = [
+        ("a", 2, "t2"), ("a", 0, "t1"),  # out-of-order input → t1>t2
+        ("b", 0, "t1"), ("b", 1, "t2"),
+        ("c", 5, "t9"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, "tool", t, "x", 0) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = {r["chain"]: r["n_convs"] for r in tool_chains(df).collect()}
+    assert got == {"t1>t2": 2, "t9": 1}
+
+
+def test_tool_chains_max_chain_truncates(spark):
+    rows = [("a", i, f"t{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        [(c, i, "tool", t, "x", 0) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = [r["chain"] for r in tool_chains(df, max_chain=3).collect()]
+    assert got == ["t0>t1>t2"]  # deterministic turn-ordered prefix
+
+
+def test_response_latency_adjacent_pairs_only(tr):
+    got = {r["conv_id"]: r.asDict() for r in response_latency(tr).collect()}
+    # conv a: (0→1) is user→assistant (10s); (2→3) is tool→assistant (not counted)
+    assert got["a"]["n_responses"] == 1
+    assert got["a"]["total_latency_sec"] == 10 and got["a"]["max_latency_sec"] == 10
+    # conv c: (0→1) user→assistant (5s)
+    assert got["c"]["total_latency_sec"] == 5
+    # conv b has no user→assistant adjacency at all
+    assert "b" not in got
+
+
+def test_template_dedup_digit_and_space_insensitive(tr):
+    got = {r["conv_id"]: r["canon_conv_id"] for r in template_dedup(tr).collect()}
+    # a and c normalize to the same 4-turn template → canon 'a'; b alone
+    assert got == {"a": "a", "c": "a", "b": "b"}
+
+
+def test_template_dedup_order_sensitive(spark):
+    rows = [
+        ("x", 0, "p"), ("x", 1, "q"),
+        ("y", 0, "q"), ("y", 1, "p"),  # same turns, different order → distinct
+    ]
+    df = spark.createDataFrame(
+        [(c, i, "user", None, t, 0) for c, i, t in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = {r["conv_id"]: r["canon_conv_id"] for r in template_dedup(df).collect()}
+    assert got == {"x": "x", "y": "y"}
+
+
+def _exchange_blocks(df) -> list[str]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    blocks, cur, inside = [], [], False
+    for line in plan.splitlines():
+        if re.match(r"\(\d+\) Exchange", line):
+            inside = True
+        if inside:
+            if line.strip() == "":
+                inside = False
+                blocks.append("\n".join(cur))
+                cur = []
+            else:
+                cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def test_template_dedup_text_never_shuffles(tr):
+    """The whole point of the per-turn map-side hash: no Exchange in the
+    template_dedup plan may carry the text column."""
+    blocks = _exchange_blocks(template_dedup(tr))
+    assert blocks, "expected at least one Exchange"
+    for b in blocks:
+        assert "text" not in b
+
+
+def test_conv_stats_text_never_shuffles(tr):
+    blocks = _exchange_blocks(conv_stats(tr))
+    assert blocks
+    for b in blocks:
+        assert "text" not in b
