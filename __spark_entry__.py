@@ -1066,6 +1066,27 @@ def q_conv_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_dedup(_synth_transcripts(spark, sf_dir))
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over events: users cohorted by first active UTC day,
+    activity counted at each day offset. Raw events collapse to distinct
+    (user, day) BEFORE anything else shuffles — a bot user's volume never
+    inflates an exchange."""
+    from nebula_importer_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential view→click→purchase funnel (chained earliest-completion
+    semantics at microsecond precision). Spark folds per-user sorted step
+    events in ONE shuffle (JVM aggregate over a (next_step, threshold)
+    state); the oracle computes the same thing as k chained MIN CTEs — two
+    independent formulations, one hash."""
+    from nebula_importer_spark.operators.behavior import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window burst detection: hourly event counts per type scored
     against the trailing 24h mean rate (RANGE frame — empty hours count as
@@ -2316,6 +2337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_chains": q_conv_tool_chains,
         "conv_response_latency": q_conv_response_latency,
         "conv_template_dedup": q_conv_template_dedup,
+        # user-behavior analytics over events
+        "retention_cohorts": q_retention_cohorts,
+        "funnel_steps": q_funnel_steps,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3163,6 +3187,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "kg_negatives": _kg_negatives_sql(),
+        # Cohort retention: day = floor(epoch/86400); COUNT casts BIGINT.
+        "retention_cohorts": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), cohort AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+            )
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM days JOIN cohort USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # Sequential funnel as chained earliest-completion MINs: t1 = min
+        # step1 ts, t_j = min step_j ts >= t_{j-1} (microseconds) — the
+        # independent formulation of the Spark per-user greedy fold.
+        "funnel_steps": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ), s1 AS (
+                SELECT user_id, MIN(tus) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.tus) AS t FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.tus >= s1.t GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.tus) AS t FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tus >= s2.t GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+                   (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)::BIGINT
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
+        """,
         # Conversation analytics over the shared deterministic transcript
         # corpus (_TRANSCRIPTS_CTE). Windowed/plain SUM and COUNT return
         # HUGEINT/BIGINT in DuckDB — every numeric projection cast BIGINT

@@ -1,0 +1,160 @@
+"""User-behavior analytics over event streams: retention cohorts and
+sequential funnels.
+
+Reference analog: nebula-importer has no analytics plane (it stops at
+bulk load); these are the first queries a NebulaGraph/warehouse consumer
+runs on an ingested event table, re-expressed Spark-first. The driver
+oracles live in __spark_entry__ (retention_cohorts / funnel_steps).
+
+Scale shape:
+
+- retention_cohorts: distinct (user, day) pairs first — the raw event
+  volume collapses to at most users×days rows BEFORE anything else
+  shuffles; cohort assignment is a min-agg and an equi-join on user_id
+  (AQE broadcast-degrades when the user dimension is small).
+- funnel_steps: per-user greedy sequential matching as ONE shuffle — the
+  step events (already filtered to the step types, projected to
+  (epoch_us, step_idx) ints) group per user, sort in-array, and a JVM
+  `aggregate` fold advances a (next_step, threshold) state. Greedy
+  earliest-advance is exactly the chained-MIN semantics (t1 = min step1,
+  t2 = min step2 ≥ t1, …) that the SQL twin computes with k joined CTEs
+  — two independent formulations, one hash.
+- Both emit integers only (driver-gate discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["retention_cohorts", "funnel_steps"]
+
+SECONDS_PER_DAY = 86400
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active day
+    (UTC day number = floor(epoch/86400)); for each (cohort_day,
+    day_offset) report how many cohort members were active day_offset
+    days after their first day → ``(cohort_day, day_offset, n_users)``.
+    Offset 0 rows equal cohort sizes.
+
+    Events collapse to distinct (user, day) immediately — one exchange
+    over fixed-width longs no matter how many raw events a bot user
+    emits; the cohort min and the activity join then run on the already
+    user-day-deduped table. `max_offset_days` prunes the long tail
+    (applied AFTER cohort assignment, so cohort sizes stay exact).
+    """
+    days = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            # parquet timestamps may arrive as TIMESTAMP_NTZ — cast through
+            # timestamp (session tz is pinned UTC) before the epoch cast
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("long") / SECONDS_PER_DAY
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = days.join(cohort, "user_id").select(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    )
+    if max_offset_days is not None:
+        joined = joined.filter(F.col("day_offset") <= max_offset_days)
+    return joined.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_events: int = 100_000,
+) -> DataFrame:
+    """Sequential funnel: how many users complete step j only counting
+    step-j events at-or-after their step-(j-1) completion time →
+    ``(step_idx, step, n_users)``, step_idx 1-based, monotonically
+    non-increasing n_users.
+
+    Semantics = chained earliest-completion: t₁ = min ts of steps[0],
+    tⱼ = min ts of steps[j-1] with ts ≥ tⱼ₋₁ (microsecond precision; a
+    same-microsecond later step counts, matching the ≥ of the SQL twin).
+    Implemented as ONE user shuffle: step events are filtered and
+    projected to (epoch_us, step_idx) map-side, grouped per user, sorted
+    in-array — ties at the same microsecond order by step_idx, which is
+    exactly what ≥ admits — and folded by a JVM `aggregate` whose state
+    is (next expected step, time threshold). Greedy earliest-advance is
+    optimal for chained mins, so the fold reproduces the k-CTE SQL twin
+    bit-for-bit.
+
+    `max_events` bounds the per-user grouped array (the deterministic
+    EARLIEST prefix is kept — slice after sort). A user past the cap
+    would need >max_events funnel-step events; raise it rather than
+    accept silent truncation if that is plausible for your corpus.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    k = len(steps)
+    idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    per = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
+            idx[F.col(type_col)].cast("int").alias("idx"),
+        ).alias("_e"),
+    )
+    folded = per.groupBy("user_id").agg(
+        F.aggregate(
+            F.slice(F.array_sort(F.collect_list("_e")), 1, max_events),
+            F.struct(
+                F.lit(0).cast("int").alias("step"),
+                F.lit(-(2**62)).cast("long").alias("thr"),
+            ),
+            lambda acc, e: F.when(
+                (acc["step"] < k)
+                & (e["idx"] == acc["step"])
+                & (e["ts"] >= acc["thr"]),
+                F.struct(
+                    (acc["step"] + 1).alias("step"), e["ts"].alias("thr")
+                ),
+            ).otherwise(acc),
+        )["step"].alias("completed")
+    )
+    reached = folded.filter(F.col("completed") >= 1).select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1), F.col("completed"))).alias("step_idx"),
+    )
+    counts = reached.groupBy("step_idx").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    # always emit one row per step (zero-count steps included) — the k-row
+    # scaffold is a plan constant, the join broadcasts
+    scaffold = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return scaffold.join(
+        counts.withColumn("step_idx", F.col("step_idx").cast("int")),
+        "step_idx",
+        "left",
+    ).select(
+        "step_idx",
+        "step",
+        F.coalesce("_n", F.lit(0).cast("long")).alias("n_users"),
+    )

@@ -1,0 +1,101 @@
+"""Retention cohorts + sequential funnel (operators/behavior.py).
+
+Hand-computed values on tiny frames; sf-scale hash parity vs DuckDB
+lives in __spark_entry__ (retention_cohorts / funnel_steps oracles).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.behavior import funnel_steps, retention_cohorts
+
+DAY = 86400
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, epoch_sec[, micros])"""
+    data = []
+    for r in rows:
+        u, t, sec = r[0], r[1], r[2]
+        us = r[3] if len(r) > 3 else 0
+        data.append((u, t, sec * 1_000_000 + us))
+    return spark.createDataFrame(
+        data, "user_id long, event_type string, _us long"
+    ).select(
+        "user_id", "event_type",
+        (F.col("_us").cast("double") / 1_000_000).cast("timestamp").alias("ts"),
+    )
+
+
+def test_retention_cohorts_values(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: days 0, 1, 3 (duplicate events on day 0 collapse)
+            (1, "view", 10), (1, "click", 20), (1, "view", DAY + 5), (1, "view", 3 * DAY),
+            # user 2: days 1, 2 → cohort day 1
+            (2, "view", DAY + 1), (2, "view", 2 * DAY + 1),
+        ],
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_retention_cohorts_max_offset(spark):
+    ev = _events(spark, [(1, "view", 0), (1, "view", 9 * DAY)])
+    got = retention_cohorts(ev, max_offset_days=5).collect()
+    assert {(r["cohort_day"], r["day_offset"]) for r in got} == {(0, 0)}
+
+
+def test_funnel_sequential_order_enforced(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1 completes in order
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # user 2: click BEFORE view, no click after → stops at view
+            (2, "click", 5), (2, "view", 10), (2, "purchase", 20),
+            # user 3: never views → contributes nothing
+            (3, "click", 1), (3, "purchase", 2),
+        ],
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # chained-min semantics use >=: a click in the same microsecond as the
+    # view counts (ties sort view first because step_idx orders them)
+    ev = _events(spark, [(1, "view", 10, 500), (1, "click", 10, 500)])
+    got = {r["step"]: r["n_users"] for r in funnel_steps(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_earliest_completion_is_greedy_optimal(spark):
+    # view@10; clicks at 5 (too early) and 15; purchase at 12 (< t2=15) only
+    # → purchase NOT completed: the 12 purchase precedes the first valid click
+    ev = _events(
+        spark,
+        [(1, "view", 10), (1, "click", 5), (1, "click", 15), (1, "purchase", 12)],
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_funnel_rejects_bad_steps(spark):
+    ev = _events(spark, [(1, "view", 0)])
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
+    with pytest.raises(ValueError):
+        funnel_steps(ev, ["a", "a"])
+
+
+def test_funnel_zero_rows_for_uncompleted_steps(spark):
+    ev = _events(spark, [(1, "view", 0)])
+    got = {r["step"]: r["n_users"] for r in funnel_steps(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
