@@ -1026,6 +1026,25 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, top-k most-similar
+    corpus vectors with a DIFFERENT label (broadcast-anchor NLJ; the label
+    inequality rides the join condition). Exact baseline of the LSH/IVF
+    label-filtered funnel."""
+    from nebula_importer_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negatives(emb, anchors, k=3)
+    return out.select(
+        "anchor_id", "rank", "negative_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation shape report (turn counts by role, tool calls,
     distinct tools, chars, first/last role, duration). ONE conv_id shuffle;
@@ -2340,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user-behavior analytics over events
         "retention_cohorts": q_retention_cohorts,
         "funnel_steps": q_funnel_steps,
+        # contrastive hard-negative mining over embeddings
+        "hard_negatives": q_hard_negatives,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3098,6 +3119,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        # Hard negatives = ann_cosine with a label-inequality predicate and
+        # NULL-label corpus rows excluded; same sequential-sum cosine.
+        "hard_negatives": """
+            WITH a AS (
+                SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT a.anchor_id, e.vec_id AS negative_id,
+                       list_sum(list_transform(
+                           list_zip(a.av, e.embedding::DOUBLE[]),
+                           x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(a.av, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))))
+                       AS cos
+                FROM embeddings e, a
+                WHERE e.vec_id <> a.anchor_id
+                  AND e.label IS NOT NULL
+                  AND e.label <> a.al
+            )
+            SELECT anchor_id, rn AS rank, negative_id, ROUND(cos, 6) AS cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC) AS rn
                 FROM scored
             ) WHERE rn <= 3
         """,

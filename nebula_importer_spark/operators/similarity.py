@@ -357,6 +357,65 @@ def lsh_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-k most-COSINE-SIMILAR corpus vectors with a DIFFERENT label —
+    exactly the near-miss negatives a contrastive objective learns most
+    from (vs. random negatives, which are trivially far). Returns
+    ``(anchor_id, rank, negative_id, cosine)``; deterministic tie-break on
+    negative id; NULL-label corpus rows are excluded (unknown label can't
+    be certified as a negative).
+
+    Same plan shape as brute_force_topk (the proven exact baseline):
+    anchors are training-batch-sized → broadcast; the corpus scans ONCE
+    through a broadcast NLJ whose join condition already drops same-label
+    pairs, so the per-task score work shrinks by the label-match fraction.
+    Scoring is the shared JVM zip_with/aggregate cosine (double precision,
+    summed left-to-right — bit-reproducible against the sequential SQL
+    oracle). At corpus-wide anchor counts, swap the NLJ for the lsh_topk /
+    ivf_topk candidate funnels with a label-inequality residual filter —
+    this operator is the correctness baseline of that funnel.
+    """
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("_nl"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).filter(F.col("_nl").isNotNull())
+    a = anchors.select(
+        F.col(anchor_id_col).alias("anchor_id"),
+        F.col(anchor_label_col).alias("_al"),
+        _as_double(F.col(anchor_vec_col)).alias("_av"),
+    )
+    scored = c.join(
+        F.broadcast(a),
+        (F.col("negative_id") != F.col("anchor_id"))
+        & (F.col("_nl") != F.col("_al")),
+    ).select(
+        "anchor_id",
+        "negative_id",
+        cosine(F.col("_av"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "negative_id", "cosine")
+    )
+
+
 KMEANS_Q = 1 << 20  # quantization scale: floor(x · 2^20) — see int_kmeans
 
 

@@ -788,3 +788,23 @@ def test_int_kmeans_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         int_kmeans(df, k=0, iterations=1, dim=1)
+
+
+def test_hard_negatives_excludes_same_label_and_nulls(spark):
+    from nebula_importer_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),      # anchor
+        (2, [0.99, 0.1], 0),     # nearest, SAME label → excluded
+        (3, [0.9, 0.3], 1),      # nearest different-label → rank 1
+        (4, [0.5, 0.5], 1),      # rank 2
+        (5, [0.8, 0.2], None),   # NULL label → excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter("vec_id = 1").select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    got = [(r["rank"], r["negative_id"]) for r in hard_negatives(df, anchors, k=3).collect()]
+    assert got == [(1, 3), (2, 4)]
