@@ -1026,6 +1026,19 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-pair-scan) semantic dedup over embeddings:
+    int_kmeans' bit-exact clusters bound the quadratic pair scan; a pair
+    split across clusters is by design not a candidate (the published
+    recall trade). Same 0.45 threshold as dedup_embedding so the two
+    candidate-generation strategies are directly comparable."""
+    from nebula_importer_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, top-k most-similar
     corpus vectors with a DIFFERENT label (broadcast-anchor NLJ; the label
@@ -1404,7 +1417,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int_kmeans(emb, k=8, iterations=4, dim=64)
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
+def _kmeans_cte_body(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
     """DuckDB twin of q_embedding_kmeans: identical quantization
     (floor(x·2²⁰)+2·2²⁰ over exact double casts), init = the k smallest
     vec_ids, per-round exact-integer argmin (ties → smallest cid, matching
@@ -1449,18 +1462,51 @@ def _kmeans_sql(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
         )"""
         )
     parts.append(
-        f""", df AS (
+        f""", dfin AS (
             SELECT p.id, c.cid,
                    list_sum(list_transform(list_zip(p.q, c.cq),
                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
             FROM pts p CROSS JOIN c{iterations} c
-        )
-        SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d AS BIGINT) AS sq_dist
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d ASC, cid ASC) AS rn FROM df
-        ) WHERE rn = 1"""
+        ), kma AS MATERIALIZED (
+            SELECT id, cid, d FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d ASC, cid ASC) AS rn
+                FROM dfin
+            ) WHERE rn = 1
+        )"""
     )
     return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
+    return (
+        _kmeans_cte_body(k, iterations, dim)
+        + """
+        SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d AS BIGINT) AS sq_dist
+        FROM kma"""
+    )
+
+
+def _semantic_dedup_sql(threshold: float = 0.45) -> str:
+    """SemDeDup twin: the bit-exact kma cluster assignment, then an
+    in-cluster pair scan with the sequential-sum double cosine (same
+    expression as dedup_embedding's proven oracle)."""
+    return (
+        _kmeans_cte_body()
+        + f""", e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), j AS (
+            SELECT k.cid, e.vec_id AS id, e.v FROM kma k JOIN e ON e.vec_id = k.id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+        FROM j a JOIN j b ON a.cid = b.cid AND a.id < b.id
+        WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {threshold}"""
+    )
 
 
 def _bucket_purity_sql(n_planes: int = 12, n_bands: int = 4, dim: int = 64, seed: int = 42) -> str:
@@ -2361,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         # contrastive hard-negative mining over embeddings
         "hard_negatives": q_hard_negatives,
+        # SemDeDup semantic dedup (int_kmeans clusters bound the pair scan)
+        "dedup_semantic": q_dedup_semantic,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3186,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "dedup_semantic": _semantic_dedup_sql(),
         # Full-probe IVF is exact by the cell-partition property (see
         # q_ann_ivf_topk), so the brute-force ranking is its true oracle.
         "ann_ivf_topk": """

@@ -537,3 +537,58 @@ def int_kmeans(
         F.col("_cid").alias("cluster"),
         F.col("_d").alias("sq_dist"),
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 4,
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with k-means, then scan for near-duplicate
+    pairs ONLY within each cluster — the cluster bounds the quadratic pair
+    blow-up that an all-pairs cosine scan would hit. Returns
+    ``(id_a, id_b, cosine)`` with id_a < id_b and cosine ≥ threshold.
+
+    Because the quantizer is int_kmeans (bit-exact on any engine), the
+    candidate set is deterministic, which is what makes a DuckDB twin an
+    exact oracle for the whole composition. Recall semantics are the
+    published method's: a near-duplicate pair split across cluster
+    boundaries is NOT reported (that is the accepted trade; raise k slower
+    than n so clusters stay tight). Scale shape: one equi-join on the
+    cluster id; choose k ≈ n/target_cluster_size so per-cluster pair scans
+    stay bounded, and `max_cluster_size` drops oversize clusters outright
+    (counted via one cheap agg) rather than letting one degenerate cell go
+    quadratic — same guard discipline as cooccurrence_edges.
+    """
+    cl = int_kmeans(
+        df, k=k, iterations=iterations, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).join(cl.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+    if max_cluster_size is not None:
+        sizes = v.groupBy("cluster").agg(F.count("*").alias("_n"))
+        v = v.join(
+            F.broadcast(sizes.filter(F.col("_n") <= max_cluster_size)), "cluster"
+        ).drop("_n")
+    a = v.select(
+        F.col("cluster"), F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = v.select(
+        F.col("cluster"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -808,3 +808,47 @@ def test_hard_negatives_excludes_same_label_and_nulls(spark):
     )
     got = [(r["rank"], r["negative_id"]) for r in hard_negatives(df, anchors, k=3).collect()]
     assert got == [(1, 3), (2, 4)]
+
+
+def test_semantic_dedup_pairs_within_cluster(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.RandomState(5)
+    c0 = rng.standard_normal(8).astype("float32")
+    rows = []
+    # cluster A: ids 0,1 near-identical (dup pair) + 2 distinct-direction
+    rows.append((0, c0.tolist()))
+    rows.append((1, (c0 * 1.0001).tolist()))
+    rows.append((2, (c0 + 2.0 * rng.standard_normal(8).astype("float32")).tolist()))
+    # cluster B: antipodal mass, no dups
+    rows.append((3, (-c0).tolist()))
+    rows.append((4, (-c0 + 2.0 * rng.standard_normal(8).astype("float32")).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, k=2, iterations=3, dim=8, threshold=0.999).collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_semantic_dedup_max_cluster_size_guard(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.RandomState(9)
+    c0 = rng.standard_normal(4).astype("float32")
+    # one mega-cluster of 6 near-identical rows + a 2-row opposite cluster
+    rows = [(i, (c0 * (1 + 1e-4 * i)).tolist()) for i in range(6)]
+    rows += [(10, (-c0).tolist()), (11, (-c0 * 1.0001).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, k=2, iterations=3, dim=4, threshold=0.999, max_cluster_size=3
+        ).collect()
+    }
+    # the 6-row cluster is dropped wholesale; only the small cluster's pair survives
+    assert got == {(10, 11)}
