@@ -1098,6 +1098,79 @@ def q_conv_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_dedup(_synth_transcripts(spark, sf_dir))
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-pair mining over the shared transcript corpus: adjacent
+    user→assistant turns become (context, prompt, response) rows; context is
+    a bounded ROWS-frame collect (constant per-row state even on
+    mega-threads), sharing one conv_id window exchange with the lead()."""
+    from nebula_importer_spark.transcripts.analytics import sft_pairs
+
+    return sft_pairs(_synth_transcripts(spark, sf_dir))
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from 3 customer seeds over the
+    symmetrized customer↔supplier graph — frontier-expansion BSP where each
+    round shuffles only the frontier's out-edges, visited set
+    localCheckpoint-ed per round (iterative lineage discipline). Oracle =
+    the same 4 rounds unrolled as MATERIALIZED CTEs with NOT EXISTS
+    anti-joins."""
+    from nebula_importer_spark.operators.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select(F.concat(F.lit("c_"), F.col("c_custkey")).alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
+def _graph_bfs_sql(hops: int = 4) -> str:
+    parts = [
+        """WITH cs AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || c_custkey AS node, CAST(0 AS INT) AS dist
+        FROM customer WHERE c_custkey < 3
+    )"""
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f""", n{h} AS (
+        SELECT DISTINCT e.dst AS node FROM d{h - 1} f JOIN edges e ON e.src = f.node
+        WHERE f.dist = {h - 1}
+    ), d{h} AS MATERIALIZED (
+        SELECT node, dist FROM d{h - 1}
+        UNION ALL
+        SELECT n.node, CAST({h} AS INT) FROM n{h} n
+        WHERE NOT EXISTS (SELECT 1 FROM d{h - 1} d WHERE d.node = n.node)
+    )"""
+        )
+    parts.append(f" SELECT node, dist FROM d{hops}")
+    return "".join(parts)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over events: users cohorted by first active UTC day,
     activity counted at each day offset. Raw events collapse to distinct
@@ -2409,6 +2482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         # SemDeDup semantic dedup (int_kmeans clusters bound the pair scan)
         "dedup_semantic": q_dedup_semantic,
+        # SFT pair mining over transcripts
+        "sft_pairs": q_sft_pairs,
+        # multi-source BFS distances
+        "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3284,6 +3361,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node
         """,
         "kg_negatives": _kg_negatives_sql(),
+        # SFT pair mining: bounded-frame context agg; empty frame → ''
+        # (DuckDB string_agg over an empty frame is NULL, Spark's
+        # array_join of an empty collect is '' — COALESCE aligns them).
+        "sft_pairs": f"""
+            WITH {_TRANSCRIPTS_CTE}, wx AS (
+                SELECT conv_id, turn_idx, role, text,
+                       COALESCE(string_agg(role || ': ' || text, chr(10))
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+                       LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+                       LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ntext
+                FROM tr
+            )
+            SELECT conv_id, turn_idx, context, text AS prompt, ntext AS response
+            FROM wx WHERE role = 'user' AND nrole = 'assistant'
+        """,
+        "graph_bfs": _graph_bfs_sql(),
         # Cohort retention: day = floor(epoch/86400); COUNT casts BIGINT.
         "retention_cohorts": """
             WITH days AS (

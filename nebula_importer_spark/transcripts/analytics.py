@@ -37,6 +37,7 @@ __all__ = [
     "tool_chains",
     "response_latency",
     "template_dedup",
+    "sft_pairs",
 ]
 
 
@@ -151,6 +152,55 @@ def response_latency(
         F.count("*").cast("long").alias("n_responses"),
         F.sum("_lat").alias("total_latency_sec"),
         F.max("_lat").alias("max_latency_sec"),
+    )
+
+
+def sft_pairs(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    max_context_turns: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """SFT training-pair mining: every adjacent user→assistant turn pair
+    becomes ``(conv_id, turn_idx, context, prompt, response)`` — prompt =
+    the user turn's text, response = the next turn's text, context = up to
+    `max_context_turns` PRECEDING turns rendered as ``role: text`` lines
+    joined by `sep` (empty string when the user turn opens the
+    conversation). This is the transcript→instruction-data step of a
+    training pipeline.
+
+    One window exchange on conv_id serves both the lead() adjacency and
+    the bounded-frame context collect (the frame is ROWS BETWEEN
+    -max_context_turns AND -1, so per-row state is a constant-size array —
+    no whole-conversation materialization, mega-threads included).
+    """
+    if max_context_turns < 0:
+        raise ValueError(f"max_context_turns must be >= 0, got {max_context_turns}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    per = df.select(
+        F.col(conv_col).alias("conv_id"), "turn_idx", "role", "text"
+    ).withColumns(
+        {
+            "_ctx": F.array_join(
+                F.collect_list(line).over(
+                    w.rowsBetween(-max_context_turns, -1)
+                ),
+                sep,
+            ),
+            "_nrole": F.lead("role").over(w),
+            "_ntext": F.lead("text").over(w),
+        }
+    )
+    return per.filter(
+        (F.col("role") == "user") & (F.col("_nrole") == "assistant")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("_ctx").alias("context"),
+        F.col("text").alias("prompt"),
+        F.col("_ntext").alias("response"),
     )
 
 

@@ -150,3 +150,37 @@ def test_conv_stats_text_never_shuffles(tr):
     assert blocks
     for b in blocks:
         assert "text" not in b
+
+
+def test_sft_pairs_context_and_pairing(spark):
+    from nebula_importer_spark.transcripts.analytics import sft_pairs
+
+    rows = [
+        ("a", 0, "user", "q1"),
+        ("a", 1, "assistant", "a1"),
+        ("a", 2, "user", "q2"),
+        ("a", 3, "assistant", "a2"),
+        ("b", 0, "assistant", "hi"),  # assistant-first: no pair
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, None, 0) for c, i, r, t in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = {r["turn_idx"]: r.asDict() for r in sft_pairs(df, max_context_turns=2).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["context"] == "" and got[0]["prompt"] == "q1" and got[0]["response"] == "a1"
+    # context for turn 2 = the 2 preceding turns in order
+    assert got[2]["context"] == "user: q1\nassistant: a1"
+    assert got[2]["prompt"] == "q2" and got[2]["response"] == "a2"
+
+
+def test_sft_pairs_context_window_bounded(spark):
+    from nebula_importer_spark.transcripts.analytics import sft_pairs
+
+    rows = [("a", i, "user" if i % 2 == 0 else "assistant", f"t{i}") for i in range(6)]
+    df = spark.createDataFrame(
+        [(c, i, r, None, t, 0) for c, i, r, t in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = {r["turn_idx"]: r["context"] for r in sft_pairs(df, max_context_turns=1).collect()}
+    assert got[4] == "assistant: t3"  # only ONE preceding turn

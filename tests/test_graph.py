@@ -603,3 +603,38 @@ def test_negative_samples_validation(spark):
         negative_samples(df, corrupt="pred")
     with pytest.raises(ValueError, match="n_buckets"):
         negative_samples(df, n_buckets=7)
+
+
+def test_bfs_distances_layers_and_early_exit(spark):
+    from nebula_importer_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=10).collect()}
+    # directed chain a→b→c→d; x/y unreachable and absent
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from nebula_importer_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "m"), ("m", "z"), ("b", "z")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    # z is 2 hops from a but 1 hop from b → nearest-seed distance wins
+    assert got == {"a": 0, "b": 0, "m": 1, "z": 1}
+
+
+def test_bfs_distances_hop_cap(spark):
+    from nebula_importer_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
