@@ -1117,24 +1117,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins."""
     from nebula_importer_spark.operators.graph import bfs_distances
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    cs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = cs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
-            )
-        ).alias("_e")
-    ).select("_e.*")
+    edges = _cs_graph(spark, sf_dir)
     seeds = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 3)
@@ -1169,6 +1152,100 @@ def _graph_bfs_sql(hops: int = 4) -> str:
         )
     parts.append(f" SELECT node, dist FROM d{hops}")
     return "".join(parts)
+
+
+def _cs_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier interaction graph shared by the
+    pagerank/bfs/label-propagation queries — symmetrized in ONE pass of the
+    join+distinct subplan (explode of both orientations)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    return cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (mode of neighbor labels,
+    ties to smallest, 4 supersteps) over the customer↔supplier graph.
+    Synchronous + total tie-break = deterministic, which is what lets an
+    unrolled SQL twin hash-check an algorithm usually shipped as
+    run-order-dependent."""
+    from nebula_importer_spark.operators.graph import label_propagation
+
+    return label_propagation(_cs_graph(spark, sf_dir), rounds=4)
+
+
+def _label_prop_sql(rounds: int = 4) -> str:
+    parts = [
+        """WITH cs AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs
+    ), l0 AS MATERIALIZED (
+        SELECT node, node AS label FROM (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", v{r} AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS n
+        FROM l{r - 1} l JOIN edges e ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ), t{r} AS (
+        SELECT node, label AS new_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+            FROM v{r}
+        ) WHERE rn = 1
+    ), l{r} AS MATERIALIZED (
+        SELECT l.node, COALESCE(t.new_label, l.label) AS label
+        FROM l{r - 1} l LEFT JOIN t{r} t USING (node)
+    )"""
+        )
+    parts.append(f" SELECT node, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def q_conv_qa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level QA validation (the transcript analog of the
+    reference's per-record rejection plane). The clean synthetic corpus is
+    deterministically DIRTIED first — doc%5: blank turn-1 text, doc%7:
+    repeated role, doc%11: turn gap (idx 2→7), doc%13: timestamp regression
+    — so every defect class actually fires; the oracle applies identical
+    mutations."""
+    from nebula_importer_spark.transcripts.analytics import conv_qa_flags
+
+    tr = _synth_transcripts(spark, sf_dir)
+    d = F.col("conv_id").cast("long")
+    i = F.col("turn_idx")
+    dirty = tr.select(
+        "conv_id",
+        F.when((d % 11 == 0) & (i == 2), F.lit(7)).otherwise(i).cast("int").alias("turn_idx"),
+        F.when((d % 7 == 0) & (i == 1), F.lit("user")).otherwise(F.col("role")).alias("role"),
+        "tool",
+        F.when((d % 5 == 0) & (i == 1), F.lit("  ")).otherwise(F.col("text")).alias("text"),
+        F.when((d % 13 == 0) & (i == 2), F.col("ts") - F.expr("INTERVAL 1000 SECONDS"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return conv_qa_flags(dirty)
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1748,27 +1825,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on both engines."""
     from nebula_importer_spark.operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    cs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    # symmetrize in ONE pass of the join+distinct subplan (a union of two
-    # selects re-executes it unless exchange reuse happens to fire)
-    edges = cs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
-            )
-        ).alias("_e")
-    ).select("_e.*")
-    return pagerank(edges, iterations=4)
+    return pagerank(_cs_graph(spark, sf_dir), iterations=4)
 
 
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2475,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_chains": q_conv_tool_chains,
         "conv_response_latency": q_conv_response_latency,
         "conv_template_dedup": q_conv_template_dedup,
+        "conv_qa_flags": q_conv_qa_flags,
         # user-behavior analytics over events
         "retention_cohorts": q_retention_cohorts,
         "funnel_steps": q_funnel_steps,
@@ -2486,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         # multi-source BFS distances
         "graph_bfs": q_graph_bfs,
+        # synchronous label-propagation communities
+        "graph_label_prop": q_graph_label_prop,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3378,6 +3438,47 @@ def oracle_sql() -> dict[str, str]:
             FROM wx WHERE role = 'user' AND nrole = 'assistant'
         """,
         "graph_bfs": _graph_bfs_sql(),
+        "graph_label_prop": _label_prop_sql(),
+        # Conversation QA flags over the deterministically dirtied corpus;
+        # identical mutations on both sides, all projections INT.
+        "conv_qa_flags": f"""
+            WITH {_TRANSCRIPTS_CTE}, dirty AS (
+                SELECT conv_id,
+                       CAST(CASE WHEN CAST(conv_id AS BIGINT) % 11 = 0 AND turn_idx = 2
+                                 THEN 7 ELSE turn_idx END AS INT) AS turn_idx,
+                       CASE WHEN CAST(conv_id AS BIGINT) % 7 = 0 AND turn_idx = 1
+                            THEN 'user' ELSE role END AS role,
+                       CASE WHEN CAST(conv_id AS BIGINT) % 5 = 0 AND turn_idx = 1
+                            THEN '  ' ELSE text END AS text,
+                       CASE WHEN CAST(conv_id AS BIGINT) % 13 = 0 AND turn_idx = 2
+                            THEN ts_sec - 1000 ELSE ts_sec END AS ts_sec
+                FROM tr
+            ), lagd AS (
+                SELECT conv_id, turn_idx, role,
+                       CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS empty_f,
+                       ts_sec,
+                       LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole,
+                       LAG(ts_sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts
+                FROM dirty
+            ), agg AS (
+                SELECT conv_id,
+                       CAST(MAX(empty_f) AS INT) AS has_empty_turn,
+                       CAST(COALESCE(MAX(CASE WHEN role = prole THEN 1 ELSE 0 END), 0) AS INT)
+                           AS has_role_repeat,
+                       CAST(CASE WHEN MAX(turn_idx) + 1 = COUNT(*) AND MIN(turn_idx) = 0
+                                 THEN 0 ELSE 1 END AS INT) AS has_turn_gap,
+                       CAST(COALESCE(MAX(CASE WHEN ts_sec < pts THEN 1 ELSE 0 END), 0) AS INT)
+                           AS has_ts_regression,
+                       CAST(MAX(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) AS INT)
+                           AS starts_with_user
+                FROM lagd GROUP BY conv_id
+            )
+            SELECT conv_id, has_empty_turn, has_role_repeat, has_turn_gap,
+                   has_ts_regression, starts_with_user,
+                   CAST(has_empty_turn + has_role_repeat + has_turn_gap
+                        + has_ts_regression AS INT) AS n_defects
+            FROM agg
+        """,
         # Cohort retention: day = floor(epoch/86400); COUNT casts BIGINT.
         "retention_cohorts": """
             WITH days AS (

@@ -38,6 +38,7 @@ __all__ = [
     "response_latency",
     "template_dedup",
     "sft_pairs",
+    "conv_qa_flags",
 ]
 
 
@@ -152,6 +153,85 @@ def response_latency(
         F.count("*").cast("long").alias("n_responses"),
         F.sum("_lat").alias("total_latency_sec"),
         F.max("_lat").alias("max_latency_sec"),
+    )
+
+
+def conv_qa_flags(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversation-level QA validation — the transcript analog of
+    nebula-importer's per-record validation/rejection plane (reference:
+    pkg/reader CSV validation + failed-row files; here the record is the
+    conversation). One integer flag column per defect class →
+    ``(conv_id, has_empty_turn, has_role_repeat, has_turn_gap,
+    has_ts_regression, starts_with_user, n_defects)``:
+
+    - has_empty_turn: any NULL/whitespace-only text
+    - has_role_repeat: same role on consecutive turn_idx (broken
+      alternation; tool turns count as their own role)
+    - has_turn_gap: turn_idx sequence has holes or doesn't start at 0
+    - has_ts_regression: a later turn_idx with an earlier timestamp
+    - starts_with_user: turn 0 exists and is a user turn (the one
+      POSITIVE gate)
+    - n_defects: sum of the four defect flags — filter `n_defects = 0`
+      for the clean corpus.
+
+    Gap detection is agg-only (max+1 == count AND min == 0 — exact for
+    duplicate-free turn_idx, which the pipeline's ordering invariant
+    guarantees); repeat/regression ride one lag() window, the same
+    conv_id exchange the final groupBy reuses. Integers only.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = df.select(
+        F.col(conv_col).alias("conv_id"),
+        "turn_idx",
+        "role",
+        (F.col("text").isNull() | (F.trim(F.col("text")) == "")).cast("int").alias(
+            "_empty"
+        ),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ts"),
+    )
+    lagged = per.withColumns(
+        {
+            "_prole": F.lag("role").over(w),
+            "_pts": F.lag("_ts").over(w),
+        }
+    )
+    return lagged.groupBy("conv_id").agg(
+        F.max("_empty").alias("has_empty_turn"),
+        F.coalesce(
+            F.max((F.col("role") == F.col("_prole")).cast("int")), F.lit(0)
+        ).alias("has_role_repeat"),
+        (
+            ~(
+                (F.max("turn_idx") + 1 == F.count("*"))
+                & (F.min("turn_idx") == 0)
+            )
+        )
+        .cast("int")
+        .alias("has_turn_gap"),
+        F.coalesce(
+            F.max((F.col("_ts") < F.col("_pts")).cast("int")), F.lit(0)
+        ).alias("has_ts_regression"),
+        F.max(
+            ((F.col("turn_idx") == 0) & (F.col("role") == "user")).cast("int")
+        ).alias("starts_with_user"),
+    ).select(
+        "conv_id",
+        "has_empty_turn",
+        "has_role_repeat",
+        "has_turn_gap",
+        "has_ts_regression",
+        "starts_with_user",
+        (
+            F.col("has_empty_turn")
+            + F.col("has_role_repeat")
+            + F.col("has_turn_gap")
+            + F.col("has_ts_regression")
+        ).alias("n_defects"),
     )
 
 

@@ -184,3 +184,39 @@ def test_sft_pairs_context_window_bounded(spark):
     ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
     got = {r["turn_idx"]: r["context"] for r in sft_pairs(df, max_context_turns=1).collect()}
     assert got[4] == "assistant: t3"  # only ONE preceding turn
+
+
+def test_conv_qa_flags_each_defect(spark):
+    from nebula_importer_spark.transcripts.analytics import conv_qa_flags
+
+    rows = [
+        # clean: user→assistant, contiguous, increasing ts
+        ("ok", 0, "user", "hi", 100),
+        ("ok", 1, "assistant", "yo", 110),
+        # empty turn text
+        ("emp", 0, "user", "hi", 100),
+        ("emp", 1, "assistant", "   ", 110),
+        # role repeat
+        ("rep", 0, "user", "a", 100),
+        ("rep", 1, "user", "b", 110),
+        # turn gap (no idx 1)
+        ("gap", 0, "user", "a", 100),
+        ("gap", 2, "assistant", "b", 110),
+        # ts regression
+        ("reg", 0, "user", "a", 100),
+        ("reg", 1, "assistant", "b", 90),
+        # assistant-first (not a defect, but starts_with_user = 0)
+        ("af", 0, "assistant", "a", 100),
+        ("af", 1, "user", "b", 110),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, None, t, s) for c, i, r, t, s in rows],
+        "conv_id string, turn_idx int, role string, tool string, text string, _sec long",
+    ).select("conv_id", "turn_idx", "role", "tool", "text", F.timestamp_seconds("_sec").alias("ts"))
+    got = {r["conv_id"]: r.asDict() for r in conv_qa_flags(df).collect()}
+    assert got["ok"]["n_defects"] == 0 and got["ok"]["starts_with_user"] == 1
+    assert got["emp"]["has_empty_turn"] == 1 and got["emp"]["n_defects"] == 1
+    assert got["rep"]["has_role_repeat"] == 1 and got["rep"]["n_defects"] == 1
+    assert got["gap"]["has_turn_gap"] == 1 and got["gap"]["n_defects"] == 1
+    assert got["reg"]["has_ts_regression"] == 1 and got["reg"]["n_defects"] == 1
+    assert got["af"]["starts_with_user"] == 0 and got["af"]["n_defects"] == 0

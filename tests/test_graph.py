@@ -638,3 +638,33 @@ def test_bfs_distances_hop_cap(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from nebula_importer_spark.operators.graph import label_propagation
+
+    # two triangles joined by nothing → each converges to its min id
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    both = tri1 + tri2 + [(d, s) for s, d in tri1 + tri2]  # symmetrize
+    edges = spark.createDataFrame(both, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_isolated_keeps_label(spark):
+    from nebula_importer_spark.operators.graph import label_propagation
+
+    # directed edge: 'b' has an in-neighbor, 'a' has none and keeps its label
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=3).collect()}
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_label_propagation_tie_breaks_to_min(spark):
+    from nebula_importer_spark.operators.graph import label_propagation
+
+    # node 'm' hears one vote each from 'a' and 'z' → min label 'a' wins
+    edges = spark.createDataFrame([("a", "m"), ("z", "m")], "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert got["m"] == "a"
