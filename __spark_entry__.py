@@ -1178,6 +1178,68 @@ def _cs_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_e.*")
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (Bellman-Ford, 4 relaxation supersteps) from
+    3 customer seeds over the customer↔supplier graph weighted by lineitem
+    interaction counts — the weighted complement of graph_bfs. Exact longs
+    end to end; oracle unrolls the identical min-relaxation recurrence."""
+    from nebula_importer_spark.operators.graph import sssp
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    csw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = csw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst"), F.col("w")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst"), F.col("w")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select(F.concat(F.lit("c_"), F.col("c_custkey")).alias("node"))
+    )
+    return sssp(edges, seeds, rounds=4, weight="w")
+
+
+def _graph_sssp_sql(rounds: int = 4) -> str:
+    parts = [
+        """WITH csw AS MATERIALIZED (
+        SELECT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s, COUNT(*)::BIGINT AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst, w FROM csw
+        UNION ALL SELECT s AS src, c AS dst, w FROM csw
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+        FROM customer WHERE c_custkey < 3
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", r{r} AS (
+        SELECT e.dst AS node, MIN(d.dist + e.w) AS nd
+        FROM d{r - 1} d JOIN edges e ON e.src = d.node GROUP BY e.dst
+    ), d{r} AS MATERIALIZED (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL SELECT node, nd AS dist FROM r{r}
+        ) GROUP BY node
+    )"""
+        )
+    parts.append(f" SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (mode of neighbor labels,
     ties to smallest, 4 supersteps) over the customer↔supplier graph.
@@ -2546,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         # synchronous label-propagation communities
         "graph_label_prop": q_graph_label_prop,
+        # weighted shortest paths (Bellman-Ford)
+        "graph_sssp": q_graph_sssp,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3439,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_bfs": _graph_bfs_sql(),
         "graph_label_prop": _label_prop_sql(),
+        "graph_sssp": _graph_sssp_sql(),
         # Conversation QA flags over the deterministically dirtied corpus;
         # identical mutations on both sides, all projections INT.
         "conv_qa_flags": f"""

@@ -668,3 +668,40 @@ def test_label_propagation_tie_breaks_to_min(spark):
     edges = spark.createDataFrame([("a", "m"), ("z", "m")], "src string, dst string")
     got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
     assert got["m"] == "a"
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from nebula_importer_spark.operators.graph import sssp
+
+    # a→z direct costs 10; a→b→z costs 2+3=5 → shortest is the 2-hop path
+    edges = spark.createDataFrame(
+        [("a", "z", 10), ("a", "b", 2), ("b", "z", 3)],
+        "src string, dst string, weight long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=4).collect()}
+    assert got == {"a": 0, "b": 2, "z": 5}
+
+
+def test_sssp_bounded_rounds_prefix(spark):
+    from nebula_importer_spark.operators.graph import sssp
+
+    # with rounds=1 only the direct edge is relaxed
+    edges = spark.createDataFrame(
+        [("a", "z", 10), ("a", "b", 2), ("b", "z", 3)],
+        "src string, dst string, weight long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=1).collect()}
+    assert got == {"a": 0, "b": 2, "z": 10}
+
+
+def test_sssp_multi_seed_min(spark):
+    from nebula_importer_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "m", 7), ("b", "m", 1)], "src string, dst string, weight long"
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=2).collect()}
+    assert got == {"a": 0, "b": 0, "m": 1}
