@@ -988,7 +988,13 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark half of _TRANSCRIPTS_CTE — the same deterministic transcript
     corpus in the BASELINE input_hint shape (conv_id string, turn_idx int,
     role string, text string, tool string, ts timestamp)."""
-    d = _t(spark, sf_dir, "documents")
+    return _synth_transform(_t(spark, sf_dir, "documents"))
+
+
+def _synth_transform(d: DataFrame) -> DataFrame:
+    """documents → transcript turns; stateless column ops only, so it
+    applies identically to a batch read and a readStream source (the
+    streaming conv-stats twin replays the same corpus)."""
     t = d.select(
         F.col("doc_id"),
         F.explode(
@@ -1283,6 +1289,36 @@ def _label_prop_sql(rounds: int = 4) -> str:
         )
     parts.append(f" SELECT node, label FROM l{rounds}")
     return "".join(parts)
+
+
+def q_stream_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of conv_stats: the documents table replayed
+    through readStream → the same stateless turn transform → the
+    foreachBatch partial-stats store (dynamic-overwrite batch partitions,
+    availableNow), merged back by the order-free combine. SHARES the batch
+    conv_stats oracle — the hash is the stream≡batch equivalence proof.
+    Cross-batch splits of ONE conversation's turns (where the merge
+    actually earns its keep) are soak-tested in pytest; the gate replay
+    exercises the machinery end-to-end."""
+    import tempfile
+
+    from nebula_importer_spark.streaming.conversations import (
+        read_conv_stats,
+        run_incremental_conv_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="nis_stream_convstats_")
+    schema = _t(spark, sf_dir, "documents").schema
+    docs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/documents.parque[t]")
+    )
+    run_incremental_conv_stats(
+        _synth_transform(docs), out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt"
+    )
+    return read_conv_stats(spark, f"{work}/out")
 
 
 def q_conv_qa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2595,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_response_latency": q_conv_response_latency,
         "conv_template_dedup": q_conv_template_dedup,
         "conv_qa_flags": q_conv_qa_flags,
+        "stream_conv_stats": q_stream_conv_stats,
         # user-behavior analytics over events
         "retention_cohorts": q_retention_cohorts,
         "funnel_steps": q_funnel_steps,
@@ -3896,4 +3933,8 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     # to the batch operator under id-ordered arrival, so it shares the
     # batch oracle — the hash match IS the stream≡batch equivalence proof
     sql["stream_gram_novelty"] = sql["gram_novelty"]
+    # streaming conv stats merge is order-free (sums / min-max / arg-min
+    # on unique turn_idx / set union), so stream ≡ batch with NO arrival
+    # assumption at all — shares the batch oracle outright
+    sql["stream_conv_stats"] = sql["conv_stats"]
     return sql
