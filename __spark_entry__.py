@@ -1184,6 +1184,67 @@ def _cs_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_e.*")
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from 3 customer seeds over the
+    customer↔supplier graph — seed-restart relevance under the same
+    exact-integer contract as graph_pagerank (mass normalized over the
+    SEED set; every step a long floor-div recurrence)."""
+    from nebula_importer_spark.operators.graph import personalized_pagerank
+
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select(F.concat(F.lit("c_"), F.col("c_custkey")).alias("node"))
+    )
+    return personalized_pagerank(_cs_graph(spark, sf_dir), seeds, iterations=4)
+
+
+def _ppr_sql(iterations: int = 4) -> str:
+    """DuckDB twin of q_graph_ppr: the pagerank recurrence with the
+    restart mass confined to the seed set (flagged node table built once,
+    reused per unrolled superstep)."""
+    scale = 10**12
+    ctes = [
+        """cs AS (
+            SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM cs
+              UNION ALL SELECT s, c FROM cs),
+        deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+        sd AS (SELECT DISTINCT 'c_' || c_custkey AS node
+               FROM customer WHERE c_custkey < 3),
+        n AS MATERIALIZED (
+            SELECT u.node, CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS sf
+            FROM (SELECT src AS node FROM e UNION SELECT dst FROM e
+                  UNION SELECT node FROM sd) u
+            LEFT JOIN sd ON sd.node = u.node
+        ),
+        prm AS (SELECT CAST(%d AS BIGINT) // COUNT(*) AS i0,
+                       CAST(%d AS BIGINT) // COUNT(*) * 15 // 100 AS b
+                FROM sd),
+        r0 AS (SELECT node, sf * (SELECT i0 FROM prm) AS r FROM n)""" % (scale, scale)
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+            SELECT n.node,
+                   CAST(n.sf * (SELECT b FROM prm)
+                        + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+            FROM n LEFT JOIN (
+                SELECT e.dst, SUM(p.r // deg.dg) AS m
+                FROM e JOIN deg USING (src) JOIN r{k - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            ) m ON m.dst = n.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT node, r AS rank_scaled FROM r{iterations}"
+    )
+
+
 def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest paths (Bellman-Ford, 4 relaxation supersteps) from
     3 customer seeds over the customer↔supplier graph weighted by lineitem
@@ -2647,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         # weighted shortest paths (Bellman-Ford)
         "graph_sssp": q_graph_sssp,
+        # personalized (seed-restart) PageRank
+        "graph_ppr": q_graph_ppr,
         "graph_link_predict": q_graph_link_predict,
         "graph_pmi": q_graph_pmi,
         "graph_hits": q_graph_hits,
@@ -3541,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs": _graph_bfs_sql(),
         "graph_label_prop": _label_prop_sql(),
         "graph_sssp": _graph_sssp_sql(),
+        "graph_ppr": _ppr_sql(4),
         # Conversation QA flags over the deterministically dirtied corpus;
         # identical mutations on both sides, all projections INT.
         "conv_qa_flags": f"""

@@ -705,3 +705,50 @@ def test_sssp_multi_seed_min(spark):
     seeds = spark.createDataFrame([("a",), ("b",)], "node string")
     got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=2).collect()}
     assert got == {"a": 0, "b": 0, "m": 1}
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from nebula_importer_spark.operators.graph import personalized_pagerank
+
+    # two disconnected 2-cycles; seed only in the first → second gets ZERO
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank_scaled"] for r in personalized_pagerank(edges, seeds, iterations=4).collect()}
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+    # the seed keeps the restart advantage
+    assert got["a"] > got["b"]
+
+
+def test_personalized_pagerank_mass_bounded(spark):
+    from nebula_importer_spark.operators.graph import personalized_pagerank, PAGERANK_SCALE
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    rows = personalized_pagerank(edges, seeds, iterations=6).collect()
+    total = sum(r["rank_scaled"] for r in rows)
+    assert 0 < total <= PAGERANK_SCALE
+
+
+def test_personalized_pagerank_isolated_seed_keeps_restart(spark):
+    from nebula_importer_spark.operators.graph import personalized_pagerank
+
+    # seed not present in the edge set still restarts every round
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("z",)], "node string")
+    got = {r["node"]: r["rank_scaled"] for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+    assert got["z"] > 0 and got["a"] == 0
+
+
+def test_personalized_pagerank_validation(spark):
+    from nebula_importer_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, empty)
