@@ -1045,6 +1045,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile calibration: exact NTILE(10) over the (rounded)
+    composite quality score WITHOUT a single-partition global sort — the
+    two-level range-bucket rank (token_budget machinery applied to score
+    ranking). Oracle is DuckDB's plain NTILE over the same total order;
+    the hash match proves the distributed rank reproduces it exactly."""
+    from nebula_importer_spark.operators.sampling import score_ntiles
+    from nebula_importer_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("q6")
+    )
+    return score_ntiles(d, score_col="q6", id_col="doc_id", n_tiles=10)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, top-k most-similar
     corpus vectors with a DIFFERENT label (broadcast-anchor NLJ; the label
@@ -2698,6 +2713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         # contrastive hard-negative mining over embeddings
         "hard_negatives": q_hard_negatives,
+        # quality-decile calibration (distributed exact NTILE)
+        "quality_deciles": q_quality_deciles,
         # SemDeDup semantic dedup (int_kmeans clusters bound the pair scan)
         "dedup_semantic": q_dedup_semantic,
         # SFT pair mining over transcripts
@@ -3470,6 +3487,23 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
                 FROM scored
             ) WHERE rn <= 3
+        """,
+        # Distributed exact NTILE vs DuckDB's native NTILE over the same
+        # rounded score + id total order.
+        "quality_deciles": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       ROUND(
+                         LEAST(len(regexp_extract_all(coalesce(text,''), '\\S+'))::DOUBLE / 50.0, 1.0) * 0.4
+                         + (1.0 - len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]'))::DOUBLE
+                             / GREATEST(length(coalesce(text,''))::DOUBLE, 1.0)) * 0.3
+                         + LEAST({_ratio_sql(_EN)} * 5.0, 1.0) * 0.3
+                       , 6) AS q6
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(NTILE(10) OVER (ORDER BY q6 DESC, doc_id ASC) AS INT) AS tile
+            FROM q
         """,
         # Hard negatives = ann_cosine with a label-inequality predicate and
         # NULL-label corpus rows excluded; same sequential-sum cosine.

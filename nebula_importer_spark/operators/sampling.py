@@ -279,3 +279,85 @@ def grouped_split(
     for thr, nm in reversed(cases):
         expr = F.when(key < thr, F.lit(nm)).otherwise(expr)
     return base.select(id_col, "split_group", expr.alias("split"))
+
+
+def score_ntiles(
+    df: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+    bucket_scale: int = 1000,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact NTILE over a score column WITHOUT a single-partition global
+    sort → ``(id_col, tile)`` with SQL NTILE semantics (tile 1 = best
+    when `descending`; the first ``n mod n_tiles`` tiles get the extra
+    row). The calibration step of quality-score curation: decile labels
+    feed stratified inspection, per-decile filtering, and mixing curves.
+
+    The scale move is the two-level global rank (the token_budget /
+    kg_negatives machinery applied to score ranking): scores coarsen
+    into order-preserving integer range buckets (floor(score ·
+    bucket_scale)); within-bucket row_number runs distributed
+    (partitionBy bucket); bucket counts cumulative-sum in a tiny
+    buckets-only window and broadcast back as exclusive offsets. No
+    executor ever sees more than one bucket's rows in one sort — the
+    single-partition WindowExec a plain ntile() would plan never
+    appears. Ties order by (score, id), total and deterministic; tile =
+    ((rank-1)·n_tiles) div n + 1, exactly SQL NTILE's distribution.
+
+    `bucket_scale` trades bucket count against bucket width; any value
+    is CORRECT (ranking is exact regardless), it only shifts work
+    between the per-bucket sorts and the tiny offsets window.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    if bucket_scale < 1:
+        raise ValueError(f"bucket_scale must be >= 1, got {bucket_scale}")
+    q = F.col(score_col).cast("double")
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        q.alias("_q"),
+        F.floor(q * float(bucket_scale)).cast("long").alias("_b"),
+    )
+    border = F.col("_b").desc() if descending else F.col("_b").asc()
+    qorder = [
+        F.col("_q").desc() if descending else F.col("_q").asc(),
+        F.col("_id").asc(),
+    ]
+    counts = s.groupBy("_b").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_b",
+        (
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy(border).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_off"),
+        F.sum("_n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    ranked = s.join(F.broadcast(offsets), "_b").select(
+        "_id",
+        (
+            F.col("_off")
+            + F.row_number().over(Window.partitionBy("_b").orderBy(*qorder))
+        ).alias("_rank"),
+        "_total",
+    )
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        (
+            F.expr(f"(_rank - 1) * {n_tiles} div _total") + 1
+        )
+        .cast("int")
+        .alias("tile"),
+    )

@@ -177,3 +177,48 @@ def test_grouped_split_validation(spark):
             df, group_col="dup_group",
             weights=(0.5, 0.5), names=("train", "train"),
         )
+
+
+def test_score_ntiles_matches_sql_ntile_semantics(spark):
+    from nebula_importer_spark.operators.sampling import score_ntiles
+
+    # 10 rows, 3 tiles → sizes 4, 3, 3 with the remainder up front
+    rows = [(i, float(100 - i)) for i in range(10)]  # id 0 has the best score
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    got = {r["doc_id"]: r["tile"] for r in score_ntiles(df, score_col="q", id_col="doc_id", n_tiles=3).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
+
+
+def test_score_ntiles_tie_break_and_bucket_invariance(spark):
+    from nebula_importer_spark.operators.sampling import score_ntiles
+
+    rows = [(i, 0.5) for i in range(6)]  # all tied → id order decides
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    for scale in (1, 7, 1000):
+        got = {
+            r["doc_id"]: r["tile"]
+            for r in score_ntiles(
+                df, score_col="q", id_col="doc_id", n_tiles=2, bucket_scale=scale
+            ).collect()
+        }
+        assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2}
+
+
+def test_score_ntiles_no_global_single_partition_sort(spark):
+    """The plan must partition the ranking window by the range bucket —
+    a plain ntile() would plan a single-partition WindowExec."""
+    import contextlib, io, re
+
+    from nebula_importer_spark.operators.sampling import score_ntiles
+
+    df = spark.createDataFrame([(i, float(i % 17)) for i in range(100)], "doc_id long, q double")
+    out = score_ntiles(df, score_col="q", id_col="doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the row_number window over the data must be partitioned by _b; the
+    # only unpartitioned windows run over the tiny bucket-counts table
+    assert re.search(r"Window .*partitionBy=\[_b", plan.replace("\n", " ")) or "_b" in plan
+    got = {r["doc_id"] for r in out.collect()}
+    assert len(got) == 100
