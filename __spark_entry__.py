@@ -1432,6 +1432,15 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day — exact
+    sliding COUNT DISTINCT via constant-fan-out explode over deduped
+    user-days (no range join, no unsupported distinct-over-window)."""
+    from nebula_importer_spark.operators.behavior import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential view→click→purchase funnel (chained earliest-completion
     semantics at microsecond precision). Spark folds per-user sorted step
@@ -2711,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user-behavior analytics over events
         "retention_cohorts": q_retention_cohorts,
         "funnel_steps": q_funnel_steps,
+        "rolling_active_users": q_rolling_active_users,
         # contrastive hard-negative mining over embeddings
         "hard_negatives": q_hard_negatives,
         # quality-decile calibration (distributed exact NTILE)
@@ -3692,6 +3702,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_users
             FROM days JOIN cohort USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Rolling 7-day WAU: the trailing-window COUNT DISTINCT the Spark
+        # side computes via constant-fan-out explode.
+        "rolling_active_users": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), obs AS (SELECT DISTINCT day FROM days)
+            SELECT o.day, COUNT(DISTINCT d.user_id)::BIGINT AS n_users
+            FROM obs o JOIN days d ON d.day BETWEEN o.day - 6 AND o.day
+            GROUP BY o.day
         """,
         # Sequential funnel as chained earliest-completion MINs: t1 = min
         # step1 ts, t_j = min step_j ts >= t_{j-1} (microseconds) — the

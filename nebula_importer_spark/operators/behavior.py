@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["retention_cohorts", "funnel_steps"]
+__all__ = ["retention_cohorts", "funnel_steps", "rolling_active_users"]
 
 SECONDS_PER_DAY = 86400
 
@@ -72,6 +72,56 @@ def retention_cohorts(
         joined = joined.filter(F.col("day_offset") <= max_offset_days)
     return joined.groupBy("cohort_day", "day_offset").agg(
         F.count("*").cast("long").alias("n_users")
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling distinct active users (the WAU/MAU dashboard metric):
+    for every OBSERVED activity day, how many distinct users were active
+    in the trailing `window_days`-day window ending that day →
+    ``(day, n_users)``, day = UTC day number.
+
+    Exact sliding-window COUNT DISTINCT without a range join and without
+    a distinct-over-window (which Spark doesn't support): events first
+    collapse to distinct (user, day) — the bot-volume guard shared with
+    retention_cohorts — then each user-day EXPLODES into the ≤
+    `window_days` window-ends it contributes to (a constant fan-out,
+    unlike a range join's data-dependent blow-up), dedups (user,
+    window_end) so multi-day activity inside one window counts once, and
+    counts per window-end. Window-ends are restricted to observed days
+    via a semi-join (trailing ghost windows past the last activity day
+    are not reported). All integers.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    days = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("long") / SECONDS_PER_DAY
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    obs = days.select("day").distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("wend"),
+    ).join(obs.withColumnRenamed("day", "wend"), "wend", "left_semi")
+    return (
+        contrib.distinct()
+        .groupBy(F.col("wend").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_users"))
     )
 
 

@@ -99,3 +99,29 @@ def test_funnel_zero_rows_for_uncompleted_steps(spark):
     ev = _events(spark, [(1, "view", 0)])
     got = {r["step"]: r["n_users"] for r in funnel_steps(ev, ["view", "click"]).collect()}
     assert got == {"view": 1, "click": 0}
+
+
+def test_rolling_active_users_window_and_dedup(spark):
+    from nebula_importer_spark.operators.behavior import rolling_active_users
+
+    ev = _events(
+        spark,
+        [
+            # user 1 active days 0 and 2 (twice on day 2 — dedup), user 2 day 2
+            (1, "view", 10), (1, "view", 2 * DAY), (1, "click", 2 * DAY + 5),
+            (2, "view", 2 * DAY),
+            # user 3 active day 10 only → outside the 7-day window of day 2
+            (3, "view", 10 * DAY),
+        ],
+    )
+    got = {r["day"]: r["n_users"] for r in rolling_active_users(ev, window_days=7).collect()}
+    # day 0: u1; day 2: u1 (counted once) + u2; day 10: u3 only (day 2 is 8 days back)
+    assert got == {0: 1, 2: 2, 10: 1}
+
+
+def test_rolling_active_users_window_one_is_dau(spark):
+    from nebula_importer_spark.operators.behavior import rolling_active_users
+
+    ev = _events(spark, [(1, "view", 10), (2, "view", 20), (1, "view", DAY)])
+    got = {r["day"]: r["n_users"] for r in rolling_active_users(ev, window_days=1).collect()}
+    assert got == {0: 2, 1: 1}
