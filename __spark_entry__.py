@@ -3823,11 +3823,14 @@ def oracle_sql() -> dict[str, str]:
         # literals (floor(c·16⁸)/16⁸ hex — plan constants, exact in any
         # engine); comparison is lexicographic on the 32-hex md5.
         "grouped_split": """
+            -- COALESCE twin of the Spark side's _md5_key NULL sentinel
+            -- ('\\0null'): a NULL group must hash deterministically, not
+            -- NULL-propagate through every CASE branch to 'test'
             SELECT doc_id, md5(text) AS split_group,
                    CASE
-                     WHEN md5('split' || md5(text))
+                     WHEN md5('split' || COALESCE(md5(text), chr(0) || 'null'))
                           < 'e6666666000000000000000000000000' THEN 'train'
-                     WHEN md5('split' || md5(text))
+                     WHEN md5('split' || COALESCE(md5(text), chr(0) || 'null'))
                           < 'f3333333000000000000000000000000' THEN 'val'
                      ELSE 'test'
                    END AS split

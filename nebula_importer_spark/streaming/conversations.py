@@ -107,19 +107,16 @@ def run_incremental_conv_stats(
     out = str(out_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                _partial_stats(batch_df)
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(out)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer dynamic overwrite (NOT a session-conf toggle: any
+        # concurrent writer sharing the session would inherit the mode)
+        (
+            _partial_stats(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", str(checkpoint_dir)
@@ -130,48 +127,14 @@ def run_incremental_conv_stats(
         writer.start()
 
 
-def _merge(partials: DataFrame) -> DataFrame:
-    """Merge-combine partial rows into the batch operator's exact output
-    schema (transcripts/analytics.py:conv_stats)."""
+def _merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge-combine partial rows back into the STORE schema. This is the
+    single source of truth for the combine: the store schema is closed
+    under it, so both the read view (_merge) and compaction
+    (compact_conv_stats) are projections of this one aggregation —
+    adding a stat to _partial_stats requires touching exactly one merge.
+    """
     return partials.groupBy("conv_id").agg(
-        F.sum("n_turns").alias("n_turns"),
-        F.sum("n_user").alias("n_user"),
-        F.sum("n_assistant").alias("n_assistant"),
-        F.sum("n_tool_calls").alias("n_tool_calls"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("tools")))).cast(
-            "long"
-        ).alias("n_distinct_tools"),
-        F.sum("total_chars").alias("total_chars"),
-        F.min_by("first_role", "first_idx").alias("first_role"),
-        F.max_by("last_role", "last_idx").alias("last_role"),
-        (F.max("max_ts") - F.min("min_ts")).alias("duration_sec"),
-    ).select(
-        "conv_id",
-        "n_turns",
-        "n_user",
-        "n_assistant",
-        "n_tool_calls",
-        "n_distinct_tools",
-        "total_chars",
-        "first_role",
-        "last_role",
-        "duration_sec",
-    )
-
-
-def read_conv_stats(spark, out_dir: str | Path) -> DataFrame:
-    """Current merged view of the store — row-identical to
-    ``conv_stats(union of all arrived turns)``."""
-    return _merge(spark.read.parquet(str(out_dir)).select(*_STORE_COLS))
-
-
-def compact_conv_stats(spark, out_dir: str | Path) -> None:
-    """Rewrite the store's per-batch partials into one merged partition
-    (_batch_id = -1). Safe because the merge is associative and the
-    partial schema is closed under it."""
-    out = str(out_dir)
-    merged = spark.read.parquet(out).select(*_STORE_COLS)
-    compacted = merged.groupBy("conv_id").agg(
         F.sum("n_turns").alias("n_turns"),
         F.sum("n_user").alias("n_user"),
         F.sum("n_assistant").alias("n_assistant"),
@@ -198,11 +161,67 @@ def compact_conv_stats(spark, out_dir: str | Path) -> None:
         "last_role",
         "min_ts",
         "max_ts",
-        F.lit(-1).cast("long").alias("_batch_id"),
     )
-    # stage via a local collect-free rewrite: write to a temp subdir then
-    # swap would need a FS move; for the library surface we overwrite the
-    # whole table in one job (the store IS derivable state)
-    compacted.localCheckpoint().write.mode("overwrite").partitionBy(
-        "_batch_id"
-    ).parquet(out)
+
+
+def _merge(partials: DataFrame) -> DataFrame:
+    """Merge-combine partial rows into the batch operator's exact output
+    schema (transcripts/analytics.py:conv_stats)."""
+    return _merge_partials(partials).select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool_calls",
+        F.size("tools").cast("long").alias("n_distinct_tools"),
+        "total_chars",
+        "first_role",
+        "last_role",
+        (F.col("max_ts") - F.col("min_ts")).alias("duration_sec"),
+    )
+
+
+def read_conv_stats(spark, out_dir: str | Path) -> DataFrame:
+    """Current merged view of the store — row-identical to
+    ``conv_stats(union of all arrived turns)``."""
+    return _merge(spark.read.parquet(str(out_dir)).select(*_STORE_COLS))
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the session's Hadoop filesystem (works on
+    any scheme the session can write to, not just local disk)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def compact_conv_stats(spark, out_dir: str | Path) -> None:
+    """Rewrite the store's per-batch partials into one merged partition
+    (_batch_id = -1). Safe because the merge is associative and the
+    partial schema is closed under it.
+
+    Two-phase rewrite: the merged result is first MATERIALIZED to a
+    durable staging directory, and only then does the overwrite of the
+    store read FROM that staging copy. Overwriting a table from its own
+    lineage with nothing but a localCheckpoint barrier is not
+    crash-safe on a cluster: checkpoint blocks live in executor storage,
+    so a lost executor after the overwrite job started deleting source
+    files would leave the store unrecoverable (the partials are the only
+    place merged history lives once the source stream ages out). With
+    staging, every phase reads only from durable files — a crash
+    mid-overwrite is recoverable by re-running the overwrite from the
+    intact staging copy."""
+    out = str(out_dir).rstrip("/")
+    staging = out + "__compact_staging"
+    compacted = _merge_partials(
+        spark.read.parquet(out).select(*_STORE_COLS)
+    ).withColumn("_batch_id", F.lit(-1).cast("long"))
+    compacted.write.mode("overwrite").parquet(staging)
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(out)
+    )
+    _hadoop_delete(spark, staging)

@@ -40,11 +40,28 @@ Design (and why):
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
+
+
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join: plain string concat so scheme-qualified paths
+    (``s3://…``, ``hdfs://…``) keep their ``//`` — ``pathlib.Path`` would
+    collapse it and break every non-local filesystem."""
+    return "/".join([str(base).rstrip("/")] + [p.strip("/") for p in parts])
+
+
+def _try_read_parquet(spark, path: str) -> DataFrame | None:
+    """Read a parquet table that may not exist yet, through the session's
+    Hadoop filesystem (NOT a driver-local ``os.path`` check, which is
+    always False for object stores and would silently reset incremental
+    state every batch)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 DOCUMENT_SCHEMA = T.StructType(
     [
@@ -71,8 +88,8 @@ def read_document_stream(
 
 def run_incremental_novelty(
     stream: DataFrame,
-    out_dir: str | Path,
-    checkpoint_dir: str | Path,
+    out_dir: str,
+    checkpoint_dir: str,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -94,9 +111,8 @@ def run_incremental_novelty(
     from nebula_importer_spark.operators.dedup import doc_gram_hashes, novelty_stats
 
     spark = stream.sparkSession
-    out = Path(out_dir)
-    grams_dir = out / "grams"
-    novelty_dir = out / "novelty"
+    grams_dir = _join(out_dir, "grams")
+    novelty_dir = _join(out_dir, "novelty")
     seen: dict = {"batches": 0, "docs": 0}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -104,15 +120,13 @@ def run_incremental_novelty(
         ex = ex.persist()
         try:
             bfirst = ex.groupBy("_h").agg(F.min("_id").alias("_bfirst"))
-            if grams_dir.exists():
+            prior = _try_read_parquet(spark, grams_dir)
+            if prior is not None:
                 prior = (
-                    spark.read.parquet(str(grams_dir))
-                    .filter(F.col("_batch_id") < batch_id)
+                    prior.filter(F.col("_batch_id") < batch_id)
                     .groupBy("_h")
                     .agg(F.min("_first").alias("_pfirst"))
                 )
-            else:
-                prior = None
             flagged = ex.join(bfirst, "_h")
             if prior is not None:
                 flagged = flagged.join(prior, "_h", "left")
@@ -131,7 +145,7 @@ def run_incremental_novelty(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
-                .parquet(str(novelty_dir))
+                .parquet(novelty_dir)
             )
             (
                 bfirst.select("_h", F.col("_bfirst").alias("_first"))
@@ -139,7 +153,7 @@ def run_incremental_novelty(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
-                .parquet(str(grams_dir))
+                .parquet(grams_dir)
             )
             seen["batches"] += 1
             seen["docs"] += report.count()  # batch-sized (persisted grams)
@@ -157,6 +171,6 @@ def run_incremental_novelty(
     return seen
 
 
-def read_novelty(spark, out_dir: str | Path) -> DataFrame:
+def read_novelty(spark, out_dir: str) -> DataFrame:
     """The accumulated per-doc novelty table (all batches)."""
-    return spark.read.parquet(str(Path(out_dir) / "novelty")).drop("_batch_id")
+    return spark.read.parquet(_join(out_dir, "novelty")).drop("_batch_id")

@@ -342,6 +342,25 @@ def test_neighborhood_similarity_hub_cap_and_exclusion(spark):
         neighborhood_similarity(df, max_degree=0)
 
 
+def test_neighborhood_similarity_self_loops_ignored(spark):
+    """A reflexive edge must not make a node its own shared neighbor
+    (regression: ('a','a')+('a','b') once yielded pair (a,b) common=1)."""
+    from nebula_importer_spark.operators.graph import neighborhood_similarity
+
+    edges = [("a", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert neighborhood_similarity(df).collect() == []
+    # and with real structure around it, the self-loop changes nothing
+    more = edges + [("a", "c"), ("b", "c"), ("c", "c")]
+    df2 = spark.createDataFrame(more, "src string, dst string")
+    got = {(r.node_a, r.node_b): (r.common, r.jaccard)
+           for r in neighborhood_similarity(df2).collect()}
+    want = _py_neighborhood_similarity(more)
+    assert got.keys() == want.keys()
+    for k, (c, j) in want.items():
+        assert got[k][0] == c and abs(got[k][1] - j) < 1e-12
+
+
 def test_cooccurrence_pmi(spark):
     import math
 

@@ -134,6 +134,25 @@ def test_grouped_split_matches_reference_and_no_leakage(spark):
     assert splits.count("train") > len(splits) * 0.6
 
 
+def test_grouped_split_null_group_sentinel(spark):
+    """NULL groups hash under the '\\0null' sentinel — deterministic and
+    identical to the DuckDB oracle's COALESCE(chr(0)||'null') twin (a
+    NULL would otherwise NULL-propagate to the fallback split on one
+    side only, a guaranteed gate mismatch)."""
+    import hashlib
+
+    from nebula_importer_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "g")], "doc_id long, dup_group string"
+    )
+    got = {r["doc_id"]: r["split"]
+           for r in grouped_split(df, group_col="dup_group").collect()}
+    key = hashlib.md5(("split" + "\x00null").encode()).hexdigest()
+    assert key.startswith("075e6883")  # the value the oracle twin hashes
+    assert got[1] == got[2] == "train"  # 075e... < e666... threshold
+
+
 def test_grouped_split_side_table_and_singleton_fallback(spark):
     from nebula_importer_spark.operators.sampling import grouped_split
 
@@ -217,8 +236,11 @@ def test_score_ntiles_no_global_single_partition_sort(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    # the row_number window over the data must be partitioned by _b; the
-    # only unpartitioned windows run over the tiny bucket-counts table
-    assert re.search(r"Window .*partitionBy=\[_b", plan.replace("\n", " ")) or "_b" in plan
+    # the row_number window over the data must be partitioned by _b (its
+    # windowspecdefinition's first argument is the partition column); the
+    # only unpartitioned windows run over the tiny bucket-counts table.
+    # A regressed global ranking would plan
+    # row_number() windowspecdefinition(<order>, <frame>) with no _b.
+    assert re.search(r"row_number\(\) windowspecdefinition\(_b#\d+", plan)
     got = {r["doc_id"] for r in out.collect()}
     assert len(got) == 100
