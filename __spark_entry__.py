@@ -2615,6 +2615,48 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST_PHRASES = [
+    "spark",  # unigram — exercises the verification-free token-join leg
+    "big query",
+    "fast merge",
+    "slow scan",
+    "table window",
+]
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus blocklist screening (operators/blocklist.py): token-boundary
+    phrase matching with first-token equi-join candidate generation — the
+    phrase list is a TABLE (scale path: millions of entries), never a
+    regex alternation; text shuffles only to verify multi-token
+    candidates, keyed by doc_id."""
+    from nebula_importer_spark.operators.blocklist import blocklist_summary
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_summary(d, BLOCKLIST_PHRASES)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample): deterministic 52-bit md5
+    uniforms, top-k by ln(u)/w as a TakeOrdered — probability proportional
+    to document length, no shuffle, no global sort."""
+    from nebula_importer_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, k=50, weight_col="n_chars", id_col="doc_id")
+
+
+def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity profile cards over the CONSTRUCTED graph
+    (transcripts/entities.py): role-split triple counts, predicate
+    diversity, conversation coverage, deterministic dominant predicate —
+    the vertex-record rendering of the KG the pipeline just built."""
+    from nebula_importer_spark.transcripts.entities import entity_cards
+
+    return entity_cards(q_kg_triples(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2760,6 +2802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted rewrites (hash-identical to their unsalted window oracles)
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
+        # third-wave additions (blocklist screening, PPS sampling, KG cards)
+        "text_blocklist": q_text_blocklist,
+        "sample_weighted": q_sample_weighted,
+        "kg_entity_cards": q_kg_entity_cards,
     }
 
 
@@ -4050,6 +4096,66 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT obj AS entity, 0 AS o, 1 AS i FROM kg_t
             ) GROUP BY entity
+        """,
+        # token-boundary phrase screening: ' '+normalized text+' ' contains
+        # ' '+phrase+' ' — the all-pairs doc×phrase scan is the POINT of the
+        # oracle (the Spark side proves the token-join funnel equals it)
+        "text_blocklist": f"""
+            WITH p(phrase) AS (VALUES {", ".join(f"('{ph}')" for ph in BLOCKLIST_PHRASES)}),
+            hits AS (
+                SELECT d.doc_id, COUNT(DISTINCT p.phrase) AS n
+                FROM documents d, p
+                WHERE contains(
+                    ' ' || trim(regexp_replace(d.text, '[\t\n\f\r ]+', ' ', 'g')) || ' ',
+                    ' ' || p.phrase || ' ')
+                GROUP BY d.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0)::BIGINT AS n_blocked,
+                   COALESCE(h.n, 0) > 0 AS blocked
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        # Efraimidis–Spirakis: u = (52-bit md5 int + 1)/2^52 exactly (both
+        # engines compute ln of the bit-identical double), top-k by ln(u)/w
+        "sample_weighted": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                          / 4503599627370496.0) / n_chars AS es_key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) ORDER BY es_key DESC LIMIT 50
+        """,
+        "kg_entity_cards": f"""
+            WITH kg_t AS MATERIALIZED ({_kg_triples_sql()}),
+            contrib AS (
+                SELECT subj AS entity, 1 AS is_subj, pred, conv_id FROM kg_t
+                UNION ALL
+                SELECT obj AS entity, 0 AS is_subj, pred, conv_id FROM kg_t
+            ),
+            cards AS (
+                SELECT entity,
+                       SUM(is_subj)::BIGINT AS n_subj,
+                       SUM(1 - is_subj)::BIGINT AS n_obj,
+                       COUNT(DISTINCT pred)::BIGINT AS n_preds,
+                       COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+                FROM contrib GROUP BY entity
+            ),
+            pc AS (
+                SELECT entity, pred, COUNT(*) AS n
+                FROM contrib GROUP BY entity, pred
+            ),
+            top AS (
+                SELECT entity, pred AS top_pred FROM (
+                    SELECT entity, pred,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY entity ORDER BY n DESC, pred ASC
+                           ) AS rk
+                    FROM pc
+                ) WHERE rk = 1
+            )
+            SELECT c.entity, c.n_subj, c.n_obj, c.n_preds, c.n_convs, t.top_pred
+            FROM cards c JOIN top t USING (entity)
         """,
     })
 

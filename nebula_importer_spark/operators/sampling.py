@@ -361,3 +361,52 @@ def score_ntiles(
         .cast("int")
         .alias("tile"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, deterministic): each row draws a reproducible uniform
+    u = (m+1)/2^52 from the first 13 hex digits of md5(salt‖id) — 13·4=52
+    bits, so the integer and the quotient are both exact in a double on
+    any engine — and the sample is the k rows maximizing u^(1/w),
+    compared as ln(u)/w (monotone-equivalent, w > 0).
+
+    Statistically this is probability-proportional-to-size without
+    replacement: the first pick lands on row i with probability
+    w_i / Σw, and so on among the remainder — the standard single-pass
+    weighted reservoir order, here rendered as a distributed top-k.
+
+    Scale: plans as TakeOrderedAndProject — each partition keeps its local
+    top-k, the driver merges k·n_partitions CANDIDATE KEYS, never the
+    table; no shuffle, no global sort. Rows with NULL or non-positive
+    weight are excluded (a zero-weight row can never be drawn; a negative
+    weight has no sampling meaning — fail-soft by exclusion, matching the
+    filter-not-error convention of weighted_domain_sample).
+
+    Cross-engine note: ln is the one non-arithmetic op; engines may differ
+    in the last ulp, which can only reorder two rows whose keys coincide
+    to ~1e-15 relative — with 52-bit uniforms the probability of a
+    cross-engine flip inside the top-k boundary is negligible, and the
+    float key is never projected (output is ``(id, weight)`` only).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(F.substring(_md5_key(id_col, salt), 1, 13), 16, 10).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), F.col(weight_col), key.alias("_es_key"))
+        .orderBy(F.desc("_es_key"))
+        .limit(k)
+        .drop("_es_key")
+    )

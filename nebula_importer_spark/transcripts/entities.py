@@ -1,0 +1,72 @@
+"""Per-entity profile cards over the constructed knowledge graph.
+
+The first deliverable a KG consumer asks for after construction: one row
+per canonical entity summarizing how it participates in the graph —
+triple counts by role, predicate diversity, conversation coverage, and
+its dominant predicate. (Reference analog: nebula-importer materializes
+vertices with their tag property sets for NebulaGraph,
+/root/reference/pkg/spec/v3/node.go — the card is the analytics-side
+rendering of that vertex record for the transcript-constructed graph.)
+
+Scale shape: each triple explodes map-side into two fixed-width
+(entity, role, pred, conv_id) contribution rows — the only shuffle is
+the entity-keyed aggregation, and every aggregate is partial-aggregable
+(sums + count_distinct). The dominant-predicate pick runs on the
+per-(entity, pred) count table — |entities| × avg-predicate-fanout rows,
+orders of magnitude smaller than the triple table — with a deterministic
+(count DESC, pred ASC) tie-break so the card is reproducible under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def entity_cards(triples: DataFrame) -> DataFrame:
+    """``(entity, n_subj, n_obj, n_preds, n_convs, top_pred)`` per entity
+    appearing in ``triples`` (schema: conv_id, turn_idx, subj, pred, obj,
+    the canonical_triples output).
+
+    - ``n_subj`` / ``n_obj``: triples where the entity plays that role.
+    - ``n_preds``: distinct predicates across both roles.
+    - ``n_convs``: distinct conversations the entity appears in.
+    - ``top_pred``: the entity's most frequent predicate (both roles),
+      ties broken by predicate name — deterministic, partition-order-free.
+    """
+    contrib = triples.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("entity"), F.lit(1).alias("is_subj")),
+                F.struct(F.col("obj").alias("entity"), F.lit(0).alias("is_subj")),
+            )
+        ).alias("c"),
+        "pred",
+        "conv_id",
+    ).select("c.entity", "c.is_subj", "pred", "conv_id")
+
+    cards = contrib.groupBy("entity").agg(
+        F.sum("is_subj").cast("long").alias("n_subj"),
+        F.sum(1 - F.col("is_subj")).cast("long").alias("n_obj"),
+        F.count_distinct("pred").cast("long").alias("n_preds"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+    pred_counts = contrib.groupBy("entity", "pred").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    top = (
+        pred_counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("entity").orderBy(
+                    F.desc("_n"), F.asc("pred")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("entity", F.col("pred").alias("top_pred"))
+    )
+    return cards.join(top, "entity")

@@ -244,3 +244,56 @@ def test_score_ntiles_no_global_single_partition_sort(spark):
     assert re.search(r"row_number\(\) windowspecdefinition\(_b#\d+", plan)
     got = {r["doc_id"] for r in out.collect()}
     assert len(got) == 100
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    """Efraimidis–Spirakis: top-k by ln(u)/w with u = (md5-52bit+1)/2^52 —
+    the Python reference computes the identical formula; 52 bits keep the
+    uniform exact in a double so both sides order identically."""
+    import hashlib
+    import math
+
+    from nebula_importer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 211 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:13], 16) + 1) / 2**52
+        return math.log(u) / w
+
+    want = sorted(rows, key=lambda r: key(*r), reverse=True)[:25]
+    got = weighted_sample(df, k=25, weight_col="w").collect()
+    assert sorted((r.doc_id, r.w) for r in got) == sorted(want)
+
+
+def test_weighted_sample_excludes_bad_weights_and_validates_k(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 3)],
+        "doc_id long, w long",
+    )
+    got = {r.doc_id for r in weighted_sample(df, k=10, weight_col="w").collect()}
+    assert got == {1, 5}  # zero/negative/NULL weights can never be drawn
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, k=0, weight_col="w")
+
+
+def test_weighted_sample_plans_takeordered_not_global_sort(spark):
+    """The top-k must plan as TakeOrderedAndProject (per-partition local
+    top-k, driver merges k candidates) — a global Sort+Limit would shuffle
+    the whole table at scale."""
+    import contextlib
+    import io
+
+    from nebula_importer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "doc_id long, w long")
+    out = weighted_sample(df, k=5, weight_col="w")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
