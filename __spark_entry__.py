@@ -1938,6 +1938,18 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays pytest-gated at P/R ≥ 0.95 — test_transcripts.)"""
     from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
 
+    transcripts, alias_dict, same_as = _kg_pipeline_inputs(spark, sf_dir)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(transcripts)
+    links = pipe.link_table(surface, alias_dict)
+    triples, _ = pipe.canonical_triples(surface, links, same_as)
+    return triples
+
+
+def _kg_pipeline_inputs(spark: SparkSession, sf_dir: str):
+    """(transcripts, alias_dict, same_as) — the documents-derived synthetic
+    corpus shared by q_kg_triples, q_kg_degree/entity_cards (via
+    q_kg_triples) and q_kg_triple_spans."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     k13 = (F.col("doc_id") % 13).cast("string")
@@ -1978,11 +1990,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    pipe = TranscriptPipeline(spark)
-    surface = pipe.triples_surface(transcripts)
-    links = pipe.link_table(surface, alias_dict)
-    triples, _ = pipe.canonical_triples(surface, links, same_as)
-    return triples
+    return transcripts, alias_dict, same_as
 
 
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2657,6 +2665,105 @@ def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cards(q_kg_triples(spark, sf_dir))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring SPANS (operators/dedup.py:duplicate_spans
+    — the distributed stand-in for Lee et al. 2022's suffix-array substring
+    dedup): positions whose word 3-gram occurs ≥2 times corpus-wide, merged
+    into maximal token ranges via gaps-and-islands. Gram strings never
+    shuffle (xxhash64 keys); the oracle keys on raw grams, so a realized
+    collision surfaces as a gate mismatch."""
+    from nebula_importer_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + embedding-cosine top-20 fused
+    by Reciprocal Rank Fusion (operators/search.py:rrf_fuse). Fusion is
+    exact-integer (RRF_SCALE div (k+rank)), so the combined score is
+    bit-identical across engines; both legs pre-round their float scores to
+    the shared 6dp before ranking (the ROUND(·,6) oracle discipline)."""
+    from nebula_importer_spark.operators.search import bm25_scores, rrf_fuse
+    from nebula_importer_spark.operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_scores(d, ["spark", "vector", "merge"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = brute_force_topk(emb, q0, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.round("cosine", 6).alias("score")
+    )
+    return rrf_fuse([lex, sem], id_col="doc_id", score_col="score")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (operators/behavior.py:event_transitions) — one user-keyed window
+    exchange, then the ≤|types|² transition table aggregates map-side."""
+    from nebula_importer_spark.operators.behavior import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction over the co-purchase graph
+    (operators/graph.py:resource_alloc_scores): common-neighbor votes
+    discounted by middle degree — EXACT integer arithmetic (RA_SCALE div
+    deg, no libm), so unlike Adamic-Adar the score is driver-hashable.
+    Same wedge bound + hub-guard discipline as graph_link_predict."""
+    from nebula_importer_spark.operators.graph import resource_alloc_scores
+
+    out = resource_alloc_scores(
+        _copurchase_edges(spark, sf_dir), min_common=5, exclude_existing=True
+    )
+    return out.select(
+        F.col("node_a").alias("part_a"),
+        F.col("node_b").alias("part_b"),
+        "common",
+        "ra_scaled",
+    )
+
+
+def q_kg_triple_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal provenance per canonical triple (transcripts/entities.py:
+    triple_spans): support count, conversation coverage, first/last
+    assertion time over the full construction pipeline — the evidence
+    payload a temporal KG writes onto each edge record. Timestamps are
+    emitted as epoch seconds (gate-stable integers)."""
+    from nebula_importer_spark.transcripts.entities import triple_spans
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    transcripts, alias_dict, same_as = _kg_pipeline_inputs(spark, sf_dir)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(transcripts)
+    links = pipe.link_table(surface, alias_dict)
+    triples, _ = pipe.canonical_triples(surface, links, same_as)
+    turn_ts = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("conv_id").cast("long") * 60
+        ).alias("ts"),
+    )
+    out = triple_spans(triples, turn_ts)
+    return out.select(
+        "subj",
+        "pred",
+        "obj",
+        "n_support",
+        "n_convs",
+        F.col("first_ts").cast("long").alias("first_ep"),
+        F.col("last_ts").cast("long").alias("last_ep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2748,8 +2855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_doc_hash": q_multimodal_doc_hash,
         "multimodal_doc_features": q_multimodal_doc_features,
-        "multimodal_doc_resize": q_multimodal_doc_resize,
-        "multimodal_doc_frames": q_multimodal_doc_frames,
+        # substring-level exact dedup + hybrid retrieval fusion (distinct
+        # families, promoted into the window; the resize/frames kernels
+        # they displaced are geometry variants of the hash/features rows)
+        "dup_spans": q_dup_spans,
+        "hybrid_search": q_hybrid_search,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -2806,6 +2916,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_blocklist": q_text_blocklist,
         "sample_weighted": q_sample_weighted,
         "kg_entity_cards": q_kg_entity_cards,
+        # multimodal geometry variants (kernel machinery = the in-window
+        # multimodal hash/features rows)
+        "multimodal_doc_resize": q_multimodal_doc_resize,
+        "multimodal_doc_frames": q_multimodal_doc_frames,
+        # fourth-wave additions (Markov transitions, RA link prediction,
+        # temporal triple provenance)
+        "event_transitions": q_event_transitions,
+        "graph_resource_alloc": q_graph_resource_alloc,
+        "kg_triple_spans": q_kg_triple_spans,
     }
 
 
@@ -4156,6 +4275,166 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.entity, c.n_subj, c.n_obj, c.n_preds, c.n_convs, t.top_pred
             FROM cards c JOIN top t USING (entity)
+        """,
+        # positional grams keyed on RAW strings (Spark side keys xxhash64 —
+        # a realized collision surfaces as a gate diff); islands via the
+        # same pos − row_number() constant-on-runs trick
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS pos,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(t[i : i + 2], ' '))) AS gram
+                FROM toks WHERE len(t) >= 3
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            d AS (
+                SELECT doc_id, pos FROM g
+                WHERE gram IN (SELECT gram FROM dup)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM d
+            )
+            SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+                   (MAX(pos) + 2)::BIGINT AS span_end,
+                   COUNT(*)::BIGINT AS n_dup_grams
+            FROM isl GROUP BY doc_id, grp
+        """,
+        # both legs: top-20 membership by the leg's native score order
+        # (unrounded cosine for the ANN leg, mirroring brute_force_topk),
+        # rank among survivors by the ROUNDED score (mirroring the rounded
+        # leg inputs to rrf_fuse); fusion = exact integer floor-div sums
+        "hybrid_search": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text,''), '\\S+'))::DOUBLE AS dl,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bspark\\b'))::DOUBLE AS tf0,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bvector\\b'))::DOUBLE AS tf1,
+                       len(regexp_extract_all(lower(coalesce(text,'')), '\\bmerge\\b'))::DOUBLE AS tf2
+                FROM documents
+            ),
+            st AS (
+                SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl,
+                       SUM((tf0 > 0)::BIGINT)::DOUBLE AS df0,
+                       SUM((tf1 > 0)::BIGINT)::DOUBLE AS df1,
+                       SUM((tf2 > 0)::BIGINT)::DOUBLE AS df2
+                FROM base
+            ),
+            lexall AS (
+                SELECT doc_id,
+                       ROUND(  ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                                 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       , 6) AS score
+                FROM base, st
+                WHERE tf0 + tf1 + tf2 > 0
+            ),
+            lex AS (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM (SELECT * FROM lexall
+                      ORDER BY score DESC, doc_id ASC LIMIT 20)
+            ),
+            q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            semall AS (
+                SELECT e.vec_id AS doc_id,
+                       list_sum(list_transform(
+                           list_zip(q.qv, e.embedding::DOUBLE[]),
+                           x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(
+                                e.embedding::DOUBLE[], x -> x * x)))) AS cos
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            ),
+            sem AS (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                           ORDER BY ROUND(cos, 6) DESC, doc_id ASC) AS rank
+                FROM (SELECT * FROM semall
+                      ORDER BY cos DESC, doc_id ASC LIMIT 20)
+            ),
+            u AS (
+                SELECT doc_id, rank FROM lex
+                UNION ALL
+                SELECT doc_id, rank FROM sem
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_legs,
+                   MIN(rank)::BIGINT AS best_rank,
+                   SUM(1000000000000 // (60 + rank))::BIGINT AS rrf_scaled
+            FROM u GROUP BY doc_id
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT event_type AS src_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst_type
+                FROM events
+            ),
+            c AS (
+                SELECT src_type, dst_type, COUNT(*) AS n
+                FROM seq WHERE dst_type IS NOT NULL
+                GROUP BY src_type, dst_type
+            )
+            SELECT src_type, dst_type, n::BIGINT AS n_transitions,
+                   ROUND(n::DOUBLE / (SUM(n) OVER (
+                       PARTITION BY src_type))::DOUBLE, 6) AS p
+            FROM c
+        """,
+        # RA = Σ over shared middles of RA_SCALE // deg(middle) — integer
+        # floor division both engines, SUM over BIGINT → HUGEINT → cast
+        "graph_resource_alloc": """
+            WITH li AS (
+                SELECT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+            ),
+            adj AS (
+                SELECT a AS n, b AS nb FROM e
+                UNION ALL
+                SELECT b AS n, a AS nb FROM e
+            ),
+            sz AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+            pairs AS (
+                SELECT x.n AS part_a, y.n AS part_b, COUNT(*) AS common,
+                       SUM(1099511627776 // sz.d) AS ra
+                FROM adj x
+                JOIN adj y ON x.nb = y.nb AND x.n < y.n
+                JOIN sz ON sz.n = x.nb
+                GROUP BY x.n, y.n
+            )
+            SELECT part_a, part_b, common::BIGINT AS common,
+                   ra::BIGINT AS ra_scaled
+            FROM pairs
+            WHERE common >= 5
+              AND NOT EXISTS (
+                  SELECT 1 FROM e
+                  WHERE e.a = part_a AND e.b = part_b
+              )
+        """,
+        "kg_triple_spans": f"""
+            WITH kg_t AS MATERIALIZED ({_kg_triples_sql()})
+            SELECT subj, pred, obj,
+                   COUNT(*)::BIGINT AS n_support,
+                   COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+                   MIN(1700000000 + conv_id::BIGINT * 60)::BIGINT AS first_ep,
+                   MAX(1700000000 + conv_id::BIGINT * 60)::BIGINT AS last_ep
+            FROM kg_t GROUP BY subj, pred, obj
         """,
     })
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["retention_cohorts", "funnel_steps", "rolling_active_users"]
+__all__ = ["retention_cohorts", "funnel_steps", "rolling_active_users", "event_transitions"]
 
 SECONDS_PER_DAY = 86400
 
@@ -207,4 +207,59 @@ def funnel_steps(
         "step_idx",
         "step",
         F.coalesce("_n", F.lit(0).cast("long")).alias("n_users"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — "after a `view`, what happens next?" — the behavioral-modeling /
+    next-event-prediction summary a warehouse consumer derives from an
+    ingested event table (and the edge-weight table of a journey graph).
+
+    Order within a user is ``(ts, id)`` — the id tie-break makes same-
+    timestamp bursts deterministic (the sessionize/funnel discipline).
+
+    Distributed shape: ONE user-keyed exchange backs the lead() window
+    (events are projected to (user, ts, id, type) first — no payload
+    columns travel); adjacent pairs then collapse via a partial-agg'd
+    groupBy on (src, dst) — at most |types|² rows leave the map side per
+    task, so the transition matrix itself never stresses the cluster. The
+    per-source total rides a window over that |types|²-row table (a
+    single tiny exchange, not a join back to the data).
+
+    Returns ``(src_type, dst_type, n_transitions, p)`` where ``p`` is the
+    row-normalized probability rounded to 6 dp (counts are the exact
+    payload; the rounded ratio is for humans and engine-parity checks).
+    """
+    w = Window.partitionBy("_u").orderBy("_ts", "_eid")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_eid"),
+            F.col(type_col).alias("src_type"),
+        )
+        .withColumn("dst_type", F.lead("src_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    tot = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            6,
+        ).alias("p"),
     )

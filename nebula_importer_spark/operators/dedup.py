@@ -508,3 +508,83 @@ def embedding_dup_pairs(
     return cand.select("id_a", "id_b", _cos("_ua", "_ub").alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS (the distributed shape of the
+    suffix-array substring dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a word position is
+    DUPLICATED when the ``n``-gram starting there occurs at least
+    ``min_count`` times corpus-wide (all occurrences — within- and
+    cross-document both count, exactly the suffix-array criterion);
+    consecutive duplicated positions merge into MAXIMAL spans. Whole-doc
+    dedup (exact/minhash) misses these: a fresh page quoting one seen
+    paragraph pairs with nobody, yet that paragraph should be cut before
+    training. Downstream policy filters or clips on the returned spans.
+
+    Distributed shape (the suffix array itself does not distribute; the
+    n-gram occurrence table is its scale-out stand-in):
+
+    1. one explode        — positional word n-grams, immediately reduced to
+                            ``(id, pos, xxhash64(gram))`` — gram STRINGS
+                            never leave the map side (gram_novelty
+                            discipline; the oracle twin keys on raw grams,
+                            so a realized 64-bit collision surfaces as a
+                            gate mismatch rather than being mirrored),
+    2. one hash shuffle   — global occurrence count per gram hash
+                            (partial-agg'd: tasks emit (hash, count)
+                            partials, bytes per distinct gram per task),
+    3. one semi-join back — keep duplicated positions (same hash
+                            partitioning both sides — no extra exchange),
+    4. one id shuffle     — gaps-and-islands: ``pos − row_number()`` is
+                            constant exactly on runs of consecutive
+                            positions; the grouping agg reuses the window's
+                            ``id`` partitioning (key-subset clustering), so
+                            the merge adds NO exchange.
+
+    A span of gram positions ``[i..j]`` covers tokens ``i..j+n−1``; spans
+    are 1-based inclusive token ranges. ``min_count`` > 2 raises the bar
+    to "appears in ≥k places" (the common memorization-risk variant).
+
+    Returns ``(id_col, span_start, span_end, n_dup_grams)`` — one row per
+    maximal span; documents with no duplicated position are absent.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql.window import Window as W
+
+    from nebula_importer_spark.operators.text import _word_ngrams_all
+
+    df = spread_small_input(df)  # shingling is CPU-bound; no-op at scale
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_word_ngrams_all(F.col(text_col), n)).alias("_p0", "_g"),
+    ).select("_id", (F.col("_p0") + 1).cast("long").alias("_pos"), F.xxhash64("_g").alias("_h"))
+    dup_grams = (
+        pos.groupBy("_h")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_h")
+    )
+    dup_pos = pos.join(dup_grams, "_h", "left_semi").select("_id", "_pos")
+    w = W.partitionBy("_id").orderBy("_pos")
+    isl = dup_pos.select(
+        "_id", "_pos", (F.col("_pos") - F.row_number().over(w)).alias("_grp")
+    )
+    return (
+        isl.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_dup_grams")
+    )

@@ -114,3 +114,64 @@ def bm25_scores(
     return scored.select(F.col(id_col), score.alias("score")).filter(
         F.col("score") > 0
     )
+
+
+RRF_SCALE = 10**12
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) over bounded
+    candidate lists — the standard hybrid-retrieval combiner (lexical BM25
+    leg + embedding-cosine leg feeding one ranking, the RAG data-curation
+    shape). Each leg is an ``(id, score)`` DataFrame; the fused score of a
+    document is ``Σ_legs 1/(k + rank_leg)`` over the legs that ranked it.
+
+    Scale contract: the LEGS are where corpus-scale work happens (BM25 is
+    a scan, ANN is a bucketed funnel — both already bounded to top-N
+    candidate lists by their own operators). Fusion itself runs on ≤
+    Σ|legs| rows, so the per-leg ranking window (a global sort over one
+    small list) is bounded by construction — this operator must NOT be
+    handed a whole corpus (pre-truncate each leg; that is the caller's
+    explicit top-N policy decision, not a hidden cap here).
+
+    Determinism discipline: rank = row_number over (score DESC, id ASC) —
+    callers should pre-round engine-variable float scores (the shared
+    ROUND(·,6) oracle discipline) so the sort key is engine-identical.
+    Each rank contribution is the INTEGER ``RRF_SCALE div (k + rank)``
+    (floor division — exact, no libm), so the fused sum is exact-integer
+    arithmetic: bit-identical across engines, partitionings, and
+    aggregation orders for any number of legs (a float Σ 1/(k+r) is not
+    associative; with >2 legs its value would depend on agg order).
+
+    Returns ``(id_col, n_legs, best_rank, rrf_scaled)``; ``rrf_scaled /
+    RRF_SCALE`` is the conventional RRF score.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse requires at least one leg")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window as W
+
+    ranked = None
+    w = W.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    for leg in legs:
+        r = (
+            leg.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+            .select("_id", F.row_number().over(w).cast("long").alias("_rank"))
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.min("_rank").alias("best_rank"),
+            F.sum(F.expr(f"{RRF_SCALE} div ({k} + _rank)")).alias("rrf_scaled"),
+        )
+        .select(F.col("_id").alias(id_col), "n_legs", "best_rank", "rrf_scaled")
+    )

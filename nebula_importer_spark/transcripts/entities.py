@@ -70,3 +70,42 @@ def entity_cards(triples: DataFrame) -> DataFrame:
         .select("entity", F.col("pred").alias("top_pred"))
     )
     return cards.join(top, "entity")
+
+
+def triple_spans(triples: DataFrame, turn_ts: DataFrame) -> DataFrame:
+    """Temporal provenance per canonical triple — the edge-side companion
+    of :func:`entity_cards`: for every distinct ``(subj, pred, obj)``,
+    when was it first and last asserted, in how many turns, and across
+    how many conversations. This is the support/recency evidence a KG
+    consumer filters on before trusting an extracted edge (single-turn
+    one-off vs repeatedly re-asserted fact), and the property payload a
+    temporal KG writes onto the edge record (reference analog: the edge
+    property set of /root/reference/pkg/spec/v3/edge.go — here the
+    properties are derived evidence, not mapped CSV columns).
+
+    ``triples`` is the canonical_triples output ``(conv_id, turn_idx,
+    subj, pred, obj)``; ``turn_ts`` maps ``(conv_id, turn_idx) → ts``
+    (the transcript table projection — the pipeline never carries ts
+    through extraction, so evidence timestamps re-attach here by key).
+
+    Distributed shape: one ``(conv_id, turn_idx)``-keyed equi-join (both
+    sides pre-projected to fixed-width columns; AQE broadcast-degrades
+    when the turn dimension is small) and ONE partial-agg'd shuffle on
+    the triple key. min/max/count/count_distinct all combine map-side,
+    so the exchange carries one row per distinct triple per task.
+
+    Returns ``(subj, pred, obj, n_support, n_convs, first_ts, last_ts)``.
+    """
+    ts = turn_ts.select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "ts"
+    )
+    ev = triples.select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        "subj", "pred", "obj",
+    ).join(ts, ["conv_id", "turn_idx"])
+    return ev.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -42,3 +42,44 @@ def test_entity_cards_top_pred_tiebreak(spark):
     assert got["ann"]["top_pred"] == "knows"
     # bob: knows ×2 (subj + obj) beats lives_in ×1
     assert got["bob"]["top_pred"] == "knows"
+
+
+def test_triple_spans(spark):
+    from datetime import datetime
+
+    from nebula_importer_spark.transcripts.entities import triple_spans
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "ann", "knows", "bob"),
+            ("c1", 2, "ann", "knows", "bob"),  # re-asserted later in c1
+            ("c2", 0, "ann", "knows", "bob"),  # and again in c2
+            ("c2", 1, "bob", "lives_in", "x"),
+        ],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    turn_ts = spark.createDataFrame(
+        [
+            ("c1", 0, ts(1)),
+            ("c1", 1, ts(2)),
+            ("c1", 2, ts(3)),
+            ("c2", 0, ts(5)),
+            ("c2", 1, ts(6)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r.asDict()
+        for r in triple_spans(triples, turn_ts).collect()
+    }
+    ann = got[("ann", "knows", "bob")]
+    assert ann["n_support"] == 3 and ann["n_convs"] == 2
+    assert (ann["first_ts"], ann["last_ts"]) == (ts(1), ts(5))
+    bob = got[("bob", "lives_in", "x")]
+    assert bob["n_support"] == 1 and bob["n_convs"] == 1
+    assert bob["first_ts"] == bob["last_ts"] == ts(6)

@@ -1,0 +1,87 @@
+"""rrf_fuse — Reciprocal Rank Fusion over bounded candidate lists."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nebula_importer_spark.operators.search import RRF_SCALE, bm25_scores, rrf_fuse
+
+
+def _ref_rrf(legs, k=60):
+    """Independent Python model: rank by (score desc, id asc) per leg,
+    integer floor-div contributions."""
+    agg = {}
+    for leg in legs:
+        order = sorted(leg, key=lambda t: (-t[1], t[0]))
+        for rank, (i, _) in enumerate(order, start=1):
+            n, best, s = agg.get(i, (0, None, 0))
+            agg[i] = (
+                n + 1,
+                rank if best is None else min(best, rank),
+                s + RRF_SCALE // (k + rank),
+            )
+    return sorted((i, n, b, s) for i, (n, b, s) in agg.items())
+
+
+def _run(spark, legs, **kw):
+    dfs = [spark.createDataFrame(leg, ["doc_id", "score"]) for leg in legs]
+    rows = rrf_fuse(dfs, **kw).collect()
+    return sorted(
+        (r["doc_id"], r["n_legs"], r["best_rank"], r["rrf_scaled"]) for r in rows
+    )
+
+
+def test_two_legs_hand_case(spark):
+    lex = [(1, 9.0), (2, 5.0), (3, 1.0)]
+    sem = [(2, 0.99), (4, 0.80)]
+    got = _run(spark, [lex, sem])
+    assert got == _ref_rrf([lex, sem])
+    by_id = {i: (n, b, s) for i, n, b, s in got}
+    # doc 2 appears in both legs (ranks 2 and 1)
+    assert by_id[2] == (2, 1, RRF_SCALE // 62 + RRF_SCALE // 61)
+    assert by_id[4] == (1, 2, RRF_SCALE // 62)
+
+
+def test_tie_breaks_to_min_id(spark):
+    leg = [(7, 1.0), (3, 1.0), (5, 1.0)]
+    got = _run(spark, [leg])
+    assert got == _ref_rrf([leg])
+    assert [(i, b) for i, _, b, _ in got] == [(3, 1), (5, 2), (7, 3)]
+
+
+def test_three_legs_exact_integer(spark):
+    rng = random.Random(11)
+    legs = [
+        [(i, float(rng.randint(0, 50))) for i in rng.sample(range(30), 12)]
+        for _ in range(3)
+    ]
+    for k in (1, 60):
+        assert _run(spark, legs, k=k) == _ref_rrf(legs, k=k)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([df], k=0)
+
+
+def test_hybrid_bm25_leg_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merges fast tables"),
+            (2, "vector search with spark"),
+            (3, "unrelated prose about cooking"),
+        ],
+        ["doc_id", "text"],
+    )
+    lex = bm25_scores(docs, ["spark", "vector"]).orderBy(
+        "score", ascending=False
+    ).limit(2)
+    sem = spark.createDataFrame([(3, 0.9), (2, 0.8)], ["doc_id", "score"])
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem]).collect()}
+    assert set(out) <= {1, 2, 3} and 2 in out
+    assert out[2]["n_legs"] == 2
