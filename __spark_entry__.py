@@ -2308,6 +2308,34 @@ def _kg_triples_sql() -> str:
     """
 
 
+def _kg_snapshots_cte() -> str:
+    """Shared WITH-prefix for the schema/merge-audit oracles: the canonical
+    triples plus the checkpoint (snap_old) and re-crawl (snap_new)
+    snapshots, mirroring _kg_two_snapshots exactly (even-conv checkpoint;
+    full re-crawl with works_at drift on conv%4==0 and an employed_by
+    vocabulary split on conv%3==0). Callers append further CTEs after the
+    trailing comma-less text with `,`."""
+    return f"""
+        WITH kg_t AS MATERIALIZED ({_kg_triples_sql()}),
+        snap_old AS (
+            SELECT * FROM kg_t WHERE conv_id::BIGINT % 2 = 0
+        ),
+        drift AS (
+            SELECT conv_id, turn_idx, subj, pred,
+                   CASE WHEN pred = 'works_at' AND conv_id::BIGINT % 4 = 0
+                        THEN 'org:acme' || ((conv_id::BIGINT + 1) % 13)
+                        ELSE obj END AS obj
+            FROM kg_t
+        ),
+        snap_new AS (
+            SELECT * FROM drift
+            UNION ALL
+            SELECT conv_id, turn_idx, subj, 'employed_by' AS pred, obj
+            FROM drift
+            WHERE pred = 'works_at' AND conv_id::BIGINT % 3 = 0
+        )"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic-asset variant of the multimodal kernel. NOT in queries():
     the same kernel is value-checked end-to-end by multimodal_doc_hash
@@ -2764,6 +2792,90 @@ def q_kg_triple_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
+    """(old, new) construction snapshots for the schema/merge-audit family
+    (transcripts/schema.py). Deterministic re-crawl simulation over the
+    oracle-proven canonical triples:
+
+    - ``old`` = the checkpointed first run — even conversations only.
+    - ``new`` = the finished re-crawl by a v2 extractor: all conversations,
+      with FACT DRIFT (works_at objects of conv%4==0 moved to the next
+      org — the re-crawl observed a job change) and a VOCABULARY SPLIT
+      (conv%3==0 works_at facts also emitted under 'employed_by' — the v2
+      extractor recognizes a second surface form).
+
+    Every downstream audit is exercised for real: the diff sees
+    added/removed rows, conflict detection sees two-org subjects on the
+    merged view, and alignment sees works_at≡employed_by overlap.
+    """
+    base = q_kg_triples(spark, sf_dir)
+    c = F.col("conv_id").cast("long")
+    old = base.filter(c % 2 == 0)
+    drift = base.withColumn(
+        "obj",
+        F.when(
+            (F.col("pred") == "works_at") & (c % 4 == 0),
+            F.concat(F.lit("org:acme"), ((c + 1) % 13).cast("string")),
+        ).otherwise(F.col("obj")),
+    )
+    emp = drift.filter((F.col("pred") == "works_at") & (c % 3 == 0)).withColumn(
+        "pred", F.lit("employed_by")
+    )
+    return old, drift.unionByName(emp)
+
+
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARIS-style schema induction over the re-crawl snapshot
+    (transcripts/schema.py:predicate_stats): per-predicate fact counts,
+    integer-scaled functionality / inverse functionality, and induced
+    domain/range namespaces. One fact-key dedup exchange + one
+    |preds|-keyed agg; dominant-type picks run on the tiny
+    |preds|×|namespaces| table with a deterministic tie-break."""
+    from nebula_importer_spark.transcripts.schema import predicate_stats
+
+    _, new = _kg_two_snapshots(spark, sf_dir)
+    return predicate_stats(new)
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint→re-crawl triple delta (transcripts/schema.py:
+    snapshot_diff): per-fact support on both sides + added/removed/
+    changed/unchanged status. Each side pre-aggregates to one row per
+    fact before ONE full-outer equi-join on the fact key — the queryable
+    form of the resume-from-checkpoint story."""
+    from nebula_importer_spark.transcripts.schema import snapshot_diff
+
+    old, new = _kg_two_snapshots(spark, sf_dir)
+    return snapshot_diff(old, new)
+
+
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate violations on the MERGED view (old ∪ new):
+    subjects asserting ≥2 distinct objects for works_at/lives_in
+    (transcripts/schema.py:functional_conflicts). Predicate filter folds
+    into the scan; one (subj, pred)-keyed agg; min/max conflict witnesses
+    instead of an unbounded collect_set."""
+    from nebula_importer_spark.transcripts.schema import functional_conflicts
+
+    old, new = _kg_two_snapshots(spark, sf_dir)
+    return functional_conflicts(
+        old.unionByName(new), ["works_at", "lives_in"]
+    )
+
+
+def q_kg_pred_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-alignment candidates over the re-crawl snapshot
+    (transcripts/schema.py:predicate_alignment): predicate pairs sharing
+    (subj, obj) fact pairs, scored as integer-scaled containment — finds
+    the v2 extractor's works_at≡employed_by vocabulary split. Self
+    equi-join on the fact-pair key (fan-out bounded by the predicate
+    vocabulary), broadcast size table."""
+    from nebula_importer_spark.transcripts.schema import predicate_alignment
+
+    _, new = _kg_two_snapshots(spark, sf_dir)
+    return predicate_alignment(new, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -2925,6 +3037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "graph_resource_alloc": q_graph_resource_alloc,
         "kg_triple_spans": q_kg_triple_spans,
+        # fifth wave: KG schema induction + merge-quality audits
+        # (transcripts/schema.py over simulated checkpoint/re-crawl pairs)
+        "kg_predicate_stats": q_kg_predicate_stats,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_conflicts": q_kg_conflicts,
+        "kg_pred_align": q_kg_pred_align,
     }
 
 
@@ -4435,6 +4553,97 @@ def oracle_sql() -> dict[str, str]:
                    MIN(1700000000 + conv_id::BIGINT * 60)::BIGINT AS first_ep,
                    MAX(1700000000 + conv_id::BIGINT * 60)::BIGINT AS last_ep
             FROM kg_t GROUP BY subj, pred, obj
+        """,
+        # --- KG schema induction / merge-quality audits -------------------
+        # old/new snapshots mirror _kg_two_snapshots: old = even convs of
+        # the checkpointed run; new = full re-crawl with works_at drift on
+        # conv%4==0 plus an 'employed_by' vocabulary split on conv%3==0.
+        "kg_predicate_stats": f"""
+            {_kg_snapshots_cte()},
+            f AS (SELECT DISTINCT subj, pred, obj FROM snap_new),
+            st AS (
+                SELECT pred, COUNT(*) AS n_facts,
+                       COUNT(DISTINCT subj) AS n_subj,
+                       COUNT(DISTINCT obj) AS n_obj
+                FROM f GROUP BY pred
+            ),
+            dom AS (
+                SELECT pred, split_part(subj, ':', 1) AS t, COUNT(*) AS n
+                FROM f GROUP BY 1, 2
+            ),
+            rng AS (
+                SELECT pred, split_part(obj, ':', 1) AS t, COUNT(*) AS n
+                FROM f GROUP BY 1, 2
+            ),
+            domtop AS (
+                SELECT pred, t FROM (
+                    SELECT pred, t, ROW_NUMBER() OVER (
+                        PARTITION BY pred ORDER BY n DESC, t ASC) AS rk
+                    FROM dom) WHERE rk = 1
+            ),
+            rngtop AS (
+                SELECT pred, t FROM (
+                    SELECT pred, t, ROW_NUMBER() OVER (
+                        PARTITION BY pred ORDER BY n DESC, t ASC) AS rk
+                    FROM rng) WHERE rk = 1
+            )
+            SELECT st.pred, n_facts::BIGINT AS n_facts,
+                   n_subj::BIGINT AS n_subj, n_obj::BIGINT AS n_obj,
+                   (1000000000000 * n_subj // n_facts)::BIGINT AS fun_scaled,
+                   (1000000000000 * n_obj // n_facts)::BIGINT AS inv_fun_scaled,
+                   domtop.t AS top_domain, rngtop.t AS top_range
+            FROM st JOIN domtop ON domtop.pred = st.pred
+                    JOIN rngtop ON rngtop.pred = st.pred
+        """,
+        "kg_snapshot_diff": f"""
+            {_kg_snapshots_cte()},
+            a AS (SELECT subj, pred, obj, COUNT(*) AS s
+                  FROM snap_old GROUP BY 1, 2, 3),
+            b AS (SELECT subj, pred, obj, COUNT(*) AS s
+                  FROM snap_new GROUP BY 1, 2, 3)
+            SELECT COALESCE(a.subj, b.subj) AS subj,
+                   COALESCE(a.pred, b.pred) AS pred,
+                   COALESCE(a.obj, b.obj) AS obj,
+                   COALESCE(a.s, 0)::BIGINT AS support_old,
+                   COALESCE(b.s, 0)::BIGINT AS support_new,
+                   CASE WHEN a.subj IS NULL THEN 'added'
+                        WHEN b.subj IS NULL THEN 'removed'
+                        WHEN a.s <> b.s THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b
+              ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+        """,
+        "kg_conflicts": f"""
+            {_kg_snapshots_cte()},
+            m AS (
+                SELECT DISTINCT subj, pred, obj FROM (
+                    SELECT subj, pred, obj FROM snap_old
+                    UNION ALL
+                    SELECT subj, pred, obj FROM snap_new
+                )
+                WHERE pred IN ('works_at', 'lives_in')
+            )
+            SELECT subj, pred, COUNT(*)::BIGINT AS n_objs,
+                   MIN(obj) AS first_obj, MAX(obj) AS last_obj
+            FROM m GROUP BY subj, pred HAVING COUNT(*) >= 2
+        """,
+        "kg_pred_align": f"""
+            {_kg_snapshots_cte()},
+            f AS (SELECT DISTINCT subj, pred, obj FROM snap_new),
+            sz AS (SELECT pred, COUNT(*) AS n FROM f GROUP BY pred),
+            sh AS (
+                SELECT x.pred AS pred_a, y.pred AS pred_b,
+                       COUNT(*) AS n_shared
+                FROM f x JOIN f y
+                  ON x.subj = y.subj AND x.obj = y.obj AND x.pred < y.pred
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            )
+            SELECT pred_a, pred_b, n_shared::BIGINT AS n_shared,
+                   (1000000000000 * n_shared
+                    // LEAST(sa.n, sb.n))::BIGINT AS containment_scaled
+            FROM sh JOIN sz sa ON sa.pred = pred_a
+                    JOIN sz sb ON sb.pred = pred_b
         """,
     })
 
