@@ -2212,6 +2212,58 @@ def _kcore_sql(k: int = 4, rounds: int = 12) -> str:
     )
 
 
+def _ktruss_sql(k: int = 4, rounds: int = 9) -> str:
+    """DuckDB twin of q_graph_ktruss: the deletion wave unrolled `rounds`
+    times. Per round: orientation-free triangle enumeration (x<y<z on the
+    canonical edge set is exact and engine-stable), explode each triangle
+    into its three edges, count per-edge support, keep support >= k-2.
+    Every CTE is MATERIALIZED (each round references the previous edge
+    set three times in the triangle join alone — default CTE inlining
+    would expand the tree 3^rounds-fold). The final projection joins the
+    fixpoint edge set back to the LAST round's support table — valid
+    because rounds exceeds the measured convergence depth, so the last
+    two edge sets are identical and the support is the within-truss one."""
+    ctes = [
+        """li AS MATERIALIZED (
+            SELECT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey % 3 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT x.p AS a, y.p AS b
+            FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""tr{r} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{r - 1} e1
+            JOIN e{r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e{r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        sup{r} AS MATERIALIZED (
+            SELECT a, b, COUNT(*) AS s FROM (
+                SELECT x AS a, y AS b FROM tr{r}
+                UNION ALL SELECT x AS a, z AS b FROM tr{r}
+                UNION ALL SELECT y AS a, z AS b FROM tr{r}
+            ) GROUP BY a, b
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{r - 1} e
+            JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+            WHERE s.s >= {k - 2}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT e.a AS part_a, e.b AS part_b, s.s::BIGINT AS support
+        FROM e{rounds} e
+        JOIN sup{rounds} s ON s.a = e.a AND s.b = e.b"""
+    )
+
+
 def _pagerank_sql(iterations: int = 4) -> str:
     """DuckDB twin of q_graph_pagerank: the same mass-normalized integer
     recurrence unrolled into one CTE per superstep (init = scale // |V|;
@@ -2824,6 +2876,23 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     return old, drift.unionByName(emp)
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4) of the co-purchase graph — the EDGE-level cohesion
+    refinement of graph_kcore: keep only ties corroborated by ≥2 mutual
+    neighbors, re-checked after every deletion wave to the unique
+    fixpoint (operators/graph.py:ktruss — oriented triangle enumeration
+    per round, localCheckpoint lineage truncation). Adaptive peel
+    measured to converge in ≤7 rounds here; the oracle unrolls 9 —
+    peeling is monotone, so the extra rounds are no-ops and the hash
+    match proves the fixpoint. Returns surviving edges with their
+    within-truss triangle support."""
+    from nebula_importer_spark.operators.graph import ktruss
+
+    return ktruss(_copurchase_edges(spark, sf_dir), 4).select(
+        F.col("a").alias("part_a"), F.col("b").alias("part_b"), "support"
+    )
+
+
 def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARIS-style schema induction over the re-crawl snapshot
     (transcripts/schema.py:predicate_stats): per-predicate fact counts,
@@ -3043,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_conflicts": q_kg_conflicts,
         "kg_pred_align": q_kg_pred_align,
+        # edge-level cohesion refinement (machinery = kcore/triangles rows)
+        "graph_ktruss": q_graph_ktruss,
     }
 
 
@@ -3900,6 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(4),
         "graph_hits": _hits_sql(3),
         "graph_kcore": _kcore_sql(4, 12),
+        "graph_ktruss": _ktruss_sql(4, 9),
         "graph_triangles": """
             WITH li AS (
                 SELECT l_orderkey AS o, l_partkey AS p

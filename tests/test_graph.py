@@ -771,3 +771,78 @@ def test_personalized_pagerank_validation(spark):
     empty = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError):
         personalized_pagerank(edges, empty)
+
+
+def _py_ktruss(edges, k):
+    """Reference peel: per-edge triangle support via brute-force adjacency,
+    delete support < k-2, repeat to fixpoint; returns {edge: support}."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+
+    def supports(es):
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b]) for a, b in es
+        }
+
+    while True:
+        sup = supports(e)
+        e2 = {p for p in e if sup[p] >= k - 2}
+        if e2 == e:
+            break
+        e = e2
+    return supports(e)
+
+
+@pytest.mark.parametrize("seed,k", [(5, 3), (13, 4)])
+def test_ktruss_matches_peeling_reference(spark, seed, k):
+    from nebula_importer_spark.operators.graph import ktruss
+
+    rng = random.Random(seed)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r.a, r.b): r.support for r in ktruss(df, k).collect()}
+    assert got == _py_ktruss(edges, k)
+    assert all(s >= k - 2 for s in got.values())  # fixpoint property
+
+
+def test_ktruss_cascading_deletion(spark):
+    from nebula_importer_spark.operators.graph import ktruss
+
+    # K4 minus one edge = two triangles sharing edge (2,3): outer edges
+    # have support 1 and die in round 1 at k=4; the shared edge had
+    # support 2 but must then CASCADE to 0 — a single-pass filter would
+    # wrongly keep it.
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    assert ktruss(df, 4).count() == 0
+    # at k=3 every edge is in >=1 triangle: all 5 survive
+    got = {(r.a, r.b): r.support for r in ktruss(df, 3).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
+
+
+def test_ktruss_keeps_clique_peels_pendant_triangle(spark):
+    from nebula_importer_spark.operators.graph import ktruss
+
+    # K4 on {1,2,3,4} (every edge support 2) + pendant triangle {4,5,6}
+    # (support 1 each): k=4 keeps exactly the clique.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5), (4, 6), (5, 6)], "src int, dst int")
+    got = {(r.a, r.b): r.support for r in ktruss(df, 4).collect()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_ktruss_validation(spark):
+    from nebula_importer_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError):
+        ktruss(df, 2)
+    with pytest.raises(ValueError):
+        ktruss(df, 4, max_rounds=0)
+    # triangle-free graph: empty truss at any k >= 3
+    assert ktruss(df, 3).count() == 0
