@@ -2876,6 +2876,17 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     return old, drift.unionByName(emp)
 
 
+def q_text_topic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation (operators/text.py:topic_tiles):
+    fixed 16-token blocks, adjacent-block distinct-token Jaccard as an
+    exact integer, new segment where cohesion < 0.55. One (doc, block,
+    token) dedup exchange + equi-join intersection; segment ids ride a
+    per-doc window over the tiny block table."""
+    from nebula_importer_spark.operators.text import topic_tiles
+
+    return topic_tiles(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss (k=4) of the co-purchase graph — the EDGE-level cohesion
     refinement of graph_kcore: keep only ties corroborated by ≥2 mutual
@@ -3114,6 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_align": q_kg_pred_align,
         # edge-level cohesion refinement (machinery = kcore/triangles rows)
         "graph_ktruss": q_graph_ktruss,
+        # topic segmentation (machinery = text/window rows)
+        "text_topic_tiles": q_text_topic_tiles,
     }
 
 
@@ -4698,6 +4711,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, COUNT(*)::BIGINT AS n_objs,
                    MIN(obj) AS first_obj, MAX(obj) AS last_obj
             FROM m GROUP BY subj, pred HAVING COUNT(*) >= 2
+        """,
+        # TextTiling twin: same explicit whitespace class as the Spark
+        # side (RE2-pinned), same integer-scaled Jaccard floor division;
+        # the windowed segment SUM is cast to BIGINT (HUGEINT→pandas-float
+        # was the 3-round sessionize lesson)
+        "text_topic_tiles": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(
+                           lower(coalesce(text, '')), '[^\t\n\f\r ]+') AS t
+                FROM documents
+            ),
+            bt AS (
+                SELECT DISTINCT doc_id,
+                       (unnest(range(1, len(t) + 1)) - 1) // 16 AS blk,
+                       unnest(t) AS token
+                FROM toks WHERE len(t) >= 1
+            ),
+            sz AS (SELECT doc_id, blk, COUNT(*) AS n FROM bt GROUP BY 1, 2),
+            inter AS (
+                SELECT x.doc_id, x.blk, COUNT(*) AS i
+                FROM bt x JOIN bt y ON y.doc_id = x.doc_id
+                                   AND y.token = x.token
+                                   AND y.blk = x.blk + 1
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT a.doc_id, a.blk,
+                       (1000000000000 * COALESCE(i.i, 0))
+                         // (a.n + b.n - COALESCE(i.i, 0)) AS jacc
+                FROM sz a JOIN sz b ON b.doc_id = a.doc_id
+                                   AND b.blk = a.blk + 1
+                LEFT JOIN inter i ON i.doc_id = a.doc_id AND i.blk = a.blk
+            ),
+            flags AS (
+                SELECT s.doc_id, s.blk,
+                       CASE WHEN s.blk > 0
+                                 AND COALESCE(jp.jacc, 0) < 550000000000
+                            THEN 1 ELSE 0 END AS b
+                FROM sz s LEFT JOIN j jp ON jp.doc_id = s.doc_id
+                                        AND jp.blk = s.blk - 1
+            ),
+            seg AS (
+                SELECT doc_id, blk,
+                       CAST(1 + SUM(b) OVER (
+                           PARTITION BY doc_id ORDER BY blk
+                       ) AS BIGINT) AS seg_id
+                FROM flags
+            )
+            SELECT doc_id, seg_id,
+                   MIN(blk)::BIGINT AS start_blk,
+                   MAX(blk)::BIGINT AS end_blk,
+                   COUNT(*)::BIGINT AS n_blocks
+            FROM seg GROUP BY doc_id, seg_id
         """,
         "kg_pred_align": f"""
             {_kg_snapshots_cte()},

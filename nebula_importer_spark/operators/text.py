@@ -458,3 +458,107 @@ def fingerprint(col, shingle_n: int = 8) -> Column:
         )
     )
     return F.array_min(F.transform(shingles, F.md5))
+
+
+TILE_SCALE = 10**12  # jaccard 1.0 == 10^12; same unit as the other scaled ratios
+
+
+def topic_tiles(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 16,
+    threshold_scaled: int = 550_000_000_000,
+    scale: int = TILE_SCALE,
+):
+    """TextTiling-style topic segmentation (Hearst 1997) in its fixed-size
+    pseudo-sentence form: split each document into consecutive
+    ``block_tokens``-token blocks, score adjacent blocks by distinct-token
+    Jaccard, and start a new segment wherever cohesion drops below the
+    threshold. The long-document preprocessing step a training pipeline
+    runs before chunking — tile boundaries are semantically better cut
+    points than fixed offsets (compare :func:`chunk_documents`, which this
+    composes with).
+
+    Exact-integer contract: the Jaccard is ``scale·|A∩B| div |A∪B|`` over
+    distinct-token COUNTS — floor division on longs, bit-identical in any
+    engine/aggregation order, so the output is driver-hashable (the same
+    reason PageRank here is integer-scaled).
+
+    Distributed shape: tokens explode map-side with their positions;
+    ONE dedup exchange on the fixed-width (doc, block, token) key; block
+    sizes and adjacent-block intersections are partial-agg'd counts (the
+    intersection is an equi-join on (doc, token, block) — the shifted
+    copy, never a doc-wide product); boundary flags + the running segment
+    id ride one per-doc window over the BLOCK table (|doc|·blocks rows,
+    ~tokens/16 — orders of magnitude smaller than the token table). No
+    arrays cross a shuffle; token strings travel once, into the dedup.
+
+    Returns ``(id_col, seg_id, start_blk, end_blk, n_blocks)`` — one row
+    per tile, ``seg_id`` 1-based in block order.
+    """
+    from pyspark.sql import Window
+
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    for reserved in ("pos", "token", "blk", "_n", "_nb", "_i", "_j", "_b", "seg_id"):
+        if id_col == reserved:
+            raise ValueError(f"id_col may not be the reserved name {reserved!r}")
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+                f"'{NOT_WS}+', 0)"
+            )
+        ).alias("pos", "token"),
+    )
+    bt = toks.select(
+        id_col, F.expr(f"pos div {block_tokens}").alias("blk"), "token"
+    ).distinct()
+    sz = bt.groupBy(id_col, "blk").agg(F.count("*").alias("_n"))
+    nxt = bt.select(id_col, (F.col("blk") - 1).alias("blk"), "token")
+    inter = (
+        bt.join(nxt, [id_col, "blk", "token"])
+        .groupBy(id_col, "blk")
+        .agg(F.count("*").alias("_i"))
+    )
+    szb = sz.select(id_col, (F.col("blk") - 1).alias("blk"), F.col("_n").alias("_nb"))
+    j = (
+        sz.join(szb, [id_col, "blk"])
+        .join(inter, [id_col, "blk"], "left")
+        .select(
+            id_col,
+            "blk",
+            F.expr(
+                f"({scale} * coalesce(_i, 0)) div (_n + _nb - coalesce(_i, 0))"
+            ).alias("_j"),
+        )
+    )
+    jprev = j.select(id_col, (F.col("blk") + 1).alias("blk"), "_j")
+    flags = (
+        sz.select(id_col, "blk")
+        .join(jprev, [id_col, "blk"], "left")
+        .select(
+            id_col,
+            "blk",
+            F.when(
+                (F.col("blk") > 0)
+                & (F.coalesce("_j", F.lit(0)) < threshold_scaled),
+                1,
+            )
+            .otherwise(0)
+            .alias("_b"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("blk")
+    seg = flags.select(
+        id_col, "blk", (F.lit(1) + F.sum("_b").over(w)).cast("long").alias("seg_id")
+    )
+    return seg.groupBy(id_col, "seg_id").agg(
+        F.min("blk").cast("long").alias("start_blk"),
+        F.max("blk").cast("long").alias("end_blk"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )

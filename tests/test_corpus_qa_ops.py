@@ -398,3 +398,69 @@ def test_ngram_overlap_rejects_reserved_scratch_names(spark):
     ok = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     with pytest.raises(ValueError, match="reserved scratch name"):
         ngram_overlap(ok, ev2, eval_id_col="_h")
+
+
+# ---------------------------------------------------------------------------
+# topic_tiles (TextTiling fixed-block segmentation)
+# ---------------------------------------------------------------------------
+
+
+def _tiles(spark, rows, **kw):
+    from nebula_importer_spark.operators.text import topic_tiles
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.doc_id, r.seg_id): (r.start_blk, r.end_blk, r.n_blocks)
+        for r in topic_tiles(df, **kw).collect()
+    }
+
+
+def test_topic_tiles_boundary_at_cohesion_drop(spark):
+    # blocks of 4 tokens: two cohesive blocks on vocab A, then a hard
+    # topic shift to vocab B -> boundary exactly at block 2
+    text = "cat dog cat bird dog cat bird bird car bus car train bus car bus bus"
+    got = _tiles(spark, [(1, text)], block_tokens=4)
+    assert got == {(1, 1): (0, 1, 2), (1, 2): (2, 3, 2)}
+
+
+def test_topic_tiles_single_block_and_empty(spark):
+    got = _tiles(spark, [(1, "a b c"), (2, ""), (3, None)], block_tokens=16)
+    # short doc = one block = one segment; empty/null text = no tokens = no rows
+    assert got == {(1, 1): (0, 0, 1)}
+
+
+def test_topic_tiles_threshold_extremes(spark):
+    text = " ".join(f"w{i}" for i in range(32))  # fully disjoint blocks
+    # threshold 0: nothing is ever below it -> one segment
+    got = _tiles(spark, [(1, text)], block_tokens=8, threshold_scaled=0)
+    assert got == {(1, 1): (0, 3, 4)}
+    # threshold above scale: every adjacency is a boundary
+    got = _tiles(
+        spark, [(1, text)], block_tokens=8, threshold_scaled=10**12 + 1
+    )
+    assert got == {(1, s): (s - 1, s - 1, 1) for s in range(1, 5)}
+
+
+def test_topic_tiles_jaccard_is_exact_integer(spark):
+    # adjacent 4-token blocks: {a,b,c,d} vs {c,d,e,f} -> J = 2/6;
+    # scaled floor = 333333333333 < 550000000000 default threshold -> split
+    text = "a b c d c d e f"
+    got = _tiles(spark, [(1, text)], block_tokens=4)
+    assert got == {(1, 1): (0, 0, 1), (1, 2): (1, 1, 1)}
+    # raise: with threshold 1/3 exactly, 2/6 floor is NOT below -> one segment
+    got = _tiles(spark, [(1, text)], block_tokens=4,
+                 threshold_scaled=333_333_333_333)
+    assert got == {(1, 1): (0, 1, 2)}
+
+
+def test_topic_tiles_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import topic_tiles
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        topic_tiles(df, block_tokens=0)
+    df2 = spark.createDataFrame([(1, "x")], "blk long, text string")
+    with pytest.raises(ValueError):
+        topic_tiles(df2, id_col="blk")
