@@ -2876,6 +2876,58 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     return old, drift.unionByName(emp)
 
 
+def q_stream_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the driver gate
+    (streaming/events.py:interval_join_stream): click→error pairs per
+    user within 5 minutes, both sides unbounded streams with watermarked,
+    time-bounded state. availableNow replay makes the inner join exactly
+    the batch interval join — which is what the oracle states in SQL.
+    Output timestamps reduce to the integer gap (gate-stable)."""
+    from nebula_importer_spark.streaming.events import (
+        EVENT_SCHEMA,
+        drain_to_memory,
+        interval_join_stream,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 100_000)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = interval_join_stream(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="error_ts",
+        max_gap="5 minutes",
+        watermark="10 minutes",
+    )
+    out = drain_to_memory(
+        joined.select(
+            "user_id",
+            "click_id",
+            "error_id",
+            (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        ),
+        "q_stream_click_errors_sink",
+    )
+    return out
+
+
 def q_text_topic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling-style topic segmentation (operators/text.py:topic_tiles):
     fixed 16-token blocks, adjacent-block distinct-token Jaccard as an
@@ -3127,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         # topic segmentation (machinery = text/window rows)
         "text_topic_tiles": q_text_topic_tiles,
+        # stream-stream interval join (machinery = streaming + range rows)
+        "stream_click_errors": q_stream_click_errors,
     }
 
 
@@ -4711,6 +4765,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, COUNT(*)::BIGINT AS n_objs,
                    MIN(obj) AS first_obj, MAX(obj) AS last_obj
             FROM m GROUP BY subj, pred HAVING COUNT(*) >= 2
+        """,
+        # stream-stream interval join ≡ the batch interval join under
+        # availableNow replay (inner join; watermark drops only LATE
+        # arrivals, and a full replay has none)
+        "stream_click_errors": """
+            SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+                   -- floor EACH side before subtracting: Spark's
+                   -- unix_timestamp truncates per-timestamp, so fractional
+                   -- seconds must not cancel across the subtraction
+                   (floor(epoch(e.ts))::BIGINT
+                      - floor(epoch(c.ts))::BIGINT) AS gap_sec
+            FROM events c JOIN events e
+              ON e.user_id = c.user_id
+             AND c.event_type = 'click' AND e.event_type = 'error'
+             AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
         """,
         # TextTiling twin: same explicit whitespace class as the Spark
         # side (RE2-pinned), same integer-scaled Jaccard floor division;

@@ -241,3 +241,49 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pair each left row with the right rows
+    of the same ``key`` whose ``right_ts`` falls in
+    ``[left_ts, left_ts + max_gap]`` — both sides unbounded streams. The
+    incremental twin of the batch ``range_self_join`` family: cause→effect
+    pairing (click→error, prompt→tool-result) AS EVENTS ARRIVE, without
+    re-scanning history.
+
+    Why the shape matters: Spark buffers BOTH sides in the state store and
+    can only evict with a watermark on each input plus an explicit
+    event-time constraint in the join condition — exactly what this
+    function constructs. State is bounded by (watermark + max_gap) of
+    per-key rows on each side; without the time bounds the state grows
+    forever and the query is rejected for correctness. Inner-join output
+    emits as soon as both sides of a pair have arrived — a match whose legs
+    land in different micro-batches is produced when the second leg
+    arrives (pytest proves a pair spanning micro-batches).
+
+    ``left_ts`` and ``right_ts`` must be DIFFERENT column names (project
+    before joining — this also keeps the buffered state narrow, the same
+    reason the batch operators shed payload columns before a shuffle).
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ — project each side to "
+            "distinct timestamp column names before the join"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).drop(r[key])
