@@ -2876,6 +2876,47 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     return old, drift.unionByName(emp)
 
 
+def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-heuristic pronoun resolution (transcripts/coref.py) over a
+    documents-derived mention stream: 'she' resolves within the turn,
+    'they' across one turn, 'it' at turn 3 resolves only when an entity
+    sits within the 2-turn lookback (docs with conv%4==0 have their
+    turn-1 entity replaced by a pronoun, so their 'it' is correctly
+    UNRESOLVED — the NULL-antecedent recall-loss path is exercised, not
+    just the happy path). ONE conversation-keyed window exchange."""
+    from nebula_importer_spark.transcripts.coref import resolve_pronouns
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    p4 = F.col("doc_id") % 4 == 0
+
+    def st(t, p, kind, surface):
+        return F.struct(
+            F.lit(t).alias("turn_idx"), F.lit(p).alias("pos"),
+            kind.alias("kind") if isinstance(kind, F.Column) else F.lit(kind).alias("kind"),
+            surface.alias("surface") if isinstance(surface, F.Column) else F.lit(surface).alias("surface"),
+        )
+
+    mentions = d.select(
+        did.alias("conv_id"),
+        F.explode(
+            F.array(
+                st(0, 0, "entity", F.concat(F.lit("Ann"), did, F.lit(" Lee"))),
+                st(0, 1, "pronoun", "she"),
+                st(
+                    1, 0,
+                    F.when(p4, "pronoun").otherwise("entity"),
+                    F.when(p4, F.lit("they")).otherwise(
+                        F.concat(F.lit("Acme"), (F.col("doc_id") % 13).cast("string"), F.lit(" Corp"))
+                    ),
+                ),
+                st(3, 0, "pronoun", "it"),
+            )
+        ).alias("m"),
+    ).select("conv_id", "m.*")
+    return resolve_pronouns(mentions, max_turn_gap=2)
+
+
 def q_stream_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join under the driver gate
     (streaming/events.py:interval_join_stream): click→error pairs per
@@ -3181,6 +3222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topic_tiles": q_text_topic_tiles,
         # stream-stream interval join (machinery = streaming + range rows)
         "stream_click_errors": q_stream_click_errors,
+        # mention-level coref (machinery = kg + window rows)
+        "kg_coref": q_kg_coref,
     }
 
 
@@ -4765,6 +4808,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, COUNT(*)::BIGINT AS n_objs,
                    MIN(obj) AS first_obj, MAX(obj) AS last_obj
             FROM m GROUP BY subj, pred HAVING COUNT(*) >= 2
+        """,
+        # coref twin: same mention synthesis, same strictly-preceding
+        # last_value IGNORE NULLS window, same 2-turn lookback gate
+        "kg_coref": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+                       0 AS pos, 'entity' AS kind,
+                       'Ann' || doc_id || ' Lee' AS surface FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 0, 1, 'pronoun', 'she'
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 1, 0,
+                       CASE WHEN doc_id % 4 = 0 THEN 'pronoun'
+                            ELSE 'entity' END,
+                       CASE WHEN doc_id % 4 = 0 THEN 'they'
+                            ELSE 'Acme' || (doc_id % 13) || ' Corp' END
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 3, 0, 'pronoun', 'it'
+                FROM documents
+            ),
+            r AS (
+                SELECT conv_id, turn_idx, pos, kind, surface,
+                       last_value(CASE WHEN kind = 'entity' THEN surface END
+                                  IGNORE NULLS) OVER w AS ante,
+                       last_value(CASE WHEN kind = 'entity' THEN turn_idx END
+                                  IGNORE NULLS) OVER w AS ante_turn
+                FROM m
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, pos, surface AS pronoun,
+                   CASE WHEN turn_idx - ante_turn <= 2 THEN ante END
+                       AS antecedent,
+                   CAST(CASE WHEN turn_idx - ante_turn <= 2 THEN ante_turn
+                        END AS INTEGER) AS ante_turn
+            FROM r WHERE kind = 'pronoun'
         """,
         # stream-stream interval join ≡ the batch interval join under
         # availableNow replay (inner join; watermark drops only LATE
