@@ -2876,6 +2876,16 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     return old, drift.unionByName(emp)
 
 
+def q_conv_context_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-context truncation (transcripts/analytics.py:context_suffix):
+    longest turn-suffix per conversation fitting a 40-token budget — the
+    keep-most-recent rule applied before tokenization. One conv-keyed
+    window exchange, reused by the summary aggregation."""
+    from nebula_importer_spark.transcripts.analytics import context_suffix
+
+    return context_suffix(_synth_transcripts(spark, sf_dir), 40)
+
+
 def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic pronoun resolution (transcripts/coref.py) over a
     documents-derived mention stream: 'she' resolves within the turn,
@@ -3224,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_errors": q_stream_click_errors,
         # mention-level coref (machinery = kg + window rows)
         "kg_coref": q_kg_coref,
+        # context truncation (machinery = conv_stats/window rows)
+        "conv_context_suffix": q_conv_context_suffix,
     }
 
 
@@ -4808,6 +4820,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, COUNT(*)::BIGINT AS n_objs,
                    MIN(obj) AS first_obj, MAX(obj) AS last_obj
             FROM m GROUP BY subj, pred HAVING COUNT(*) >= 2
+        """,
+        # context-suffix twin: reverse running sum over the same synthetic
+        # transcripts; windowed SUM cast to BIGINT before the filter output
+        "conv_context_suffix": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            t AS (
+                SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[^\t\n\f\r ]+')) AS tok
+                FROM tr
+            ),
+            c AS (
+                SELECT conv_id, turn_idx, tok,
+                       CAST(SUM(tok) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum
+                FROM t
+            )
+            SELECT conv_id, COUNT(*)::BIGINT AS n_turns_kept,
+                   MIN(turn_idx)::INTEGER AS first_kept_turn,
+                   MAX(turn_idx)::INTEGER AS last_turn,
+                   SUM(tok)::BIGINT AS tokens_kept
+            FROM c WHERE cum <= 40 GROUP BY conv_id
         """,
         # coref twin: same mention synthesis, same strictly-preceding
         # last_value IGNORE NULLS window, same 2-turn lookback gate

@@ -327,3 +327,60 @@ def template_dedup(
     return fp.select(
         "conv_id", F.min("conv_id").over(w).alias("canon_conv_id")
     )
+
+
+def context_suffix(
+    transcripts: DataFrame,
+    token_budget: int,
+    *,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chat-template context truncation as a set operator: per
+    conversation, the longest SUFFIX of turns whose total whitespace-token
+    count fits ``token_budget`` — the standard "keep the most recent
+    context" rule every SFT/packing pipeline applies before tokenizing
+    for real. Turn-granular: a final turn that alone exceeds the budget
+    yields zero kept turns (this operator never splits a turn — compose
+    with chunk_documents when splitting is wanted).
+
+    Distributed shape: token counts are a map-side expression (same
+    RE2-pinned whitespace class as operators/text.py); the reverse
+    running sum rides ONE conversation-keyed window (ordered by
+    ``turn DESC``, rows unbounded-preceding..current), and the summary
+    aggregation reuses that window's partitioning — one exchange total.
+
+    Returns ``(conv, n_turns_kept, first_kept_turn, last_turn,
+    tokens_kept)`` — one row per conversation with ≥1 kept turn;
+    conversations whose final turn overflows the budget are absent
+    (count them against the input for the drop metric).
+    """
+    from pyspark.sql.window import Window
+
+    from nebula_importer_spark.operators.text import NOT_WS
+
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    toks = transcripts.select(
+        conv,
+        turn,
+        F.expr(
+            f"size(regexp_extract_all(coalesce({text_col}, ''), "
+            f"'{NOT_WS}+', 0))"
+        ).alias("_tok"),
+    )
+    w = (
+        Window.partitionBy(conv)
+        .orderBy(F.desc(turn))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = toks.withColumn("_cum", F.sum("_tok").over(w)).filter(
+        F.col("_cum") <= token_budget
+    )
+    return kept.groupBy(conv).agg(
+        F.count("*").cast("long").alias("n_turns_kept"),
+        F.min(turn).cast("int").alias("first_kept_turn"),
+        F.max(turn).cast("int").alias("last_turn"),
+        F.sum("_tok").cast("long").alias("tokens_kept"),
+    )

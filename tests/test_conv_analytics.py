@@ -220,3 +220,60 @@ def test_conv_qa_flags_each_defect(spark):
     assert got["gap"]["has_turn_gap"] == 1 and got["gap"]["n_defects"] == 1
     assert got["reg"]["has_ts_regression"] == 1 and got["reg"]["n_defects"] == 1
     assert got["af"]["starts_with_user"] == 0 and got["af"]["n_defects"] == 0
+
+
+# ---------------------------------------------------------------------------
+# context_suffix (chat-context truncation)
+# ---------------------------------------------------------------------------
+
+
+def _ctx(spark, rows, budget):
+    from nebula_importer_spark.transcripts.analytics import context_suffix
+
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    return {
+        r.conv_id: (r.n_turns_kept, r.first_kept_turn, r.last_turn, r.tokens_kept)
+        for r in context_suffix(df, budget).collect()
+    }
+
+
+def test_context_suffix_keeps_longest_fitting_suffix(spark):
+    rows = [
+        ("c", 0, "a b c d"),   # 4 tokens
+        ("c", 1, "e f g"),     # 3
+        ("c", 2, "h i"),       # 2
+    ]
+    # budget 5: turns 2 (2) + 1 (3) = 5 fits; adding turn 0 overflows
+    assert _ctx(spark, rows, 5) == {"c": (2, 1, 2, 5)}
+    # budget 9: everything fits
+    assert _ctx(spark, rows, 9) == {"c": (3, 0, 2, 9)}
+    # budget 1: even the last turn alone (2 tokens) overflows -> absent
+    assert _ctx(spark, rows, 1) == {}
+
+
+def test_context_suffix_is_suffix_not_knapsack(spark):
+    # a small OLD turn must not be kept once a larger recent turn broke
+    # the budget: suffix semantics, not best-fit selection
+    rows = [("c", 0, "x"), ("c", 1, "a b c d e"), ("c", 2, "y z")]
+    # budget 3: turn 2 fits (2), turn 1 overflows (7) -> turn 0 excluded
+    # even though 2+1 <= 3
+    assert _ctx(spark, rows, 3) == {"c": (1, 2, 2, 2)}
+
+
+def test_context_suffix_validation_and_nulls(spark):
+    import pytest
+
+    from nebula_importer_spark.transcripts.analytics import context_suffix
+
+    df = spark.createDataFrame(
+        [("c", 0, None), ("c", 1, "a b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    with pytest.raises(ValueError):
+        context_suffix(df, 0)
+    # NULL text counts 0 tokens and is kept inside the suffix
+    got = {
+        r.conv_id: (r.n_turns_kept, r.tokens_kept)
+        for r in context_suffix(df, 2).collect()
+    }
+    assert got == {"c": (2, 2)}
