@@ -2860,7 +2860,12 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     added/removed rows, conflict detection sees two-org subjects on the
     merged view, and alignment sees works_at≡employed_by overlap.
     """
-    base = q_kg_triples(spark, sf_dir)
+    return _kg_snapshots_from(q_kg_triples(spark, sf_dir))
+
+
+def _kg_snapshots_from(base: DataFrame):
+    """(old, new) derivation from a given canonical-triples frame — shared
+    by _kg_two_snapshots and the versioned fact-history stack."""
     c = F.col("conv_id").cast("long")
     old = base.filter(c % 2 == 0)
     drift = base.withColumn(
@@ -2874,6 +2879,26 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
         "pred", F.lit("employed_by")
     )
     return old, drift.unionByName(emp)
+
+
+def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style fact validity intervals (transcripts/schema.py:
+    fact_history) across a 3-version snapshot chain (checkpoint → base
+    run → re-crawl): gaps-and-islands on the fact key, one window + the
+    interval agg on the SAME partitioning. Works_at facts drift between
+    versions, so the output has single-version, tail, and full-span
+    intervals — the temporal-KG history record an Iceberg snapshot chain
+    would be queried for."""
+    from nebula_importer_spark.transcripts.schema import fact_history
+
+    base = q_kg_triples(spark, sf_dir)
+    old, new = _kg_snapshots_from(base)
+
+    def _v(df: DataFrame, v: int) -> DataFrame:
+        return df.select("subj", "pred", "obj", F.lit(v).alias("v"))
+
+    stack = _v(old, 1).unionByName(_v(base, 2)).unionByName(_v(new, 3))
+    return fact_history(stack)
 
 
 def q_conv_context_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3236,6 +3261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref": q_kg_coref,
         # context truncation (machinery = conv_stats/window rows)
         "conv_context_suffix": q_conv_context_suffix,
+        # versioned fact history (machinery = kg snapshot rows)
+        "kg_fact_history": q_kg_fact_history,
     }
 
 
@@ -4951,6 +4978,27 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        "kg_fact_history": f"""
+            {_kg_snapshots_cte()},
+            vers AS (
+                SELECT subj, pred, obj, 1 AS v FROM snap_old
+                UNION ALL SELECT subj, pred, obj, 2 FROM kg_t
+                UNION ALL SELECT subj, pred, obj, 3 FROM snap_new
+            ),
+            f AS (SELECT DISTINCT subj, pred, obj, v FROM vers),
+            isl AS (
+                SELECT subj, pred, obj, v,
+                       v - ROW_NUMBER() OVER (
+                           PARTITION BY subj, pred, obj ORDER BY v
+                       ) AS g
+                FROM f
+            )
+            SELECT subj, pred, obj,
+                   MIN(v)::BIGINT AS valid_from,
+                   MAX(v)::BIGINT AS valid_to,
+                   COUNT(*)::BIGINT AS n_snapshots
+            FROM isl GROUP BY subj, pred, obj, g
         """,
         "kg_pred_align": f"""
             {_kg_snapshots_cte()},

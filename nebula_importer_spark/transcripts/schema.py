@@ -215,3 +215,32 @@ def predicate_alignment(
             ),
         )
     )
+
+
+def fact_history(snapshots: DataFrame, version_col: str = "v") -> DataFrame:
+    """SCD2-style validity intervals: given facts observed across NUMBERED
+    construction snapshots (``(subj, pred, obj, v)`` — one row per fact
+    per snapshot that asserts it), emit each fact's contiguous presence
+    intervals ``[valid_from, valid_to]``. A fact retracted and later
+    re-asserted yields TWO intervals — the temporal-KG history record
+    :func:`snapshot_diff` produces pairwise, generalized to the whole
+    snapshot sequence (the queryable form of an Iceberg snapshot chain).
+
+    Distributed shape: gaps-and-islands on the fact key — dedup to one
+    row per (fact, v), then ``v - row_number()`` over ONE fact-keyed
+    window is constant exactly within a consecutive run; the interval
+    aggregation groups on (fact, island) and reuses the window's
+    partitioning (no second exchange of the fact key).
+
+    Returns ``(subj, pred, obj, valid_from, valid_to, n_snapshots)``.
+    """
+    f = snapshots.select(
+        *_FACT_COLS, F.col(version_col).cast("long").alias("_v")
+    ).distinct()
+    w = Window.partitionBy(*_FACT_COLS).orderBy("_v")
+    isl = f.withColumn("_g", F.col("_v") - F.row_number().over(w))
+    return isl.groupBy(*_FACT_COLS, "_g").agg(
+        F.min("_v").alias("valid_from"),
+        F.max("_v").alias("valid_to"),
+        F.count("*").cast("long").alias("n_snapshots"),
+    ).drop("_g")

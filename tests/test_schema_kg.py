@@ -147,3 +147,44 @@ def test_diff_plan_is_one_join_on_fact_key(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_fact_history_intervals_and_reassertion_gap(spark):
+    from nebula_importer_spark.transcripts.schema import fact_history
+
+    rows = [
+        # fact A: present v1..v3 -> one full interval
+        ("c", 0, "a", "p", "x", 1), ("c", 0, "a", "p", "x", 2),
+        ("c", 1, "a", "p", "x", 3),  # different provenance, same fact+v
+        ("c", 0, "a", "p", "x", 2),  # duplicate row, must not double count
+        # fact B: retracted at v2, re-asserted at v3 -> TWO intervals
+        ("c", 0, "b", "p", "y", 1), ("c", 0, "b", "p", "y", 3),
+        # fact C: single version
+        ("c", 0, "d", "q", "z", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, "
+              "obj string, v int"
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.valid_from): (r.valid_to, r.n_snapshots)
+        for r in fact_history(df).collect()
+    }
+    assert got == {
+        ("a", "p", "x", 1): (3, 3),
+        ("b", "p", "y", 1): (1, 1),
+        ("b", "p", "y", 3): (3, 1),
+        ("d", "q", "z", 2): (2, 1),
+    }
+
+
+def test_fact_history_single_exchange(spark):
+    from nebula_importer_spark.transcripts.schema import fact_history
+
+    df = spark.createDataFrame(
+        [("a", "p", "x", 1)], "subj string, pred string, obj string, v int"
+    )
+    plan = fact_history(df)._jdf.queryExecution().executedPlan().toString()
+    # dedup + window + interval agg all share the fact-key partitioning:
+    # exactly one real exchange (AQE may add a trailing coalesce read)
+    assert plan.count("Exchange hashpartitioning") <= 2
