@@ -2901,6 +2901,50 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph over the constructed KG
+    (transcripts/entities.py:comention_edges): same-conversation entity
+    pairs weighted by co-mentioning conversation count, mega-thread
+    guard at 16 entities. Participation dedup + conv-keyed self-join +
+    one pair-keyed partial agg."""
+    from nebula_importer_spark.transcripts.entities import comention_edges
+
+    return comention_edges(q_kg_triples(spark, sf_dir), max_group_size=16)
+
+
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py) over a customer release
+    keyed by (nation, segment, 2000-wide balance bucket): equivalence
+    classes smaller than k=10 — the linking-attack tail a release gate
+    blocks on. One quasi-identifier-keyed aggregation."""
+    from nebula_importer_spark.operators.privacy import k_anonymity_violations
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_violations(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], 10
+    )
+
+
+def q_privacy_l_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py): classes of (nation,
+    balance bucket) showing fewer than 5 distinct market segments — the
+    homogeneity leak k-anonymity alone misses."""
+    from nebula_importer_spark.operators.privacy import l_diversity_violations
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    )
+    return l_diversity_violations(
+        c, ["c_nationkey", "bal_bucket"], "c_mktsegment", 5
+    )
+
+
 def q_conv_context_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-context truncation (transcripts/analytics.py:context_suffix):
     longest turn-suffix per conversation fitting a 40-token budget — the
@@ -3263,6 +3307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_context_suffix": q_conv_context_suffix,
         # versioned fact history (machinery = kg snapshot rows)
         "kg_fact_history": q_kg_fact_history,
+        # co-mention projection (machinery = kg + cooccurrence rows)
+        "kg_comention": q_kg_comention,
+        # release privacy audits (structured companion of the PII family)
+        "privacy_k_anon": q_privacy_k_anon,
+        "privacy_l_div": q_privacy_l_div,
     }
 
 
@@ -4978,6 +5027,41 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        "kg_comention": f"""
+            WITH kg_t AS MATERIALIZED ({_kg_triples_sql()}),
+            ent AS (
+                SELECT DISTINCT conv_id, entity FROM (
+                    SELECT conv_id, subj AS entity FROM kg_t
+                    UNION ALL SELECT conv_id, obj FROM kg_t
+                )
+            ),
+            keep AS (
+                SELECT conv_id FROM ent GROUP BY conv_id
+                HAVING COUNT(*) <= 16
+            ),
+            e AS (SELECT conv_id, entity FROM ent
+                  WHERE conv_id IN (SELECT conv_id FROM keep))
+            SELECT x.entity AS ent_a, y.entity AS ent_b,
+                   COUNT(*)::BIGINT AS n_convs
+            FROM e x JOIN e y ON y.conv_id = x.conv_id
+                             AND x.entity < y.entity
+            GROUP BY 1, 2
+        """,
+        "privacy_k_anon": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+                   COUNT(*)::BIGINT AS group_size
+            FROM customer
+            GROUP BY 1, 2, 3 HAVING COUNT(*) < 10
+        """,
+        "privacy_l_div": """
+            SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+                   COUNT(*)::BIGINT AS group_size,
+                   COUNT(DISTINCT c_mktsegment)::BIGINT AS n_sensitive
+            FROM customer
+            GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 5
         """,
         "kg_fact_history": f"""
             {_kg_snapshots_cte()},

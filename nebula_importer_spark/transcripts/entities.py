@@ -109,3 +109,50 @@ def triple_spans(triples: DataFrame, turn_ts: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def comention_edges(
+    triples: DataFrame, *, max_group_size: int | None = None
+) -> DataFrame:
+    """Entity co-mention graph over the constructed KG: entities appearing
+    in the SAME conversation (either role, either side of any triple)
+    become an undirected edge weighted by the number of co-mentioning
+    conversations — the conversation-level association graph that feeds
+    community/k-core/truss analytics, complementing the triple graph's
+    asserted edges (two entities can be strongly associated without any
+    direct triple between them).
+
+    Scale shape: participation dedups to one row per (conversation,
+    entity) — fixed-width key, one exchange — then the conversation-keyed
+    self-join explodes each conversation into O(|entities|²) pairs.
+    ``max_group_size`` guards the mega-thread cliff exactly like
+    operators/graph.py:cooccurrence_edges (conversations above the cap
+    are dropped; a pair inside a 10⁵-entity thread carries ~zero
+    association signal). Pair counting is partial-agg'd on the canonical
+    (ent_a < ent_b) pair key.
+
+    Returns ``(ent_a, ent_b, n_convs)``.
+    """
+    ent = triples.select(
+        "conv_id",
+        F.explode(F.array(F.col("subj"), F.col("obj"))).alias("entity"),
+    ).distinct()
+    if max_group_size is not None:
+        if max_group_size < 2:
+            raise ValueError(
+                f"max_group_size must be >= 2, got {max_group_size}"
+            )
+        sizes = ent.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_sz"))
+        ent = ent.join(
+            sizes.filter(F.col("_sz") <= max_group_size).select("conv_id"),
+            "conv_id",
+            "left_semi",
+        )
+    a = ent.select("conv_id", F.col("entity").alias("ent_a"))
+    b = ent.select("conv_id", F.col("entity").alias("ent_b"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+    )

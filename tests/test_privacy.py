@@ -1,0 +1,123 @@
+"""operators/privacy.py — k-anonymity / l-diversity release audits, plus
+the entity co-mention projection (transcripts/entities.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nebula_importer_spark.operators.privacy import (
+    k_anonymity_violations,
+    l_diversity_violations,
+)
+
+ROWS = [
+    # (zip, age_band, diagnosis)
+    ("94110", "30s", "flu"),
+    ("94110", "30s", "flu"),
+    ("94110", "30s", "cold"),
+    ("94110", "40s", "flu"),      # class of 1 -> k violation
+    ("02139", "30s", "flu"),
+    ("02139", "30s", "flu"),      # class of 2, homogeneous -> l violation
+    (None, "30s", "cold"),        # NULL QI forms its own class of 1
+]
+SCHEMA = "zip string, age_band string, diagnosis string"
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r.zip, r.age_band): r.group_size
+        for r in k_anonymity_violations(df, ["zip", "age_band"], 3).collect()
+    }
+    assert got == {("94110", "40s"): 1, ("02139", "30s"): 2, (None, "30s"): 1}
+    # k=2: only the singletons remain
+    got = {
+        (r.zip, r.age_band)
+        for r in k_anonymity_violations(df, ["zip", "age_band"], 2).collect()
+    }
+    assert got == {("94110", "40s"), (None, "30s")}
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r.zip, r.age_band): (r.group_size, r.n_sensitive)
+        for r in l_diversity_violations(
+            df, ["zip", "age_band"], "diagnosis", 2
+        ).collect()
+    }
+    # (94110, 30s) has {flu, cold} = 2 distinct -> passes at l=2
+    assert got == {
+        ("94110", "40s"): (1, 1),
+        ("02139", "30s"): (2, 1),
+        (None, "30s"): (1, 1),
+    }
+
+
+def test_l_diversity_null_sensitive_does_not_count(spark):
+    df = spark.createDataFrame(
+        [("z", "a", "flu"), ("z", "a", None), ("z", "a", None)], SCHEMA
+    )
+    out = l_diversity_violations(df, ["zip"], "diagnosis", 2).collect()
+    assert len(out) == 1 and out[0].n_sensitive == 1  # NULLs disclose nothing
+
+
+def test_privacy_validation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError):
+        k_anonymity_violations(df, [], 3)
+    with pytest.raises(ValueError):
+        k_anonymity_violations(df, ["zip", "zip"], 3)
+    with pytest.raises(ValueError):
+        k_anonymity_violations(df, ["zip"], 1)
+    with pytest.raises(ValueError):
+        l_diversity_violations(df, ["zip"], "zip", 2)
+    with pytest.raises(ValueError):
+        l_diversity_violations(df, ["zip"], "diagnosis", 1)
+
+
+# ---------------------------------------------------------------------------
+# comention_edges
+# ---------------------------------------------------------------------------
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+
+
+def test_comention_counts_conversations_not_triples(spark):
+    from nebula_importer_spark.transcripts.entities import comention_edges
+
+    rows = [
+        # conv 1: a-b asserted TWICE (two turns) -> still one conv
+        ("1", 0, "a", "knows", "b"),
+        ("1", 1, "a", "likes", "b"),
+        # conv 2: a-b again, plus c via a second triple
+        ("2", 0, "a", "knows", "b"),
+        ("2", 1, "b", "knows", "c"),
+    ]
+    got = {
+        (r.ent_a, r.ent_b): r.n_convs
+        for r in comention_edges(_triples(spark, rows)).collect()
+    }
+    # a-c co-mentioned in conv 2 despite NO direct triple between them
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_comention_mega_thread_guard(spark):
+    from nebula_importer_spark.transcripts.entities import comention_edges
+
+    rows = [("big", 0, f"e{i}", "knows", f"e{i+1}") for i in range(10)] + [
+        ("small", 0, "x", "knows", "y")
+    ]
+    got = {
+        (r.ent_a, r.ent_b)
+        for r in comention_edges(
+            _triples(spark, rows), max_group_size=4
+        ).collect()
+    }
+    assert got == {("x", "y")}  # the 11-entity thread is dropped
+    with pytest.raises(ValueError):
+        comention_edges(_triples(spark, rows), max_group_size=1)
