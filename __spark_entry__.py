@@ -2901,6 +2901,25 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality sketch (operators/sketch.py): estimated
+    distinct users per event type from the 256 smallest md5-derived
+    hashes — k longs of state per group regardless of cardinality, vs
+    count_distinct's full shuffle of every value. Deterministic hashing
+    is what makes a SKETCH oracle-checkable at all (HLL++ isn't); the
+    oracle replays the identical estimator, and the exact distinct count
+    rides along so the gate also witnesses the estimate's error staying
+    inside the published ~1/sqrt(k-2) bound."""
+    from nebula_importer_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "user_id", k=256, group_cols=["event_type"])
+    tru = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(tru, "event_type")
+
+
 def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention graph over the constructed KG
     (transcripts/entities.py:comention_edges): same-conversation entity
@@ -3312,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # release privacy audits (structured companion of the PII family)
         "privacy_k_anon": q_privacy_k_anon,
         "privacy_l_div": q_privacy_l_div,
+        # cardinality sketch (new family: deterministic KMV)
+        "kmv_distinct_users": q_kmv_distinct_users,
     }
 
 
@@ -5027,6 +5048,34 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        "kmv_distinct_users": """
+            WITH hx AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)),
+                        1, 13))::BIGINT AS h
+                FROM events
+            ),
+            rk AS (
+                SELECT event_type, h, ROW_NUMBER() OVER (
+                    PARTITION BY event_type ORDER BY h) AS r
+                FROM hx
+            ),
+            agg AS (
+                SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+                FROM rk WHERE r <= 256 GROUP BY 1
+            ),
+            tru AS (
+                SELECT event_type,
+                       COUNT(DISTINCT user_id)::BIGINT AS true_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT a.event_type, n_kept::BIGINT AS n_kept,
+                   CASE WHEN n_kept < 256 THEN n_kept
+                        ELSE (255 * 4503599627370496) // kth
+                   END::BIGINT AS est_distinct,
+                   true_distinct
+            FROM agg a JOIN tru t ON t.event_type = a.event_type
         """,
         "kg_comention": f"""
             WITH kg_t AS MATERIALIZED ({_kg_triples_sql()}),

@@ -1,0 +1,92 @@
+"""Deterministic cardinality sketches (KMV / k-minimum-values).
+
+At 100 TB, ``count_distinct`` over a high-cardinality key is a full
+shuffle of every distinct value; a KMV sketch answers "roughly how many
+distinct" from the k smallest HASHES of the column — k longs per group,
+whatever the cardinality (Bar-Yossef et al. 2002, "Counting distinct
+elements in a data stream"; the estimator ``(k-1)·H / h_(k)`` with H the
+hash space). This implementation is fully DETERMINISTIC — the hash is
+md5-derived, not seeded per-run — so the estimate is reproducible across
+engines and runs, which is what makes a sketch GATE-CHECKABLE here
+(Spark's built-in approx_count_distinct is HLL++ with engine-internal
+hashing — no SQL twin can reproduce it; same reason the repo's PageRank
+is integer-scaled rather than float).
+
+Estimator contract: hashes are the first 13 hex digits of
+``md5(salt ‖ value)`` — 52 bits, exact in a BIGINT on any engine, same
+idiom as operators/sampling.py. Hash collisions merge values INSIDE the
+sketch — that is standard KMV behavior (the sketch lives on the hash
+multiset), part of the quoted error bound (~1/sqrt(k-2) relative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 52-bit hash space (13 hex digits) — exact in a long and in a double.
+KMV_SPACE = 2**52
+
+
+def _kmv_hash(col: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group (or global) KMV distinct-cardinality estimate of ``col``.
+
+    Output ``(*group_cols, n_kept, est_distinct)``: when a group holds
+    fewer than ``k`` distinct hashes the estimate IS the exact distinct
+    hash count (the sketch is lossless below its capacity); at capacity,
+    ``est = (k-1) · 2^52 div h_(k)`` — integer floor division, so the
+    output is hash-stable.
+
+    Distributed shape: one dedup exchange on the fixed-width
+    (group, hash) key — values never travel, only their 52-bit hashes —
+    then the k-smallest selection: grouped, a rank-filter window that
+    Spark ≥3.5 plans as WindowGroupLimit (per-partition top-k before the
+    exchange); ungrouped, ``sort().limit(k)`` planned as
+    TakeOrderedAndProject (per-partition top-k, never a global sort).
+    State per group is k longs — the whole point at 100 TB.
+    """
+    if k < 16:
+        raise ValueError(f"k must be >= 16 for a usable estimate, got {k}")
+    groups = list(group_cols or [])
+    if col in groups:
+        raise ValueError(f"col {col!r} cannot also be a group column")
+    hx = df.select(
+        *groups, _kmv_hash(F.col(col), salt).alias("_h")
+    ).distinct()
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("_h")
+        kept = hx.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= k
+        )
+        agg = kept.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth")
+        )
+    else:
+        kept = hx.orderBy("_h").limit(k)
+        agg = kept.agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth")
+        )
+    return agg.select(
+        *groups,
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.expr(f"({k - 1} * {KMV_SPACE}) div _kth"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
