@@ -2901,6 +2901,27 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (operators/linking.py:blocking_audit) of the
+    MinHash-LSH candidate stage against the exact n-gram Jaccard dup
+    pairs at the looser 0.12 bar: recall says what fraction of real dup
+    pairs the 0.7-tuned LSH funnel keeps, precision confirms everything
+    it keeps is a real pair. One pair-key join + two single-row
+    aggregates; ratios integer-scaled."""
+    from nebula_importer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from nebula_importer_spark.operators.linking import blocking_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
+        "id_a", "id_b"
+    )
+    return blocking_audit(cand, truth)
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-cardinality sketch (operators/sketch.py): estimated
     distinct users per event type from the 256 smallest md5-derived
@@ -3333,6 +3354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_l_div": q_privacy_l_div,
         # cardinality sketch (new family: deterministic KMV)
         "kmv_distinct_users": q_kmv_distinct_users,
+        # blocking-quality audit (machinery = dedup funnel rows)
+        "dedup_blocking_audit": q_dedup_blocking_audit,
     }
 
 
@@ -5048,6 +5071,48 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        # blocking audit twin: one capped-universe Jaccard computation,
+        # truth = pairs >= 0.12, candidates = pairs >= 0.7 (the
+        # dedup_minhash_lsh gate row separately proves the LSH funnel
+        # emits exactly the >= 0.7 exact set on this corpus, so the
+        # exact set is a faithful oracle for the CANDIDATE side too)
+        "dedup_blocking_audit": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            ),
+            jac AS (
+                SELECT id_a, id_b,
+                       len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                         / len(list_distinct(list_concat(sa.grams, sb.grams)))
+                           AS j
+                FROM cand
+                JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+            ),
+            t AS (SELECT COUNT(*) AS n_truth FROM jac WHERE j >= 0.12),
+            c AS (SELECT COUNT(*) AS n_cand FROM jac WHERE j >= 0.7)
+            SELECT n_truth::BIGINT AS n_truth,
+                   n_cand::BIGINT AS n_candidates,
+                   n_cand::BIGINT AS n_caught,
+                   (1000000000000 * n_cand // n_truth)::BIGINT
+                       AS recall_scaled,
+                   1000000000000::BIGINT AS precision_scaled
+            FROM t, c
         """,
         "kmv_distinct_users": """
             WITH hx AS (

@@ -277,3 +277,68 @@ def link_mentions(
         )
     )
     return exact.unionByName(best)
+
+
+def blocking_audit(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Pair-completeness / pair-quality audit of a blocking (candidate
+    generation) stage — the record-linkage literature's standard pair of
+    metrics (Christen 2012): recall = |candidates ∩ truth| / |truth|
+    (what fraction of true matching pairs the blocker kept) and
+    precision = |candidates ∩ truth| / |candidates|. Run it whenever a
+    candidate funnel changes (band count, shingle cap, block width) —
+    the number that says whether the cheap stage is silently dropping
+    real duplicates before the expensive verify ever sees them.
+
+    Pairs are canonicalized (least/greatest) and deduped on both sides,
+    so orientation and repetition cannot skew the counts. Ratios are
+    integer-scaled floor divisions (hash-stable); empty truth or empty
+    candidates yield NULL for the undefined ratio rather than a fake 0.
+
+    Distributed shape: one pair-key dedup per side, ONE left join of
+    truth onto candidate pairs (fixed-width keys), two single-row
+    aggregates combined on a literal key (broadcast, never a cartesian).
+
+    Returns one row: ``(n_truth, n_candidates, n_caught, recall_scaled,
+    precision_scaled)``.
+    """
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias(id_a),
+            F.greatest(F.col(id_a), F.col(id_b)).alias(id_b),
+        ).distinct()
+
+    cd = _canon(candidates)
+    td = _canon(truth)
+    j = td.join(cd.withColumn("_hit", F.lit(1)), [id_a, id_b], "left")
+    t_stats = j.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_caught"),
+    ).withColumn("_k", F.lit(1))
+    c_stats = cd.agg(F.count(F.lit(1)).alias("n_candidates")).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        t_stats.join(F.broadcast(c_stats), "_k")
+        .drop("_k")
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            "n_caught",
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr(f"({scale} * n_caught) div n_truth"),
+            ).alias("recall_scaled"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr(f"({scale} * n_caught) div n_candidates"),
+            ).alias("precision_scaled"),
+        )
+    )

@@ -852,3 +852,62 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
     }
     # the 6-row cluster is dropped wholesale; only the small cluster's pair survives
     assert got == {(10, 11)}
+
+
+# ---------------------------------------------------------------------------
+# blocking_audit (pair completeness / quality of a candidate stage)
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_blocking_audit_counts_and_ratios(spark):
+    from nebula_importer_spark.operators.linking import blocking_audit
+
+    truth = _pairs(spark, [(1, 2), (3, 4), (5, 6), (7, 8)])
+    # catches 2 of 4 true pairs; 1 false candidate; reversed orientation
+    # and duplicates must canonicalize away
+    cand = _pairs(spark, [(2, 1), (1, 2), (3, 4), (9, 10)])
+    r = blocking_audit(cand, truth).collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_caught) == (4, 3, 2)
+    assert r.recall_scaled == 10**12 * 2 // 4
+    assert r.precision_scaled == 10**12 * 2 // 3
+
+
+def test_blocking_audit_empty_sides(spark):
+    from nebula_importer_spark.operators.linking import blocking_audit
+
+    empty = _pairs(spark, [])
+    truth = _pairs(spark, [(1, 2)])
+    r = blocking_audit(empty, truth).collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_caught) == (1, 0, 0)
+    assert r.recall_scaled == 0 and r.precision_scaled is None
+    r = blocking_audit(truth, empty).collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_caught) == (0, 1, 0)
+    assert r.recall_scaled is None and r.precision_scaled == 0
+
+
+def test_blocking_audit_random_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.linking import blocking_audit
+
+    rng = random.Random(11)
+    truth = {(a, b) for a, b in
+             ((rng.randrange(30), rng.randrange(30)) for _ in range(60))
+             if a != b}
+    cand = {p for p in truth if rng.random() < 0.6} | {
+        (rng.randrange(30), rng.randrange(30)) for _ in range(20)
+    }
+    cand = {p for p in cand if p[0] != p[1]}
+    tc = {tuple(sorted(p)) for p in truth}
+    cc = {tuple(sorted(p)) for p in cand}
+    r = blocking_audit(
+        _pairs(spark, sorted(cand)), _pairs(spark, sorted(truth))
+    ).collect()[0]
+    caught = len(tc & cc)
+    assert (r.n_truth, r.n_candidates, r.n_caught) == (len(tc), len(cc), caught)
+    assert r.recall_scaled == 10**12 * caught // len(tc)
+    assert r.precision_scaled == 10**12 * caught // len(cc)
