@@ -2901,6 +2901,18 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (operators/temporal.py:
+    time_weighted_avg): left-continuous step integral over irregular
+    samples, all arithmetic exact-integer (2-decimal values as cents,
+    whole-second Δt, one floor division) — the telemetry average a plain
+    AVG gets wrong under bursts. One key-ordered window + the summary
+    agg on its partitioning."""
+    from nebula_importer_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
 def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit (operators/linking.py:blocking_audit) of the
     MinHash-LSH candidate stage against the exact n-gram Jaccard dup
@@ -3356,6 +3368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         # blocking-quality audit (machinery = dedup funnel rows)
         "dedup_blocking_audit": q_dedup_blocking_audit,
+        # time-weighted integral (machinery = temporal window rows)
+        "events_twa": q_events_twa,
     }
 
 
@@ -5071,6 +5085,27 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        # TWA twin: same (ts, id)-ordered lead, same per-timestamp floor,
+        # same exact cents·Δt integer sums and one floor division
+        "events_twa": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS u,
+                       LEAD(floor(epoch(ts))::BIGINT) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - floor(epoch(ts))::BIGINT AS dt
+                FROM events
+            ),
+            a AS (
+                SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+                       CAST(SUM(dt) AS BIGINT) AS span_sec,
+                       CAST(SUM(u * dt) AS BIGINT) AS wsum
+                FROM s WHERE dt IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, n_intervals, span_sec,
+                   (1000000 * wsum // (100 * span_sec))::BIGINT AS twa_scaled
+            FROM a WHERE span_sec > 0
         """,
         # blocking audit twin: one capped-universe Jaccard computation,
         # truth = pairs >= 0.12, candidates = pairs >= 0.7 (the

@@ -599,3 +599,66 @@ def burst_scores(
             / F.col("baseline_total")
         ).alias("burst_score"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    value_decimals: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per key — the
+    telemetry integral (TimescaleDB's ``time_weight``, left-continuous
+    step interpolation): each observation holds until the next one, so
+    TWA = Σ valueᵢ·Δtᵢ / Σ Δtᵢ over the key's observation span. The
+    correct average for irregular samples, where a plain AVG over-weights
+    bursts.
+
+    Exact-integer contract: values are fixed-point with
+    ``value_decimals`` digits (validated nowhere — the caller asserts the
+    data contract; a training-pipeline metrics column is), so
+    ``value·10^d`` is an exact long, ``Σ units·Δt`` is an exact long
+    (order-free), and the final ``twa_scaled = scale·Σ(units·Δt) div
+    (10^d·ΣΔt)`` is one integer floor division — hash-stable in any
+    engine, no float accumulates anywhere. Δt is whole seconds with
+    PER-TIMESTAMP floor (fractional seconds truncate before subtraction,
+    matching ``unix_timestamp``).
+
+    Distributed shape: ONE key-ordered window (lead on ``(ts, id)`` — the
+    id tiebreak makes equal-timestamp ordering deterministic; zero-Δt
+    pairs then carry zero weight) and the summary agg reuses the window's
+    partitioning. Mega-key skew mitigations are the sessionize family's
+    (span-salting upstream).
+
+    Returns ``(key, n_intervals, span_sec, twa_scaled)`` for keys with
+    ≥2 observations and a positive span (single observations define no
+    interval; an all-same-second key has span 0 and no average).
+    """
+    if value_decimals < 0:
+        raise ValueError(f"value_decimals must be >= 0, got {value_decimals}")
+    unit = 10**value_decimals
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    ep = F.unix_timestamp(F.col(ts))  # whole seconds, truncating
+    units = F.round(F.col(value_col) * unit).cast("long")
+    stepped = events.select(
+        key,
+        units.alias("_u"),
+        (F.lead(ep).over(w) - ep).alias("_dt"),
+    ).filter(F.col("_dt").isNotNull())
+    agg = stepped.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("_dt").cast("long").alias("span_sec"),
+        F.sum(F.col("_u") * F.col("_dt")).cast("long").alias("_wsum"),
+    )
+    return agg.filter(F.col("span_sec") > 0).select(
+        key,
+        "n_intervals",
+        "span_sec",
+        F.expr(f"({scale} * _wsum) div ({unit} * span_sec)").alias(
+            "twa_scaled"
+        ),
+    )

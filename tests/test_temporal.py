@@ -575,3 +575,61 @@ def test_burst_scores_warmup_and_validation(spark):
         burst_scores(df, bucket_sec=0)
     with pytest.raises(ValueError, match="min_baseline_buckets"):
         burst_scores(df, baseline_buckets=4, min_baseline_buckets=5)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_twa_step_integral_exact(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: value 10.00 holds 10s, then 20.00 holds 30s
+        # TWA = (1000*10 + 2000*30)/40 cents = 1750 -> 17.50
+        (1, 1, at(0), 10.00),
+        (1, 2, at(10), 20.00),
+        (1, 3, at(40), 99.99),   # final observation: no interval after it
+        # user 2: single observation -> absent
+        (2, 4, at(0), 5.00),
+        # user 3: all same second -> span 0 -> absent
+        (3, 5, at(0), 1.00),
+        (3, 6, at(0), 2.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.user_id: (r.n_intervals, r.span_sec, r.twa_scaled)
+        for r in time_weighted_avg(df).collect()
+    }
+    assert got == {1: (2, 40, 17_500_000)}  # 17.50 in 10^6 scale
+
+
+def test_twa_burst_vs_plain_avg(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 10 burst samples of 100.00 in 10s, then 0.00 holding 990s:
+    # plain AVG ~ 90.9; TWA ~ 1.0 (the burst is 1% of the span)
+    rows = [(1, i, t0 + dt.timedelta(seconds=i), 100.00) for i in range(10)]
+    rows += [(1, 10, t0 + dt.timedelta(seconds=10), 0.00),
+             (1, 11, t0 + dt.timedelta(seconds=1000), 0.00)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = time_weighted_avg(df).collect()[0]
+    assert r.span_sec == 1000
+    assert r.twa_scaled == 1_000_000  # exactly 1.00
+    with pytest.raises(ValueError):
+        time_weighted_avg(df, value_decimals=-1)
