@@ -2860,7 +2860,20 @@ def _kg_two_snapshots(spark: SparkSession, sf_dir: str):
     added/removed rows, conflict detection sees two-org subjects on the
     merged view, and alignment sees works_at≡employed_by overlap.
     """
-    return _kg_snapshots_from(q_kg_triples(spark, sf_dir))
+    return _kg_snapshots_from(_kg_triples_staged(spark, sf_dir))
+
+
+def _kg_triples_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_kg_triples with its result MATERIALIZED once
+    (localCheckpoint) — the snapshot family derives 2-4 branches from the
+    same canonical-triples frame and each branch is a separate subtree of
+    one action, so without staging the whole extract→link→canonicalize
+    pipeline re-executes per branch (measured 2-3× the query time at gate
+    scale). On a 100-TB run this is the parquet-staging boundary the
+    pipeline already uses for CC snapshots; localCheckpoint is its
+    single-JVM gate-scale stand-in (same trade documented at
+    operators/graph.py:kcore)."""
+    return q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def _kg_snapshots_from(base: DataFrame):
@@ -2891,7 +2904,7 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be queried for."""
     from nebula_importer_spark.transcripts.schema import fact_history
 
-    base = q_kg_triples(spark, sf_dir)
+    base = _kg_triples_staged(spark, sf_dir)
     old, new = _kg_snapshots_from(base)
 
     def _v(df: DataFrame, v: int) -> DataFrame:
@@ -2961,7 +2974,8 @@ def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pair-keyed partial agg."""
     from nebula_importer_spark.transcripts.entities import comention_edges
 
-    return comention_edges(q_kg_triples(spark, sf_dir), max_group_size=16)
+    # staged: the participation table feeds BOTH sides of the self-join
+    return comention_edges(_kg_triples_staged(spark, sf_dir), max_group_size=16)
 
 
 def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
