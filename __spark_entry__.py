@@ -2914,6 +2914,22 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized int8 ANN (operators/similarity.py:int8_topk) —
+    the memory-bound scale path (4× smaller residency/scan than float32)
+    with EXACT integer dot products, so the cosine is engine-identical
+    without any float-accumulation ordering caveat. Same 5-query/k=3
+    harness as the float ANN rows; recall vs float is pytest-gated."""
+    from nebula_importer_spark.operators.similarity import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_topk(emb, queries, k=3)
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average event value per user (operators/temporal.py:
     time_weighted_avg): left-continuous step integral over irregular
@@ -3384,6 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_blocking_audit": q_dedup_blocking_audit,
         # time-weighted integral (machinery = temporal window rows)
         "events_twa": q_events_twa,
+        # quantized ANN (machinery = ann rows; new quantization kernel)
+        "ann_int8_topk": q_ann_int8_topk,
     }
 
 
@@ -5099,6 +5117,42 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        # int8 ANN twin: same corpus-max quantization grid, same exact
+        # integer dot products; cosine divides/sqrts identical ints so
+        # the 6dp round matches without a float-order caveat
+        "ann_int8_topk": """
+            WITH ma AS (
+                SELECT MAX(list_max(list_transform(
+                           embedding::DOUBLE[], x -> abs(x)))) AS m
+                FROM embeddings
+            ),
+            qz AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> GREATEST(-127, LEAST(127,
+                                CAST(ROUND(x * 127 / ma.m) AS BIGINT))))
+                           AS qv
+                FROM embeddings, ma
+            ),
+            q AS (SELECT vec_id AS query_id, qv AS qq FROM qz
+                  WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROUND(
+                         list_sum(list_transform(list_zip(q.qq, c.qv),
+                                  p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(q.qq, x -> x * x))::DOUBLE)
+                            * sqrt(list_sum(list_transform(c.qv, x -> x * x))::DOUBLE))
+                       , 6) AS cosine_q
+                FROM qz c, q WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id, cosine_q FROM (
+                SELECT query_id, neighbor_id, cosine_q,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+                FROM scored WHERE cosine_q IS NOT NULL
+            ) WHERE rank <= 3
         """,
         # TWA twin: same (ts, id)-ordered lead, same per-timestamp floor,
         # same exact cents·Δt integer sums and one floor division

@@ -592,3 +592,110 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_vec(col, max_abs: float, bits: int = 8):
+    """Symmetric scalar quantization of a float vector to signed ints:
+    ``q = clamp(round(x · (2^(b-1)-1) / max_abs))``. With a shared
+    ``max_abs`` the quantized grid is a plan constant, so the same vector
+    quantizes identically on any engine."""
+    qmax = 2 ** (bits - 1) - 1
+    return F.transform(
+        col,
+        lambda x: F.greatest(
+            F.lit(-qmax),
+            F.least(
+                F.lit(qmax),
+                F.round(x.cast("double") * qmax / max_abs).cast("int"),
+            ),
+        ),
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_abs: float | None = None,
+) -> DataFrame:
+    """Exact top-k over SCALAR-QUANTIZED int8 vectors — the memory-bound
+    ANN scale path: a 64-dim float32 corpus shrinks 4× (100 TB of
+    embeddings → 25 TB resident), scan bandwidth shrinks with it, and
+    every dot product is EXACT int arithmetic (|q| ≤ 127, 64 dims →
+    |Σ qa·qb| ≤ 127²·64 ≈ 2²⁰ — longs never overflow, sums are
+    order-free). The cosine over exact integer num/norms divides and
+    IEEE-sqrt's identically on any engine, so the rounded score is
+    gate-checkable — the property float-accumulated cosines only get
+    from a fixed evaluation order.
+
+    ``max_abs`` (the shared quantization range) defaults to the corpus
+    max |component| — ONE scalar aggregate collected driver-side (bounded
+    material, same class as the IVF train sample); queries quantize on
+    the corpus grid, clamped. Recall vs the float baseline is the
+    quantization trade — gated in pytest, not assumed.
+
+    Returns ``(query_id, rank, neighbor_id, cosine_q)`` with the same
+    NLJ + per-query top-k shape as :func:`brute_force_topk`.
+    """
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    if max_abs is None:
+        max_abs = float(
+            corpus.select(
+                F.max(
+                    F.aggregate(
+                        _as_double(F.col(vec_col)),
+                        F.lit(0.0),
+                        lambda s, x: F.greatest(s, F.abs(x)),
+                    )
+                ).alias("m")
+            ).first()["m"]
+        )
+    if not max_abs > 0:
+        raise ValueError(f"max_abs must be positive, got {max_abs}")
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), max_abs).alias("_cq"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_vec(F.col(query_vec_col), max_abs).alias("_qq"),
+    )
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _idot(F.col("_qq"), F.col("_cq"))
+            / (
+                F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
+                * F.sqrt(_idot(F.col("_cq"), F.col("_cq")).cast("double"))
+            ),
+            6,
+        ).alias("cosine_q"),
+    )
+    # an all-zero quantized vector has no cosine: drop it rather than let
+    # NULL ordering (engine-dependent) place it in the ranking
+    scored = scored.filter(F.col("cosine_q").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_q")
+    )
