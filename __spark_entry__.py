@@ -2914,6 +2914,18 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction yield (transcripts/pipeline.py:
+    extraction_coverage): triples + distinct entities per conversation,
+    zero-yield conversations kept with zeros — the recall-side lineage
+    the reference's per-file stats can't see. Both sides pre-agg to one
+    row per conv before ONE left join."""
+    from nebula_importer_spark.transcripts.pipeline import extraction_coverage
+
+    transcripts, _, _ = _kg_pipeline_inputs(spark, sf_dir)
+    return extraction_coverage(transcripts, _kg_triples_staged(spark, sf_dir))
+
+
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (operators/similarity.py:int8_topk) —
     the memory-bound scale path (4× smaller residency/scan than float32)
@@ -3402,6 +3414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": q_events_twa,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
+        # extraction-coverage lineage (machinery = kg rows)
+        "kg_coverage": q_kg_coverage,
     }
 
 
@@ -5117,6 +5131,34 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        # coverage twin: transcript side = one synthetic turn per doc;
+        # triple/entity counts from the full-pipeline kg CTE
+        "kg_coverage": f"""
+            WITH kg_t AS MATERIALIZED ({_kg_triples_sql()}),
+            turns AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                       1::BIGINT AS n_turns
+                FROM documents
+            ),
+            tri AS (
+                SELECT conv_id, COUNT(*)::BIGINT AS n_triples
+                FROM kg_t GROUP BY conv_id
+            ),
+            ents AS (
+                SELECT conv_id, COUNT(*)::BIGINT AS n_entities FROM (
+                    SELECT DISTINCT conv_id, entity FROM (
+                        SELECT conv_id, subj AS entity FROM kg_t
+                        UNION ALL SELECT conv_id, obj FROM kg_t
+                    )
+                ) GROUP BY conv_id
+            )
+            SELECT t.conv_id, t.n_turns,
+                   COALESCE(tri.n_triples, 0) AS n_triples,
+                   COALESCE(ents.n_entities, 0) AS n_entities
+            FROM turns t
+            LEFT JOIN tri ON tri.conv_id = t.conv_id
+            LEFT JOIN ents ON ents.conv_id = t.conv_id
         """,
         # int8 ANN twin: same corpus-max quantization grid, same exact
         # integer dot products; cosine divides/sqrts identical ints so

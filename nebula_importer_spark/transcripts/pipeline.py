@@ -270,3 +270,47 @@ class TranscriptPipeline:
         }
         self.release()
         return out
+
+
+def extraction_coverage(transcripts: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-conversation extraction yield — the recall-side lineage metric
+    the pipeline's per-partition counters (plans/metrics.py analog of the
+    reference's per-file stats, /root/reference/pkg/stats/stats.go) roll
+    up too coarsely to show: which conversations produced HOW MANY
+    triples and entities, and which produced none at all. Zero-yield
+    conversations are the extraction-recall debugging queue — they stay
+    in the output with zeros rather than vanishing into a join.
+
+    Distributed shape: both sides pre-aggregate to one row per
+    conversation (partial-agg'd counts; the entity count explodes
+    subj/obj map-side then dedups on the fixed-width (conv, entity) key),
+    then ONE left equi-join from the transcript side — conversations
+    never fan out.
+
+    Returns ``(conv_id, n_turns, n_triples, n_entities)``.
+    """
+    turns = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    tri = triples.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples")
+    )
+    ents = (
+        triples.select(
+            "conv_id",
+            F.explode(F.array(F.col("subj"), F.col("obj"))).alias("_e"),
+        )
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )
+    return (
+        turns.join(tri, "conv_id", "left")
+        .join(ents, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+        )
+    )

@@ -111,3 +111,22 @@ def test_end_to_end_materialization(spark, sdfs, tmp_path):
     # resume: re-run skips extraction/link stages
     res2 = pipe.run(sdfs["transcripts"], sdfs["alias_dict"], sdfs["same_as"], tmp_path, resume=True)
     assert res2.stages.get("stage/surface_triples") is None
+
+
+def test_extraction_coverage_keeps_zero_yield_convs(spark):
+    from nebula_importer_spark.transcripts.pipeline import extraction_coverage
+
+    transcripts = spark.createDataFrame(
+        [("a", 0, "x"), ("a", 1, "y"), ("b", 0, "no entities here")],
+        "conv_id string, turn_idx int, text string",
+    )
+    triples = spark.createDataFrame(
+        [("a", 0, "e1", "knows", "e2"), ("a", 1, "e1", "uses", "e3")],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    got = {
+        r.conv_id: (r.n_turns, r.n_triples, r.n_entities)
+        for r in extraction_coverage(transcripts, triples).collect()
+    }
+    # conv b yielded nothing: present with zeros, not dropped
+    assert got == {"a": (2, 2, 3), "b": (1, 0, 0)}
