@@ -2914,6 +2914,20 @@ def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(stack)
 
 
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py) over the
+    customer table: null/blank/exact-distinct per column in ONE
+    aggregation pass (distinct counts share it via expand); the
+    per-column melt is schema-sized. The source-onboarding QA step the
+    reference's YAML-first world assumes already happened."""
+    from nebula_importer_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+
 def q_kg_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation extraction yield (transcripts/pipeline.py:
     extraction_coverage): triples + distinct entities per conversation,
@@ -3416,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": q_ann_int8_topk,
         # extraction-coverage lineage (machinery = kg rows)
         "kg_coverage": q_kg_coverage,
+        # source-onboarding column profiler (sources-family QA)
+        "profile_customer": q_profile_customer,
     }
 
 
@@ -5131,6 +5147,41 @@ def oracle_sql() -> dict[str, str]:
                    MAX(blk)::BIGINT AS end_blk,
                    COUNT(*)::BIGINT AS n_blocks
             FROM seg GROUP BY doc_id, seg_id
+        """,
+        # profiler twin: one UNION ALL leg per column; blank only for
+        # string columns (NULL otherwise, matching the Spark side)
+        "profile_customer": """
+            SELECT 'c_custkey' AS column, COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   CAST(NULL AS BIGINT) AS n_blank,
+                   COUNT(DISTINCT c_custkey)::BIGINT AS n_distinct
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', COUNT(*)::BIGINT,
+                   SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   SUM(CASE WHEN c_name IS NOT NULL AND TRIM(c_name) = ''
+                       THEN 1 ELSE 0 END)::BIGINT,
+                   COUNT(DISTINCT c_name)::BIGINT
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', COUNT(*)::BIGINT,
+                   SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   CAST(NULL AS BIGINT),
+                   COUNT(DISTINCT c_nationkey)::BIGINT
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', COUNT(*)::BIGINT,
+                   SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   SUM(CASE WHEN c_mktsegment IS NOT NULL
+                            AND TRIM(c_mktsegment) = '' THEN 1 ELSE 0 END)::BIGINT,
+                   COUNT(DISTINCT c_mktsegment)::BIGINT
+            FROM customer
+            UNION ALL
+            SELECT 'c_acctbal', COUNT(*)::BIGINT,
+                   SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   CAST(NULL AS BIGINT),
+                   COUNT(DISTINCT c_acctbal)::BIGINT
+            FROM customer
         """,
         # coverage twin: transcript side = one synthetic turn per doc;
         # triple/entity counts from the full-pipeline kg CTE

@@ -1,0 +1,72 @@
+"""Single-pass column profiler for table QA.
+
+The first thing a pipeline runs against a NEW source before wiring it
+into configs (the reference trusts its YAML schema and rejects rows at
+parse time — /root/reference/pkg/reader/reader.go; a profiler is how
+that YAML gets WRITTEN for an unknown 100-TB drop): per-column null /
+blank / distinct counts, one row per column.
+
+Distributed shape: ONE aggregation pass over the data computes every
+per-column metric simultaneously (null/blank counts are plain sums and
+combine map-side; the exact distinct counts share the pass via Spark's
+expand — cost grows with the profiled column count, which is the
+schema's size, not the data's). The per-column melt happens on the
+SINGLE aggregated row driver-side — schema-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: every column): returns one row per
+    column — ``(column, n_rows, n_null, n_blank, n_distinct)``.
+
+    ``n_blank`` counts whitespace-only non-null values for string
+    columns and is NULL for other types (a blank number is not a thing —
+    NULL, not a fake 0, so the two cases stay distinguishable).
+    ``n_distinct`` is exact and excludes NULL (SQL count-distinct
+    semantics, identical in any engine — what makes the profile
+    gate-checkable).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}")
+        )
+        aggs.append(F.count_distinct(col).alias(f"_dist_{i}"))
+        if isinstance(by_name[c], T.StringType):
+            aggs.append(
+                F.sum(
+                    F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)
+                ).alias(f"_blank_{i}")
+            )
+    one = df.agg(*aggs)
+
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"_null_{i}").cast("long").alias("n_null"),
+            (
+                F.col(f"_blank_{i}").cast("long")
+                if isinstance(by_name[c], T.StringType)
+                else F.lit(None).cast("long")
+            ).alias("n_blank"),
+            F.col(f"_dist_{i}").cast("long").alias("n_distinct"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")

@@ -213,3 +213,46 @@ def test_spread_small_input_result_correct(spark, tmp_path):
     spark.range(1000).coalesce(1).write.parquet(p)
     out = spread_small_input(spark.read.parquet(p))
     assert out.count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_metrics(spark):
+    from nebula_importer_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.0),
+            (2, "  ", None),   # blank string, null double
+            (3, None, 2.0),    # null string
+            (4, "a", 3.0),
+        ],
+        "id long, s string, v double",
+    )
+    got = {
+        r.column: (r.n_rows, r.n_null, r.n_blank, r.n_distinct)
+        for r in profile_columns(df).collect()
+    }
+    assert got == {
+        "id": (4, 0, None, 4),
+        "s": (4, 1, 1, 2),    # distinct excludes NULL: {'a', '  '}
+        "v": (4, 1, None, 2),
+    }
+
+
+def test_profile_columns_single_pass_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+    with pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    # one aggregation pass over the data: a single scan of the source
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
