@@ -2956,6 +2956,26 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(emb, queries, k=3)
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-k selection by Maximal Marginal Relevance
+    (operators/selection.py:mmr_topk): greedy picks maximizing
+    ``λ·rel − (1−λ)·max-sim-to-picked``. The greedy chain is gate-hashable
+    because every comparison is EXACT int64 (cosines scaled to micro-units
+    under the shared 6dp discipline, the objective pure integer
+    arithmetic); the oracle steps the same recurrence as a recursive CTE —
+    two independent formulations of the argmax chain that must agree
+    pick-for-pick. Pool=20 bounds the quadratic stage; vectors never cross
+    the Arrow boundary."""
+    from nebula_importer_spark.operators.selection import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mmr_topk(emb, queries, k=8, pool=20, lam6=700_000)
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average event value per user (operators/temporal.py:
     time_weighted_avg): left-continuous step integral over irregular
@@ -3428,6 +3448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": q_events_twa,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
+        # diverse selection (MMR) — retrieval→curation selection step
+        "mmr_select": q_mmr_select,
         # extraction-coverage lineage (machinery = kg rows)
         "kg_coverage": q_kg_coverage,
         # source-onboarding column profiler (sources-family QA)
@@ -5411,6 +5433,80 @@ def oracle_sql() -> dict[str, str]:
                     // LEAST(sa.n, sb.n))::BIGINT AS containment_scaled
             FROM sh JOIN sz sa ON sa.pred = pred_a
                     JOIN sz sb ON sb.pred = pred_b
+        """,
+        # Greedy MMR stepped as a recursive CTE: same int64 objective,
+        # same (score DESC, doc ASC) argmax, same sequential-fold cosine
+        # rounded to micro-units — the hash match proves the whole pick
+        # chain, not just the final set.
+        "mmr_select": """
+            WITH RECURSIVE q AS MATERIALIZED (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            rel AS MATERIALIZED (
+                SELECT q.query_id, e.vec_id AS doc,
+                       CAST(ROUND(
+                         list_sum(list_transform(
+                             list_zip(q.qv, e.embedding::DOUBLE[]),
+                             x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(
+                                e.embedding::DOUBLE[], x -> x * x))))
+                         * 1000000) AS BIGINT) AS rel6,
+                       e.embedding::DOUBLE[] AS cv
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            ),
+            pool AS MATERIALIZED (
+                SELECT query_id, doc, rel6, cv, rn FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rel6 DESC, doc ASC) AS rn
+                    FROM rel
+                ) WHERE rn <= 20
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.query_id, a.doc AS da, b.doc AS db,
+                       CAST(ROUND(
+                         list_sum(list_transform(list_zip(a.cv, b.cv),
+                                                 x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(a.cv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(b.cv, x -> x * x))))
+                         * 1000000) AS BIGINT) AS sim6
+                FROM pool a JOIN pool b
+                  ON a.query_id = b.query_id AND a.doc <> b.doc
+            ),
+            sel AS (
+                SELECT query_id, 1 AS step, doc,
+                       700000::BIGINT * rel6 AS mmr_scaled, [doc] AS picked
+                FROM pool WHERE rn = 1
+                UNION ALL
+                SELECT query_id, step + 1, doc, mmr_scaled,
+                       list_append(picked, doc)
+                FROM (
+                    SELECT s.query_id, s.step, p.doc,
+                           700000::BIGINT * p.rel6 - 300000::BIGINT * (
+                             SELECT MAX(pr.sim6) FROM pairs pr
+                             WHERE pr.query_id = s.query_id AND pr.da = p.doc
+                               AND list_contains(s.picked, pr.db)
+                           ) AS mmr_scaled,
+                           s.picked,
+                           row_number() OVER (
+                             PARTITION BY s.query_id
+                             ORDER BY 700000::BIGINT * p.rel6
+                               - 300000::BIGINT * (
+                                 SELECT MAX(pr.sim6) FROM pairs pr
+                                 WHERE pr.query_id = s.query_id
+                                   AND pr.da = p.doc
+                                   AND list_contains(s.picked, pr.db)) DESC,
+                               p.doc ASC) AS rn
+                    FROM sel s JOIN pool p
+                      ON p.query_id = s.query_id
+                     AND NOT list_contains(s.picked, p.doc)
+                    WHERE s.step < 8
+                ) WHERE rn = 1
+            )
+            SELECT query_id, step::BIGINT AS step, doc, mmr_scaled FROM sel
         """,
     })
 

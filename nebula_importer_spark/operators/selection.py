@@ -1,0 +1,178 @@
+"""Diverse top-k selection (Maximal Marginal Relevance, Carbonell & Goldstein
+SIGIR 1998) — the training-data / retrieval selection step that pure
+relevance ranking misses: pick items that are relevant to the query AND
+dissimilar to everything already picked.
+
+Why this is gate-checkable where naive MMR is not: the greedy argmax chain
+is exquisitely sensitive to float noise (one ulp flips a pick and every later
+step diverges). We make every comparison EXACT-INTEGER:
+
+- relevance and pairwise similarity are cosine in double precision with the
+  repo's sequential-fold dot (``F.aggregate`` left-to-right — bit-reproducible
+  vs a sequential SQL oracle), then scaled to int64 micro-units
+  (``ROUND(cos * 1e6)``, the shared 6dp discipline);
+- the MMR objective ``lam6 * rel6 - (1_000_000 - lam6) * max_sim6`` is pure
+  int64 arithmetic; ties break on ascending item id. The greedy chain is
+  therefore bit-identical on any engine, partitioning, or accumulation order.
+
+Scale shape (100 TB): relevance scoring is the proven broadcast-queries NLJ
+(queries are dimension-sized); a per-query window keeps only the top ``pool``
+candidates, so the quadratic pairwise stage is bounded at pool² rows per
+query and the greedy kernel state is a pool×pool int64 matrix (~3 KB at
+pool=20). Queries parallelize across partitions via ``applyInPandas`` on
+query_id; raw vectors never enter the Python kernel — similarities are
+precomputed JVM-side and only (id, rel6, sim6) ints cross the Arrow boundary.
+
+Reference analog: nebula-importer has no ranking surface at all (SURVEY §2.7);
+this extends the ANN family (operators/similarity.py) with the selection step
+a curation pipeline runs after retrieval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from nebula_importer_spark.operators.similarity import _as_double, cosine
+from nebula_importer_spark.operators.skew import spread_small_input
+
+MICRO = 1_000_000
+
+
+def _mmr_kernel(k: int, lam6: int):
+    """Greedy MMR over one query's candidate pool (pure int64 numpy).
+
+    Input rows: (query_id, da, db, sim6, rel6) — the pool's pairwise
+    similarity table with each row carrying da's relevance; self rows
+    (da == db) guarantee singleton pools survive the pair join.
+    """
+    penal6 = MICRO - lam6
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(pdf["da"].unique().astype(np.int64))
+        p = len(docs)
+        idx = {int(d): i for i, d in enumerate(docs)}
+        ia = pdf["da"].map(idx).to_numpy()
+        ib = pdf["db"].map(idx).to_numpy()
+        rel = np.zeros(p, dtype=np.int64)
+        rel[ia] = pdf["rel6"].to_numpy(dtype=np.int64)
+        sim = np.zeros((p, p), dtype=np.int64)
+        sim[ia, ib] = pdf["sim6"].to_numpy(dtype=np.int64)
+        np.fill_diagonal(sim, 0)  # self-sim never scored (d not in picked)
+
+        qid = int(pdf["query_id"].iloc[0])
+        taken = np.zeros(p, dtype=bool)
+        neg_inf = np.iinfo(np.int64).min
+        # max-sim-to-picked starts at -inf, NOT 0: cosines can be negative,
+        # and clamping at 0 would understate the objective for candidates
+        # anti-correlated with everything picked so far. The sentinel is
+        # overwritten by the first real update before any step-2 score.
+        maxsim = np.full(p, neg_inf, dtype=np.int64)
+        out_step, out_doc, out_score = [], [], []
+        for step in range(1, min(k, p) + 1):
+            if step == 1:
+                score = lam6 * rel
+            else:
+                score = lam6 * rel - penal6 * maxsim
+            score = np.where(taken, neg_inf, score)
+            # argmax score, ties to the smallest doc id (docs is sorted, and
+            # np.argmax returns the first max — exactly the tie rule)
+            pick = int(np.argmax(score))
+            taken[pick] = True
+            maxsim = np.maximum(maxsim, sim[:, pick])
+            out_step.append(step)
+            out_doc.append(int(docs[pick]))
+            out_score.append(int(score[pick]))
+        return pd.DataFrame(
+            {
+                "query_id": np.int64(qid),
+                "step": np.array(out_step, dtype=np.int64),
+                "doc": np.array(out_doc, dtype=np.int64),
+                "mmr_scaled": np.array(out_score, dtype=np.int64),
+            }
+        )
+
+    return fn
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam6: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, step, doc, mmr_scaled) — greedy MMR selection of ``k``
+    items per query from the ``pool`` most relevant candidates.
+
+    ``mmr_scaled`` is the exact integer objective at pick time
+    (``lam6 * rel6`` for step 1). ``lam6`` is the relevance weight in
+    micro-units (700_000 == λ=0.7).
+    """
+    if not 0 <= lam6 <= MICRO:
+        raise ValueError(f"lam6 must be in [0, {MICRO}], got {lam6}")
+    if pool < 1 or k < 1:
+        raise ValueError("pool and k must be >= 1")
+
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_qv"),
+    )
+    rel = c.join(F.broadcast(q), F.col("doc") != F.col("query_id")).select(
+        "query_id",
+        "doc",
+        F.round(cosine(F.col("_qv"), F.col("_cv")) * MICRO, 0)
+        .cast("long")
+        .alias("rel6"),
+        F.col("_cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), F.col("doc").asc())
+    pool_df = (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .drop("_rn")
+    )
+    a = pool_df.select("query_id", F.col("doc").alias("da"), F.col("rel6"), F.col("_cv").alias("_va"))
+    b = pool_df.select("query_id", F.col("doc").alias("db"), F.col("_cv").alias("_vb"))
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "query_id",
+            "da",
+            "db",
+            F.round(cosine(F.col("_va"), F.col("_vb")) * MICRO, 0)
+            .cast("long")
+            .alias("sim6"),
+            "rel6",
+        )
+    )
+    # self rows keep singleton pools alive through the pair join
+    selfs = pool_df.select(
+        "query_id",
+        F.col("doc").alias("da"),
+        F.col("doc").alias("db"),
+        F.lit(0).cast("long").alias("sim6"),
+        "rel6",
+    )
+    kernel_in = pairs.unionByName(selfs)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("step", LongType()),
+            StructField("doc", LongType()),
+            StructField("mmr_scaled", LongType()),
+        ]
+    )
+    return kernel_in.groupBy("query_id").applyInPandas(_mmr_kernel(k, lam6), schema)

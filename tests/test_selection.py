@@ -1,0 +1,131 @@
+"""MMR diverse selection (operators/selection.py) vs an independent
+pure-Python greedy reference, plus parameter edge cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.selection import MICRO, mmr_topk
+
+
+def _make_frames(spark, n_docs=30, n_queries=3, dim=8, seed=7):
+    rng = random.Random(seed)
+    docs = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+        for i in range(n_docs)
+    ]
+    corpus = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n_queries)],
+        "query_id long, query_vec array<double>",
+    )
+    return docs, queries, corpus
+
+
+def _py_reference(docs, qrows, k, pool, lam6):
+    """Independent greedy MMR: sequential-fold cosine, micro-unit ints."""
+
+    def cos6(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return round((dot / (na**0.5 * nb**0.5)) * MICRO)
+
+    out = []
+    for qid, qv in qrows:
+        rel = {i: cos6(qv, v) for i, v in docs if i != qid}
+        ranked = sorted(rel, key=lambda d: (-rel[d], d))[:pool]
+        sims = {
+            (a, b): cos6(dict(docs)[a], dict(docs)[b])
+            for a in ranked
+            for b in ranked
+            if a != b
+        }
+        picked = []
+        for step in range(1, min(k, len(ranked)) + 1):
+            best = None
+            for d in ranked:
+                if d in picked:
+                    continue
+                if step == 1:
+                    sc = lam6 * rel[d]
+                else:
+                    sc = lam6 * rel[d] - (MICRO - lam6) * max(
+                        sims[(d, p)] for p in picked
+                    )
+                if best is None or sc > best[1] or (sc == best[1] and d < best[0]):
+                    best = (d, sc)
+            picked.append(best[0])
+            out.append((qid, step, best[0], best[1]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("lam6", [700_000, MICRO])
+def test_mmr_matches_reference(spark, lam6):
+    docs, queries, corpus = _make_frames(spark)
+    got = sorted(
+        tuple(r)
+        for r in mmr_topk(corpus, queries, k=5, pool=10, lam6=lam6).collect()
+    )
+    qrows = [(r["query_id"], r["query_vec"]) for r in queries.collect()]
+    want = _py_reference(docs, qrows, k=5, pool=10, lam6=lam6)
+    assert got == want
+
+
+def test_mmr_pure_relevance_equals_topk_order(spark):
+    """lam6=MICRO degenerates to plain relevance ranking."""
+    docs, queries, corpus = _make_frames(spark, n_queries=1)
+    rows = mmr_topk(corpus, queries, k=4, pool=10, lam6=MICRO).collect()
+    by_step = sorted(rows, key=lambda r: r["step"])
+    scores = [r["mmr_scaled"] for r in by_step]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_k_exceeds_pool(spark):
+    docs, queries, corpus = _make_frames(spark, n_docs=3, n_queries=1)
+    rows = mmr_topk(corpus, queries, k=10, pool=2).collect()
+    assert len(rows) == 2  # capped at pool size
+
+
+def test_mmr_singleton_pool(spark):
+    docs, queries, corpus = _make_frames(spark, n_docs=1, n_queries=1)
+    rows = mmr_topk(corpus, queries, k=3, pool=5).collect()
+    assert len(rows) == 1 and rows[0]["step"] == 1
+
+
+def test_mmr_diversity_actually_fires(spark):
+    """A near-duplicate of the top pick must lose to a diverse item."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    diverse = [0.5, 0.8, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(0, base), (1, near), (2, diverse)],
+        "vec_id long, embedding array<double>",
+    )
+    # query must differ from doc 0's vector: if they were equal, every
+    # candidate's relevance would equal its similarity to the first pick
+    # and the diversity margin would vanish identically
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    rows = {r["step"]: r["doc"] for r in mmr_topk(corpus, queries, k=2, pool=3, lam6=500_000).collect()}
+    # step 1: doc 1 is (barely) the most relevant; step 2: doc 0 is a
+    # near-duplicate of the pick, so the diverse doc 2 must win despite
+    # its much lower relevance
+    assert rows[1] == 1 and rows[2] == 2
+
+
+def test_mmr_rejects_bad_params(spark):
+    docs, queries, corpus = _make_frames(spark, n_docs=2, n_queries=1)
+    with pytest.raises(ValueError):
+        mmr_topk(corpus, queries, lam6=MICRO + 1)
+    with pytest.raises(ValueError):
+        mmr_topk(corpus, queries, k=0)
