@@ -2988,6 +2988,18 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(_t(spark, sf_dir, "events"))
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 6-hour resample with LOCF per user (operators/temporal.py:
+    resample_locf) — the hypertable densify: per-bucket survivor by
+    deterministic (ts, id) tiebreak, map-side sequence+explode grid AFTER
+    the per-bucket reduction, one co-keyed left join, one key-ordered
+    forward-fill window; values are CARRIED (never interpolated) so floats
+    pass through bit-identically and the gate hash is exact."""
+    from nebula_importer_spark.operators.temporal import resample_locf
+
+    return resample_locf(_t(spark, sf_dir, "events"), step_sec=21600)
+
+
 def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit (operators/linking.py:blocking_audit) of the
     MinHash-LSH candidate stage against the exact n-gram Jaccard dup
@@ -3457,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_blocking_audit": q_dedup_blocking_audit,
         # time-weighted integral (machinery = temporal window rows)
         "events_twa": q_events_twa,
+        # hypertable gap-fill + LOCF densify (new temporal family)
+        "events_resample": q_events_resample,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
     }
@@ -5276,6 +5290,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TWA twin: same (ts, id)-ordered lead, same per-timestamp floor,
         # same exact cents·Δt integer sums and one floor division
+        # hypertable densify twin: same bucket floor, same (ts,id) survivor,
+        # same generate_series grid + IGNORE NULLS forward fill; values are
+        # carried untouched so the float column hashes bit-identically
+        "events_resample": """
+            WITH e AS (
+                SELECT user_id,
+                       (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bts,
+                       ts, event_id, value
+                FROM events
+            ),
+            surv AS (
+                SELECT user_id, bts, value FROM (
+                    SELECT user_id, bts, value,
+                           row_number() OVER (
+                               PARTITION BY user_id, bts
+                               ORDER BY ts DESC, event_id DESC
+                           ) AS rn
+                    FROM e
+                ) WHERE rn = 1
+            ),
+            bounds AS (
+                SELECT user_id, min(bts) AS lo, max(bts) AS hi
+                FROM surv GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bts
+                FROM bounds
+            )
+            SELECT g.user_id,
+                   make_timestamp(g.bts * 1000000) AS bucket_ts,
+                   last_value(s.value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bts
+                   ) AS value,
+                   s.value IS NULL AS is_gap
+            FROM grid g
+            LEFT JOIN surv s ON s.user_id = g.user_id AND s.bts = g.bts
+        """,
         "events_twa": """
             WITH s AS (
                 SELECT user_id,

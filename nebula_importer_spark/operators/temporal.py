@@ -662,3 +662,103 @@ def time_weighted_avg(
             "twa_scaled"
         ),
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    step_sec: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Gap-filled regular resample with last-observation-carried-forward —
+    the hypertable densify (TimescaleDB ``time_bucket_gapfill`` + ``locf``):
+    per key, a regular ``step_sec`` grid spanning the key's observation
+    range, each grid bucket holding the most recent observation at-or-before
+    the bucket's end, with empty buckets filled from the last real value.
+
+    Semantics (exact, engine-portable):
+    - bucket = ``floor(epoch_seconds(ts)) div step_sec`` (per-timestamp
+      floor, matching ``unix_timestamp`` truncation);
+    - within a (key, bucket), the surviving observation is the one with the
+      greatest ``(ts, id)`` — a deterministic tiebreak, not engine order;
+    - the value is CARRIED, never interpolated — no arithmetic touches it,
+      so floats pass through bit-identically;
+    - ``is_gap`` marks carried rows, keeping fill provenance visible the
+      way the reference keeps rejected rows visible (per-file stats,
+      `/root/reference/pkg/stats/stats.go`).
+
+    Distributed shape: one (key, bucket)-keyed row_number reduction, one
+    key-keyed min/max agg (reuses the partitioning), a map-side
+    ``sequence``+``explode`` grid (rows = span/step per key, guarded by
+    ``max_span_buckets``), one co-keyed left join, and one key-ordered
+    window for the forward fill. Nothing shuffles except on the key; the
+    grid explode happens AFTER the per-bucket reduction, so it never
+    multiplies raw observations. Mega-key spans are bounded: the window is
+    over the densified grid (span/step rows per key), and a key whose grid
+    would exceed ``max_span_buckets`` fails loudly rather than OOMing an
+    executor.
+
+    Returns ``(key, bucket_ts timestamp, value, is_gap boolean)``.
+    """
+    if step_sec <= 0:
+        raise ValueError(f"step_sec must be positive, got {step_sec}")
+    for c in (key, ts, id_col, value_col):
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in input: {events.columns}")
+
+    ep = F.expr(f"floor(unix_timestamp({ts}))").cast("long")
+    bucketed = events.select(
+        F.col(key),
+        (ep - (ep % F.lit(step_sec))).alias("_bts"),
+        F.col(ts),
+        F.col(id_col),
+        F.col(value_col).alias("_v"),
+    )
+    w = Window.partitionBy(key, "_bts").orderBy(
+        F.col(ts).desc(), F.col(id_col).desc()
+    )
+    last_obs = (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, "_bts", "_v")
+    )
+    bounds = last_obs.groupBy(key).agg(
+        F.min("_bts").alias("_lo"), F.max("_bts").alias("_hi")
+    )
+    # the guard gates _hi itself so it cannot be pruned out of the plan
+    guarded_hi = F.when(
+        (F.col("_hi") - F.col("_lo"))
+        >= F.lit(step_sec).cast("long") * F.lit(max_span_buckets).cast("long"),
+        F.raise_error(
+            F.concat(
+                F.lit("resample_locf: key span exceeds max_span_buckets for "),
+                F.col(key).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_hi"))
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence("_lo", guarded_hi, F.lit(step_sec).cast("long"))
+        ).alias("_bts"),
+    )
+    fill_w = (
+        Window.partitionBy(key)
+        .orderBy("_bts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_obs, [key, "_bts"], "left")
+        .select(
+            key,
+            F.timestamp_seconds(F.col("_bts")).alias("bucket_ts"),
+            F.last("_v", ignorenulls=True).over(fill_w).alias("value"),
+            F.col("_v").isNull().alias("is_gap"),
+            F.col("_bts"),
+        )
+        .drop("_bts")
+    )

@@ -633,3 +633,90 @@ def test_twa_burst_vs_plain_avg(spark):
     assert r.twa_scaled == 1_000_000  # exactly 1.00
     with pytest.raises(ValueError):
         time_weighted_avg(df, value_decimals=-1)
+
+
+# ---------------------------------------------------------------------------
+# resample_locf — gap-filled regular grid with last-observation-carried-forward
+
+
+def _locf_model(rows, step):
+    """Python model: rows = (event_id, user_id, sec_offset, value)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for eid, uid, s, v in rows:
+        by_key[uid].append((s, eid, v))
+    out = []
+    for uid, obs in by_key.items():
+        # survivor per bucket = greatest (ts, id)
+        per_bucket = {}
+        for s, eid, v in obs:
+            b = (s // step) * step
+            cur = per_bucket.get(b)
+            if cur is None or (s, eid) > (cur[0], cur[1]):
+                per_bucket[b] = (s, eid, v)
+        lo, hi = min(per_bucket), max(per_bucket)
+        last = None
+        for b in range(lo, hi + step, step):
+            if b in per_bucket:
+                last = per_bucket[b][2]
+                out.append((uid, b, last, False))
+            else:
+                out.append((uid, b, last, True))
+    return sorted(out)
+
+
+def test_resample_locf_basic_and_random(spark):
+    from nebula_importer_spark.operators.temporal import resample_locf
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        for _ in range(rng.randint(1, 30)):
+            eid += 1
+            rows.append((eid, uid, rng.randint(0, 50_000), round(rng.uniform(0, 9), 2)))
+    # duplicate-timestamp pair: id tiebreak must pick eid 9001
+    rows += [(9000, 99, 1000, 1.5), (9001, 99, 1000, 2.5), (9002, 99, 9000, 7.0)]
+    df = _events(spark, [(e, u, s, "x", v) for e, u, s, v in rows])
+    got = sorted(
+        (
+            r.user_id,
+            int(r.bucket_ts.timestamp()) - int(BASE.timestamp()),
+            r.value,
+            r.is_gap,
+        )
+        for r in resample_locf(df, step_sec=3600).collect()
+    )
+    base = int(BASE.timestamp())
+    want = sorted(
+        (u, b - base, v, g)
+        for u, b, v, g in _locf_model(
+            [(e, u, s + base, v) for e, u, s, v in rows], 3600
+        )
+    )
+    assert got == want
+
+
+def test_resample_locf_single_obs_and_gap_flag(spark):
+    from nebula_importer_spark.operators.temporal import resample_locf
+
+    df = _events(spark, [(1, 1, 0, "x", 3.25), (2, 1, 7200, "x", 4.5)])
+    out = {
+        (int(r.bucket_ts.timestamp()) - int(BASE.timestamp())): (r.value, r.is_gap)
+        for r in resample_locf(df, step_sec=3600).collect()
+    }
+    # BASE is hour-aligned → buckets 0, 3600, 7200
+    assert out == {0: (3.25, False), 3600: (3.25, True), 7200: (4.5, False)}
+
+
+def test_resample_locf_span_guard_and_validation(spark):
+    from nebula_importer_spark.operators.temporal import resample_locf
+
+    df = _events(spark, [(1, 1, 0, "x", 1.0), (2, 1, 500_000, "x", 2.0)])
+    with pytest.raises(Exception, match="max_span_buckets"):
+        resample_locf(df, step_sec=1, max_span_buckets=10).collect()
+    with pytest.raises(ValueError, match="step_sec"):
+        resample_locf(df, step_sec=0)
+    with pytest.raises(ValueError, match="not in input"):
+        resample_locf(df.drop("value"))
