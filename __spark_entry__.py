@@ -3000,6 +3000,28 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_locf(_t(spark, sf_dir, "events"), step_sec=21600)
 
 
+def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-1 self fuzzy-match over customer names
+    (operators/linking.py:fuzzy_join_editdist): symmetric-delete blocking —
+    a COMPLETE candidate generator by the SymSpell deletion-neighborhood
+    theorem — then a JVM levenshtein verify. Map-side variant explode,
+    one equi-join on the variant string, pair-dedup before the verify.
+    The oracle blocks the same way (the completeness theorem is
+    pytest-proven against all-pairs); levenshtein is integer-exact on
+    both engines so the hash carries no float caveat."""
+    from nebula_importer_spark.operators.linking import fuzzy_join_editdist
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    out = fuzzy_join_editdist(
+        cust.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")),
+        cust.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")),
+        max_dist=1,
+    )
+    return out.filter(F.col("id_a") < F.col("id_b"))
+
+
 def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit (operators/linking.py:blocking_audit) of the
     MinHash-LSH candidate stage against the exact n-gram Jaccard dup
@@ -3471,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": q_events_twa,
         # hypertable gap-fill + LOCF densify (new temporal family)
         "events_resample": q_events_resample,
+        # exact edit-distance fuzzy join via symmetric-delete blocking
+        "fuzzy_customer_names": q_fuzzy_customer_names,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
     }
@@ -5290,6 +5314,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TWA twin: same (ts, id)-ordered lead, same per-timestamp floor,
         # same exact cents·Δt integer sums and one floor division
+        # symmetric-delete fuzzy join twin: same deletion-variant blocking
+        # (completeness vs all-pairs is pytest-proven), same integer
+        # levenshtein verify — the all-pairs form would be |C|² levenshteins
+        # and is exactly what the operator exists to avoid
+        "fuzzy_customer_names": """
+            WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+            v AS (
+                SELECT id, name,
+                       unnest(list_distinct(list_append(
+                           list_transform(
+                               range(1, length(name) + 1),
+                               i -> substr(name, 1, i - 1) || substr(name, i + 1)
+                           ), name))) AS var
+                FROM c
+            )
+            SELECT id_a, id_b, name_a, name_b, dist FROM (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.name AS name_a, b.name AS name_b,
+                       levenshtein(a.name, b.name) AS dist
+                FROM v a JOIN v b USING (var)
+                WHERE a.id < b.id
+            ) WHERE dist <= 1
+        """,
         # hypertable densify twin: same bucket floor, same (ts,id) survivor,
         # same generate_series grid + IGNORE NULLS forward fill; values are
         # carried untouched so the float column hashes bit-identically

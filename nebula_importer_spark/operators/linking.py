@@ -342,3 +342,92 @@ def blocking_audit(
             ).alias("precision_scaled"),
         )
     )
+
+
+def fuzzy_join_editdist(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "id_a",
+    left_text: str = "name_a",
+    right_id: str = "id_b",
+    right_text: str = "name_b",
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT edit-distance fuzzy join via symmetric-delete blocking
+    (Garbe's SymSpell insight, distributed): if ``lev(a, b) <= d`` then the
+    sets of strings reachable from ``a`` and ``b`` by deleting at most ``d``
+    characters intersect — so an equi-join on deletion variants is a
+    COMPLETE candidate generator (zero recall loss, unlike q-gram or LSH
+    blocking), and a ``levenshtein() <= d`` verify makes it exact.
+
+    Scale shape: each side explodes to ``1 + C(len, 1) + ... + C(len, d)``
+    variant rows (len+1 per string at d=1) — map-side, pure SQL
+    ``transform``/``sequence``/``substring``; the join is an equi-join on
+    the variant string whose fan-out is bounded by variant-key frequency,
+    never |L|×|R|; the verify is JVM ``levenshtein``. Candidates are
+    deduplicated on the (id, id) pair BEFORE the verify so a pair sharing
+    many variants is verified once. Both sides should be pre-deduplicated
+    vocabularies (the link_mentions discipline: cost scales with
+    |vocabulary|, not |corpus|).
+
+    ``max_dist`` is capped at 2 — beyond that the variant blow-up
+    (C(len,3) ≈ len³/6 rows per string) wants a different algorithm
+    (the minhash_lsh_join funnel), and the cap keeps the contract honest.
+
+    Returns ``(left_id, right_id, left_text, right_text, dist)`` with
+    ``dist <= max_dist``. Reference analog: none — nebula-importer's only
+    string matching is exact CSV-column equality; this is the linking
+    step its HASH-id world cannot express (SURVEY §2.8).
+    """
+    if not 0 <= max_dist <= 2:
+        raise ValueError(f"max_dist must be in [0, 2], got {max_dist}")
+    for df, cols, side in ((left, (left_id, left_text), "left"),
+                           (right, (right_id, right_text), "right")):
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"column {c!r} not in {side} input: {df.columns}")
+
+    def _variants(text_col: str):
+        s = F.col(text_col)
+        del1 = F.expr(
+            f"transform(sequence(1, length({text_col})), "
+            f"i -> concat(substring({text_col}, 1, i - 1), "
+            f"substring({text_col}, i + 1, length({text_col}))))"
+        )
+        if max_dist == 0:
+            return F.array(s)
+        if max_dist == 1:
+            return F.array_union(F.array(s), del1)
+        # d=2: all single deletes of all single deletes, flattened
+        del2 = F.expr(
+            f"flatten(transform("
+            f"  transform(sequence(1, length({text_col})), "
+            f"    i -> concat(substring({text_col}, 1, i - 1), "
+            f"         substring({text_col}, i + 1, length({text_col})))), "
+            f"  v -> transform(sequence(1, length(v)), "
+            f"    j -> concat(substring(v, 1, j - 1), "
+            f"         substring(v, j + 1, length(v))))))"
+        )
+        return F.array_union(F.array_union(F.array(s), del1), del2)
+
+    lv = left.select(
+        F.col(left_id), F.col(left_text),
+        F.explode(_variants(left_text)).alias("_var"),
+    )
+    rv = right.select(
+        F.col(right_id), F.col(right_text),
+        F.explode(_variants(right_text)).alias("_var"),
+    )
+    cand = (
+        lv.join(rv, "_var")
+        .select(left_id, left_text, right_id, right_text)
+        .distinct()
+    )
+    return cand.select(
+        left_id,
+        right_id,
+        left_text,
+        right_text,
+        F.levenshtein(F.col(left_text), F.col(right_text)).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -981,3 +981,80 @@ def test_int8_topk_drops_zero_vectors_and_validates(spark):
     assert [(r.neighbor_id, r.rank) for r in got] == [(1, 1)]
     with pytest.raises(ValueError):
         int8_topk(emb, q, k=5, max_abs=0.0)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_editdist — exact edit-distance join via symmetric deletes
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_model(lrows, rrows, d):
+    return sorted(
+        (li, ri, _lev(lt, rt))
+        for li, lt in lrows
+        for ri, rt in rrows
+        if _lev(lt, rt) <= d
+    )
+
+
+def _fuzzy_dfs(spark, lrows, rrows):
+    l = spark.createDataFrame(lrows, "id_a long, name_a string")
+    r = spark.createDataFrame(rrows, "id_b long, name_b string")
+    return l, r
+
+
+def test_fuzzy_join_editdist_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.linking import fuzzy_join_editdist
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    mk = lambda: "".join(rng.choice(alpha) for _ in range(rng.randint(0, 6)))
+    lrows = [(i, mk()) for i in range(40)]
+    rrows = [(i, mk()) for i in range(40)]
+    for d in (0, 1, 2):
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_join_editdist(
+                *_fuzzy_dfs(spark, lrows, rrows), max_dist=d
+            ).collect()
+        )
+        assert got == _fuzzy_model(lrows, rrows, d), f"d={d}"
+
+
+def test_fuzzy_join_editdist_cases(spark):
+    from nebula_importer_spark.operators.linking import fuzzy_join_editdist
+
+    lrows = [(1, "kitten"), (2, ""), (3, "ab")]
+    rrows = [(1, "sitten"), (2, "a"), (3, "ba"), (4, "kittens"), (5, "itten")]
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join_editdist(
+            *_fuzzy_dfs(spark, lrows, rrows), max_dist=1
+        ).collect()
+    )
+    # kitten: substitution (sitten), insert (kittens), delete (itten)
+    # "": one insert to "a"; "ab": substitution-pair to "ba" is dist 2 (OUT)
+    assert got == [(1, 1, 1), (1, 4, 1), (1, 5, 1), (2, 2, 1), (3, 2, 1)]
+
+
+def test_fuzzy_join_editdist_validation(spark):
+    from nebula_importer_spark.operators.linking import fuzzy_join_editdist
+
+    l, r = _fuzzy_dfs(spark, [(1, "x")], [(1, "y")])
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join_editdist(l, r, max_dist=3)
+    with pytest.raises(ValueError, match="not in left"):
+        fuzzy_join_editdist(l.drop("name_a"), r)
