@@ -3022,6 +3022,20 @@ def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("id_a") < F.col("id_b"))
 
 
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic over the event_type key (operators/
+    profile.py:skew_report): heavy-hitter shares in exact ppm + the salt
+    factor that levels each hot key at 200 partitions — the measured
+    probe behind every mega-key mitigation in the repo. One partial-agg'd
+    groupBy (immune to the skew it measures) + a single-row broadcast."""
+    from nebula_importer_spark.operators.profile import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "events"), "event_type",
+        num_partitions=200, min_share_ppm=10_000,
+    )
+
+
 def q_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit (operators/linking.py:blocking_audit) of the
     MinHash-LSH candidate stage against the exact n-gram Jaccard dup
@@ -3495,6 +3509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         # exact edit-distance fuzzy join via symmetric-delete blocking
         "fuzzy_customer_names": q_fuzzy_customer_names,
+        # shuffle-skew / heavy-hitter diagnostic with salt suggestion
+        "events_skew_report": q_events_skew_report,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
     }
@@ -5314,6 +5330,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TWA twin: same (ts, id)-ordered lead, same per-timestamp floor,
         # same exact cents·Δt integer sums and one floor division
+        # skew-report twin: plain GROUP BY + single-row total, integer ppm
+        # and ceil-division salt, NULL keys counted like GROUP BY counts them
+        "events_skew_report": """
+            WITH c AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n_rows
+                FROM events GROUP BY event_type
+            ),
+            t AS (SELECT SUM(n_rows)::BIGINT AS total FROM c)
+            SELECT event_type, n_rows,
+                   (1000000 * n_rows // total)::BIGINT AS share_ppm,
+                   GREATEST(1, (n_rows * 200 + total - 1) // total)::BIGINT
+                       AS suggested_salt
+            FROM c, t
+            WHERE (1000000 * n_rows // total) >= 10000
+        """,
         # symmetric-delete fuzzy join twin: same deletion-variant blocking
         # (completeness vs all-pairs is pytest-proven), same integer
         # levenshtein verify — the all-pairs form would be |C|² levenshteins

@@ -70,3 +70,62 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ]
     return one.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    *,
+    num_partitions: int = 200,
+    min_share_ppm: int = 10_000,
+) -> DataFrame:
+    """Heavy-hitter / shuffle-skew diagnostic for a prospective join or
+    aggregation key: which key values would overload a task if the data
+    were hash-partitioned on ``key``, and the salt factor that would level
+    them. This is the probe that DECIDES the repo's mega-key mitigations
+    (span-salting in operators/temporal.py, the max_group_size guard in
+    operators/graph.py, salted extraction in transcripts/pipeline.py) —
+    measured, not guessed.
+
+    Per flagged key: ``share_ppm`` = its parts-per-million of all rows
+    (exact integer ``1e6·cnt div total``), ``suggested_salt`` =
+    ``ceil(cnt / (total / num_partitions))`` — how many salt buckets bring
+    the key's largest shard back to the average partition's row count
+    (1 = not actually oversized at this partition count).
+
+    Distributed shape: ONE partial-agg'd groupBy on the key (map-side
+    combine collapses a hot key to one row per task — counting is immune
+    to the very skew it measures), a single-row total broadcast-joined
+    back, and a filter. NULL keys are counted as a key like SQL GROUP BY
+    counts them, because a NULL-heavy column is the most common real skew.
+
+    Returns ``(key, n_rows, share_ppm, suggested_salt)``, heaviest first
+    ordering left to the caller. Reference analog: per-file stats logging
+    (`/root/reference/pkg/stats/stats.go`) counts rows per SOURCE; this
+    counts rows per KEY, the axis that decides distributed placement.
+    """
+    if key not in df.columns:
+        raise ValueError(f"column {key!r} not in input: {df.columns}")
+    if num_partitions <= 0:
+        raise ValueError(f"num_partitions must be positive, got {num_partitions}")
+    if not 0 < min_share_ppm <= 1_000_000:
+        raise ValueError(
+            f"min_share_ppm must be in (0, 1e6], got {min_share_ppm}"
+        )
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.expr("(1000000 * n_rows) div _total").alias("share_ppm"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(n_rows * {int(num_partitions)} + _total - 1) div _total"
+                ),
+            ).alias("suggested_salt"),
+        )
+        .filter(F.col("share_ppm") >= min_share_ppm)
+    )

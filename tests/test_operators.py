@@ -256,3 +256,48 @@ def test_profile_columns_single_pass_and_validation(spark):
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     # one aggregation pass over the data: a single scan of the source
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# skew_report — heavy-hitter diagnostic
+
+
+def test_skew_report_flags_and_salt(spark):
+    from nebula_importer_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(f"k{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.k: (r.n_rows, r.share_ppm, r.suggested_salt)
+        for r in skew_report(df, "k", num_partitions=10, min_share_ppm=100_000).collect()
+    }
+    # hot: 60/100 = 600000 ppm, salt = ceil(60 / (100/10)) = 6
+    # warm: 25/100 = 250000 ppm, salt = ceil(25/10) = 3
+    assert got == {"hot": (60, 600_000, 6), "warm": (25, 250_000, 3)}
+
+
+def test_skew_report_null_key_and_floor(spark):
+    from nebula_importer_spark.operators.profile import skew_report
+
+    rows = [(None,)] * 9 + [("a",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.k: (r.n_rows, r.share_ppm, r.suggested_salt)
+        for r in skew_report(df, "k", num_partitions=2, min_share_ppm=1).collect()
+    }
+    # NULL is a real key; 'a' is below average → salt floors at 1
+    assert got == {None: (9, 900_000, 2), "a": (1, 100_000, 1)}
+
+
+def test_skew_report_validation(spark):
+    from nebula_importer_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in input"):
+        skew_report(df, "zz")
+    with _pt.raises(ValueError, match="num_partitions"):
+        skew_report(df, "k", num_partitions=0)
+    with _pt.raises(ValueError, match="min_share_ppm"):
+        skew_report(df, "k", min_share_ppm=0)
