@@ -3022,6 +3022,41 @@ def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("id_a") < F.col("id_b"))
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→8 over the embeddings
+    table (operators/similarity.py:random_project): seeded plan-constant
+    Gaussian matrix (RandomState 42, scaled 1/sqrt(8)), each coordinate
+    the shared left-to-right aggregate dot rounded to 6dp micro-units —
+    one map-side projection, no shuffle, no UDF. The oracle embeds the
+    SAME matrix as SQL literals (the lsh_topk discipline)."""
+    from nebula_importer_spark.operators.similarity import random_project
+
+    return random_project(
+        _t(spark, sf_dir, "embeddings"), out_dim=8, dim=64, seed=42
+    )
+
+
+def _embedding_project_sql(out_dim: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of random_project: regenerate the seeded JL matrix
+    (same numpy RandomState stream as operators/similarity.py) and embed
+    it as SQL array literals; 6dp micro-unit rounding absorbs sum-order
+    differences between the fold and list_sum."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((out_dim, dim))
+    planes = planes / float(np.sqrt(out_dim))
+    coords = ", ".join(
+        "CAST(ROUND(1e6 * list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]), x -> x[1] * x[2]))) AS BIGINT)"
+        for row in planes
+    )
+    return f"""
+        SELECT vec_id, [{coords}] AS proj
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew diagnostic over the event_type key (operators/
     profile.py:skew_report): heavy-hitter shares in exact ppm + the salt
@@ -3511,6 +3546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_customer_names": q_fuzzy_customer_names,
         # shuffle-skew / heavy-hitter diagnostic with salt suggestion
         "events_skew_report": q_events_skew_report,
+        # Johnson–Lindenstrauss random projection (dimensionality reduction)
+        "embedding_project": q_embedding_project,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
     }
@@ -4338,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_project": _embedding_project_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),
         "embedding_kmeans": _kmeans_sql(),
         "dedup_semantic": _semantic_dedup_sql(),

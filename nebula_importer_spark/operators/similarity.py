@@ -699,3 +699,51 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_q")
     )
+
+
+def random_project(
+    df: DataFrame,
+    *,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map ``dim``-dimensional
+    embeddings to ``out_dim`` dimensions with a seeded Gaussian matrix
+    scaled by ``1/sqrt(out_dim)`` — the JL estimator whose pairwise
+    squared distances are unbiased and concentrate for
+    ``out_dim = O(log n / eps²)``. The cheap first stage before ANN /
+    clustering when the raw embedding is too wide to shuffle at corpus
+    scale (projecting 1024→64 cuts every downstream shuffle 16×).
+
+    The projection matrix is a SEEDED PLAN CONSTANT (the lsh_topk
+    discipline: numpy RandomState(seed), embedded as array literals) —
+    deterministic, resumable, travels with the plan instead of a
+    broadcast. The whole operator is ONE map-side projection: no shuffle,
+    no UDF, whole-stage codegen end-to-end; each output coordinate is the
+    shared left-to-right JVM aggregate dot, rounded to 6dp and scaled to
+    int64 micro-units so results hash identically on any engine.
+
+    Returns ``(id_col, proj)`` with ``proj: array<long>`` of length
+    ``out_dim`` (micro-unit fixed point).
+    """
+    if out_dim <= 0 or dim <= 0:
+        raise ValueError(f"out_dim/dim must be positive, got {out_dim}/{dim}")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((out_dim, dim))
+    planes = planes / float(np.sqrt(out_dim))
+    v = _as_double(F.col(vec_col))
+    coords = [
+        F.round(
+            dot(v, F.array(*[F.lit(float(x)) for x in row])) * scale
+        ).cast("long")
+        for row in planes
+    ]
+    return df.select(F.col(id_col), F.array(*coords).alias("proj"))

@@ -1058,3 +1058,69 @@ def test_fuzzy_join_editdist_validation(spark):
         fuzzy_join_editdist(l, r, max_dist=3)
     with pytest.raises(ValueError, match="not in left"):
         fuzzy_join_editdist(l.drop("name_a"), r)
+
+
+# ---------------------------------------------------------------------------
+# random_project — Johnson–Lindenstrauss seeded projection
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import random_project
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.proj)
+        for r in random_project(df, out_dim=4, dim=16, seed=42).collect()
+    }
+    planes = np.random.RandomState(42).standard_normal((4, 16)) / 2.0
+    for i in range(20):
+        want = [
+            int(round(float(sum(float(a) * float(b) for a, b in zip(vecs[i].astype(np.float64), row))) * 1e6))
+            for row in planes
+        ]
+        assert got[i] == want, i
+
+
+def test_random_project_distance_preservation(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import random_project
+
+    rng = np.random.RandomState(3)
+    n, d, k = 40, 64, 16
+    vecs = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    proj = {
+        r.vec_id: np.array(r.proj, dtype=np.float64) / 1e6
+        for r in random_project(df, out_dim=k, dim=d, seed=42).collect()
+    }
+    ratios = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            orig = float(np.sum((vecs[i] - vecs[j]) ** 2))
+            prj = float(np.sum((proj[i] - proj[j]) ** 2))
+            ratios.append(prj / orig)
+    ratios = np.array(ratios)
+    # JL at k=16: unbiased in expectation, concentrated; seed-fixed so stable
+    assert 0.85 < float(np.median(ratios)) < 1.15
+    assert (np.abs(ratios - 1) < 0.8).mean() > 0.9
+
+
+def test_random_project_validation(spark):
+    from nebula_importer_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="out_dim"):
+        random_project(df, out_dim=0)
+    with pytest.raises(ValueError, match="not in input"):
+        random_project(df.drop("embedding"))
