@@ -3057,6 +3057,82 @@ def _embedding_project_sql(out_dim: int = 8, dim: int = 64, seed: int = 42) -> s
     """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training over documents (operators/bpe.py:
+    bpe_train): 8 merge rounds on the distributed word-frequency
+    vocabulary — per round ONE partial-agg'd pair count, a
+    TakeOrderedAndProject argmax (one row to the driver), a map-side
+    greedy fold applying the merge, and a localCheckpoint truncating the
+    lineage. Exact integer counts + (left,right) binary-collation
+    tie-breaks make the whole merge chain hash-stable; the oracle unrolls
+    the same 8 rounds as CTEs with list_reduce folds and must agree
+    merge-for-merge."""
+    from nebula_importer_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2
+    )
+
+
+def _bpe_train_sql(n_rounds: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of bpe_train: each round is a CTE triple — weighted
+    adjacent-pair counts by index, the (count desc, pair asc) argmax
+    gated on min_count, and a list_reduce greedy merge fold (single-item
+    list wrapping because DuckDB's fold seeds acc with the first
+    element). An empty argmax leaves the vocab unchanged, so once the
+    best count drops below min_count every later round stays empty —
+    exactly the operator's early stop."""
+    parts = [f"""
+        w0 AS (
+            SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_extract_all(
+                    coalesce(text, ''), '[^\\t\\n\\f\\r ]+')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+            SELECT list_append(list_transform(
+                       range(1, length(w) + 1), i -> substr(w, i, 1)),
+                   '</w>') AS syms,
+                   cnt
+            FROM w0
+        )"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+        p{r} AS MATERIALIZED (
+            SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt)::BIGINT AS c
+            FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+                  FROM v{r - 1})
+            GROUP BY 1, 2
+        ),
+        b{r} AS MATERIALIZED (
+            SELECT l, r, c FROM p{r}
+            WHERE c >= {min_count}
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT list_reduce(
+                       list_transform(syms, s -> [s]),
+                       (acc, s) -> CASE
+                           WHEN acc[-1] = bl AND s[1] = br
+                           THEN acc[:-2] || [bm]
+                           ELSE acc || s END
+                   ) AS syms,
+                   cnt
+            FROM v{r - 1}, (
+                SELECT (SELECT l FROM b{r}) AS bl,
+                       (SELECT r FROM b{r}) AS br,
+                       (SELECT l || r FROM b{r}) AS bm
+            )
+        )""")
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT {r}::BIGINT AS round, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew diagnostic over the event_type key (operators/
     profile.py:skew_report): heavy-hitter shares in exact ppm + the salt
@@ -3548,6 +3624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         # Johnson–Lindenstrauss random projection (dimensionality reduction)
         "embedding_project": q_embedding_project,
+        # iterative BPE tokenizer training (8 unrolled-round oracle twin)
+        "bpe_train_docs": q_bpe_train,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
     }
@@ -4376,6 +4454,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_project": _embedding_project_sql(),
+        "bpe_train_docs": _bpe_train_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),
         "embedding_kmeans": _kmeans_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
