@@ -747,3 +747,83 @@ def random_project(
         for row in planes
     ]
     return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 8,
+    seed: int = 42,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    by distributed power iteration: ``v ← normalize(Xᵀ(Xv))`` — the
+    spectral step under PCA whitening, spectral dedup, and
+    embedding-drift monitoring. The d×d covariance is NEVER
+    materialized: each iteration is one map-side per-row dot (``Xv``,
+    the shared left-to-right aggregate) and ONE d-sum aggregation
+    (``Xᵀscores`` — d partial-agg'd sums, a single row to the driver),
+    so per-iteration cost is one corpus scan regardless of d², and
+    driver state is d doubles.
+
+    Hash-stability discipline for an ITERATIVE FLOAT algorithm (the part
+    a naive port gets wrong): the iterate ``v`` is re-quantized to 6dp
+    micro-units on the driver after every normalization, so cross-engine
+    accumulation-order drift (~1e-14 relative per pass) is squashed
+    before it can compound; the start vector is a seeded plan constant
+    (RandomState, the lsh_topk discipline); the sign is canonicalized
+    (first nonzero loading positive) because ±v are the same direction.
+    The DuckDB oracle replays the identical quantized recurrence.
+
+    Returns ``(dim_idx, loading6)`` — the unit principal direction in
+    int64 micro-units, one row per dimension.
+    """
+    if dim <= 0 or n_iter <= 0:
+        raise ValueError(f"dim/n_iter must be positive, got {dim}/{n_iter}")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    spark = df.sparkSession
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal(dim)
+    v = _quantize_unit(v, scale)
+
+    vecs = df.select(_as_double(F.col(vec_col)).alias("_v"))
+    for _ in range(n_iter):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        score = dot(F.col("_v"), vlit)
+        sums = vecs.agg(
+            *[
+                F.sum(score * F.element_at(F.col("_v"), j + 1)).alias(f"_t{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        t = np.array([float(sums[f"_t{j}"] or 0.0) for j in range(dim)])
+        v = _quantize_unit(t, scale)
+
+    v = _canonical_sign(v)
+    return spark.createDataFrame(
+        [(j, int(round(v[j] * scale))) for j in range(dim)],
+        "dim_idx long, loading6 long",
+    )
+
+
+def _quantize_unit(t, scale: int):
+    n = float(np.sqrt(float(np.dot(t, t))))
+    if n == 0.0:
+        raise ValueError("power iteration collapsed to the zero vector")
+    u = t / n
+    # half-away-from-zero at 6dp — SQL ROUND semantics, NOT numpy's
+    # banker's rounding, so the oracle's replayed iterates match exactly
+    return np.sign(u) * np.floor(np.abs(u) * scale + 0.5) / scale
+
+
+def _canonical_sign(v):
+    for x in v:
+        if x != 0.0:
+            return v if x > 0 else -v
+    return v

@@ -1124,3 +1124,76 @@ def test_random_project_validation(spark):
         random_project(df, out_dim=0)
     with pytest.raises(ValueError, match="not in input"):
         random_project(df.drop("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# power_iteration_pca — distributed top principal direction
+
+
+def _pca_model(vecs, dim, n_iter, seed=42, scale=10**6):
+    import numpy as np
+
+    def quant(t):
+        n = float(np.sqrt(float(np.dot(t, t))))
+        u = t / n
+        return np.sign(u) * np.floor(np.abs(u) * scale + 0.5) / scale
+
+    v = quant(np.random.RandomState(seed).standard_normal(dim))
+    X = np.array(vecs, dtype=np.float64)
+    for _ in range(n_iter):
+        v = quant(X.T @ (X @ v))
+    for x in v:
+        if x != 0.0:
+            v = v if x > 0 else -v
+            break
+    return [int(round(x * scale)) for x in v]
+
+
+def test_power_iteration_pca_matches_model_and_eig(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import power_iteration_pca
+
+    rng = np.random.RandomState(9)
+    # anisotropic cloud: a dominant direction to find
+    base = rng.standard_normal(16)
+    vecs = [
+        [float(x) for x in (rng.standard_normal(16) + 3.0 * rng.standard_normal() * base)]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.dim_idx: r.loading6
+        for r in power_iteration_pca(df, dim=16, n_iter=8).collect()
+    }
+    # float32 storage: the model must see the same float32-rounded values
+    vecs32 = [[float(np.float32(x)) for x in v] for v in vecs]
+    want = _pca_model(vecs32, 16, 8)
+    assert [got[j] for j in range(16)] == want
+    # and the direction agrees with the true top eigenvector
+    X = np.array(vecs32)
+    w, U = np.linalg.eigh(X.T @ X)
+    top = U[:, -1]
+    v = np.array([got[j] for j in range(16)], dtype=np.float64) / 1e6
+    assert abs(float(np.dot(v, top))) > 0.999
+
+
+def test_power_iteration_pca_sign_and_validation(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.similarity import power_iteration_pca
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim_idx: r.loading6 for r in power_iteration_pca(df, dim=2, n_iter=4).collect()}
+    # dominant direction is +e0 after sign canonicalization
+    assert got[0] == 10**6 and got[1] == 0
+    with pytest.raises(ValueError, match="dim/n_iter"):
+        power_iteration_pca(df, dim=0)
+    with pytest.raises(ValueError, match="not in input"):
+        power_iteration_pca(df.drop("embedding"))
