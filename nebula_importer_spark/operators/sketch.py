@@ -90,3 +90,78 @@ def kmv_distinct(
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 256,
+    quantiles: tuple[int, ...] = (25, 50, 75),
+    salt: str = "hsq",
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch per group: the sample is the
+    ``k`` rows with the SMALLEST ``md5(salt ‖ id)`` — a uniform sample that
+    is a pure function of row identity, so (like the KMV cardinality
+    sketch) it is order-free, mergeable (union → re-take bottom-k), and
+    oracle-checkable where randomized reservoir/GK sketches cannot be.
+    Below ``k`` rows the sample is the whole group and the quantiles are
+    exact — the sketch degrades only above capacity, and then with the
+    standard sqrt(k) sampling error.
+
+    Quantile rule: the sample's value at index ``floor((n-1)·q/100)`` of
+    the (value, id)-sorted sample — an ELEMENT PICK, never interpolation,
+    so the output carries input values bit-identically (the resample_locf
+    discipline) and hashes stably on any engine. The (value, id) sort key
+    makes duplicate values deterministic.
+
+    Distributed shape: the bottom-k is a (group)-keyed window rank that
+    Spark ≥3.5 plans as a map-side WindowGroupLimit (each task forwards
+    only its local bottom-k — the reducer sees ≤ k·tasks rows per group,
+    never the group's population); the pick is one groupBy over ≤ k rows
+    per group with a bounded sort_array(collect_list) — state is k longs
+    per group at ANY group size, the property that makes this a sketch.
+
+    Returns ``(group_col, n_sample, q<N> ...)`` one column per requested
+    percentile. NULL values are excluded (SQL aggregate semantics).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not quantiles or any(not 0 <= q <= 100 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0, 100], got {quantiles}")
+    for c in (group_col, value_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    hkey = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(hkey.asc(), F.col(id_col).asc())
+    sampled = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    agg = sampled.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(value_col).alias("v"),
+                                    F.col(id_col).alias("i")))
+        ).alias("_s"),
+    )
+    picks = [
+        F.element_at(
+            F.col("_s"),
+            (
+                ((F.col("n_sample") - 1) * F.lit(int(q))) / F.lit(100)
+            ).cast("long")
+            + 1,
+        )["v"].alias(f"q{q}")
+        for q in quantiles
+    ]
+    return agg.select(group_col, "n_sample", *picks)

@@ -846,3 +846,93 @@ def test_ktruss_validation(spark):
         ktruss(df, 4, max_rounds=0)
     # triangle-free graph: empty truss at any k >= 3
     assert ktruss(df, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# modularity — exact-integer per-community Newman modularity
+
+
+def _mod_model(edges, labels, scale=10**6):
+    from collections import defaultdict
+
+    lab = dict(labels)
+    tagged = [(lab[a], lab[b]) for a, b in edges if a in lab and b in lab]
+    m = len(tagged)
+    e_c = defaultdict(int)
+    for la, lb in tagged:
+        if la == lb:
+            e_c[la] += 1
+    d_c, nodes_c = defaultdict(int), defaultdict(set)
+    for a, b in edges:
+        for n in (a, b):
+            if n in lab:
+                d_c[lab[n]] += 1
+                nodes_c[lab[n]].add(n)
+    return {
+        c: (
+            len(nodes_c[c]),
+            e_c.get(c, 0),
+            d_c[c],
+            (scale * (4 * m * e_c.get(c, 0) - d_c[c] ** 2)) // (4 * m * m),
+        )
+        for c in d_c
+    }
+
+
+def _mod_dfs(spark, edges, labels):
+    e = spark.createDataFrame(edges, "a long, b long")
+    l = spark.createDataFrame(labels, "node long, label string")
+    return e, l
+
+
+def test_modularity_two_triangles(spark):
+    from nebula_importer_spark.operators.graph import modularity
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    labels = [(n, "A") for n in (1, 2, 3)] + [(n, "B") for n in (4, 5, 6)]
+    got = {
+        r.label: (r.n_nodes, r.e_intra, r.d_total, r.contribution_scaled)
+        for r in modularity(*_mod_dfs(spark, edges, labels)).collect()
+    }
+    # m=7; per community: e=3, d=7 → (4·7·3 − 49)·1e6 // 196 = 178571
+    assert got == {"A": (3, 3, 7, 178571), "B": (3, 3, 7, 178571)}
+    assert got == _mod_model(edges, labels)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from nebula_importer_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3)]
+    labels = [(n, "all") for n in (1, 2, 3)]
+    got = modularity(*_mod_dfs(spark, edges, labels)).collect()[0]
+    assert got.contribution_scaled == 0
+
+
+def test_modularity_random_parity_and_unlabeled(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import modularity
+
+    rng = random.Random(17)
+    nodes = list(range(40))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    )
+    labels = [(n, f"c{n % 4}") for n in nodes if n != 7]  # node 7 unlabeled
+    got = {
+        r.label: (r.n_nodes, r.e_intra, r.d_total, r.contribution_scaled)
+        for r in modularity(*_mod_dfs(spark, edges, labels)).collect()
+    }
+    assert got == _mod_model(edges, labels)
+
+
+def test_modularity_validation(spark):
+    import pytest as _pt
+
+    from nebula_importer_spark.operators.graph import modularity
+
+    e, l = _mod_dfs(spark, [(1, 2)], [(1, "a"), (2, "a")])
+    with _pt.raises(ValueError, match="not in input"):
+        modularity(e.drop("b"), l)
+    with _pt.raises(ValueError, match="not in input"):
+        modularity(e, l.drop("label"))

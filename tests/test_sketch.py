@@ -63,3 +63,94 @@ def test_kmv_validation_and_plan(spark):
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert KMV_SPACE == 2**52
+
+
+# ---------------------------------------------------------------------------
+# hash_sample_quantiles — deterministic bottom-k-by-hash quantile sketch
+
+
+def _hsq_model(rows, k, qs, salt="hsq"):
+    """rows: (group, value, id)"""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v, i in rows:
+        if v is None:
+            continue
+        hk = hashlib.md5((salt + str(i)).encode()).hexdigest()
+        by_g[g].append((hk, i, v))
+    out = {}
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        sample = sorted((v, i) for _, i, v in items[:k])
+        n = len(sample)
+        picks = tuple(sample[(n - 1) * q // 100][0] for q in qs)
+        out[g] = (n,) + picks
+    return out
+
+
+def test_hsq_exact_below_capacity(spark):
+    from nebula_importer_spark.operators.sketch import hash_sample_quantiles
+
+    rows = [("a", float(v), i) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+    got = hash_sample_quantiles(df, k=100, quantiles=(0, 50, 100)).collect()[0]
+    # below capacity → exact: min, median, max
+    assert (got.n_sample, got.q0, got.q50, got.q100) == (5, 1.0, 5.0, 9.0)
+
+
+def test_hsq_above_capacity_matches_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.sketch import hash_sample_quantiles
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice(["x", "y"]), round(rng.uniform(0, 100), 3), i)
+        for i in range(500)
+    ]
+    rows += [("x", None, 9_000), ("z", 4.25, None)]  # NULL value / NULL id
+    df = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+    got = {
+        r.event_type: (r.n_sample, r.q25, r.q50, r.q75)
+        for r in hash_sample_quantiles(df, k=64, quantiles=(25, 50, 75)).collect()
+    }
+    want = _hsq_model(
+        [(g, v, i if i is not None else None) for g, v, i in rows],
+        64,
+        (25, 50, 75),
+    )
+    # model hashes NULL ids under the same sentinel the operator uses
+    want_z = _hsq_model([("z", 4.25, "\x00null")], 64, (25, 50, 75))["z"]
+    assert got["z"] == want_z
+    assert got["x"] == want["x"] and got["y"] == want["y"]
+    assert all(n == 64 for n, *_ in (got["x"], got["y"]))
+
+
+def test_hsq_sample_error_bound(spark):
+    import random
+
+    from nebula_importer_spark.operators.sketch import hash_sample_quantiles
+
+    rng = random.Random(7)
+    rows = [("u", float(i), i) for i in range(10_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+    got = hash_sample_quantiles(df, k=256, quantiles=(50,)).collect()[0]
+    # true median 4999.5; k=256 → se ≈ 0.5/sqrt(256) ≈ 3.1% of range
+    assert abs(got.q50 - 5000) < 1200
+
+
+def test_hsq_validation(spark):
+    from nebula_importer_spark.operators.sketch import hash_sample_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1)], "event_type string, value double, event_id long"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        hash_sample_quantiles(df, k=0)
+    with pytest.raises(ValueError, match="quantiles"):
+        hash_sample_quantiles(df, quantiles=(101,))
+    with pytest.raises(ValueError, match="not in input"):
+        hash_sample_quantiles(df, value_col="zz")
