@@ -159,8 +159,8 @@ def hash_sample_quantiles(
             F.col("_s"),
             (
                 ((F.col("n_sample") - 1) * F.lit(int(q))) / F.lit(100)
-            ).cast("long")
-            + 1,
+            ).cast("int")
+            + F.lit(1),
         )["v"].alias(f"q{q}")
         for q in quantiles
     ]

@@ -868,12 +868,17 @@ def _mod_model(edges, labels, scale=10**6):
             if n in lab:
                 d_c[lab[n]] += 1
                 nodes_c[lab[n]].add(n)
+    def tdiv(a, b):
+        # Spark `div` and DuckDB `//` truncate toward zero; Python floors
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     return {
         c: (
             len(nodes_c[c]),
             e_c.get(c, 0),
             d_c[c],
-            (scale * (4 * m * e_c.get(c, 0) - d_c[c] ** 2)) // (4 * m * m),
+            tdiv(scale * (4 * m * e_c.get(c, 0) - d_c[c] ** 2), 4 * m * m),
         )
         for c in d_c
     }
