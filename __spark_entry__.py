@@ -3305,6 +3305,32 @@ def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection after connected components
+    (operators/dedup.py:select_survivors): within each Jaccard dup
+    cluster the LONGEST member survives (score = the exact n_chars
+    column — an integer, so the argmax carries no cross-engine float
+    caveat), ties to the smallest id. One score join + one
+    component-keyed rank — the full rewrite map production dedup
+    applies downstream."""
+    from nebula_importer_spark.operators.connected_components import (
+        connected_components,
+    )
+    from nebula_importer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        select_survivors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+    return select_survivors(
+        comp, docs.select("doc_id", F.col("n_chars").alias("score"))
+    )
+
+
 def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/privacy.py) over a customer release
     keyed by (nation, segment, 2000-wide balance bucket): equivalence
@@ -3535,7 +3561,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so every DISTINCT operator family sits inside the driver's
     # 50-query check window (the round-3 driver checked only the first 50
-    # registry entries).  With 127 registered queries the window holds
+    # registry entries).  With 128 registered queries the window holds
     # one-or-more rows per FAMILY: mapping, relational, streaming
     # (windowed/stateful/dedup/stream-stream join), temporal, text,
     # chunking, sampling+splits, packing, retrieval, LM quality, the dedup
@@ -3547,7 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # variants whose machinery a window row already covers (salted
     # rewrites, containment-vs-jaccard, PageRank-style iterate variants,
     # relational re-combinations, map-only text variants).  The tail stays
-    # registered so `tools/check_oracle.py` (127/127) and pytest keep
+    # registered so `tools/check_oracle.py` (128/128) and pytest keep
     # gating it every round.
     return {
         # sources + mapping (S*, P*, G*)
@@ -3741,6 +3767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # namespace-assortativity modularity (machinery = kg + graph rows;
         # exact-integer community-quality score)
         "kg_modularity": q_kg_modularity,
+        # quality-aware survivor map (machinery = components + window rows)
+        "dedup_survivors": q_dedup_survivors,
         # l-diversity twin of the in-window k-anonymity audit
         "privacy_l_div": q_privacy_l_div,
         # blocking-quality audit (machinery = dedup funnel rows)
@@ -4097,6 +4125,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
             FROM reach GROUP BY a
+        """,
+        # survivor-selection twin: the same transitive closure, then the
+        # integer n_chars argmax with NULLS LAST + id tiebreak
+        "dedup_survivors": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+                WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                      / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+                FROM reach GROUP BY a
+            ),
+            sc AS (
+                SELECT c.doc_id, c.canonical_id, d.n_chars AS s
+                FROM comp c LEFT JOIN documents d USING (doc_id)
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY canonical_id
+                    ORDER BY s DESC NULLS LAST, doc_id ASC
+                ) AS rn FROM sc
+            ),
+            sv AS (SELECT canonical_id, doc_id AS survivor_id FROM rk WHERE rn = 1)
+            SELECT sc.doc_id, sc.canonical_id, sv.survivor_id,
+                   sc.doc_id = sv.survivor_id AS is_survivor
+            FROM sc JOIN sv USING (canonical_id)
         """,
         "mix_domains": _mix_domains_sql(),
         "text_redact_pii": _redact_pii_sql(),

@@ -588,3 +588,71 @@ def duplicate_spans(
         )
         .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_dup_grams")
     )
+
+
+def select_survivors(
+    components: DataFrame,
+    quality: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    component_col: str = "canonical_id",
+    quality_id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor selection — the canonicalization step AFTER
+    connected components: within each duplicate cluster keep the member
+    with the best quality score (ties → smallest id), instead of the
+    blind min-id rule. This is what production dedup actually ships: the
+    cluster's best-written copy survives, the rest map to it.
+
+    Deterministic contract: the survivor is the max of
+    ``(score, -id)`` — an exact argmax with an id tiebreak, no engine
+    ordering anywhere. Scores compare as stored (exact for the repo's
+    integer-scaled quality metrics; floats compare consistently across
+    engines because comparison, unlike accumulation, is order-free).
+
+    Distributed shape: one component-keyed window rank over the cluster
+    members (map-side WindowGroupLimit under Spark ≥3.5 since rank ≤ 1),
+    after ONE join attaching scores. Cluster sizes are dup-cluster sizes
+    — bounded by the upstream pair threshold, not corpus scale. Members
+    missing a quality row participate with a NULL score, which sorts
+    LAST (they survive only if the whole cluster lacks scores — visible,
+    not silently dropped).
+
+    Returns ``(node_col, component_col, survivor_id, is_survivor)`` —
+    one row per cluster member, the full rewrite map a downstream join
+    applies.
+    """
+    for c, d, side in (
+        (node_col, components, "components"),
+        (component_col, components, "components"),
+        (quality_id_col, quality, "quality"),
+        (score_col, quality, "quality"),
+    ):
+        if c not in d.columns:
+            raise ValueError(f"column {c!r} not in {side} input: {d.columns}")
+
+    from pyspark.sql.window import Window
+
+    q = quality.select(
+        F.col(quality_id_col).alias("_qid"), F.col(score_col).alias("_score")
+    )
+    scored = components.join(
+        q, components[node_col] == q["_qid"], "left"
+    ).select(node_col, component_col, "_score")
+    w = Window.partitionBy(component_col).orderBy(
+        F.col("_score").desc_nulls_last(), F.col(node_col).asc()
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    surv = ranked.filter(F.col("_rn") == 1).select(
+        F.col(component_col).alias("_c"), F.col(node_col).alias("survivor_id")
+    )
+    return (
+        ranked.join(surv, ranked[component_col] == surv["_c"])
+        .select(
+            node_col,
+            component_col,
+            "survivor_id",
+            (F.col(node_col) == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )

@@ -1197,3 +1197,54 @@ def test_power_iteration_pca_sign_and_validation(spark):
         power_iteration_pca(df, dim=0)
     with pytest.raises(ValueError, match="not in input"):
         power_iteration_pca(df.drop("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# select_survivors — quality-aware canonicalization after components
+
+
+def test_select_survivors_best_quality_and_ties(spark):
+    from nebula_importer_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, canonical_id long",
+    )
+    qual = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 1)],  # 8 has no score
+        "doc_id long, score long",
+    )
+    got = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in select_survivors(comp, qual).collect()
+    }
+    # cluster 1: 2 and 3 tie at 30 → min id 2; cluster 7: 8 unscored → 7
+    assert got == {
+        1: (2, False), 2: (2, True), 3: (2, False),
+        7: (7, True), 8: (7, False), 9: (9, True),
+    }
+
+
+def test_select_survivors_all_unscored_cluster(spark):
+    from nebula_importer_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame(
+        [(4, 4), (5, 4)], "doc_id long, canonical_id long"
+    )
+    qual = spark.createDataFrame([], "doc_id long, score long")
+    got = {
+        r.doc_id: r.survivor_id for r in select_survivors(comp, qual).collect()
+    }
+    # whole cluster unscored → NULLs sort last, min id survives
+    assert got == {4: 4, 5: 4}
+
+
+def test_select_survivors_validation(spark):
+    from nebula_importer_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame([(1, 1)], "doc_id long, canonical_id long")
+    qual = spark.createDataFrame([(1, 1)], "doc_id long, score long")
+    with pytest.raises(ValueError, match="not in components"):
+        select_survivors(comp.drop("canonical_id"), qual)
+    with pytest.raises(ValueError, match="not in quality"):
+        select_survivors(comp, qual.drop("score"))
