@@ -3305,6 +3305,37 @@ def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/text.py:
+    strip_boilerplate) over documents re-lined into 10-token chunks
+    (deterministic synthesis — the corpus has no newlines): chunk-lines
+    shared by ≥2 documents (near-dups' common spans) are the boilerplate
+    the CCNet/RefinedWeb cleaning step strips while document order is
+    preserved. The shuffle key is xxhash64(line), never the line string;
+    the oracle recomputes document frequency on the trimmed line itself —
+    independent machinery, same semantics."""
+    from nebula_importer_spark.operators.text import NOT_WS, strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(NOT_WS + "+"), F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(F.size(toks) / F.lit(10)).cast("int"), F.lit(1)
+            )
+            - F.lit(1),
+        ),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    paged = docs.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+    return strip_boilerplate(paged, max_line_df=1)
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection after connected components
     (operators/dedup.py:select_survivors): within each Jaccard dup
@@ -3561,7 +3592,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so every DISTINCT operator family sits inside the driver's
     # 50-query check window (the round-3 driver checked only the first 50
-    # registry entries).  With 128 registered queries the window holds
+    # registry entries).  With 129 registered queries the window holds
     # one-or-more rows per FAMILY: mapping, relational, streaming
     # (windowed/stateful/dedup/stream-stream join), temporal, text,
     # chunking, sampling+splits, packing, retrieval, LM quality, the dedup
@@ -3573,7 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # variants whose machinery a window row already covers (salted
     # rewrites, containment-vs-jaccard, PageRank-style iterate variants,
     # relational re-combinations, map-only text variants).  The tail stays
-    # registered so `tools/check_oracle.py` (128/128) and pytest keep
+    # registered so `tools/check_oracle.py` (129/129) and pytest keep
     # gating it every round.
     return {
         # sources + mapping (S*, P*, G*)
@@ -3769,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         # quality-aware survivor map (machinery = components + window rows)
         "dedup_survivors": q_dedup_survivors,
+        # line-level boilerplate removal (machinery = text + dedup rows)
+        "strip_boilerplate": q_strip_boilerplate,
         # l-diversity twin of the in-window k-anonymity audit
         "privacy_l_div": q_privacy_l_div,
         # blocking-quality audit (machinery = dedup funnel rows)
@@ -4125,6 +4158,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
             FROM reach GROUP BY a
+        """,
+        # boilerplate twin: same 10-token chunk re-lining, document
+        # frequency on the TRIMMED LINE STRING (the Spark side keys the
+        # shuffle on xxhash64 — independent machinery, same semantics)
+        "strip_boilerplate": """
+            WITH tk AS (
+                SELECT doc_id, regexp_extract_all(
+                           coalesce(text, ''), '[^\t\n\f\r ]+') AS t
+                FROM documents
+            ),
+            paged AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, greatest(
+                               CAST(ceil(len(t) / 10.0) AS BIGINT), 1)),
+                           i -> array_to_string(
+                               t[i * 10 + 1 : i * 10 + 10], ' ')
+                       ), chr(10)) AS text
+                FROM tk
+            ),
+            ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l FROM paged
+            ),
+            lines AS (
+                SELECT doc_id, u.i - 1 AS pos, l[u.i] AS line,
+                       trim(l[u.i]) AS tt
+                FROM ls, unnest(range(1, len(l) + 1)) u(i)
+            ),
+            bp AS (
+                SELECT tt FROM lines WHERE tt <> ''
+                GROUP BY tt HAVING COUNT(DISTINCT doc_id) > 1
+            ),
+            flag AS (
+                SELECT li.doc_id, li.pos, li.line,
+                       (li.tt <> '' AND bp.tt IS NOT NULL) AS drp
+                FROM lines li LEFT JOIN bp ON li.tt = bp.tt
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT drp), '') AS clean_text,
+                   COUNT(*)::BIGINT AS n_lines,
+                   SUM(CASE WHEN drp THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+            FROM flag GROUP BY doc_id
         """,
         # survivor-selection twin: the same transitive closure, then the
         # integer n_chars argmax with NULLS LAST + id tiebreak

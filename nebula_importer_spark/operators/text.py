@@ -562,3 +562,87 @@ def topic_tiles(
         F.max("blk").cast("long").alias("end_blk"),
         F.count("*").cast("long").alias("n_blocks"),
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_line_df: int = 1,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb cleaning
+    step): drop every line whose trimmed form appears in MORE THAN
+    ``max_line_df`` distinct documents — navigation chrome, cookie
+    banners, repeated headers — while keeping each document's remaining
+    lines in their original order. Line-level dedup catches what
+    document-level dedup structurally cannot: the 90%-unique page whose
+    first 10 lines are the same site template.
+
+    Exactness contract: lines are ``split(text, sep)`` with trimmed
+    EXACT matching (no normalization beyond trim — normalize upstream if
+    wanted); blank lines are never counted as boilerplate and never
+    dropped; reassembly is ``concat_ws(sep)`` over the kept lines in
+    position order — all values carried, hash-stable.
+
+    Distributed shape: one posexplode (map-side), the line-frequency
+    count is ONE partial-agg'd groupBy on ``xxhash64(trimmed line)`` —
+    the fixed-width digest, never the line string, travels as the
+    shuffle key (the exact_dedup lesson) — then one hash-keyed join back
+    and one doc-keyed reassembly agg whose state is the document's own
+    line count. ``count_distinct(doc)`` makes within-doc repetition
+    irrelevant to the document-frequency semantics.
+
+    Returns ``(id_col, clean_text, n_lines, n_dropped)``.
+    """
+    if max_line_df < 1:
+        raise ValueError(f"max_line_df must be >= 1, got {max_line_df}")
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in input: {docs.columns}")
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            # \Q...\E: split on the LITERAL separator (split's pattern
+            # arg is a Java regex)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit("\\Q" + sep + "\\E"),
+                -1,
+            )
+        ).alias("_pos", "_line"),
+    ).withColumn("_t", F.trim(F.col("_line")))
+    keyed = lines.withColumn("_h", F.xxhash64(F.col("_t")))
+    bp = (
+        keyed.filter(F.col("_t") != "")
+        .groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("_h", F.lit(True).alias("_bp"))
+    )
+    flagged = keyed.join(bp, "_h", "left").select(
+        id_col,
+        "_pos",
+        "_line",
+        (F.col("_bp").isNotNull() & (F.col("_t") != "")).alias("_drop"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
+    )

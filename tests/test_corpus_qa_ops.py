@@ -464,3 +464,85 @@ def test_topic_tiles_validation(spark):
     df2 = spark.createDataFrame([(1, "x")], "blk long, text string")
     with pytest.raises(ValueError):
         topic_tiles(df2, id_col="blk")
+
+
+# ---------------------------------------------------------------------------
+# strip_boilerplate — line-level cross-document dedup
+
+
+def _bp_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_strip_boilerplate_basic(spark):
+    from nebula_importer_spark.operators.text import strip_boilerplate
+
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "totally unique document"),
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_dropped)
+        for r in strip_boilerplate(_bp_docs(spark, rows)).collect()
+    }
+    assert got == {
+        1: ("real content one", 3, 2),
+        2: ("real content two", 3, 2),
+        3: ("totally unique document", 1, 0),
+    }
+
+
+def test_strip_boilerplate_blank_trim_and_within_doc(spark):
+    from nebula_importer_spark.operators.text import strip_boilerplate
+
+    rows = [
+        # within-doc repetition does NOT make a line boilerplate (df=1)
+        (1, "chorus\nchorus\nchorus\nverse"),
+        # blank lines are never dropped; ' header ' trims to match 'header'
+        (2, " header \n\nbody two"),
+        (3, "header\n\nbody three"),
+        (4, None),
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_dropped)
+        for r in strip_boilerplate(_bp_docs(spark, rows)).collect()
+    }
+    assert got[1] == ("chorus\nchorus\nchorus\nverse", 4, 0)
+    assert got[2] == ("\nbody two", 3, 1)
+    assert got[3] == ("\nbody three", 3, 1)
+    assert got[4] == ("", 1, 0)
+
+
+def test_strip_boilerplate_df_threshold_and_order(spark):
+    from nebula_importer_spark.operators.text import strip_boilerplate
+
+    rows = [(i, f"shared\nuniq{i}\nshared tail {i % 2}") for i in range(4)]
+    got = {
+        r.doc_id: r.clean_text
+        for r in strip_boilerplate(_bp_docs(spark, rows), max_line_df=2).collect()
+    }
+    # 'shared' df=4 > 2 → dropped; 'shared tail 0/1' df=2 → kept
+    for i in range(4):
+        assert got[i] == f"uniq{i}\nshared tail {i % 2}"
+
+
+def test_strip_boilerplate_shuffles_hash_not_line(spark):
+    from nebula_importer_spark.operators.text import strip_boilerplate
+
+    df = _bp_docs(spark, [(1, "a\nb"), (2, "a\nc")])
+    plan = strip_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, plan
+    assert all("_line#" not in ln and "_t#" not in ln for ln in exchanges), exchanges
+    assert "xxhash64" in plan
+
+
+def test_strip_boilerplate_validation(spark):
+    from nebula_importer_spark.operators.text import strip_boilerplate
+
+    df = _bp_docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="max_line_df"):
+        strip_boilerplate(df, max_line_df=0)
+    with pytest.raises(ValueError, match="not in input"):
+        strip_boilerplate(df, text_col="zz")
