@@ -646,3 +646,89 @@ def strip_boilerplate(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    use_bigrams: bool = True,
+    salt: str = "hf",
+) -> DataFrame:
+    """Hashing-trick bag-of-terms featurization (fastText / VW style):
+    unigrams (and word bigrams) hash into ``n_buckets`` counting buckets —
+    the fixed-width feature vector a quality/language/topic classifier
+    trains on, with NO vocabulary to build, broadcast, or version. The
+    collision trade is the standard one: at 100 TB the win is that the
+    featurizer is stateless — any executor featurizes any shard with zero
+    coordination, and train/serve skew is impossible.
+
+    Buckets come from the first 8 hex chars of ``md5(salt ‖ term)`` mod
+    ``n_buckets`` (the repo's engine-portable hashing convention —
+    sampling.py, SimHash) so the DuckDB oracle reproduces them exactly.
+    Terms are NOT_WS-run tokens; bigrams join adjacent tokens with a
+    single space.
+
+    Distributed shape: map-side term explode, one (doc, bucket)
+    partial-agg'd count, one doc-keyed assembly into the dense
+    ``array<long>`` (state = n_buckets longs per doc). Documents with no
+    terms emit the zero vector — present, not dropped.
+
+    Returns ``(id_col, features array<long>, n_terms)``.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in input: {docs.columns}")
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(c, F.lit(NOT_WS + "+"), F.lit(0))
+    terms = toks
+    if use_bigrams:
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        terms = F.concat(toks, bigrams)
+    base = docs.select(F.col(id_col), terms.alias("_terms"))
+    exploded = base.select(
+        id_col, F.explode_outer("_terms").alias("_term")
+    ).select(
+        id_col,
+        F.when(
+            F.col("_term").isNotNull(),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("_term"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n_buckets),
+        ).alias("_b"),
+    )
+    bucketed = exploded.groupBy(id_col, "_b").agg(
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_n")
+    )
+    assembled = bucketed.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("_b").isNotNull(),
+                    F.struct(F.col("_b"), F.col("_n")),
+                )
+            )
+        ).alias("_m"),
+        F.sum("_n").cast("long").alias("n_terms"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return assembled.select(id_col, vec.alias("features"), "n_terms")

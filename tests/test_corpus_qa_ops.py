@@ -546,3 +546,76 @@ def test_strip_boilerplate_validation(spark):
         strip_boilerplate(df, max_line_df=0)
     with pytest.raises(ValueError, match="not in input"):
         strip_boilerplate(df, text_col="zz")
+
+
+# ---------------------------------------------------------------------------
+# hashed_features — hashing-trick bag-of-terms featurization
+
+
+def _hf_model(rows, n_buckets=16, use_bigrams=True, salt="hf"):
+    import hashlib
+    import re as _re
+
+    out = {}
+    for did, text in rows:
+        toks = _re.findall(r"[^\t\n\f\r ]+", text or "")
+        terms = list(toks)
+        if use_bigrams:
+            terms += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        vec = [0] * n_buckets
+        for t in terms:
+            h = int(hashlib.md5((salt + t).encode()).hexdigest()[:8], 16)
+            vec[h % n_buckets] += 1
+        out[did] = (vec, len(terms))
+    return out
+
+
+def test_hashed_features_matches_model(spark):
+    from nebula_importer_spark.operators.text import hashed_features
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the the the"),
+        (3, ""),
+        (4, None),
+        (5, "solo"),
+    ]
+    df = _bp_docs(spark, rows)
+    for bg in (True, False):
+        got = {
+            r.doc_id: (list(r.features), r.n_terms)
+            for r in hashed_features(
+                df, n_buckets=16, use_bigrams=bg
+            ).collect()
+        }
+        assert got == _hf_model(rows, 16, bg), bg
+    # empty/null docs present with zero vectors
+    assert got[3] == ([0] * 16, 0) and got[4] == ([0] * 16, 0)
+
+
+def test_hashed_features_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.text import hashed_features
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
+        for i in range(30)
+    ]
+    got = {
+        r.doc_id: (list(r.features), r.n_terms)
+        for r in hashed_features(_bp_docs(spark, rows), n_buckets=32).collect()
+    }
+    assert got == _hf_model(rows, 32)
+
+
+def test_hashed_features_validation(spark):
+    from nebula_importer_spark.operators.text import hashed_features
+
+    df = _bp_docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_features(df, n_buckets=0)
+    with pytest.raises(ValueError, match="not in input"):
+        hashed_features(df, id_col="zz")
