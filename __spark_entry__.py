@@ -3638,6 +3638,75 @@ def q_kg_pred_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_alignment(new, min_shared=2)
 
 
+def q_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + file assignment (operators/layout.py:
+    zorder_key) over lineitem's (l_partkey, l_suppkey) — the multi-
+    dimensional data-layout step a 100-TB materialization runs before
+    writing, so range predicates on EITHER key prune files. Exact long
+    quantization (broadcast 1-row min/max, floor-div scaling) and
+    shift/mask bit interleaving — map-only JVM math, bit-identical in
+    the SQL twin."""
+    from nebula_importer_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(
+        li, ["l_partkey", "l_suppkey"], bits=8, n_buckets=16
+    ).select("l_orderkey", "l_linenumber", "zkey", "zbucket")
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point frequencies (operators/sketch.py:
+    cms_matrix/cms_estimate): the 4×512-cell counter matrix over
+    events.user_id, read back for the 20 heaviest users. The exact count
+    rides along as the error witness — the gate hash proves BOTH the
+    deterministic md5 row hashes and the one-sided estimate (est ≥ true,
+    overcount ≤ 2N/width w.h.p.). Constant sketch state vs a full
+    distinct-key shuffle is the 100-TB point."""
+    from nebula_importer_spark.operators.sketch import cms_estimate, cms_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    m = cms_matrix(ev, "user_id", depth=4, width=512)
+    top = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(m, top, "user_id", depth=4, width=512)
+    return top.join(est, "user_id").select("user_id", "true_count", "est_count")
+
+
+def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (operators/search.py:inverted_index):
+    term → (df, cf, doc-ordered postings) over documents, stop terms
+    capped at max_df=400 (the hot-key bound), hapax dropped at min_df=5.
+    One fixed-width (term, doc) exchange + one term-keyed agg whose
+    state IS the output posting list."""
+    from nebula_importer_spark.operators.search import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=5, max_df=400
+    )
+
+
+def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width column histograms (operators/profile.py:
+    column_histogram) over lineitem's three join keys in one melt pass —
+    the CBO/skew statistics a planner consults before a 100-TB join.
+    Exact long bucket math (broadcast 1-row min/max, floor-div
+    bucketing), NULLs visible in bucket −1."""
+    from nebula_importer_spark.operators.profile import column_histogram
+
+    return column_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        n_buckets=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3681,13 +3750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_errors": q_stream_click_errors,
         # temporal operators
         "asof_click_error": q_asof_click_error,
-        "range_event_pairs": q_range_event_pairs,
         "sessionize_users": q_sessionize_users,
         # hypertable gap-fill + LOCF densify (new temporal family)
         "events_resample": q_events_resample,
         # text analysis + chunking
         "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
         "text_redact_pii": q_text_redact_pii,
         "chunk_documents": q_chunk_documents,
         # corpus curation: decontamination, sampling, splits, packing,
@@ -3714,8 +3781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed power-iteration PCA (iterative-float family: 6dp
         # re-quantization per round makes the recurrence hash-stable)
         "embedding_pca": q_embedding_pca,
-        # Johnson–Lindenstrauss random projection (dimensionality reduction)
-        "embedding_project": q_embedding_project,
         # knowledge graph: extract, link, rules, negatives
         "kg_triples": q_kg_triples,
         "kg_extract_docs": q_kg_extract_docs,
@@ -3744,12 +3809,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # diverse selection (MMR) — the retrieval→curation selection step
         "mmr_select": q_mmr_select,
-        # extraction-coverage lineage metric (M-family analog over the KG)
-        "kg_coverage": q_kg_coverage,
         # source-onboarding column profiler (sources-family QA)
         "profile_customer": q_profile_customer,
         # shuffle-skew / heavy-hitter diagnostic with salt suggestion
         "events_skew_report": q_events_skew_report,
+        # Z-order clustering key + file assignment (data-layout family)
+        "zorder_lineitem": q_zorder_lineitem,
+        # count-min point-frequency sketch (cardinality twin is KMV above)
+        "cms_user_counts": q_cms_user_counts,
+        # inverted-index construction (search-index family; BM25 above is
+        # its query-time counterpart)
+        "inverted_index_docs": q_inverted_index_docs,
+        # equi-width CBO histograms (stats family; profiler above is the
+        # single-row null/distinct pass, this is the distribution pass)
+        "histogram_lineitem": q_histogram_lineitem,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -3771,6 +3844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map-only text variants (machinery = text_stats/text_quality rows)
         # map-only text counts (machinery = text_quality/lang_id rows)
         "text_stats": q_text_stats,
+        # map-only signal-ratio pass (machinery = text_lang_id row; its
+        # composed cascade corpus_filter is below)
+        "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_dup_tokens": q_text_dup_tokens,
         "text_top_ngram": q_text_top_ngram,
@@ -3800,6 +3876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reduced-nprobe recall path is pytest-gated
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        # map-only seeded matrix multiply (machinery = embedding_pca's
+        # projection step, checked in the window)
+        "embedding_project": q_embedding_project,
         "embedding_bucket_purity": q_embedding_bucket_purity,
         "hard_negatives": q_hard_negatives,
         "quality_deciles": q_quality_deciles,
@@ -3824,6 +3903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted rewrites (hash-identical to their unsalted window oracles)
         "asof_click_error_salted": q_asof_click_error_salted,
         "sessionize_users_salted": q_sessionize_users_salted,
+        # time-bucketed equi-join (machinery = the band/bucket join every
+        # window-checked dedup/LSH row exercises, on the time axis)
+        "range_event_pairs": q_range_event_pairs,
         # third-wave additions (blocklist screening, PPS sampling, KG cards)
         "text_blocklist": q_text_blocklist,
         "sample_weighted": q_sample_weighted,
@@ -3839,6 +3921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "graph_resource_alloc": q_graph_resource_alloc,
         "kg_triple_spans": q_kg_triple_spans,
+        # per-conversation yield agg (machinery = kg_degree's staged-
+        # triples join+agg, checked in the window)
+        "kg_coverage": q_kg_coverage,
         # KG schema-audit variants (family row = in-window kg_snapshot_diff)
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_conflicts": q_kg_conflicts,
@@ -3889,6 +3974,68 @@ def _ratio_sql(words: str) -> str:
         f"else len(regexp_extract_all(lower(text), '\\b{words}\\b'))::DOUBLE "
         f"/ len(regexp_extract_all(text, '\\S+')) end"
     )
+
+
+def _zorder_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    """DuckDB twin of zorder_lineitem: identical long quantization
+    (floor division against the global min/max) and shift/mask/or bit
+    interleave — generated from the same (bits, k) parameters so the
+    two engines compute the literal same expression tree."""
+    k, top = 2, (1 << bits) - 1
+    z = " | ".join(
+        f"((({q} >> {b}) & 1) << {b * k + i})"
+        for i, q in enumerate(("qx", "qy"))
+        for b in range(bits)
+    )
+    span = -((-(1 << (bits * k))) // n_buckets)
+    return f"""
+        WITH s AS (
+            SELECT min(l_partkey)::BIGINT AS mnx, max(l_partkey)::BIGINT AS mxx,
+                   min(l_suppkey)::BIGINT AS mny, max(l_suppkey)::BIGINT AS mxy
+            FROM lineitem
+        ),
+        q AS (
+            SELECT l_orderkey, l_linenumber,
+                   ((l_partkey - mnx) * {top}) // greatest(mxx - mnx, 1) AS qx,
+                   ((l_suppkey - mny) * {top}) // greatest(mxy - mny, 1) AS qy
+            FROM lineitem, s
+        )
+        SELECT l_orderkey, l_linenumber,
+               ({z})::BIGINT AS zkey,
+               (({z}) // {span})::BIGINT AS zbucket
+        FROM q
+    """
+
+
+def _histogram_sql(table: str, cols: list[str], n: int = 8) -> str:
+    """DuckDB twin of column_histogram: per column the same
+    ``((x−min)·n) div span`` bucket and ceil-division closed bounds,
+    NULLs in bucket −1, one UNION ALL block per column."""
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column", b.bucket::BIGINT AS bucket,
+                   (CASE WHEN b.bucket >= 0 THEN
+                        s.mn + (b.bucket * (s.mx - s.mn + 1) + {n - 1}) // {n}
+                    END)::BIGINT AS lo,
+                   (CASE WHEN b.bucket >= 0 THEN
+                        s.mn + ((b.bucket + 1) * (s.mx - s.mn + 1) + {n - 1})
+                            // {n} - 1
+                    END)::BIGINT AS hi,
+                   b.n_rows
+            FROM (
+                SELECT CASE WHEN {c} IS NULL THEN -1
+                            ELSE (({c} - s.mn) * {n}) // (s.mx - s.mn + 1)
+                       END AS bucket,
+                       COUNT(*)::BIGINT AS n_rows
+                FROM {table}, (SELECT min({c})::BIGINT AS mn,
+                                      max({c})::BIGINT AS mx
+                               FROM {table}) s
+                GROUP BY 1
+            ) b, (SELECT min({c})::BIGINT AS mn, max({c})::BIGINT AS mx
+                  FROM {table}) s
+        """)
+    return " UNION ALL ".join(blocks)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5986,6 +6133,74 @@ def oracle_sql() -> dict[str, str]:
                    true_distinct
             FROM agg a JOIN tru t ON t.event_type = a.event_type
         """,
+        # count-min twin: same per-row md5('cms<r>|' ‖ value) 52-bit cell
+        # hashes, same 4×512 counter matrix, min-over-rows estimate for
+        # the deterministic top-20 heavy hitters
+        "cms_user_counts": """
+            WITH cells AS (
+                SELECT r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || '|'
+                            || user_id::VARCHAR), 1, 13))::BIGINT) % 512 AS c
+                FROM events, range(4) t(r)
+                WHERE user_id IS NOT NULL
+            ),
+            m AS (
+                SELECT r, c, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY r, c
+            ),
+            top AS (
+                SELECT user_id, COUNT(*)::BIGINT AS true_count
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+                ORDER BY true_count DESC, user_id ASC LIMIT 20
+            ),
+            probes AS (
+                SELECT user_id, true_count, r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || '|'
+                            || user_id::VARCHAR), 1, 13))::BIGINT) % 512 AS c
+                FROM top, range(4) t(r)
+            )
+            SELECT p.user_id,
+                   min(p.true_count)::BIGINT AS true_count,
+                   min(coalesce(m.cnt, 0))::BIGINT AS est_count
+            FROM probes p LEFT JOIN m USING (r, c)
+            GROUP BY p.user_id
+        """,
+        # inverted-index twin: same lowercased NOT_WS tokens, df computed
+        # on the UNCAPPED (term, doc) universe before the max_df stop-term
+        # drop, postings rendered doc-ordered "<doc>:<tf>"
+        "inverted_index_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(coalesce(text, '')), '[^\\t\\n\\f\\r ]+'))
+                           AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+                FROM toks GROUP BY 1, 2
+            ),
+            dfc AS (
+                SELECT term, COUNT(*)::BIGINT AS doc_freq,
+                       SUM(tf)::BIGINT AS total_tf
+                FROM tf GROUP BY 1
+            ),
+            keep AS (
+                SELECT term, doc_freq, total_tf FROM dfc
+                WHERE doc_freq BETWEEN 5 AND 400
+            )
+            SELECT k.term, k.doc_freq, k.total_tf,
+                   list(t.doc_id::VARCHAR || ':' || t.tf::VARCHAR
+                        ORDER BY t.doc_id) AS postings
+            FROM keep k JOIN tf t USING (term)
+            GROUP BY 1, 2, 3
+        """,
+        # Z-order twin: generated from the same (bits=8, k=2, n_buckets=16)
+        "zorder_lineitem": _zorder_sql(bits=8, n_buckets=16),
+        # histogram twin: generated from the same (cols, n_buckets=8)
+        "histogram_lineitem": _histogram_sql(
+            "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
+        ),
         # modularity twin: same canonical edge set, namespace labels,
         # integer (4·m·e_c − d_c²) // 4m² arithmetic
         "kg_modularity": f"""

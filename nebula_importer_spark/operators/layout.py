@@ -1,0 +1,147 @@
+"""Space-filling-curve data layout keys (Z-order / Morton clustering).
+
+The storage-layout half of the 100-TB story: a table queried by
+multi-dimensional range predicates (``partkey BETWEEN .. AND suppkey
+BETWEEN ..``) prunes poorly when files are clustered by any single
+column — every file overlaps the second predicate. Interleaving the
+bits of the quantized dimensions (Morton 1966; the technique behind
+Delta/Iceberg ``ZORDER BY``) gives one sort key whose contiguous ranges
+are small hyper-rectangles, so per-file min/max zone maps become tight
+on EVERY interleaved dimension at once and the scan skips most files.
+
+The reference has no layout machinery at all — its sink is nGQL
+statements (/root/reference/pkg/spec/v3/node.go:149) — but a Spark
+engine materializing vertex/edge/corpus tables at 100 TB lives or dies
+on scan pruning, so the clustering key is a first-class operator here.
+
+Everything is exact integer arithmetic: quantization is a floor
+division of long ranges, interleaving is shift/mask/or — bit-identical
+on any engine or partitioning, which is what makes the key (and the
+file assignment derived from it) gate-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _interleave(quants: list[Column], bits: int) -> Column:
+    """Bit-interleave ``k`` ``bits``-wide longs: bit ``b`` of column ``i``
+    lands at position ``b*k + i`` (column 0 owns the least-significant
+    lane). Pure shift/mask/or — whole-stage-codegen'd JVM math."""
+    k = len(quants)
+    z = F.lit(0).cast("long")
+    for i, q in enumerate(quants):
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Append a Morton clustering key ``zkey`` over integral columns
+    ``cols`` (2-3 dimensions), and — when ``n_buckets`` is given — the
+    equal-width file assignment ``zbucket`` a writer would
+    ``repartitionByRange`` on.
+
+    Per column the value is quantized to ``[0, 2^bits)`` by exact long
+    math: ``q = ((x - min) * (2^bits - 1)) div max(max - min, 1)`` with
+    the global (min, max) riding a broadcast 1-row aggregate — one extra
+    scan-light pass, the same cost any range partitioner pays. NULLs
+    quantize to 0 (they sort first, as in ORDER BY NULLS FIRST).
+
+    ``zbucket = zkey div ceil(2^(bits·k) / n_buckets)`` — equal key-range
+    buckets, so each bucket is a contiguous Z-range = a stack of small
+    hyper-rectangles with tight per-dimension zone maps.
+
+    Distributed shape: the (min, max) aggregate is partial-aggregable and
+    1 row; the key itself is map-only JVM bit math — no shuffle is added
+    beyond what the caller's write layout needs anyway.
+    """
+    if not 2 <= len(cols) <= 3:
+        raise ValueError(f"zorder_key interleaves 2-3 columns, got {cols}")
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError(f"bits*k must be in [1, 62], got {bits}*{len(cols)}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    bad = [c for c in cols if not isinstance(by_name[c], _INTEGRAL)]
+    if bad:
+        raise ValueError(
+            f"zorder_key needs integral columns (quantize floats caller-side"
+            f" — float bucket math is engine-divergent): {bad}"
+        )
+    reserved = [c for c in ("zkey", "zbucket") if c in df.columns]
+    if reserved:
+        raise ValueError(f"input already has reserved column(s): {reserved}")
+
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"_min_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("long").alias(f"_max_{i}") for i, c in enumerate(cols)],
+    )
+    top = (1 << bits) - 1
+    staged = df.crossJoin(F.broadcast(stats))
+    for i, c in enumerate(cols):
+        # (offset * top) div rng as EXACT long math — offset*top can exceed
+        # 2^53, so a float floor() would mis-quantize; SQL `div` cannot.
+        staged = staged.withColumn(
+            f"_off_{i}",
+            F.coalesce(F.col(c).cast("long"), F.col(f"_min_{i}"))
+            - F.col(f"_min_{i}"),
+        ).withColumn(
+            f"_rng_{i}",
+            F.greatest(
+                F.col(f"_max_{i}") - F.col(f"_min_{i}"), F.lit(1).cast("long")
+            ),
+        )
+    quants = [
+        F.expr(f"(_off_{i} * {top}) div _rng_{i}") for i in range(len(cols))
+    ]
+    out = staged.withColumn("zkey", _interleave(quants, bits))
+    if n_buckets is not None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        space = 1 << (bits * len(cols))
+        bucket_span = -(-space // n_buckets)  # ceil div
+        out = out.withColumn(
+            "zbucket", F.expr(f"zkey div {bucket_span}").cast("long")
+        )
+    return out.drop(
+        *[f"_min_{i}" for i in range(len(cols))],
+        *[f"_max_{i}" for i in range(len(cols))],
+        *[f"_off_{i}" for i in range(len(cols))],
+        *[f"_rng_{i}" for i in range(len(cols))],
+    )
+
+
+def zone_map(
+    df: DataFrame, bucket_col: str, value_cols: list[str]
+) -> DataFrame:
+    """Per-bucket zone map — ``(bucket, n_rows, <c>_min, <c>_max ...)``
+    for each value column: the file-skipping index a reader consults, and
+    the measurable witness that a clustering key worked (tight per-bucket
+    ranges = high skip rate). One partial-aggregable groupBy."""
+    if bucket_col not in df.columns:
+        raise ValueError(f"column {bucket_col!r} not in input: {df.columns}")
+    missing = [c for c in value_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in value_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(bucket_col).agg(*aggs)

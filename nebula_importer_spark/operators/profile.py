@@ -129,3 +129,86 @@ def skew_report(
         )
         .filter(F.col("share_ppm") >= min_share_ppm)
     )
+
+
+def column_histogram(
+    df: DataFrame, cols: list[str], *, n_buckets: int = 16
+) -> DataFrame:
+    """Equi-width histograms over integral columns in one melt pass —
+    the statistics a cost-based optimizer (and a skew-aware partitioner)
+    wants per join/filter column before planning a 100-TB job.
+
+    Bucketing is EXACT long arithmetic: with the column's global
+    ``(min, max)`` riding a broadcast 1-row aggregate,
+    ``bucket = ((x − min) · n) div (max − min + 1)`` — always in
+    ``[0, n)``, bit-identical on any engine (a float-boundary histogram
+    is not: the edge value next to a boundary flips with rounding).
+    Floats quantize caller-side, same rule as layout.zorder_key.
+
+    Distributed shape: one 1-row (min, max) aggregate, then ONE scan
+    melting each row to ``len(cols)`` (column, bucket) cells (bounded
+    fan-out = schema width) feeding a partial-aggregable count over at
+    most ``len(cols)·n_buckets`` groups. NULLs are counted per column in
+    bucket −1 (visible, not dropped — a CBO needs the null fraction).
+
+    Returns ``(column, bucket, lo, hi, n_rows)`` — ``[lo, hi]`` is the
+    bucket's closed value range (NULL for the −1 bucket); empty buckets
+    are absent.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not cols:
+        raise ValueError("column_histogram needs at least one column")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    bad = [c for c in cols if not isinstance(by_name[c], integral)]
+    if bad:
+        raise ValueError(f"column_histogram needs integral columns: {bad}")
+
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"_min_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("long").alias(f"_max_{i}") for i, c in enumerate(cols)],
+    )
+    staged = df.crossJoin(F.broadcast(stats))
+    cells = []
+    for i, c in enumerate(cols):
+        span = F.col(f"_max_{i}") - F.col(f"_min_{i}") + F.lit(1).cast("long")
+        bucket = F.when(F.col(c).isNull(), F.lit(-1).cast("long")).otherwise(
+            F.expr(f"(({c} - _min_{i}) * {n_buckets}) div (_max_{i} - _min_{i} + 1)")
+        )
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                bucket.alias("bucket"),
+                F.col(f"_min_{i}").alias("_mn"),
+                span.alias("_span"),
+            )
+        )
+    melted = staged.select(F.explode(F.array(*cells)).alias("_c")).select(
+        F.col("_c.column").alias("column"),
+        F.col("_c.bucket").alias("bucket"),
+        F.col("_c._mn").alias("_mn"),
+        F.col("_c._span").alias("_span"),
+    )
+    agg = melted.groupBy("column", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("_mn").alias("_mn"),
+        F.min("_span").alias("_span"),
+    )
+    # closed bucket bounds: lo = min + ceil(b*span/n), hi = the next lo − 1
+    lo = F.col("_mn") + F.expr(
+        f"(bucket * _span + {n_buckets} - 1) div {n_buckets}"
+    )
+    hi = F.col("_mn") + F.expr(
+        f"((bucket + 1) * _span + {n_buckets} - 1) div {n_buckets}"
+    ) - F.lit(1)
+    return agg.select(
+        "column",
+        "bucket",
+        F.when(F.col("bucket") >= 0, lo).cast("long").alias("lo"),
+        F.when(F.col("bucket") >= 0, hi).cast("long").alias("hi"),
+        "n_rows",
+    )

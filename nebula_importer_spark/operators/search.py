@@ -175,3 +175,76 @@ def rrf_fuse(
         )
         .select(F.col("_id").alias(id_col), "n_legs", "best_rank", "rrf_scaled")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build the inverted index — ``term → sorted posting list`` — the
+    structure the BM25 header note defers to "once the query set is large
+    and reused": per term, document frequency, total term frequency, and
+    the doc-ordered postings rendered ``"<doc_id>:<tf>"``.
+
+    Tokens are the repo-wide explicit-whitespace convention
+    (operators/text.py:NOT_WS — RE2/DuckDB-identical), lowercased.
+
+    Scale shape: ONE shuffle keyed by the fixed-width ``(term, doc)``
+    pair (tf partial-aggregates map-side), then a term-keyed agg whose
+    per-group state is that term's posting list. The posting list is the
+    OUTPUT, so that memory is irreducible — except for stop terms, which
+    is what ``max_df`` bounds: terms in more than ``max_df`` documents
+    are dropped AFTER their df is known (one cheap pre-agg over distinct
+    (term, doc)), the same capped-universe semantics as
+    dedup.ngram_jaccard_pairs' stop-shingle cap. At 100 TB you always set
+    ``max_df`` — a posting list for "the" is a hot key by construction.
+    ``min_df`` drops hapax noise post-agg (no extra pass).
+
+    Returns ``(term, doc_freq, total_tf, postings array<string>)``,
+    postings sorted by doc id ascending.
+    """
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"max_df {max_df} < min_df {min_df}")
+
+    from nebula_importer_spark.operators.text import NOT_WS
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(coalesce({text_col}, '')),"
+                f" '{NOT_WS}+', 0)"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("_tf")
+    )
+    if max_df is not None:
+        df_counts = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        keep = df_counts.filter(F.col("_df") <= max_df).select("term")
+        tf = tf.join(keep, "term")
+    out = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("_tf").cast("long").alias("total_tf"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_doc").alias("d"),
+                                        F.col("_tf").alias("t")))
+            ),
+            lambda s: F.concat_ws(":", s["d"].cast("string"),
+                                  s["t"].cast("string")),
+        ).alias("postings"),
+    )
+    return out.filter(F.col("doc_freq") >= min_df)

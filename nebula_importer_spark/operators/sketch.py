@@ -92,6 +92,104 @@ def kmv_distinct(
     )
 
 
+def cms_matrix(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch counter matrix over ``col`` (Cormode & Muthukrishnan
+    2005, "An improved data stream summary: the count-min sketch and its
+    applications"): ``depth`` independent hash rows of ``width`` counters;
+    every occurrence of a value increments one cell per row. Point-frequency
+    estimates (``cms_estimate``) are one-sided: est ≥ true, with
+    overcount ≤ 2·N/width at probability 1 − (1/2)^depth.
+
+    Why a sketch at 100 TB: an exact per-key frequency table over a
+    high-cardinality key shuffles every distinct key; the CMS state is
+    ``depth × width`` longs TOTAL — constant, mergeable by cell-wise sum
+    (a union of matrices is the matrix of the union), and streamable.
+    Like the KMV sketch above, the row hashes are md5-derived and fully
+    deterministic, which is what makes the sketch oracle-checkable.
+
+    Distributed shape: one map pass projects each row to ``depth``
+    fixed-width ``(r, c)`` cells (a ``depth``-element explode — bounded
+    fan-out), then ONE partial-aggregable groupBy over at most
+    ``depth·width`` cells. Values never shuffle; only cell coordinates do.
+
+    Returns ``(r, c, cnt)`` — absent cells are zero. NULL values are
+    excluded (SQL aggregate semantics).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(_kmv_hash(F.col(col), f"{salt}{r}|"), F.lit(width))
+                .cast("int")
+                .alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("_cell"))
+        .groupBy(F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    matrix: DataFrame,
+    keys: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates from a ``cms_matrix`` result for each
+    distinct value of ``keys[col]``: ``est = min over rows r of the
+    counter at (r, hash_r(key))`` — the classic one-sided CMS read.
+
+    Distributed shape: keys project to their ``depth`` cells (same bounded
+    explode), then ONE equi-join against the ≤ depth·width-row matrix —
+    broadcast-sized by construction — and a per-key min. A cell no key
+    collided into cannot be absent for a PRESENT key (the key's own
+    increments put it there), so the inner join is lossless for any key
+    that occurred; keys that never occurred estimate 0 via the left join.
+    """
+    if col not in keys.columns:
+        raise ValueError(f"column {col!r} not in keys: {keys.columns}")
+    kc = keys.select(col).filter(F.col(col).isNotNull()).distinct()
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(_kmv_hash(F.col(col), f"{salt}{r}|"), F.lit(width))
+                .cast("int")
+                .alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = kc.select(col, F.explode(cells).alias("_cell")).select(
+        col, F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c")
+    )
+    joined = probes.join(F.broadcast(matrix), ["r", "c"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+        .cast("long")
+        .alias("est_count")
+    )
+
+
 def hash_sample_quantiles(
     df: DataFrame,
     *,

@@ -1,0 +1,75 @@
+"""operators/layout.py — Z-order clustering keys and zone maps."""
+
+from __future__ import annotations
+
+import pytest
+
+from nebula_importer_spark.operators.layout import zone_map, zorder_key
+
+
+def _interleave_py(qs: list[int], bits: int) -> int:
+    z = 0
+    for i, q in enumerate(qs):
+        for b in range(bits):
+            z |= ((q >> b) & 1) << (b * len(qs) + i)
+    return z
+
+
+def test_zorder_matches_python_model(spark):
+    rows = [(x, y) for x in range(0, 100, 7) for y in range(0, 900, 83)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.zkey for r in zorder_key(df, ["x", "y"], bits=8).collect()}
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    top = (1 << 8) - 1
+    for x, y in rows:
+        qx = (x - mnx) * top // max(mxx - mnx, 1)
+        qy = (y - mny) * top // max(mxy - mny, 1)
+        assert got[(x, y)] == _interleave_py([qx, qy], 8), (x, y)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # The point of the key: bucket ranges are tight on BOTH dims.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = zorder_key(df, ["x", "y"], bits=6, n_buckets=16)
+    zm = zone_map(z, "zbucket", ["x", "y"]).collect()
+    # each of 16 equal z-ranges covers a 16x16-ish tile: both spans small
+    for r in zm:
+        assert r.x_max - r.x_min <= 31, r
+        assert r.y_max - r.y_min <= 31, r
+    # single-column layout: sorting by x leaves y's span full in every file
+    assert max(r.y_max for r in zm) - min(r.y_min for r in zm) == 63
+
+
+def test_zorder_nulls_and_three_dims(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5), (None, 20, 6), (3, None, 7)], "a long, b long, c long"
+    )
+    out = zorder_key(df, ["a", "b", "c"], bits=4).collect()
+    assert all(r.zkey is not None for r in out)
+    # NULL quantizes to 0 => contributes no bits in its lane
+    nul = [r for r in out if r.a is None][0]
+    low = [r for r in out if r.a == 1][0]  # a==min(a) also quantizes to 0
+    assert nul.zkey >= 0 and low.zkey >= 0
+
+
+def test_zorder_rejects_bad_inputs(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a long, f double")
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a"])  # needs 2-3 dims
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "f"])  # float dim
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "missing"])
+    with pytest.raises(ValueError):
+        zorder_key(df.withColumnRenamed("f", "zkey"), ["a", "zkey"])
+
+
+def test_zorder_plan_is_broadcast_not_shuffle(spark):
+    df = spark.createDataFrame([(i, i * 3) for i in range(100)], "a long, b long")
+    plan = zorder_key(df, ["a", "b"], bits=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the key itself must not introduce a data shuffle
+    assert "Exchange hashpartitioning" not in plan

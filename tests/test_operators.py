@@ -301,3 +301,63 @@ def test_skew_report_validation(spark):
         skew_report(df, "k", num_partitions=0)
     with _pt.raises(ValueError, match="min_share_ppm"):
         skew_report(df, "k", min_share_ppm=0)
+
+
+# ------------------------------------------------------- column_histogram
+
+
+def test_column_histogram_exact_buckets(spark):
+    from nebula_importer_spark.operators.profile import column_histogram
+
+    rows = [(i, i * i) for i in range(100)] + [(None, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = column_histogram(df, ["a", "b"], n_buckets=4).collect()
+    by = {(r.column, r.bucket): r for r in out}
+    # a in [0,99], span 100, 4 buckets of 25
+    for b in range(4):
+        r = by[("a", b)]
+        assert (r.lo, r.hi, r.n_rows) == (25 * b, 25 * b + 24, 25)
+    assert by[("a", -1)].n_rows == 1 and by[("a", -1)].lo is None
+    # counts per bucket must sum to the table size per column
+    assert sum(r.n_rows for r in out if r.column == "b") == 101
+    # exact model for b = i^2 over [0, 9801]
+    import collections
+
+    model = collections.Counter()
+    vals = [i * i for i in range(100)] + [5]
+    for v in vals:
+        model[(v - 0) * 4 // (9801 + 1)] += 1
+    got = {r.bucket: r.n_rows for r in out if r.column == "b" and r.bucket >= 0}
+    assert got == dict(model)
+
+
+def test_column_histogram_bounds_partition_the_domain(spark):
+    from nebula_importer_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame([(v,) for v in (3, 4, 5, 6, 7, 11)], "x long")
+    out = sorted(
+        column_histogram(df, ["x"], n_buckets=3).collect(),
+        key=lambda r: r.bucket,
+    )
+    # bucket ranges are contiguous and cover [min, max]
+    assert out[0].lo == 3 and out[-1].hi == 11
+    for a, b in zip(out, out[1:]):
+        assert b.lo == a.hi + 1
+    # every value falls inside its bucket's [lo, hi]
+    for r in out:
+        n_in = sum(1 for v in (3, 4, 5, 6, 7, 11) if r.lo <= v <= r.hi)
+        assert n_in == r.n_rows
+
+
+def test_column_histogram_rejects_non_integral(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame([(1.0, 2)], "f double, i long")
+    with pytest.raises(ValueError):
+        column_histogram(df, ["f"])
+    with pytest.raises(ValueError):
+        column_histogram(df, [])
+    with pytest.raises(ValueError):
+        column_histogram(df, ["missing"])

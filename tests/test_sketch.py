@@ -154,3 +154,65 @@ def test_hsq_validation(spark):
         hash_sample_quantiles(df, quantiles=(101,))
     with pytest.raises(ValueError, match="not in input"):
         hash_sample_quantiles(df, value_col="zz")
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def test_cms_estimate_one_sided_and_tight(spark):
+    from collections import Counter
+
+    from nebula_importer_spark.operators.sketch import cms_estimate, cms_matrix
+
+    vals = [i % 50 for i in range(4000)] + [7] * 500 + [11] * 200
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    m = cms_matrix(df, "user_id", depth=4, width=512)
+    est = {
+        r.user_id: r.est_count
+        for r in cms_estimate(m, df, "user_id", depth=4, width=512).collect()
+    }
+    n = len(vals)
+    for v, c in truth.items():
+        assert est[v] >= c, (v, est[v], c)  # one-sided
+        assert est[v] <= c + 2 * n // 512 + 64, (v, est[v], c)
+
+
+def test_cms_matrix_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.sketch import cms_matrix
+
+    a = spark.createDataFrame([(i % 30,) for i in range(900)], "k long")
+    b = spark.createDataFrame([(i % 77,) for i in range(1100)], "k long")
+    whole = cms_matrix(a.unionAll(b), "k", depth=3, width=64)
+    merged = (
+        cms_matrix(a, "k", depth=3, width=64)
+        .unionAll(cms_matrix(b, "k", depth=3, width=64))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lhs = {(r.r, r.c): r.cnt for r in whole.collect()}
+    rhs = {(r.r, r.c): r.cnt for r in merged.collect()}
+    assert lhs == rhs
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    from nebula_importer_spark.operators.sketch import cms_estimate, cms_matrix
+
+    data = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    probe = spark.createDataFrame([(10_000_000,)], "k long")
+    m = cms_matrix(data, "k", depth=4, width=1024)
+    est = cms_estimate(m, probe, "k", depth=4, width=1024).collect()[0]
+    # with 100 rows over 4x1024 cells a 4-way collision is ~impossible
+    assert est.est_count == 0
+
+
+def test_cms_rejects_bad_shapes(spark):
+    from nebula_importer_spark.operators.sketch import cms_matrix
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        cms_matrix(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_matrix(df, "missing")
