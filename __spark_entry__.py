@@ -3692,6 +3692,53 @@ def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk): m=4
+    subspaces × 16 deterministic KMV-sampled codebook entries on the
+    int8 grid — the 64×-compression scan path beyond int8; every
+    distance is an exact integer ADC table sum, so the quantizer itself
+    is value-checked, with recall vs float pytest-gated."""
+    from nebula_importer_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(emb, queries, k=3, m=4, n_codes=16)
+
+
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (operators/temporal.py:cusum_change)
+    per event type over daily buckets — the sustained-drift complement
+    of the window's burst machinery (event_bursts is the tail twin on
+    the RATE side; this is the Page 1954 statistic on the LEVEL side).
+    Exact integer drift d=B·n−total, prefix-sum closed form, argmax with
+    earliest-bucket ties, ppm via DECIMAL(38,0) div."""
+    from nebula_importer_spark.operators.temporal import cusum_change
+
+    return cusum_change(
+        _t(spark, sf_dir, "events"), bucket_sec=86400
+    )
+
+
+def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Mann-Whitney AUC (operators/metrics.py:
+    exact_auc): how well document length separates English docs —
+    the model-evaluation metric a trained quality filter gets graded
+    with at data scale. Tie-aware midranks in doubled-integer form, the
+    global rank via order-preserving score buckets + two-level prefix
+    sums (NO global sort), final division in DECIMAL(38,0) `div` (the
+    HUGEINT-// twin). One long-keyed shuffle total."""
+    from nebula_importer_spark.operators.metrics import exact_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return exact_auc(docs, n_buckets=16)
+
+
 def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width column histograms (operators/profile.py:
     column_histogram) over lineitem's three join keys in one melt pass —
@@ -3769,7 +3816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": q_bpe_train,
         # dedup family (each row a distinct algorithm) + incremental novelty
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         # exact edit-distance fuzzy join via symmetric-delete blocking
@@ -3784,7 +3830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knowledge graph: extract, link, rules, negatives
         "kg_triples": q_kg_triples,
         "kg_extract_docs": q_kg_extract_docs,
-        "kg_degree": q_kg_degree,
         "kg_rules": q_kg_rules,
         # iterative graph analytics
         "graph_pagerank": q_graph_pagerank,
@@ -3823,6 +3868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-width CBO histograms (stats family; profiler above is the
         # single-row null/distinct pass, this is the distribution pass)
         "histogram_lineitem": q_histogram_lineitem,
+        # exact distributed Mann-Whitney AUC (evaluation-metrics family)
+        "auc_doc_length": q_auc_doc_length,
+        # CUSUM sustained-shift change points (drift-detection family)
+        "cusum_events": q_cusum_events,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -3855,6 +3904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gram/pair-count variants of window-checked shingle machinery
         "bpe_pairs": q_bpe_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # exact shared-shingle Jaccard pairs (machinery = the exact-verify
+        # leg inside the window's dedup_minhash_lsh funnel)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
@@ -3879,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map-only seeded matrix multiply (machinery = embedding_pca's
         # projection step, checked in the window)
         "embedding_project": q_embedding_project,
+        # product-quantization ADC variant (compression path; machinery =
+        # the window's ann_cosine scan + int8 grid, codes instead of vecs)
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_bucket_purity": q_embedding_bucket_purity,
         "hard_negatives": q_hard_negatives,
         "quality_deciles": q_quality_deciles,
@@ -3890,6 +3945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         # behavioral variants (machinery = retention/sessionize rows)
         "event_bursts": q_event_bursts,
+        # explode + one partial agg over the constructed KG (machinery =
+        # the degree-orientation step inside the window's graph_triangles
+        # plus the staged-triples joins of the kg window rows)
+        "kg_degree": q_kg_degree,
         "funnel_steps": q_funnel_steps,
         "rolling_active_users": q_rolling_active_users,
         # PageRank-style iterate / co-occurrence variants
@@ -6194,6 +6253,176 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY t.doc_id) AS postings
             FROM keep k JOIN tf t USING (term)
             GROUP BY 1, 2, 3
+        """,
+        # PQ twin: same int8 grid (the ann_int8_topk expression), same
+        # md5-bottom-16 codebook, struct-min argmin assignment with
+        # smallest-code ties, integer ADC sums, same (dist, id) top-k
+        "ann_pq_topk": """
+            WITH ma AS (
+                SELECT MAX(list_max(list_transform(
+                           embedding::DOUBLE[], x -> abs(x)))) AS mv
+                FROM embeddings
+            ),
+            qz AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> GREATEST(-127, LEAST(127,
+                                CAST(ROUND(x * 127 / ma.mv) AS BIGINT))))
+                           AS qv
+                FROM embeddings, ma
+            ),
+            cb1 AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY md5('pq' || vec_id::VARCHAR), vec_id
+                       ) AS code, qv
+                FROM (SELECT vec_id, qv FROM qz
+                      ORDER BY md5('pq' || vec_id::VARCHAR), vec_id
+                      LIMIT 16)
+            ),
+            cbs AS (
+                SELECT code, j, qv[j*16+1 : j*16+16] AS cb
+                FROM cb1, range(4) t(j)
+            ),
+            cs AS (
+                SELECT vec_id, j, qv[j*16+1 : j*16+16] AS sv
+                FROM qz, range(4) t(j)
+            ),
+            dist AS (
+                SELECT c.vec_id, c.j, cb.code,
+                       list_sum(list_transform(list_zip(c.sv, cb.cb),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS d
+                FROM cs c JOIN cbs cb USING (j)
+            ),
+            codes AS (
+                SELECT vec_id, j,
+                       min(struct_pack(d := d, c := code)).c AS code
+                FROM dist GROUP BY 1, 2
+            ),
+            qs AS (
+                SELECT vec_id AS query_id, j, qv[j*16+1 : j*16+16] AS qsv
+                FROM qz, range(4) t(j) WHERE vec_id < 3
+            ),
+            adc AS (
+                SELECT q.query_id, q.j, cb.code,
+                       list_sum(list_transform(list_zip(q.qsv, cb.cb),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dq
+                FROM qs q JOIN cbs cb USING (j)
+            ),
+            scored AS (
+                SELECT a.query_id, c.vec_id AS neighbor_id,
+                       SUM(a.dq)::BIGINT AS adc_dist
+                FROM codes c JOIN adc a ON a.j = c.j AND a.code = c.code
+                GROUP BY 1, 2
+            )
+            SELECT query_id, rank::BIGINT AS rank, neighbor_id, adc_dist
+            FROM (
+                SELECT query_id, neighbor_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        # CUSUM twin: same integer drift d=B·n−total over the dense grid,
+        # prefix-sum closed form (S⁺=P−min(0,min P), S⁻=max(0,max P)−P),
+        # struct-max argmax with earliest-bucket ties, HUGEINT ppm
+        "cusum_events": """
+            WITH counts AS (
+                SELECT event_type AS k,
+                       floor(epoch(ts))::BIGINT // 86400 AS b,
+                       COUNT(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT k, min(b) AS lo, max(b) AS hi,
+                       SUM(n)::BIGINT AS total
+                FROM counts GROUP BY k
+            ),
+            grid AS (
+                SELECT k, total, (hi - lo + 1)::BIGINT AS nb,
+                       unnest(range(lo, hi + 1)) AS b
+                FROM bounds
+            ),
+            filled AS (
+                SELECT g.k, g.b, g.total, g.nb,
+                       g.nb * coalesce(c.n, 0) - g.total AS d
+                FROM grid g LEFT JOIN counts c ON c.k = g.k AND c.b = g.b
+            ),
+            pre AS (
+                SELECT k, b, total, nb,
+                       SUM(d) OVER (PARTITION BY k ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p
+                FROM filled
+            ),
+            sc AS (
+                SELECT k, b, total, nb, p,
+                       least(0, MIN(p) OVER (PARTITION BY k ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS rmin,
+                       greatest(0, MAX(p) OVER (PARTITION BY k ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS rmax
+                FROM pre
+            ),
+            st AS (
+                SELECT k, b, total, nb,
+                       (p - rmin)::BIGINT AS sp,
+                       (rmax - p)::BIGINT AS sm
+                FROM sc
+            )
+            SELECT k AS event_type,
+                   min(nb)::BIGINT AS n_buckets,
+                   min(total)::BIGINT AS total_events,
+                   max(struct_pack(s := sp, nbk := -b)).s::BIGINT AS up_stat,
+                   (-max(struct_pack(s := sp, nbk := -b)).nbk)::BIGINT
+                       AS up_bucket,
+                   ((1000000::HUGEINT * max(struct_pack(s := sp, nbk := -b)).s)
+                       // (min(nb)::HUGEINT * min(total)))::BIGINT AS up_ppm,
+                   max(struct_pack(s := sm, nbk := -b)).s::BIGINT AS down_stat,
+                   (-max(struct_pack(s := sm, nbk := -b)).nbk)::BIGINT
+                       AS down_bucket,
+                   ((1000000::HUGEINT * max(struct_pack(s := sm, nbk := -b)).s)
+                       // (min(nb)::HUGEINT * min(total)))::BIGINT AS down_ppm
+            FROM st GROUP BY k
+        """,
+        # Mann-Whitney AUC twin: same doubled-midrank integer arithmetic,
+        # rank via a windowed prefix sum over distinct scores, final
+        # division exact in HUGEINT (the Spark side uses DECIMAL(38,0) div)
+        "auc_doc_length": """
+            WITH base AS (
+                SELECT n_chars::BIGINT AS s,
+                       (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS l
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ),
+            per AS (
+                SELECT s, COUNT(*)::BIGINT AS n, SUM(l)::BIGINT AS np
+                FROM base GROUP BY s
+            ),
+            c AS (
+                SELECT s, n, np,
+                       COALESCE(SUM(n) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS below
+                FROM per
+            ),
+            agg AS (
+                SELECT COALESCE(SUM(np), 0)::BIGINT AS n_pos,
+                       COALESCE(SUM(n) - SUM(np), 0)::BIGINT AS n_neg,
+                       COUNT(*)::BIGINT AS n_scores,
+                       COALESCE(SUM(np * (2 * below + n + 1)), 0)::BIGINT AS r2
+                FROM c
+            ),
+            nl AS (
+                SELECT COUNT(*)::BIGINT AS n_null FROM documents
+                WHERE n_chars IS NULL OR lang IS NULL
+            )
+            SELECT n_pos, n_neg, n_scores, n_null,
+                   (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                        (1000000000000::HUGEINT * (r2 - n_pos * (n_pos + 1)))
+                            // (2::HUGEINT * n_pos * n_neg)
+                    END)::BIGINT AS auc_scaled
+            FROM agg, nl
         """,
         # Z-order twin: generated from the same (bits=8, k=2, n_buckets=16)
         "zorder_lineitem": _zorder_sql(bits=8, n_buckets=16),

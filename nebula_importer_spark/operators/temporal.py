@@ -762,3 +762,137 @@ def resample_locf(
         )
         .drop("_bts")
     )
+
+
+def cusum_change(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_sec: int = 3600,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """CUSUM level-shift detection per key (Page 1954): the complement of
+    ``burst_scores`` — a burst is a transient spike against the trailing
+    mean; CUSUM accumulates SUSTAINED drift from the key's overall mean
+    rate, so a step change that never spikes (traffic migrating between
+    services, a scraper ramping slowly) still peaks the statistic at the
+    change point.
+
+    Exact integer form: with ``B`` grid buckets and ``total`` events for
+    the key, per-bucket drift is ``d_i = B·n_i − total`` (Σ d_i = 0 by
+    construction — no float mean anywhere). The classic recursions
+    ``S⁺_i = max(0, S⁺_{i−1} + d_i)`` / ``S⁻_i = max(0, S⁻_{i−1} − d_i)``
+    are not window-expressible directly, but with prefix sums ``P_i``
+    they close over two plain frames:
+    ``S⁺_i = P_i − min(0, min_{j≤i} P_j)`` and
+    ``S⁻_i = max(0, max_{j≤i} P_j) − P_i`` — running sum + running
+    min/max, one window pass.
+
+    Distributed shape: one partial-agg'd (key, bucket) reduction (raw
+    events collapse map-side), the grid explode AFTER the reduction
+    (empty buckets MUST count — the drift of a silent period is the
+    signal; ``max_span_buckets`` fails loudly on a mega-span key, the
+    resample_locf guard), one key-keyed window. The normalized magnitude
+    ``*_ppm = 10⁶·S / (B·total)`` divides in DECIMAL(38,0) ``div`` (the
+    exact_auc discipline — 10⁶·S wraps int64 at scale).
+
+    Returns one row per key: ``(key_col, n_buckets, total_events,
+    up_stat, up_bucket, up_ppm, down_stat, down_bucket, down_ppm)`` —
+    the peak statistics and their earliest-peak buckets (the detected
+    change points; ``bucket`` is the epoch div bucket_sec integer).
+    Keys with a single bucket report zero stats (no shift is definable).
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}"
+        )
+    for c in (ts_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    counts = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec)
+            ).cast("long").alias("_b"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    bounds = counts.groupBy("_k").agg(
+        F.min("_b").alias("_lo"),
+        F.max("_b").alias("_hi"),
+        F.sum("_n").alias("_total"),
+    )
+    guarded_hi = F.when(
+        (F.col("_hi") - F.col("_lo")) >= F.lit(max_span_buckets).cast("long"),
+        F.raise_error(
+            F.concat(
+                F.lit("cusum_change: key span exceeds max_span_buckets for "),
+                F.col("_k").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_hi"))
+    grid = bounds.select(
+        "_k",
+        "_total",
+        (F.col("_hi") - F.col("_lo") + F.lit(1)).alias("_nb"),
+        F.explode(F.sequence("_lo", guarded_hi)).alias("_b"),
+    )
+    filled = grid.join(counts, ["_k", "_b"], "left").select(
+        "_k",
+        "_b",
+        "_total",
+        "_nb",
+        (
+            F.col("_nb") * F.coalesce(F.col("_n"), F.lit(0).cast("long"))
+            - F.col("_total")
+        ).alias("_d"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        filled.withColumn("_p", F.sum("_d").over(w))
+        .withColumn("_rmin", F.least(F.lit(0).cast("long"), F.min("_p").over(w)))
+        .withColumn("_rmax", F.greatest(F.lit(0).cast("long"), F.max("_p").over(w)))
+        .select(
+            "_k",
+            "_b",
+            "_total",
+            "_nb",
+            (F.col("_p") - F.col("_rmin")).alias("_sp"),
+            (F.col("_rmax") - F.col("_p")).alias("_sm"),
+        )
+    )
+    # earliest-peak argmax: max of (stat, -bucket) picks the largest stat,
+    # ties to the smallest bucket — deterministic, never engine order
+    agg = scored.groupBy(F.col("_k").alias(key_col)).agg(
+        F.min("_nb").cast("long").alias("n_buckets"),
+        F.min("_total").cast("long").alias("total_events"),
+        F.max(F.struct(F.col("_sp"), (-F.col("_b")).alias("_nb_"))).alias("_up"),
+        F.max(F.struct(F.col("_sm"), (-F.col("_b")).alias("_nb_"))).alias("_dn"),
+    )
+    ppm = (
+        lambda stat: F.expr(
+            f"(CAST(1000000 AS DECIMAL(38,0)) * {stat})"
+            f" div CAST(n_buckets * total_events AS DECIMAL(38,0))"
+        ).cast("long")
+    )
+    return agg.select(
+        key_col,
+        "n_buckets",
+        "total_events",
+        F.col("_up._sp").cast("long").alias("up_stat"),
+        (-F.col("_up._nb_")).cast("long").alias("up_bucket"),
+        ppm("_up._sp").alias("up_ppm"),
+        F.col("_dn._sm").cast("long").alias("down_stat"),
+        (-F.col("_dn._nb_")).cast("long").alias("down_bucket"),
+        ppm("_dn._sm").alias("down_ppm"),
+    )

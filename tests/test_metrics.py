@@ -1,0 +1,96 @@
+"""operators/metrics.py — exact distributed Mann-Whitney AUC."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nebula_importer_spark.operators.metrics import AUC_SCALE, exact_auc
+
+
+def _auc_model(pairs: list[tuple[int, int]]) -> int:
+    """Arbitrary-precision midrank AUC in pure Python (Fraction-exact)."""
+    from fractions import Fraction
+
+    scores = sorted({s for s, _ in pairs})
+    below = {}
+    tied = {}
+    acc = 0
+    for s in scores:
+        n = sum(1 for x, _ in pairs if x == s)
+        below[s] = acc
+        tied[s] = n
+        acc += n
+    n_pos = sum(l for _, l in pairs)
+    n_neg = len(pairs) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return None
+    r = sum(
+        Fraction(2 * below[s] + tied[s] + 1, 2) for s, l in pairs if l == 1
+    )
+    u = r - Fraction(n_pos * (n_pos + 1), 2)
+    return (AUC_SCALE * u.numerator * 1) // (u.denominator * n_pos * n_neg)
+
+
+def test_auc_perfect_and_reversed(spark):
+    perfect = [(i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(perfect, "score long, label int")
+    assert exact_auc(df).collect()[0].auc_scaled == AUC_SCALE
+    reverse = [(i, 1 if i < 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(reverse, "score long, label int")
+    assert exact_auc(df).collect()[0].auc_scaled == 0
+
+
+def test_auc_all_tied_is_half(spark):
+    df = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "score long, label int"
+    )
+    assert exact_auc(df).collect()[0].auc_scaled == AUC_SCALE // 2
+
+
+def test_auc_randomized_parity_with_ties(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        pairs = [
+            (rng.randint(-20, 20), rng.randint(0, 1)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(pairs, "score long, label int")
+        row = exact_auc(df, n_buckets=8).collect()[0]
+        assert row.auc_scaled == _auc_model(pairs), trial
+        assert row.n_pos == sum(l for _, l in pairs)
+        assert row.n_scores == len({s for s, _ in pairs})
+
+
+def test_auc_nulls_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 0), (3, 1)],
+        "score long, label int",
+    )
+    row = exact_auc(df).collect()[0]
+    assert row.n_null == 2 and row.n_pos == 2 and row.n_neg == 0
+    assert row.auc_scaled is None  # no negatives: undefined, not 0.5
+
+
+def test_auc_rejects_float_scores(spark):
+    df = spark.createDataFrame([(1.0, 1)], "score double, label int")
+    with pytest.raises(ValueError):
+        exact_auc(df)
+    with pytest.raises(ValueError):
+        exact_auc(df, score_col="missing")
+
+
+def test_auc_no_global_sort_in_plan(spark):
+    df = spark.createDataFrame(
+        [(i % 37, i % 2) for i in range(800)], "score long, label int"
+    )
+    plan = (
+        exact_auc(df, n_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # rangepartitioning = a global sort exchange; the two-level prefix sum
+    # must avoid it for the data-sized side (the <= n_buckets totals table
+    # may sort — it is bucket-count-sized, not data-sized)
+    assert "rangepartitioning(_s" not in plan

@@ -129,3 +129,79 @@ def test_mmr_rejects_bad_params(spark):
         mmr_topk(corpus, queries, lam6=MICRO + 1)
     with pytest.raises(ValueError):
         mmr_topk(corpus, queries, k=0)
+
+
+# ---------------------------------------------------------------- pq_topk
+
+
+def _pq_vectors():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    anchors = rng.uniform(-1, 1, size=(8, 16))
+    rows = []
+    for i in range(120):
+        v = anchors[i % 8] + rng.uniform(-0.05, 0.05, 16)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_pq_exact_when_corpus_is_codebook(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.similarity import pq_topk, quantize_vec
+
+    rows = _pq_vectors()[:10]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        rows[:2], "query_id long, query_vec array<float>"
+    )
+    out = pq_topk(corpus, queries, k=1, m=4, n_codes=16)
+    got = {r.query_id: (r.neighbor_id, r.adc_dist) for r in out.collect()}
+    # every corpus vector IS a codebook entry: self-encoding is lossless,
+    # so the query's own vector is its nearest neighbor at distance 0
+    assert got[0] == (0, 0) and got[1] == (1, 0)
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    from nebula_importer_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    rows = _pq_vectors()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:5]], "query_id long, query_vec array<float>"
+    )
+    approx = pq_topk(corpus, queries, k=10, m=4, n_codes=16)
+    exact = brute_force_topk(corpus, queries, k=10)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(a[q] & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_deterministic_and_validated(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.similarity import pq_topk
+
+    rows = _pq_vectors()[:30]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        rows[:2], "query_id long, query_vec array<float>"
+    )
+    r1 = sorted(map(tuple, pq_topk(corpus, queries, k=3).collect()))
+    r2 = sorted(map(tuple, pq_topk(corpus, queries, k=3).collect()))
+    assert r1 == r2
+    with pytest.raises(ValueError):
+        pq_topk(corpus, queries, k=3, m=5)  # 5 does not divide 16
+    with pytest.raises(ValueError):
+        pq_topk(corpus, queries, k=0)
+    with pytest.raises(ValueError):
+        pq_topk(corpus.select("vec_id"), queries, k=1)

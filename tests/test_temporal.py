@@ -720,3 +720,111 @@ def test_resample_locf_span_guard_and_validation(spark):
         resample_locf(df, step_sec=0)
     with pytest.raises(ValueError, match="not in input"):
         resample_locf(df.drop("value"))
+
+
+# ------------------------------------------------------------ cusum_change
+
+
+def _cusum_model(buckets: dict[int, int]):
+    """Pure-Python CUSUM recursions over the dense bucket grid."""
+    lo, hi = min(buckets), max(buckets)
+    nb = hi - lo + 1
+    total = sum(buckets.values())
+    sp = sm = 0
+    best_up = (0, lo)
+    best_dn = (0, lo)
+    for b in range(lo, hi + 1):
+        d = nb * buckets.get(b, 0) - total
+        sp = max(0, sp + d)
+        sm = max(0, sm - d)
+        if sp > best_up[0]:
+            best_up = (sp, b)
+        if sm > best_dn[0]:
+            best_dn = (sm, b)
+    return nb, total, best_up, best_dn
+
+
+def test_cusum_detects_step_change(spark):
+    import datetime
+
+    from nebula_importer_spark.operators.temporal import cusum_change
+
+    # 1/bucket for 20 buckets, then 5/bucket for 20: sustained upward shift
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for b in range(40):
+        for j in range(1 if b < 20 else 5):
+            rows.append(("svc", t0 + datetime.timedelta(hours=b, minutes=j)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_change(df, bucket_sec=3600).collect()[0]
+    model_nb, model_total, up, dn = _cusum_model(
+        {473352 + b: (1 if b < 20 else 5) for b in range(40)}
+    )
+    assert (r.n_buckets, r.total_events) == (model_nb, model_total)
+    assert (r.up_stat, r.up_bucket - 473352) == (up[0], up[1] - 473352)
+    # the upward change peaks at the END of the raised run
+    assert r.up_bucket - 473352 == 39
+    assert r.up_ppm > 0
+
+
+def test_cusum_randomized_parity(spark):
+    import datetime
+    import random
+
+    from nebula_importer_spark.operators.temporal import cusum_change
+
+    rng = random.Random(7)
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, model_in = [], {}
+    for key in ("a", "b"):
+        buckets = {}
+        for b in sorted(rng.sample(range(60), 25)):
+            n = rng.randint(1, 6)
+            buckets[b] = n
+            for j in range(n):
+                rows.append(
+                    (key, t0 + datetime.timedelta(hours=b, seconds=j))
+                )
+        base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+        model_in[key] = {base + b: n for b, n in buckets.items()}
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r.event_type: r for r in cusum_change(df, bucket_sec=3600).collect()}
+    for key in ("a", "b"):
+        nb, total, up, dn = _cusum_model(model_in[key])
+        r = got[key]
+        assert (r.n_buckets, r.total_events) == (nb, total), key
+        assert (r.up_stat, r.up_bucket) == up, key
+        assert (r.down_stat, r.down_bucket) == dn, key
+
+
+def test_cusum_flat_key_zero_stats(spark):
+    import datetime
+
+    from nebula_importer_spark.operators.temporal import cusum_change
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("flat", t0 + datetime.timedelta(hours=b)) for b in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_change(df, bucket_sec=3600).collect()[0]
+    assert r.up_stat == 0 and r.down_stat == 0
+    assert r.up_ppm == 0 and r.down_ppm == 0
+
+
+def test_cusum_span_guard_and_validation(spark):
+    import datetime
+
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import cusum_change
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", t0), ("k", t0 + datetime.timedelta(hours=500))],
+        "event_type string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="max_span_buckets"):
+        cusum_change(df, bucket_sec=3600, max_span_buckets=100).collect()
+    with pytest.raises(ValueError):
+        cusum_change(df, bucket_sec=0)
+    with pytest.raises(ValueError):
+        cusum_change(df, key_col="missing")
