@@ -3708,6 +3708,69 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=3, m=4, n_codes=16)
 
 
+def q_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (operators/dedup.py:
+    ssjoin_prefix, PPJoin family): same contract as the Jaccard pair
+    operators but with a PROVABLY COMPLETE candidate generator — each
+    doc joins only on its rarest ``s − ceil(t·s) + 1`` grams in the
+    global (df, gram) order. The oracle is the uncapped all-pairs
+    Jaccard, so the gate hash proves the filter dropped nothing."""
+    from nebula_importer_spark.operators.dedup import ssjoin_prefix
+
+    out = ssjoin_prefix(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.12
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_b3_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed clustering evaluation (operators/metrics.py:b_cubed): the
+    near-dup components graded against the exact-duplicate gold
+    partition (min doc_id per identical text — Spark groups on
+    sha2(text) so document bodies never shuffle as keys, the exact_dedup
+    lesson; the oracle groups the text strings directly — independent
+    machinery, same semantics). Docs in no dup pair are singleton
+    clusters. Per-term 1e12-floored integer sums, DECIMAL(38,0) F1."""
+    from nebula_importer_spark.operators.connected_components import (
+        connected_components,
+    )
+    from nebula_importer_spark.operators.dedup import ngram_jaccard_pairs
+    from nebula_importer_spark.operators.metrics import b_cubed
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_comp")
+    )
+    tkey = F.sha2(F.coalesce(F.col("text"), F.lit("\x00null")), 256)
+    gold = (
+        docs.select("doc_id", tkey.alias("_tk"))
+        .join(
+            docs.select(tkey.alias("_tk"), F.col("doc_id").alias("_gid"))
+            .groupBy("_tk")
+            .agg(F.min("_gid").alias("gold")),
+            "_tk",
+        )
+        .select("doc_id", "gold")
+    )
+    assign = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_comp"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return b_cubed(
+        assign.join(gold, "doc_id"),
+        item_col="doc_id",
+        cluster_col="cluster",
+        gold_col="gold",
+    )
+
+
 def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection (operators/temporal.py:cusum_change)
     per event type over daily buckets — the sustained-drift complement
@@ -3907,6 +3970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact shared-shingle Jaccard pairs (machinery = the exact-verify
         # leg inside the window's dedup_minhash_lsh funnel)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # PPJoin prefix-filter variant (provably complete candidate
+        # generator; verify leg = the same counts-based Jaccard)
+        "dedup_ssjoin": q_dedup_ssjoin,
+        # clustering-evaluation second metrics row (machinery = the
+        # window's auc_doc_length two-level aggregation discipline over
+        # the window-checked dedup_components clustering)
+        "b3_dedup_quality": q_b3_dedup_quality,
         "dedup_containment": q_dedup_containment,
         "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
@@ -6253,6 +6323,122 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY t.doc_id) AS postings
             FROM keep k JOIN tf t USING (term)
             GROUP BY 1, 2, 3
+        """,
+        # ssjoin twin: the UNCAPPED all-pairs Jaccard — the prefix filter
+        # must reproduce it exactly (completeness is the operator's claim)
+        "dedup_ssjoin": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ex a JOIN ex b USING (g)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                         / len(list_distinct(list_concat(sa.grams, sb.grams))), 6)
+                       AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+            WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                  / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+        """,
+        # B-cubed twin: recursive-CTE closure (the dedup_components twin)
+        # + text-string gold groups + HUGEINT per-term floors
+        "b3_dedup_quality": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+            rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 1000),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) a
+                JOIN (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+                WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+                      / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.12
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+                FROM reach GROUP BY a
+            ),
+            assign AS (
+                SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cl
+                FROM documents d LEFT JOIN comp c USING (doc_id)
+            ),
+            gold AS (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (
+                           PARTITION BY coalesce(text, chr(1))
+                       ) AS g
+                FROM documents
+            ),
+            j AS (
+                SELECT a.doc_id, a.cl, g.g
+                FROM assign a JOIN gold g USING (doc_id)
+            ),
+            cells AS (
+                SELECT cl, g, COUNT(*)::BIGINT AS m FROM j GROUP BY 1, 2
+            ),
+            csz AS (SELECT cl, SUM(m)::BIGINT AS nc FROM cells GROUP BY 1),
+            gsz AS (SELECT g, SUM(m)::BIGINT AS ng FROM cells GROUP BY 1),
+            terms AS (
+                SELECT m,
+                       (1000000000000::HUGEINT * m * m) // nc AS tp,
+                       (1000000000000::HUGEINT * m * m) // ng AS tr
+                FROM cells JOIN csz USING (cl) JOIN gsz USING (g)
+            ),
+            agg AS (
+                SELECT SUM(m)::BIGINT AS n_items,
+                       SUM(tp) AS sp, SUM(tr) AS sr,
+                       COUNT(*) AS n_cells
+                FROM terms
+            ),
+            cnt AS (
+                SELECT COUNT(DISTINCT cl)::BIGINT AS n_clusters,
+                       COUNT(DISTINCT g)::BIGINT AS n_gold
+                FROM j
+            )
+            SELECT n_items, 0::BIGINT AS n_null, n_clusters, n_gold,
+                   (sp // n_items)::BIGINT AS precision_s,
+                   (sr // n_items)::BIGINT AS recall_s,
+                   (CASE WHEN (sp // n_items) + (sr // n_items) > 0 THEN
+                        (2::HUGEINT * (sp // n_items) * (sr // n_items))
+                            // ((sp // n_items) + (sr // n_items))
+                    END)::BIGINT AS f1_s
+            FROM agg, cnt
         """,
         # PQ twin: same int8 grid (the ann_int8_topk expression), same
         # md5-bottom-16 codebook, struct-min argmin assignment with

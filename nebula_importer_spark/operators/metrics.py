@@ -162,3 +162,109 @@ def exact_auc(
         .cast("long")
         .alias("auc_scaled"),
     )
+
+
+#: B-cubed ratios are returned as integers in 1e12ths.
+B3_SCALE = 10**12
+
+
+def b_cubed(
+    df: DataFrame,
+    *,
+    item_col: str = "item",
+    cluster_col: str = "cluster",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of a clustering
+    against a gold partition — the standard entity-resolution /
+    coreference clustering score, here grading dedup components,
+    label-prop communities, or canonicalization maps at data scale.
+
+    Per-item definition: precision(i) = |C(i) ∩ G(i)| / |C(i)| averaged
+    over items (recall symmetric with G). Grouping items by their
+    (cluster, gold) cell collapses this to cell counts:
+
+        P = (1/N) Σ_cells n_cg² / n_c      R = (1/N) Σ_cells n_cg² / n_g
+
+    Distributed shape: ONE (cluster, gold) aggregation plus two
+    single-column re-aggregations for the cluster/gold sizes — all
+    partial-aggregable; the final assembly is a ≤ cells-sized join and a
+    1-row agg. No windows, no sort, no driver collect.
+
+    Exactness contract: each cell's term is floored AT B3_SCALE
+    (``(1e12·n_cg²) div n_c``) before summing — term-wise flooring makes
+    the sum order-free and engine-identical; the bias is < n_cells/1e12,
+    below any decision threshold a release gate would use (the same
+    trade the repo's ppm/scaled-ratio operators make). F1 assembles from
+    the scaled P and R in DECIMAL(38,0) ``div``.
+
+    NULL cluster or gold ids are excluded and counted (``n_null``) — an
+    unassigned item is a pipeline bug to surface, not an implicit
+    singleton. Returns one row:
+    ``(n_items, n_null, n_clusters, n_gold, precision_s, recall_s, f1_s)``.
+    """
+    for c in (item_col, cluster_col, gold_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    cl, gl = F.col(cluster_col), F.col(gold_col)
+    valid = df.filter(cl.isNotNull() & gl.isNotNull()).select(
+        F.col(item_col).alias("_i"), cl.alias("_c"), gl.alias("_g")
+    )
+    nulls = df.agg(
+        F.sum(F.when(cl.isNull() | gl.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null")
+    )
+    cells = valid.groupBy("_c", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    csz = cells.groupBy("_c").agg(F.sum("_n").alias("_nc"))
+    gsz = cells.groupBy("_g").agg(F.sum("_n").alias("_ng"))
+    # per-term work in DECIMAL(38,0): 1e12·n² wraps int64 for cells past
+    # ~3M rows, and the SUM of terms is ≤ 1e12·N — decimal keeps both
+    # exact; `div` on decimals is exact floor (the exact_auc discipline)
+    terms = cells.join(csz, "_c").join(gsz, "_g").select(
+        "_n",
+        F.expr(
+            f"(CAST({B3_SCALE} AS DECIMAL(38,0)) * _n * _n)"
+            f" div CAST(_nc AS DECIMAL(38,0))"
+        ).cast("decimal(38,0)").alias("_tp"),
+        F.expr(
+            f"(CAST({B3_SCALE} AS DECIMAL(38,0)) * _n * _n)"
+            f" div CAST(_ng AS DECIMAL(38,0))"
+        ).cast("decimal(38,0)").alias("_tr"),
+    )
+    agg = terms.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("_tp"), F.lit(0).cast("decimal(38,0)")).alias("_sp"),
+        F.coalesce(F.sum("_tr"), F.lit(0).cast("decimal(38,0)")).alias("_sr"),
+    )
+    counts = valid.agg(
+        F.count_distinct("_c").cast("long").alias("n_clusters"),
+        F.count_distinct("_g").cast("long").alias("n_gold"),
+    )
+    out = agg.crossJoin(F.broadcast(counts)).crossJoin(F.broadcast(nulls))
+    pdiv = "(_sp div CAST(n_items AS DECIMAL(38,0)))"
+    rdiv = "(_sr div CAST(n_items AS DECIMAL(38,0)))"
+    return out.select(
+        "n_items",
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        "n_clusters",
+        "n_gold",
+        F.when(F.col("n_items") > 0, F.expr(pdiv))
+        .cast("long")
+        .alias("precision_s"),
+        F.when(F.col("n_items") > 0, F.expr(rdiv))
+        .cast("long")
+        .alias("recall_s"),
+        F.when(
+            (F.col("n_items") > 0)
+            & (F.expr(pdiv) + F.expr(rdiv) > 0),
+            F.expr(
+                f"(CAST(2 AS DECIMAL(38,0)) * {pdiv} * {rdiv})"
+                f" div CAST({pdiv} + {rdiv} AS DECIMAL(38,0))"
+            ),
+        )
+        .cast("long")
+        .alias("f1_s"),
+    )

@@ -1248,3 +1248,78 @@ def test_select_survivors_validation(spark):
         select_survivors(comp.drop("canonical_id"), qual)
     with pytest.raises(ValueError, match="not in quality"):
         select_survivors(comp, qual.drop("score"))
+
+
+# ------------------------------------------------------------ ssjoin_prefix
+
+
+def test_ssjoin_matches_all_pairs_jaccard(spark):
+    import random
+
+    from nebula_importer_spark.operators.dedup import ssjoin_prefix
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(5, 14)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    # seed some near-dup pairs
+    for i in range(40, 48):
+        base = rows[i - 40][1]
+        toks = base.split()
+        toks[rng.randrange(len(toks))] = "zz"
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t, n=2):
+        tk = t.split()
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    for thr in (0.3, 0.6):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ssjoin_prefix(df, n=2, threshold=thr).collect()
+        }
+        want = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = grams(rows[i][1]), grams(rows[j][1])
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= thr:
+                    want[(rows[i][0], rows[j][0])] = jac
+        assert set(got) == set(want), thr
+        for pair, jac in want.items():
+            assert abs(got[pair] - jac) < 1e-12
+
+
+def test_ssjoin_prefix_exposes_fewer_grams(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.dedup import ssjoin_prefix
+    from nebula_importer_spark.operators.linking import word_ngrams
+
+    # at threshold 0.8 a doc exposes ~21% of its grams as join keys
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(50))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ssjoin_prefix(df, n=2, threshold=0.8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.count() == 0  # disjoint docs: no pairs, but plan is built
+
+
+def test_ssjoin_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.dedup import ssjoin_prefix
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ssjoin_prefix(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        ssjoin_prefix(df, threshold=1.5)
+    with pytest.raises(ValueError):
+        ssjoin_prefix(df, n=0)
+    with pytest.raises(ValueError):
+        ssjoin_prefix(df, id_col="missing")

@@ -94,3 +94,80 @@ def test_auc_no_global_sort_in_plan(spark):
     # must avoid it for the data-sized side (the <= n_buckets totals table
     # may sort — it is bucket-count-sized, not data-sized)
     assert "rangepartitioning(_s" not in plan
+
+
+# ------------------------------------------------------------------ b_cubed
+
+
+def _b3_model(rows):
+    """Fraction-exact per-item B-cubed in pure Python."""
+    from fractions import Fraction
+
+    from nebula_importer_spark.operators.metrics import B3_SCALE
+
+    rows = [(i, c, g) for i, c, g in rows if c is not None and g is not None]
+    csz, gsz, cell = {}, {}, {}
+    for _, c, g in rows:
+        csz[c] = csz.get(c, 0) + 1
+        gsz[g] = gsz.get(g, 0) + 1
+        cell[(c, g)] = cell.get((c, g), 0) + 1
+    n = len(rows)
+    sp = sum(B3_SCALE * m * m // csz[c] for (c, g), m in cell.items())
+    sr = sum(B3_SCALE * m * m // gsz[g] for (c, g), m in cell.items())
+    p, r = sp // n, sr // n
+    f1 = (2 * p * r) // (p + r) if p + r else None
+    return p, r, f1
+
+
+def test_b_cubed_perfect_clustering(spark):
+    from nebula_importer_spark.operators.metrics import B3_SCALE, b_cubed
+
+    rows = [(i, i % 5, i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "item long, cluster long, gold long")
+    r = b_cubed(df).collect()[0]
+    assert r.precision_s == B3_SCALE and r.recall_s == B3_SCALE
+    assert r.f1_s == B3_SCALE and r.n_clusters == 5
+
+
+def test_b_cubed_over_and_under_merge(spark):
+    from nebula_importer_spark.operators.metrics import B3_SCALE, b_cubed
+
+    # everything in one cluster vs 5 gold groups: recall 1, precision 1/5
+    rows = [(i, 0, i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "item long, cluster long, gold long")
+    r = b_cubed(df).collect()[0]
+    assert r.recall_s == B3_SCALE and r.precision_s == B3_SCALE // 5
+    # all-singleton clustering: precision 1, recall 1/10 (gold groups of 10)
+    rows = [(i, i, i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "item long, cluster long, gold long")
+    r = b_cubed(df).collect()[0]
+    assert r.precision_s == B3_SCALE and r.recall_s == B3_SCALE // 10
+
+
+def test_b_cubed_randomized_parity_and_nulls(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import b_cubed
+
+    rng = random.Random(3)
+    rows = [
+        (
+            i,
+            rng.randint(0, 6) if rng.random() > 0.05 else None,
+            rng.randint(0, 4),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "item long, cluster long, gold long")
+    r = b_cubed(df).collect()[0]
+    p, rr, f1 = _b3_model(rows)
+    assert (r.precision_s, r.recall_s, r.f1_s) == (p, rr, f1)
+    assert r.n_null == sum(1 for _, c, g in rows if c is None or g is None)
+
+
+def test_b_cubed_validation(spark):
+    from nebula_importer_spark.operators.metrics import b_cubed
+
+    df = spark.createDataFrame([(1, 1, 1)], "item long, cluster long, gold long")
+    with pytest.raises(ValueError):
+        b_cubed(df, cluster_col="missing")
