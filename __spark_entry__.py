@@ -3817,6 +3817,23 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact semi-join (operators/sketch.py:bloom_semi_join):
+    lineitem rows belonging to high-value orders. The runtime-filter /
+    sideways-information-passing pattern made explicit and deterministic
+    — the fact side is pruned MAP-SIDE by a broadcast 104-bit-hash Bloom
+    bitset before any exchange, then the survivors resolve with a real
+    left-semi join. The oracle is the plain ``IN`` semi-join, so the
+    gate hash IS the no-false-negative proof."""
+    from nebula_importer_spark.operators.sketch import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    hi = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3928,9 +3945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted-index construction (search-index family; BM25 above is
         # its query-time counterpart)
         "inverted_index_docs": q_inverted_index_docs,
-        # equi-width CBO histograms (stats family; profiler above is the
-        # single-row null/distinct pass, this is the distribution pass)
-        "histogram_lineitem": q_histogram_lineitem,
+        # Bloom-filter runtime prune + exact semi-join (shuffle-reduction
+        # infrastructure family: the big side is pruned map-side by a
+        # broadcast bitset BEFORE its exchange)
+        "bloom_semi_lineitem": q_bloom_semi_lineitem,
         # exact distributed Mann-Whitney AUC (evaluation-metrics family)
         "auc_doc_length": q_auc_doc_length,
         # CUSUM sustained-shift change points (drift-detection family)
@@ -3948,6 +3966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stats": q_quantile_stats,
         "customers_no_orders": q_customers_no_orders,
         "json_props_stats": q_json_props_stats,
+        # equi-width CBO histograms (stats family — in-window machinery
+        # twins: profile_customer's melt pass + events_skew_report's
+        # exact integer bucket arithmetic)
+        "histogram_lineitem": q_histogram_lineitem,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6616,6 +6638,16 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # bloom semi-join twin: the EXACT IN-semi-join — bloom prefilters
+        # have no false negatives and the exact resolve step removes the
+        # false positives, so the outputs must be row-identical
+        "bloom_semi_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+            )
+        """,
         # modularity twin: same canonical edge set, namespace labels,
         # integer (4·m·e_c − d_c²) // 4m² arithmetic
         "kg_modularity": f"""

@@ -263,3 +263,169 @@ def hash_sample_quantiles(
         for q in quantiles
     ]
     return agg.select(group_col, "n_sample", *picks)
+
+
+def _bloom_bases(col: Column, salt: str) -> tuple[Column, Column]:
+    """Two independent 52-bit hashes for Kirsch–Mitzenmacher double
+    hashing (``bit_i = (h1 + i·h2) mod n_bits`` simulates i independent
+    hash functions with two; Kirsch & Mitzenmacher 2006, "Less hashing,
+    same performance"). i·h2 ≤ n_hashes·2^52 stays far under 2^63, so
+    the arithmetic is exact int64 on any engine."""
+    return _kmv_hash(col, f"{salt}1|"), _kmv_hash(col, f"{salt}2|")
+
+
+def bloom_filter(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``col`` (Bloom
+    1970): a 1-row DataFrame ``(n_keys, words)`` where ``words`` is the
+    dense ``n_bits/64``-element ``array<long>`` bitset. Like every sketch
+    in this module the hashes are md5-derived and fully deterministic,
+    so the filter is reproducible across engines and runs and the
+    operators built on it are gate-checkable.
+
+    Membership contract: NO false negatives ever (every inserted key's
+    bits are set); false positives at rate ≈ (1 − e^(−kn/m))^k — size
+    ``n_bits`` at ~10× the expected distinct count for ~1% with 5
+    hashes. NULL keys are not inserted (SQL ``IN`` semantics: NULL
+    never matches).
+
+    Distributed shape: distinct on the 104-bit hash pair (values
+    themselves never shuffle — fixed-width keys, the exact_dedup
+    discipline), a bounded ``n_hashes``-element explode to (word, mask)
+    cells, ONE partial-aggregable ``bit_or`` over ≤ n_bits/64 groups,
+    then a 1-row assembly whose state IS the bitset. Mergeable: the
+    filter of a union is the word-wise OR of the filters (pytest-proven
+    via zip_with).
+    """
+    if n_bits < 64 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+    if not 1 <= n_hashes <= 16:
+        raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    n_words = n_bits // 64
+    h1, h2 = _bloom_bases(F.col(col), salt)
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(h1.alias("_h1"), h2.alias("_h2"))
+        .distinct()
+    )
+    cells = F.array(
+        *[
+            F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    words = (
+        hashed.select(F.explode(cells).alias("_bit"))
+        .select(
+            (F.col("_bit") / 64).cast("int").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_bit % 64 AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+    )
+    n_keys = hashed.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    dense = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_w"), F.col("_word")))
+        ).alias("_map")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_map"), i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("words")
+    )
+    return n_keys.crossJoin(F.broadcast(dense))
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAY be in the ``bloom_filter`` result
+    (built with the SAME n_bits/n_hashes/salt — the caller's contract,
+    as with every parameterized sketch probe in this module). Guaranteed
+    superset of the true matches; false positives pass through and must
+    be resolved by whatever exact step follows (``bloom_semi_join``).
+
+    Distributed shape: the 1-row bitset rides a broadcast nested-loop
+    join (1 row × N — a map-side pattern, not a shuffle), then the
+    membership test is ``n_hashes`` unrolled getbit probes in
+    whole-stage codegen. The big side never exchanges: this is the
+    100-TB point — a shuffle-join prunes AFTER moving every row, the
+    bloom prunes BEFORE.
+    """
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    if n_bits < 64 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+    h1, h2 = _bloom_bases(F.col(col), salt)
+    probe = df.withColumn("_h1", h1).withColumn("_h2", h2).crossJoin(
+        F.broadcast(bloom.select("words"))
+    )
+    hit = None
+    for i in range(n_hashes):
+        bit = f"pmod(_h1 + {i} * _h2, {n_bits})"
+        test = F.expr(
+            f"getbit(element_at(words, CAST({bit} div 64 AS INT) + 1), "
+            f"CAST({bit} % 64 AS INT)) = 1"
+        )
+        hit = test if hit is None else (hit & test)
+    return probe.filter(F.col(col).isNotNull() & hit).drop(
+        "_h1", "_h2", "words"
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str | None = None,
+    *,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """EXACT left-semi join of ``big`` against ``small``'s keys with a
+    Bloom pre-prune: build the filter over ``small`` (one pass over the
+    SMALL side), drop the big side's non-matching rows MAP-SIDE (no
+    false negatives, so nothing qualifying is lost), then resolve the
+    surviving ≈ matches + FP·ε rows with a real left-semi join. Output
+    ≡ ``big WHERE key IN (SELECT small_key FROM small)`` — the gate
+    oracle is that exact semi-join, so the hash match IS the
+    no-false-negative proof.
+
+    Why at 100 TB: a plain semi-join shuffles the big side ON ITS WAY
+    to the prune; here the exchange moves only the pre-pruned survivors
+    — for a selective probe (the common case: "events for these flagged
+    users") that is a 10-1000× smaller shuffle for one extra map pass.
+    This is the runtime-filter / sideways-information-passing pattern
+    (Spark's own AQE runtime bloom, made explicit and deterministic).
+    """
+    sk = small_key or key
+    if sk not in small.columns:
+        raise ValueError(f"column {sk!r} not in small side: {small.columns}")
+    bloom = bloom_filter(small, sk, n_bits=n_bits, n_hashes=n_hashes, salt=salt)
+    pruned = bloom_prefilter(
+        big, key, bloom, n_bits=n_bits, n_hashes=n_hashes, salt=salt
+    )
+    keys = small.select(F.col(sk).alias(key)).filter(
+        F.col(key).isNotNull()
+    ).distinct()
+    return pruned.join(keys, key, "left_semi")

@@ -216,3 +216,104 @@ def test_cms_rejects_bad_shapes(spark):
         cms_matrix(df, "k", depth=0)
     with pytest.raises(ValueError):
         cms_matrix(df, "missing")
+
+
+# ------------------------------------------------------------- bloom filter
+
+
+def test_bloom_no_false_negatives_and_semi_join_exact(spark):
+    import random
+
+    from nebula_importer_spark.operators.sketch import (
+        bloom_filter,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    rng = random.Random(7)
+    big_keys = [rng.randrange(10_000) for _ in range(3_000)]
+    small_keys = sorted(rng.sample(range(10_000), 150))
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(big_keys)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(k,) for k in small_keys], "k long")
+
+    bloom = bloom_filter(small, "k", n_bits=4096, n_hashes=5)
+    kept = {
+        r.row_id for r in bloom_prefilter(
+            big, "k", bloom, n_bits=4096, n_hashes=5
+        ).collect()
+    }
+    truth = {i for i, k in enumerate(big_keys) if k in set(small_keys)}
+    # no false negatives: every true match survives the prefilter
+    assert truth <= kept
+    # the prefilter actually prunes (FP rate well under 50% here)
+    assert len(kept) < len(big_keys) * 0.5
+
+    out = {
+        r.row_id
+        for r in bloom_semi_join(big, small, "k", n_bits=4096).collect()
+    }
+    assert out == truth
+
+
+def test_bloom_null_keys_never_match(spark):
+    from nebula_importer_spark.operators.sketch import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 6)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(5,), (None,)], "k long")
+    got = sorted(r.row_id for r in bloom_semi_join(big, small, "k").collect())
+    # SQL IN semantics: NULL matches nothing on either side
+    assert got == [2]
+
+
+def test_bloom_merge_is_wordwise_or(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.sketch import bloom_filter
+
+    a = spark.createDataFrame([(i,) for i in range(0, 60)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "k long")
+    u = a.union(b)
+    wa = bloom_filter(a, "k", n_bits=1024).collect()[0].words
+    wb = bloom_filter(b, "k", n_bits=1024).collect()[0].words
+    wu = bloom_filter(u, "k", n_bits=1024).collect()[0].words
+    assert [x | y for x, y in zip(wa, wb)] == list(wu)
+
+
+def test_bloom_prefilter_is_map_side(spark):
+    from nebula_importer_spark.operators.sketch import (
+        bloom_filter,
+        bloom_prefilter,
+    )
+
+    big = spark.createDataFrame([(i, i) for i in range(100)], "row_id long, k long")
+    small = spark.createDataFrame([(3,), (7,)], "k long")
+    out = bloom_prefilter(big, "k", bloom_filter(small, "k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the 1-row bitset rides a broadcast nested-loop join; the big side
+    # must not exchange on its way to the membership test
+    assert "BroadcastNestedLoopJoin" in plan
+    head = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in head
+
+
+def test_bloom_validation(spark):
+    import pytest as _pytest
+
+    from nebula_importer_spark.operators.sketch import (
+        bloom_filter,
+        bloom_semi_join,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter(df, "k", n_bits=100)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_filter(df, "k", n_hashes=0)
+    with _pytest.raises(ValueError, match="not in input"):
+        bloom_filter(df, "missing")
+    with _pytest.raises(ValueError, match="not in small"):
+        bloom_semi_join(df, df, "k", small_key="missing")
