@@ -3817,6 +3817,24 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay to end state (operators/cdc.py:apply_changes): the
+    events table read as a changelog — per user keep the latest change
+    by (ts, event_id), drop users whose final change is the 'error'
+    tombstone (synthetic stand-in for a delete marker). The Delta-MERGE
+    / Hudi-upsert ingestion staple as ONE WindowGroupLimit pass; columns
+    are carried, never recomputed, so value/ts hash bit-identically."""
+    from nebula_importer_spark.operators.cdc import apply_changes
+
+    return apply_changes(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+
+
 def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact semi-join (operators/sketch.py:bloom_semi_join):
     lineitem rows belonging to high-value orders. The runtime-filter /
@@ -3940,8 +3958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         # Z-order clustering key + file assignment (data-layout family)
         "zorder_lineitem": q_zorder_lineitem,
-        # count-min point-frequency sketch (cardinality twin is KMV above)
-        "cms_user_counts": q_cms_user_counts,
+        # CDC latest-wins apply with tombstones (changelog-ingestion
+        # family: the set-oriented MERGE the reference's UPDATE/DELETE
+        # write modes perform row-at-a-time client-side)
+        "cdc_user_state": q_cdc_user_state,
         # inverted-index construction (search-index family; BM25 above is
         # its query-time counterpart)
         "inverted_index_docs": q_inverted_index_docs,
@@ -3970,6 +3990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins: profile_customer's melt pass + events_skew_report's
         # exact integer bucket arithmetic)
         "histogram_lineitem": q_histogram_lineitem,
+        # count-min frequency sketch (sketch family — in-window twins:
+        # kmv_distinct_users' md5-derived hashing + bloom_semi_lineitem's
+        # membership bitset; CMS is the point-frequency third leg)
+        "cms_user_counts": q_cms_user_counts,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6638,6 +6662,21 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # CDC twin: the same latest-by-(ts,id) replay in windowed SQL —
+        # surviving columns are carried verbatim, so value/ts/props hash
+        # bit-identically
+        "cdc_user_state": """
+            WITH r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM r
+            WHERE rn = 1
+              AND (event_type IS NULL OR event_type <> 'error')
+        """,
         # bloom semi-join twin: the EXACT IN-semi-join — bloom prefilters
         # have no false negatives and the exact resolve step removes the
         # false positives, so the outputs must be row-identical
