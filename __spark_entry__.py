@@ -3817,6 +3817,117 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_eval_sql(k: int, n_queries: int) -> str:
+    """DuckDB twin of q_retrieval_eval_ann: the ann_cosine_topk ranking
+    form over the first ``n_queries`` vectors, same-label truth pairs,
+    and the metric assembled from the SAME integer discount/prefix
+    literals as metrics.ndcg_discounts — both engines evaluate the
+    literal same tables, no float log in either."""
+    from nebula_importer_spark.operators.metrics import (
+        RET_SCALE,
+        ndcg_discounts,
+    )
+
+    disc = ndcg_discounts(k)
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    prefix_lit = "[" + ", ".join(str(p) for p in prefix) + "]"
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(
+                       list_zip(q.qv, e.embedding::DOUBLE[]),
+                       x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))))
+                   AS cos
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, rn FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                ) AS rn
+                FROM scored
+            ) WHERE rn <= {k}
+        ),
+        truth AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id
+            FROM embeddings e, q
+            WHERE e.label = q.ql AND e.vec_id <> q.query_id
+        ),
+        nrel AS (
+            SELECT query_id, COUNT(*)::BIGINT AS n_relevant
+            FROM truth GROUP BY 1
+        ),
+        marked AS (
+            SELECT r.query_id, r.rn,
+                   CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+            FROM ranked r
+            LEFT JOIN truth t
+              ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        ),
+        per_q AS (
+            SELECT query_id,
+                   COUNT(*)::BIGINT AS n_retrieved,
+                   SUM(rel)::BIGINT AS n_hits,
+                   SUM(rel * ({disc_lit}::BIGINT[])[rn])::BIGINT AS dcg
+            FROM marked GROUP BY 1
+        )
+        SELECT p.query_id, p.n_retrieved,
+               COALESCE(n.n_relevant, 0)::BIGINT AS n_relevant,
+               p.n_hits,
+               (({RET_SCALE} * p.n_hits) // {k})::BIGINT AS precision_ppm,
+               (CASE WHEN COALESCE(n.n_relevant, 0) > 0 THEN
+                    ({RET_SCALE} * p.n_hits) // n.n_relevant
+                END)::BIGINT AS recall_ppm,
+               (CASE WHEN ({prefix_lit}::BIGINT[])[least(COALESCE(n.n_relevant, 0), {k}) + 1] > 0 THEN
+                    ({RET_SCALE}::BIGINT * p.dcg)
+                        // ({prefix_lit}::BIGINT[])[least(n.n_relevant, {k}) + 1]
+                END)::BIGINT AS ndcg_ppm
+        FROM per_q p LEFT JOIN nrel n USING (query_id)
+    """
+
+
+def q_retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (operators/metrics.py:retrieval_metrics):
+    precision/recall/nDCG@10 of the exact cosine retriever against the
+    same-label truth pairs — the grading step every candidate-generation
+    stage is sized by. Ranking machinery = the oracle-proven
+    brute_force_topk row; the metric itself is all-integer (plan-literal
+    log2 discount table, floor-div ratios), so the only float in the
+    pipeline is the already-proven cosine order."""
+    from nebula_importer_spark.operators.metrics import retrieval_metrics
+    from nebula_importer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ranked = brute_force_topk(emb, queries, k=10)
+    truth = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("_l"))
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_l")),
+            "_l",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return retrieval_metrics(
+        ranked, truth, k=10, doc_col="neighbor_id"
+    )
+
+
 def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay to end state (operators/cdc.py:apply_changes): the
     events table read as a changelog — per user keep the latest change
@@ -3994,6 +4105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmv_distinct_users' md5-derived hashing + bloom_semi_lineitem's
         # membership bitset; CMS is the point-frequency third leg)
         "cms_user_counts": q_cms_user_counts,
+        # retrieval eval P/R/nDCG@k (evaluation family — in-window twins:
+        # auc_doc_length's integer-exact metric discipline over
+        # ann_cosine_topk's proven ranking machinery)
+        "retrieval_eval_ann": q_retrieval_eval_ann,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6662,6 +6777,11 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # retrieval-eval twin: same brute-force cosine ranking as the
+        # ann_cosine_topk twin, same-label truth pairs, and the SAME
+        # plan-literal discount/prefix tables (generated from
+        # metrics.ndcg_discounts) — all-integer metric arithmetic
+        "retrieval_eval_ann": _retrieval_eval_sql(k=10, n_queries=20),
         # CDC twin: the same latest-by-(ts,id) replay in windowed SQL —
         # surviving columns are carried verbatim, so value/ts/props hash
         # bit-identically

@@ -268,3 +268,135 @@ def b_cubed(
         .cast("long")
         .alias("f1_s"),
     )
+
+
+#: Retrieval ratios (precision/recall/nDCG) are integers in millionths.
+RET_SCALE = 10**6
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    """The binary-relevance DCG discount table in RET_SCALE millionths:
+    ``disc[i] = round(1e6 / log2(i + 2))`` for rank ``i+1``. Computed ONCE
+    driver-side and embedded as plan literals in both engines (the
+    seeded-hyperplane discipline of similarity.lsh_topk), so the float
+    log never runs inside either engine and the metric is hash-stable."""
+    import math
+
+    return [round(RET_SCALE / math.log2(i + 2)) for i in range(k)]
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval evaluation — precision@k, recall@k and nDCG@k
+    (binary relevance, Järvelin & Kekäläinen 2002) of any ranked
+    retriever output against a relevant-pair truth table. The grading
+    step for every retrieval stage in this repo (brute-force / LSH /
+    IVF / PQ / int8 ANN, BM25, hybrid fusion): recall@k is THE metric a
+    candidate-generation stage is sized by at 100 TB.
+
+    Inputs: ``ranked`` = (query, doc, rank) with rank starting at 1
+    (rows past ``k`` are ignored defensively); ``truth`` = (query, doc)
+    relevant pairs, deduplicated here. The evaluation universe is
+    ``ranked``'s query set — a query with no truth pairs gets NULL
+    recall/nDCG (undefined, never a fake 0; the exact_auc discipline),
+    while precision@k divides by the CONTRACTED k (standard P@k — a
+    retriever that returns fewer than k rows is penalized, not excused).
+
+    Exactness: hit indicators are integers; DCG sums the plan-literal
+    ``ndcg_discounts`` table (ints ≤ 1e6, so dcg ≤ k·1e6 — nowhere near
+    int64); ideal DCG is an element-pick from the literal prefix-sum
+    table at min(n_relevant, k); all three ratios are exact integer
+    floor divisions. No float enters the metric, so the output hashes
+    identically on any engine given the same ranking.
+
+    Distributed shape: one dedup exchange on the fixed-width truth pair
+    key, one equi-join marking hits, ONE query-keyed partial agg, a
+    truth-side per-query count and a final query-keyed join — all
+    partial-aggregable, no windows, no sort, no collect.
+
+    Returns ``(query, n_retrieved, n_relevant, n_hits, precision_ppm,
+    recall_ppm, ndcg_ppm)`` — one row per query in ``ranked``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for c in (query_col, doc_col, rank_col):
+        if c not in ranked.columns:
+            raise ValueError(f"column {c!r} not in ranked: {ranked.columns}")
+    for c in (query_col, doc_col):
+        if c not in truth.columns:
+            raise ValueError(f"column {c!r} not in truth: {truth.columns}")
+
+    disc = ndcg_discounts(k)
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+
+    tq, td = F.col(query_col), F.col(doc_col)
+    truth_d = (
+        truth.filter(tq.isNotNull() & td.isNotNull())
+        .select(query_col, doc_col)
+        .distinct()
+    )
+    rel_counts = truth_d.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    marked = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(
+            truth_d.withColumn("_rel", F.lit(1)),
+            [query_col, doc_col],
+            "left",
+        )
+        .select(
+            query_col,
+            F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+            F.element_at(disc_arr, F.col(rank_col).cast("int")).alias("_d"),
+        )
+    )
+    per_q = marked.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum("_rel").cast("long").alias("n_hits"),
+        F.sum(F.col("_rel") * F.col("_d")).cast("long").alias("_dcg"),
+    )
+    out = per_q.join(rel_counts, query_col, "left").select(
+        query_col,
+        "n_retrieved",
+        F.coalesce(F.col("n_relevant"), F.lit(0))
+        .cast("long")
+        .alias("n_relevant"),
+        "n_hits",
+        "_dcg",
+    )
+    idcg = F.element_at(
+        prefix_arr, F.least(F.col("n_relevant"), F.lit(k)).cast("int") + 1
+    )
+    return out.withColumn("_idcg", idcg).select(
+        query_col,
+        "n_retrieved",
+        "n_relevant",
+        "n_hits",
+        F.expr(f"({RET_SCALE} * n_hits) div {k}")
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.expr(f"({RET_SCALE} * n_hits) div n_relevant"),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            F.col("_idcg") > 0,
+            F.expr(f"(CAST({RET_SCALE} AS BIGINT) * _dcg) div _idcg"),
+        )
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )

@@ -171,3 +171,132 @@ def test_b_cubed_validation(spark):
     df = spark.createDataFrame([(1, 1, 1)], "item long, cluster long, gold long")
     with pytest.raises(ValueError):
         b_cubed(df, cluster_col="missing")
+
+
+# -------------------------------------------------------- retrieval_metrics
+
+
+def _ret_model(ranked, truth, k):
+    """Pure-Python twin of retrieval_metrics."""
+    from nebula_importer_spark.operators.metrics import (
+        RET_SCALE,
+        ndcg_discounts,
+    )
+
+    disc = ndcg_discounts(k)
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    tset = {(q, d) for q, d in truth if q is not None and d is not None}
+    nrel = {}
+    for q, _ in tset:
+        nrel[q] = nrel.get(q, 0) + 1
+    out = {}
+    qs = {q for q, _, _ in ranked}
+    for q in qs:
+        rows = [(r, d) for qq, d, r in ranked if qq == q and r <= k]
+        hits = [(r, d) for r, d in rows if (q, d) in tset]
+        nr = nrel.get(q, 0)
+        dcg = sum(disc[r - 1] for r, _ in hits)
+        idcg = prefix[min(nr, k)]
+        out[q] = (
+            len(rows),
+            nr,
+            len(hits),
+            RET_SCALE * len(hits) // k,
+            RET_SCALE * len(hits) // nr if nr else None,
+            RET_SCALE * dcg // idcg if idcg else None,
+        )
+    return out
+
+
+def test_retrieval_perfect_and_miss(spark):
+    from nebula_importer_spark.operators.metrics import (
+        RET_SCALE,
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 99)], "query_id long, doc_id long"
+    )
+    r = {x.query_id: x for x in retrieval_metrics(ranked, truth, k=2).collect()}
+    # query 1: both retrieved docs relevant, n_relevant=2 -> all metrics 1.0
+    assert r[1].precision_ppm == RET_SCALE
+    assert r[1].recall_ppm == RET_SCALE
+    assert r[1].ndcg_ppm == RET_SCALE
+    # query 2: zero hits but HAS a relevant doc -> exact zeros
+    assert r[2].n_hits == 0 and r[2].recall_ppm == 0 and r[2].ndcg_ppm == 0
+
+
+def test_retrieval_no_truth_is_null_not_zero(spark):
+    from nebula_importer_spark.operators.metrics import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(5, 1, 1)], "query_id long, doc_id long, rank long"
+    )
+    truth = spark.createDataFrame([], "query_id long, doc_id long")
+    r = retrieval_metrics(ranked, truth, k=3).collect()[0]
+    assert r.recall_ppm is None and r.ndcg_ppm is None
+    assert r.precision_ppm == 0
+
+
+def test_retrieval_rank_order_matters_for_ndcg(spark):
+    from nebula_importer_spark.operators.metrics import retrieval_metrics
+
+    truth = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    hit_first = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2)], "query_id long, doc_id long, rank long"
+    )
+    hit_last = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2)], "query_id long, doc_id long, rank long"
+    )
+    a = retrieval_metrics(hit_first, truth, k=2).collect()[0]
+    b = retrieval_metrics(hit_last, truth, k=2).collect()[0]
+    assert a.ndcg_ppm > b.ndcg_ppm
+    # precision/recall are position-blind
+    assert a.precision_ppm == b.precision_ppm and a.recall_ppm == b.recall_ppm
+
+
+def test_retrieval_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import retrieval_metrics
+
+    rng = random.Random(31)
+    ranked = []
+    for q in range(12):
+        docs = rng.sample(range(100), 8)
+        ranked += [(q, d, i + 1) for i, d in enumerate(docs)]
+    truth = [(rng.randrange(12), rng.randrange(100)) for _ in range(80)]
+    rdf = spark.createDataFrame(ranked, "query_id long, doc_id long, rank long")
+    tdf = spark.createDataFrame(truth, "query_id long, doc_id long")
+    for k in (3, 8):
+        got = {
+            r.query_id: (
+                r.n_retrieved,
+                r.n_relevant,
+                r.n_hits,
+                r.precision_ppm,
+                r.recall_ppm,
+                r.ndcg_ppm,
+            )
+            for r in retrieval_metrics(rdf, tdf, k=k).collect()
+        }
+        assert got == _ret_model(ranked, truth, k)
+
+
+def test_retrieval_validation(spark):
+    from nebula_importer_spark.operators.metrics import retrieval_metrics
+
+    rdf = spark.createDataFrame([(1, 1, 1)], "query_id long, doc_id long, rank long")
+    tdf = spark.createDataFrame([(1, 1)], "query_id long, doc_id long")
+    with pytest.raises(ValueError, match="k must"):
+        retrieval_metrics(rdf, tdf, k=0)
+    with pytest.raises(ValueError, match="not in ranked"):
+        retrieval_metrics(rdf.drop("rank"), tdf, k=2)
+    with pytest.raises(ValueError, match="not in truth"):
+        retrieval_metrics(rdf, tdf.drop("doc_id"), k=2)
