@@ -3817,6 +3817,24 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kappa_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-labeling agreement QA (operators/metrics.py:cohens_kappa):
+    chance-corrected agreement between the corpus's DECLARED language
+    column and the lang_id heuristic's guess — the silver-vs-gold label
+    audit a training-data pipeline runs before trusting either side.
+    All-integer assembly (DECIMAL(38,0) truncated quotients with
+    explicit sign), so the single output row hashes exactly."""
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+    from nebula_importer_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("lang").alias("lang_declared"),
+        lang_id("text").alias("lang_guess"),
+    )
+    return cohens_kappa(labeled, "lang_declared", "lang_guess")
+
+
 def _retrieval_eval_sql(k: int, n_queries: int) -> str:
     """DuckDB twin of q_retrieval_eval_ann: the ann_cosine_topk ranking
     form over the first ``n_queries`` vectors, same-label truth pairs,
@@ -4109,6 +4127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # auc_doc_length's integer-exact metric discipline over
         # ann_cosine_topk's proven ranking machinery)
         "retrieval_eval_ann": q_retrieval_eval_ann,
+        # Cohen's kappa label-agreement audit (evaluation family — same
+        # integer-ratio discipline; lang-guess machinery = the in-window
+        # text_lang_id row)
+        "kappa_lang_agreement": q_kappa_lang_agreement,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6777,6 +6799,62 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # kappa twin: the SAME lang-guess CASE as the text_lang_id twin,
+        # then the cleared-denominator kappa in HUGEINT with the
+        # operator's explicit truncate-toward-zero sign handling
+        "kappa_lang_agreement": f"""
+            WITH r AS (
+                SELECT lang,
+                       {ratios['en']} AS r_en, {ratios['de']} AS r_de,
+                       {ratios['fr']} AS r_fr, {ratios['es']} AS r_es
+                FROM documents
+            ),
+            g AS (
+                SELECT lang AS a,
+                       CASE
+                         WHEN r_en > 0 AND r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                         WHEN r_de > 0 AND r_de > r_en AND r_de >= r_fr AND r_de >= r_es THEN 'de'
+                         WHEN r_fr > 0 AND r_fr > r_en AND r_fr > r_de AND r_fr >= r_es THEN 'fr'
+                         WHEN r_es > 0 AND r_es > r_en AND r_es > r_de AND r_es > r_fr THEN 'es'
+                         ELSE 'und'
+                       END AS b
+                FROM r
+            ),
+            v AS (SELECT a, b FROM g WHERE a IS NOT NULL AND b IS NOT NULL),
+            c AS (
+                SELECT COUNT(*)::BIGINT AS n_items,
+                       COALESCE(SUM(CASE WHEN a = b THEN 1 ELSE 0 END), 0)::BIGINT AS n_agree
+                FROM v
+            ),
+            nl AS (
+                SELECT COUNT(*)::BIGINT AS n_null FROM g
+                WHERE a IS NULL OR b IS NULL
+            ),
+            ra AS (SELECT a, COUNT(*)::HUGEINT AS ra FROM v GROUP BY 1),
+            cb AS (SELECT b, COUNT(*)::HUGEINT AS cb FROM v GROUP BY 1),
+            pe AS (
+                SELECT COALESCE(SUM(ra.ra * cb.cb), 0::HUGEINT) AS pe
+                FROM ra JOIN cb ON ra.a = cb.b
+            )
+            SELECT n_items, n_null, n_agree,
+                   (CASE WHEN n_items > 0 THEN
+                        (1000000000000::HUGEINT * n_agree) // n_items
+                    END)::BIGINT AS po_s,
+                   (CASE WHEN n_items > 0 THEN
+                        (1000000000000::HUGEINT * pe)
+                            // (n_items::HUGEINT * n_items)
+                    END)::BIGINT AS pe_s,
+                   (CASE
+                      WHEN n_items::HUGEINT * n_items - pe <= 0 THEN NULL
+                      WHEN n_items::HUGEINT * n_agree - pe >= 0 THEN
+                        (1000000000000::HUGEINT * (n_items::HUGEINT * n_agree - pe))
+                            // (n_items::HUGEINT * n_items - pe)
+                      ELSE
+                        -((1000000000000::HUGEINT * (pe - n_items::HUGEINT * n_agree))
+                            // (n_items::HUGEINT * n_items - pe))
+                    END)::BIGINT AS kappa_s
+            FROM c, nl, pe
+        """,
         # retrieval-eval twin: same brute-force cosine ranking as the
         # ann_cosine_topk twin, same-label truth pairs, and the SAME
         # plan-literal discount/prefix tables (generated from

@@ -400,3 +400,119 @@ def retrieval_metrics(
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+#: Cohen's kappa is returned as an integer in 1e12ths.
+KAPPA_SCALE = 10**12
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    categorical labelings of the same items: the standard
+    inter-annotator / silver-vs-gold QA gate for labeled training data
+    (does the heuristic lang-id agree with the declared language beyond
+    what marginal frequencies alone would produce?).
+
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate and
+    p_e = Σ_v p_a(v)·p_b(v) the chance rate. Cleared of denominators:
+
+        κ = (N·Σagree − Σ_v ra_v·cb_v) / (N² − Σ_v ra_v·cb_v)
+
+    — all integers, assembled here as one ``KAPPA_SCALE``-scaled
+    DECIMAL(38,0) floor division (N² and N·Σ wrap int64 past ~3·10⁹
+    rows; decimal keeps the metric exact at any N — the exact_auc
+    discipline). κ is NULL when the denominator is 0 (both labelings
+    constant and identical — agreement is undefined, not 1.0).
+
+    Rows where either label is NULL are excluded and counted
+    (``n_null``) — an unlabeled item is a pipeline bug to surface.
+
+    Distributed shape: one map-side-combinable aggregation for
+    N/agreement/nulls, two single-column marginal aggregations, an
+    inner join of the marginals on the label value (values only one
+    side uses contribute 0 to p_e — inner-join semantics ARE the
+    formula), and 1-row broadcast assembly. Label values travel only
+    in the ≤|label-universe|-sized marginal tables.
+
+    Returns one row: ``(n_items, n_null, n_agree, po_s, pe_s, kappa_s)``
+    with the three ratios in KAPPA_SCALE units.
+    """
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if col_a == col_b:
+        raise ValueError("col_a and col_b must differ")
+    a, b = F.col(col_a), F.col(col_b)
+    valid = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    base = df.agg(
+        F.sum(F.when(a.isNull() | b.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null")
+    )
+    counts = valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ra = valid.groupBy("_a").agg(F.count(F.lit(1)).alias("_ra"))
+    cb = valid.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    pe_num = (
+        ra.join(cb, ra["_a"] == cb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_ra").cast("decimal(38,0)")
+                    * F.col("_cb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pe")
+        )
+    )
+    out = counts.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(pe_num))
+    nd = "CAST(n_items AS DECIMAL(38,0))"
+    scale = f"CAST({KAPPA_SCALE} AS DECIMAL(38,0))"
+    return out.select(
+        "n_items",
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        "n_agree",
+        F.when(
+            F.col("n_items") > 0,
+            F.expr(f"({scale} * n_agree) div {nd}"),
+        )
+        .cast("long")
+        .alias("po_s"),
+        F.when(
+            F.col("n_items") > 0,
+            F.expr(f"({scale} * _pe) div ({nd} * {nd})"),
+        )
+        .cast("long")
+        .alias("pe_s"),
+        # κ may be NEGATIVE (worse-than-chance agreement); Spark's `div`
+        # truncates toward zero while DuckDB's `//` floors toward −∞, so
+        # the sign is handled explicitly — both engines then compute the
+        # identical magnitude-truncated quotient
+        F.when(
+            F.expr(f"{nd} * {nd} - _pe") > 0,
+            F.when(
+                F.expr(f"{nd} * n_agree - _pe") >= 0,
+                F.expr(
+                    f"({scale} * ({nd} * n_agree - _pe))"
+                    f" div ({nd} * {nd} - _pe)"
+                ),
+            ).otherwise(
+                -F.expr(
+                    f"({scale} * (_pe - {nd} * n_agree))"
+                    f" div ({nd} * {nd} - _pe)"
+                )
+            ),
+        )
+        .cast("long")
+        .alias("kappa_s"),
+    )

@@ -300,3 +300,111 @@ def test_retrieval_validation(spark):
         retrieval_metrics(rdf.drop("rank"), tdf, k=2)
     with pytest.raises(ValueError, match="not in truth"):
         retrieval_metrics(rdf, tdf.drop("doc_id"), k=2)
+
+
+# ------------------------------------------------------------- cohens_kappa
+
+
+def _kappa_model(pairs):
+    """Fraction-exact Cohen's kappa in pure Python (truncation-toward-zero
+    quotients, matching the operator's explicit sign handling)."""
+    from nebula_importer_spark.operators.metrics import KAPPA_SCALE
+
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ra, cb = {}, {}
+    for a, b in pairs:
+        ra[a] = ra.get(a, 0) + 1
+        cb[b] = cb.get(b, 0) + 1
+    pe = sum(ra[v] * cb.get(v, 0) for v in ra)
+    po_s = KAPPA_SCALE * agree // n if n else None
+    pe_s = KAPPA_SCALE * pe // (n * n) if n else None
+    den = n * n - pe
+    if den <= 0:
+        kappa = None
+    else:
+        num = n * agree - pe
+        mag = KAPPA_SCALE * abs(num) // den
+        kappa = mag if num >= 0 else -mag
+    return n, agree, po_s, pe_s, kappa
+
+
+def test_kappa_perfect_and_independent(spark):
+    from nebula_importer_spark.operators.metrics import KAPPA_SCALE, cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", "x" if i % 2 else "y") for i in range(40)],
+        "i long, a string, b string",
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa_s == KAPPA_SCALE and r.po_s == KAPPA_SCALE
+
+    # b constant while a varies: agreement equals chance -> kappa 0
+    const_b = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", "x") for i in range(40)],
+        "i long, a string, b string",
+    )
+    r = cohens_kappa(const_b, "a", "b").collect()[0]
+    assert r.kappa_s == 0
+
+
+def test_kappa_negative_worse_than_chance(spark):
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+
+    # perfectly ANTI-correlated binary labels -> kappa == -1e12
+    df = spark.createDataFrame(
+        [(i, i % 2, 1 - i % 2) for i in range(50)], "i long, a int, b int"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    got = _kappa_model([(i % 2, 1 - i % 2) for i in range(50)])
+    assert r.kappa_s == got[4] and r.kappa_s < 0
+
+
+def test_kappa_degenerate_identical_constant_is_null(spark):
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+
+    df = spark.createDataFrame([(i, "x", "x") for i in range(9)], "i long, a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.kappa_s is None  # denominator 0: undefined, never a fake 1.0
+
+
+def test_kappa_nulls_counted_not_scored(spark):
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, None, "x"), (3, "y", None)],
+        "i long, a string, b string",
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n_items == 1 and r.n_null == 2
+
+
+def test_kappa_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+
+    rng = random.Random(47)
+    pairs = [
+        (rng.choice("abcd"), rng.choice("abc")) for _ in range(600)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a string, b string",
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, agree, po, pe, kappa = _kappa_model(pairs)
+    assert (r.n_items, r.n_agree, r.po_s, r.pe_s, r.kappa_s) == (
+        n, agree, po, pe, kappa,
+    )
+
+
+def test_kappa_validation(spark):
+    from nebula_importer_spark.operators.metrics import cohens_kappa
+
+    df = spark.createDataFrame([(1, "x", "y")], "i long, a string, b string")
+    with pytest.raises(ValueError, match="not in input"):
+        cohens_kappa(df, "missing", "b")
+    with pytest.raises(ValueError, match="must differ"):
+        cohens_kappa(df, "a", "a")
