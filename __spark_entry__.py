@@ -2101,6 +2101,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/graph.py:
+    clustering_coefficient) over the co-purchase graph — exact-integer
+    ppm ratios on top of the window-checked degree-ordered triangle
+    machinery; degree-1 nodes carry NULL, never a fake 0."""
+    from nebula_importer_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_copurchase_edges(spark, sf_dir)).select(
+        F.col("node").alias("part"), "degree", "n_triangles", "lcc_ppm"
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase graph: parts sharing an order are adjacent
     (operators/graph.py:cooccurrence_edges — the bipartite projection with
@@ -4131,6 +4143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-ratio discipline; lang-guess machinery = the in-window
         # text_lang_id row)
         "kappa_lang_agreement": q_kappa_lang_agreement,
+        # local clustering coefficient (graph family — in-window twin:
+        # graph_triangles' oriented-wedge machinery + a degree join)
+        "graph_lcc": q_graph_lcc,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -5313,6 +5328,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, COUNT(*)::BIGINT AS n_triangles
             FROM (SELECT unnest([x, y, z]) AS node FROM tri)
             GROUP BY node
+        """,
+        # lcc twin: same canonical-edge + triangle CTE as graph_triangles,
+        # plus the degree join and exact integer ppm with NULL below deg 2
+        "graph_lcc": """
+            WITH li AS (
+                SELECT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+            ),
+            deg AS (
+                SELECT node, COUNT(*)::BIGINT AS degree
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+                SELECT node, COUNT(*)::BIGINT AS n_triangles
+                FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+                GROUP BY node
+            )
+            SELECT d.node AS part, d.degree,
+                   COALESCE(tc.n_triangles, 0)::BIGINT AS n_triangles,
+                   (CASE WHEN d.degree >= 2 THEN
+                        (1000000 * 2 * COALESCE(tc.n_triangles, 0))
+                            // (d.degree * (d.degree - 1))
+                    END)::BIGINT AS lcc_ppm
+            FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "kg_negatives": _kg_negatives_sql(),
         # SFT pair mining: bounded-frame context agg; empty frame → ''

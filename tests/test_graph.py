@@ -941,3 +941,47 @@ def test_modularity_validation(spark):
         modularity(e.drop("b"), l)
     with _pt.raises(ValueError, match="not in input"):
         modularity(e, l.drop("label"))
+
+
+# --------------------------------------------------- clustering_coefficient
+
+
+def test_lcc_closed_forms(spark):
+    from nebula_importer_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 3
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    r = {x.node: x for x in clustering_coefficient(e).collect()}
+    # nodes 1, 2: both neighbor pairs adjacent -> 1.0
+    assert r[1].lcc_ppm == 1_000_000 and r[2].lcc_ppm == 1_000_000
+    # node 3: deg 3, one closed pair of three -> 1/3
+    assert r[3].degree == 3 and r[3].lcc_ppm == 2_000_000 // 6
+    # pendant: degree 1 -> undefined, NULL not 0
+    assert r[4].degree == 1 and r[4].lcc_ppm is None and r[4].n_triangles == 0
+
+
+def test_lcc_randomized_vs_python(spark):
+    import random
+    from itertools import combinations
+
+    from nebula_importer_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(3)
+    edges = {tuple(sorted(rng.sample(range(20), 2))) for _ in range(60)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        tri = sum(1 for x, y in combinations(sorted(nb), 2) if y in adj[x])
+        d = len(nb)
+        want[v] = (d, tri, (1_000_000 * 2 * tri) // (d * (d - 1)) if d >= 2 else None)
+    got = {
+        r.node: (r.degree, r.n_triangles, r.lcc_ppm)
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got == want
