@@ -3829,6 +3829,28 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/metrics.py:calibration_report) of
+    the quality score read as P(doc is English) — the audit that decides
+    whether a score's VALUE (not just its ranking, which auc_doc_length
+    grades) can drive sampling weights or thresholds. Score quantized to
+    integral micro-units caller-side per the exact_auc discipline; the
+    per-bin gap terms are exact integers."""
+    from nebula_importer_spark.operators.metrics import calibration_report
+    from nebula_importer_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(F.round(quality_score("text"), 6) * 1_000_000, 0)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("lang").isNull(), None)
+        .otherwise((F.col("lang") == "en").cast("int"))
+        .alias("label"),
+    )
+    return calibration_report(scored, score_col="score", label_col="label")
+
+
 def q_kappa_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-labeling agreement QA (operators/metrics.py:cohens_kappa):
     chance-corrected agreement between the corpus's DECLARED language
@@ -4146,6 +4168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local clustering coefficient (graph family — in-window twin:
         # graph_triangles' oriented-wedge machinery + a degree join)
         "graph_lcc": q_graph_lcc,
+        # reliability diagram / ECE terms (evaluation family — in-window
+        # twins: auc_doc_length's quantized-score discipline,
+        # histogram-style binning; score machinery = text_quality's twin)
+        "calibration_quality": q_calibration_quality,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6849,6 +6875,40 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # calibration twin: the text_quality score expression quantized to
+        # micro-units, the same clamp-to-last-bin integer binning, exact
+        # integer gap terms; NULL lang lands in bin −1
+        "calibration_quality": f"""
+            WITH s AS (
+                SELECT CAST(ROUND(ROUND(
+                         LEAST(len(regexp_extract_all(coalesce(text,''), '\\S+'))::DOUBLE / 50.0, 1.0) * 0.4
+                         + (1.0 - len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]'))::DOUBLE
+                             / GREATEST(length(coalesce(text,''))::DOUBLE, 1.0)) * 0.3
+                         + LEAST({_ratio_sql(_EN)} * 5.0, 1.0) * 0.3
+                       , 6) * 1000000, 0) AS BIGINT) AS score,
+                       (CASE WHEN lang IS NULL THEN NULL
+                             WHEN lang = 'en' THEN 1 ELSE 0 END) AS label
+                FROM documents
+            ),
+            b AS (
+                SELECT CASE WHEN score IS NULL OR label IS NULL THEN -1
+                            ELSE LEAST(9, (score * 10) // 1000000)
+                       END AS bin,
+                       score, label
+                FROM s
+            )
+            SELECT bin::INT AS bin,
+                   COUNT(*)::BIGINT AS n,
+                   COALESCE(SUM(CASE WHEN bin >= 0 THEN label END), 0)::BIGINT AS n_pos,
+                   (CASE WHEN bin >= 0 THEN
+                        SUM(score) // COUNT(*) END)::BIGINT AS conf_s,
+                   (CASE WHEN bin >= 0 THEN
+                        (1000000 * SUM(label)) // COUNT(*) END)::BIGINT AS acc_s,
+                   (CASE WHEN bin >= 0 THEN
+                        abs(SUM(score) - 1000000 * SUM(label)) END)::BIGINT AS gap_abs
+            FROM b
+            GROUP BY bin
+        """,
         # kappa twin: the SAME lang-guess CASE as the text_lang_id twin,
         # then the cleared-denominator kappa in HUGEINT with the
         # operator's explicit truncate-toward-zero sign handling

@@ -516,3 +516,98 @@ def cohens_kappa(
         .cast("long")
         .alias("kappa_s"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 10**6,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error terms (Naeini et
+    al. 2015 form) for a probabilistic scorer against binary outcomes —
+    the companion audit to :func:`exact_auc`: AUC grades RANKING,
+    calibration grades whether the score's VALUE means what it says
+    (a 0.9-scored document should be positive ~90% of the time before
+    the score is used as a sampling weight or threshold).
+
+    Contract: ``score_col`` is an INTEGRAL score in
+    ``[0, score_scale]`` units (floats quantize caller-side — the
+    exact_auc discipline; a float score is rejected loudly);
+    ``label_col`` is 0/1. Equal-width bins on the score domain:
+    ``bin = min(n_bins−1, (score·n_bins) div score_scale)``. Rows with
+    NULL score or label land in bin −1 (visible, like
+    profile.column_histogram's NULL bucket — never silently dropped).
+
+    Per bin: ``n``, ``n_pos``, ``conf_s = sum_score div n`` (mean
+    claimed probability, floored in score units), ``acc_s =
+    (score_scale·n_pos) div n`` (realized rate), and ``gap_abs =
+    |sum_score − score_scale·n_pos|`` — the bin's UNNORMALIZED ECE
+    term, an exact integer: ``ECE·score_scale = Σ gap_abs / N``, so
+    the caller (or the gate oracle) assembles the scalar with ONE
+    final floor division and no float ever enters.
+
+    Distributed shape: ONE partial-aggregable groupBy over ≤ n_bins+1
+    groups. Nothing else.
+    """
+    from pyspark.sql.types import IntegralType
+
+    for c in (score_col, label_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if score_scale < 1:
+        raise ValueError(f"score_scale must be >= 1, got {score_scale}")
+    if not isinstance(df.schema[score_col].dataType, IntegralType):
+        raise ValueError(
+            f"score column {score_col!r} must be integral in "
+            f"[0, {score_scale}] units; quantize floats caller-side "
+            f"(got {df.schema[score_col].dataType.simpleString()})"
+        )
+    s, y = F.col(score_col), F.col(label_col)
+    binned = df.select(
+        F.when(
+            s.isNull() | y.isNull(), F.lit(-1)
+        )
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                ((s.cast("long") * n_bins) / score_scale).cast("long"),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        s.cast("long").alias("_s"),
+        y.cast("long").alias("_y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("bin") >= 0, F.col("_y"))).cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("bin") >= 0, F.col("_s"))).cast("long").alias("_sum_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+            F.when(F.col("bin") >= 0, F.expr("_sum_s div n"))
+            .cast("long")
+            .alias("conf_s"),
+            F.when(
+                F.col("bin") >= 0,
+                F.expr(f"({score_scale} * n_pos) div n"),
+            )
+            .cast("long")
+            .alias("acc_s"),
+            F.when(
+                F.col("bin") >= 0,
+                F.abs(F.col("_sum_s") - F.lit(score_scale) * F.col("n_pos")),
+            )
+            .cast("long")
+            .alias("gap_abs"),
+        )
+    )

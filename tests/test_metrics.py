@@ -408,3 +408,81 @@ def test_kappa_validation(spark):
         cohens_kappa(df, "missing", "b")
     with pytest.raises(ValueError, match="must differ"):
         cohens_kappa(df, "a", "a")
+
+
+# -------------------------------------------------------- calibration_report
+
+
+def test_calibration_perfect_bins(spark):
+    from nebula_importer_spark.operators.metrics import calibration_report
+
+    # scores exactly match realized rates in two bins
+    rows = []
+    # bin 1 (scores ~150000): 20 rows, 3 positives, each score 150000
+    rows += [(150_000, 1 if i < 3 else 0) for i in range(20)]
+    # bin 9 (scores 950000): 10 rows, 9 positives but conf says 950000
+    rows += [(950_000, 1 if i < 9 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    r = {x.bin: x for x in calibration_report(df, score_col="score", label_col="label").collect()}
+    b1, b9 = r[1], r[9]
+    assert (b1.n, b1.n_pos, b1.conf_s, b1.acc_s) == (20, 3, 150_000, 150_000)
+    assert b1.gap_abs == 0
+    # bin 9: claimed 950000, realized 900000 -> gap = |9500000 - 9000000|
+    assert (b9.n, b9.n_pos, b9.conf_s, b9.acc_s) == (10, 9, 950_000, 900_000)
+    assert b9.gap_abs == abs(10 * 950_000 - 1_000_000 * 9)
+
+
+def test_calibration_null_bucket_and_edges(spark):
+    from nebula_importer_spark.operators.metrics import calibration_report
+
+    df = spark.createDataFrame(
+        [(0, 0), (1_000_000, 1), (None, 1), (500_000, None)],
+        "score long, label int",
+    )
+    r = {x.bin: x for x in calibration_report(df, score_col="score", label_col="label").collect()}
+    assert r[-1].n == 2 and r[-1].conf_s is None and r[-1].gap_abs is None
+    assert r[0].n == 1  # score 0 -> first bin
+    assert r[9].n == 1  # score == scale clamps into the LAST bin
+
+
+def test_calibration_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import calibration_report
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(1_000_001), rng.randrange(2)) for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "score long, label int")
+    n_bins, scale = 10, 1_000_000
+    model = {}
+    for s, y in rows:
+        b = min(n_bins - 1, s * n_bins // scale)
+        n, np_, ss = model.get(b, (0, 0, 0))
+        model[b] = (n + 1, np_ + y, ss + s)
+    want = {
+        b: (n, np_, ss // n, scale * np_ // n, abs(ss - scale * np_))
+        for b, (n, np_, ss) in model.items()
+    }
+    got = {
+        r.bin: (r.n, r.n_pos, r.conf_s, r.acc_s, r.gap_abs)
+        for r in calibration_report(df, score_col="score", label_col="label").collect()
+    }
+    assert got == want
+    # scalar ECE assembles from the terms with one floor division
+    ece = sum(g[4] for g in want.values()) // len(rows)
+    assert 0 <= ece <= scale
+
+
+def test_calibration_validation(spark):
+    from nebula_importer_spark.operators.metrics import calibration_report
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError, match="must be integral"):
+        calibration_report(df, score_col="score", label_col="label")
+    good = spark.createDataFrame([(5, 1)], "score long, label int")
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(good, score_col="score", label_col="label", n_bins=0)
+    with pytest.raises(ValueError, match="not in input"):
+        calibration_report(good, score_col="missing", label_col="label")
