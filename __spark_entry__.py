@@ -3829,6 +3829,31 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.py:
+    compaction_plan) over a manifest derived from the documents table
+    (one file per doc, size = n_chars, partitioned by source) — the
+    OPTIMIZE/rewrite grouping a 100-TB table runs on its streaming-sink
+    small-file tail. Deterministic size-desc sequential fill; the whole
+    plan is a pure function of the manifest."""
+    from nebula_importer_spark.operators.layout import compaction_plan
+
+    manifest = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            F.col("source"),
+            F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+            F.col("n_chars").cast("long").alias("size_bytes"),
+        )
+    )
+    return compaction_plan(
+        manifest,
+        target_bytes=20_000,
+        group_cols=["source"],
+    )
+
+
 def q_calibration_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram (operators/metrics.py:calibration_report) of
     the quality score read as P(doc is English) — the audit that decides
@@ -4172,6 +4197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins: auc_doc_length's quantized-score discipline,
         # histogram-style binning; score machinery = text_quality's twin)
         "calibration_quality": q_calibration_quality,
+        # small-file compaction planner (layout family — in-window twin:
+        # zorder_lineitem's write-time layout planning; machinery = one
+        # manifest-sized window prefix sum)
+        "compaction_plan_docs": q_compaction_plan_docs,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6875,6 +6904,22 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # compaction twin: the same (size DESC, path ASC) exclusive prefix
+        # sum and floor-div group cut per source partition
+        "compaction_plan_docs": """
+            WITH m AS (
+                SELECT source, 'doc_' || doc_id AS path,
+                       n_chars::BIGINT AS size_bytes
+                FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT source, path, size_bytes,
+                   (COALESCE(SUM(size_bytes) OVER (
+                        PARTITION BY source
+                        ORDER BY size_bytes DESC, path ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) // 20000)::BIGINT AS compaction_group
+            FROM m
+        """,
         # calibration twin: the text_quality score expression quantized to
         # micro-units, the same clamp-to-last-bin integer binning, exact
         # integer gap terms; NULL lang lands in bin −1

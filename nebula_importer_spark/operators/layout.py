@@ -145,3 +145,75 @@ def zone_map(
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return df.groupBy(bucket_col).agg(*aggs)
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    target_bytes: int,
+    file_col: str = "path",
+    size_col: str = "size_bytes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction assignment (the Delta ``OPTIMIZE`` / Iceberg
+    rewrite-data-files planning step): pack each partition's files into
+    rewrite groups of ≈ ``target_bytes`` so a 100-TB table's long tail
+    of tiny files (every streaming sink and over-partitioned write
+    produces them) collapses into scan-efficient units.
+
+    Rule — sorted sequential fill: within each ``group_cols`` partition,
+    order files by (size DESC, file ASC) and cut groups at running-size
+    boundaries: ``group = exclusive_prefix_sum div target_bytes``. Every
+    group's total is < target + its own largest file (the classic
+    bound); a file ≥ target lands alone by construction. Size-descending
+    order packs the big files first so the tail of tiny files fills
+    remainders — and the (size, file) sort key makes the plan a pure
+    function of the manifest, reproducible on any engine (the whole
+    plan is gate-checkable, unlike bin-packing heuristics with
+    engine-ordered arrivals).
+
+    Scale note: the input is the FILE MANIFEST — metadata-sized (one row
+    per file), not data-sized — so the per-partition window is bounded
+    by files-per-partition (~10³-10⁶), exactly the place a window is
+    fine. NULL sizes are rejected loudly: a manifest row without a size
+    is a listing bug, not a packable file.
+
+    Returns the input columns plus ``compaction_group`` (0-based within
+    each partition) — one row per file, ready to drive the rewrite job.
+    """
+    from pyspark.sql.window import Window as W
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    groups = list(group_cols or [])
+    for c in (file_col, size_col, *groups):
+        if c not in files.columns:
+            raise ValueError(f"column {c!r} not in input: {files.columns}")
+    if "_cum" in files.columns or "compaction_group" in files.columns:
+        raise ValueError(
+            "input must not contain reserved columns _cum/compaction_group"
+        )
+    null_guard = files.filter(F.col(size_col).isNull()).limit(1)
+    # plan-time sanity: fail fast on NULL sizes (metadata bug), without
+    # scanning twice at scale — the limit(1) probe stops at first hit
+    if null_guard.take(1):
+        raise ValueError(f"NULL {size_col!r} in manifest — fix the listing")
+    w = (
+        W.partitionBy(*groups)
+        if groups
+        else W.partitionBy(F.lit(0))
+    )
+    w = w.orderBy(F.col(size_col).desc(), F.col(file_col).asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        files.withColumn(
+            "_cum",
+            F.coalesce(F.sum(F.col(size_col).cast("long")).over(w), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "compaction_group",
+            F.expr(f"_cum div {target_bytes}").cast("long"),
+        )
+        .drop("_cum")
+    )

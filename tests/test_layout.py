@@ -73,3 +73,73 @@ def test_zorder_plan_is_broadcast_not_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the key itself must not introduce a data shuffle
     assert "Exchange hashpartitioning" not in plan
+
+
+# --------------------------------------------------------- compaction_plan
+
+
+def test_compaction_groups_bounded(spark):
+    from nebula_importer_spark.operators.layout import compaction_plan
+
+    files = [(f"f{i:02d}", s) for i, s in enumerate(
+        [900, 700, 400, 300, 300, 200, 100, 100, 50, 50]
+    )]
+    df = spark.createDataFrame(files, "path string, size_bytes long")
+    out = compaction_plan(df, target_bytes=1000).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.compaction_group, []).append(r.size_bytes)
+    # classic bound: every group's total < target + its largest file
+    for sizes in by_grp.values():
+        assert sum(sizes) < 1000 + max(sizes)
+    # deterministic: size-desc sequential fill
+    assert {r.path: r.compaction_group for r in out} == _fill_model(files, 1000)
+
+
+def _fill_model(files, target):
+    ordered = sorted(files, key=lambda t: (-t[1], t[0]))
+    cum, out = 0, {}
+    for p, s in ordered:
+        out[p] = cum // target
+        cum += s
+    return out
+
+
+def test_compaction_oversized_file_alone(spark):
+    from nebula_importer_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [("big", 5000), ("a", 10), ("b", 10)], "path string, size_bytes long"
+    )
+    out = {r.path: r.compaction_group for r in compaction_plan(df, target_bytes=100).collect()}
+    assert out["big"] == 0
+    # the giant pushes everything after it past its own boundary
+    assert out["a"] != 0 and out["b"] == out["a"]
+
+
+def test_compaction_partitioned_independently(spark):
+    from nebula_importer_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [("d1", "a", 60), ("d1", "b", 60), ("d2", "c", 60), ("d2", "d", 60)],
+        "dt string, path string, size_bytes long",
+    )
+    out = compaction_plan(df, target_bytes=100, group_cols=["dt"]).collect()
+    grp = {(r.dt, r.path): r.compaction_group for r in out}
+    # each partition restarts at group 0
+    assert grp[("d1", "a")] == 0 and grp[("d2", "c")] == 0
+
+
+def test_compaction_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame([("a", 1)], "path string, size_bytes long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, target_bytes=0)
+    with pytest.raises(ValueError, match="not in input"):
+        compaction_plan(df.drop("size_bytes"), target_bytes=10)
+    nul = spark.createDataFrame([("a", None)], "path string, size_bytes long")
+    with pytest.raises(ValueError, match="NULL"):
+        compaction_plan(nul, target_bytes=10)
