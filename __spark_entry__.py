@@ -3829,6 +3829,40 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_normalize_sql() -> str:
+    """DuckDB twin of normalize_text: same replace chain, same literal
+    accent map (imported from the module so the two engines cannot
+    drift), same RE2 classes."""
+    from nebula_importer_spark.operators.text import ACCENT_DST, ACCENT_SRC
+
+    return f"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       translate(
+                           replace(replace(replace(lower(text),
+                               'æ', 'ae'), 'œ', 'oe'), 'ß', 'ss'),
+                           '{ACCENT_SRC}', '{ACCENT_DST}'),
+                       '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (operators/text.py:normalize_text):
+    lowercase → explicit literal accent fold → controls-to-spaces →
+    whitespace collapse → trim, all map-side. The pre-dedup step that
+    turns case/accent/whitespace variants into EXACT duplicates; every
+    step is a literal mapping or RE2-safe class, so the oracle twin
+    normalizes bit-identically."""
+    from nebula_importer_spark.operators.text import normalize_text
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    )
+
+
 def q_compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (operators/layout.py:
     compaction_plan) over a manifest derived from the documents table
@@ -4201,6 +4235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zorder_lineitem's write-time layout planning; machinery = one
         # manifest-sized window prefix sum)
         "compaction_plan_docs": q_compaction_plan_docs,
+        # canonical text normalization (text family — in-window twins:
+        # text_lang_id/text_redact_pii's map-only literal-regex form)
+        "text_normalize": q_text_normalize,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6904,6 +6941,10 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # normalize twin: the literal same replace/translate/regexp chain —
+        # the accent map is generated from the module constants so both
+        # engines apply the identical 1:1 mapping
+        "text_normalize": _text_normalize_sql(),
         # compaction twin: the same (size DESC, path ASC) exclusive prefix
         # sum and floor-div group cut per source partition
         "compaction_plan_docs": """

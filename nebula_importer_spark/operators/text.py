@@ -732,3 +732,52 @@ def hashed_features(
         ),
     )
     return assembled.select(id_col, vec.alias("features"), "n_terms")
+
+
+# Accent fold map (lowercase, applied AFTER lower()): explicit 1:1 literal
+# pairs so Spark translate() and DuckDB translate() perform the IDENTICAL
+# mapping — never a locale/ICU-dependent strip_accents. Multi-char
+# expansions (æ→ae, œ→oe, ß→ss) are replace() steps, translate is 1:1.
+ACCENT_SRC = (
+    "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůűų"
+    "çćĉċčñńņňýÿŷšśşžźżđďğĝĥĵķĺļľłŕŗřţťŧŵ"
+)
+ACCENT_DST = (
+    "aaaaaaaaaeeeeeeeeeiiiiiiiioooooooouuuuuuuuuu"
+    "cccccnnnnyyyssszzzddgghjkllllrrrtttw"
+)
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def normalize_text(col, *, fold_accents: bool = True, drop_punct: bool = False) -> Column:
+    """Canonical text-normalization for dedup/matching (the CCNet /
+    RefinedWeb cleaning step run BEFORE hashing): lowercase → fold the
+    explicit accent map → control chars to spaces → collapse whitespace
+    runs → trim. Near-duplicate pairs that differ only in case, accents,
+    or whitespace become EXACT duplicates, so the cheap sha2 dedup path
+    catches them before the shingle funnels ever run.
+
+    Determinism contract: every step is a literal 1:1 mapping or an
+    RE2-safe explicit character class (the module's WS discipline) — no
+    locale, no ICU, no Unicode-version dependence — so Spark and the
+    DuckDB oracle normalize bit-identically. ``drop_punct=True``
+    additionally removes ASCII non-word/non-space chars (matching-key
+    use; keep the default for corpus text, where punctuation is signal).
+
+    Pure map-side Column expression: zero exchanges, composes with
+    exact_dedup / ngram funnels / fingerprints by wrapping their text
+    input. NULL stays NULL (a missing document is not an empty one).
+    """
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    # multi-char expansions first (translate cannot grow strings)
+    for src, dst in (("æ", "ae"), ("œ", "oe"), ("ß", "ss")):
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    if fold_accents:
+        c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    # C0 controls + DEL become spaces (a control is a separator, not glue:
+    # "a\x00b" must not collapse to "ab"), then runs collapse, then trim
+    c = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
+    if drop_punct:
+        c = F.regexp_replace(c, r"[^a-z0-9_ ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

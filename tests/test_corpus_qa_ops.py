@@ -619,3 +619,56 @@ def test_hashed_features_validation(spark):
         hashed_features(df, n_buckets=0)
     with pytest.raises(ValueError, match="not in input"):
         hashed_features(df, id_col="zz")
+
+
+# ----------------------------------------------------------- normalize_text
+
+
+def test_normalize_case_accent_whitespace(spark):
+    from nebula_importer_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Héllo\t\tWÖRLD  "),
+            (2, "hello world"),
+            (3, "Grüße — Straße"),
+            (4, "a\x00b\x0bc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "hello world"
+    assert got[1] == got[2]  # case/accent/ws variants become EXACT dups
+    assert got[3] == "grusse — strasse"
+    assert got[4] == "a b c"  # controls are separators, not glue
+    assert got[5] is None
+
+
+def test_normalize_drop_punct_and_composition(spark):
+    from nebula_importer_spark.operators.dedup import exact_dedup
+    from nebula_importer_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "The Cat!"), (2, "the   cat"), (3, "dog")],
+        "doc_id long, text string",
+    )
+    norm = df.select(
+        "doc_id", normalize_text("text", drop_punct=True).alias("text")
+    )
+    out = exact_dedup(norm, id_col="doc_id", text_col="text")
+    survivors = {r.doc_id for r in out.collect()}
+    assert survivors == {1, 3}  # 1 and 2 collapsed into one group
+
+
+def test_normalize_plan_is_map_only(spark):
+    from nebula_importer_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        df.select(normalize_text("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
