@@ -3829,6 +3829,90 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_drift_sql() -> str:
+    """DuckDB twin of q_schema_drift_customer: per-column profile legs
+    over both snapshots (generated from the same column/type lists) and
+    the identical integer-ppm status CASE."""
+    old_cols = {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    }
+    new_cols = {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "string",
+        "c_mktsegment": "string",
+        "c_tier": "bigint",
+    }
+
+    def legs(table: str, cols: dict[str, str]) -> str:
+        return "\n                UNION ALL\n".join(
+            f"""
+                SELECT '{c}' AS col, '{t}' AS typ, COUNT(*)::BIGINT AS n,
+                       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn,
+                       COUNT(DISTINCT {c})::BIGINT AS nd
+                FROM {table}"""
+            for c, t in cols.items()
+        )
+
+    return f"""
+        WITH newsnap AS (
+            SELECT c_custkey, c_name, c_nationkey % 2 AS c_nationkey,
+                   c_acctbal::VARCHAR AS c_acctbal,
+                   CASE WHEN c_custkey % 4 = 0 THEN NULL
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   c_custkey % 3 AS c_tier
+            FROM customer
+        ),
+        o AS ({legs("customer", old_cols)}),
+        nw AS ({legs("newsnap", new_cols)})
+        SELECT COALESCE(o.col, nw.col) AS "column",
+               o.typ AS old_type, nw.typ AS new_type,
+               o.nn AS old_null, nw.nn AS new_null,
+               o.nd AS old_distinct, nw.nd AS new_distinct,
+               CASE
+                 WHEN o.typ IS NULL THEN 'added'
+                 WHEN nw.typ IS NULL THEN 'removed'
+                 WHEN o.typ <> nw.typ THEN 'type_changed'
+                 WHEN abs((1000000 * nw.nn) // greatest(nw.n, 1)
+                          - (1000000 * o.nn) // greatest(o.n, 1)) > 50000
+                     THEN 'null_rate_shift'
+                 WHEN (abs(nw.nd - o.nd) * 1000000) // greatest(o.nd, 1)
+                          > 500000
+                     THEN 'distinct_shift'
+                 ELSE 'ok'
+               END AS status
+        FROM o FULL OUTER JOIN nw ON o.col = nw.col
+    """
+
+
+def q_schema_drift_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/profile.py:schema_drift) between
+    customer and a deterministically mutated next snapshot: segment
+    nulled for every 4th key (null-rate shift), acctbal re-typed to
+    string (type change), a derived tier column added, nationkey
+    collapsed mod 2 (distinct shift) — the promote-or-alert gate a daily
+    ingestion runs. Two single-pass profiles + a schema-sized join."""
+    from nebula_importer_spark.operators.profile import schema_drift
+
+    old = _t(spark, sf_dir, "customer")
+    new = old.select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_nationkey") % 2).alias("c_nationkey"),
+        F.col("c_acctbal").cast("string").alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 4 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (F.col("c_custkey") % 3).alias("c_tier"),
+    )
+    return schema_drift(old, new)
+
+
 def _text_normalize_sql() -> str:
     """DuckDB twin of normalize_text: same replace chain, same literal
     accent map (imported from the module so the two engines cannot
@@ -4238,6 +4322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical text normalization (text family — in-window twins:
         # text_lang_id/text_redact_pii's map-only literal-regex form)
         "text_normalize": q_text_normalize,
+        # snapshot schema/stats drift report (stats family — in-window
+        # twin: profile_customer's single-pass profile, compared across
+        # two snapshots in a schema-sized join)
+        "schema_drift_customer": q_schema_drift_customer,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -6941,6 +7029,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # drift twin: generated per-column profile legs + identical CASE
+        "schema_drift_customer": _schema_drift_sql(),
         # normalize twin: the literal same replace/translate/regexp chain —
         # the accent map is generated from the module constants so both
         # engines apply the identical 1:1 mapping

@@ -212,3 +212,94 @@ def column_histogram(
         F.when(F.col("bucket") >= 0, hi).cast("long").alias("hi"),
         "n_rows",
     )
+
+
+#: Drift rates are integers in millionths.
+DRIFT_SCALE = 10**6
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    null_shift_ppm: int = 50_000,
+    distinct_shift_ppm: int = 500_000,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report — the data-ops gate a daily
+    100-TB ingestion runs before promoting a new snapshot: which columns
+    appeared, disappeared, changed type, or shifted their null rate /
+    distinct cardinality beyond tolerance. Catches the upstream schema
+    break BEFORE it poisons downstream joins (a renamed column is a
+    100%-null column to every consumer).
+
+    Status per column (one row each, union of both schemas):
+
+    - ``added`` / ``removed`` — present in only one side
+    - ``type_changed`` — same name, different Spark type
+    - ``null_rate_shift`` — |null_ppm_new − null_ppm_old| > threshold
+    - ``distinct_shift`` — relative distinct-count change
+      ``|d_new − d_old|·1e6 div max(d_old, 1)`` > threshold
+    - ``ok`` — none of the above (kept, so the report is the full
+      column inventory, not just the alarms — silence distinguishable
+      from absence)
+
+    Exactness: both rates are integer ppm floor divisions over
+    :func:`profile_columns` outputs — gate-checkable end to end.
+    Distributed shape: two single-pass profile aggregations (each ONE
+    map-side-combinable agg over the data), then a schema-sized join —
+    the comparison itself never touches data rows.
+    """
+    if null_shift_ppm < 0 or distinct_shift_ppm < 0:
+        raise ValueError("thresholds must be >= 0")
+    o_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    po = profile_columns(old).select(
+        F.col("column"),
+        F.col("n_rows").alias("o_rows"),
+        F.col("n_null").alias("o_null"),
+        F.col("n_distinct").alias("o_distinct"),
+    )
+    pn = profile_columns(new).select(
+        F.col("column"),
+        F.col("n_rows").alias("n_rows"),
+        F.col("n_null").alias("n_null"),
+        F.col("n_distinct").alias("n_distinct"),
+    )
+    type_entries = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in o_types]),
+        F.array(*[F.lit(t) for t in o_types.values()]),
+    )
+    ntype_entries = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in n_types]),
+        F.array(*[F.lit(t) for t in n_types.values()]),
+    )
+    j = po.join(pn, "column", "full_outer").select(
+        "column",
+        F.element_at(type_entries, F.col("column")).alias("old_type"),
+        F.element_at(ntype_entries, F.col("column")).alias("new_type"),
+        "o_rows", "o_null", "o_distinct", "n_rows", "n_null", "n_distinct",
+    )
+    null_o = F.expr(f"({DRIFT_SCALE} * o_null) div greatest(o_rows, 1)")
+    null_n = F.expr(f"({DRIFT_SCALE} * n_null) div greatest(n_rows, 1)")
+    dist_shift = F.expr(
+        f"(abs(n_distinct - o_distinct) * {DRIFT_SCALE})"
+        f" div greatest(o_distinct, 1)"
+    )
+    return j.select(
+        "column",
+        "old_type",
+        "new_type",
+        F.col("o_null").alias("old_null"),
+        F.col("n_null").alias("new_null"),
+        F.col("o_distinct").alias("old_distinct"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.when(F.col("old_type").isNull(), F.lit("added"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .when(F.col("old_type") != F.col("new_type"), F.lit("type_changed"))
+        .when(
+            F.abs(null_n - null_o) > null_shift_ppm, F.lit("null_rate_shift")
+        )
+        .when(dist_shift > distinct_shift_ppm, F.lit("distinct_shift"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

@@ -361,3 +361,55 @@ def test_column_histogram_rejects_non_integral(spark):
         column_histogram(df, [])
     with pytest.raises(ValueError):
         column_histogram(df, ["missing"])
+
+
+# -------------------------------------------------------------- schema_drift
+
+
+def test_schema_drift_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)],
+        "id long, name string, score double",
+    )
+    # new snapshot: `score` became a string (type change), `name` went
+    # 20% null (rate shift), `email` appeared, `id` unchanged
+    new = old.select(
+        "id",
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("name")).alias("name"),
+        F.col("score").cast("string").alias("score"),
+        F.concat(F.lit("u"), F.col("id")).alias("email"),
+    )
+    st = {r.column: r.status for r in schema_drift(old, new).collect()}
+    assert st == {
+        "id": "ok",
+        "name": "null_rate_shift",
+        "score": "type_changed",
+        "email": "added",
+    }
+    removed = {r.column: r.status for r in schema_drift(new, old).collect()}
+    assert removed["email"] == "removed"
+
+
+def test_schema_drift_distinct_shift_and_thresholds(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([(i, i % 50) for i in range(100)], "id long, k long")
+    new = old.select("id", (F.col("k") % 2).alias("k"))  # 50 -> 2 distinct
+    st = {r.column: r.status for r in schema_drift(old, new).collect()}
+    assert st["k"] == "distinct_shift"
+    # with an impossible threshold the same column reports ok
+    st2 = {
+        r.column: r.status
+        for r in schema_drift(old, new, distinct_shift_ppm=10**9).collect()
+    }
+    assert st2["k"] == "ok"
+    import pytest
+
+    with pytest.raises(ValueError, match="thresholds"):
+        schema_drift(old, new, null_shift_ppm=-1)
