@@ -3829,6 +3829,24 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO join-size estimate (operators/profile.py:join_size_estimate)
+    for orders ⋈ lineitem on orderkey — the broadcast-vs-shuffle /
+    fan-out-alarm arithmetic run over per-bucket counts and exact
+    distincts on the combined key domain. On a clean FK join the
+    containment estimator is near-exact; the gate hashes the full
+    per-bucket table."""
+    from nebula_importer_spark.operators.profile import join_size_estimate
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        n_buckets=16,
+    )
+
+
 def _schema_drift_sql() -> str:
     """DuckDB twin of q_schema_drift_customer: per-column profile legs
     over both snapshots (generated from the same column/type lists) and
@@ -4326,6 +4344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin: profile_customer's single-pass profile, compared across
         # two snapshots in a schema-sized join)
         "schema_drift_customer": q_schema_drift_customer,
+        # CBO join-size estimator (stats family — in-window twins:
+        # events_skew_report + the histogram bucket arithmetic)
+        "join_estimate_orders": q_join_estimate_orders,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -7029,6 +7050,44 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # join-estimate twin: same combined-domain bucket floor-div, exact
+        # per-bucket counts/distincts, HUGEINT containment division
+        "join_estimate_orders": """
+            WITH lk AS (
+                SELECT l_orderkey::BIGINT AS k FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+            ),
+            rk AS (
+                SELECT o_orderkey::BIGINT AS k FROM orders
+                WHERE o_orderkey IS NOT NULL
+            ),
+            dom AS (
+                SELECT MIN(k) AS mn, MAX(k) AS mx
+                FROM (SELECT k FROM lk UNION ALL SELECT k FROM rk)
+            ),
+            lb AS (
+                SELECT ((k - mn) * 16) // (mx - mn + 1) AS bucket,
+                       COUNT(*)::BIGINT AS n_left,
+                       COUNT(DISTINCT k)::BIGINT AS d_left
+                FROM lk, dom GROUP BY 1
+            ),
+            rb AS (
+                SELECT ((k - mn) * 16) // (mx - mn + 1) AS bucket,
+                       COUNT(*)::BIGINT AS n_right,
+                       COUNT(DISTINCT k)::BIGINT AS d_right
+                FROM rk, dom GROUP BY 1
+            )
+            SELECT COALESCE(lb.bucket, rb.bucket)::INT AS bucket,
+                   COALESCE(n_left, 0)::BIGINT AS n_left,
+                   COALESCE(d_left, 0)::BIGINT AS d_left,
+                   COALESCE(n_right, 0)::BIGINT AS n_right,
+                   COALESCE(d_right, 0)::BIGINT AS d_right,
+                   ((COALESCE(n_left, 0)::HUGEINT * COALESCE(n_right, 0))
+                        // greatest(COALESCE(d_left, 0),
+                                    COALESCE(d_right, 0), 1))::BIGINT
+                       AS est_rows
+            FROM lb FULL OUTER JOIN rb ON lb.bucket = rb.bucket
+        """,
         # drift twin: generated per-column profile legs + identical CASE
         "schema_drift_customer": _schema_drift_sql(),
         # normalize twin: the literal same replace/translate/regexp chain —

@@ -303,3 +303,96 @@ def schema_drift(
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pre-join cardinality estimate — the System-R/CBO arithmetic that
+    decides broadcast-vs-shuffle and flags the join that would explode
+    BEFORE 100 TB gets shuffled: bucket both key columns on their
+    combined integer domain, then per bucket estimate
+
+        est = n_left · n_right div max(d_left, d_right, 1)
+
+    (containment-of-value-sets assumption: the side with more distinct
+    values contains the other's — the standard equi-join estimator over
+    histogram buckets). Total estimate = Σ buckets; compare with the
+    histogram row counts to spot fan-out joins (est ≫ max(n_l, n_r)).
+
+    Exactness: bucket math is the exact long floor-div rule of
+    :func:`column_histogram` over a broadcast combined min/max (shared
+    domain — separate domains would misalign buckets and the estimator
+    would compare apples to oranges); counts/distincts are exact; est is
+    one DECIMAL(38,0) floor division per bucket (n_l·n_r wraps int64
+    past ~3·10⁹ rows per bucket). NULL keys never join — excluded, like
+    the join itself excludes them.
+
+    Distributed shape: one partial-aggregable (bucket, count, distinct)
+    pass per side, then a ≤ n_buckets-row join. Integral keys by
+    contract (the histogram rule).
+
+    Returns per-bucket ``(bucket, n_left, d_left, n_right, d_right,
+    est_rows)`` — buckets present on either side; a bucket missing one
+    side estimates 0 (inner-join semantics, kept visible).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    for c, side, name in ((left_key, left, "left"), (right_key, right, "right")):
+        if c not in side.columns:
+            raise ValueError(f"column {c!r} not in {name} input: {side.columns}")
+        if not isinstance(
+            side.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            raise ValueError(
+                f"{name} key {c!r} must be integral (the histogram rule), "
+                f"got {side.schema[c].dataType.simpleString()}"
+            )
+    lk = left.select(F.col(left_key).cast("long").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    rk = right.select(F.col(right_key).cast("long").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    # combined domain: one 1-row agg over the union of the two key columns
+    dom = lk.unionByName(rk).agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+
+    def bucketize(keys: DataFrame, nc: str, dc: str) -> DataFrame:
+        return (
+            keys.crossJoin(F.broadcast(dom))
+            .withColumn(
+                "bucket",
+                F.expr(f"((_k - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+                .cast("int"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(nc),
+                F.count_distinct("_k").cast("long").alias(dc),
+            )
+        )
+
+    lb = bucketize(lk, "n_left", "d_left")
+    rb = bucketize(rk, "n_right", "d_right")
+    j = lb.join(rb, "bucket", "full_outer")
+    return j.select(
+        "bucket",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_left", "d_left", "n_right", "d_right")
+        ],
+    ).withColumn(
+        "est_rows",
+        F.expr(
+            "(CAST(n_left AS DECIMAL(38,0)) * n_right)"
+            " div CAST(greatest(d_left, d_right, 1) AS DECIMAL(38,0))"
+        ).cast("long"),
+    )

@@ -413,3 +413,85 @@ def test_schema_drift_distinct_shift_and_thresholds(spark):
 
     with pytest.raises(ValueError, match="thresholds"):
         schema_drift(old, new, null_shift_ppm=-1)
+
+
+# -------------------------------------------------------- join_size_estimate
+
+
+def test_join_estimate_exact_on_key_joins(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.profile import join_size_estimate
+
+    # FK join with uniform keys: containment estimate is EXACT
+    dim = spark.createDataFrame([(i,) for i in range(64)], "k long")
+    fact = spark.createDataFrame([(i % 64,) for i in range(640)], "k long")
+    est = join_size_estimate(fact, "k", dim, "k", n_buckets=8)
+    total = est.agg(F.sum("est_rows").alias("t")).collect()[0].t
+    actual = fact.join(dim, "k").count()
+    assert total == actual == 640
+
+
+def test_join_estimate_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.profile import join_size_estimate
+
+    rng = random.Random(5)
+    a = [rng.randrange(200) for _ in range(500)]
+    b = [rng.randrange(150, 350) for _ in range(400)]
+    da = spark.createDataFrame([(x,) for x in a], "k long")
+    db = spark.createDataFrame([(x,) for x in b], "x long")
+    n_buckets = 16
+    mn, mx = min(a + b), max(a + b)
+
+    def model_side(vals):
+        out = {}
+        for v in vals:
+            bkt = (v - mn) * n_buckets // (mx - mn + 1)
+            n, d = out.get(bkt, (0, set()))
+            out[bkt] = (n + 1, d | {v}) if isinstance(d, set) else None
+        return out
+
+    ma, mb = model_side(a), model_side(b)
+    want = {}
+    for bkt in set(ma) | set(mb):
+        nl, dl = ma.get(bkt, (0, set()))
+        nr, dr = mb.get(bkt, (0, set()))
+        want[bkt] = (
+            nl, len(dl), nr, len(dr),
+            nl * nr // max(len(dl), len(dr), 1),
+        )
+    got = {
+        r.bucket: (r.n_left, r.d_left, r.n_right, r.d_right, r.est_rows)
+        for r in join_size_estimate(da, "k", db, "x", n_buckets=n_buckets).collect()
+    }
+    assert got == want
+
+
+def test_join_estimate_flags_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.profile import join_size_estimate
+
+    # both sides pile onto ONE hot key: estimate must show the n² blowup
+    a = spark.createDataFrame([(7,)] * 100, "k long")
+    b = spark.createDataFrame([(7,)] * 100, "k long")
+    est = join_size_estimate(a, "k", b, "k", n_buckets=4)
+    total = est.agg(F.sum("est_rows").alias("t")).collect()[0].t
+    assert total == 10_000
+
+
+def test_join_estimate_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import join_size_estimate
+
+    a = spark.createDataFrame([(1,)], "k long")
+    f = spark.createDataFrame([(1.5,)], "k double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        join_size_estimate(a, "k", a, "k", n_buckets=0)
+    with pytest.raises(ValueError, match="must be integral"):
+        join_size_estimate(a, "k", f, "k")
+    with pytest.raises(ValueError, match="not in left"):
+        join_size_estimate(a, "missing", a, "k")
