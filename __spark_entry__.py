@@ -3829,6 +3829,37 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card detection (operators/text.py:
+    credit_card_audit + luhn_valid): deterministic 16-digit candidates
+    synthesized from order keys (every 50th order; last digit = key mod
+    10, so ~1 in 10 passes Luhn) embedded in text with separators — the
+    leak-report triage behind redact_pii's blanket masking. The audit
+    output itself is masked to the last 4."""
+    from nebula_importer_spark.operators.text import credit_card_audit
+
+    docs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.expr(
+                "concat('order ref ', "
+                "substring(lpad(cast(o_orderkey * 7919 % 1000000000000000 "
+                "as string), 15, '0'), 1, 4), ' ', "
+                "substring(lpad(cast(o_orderkey * 7919 % 1000000000000000 "
+                "as string), 15, '0'), 5, 4), '-', "
+                "substring(lpad(cast(o_orderkey * 7919 % 1000000000000000 "
+                "as string), 15, '0'), 9, 4), ' ', "
+                "substring(lpad(cast(o_orderkey * 7919 % 1000000000000000 "
+                "as string), 15, '0'), 13, 3), "
+                "cast(o_orderkey % 10 as string), ' thanks')"
+            ).alias("text"),
+        )
+    )
+    return credit_card_audit(docs)
+
+
 def q_join_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CBO join-size estimate (operators/profile.py:join_size_estimate)
     for orders ⋈ lineitem on orderkey — the broadcast-vs-shuffle /
@@ -4347,6 +4378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CBO join-size estimator (stats family — in-window twins:
         # events_skew_report + the histogram bucket arithmetic)
         "join_estimate_orders": q_join_estimate_orders,
+        # Luhn-validated card audit (privacy family — in-window twin:
+        # text_redact_pii's extraction regexes + integer checksum fold)
+        "cc_audit_orders": q_cc_audit_orders,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -7050,6 +7084,44 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # cc-audit twin: same synthesized candidates, same extraction
+        # regex, the Luhn fold as a 1-based list_transform (1-based even
+        # positions ≡ the operator's 0-based odd positions)
+        "cc_audit_orders": """
+            WITH docs AS (
+                SELECT o_orderkey AS doc_id,
+                       'order ref '
+                       || substring(lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0'), 1, 4) || ' '
+                       || substring(lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0'), 5, 4) || '-'
+                       || substring(lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0'), 9, 4) || ' '
+                       || substring(lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0'), 13, 3)
+                       || CAST(o_orderkey % 10 AS VARCHAR) || ' thanks' AS text
+                FROM orders WHERE o_orderkey % 50 = 0
+            ),
+            cand AS (
+                SELECT doc_id,
+                       regexp_replace(unnest(regexp_extract_all(
+                           coalesce(text, ''),
+                           '[0-9](?:[0-9 -]{11,21})[0-9]')), '[ -]', '', 'g')
+                           AS d
+                FROM docs
+            ),
+            sized AS (
+                SELECT doc_id, d FROM cand
+                WHERE length(d) BETWEEN 13 AND 19
+            )
+            SELECT doc_id,
+                   repeat('*', length(d) - 4) || right(d, 4) AS cc_masked,
+                   length(d)::BIGINT AS n_digits,
+                   (list_sum(list_transform(range(1, length(d) + 1), i ->
+                       CASE WHEN i % 2 = 0 THEN
+                         CASE WHEN substring(reverse(d), i, 1)::INT * 2 > 9
+                              THEN substring(reverse(d), i, 1)::INT * 2 - 9
+                              ELSE substring(reverse(d), i, 1)::INT * 2 END
+                       ELSE substring(reverse(d), i, 1)::INT END
+                   )) % 10 = 0) AS luhn_ok
+            FROM sized
+        """,
         # join-estimate twin: same combined-domain bucket floor-div, exact
         # per-bucket counts/distincts, HUGEINT containment division
         "join_estimate_orders": """

@@ -781,3 +781,76 @@ def normalize_text(col, *, fold_accents: bool = True, drop_punct: bool = False) 
         c = F.regexp_replace(c, r"[^a-z0-9_ ]", "")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+def luhn_valid(col) -> Column:
+    """Luhn mod-10 checksum validation (ISO/IEC 7812) of a digit string —
+    the step that separates a REAL payment-card number from 16 random
+    digits, cutting the false-positive rate of regex-only card redaction
+    by ~10× (every CC regex also matches order ids, timestamps and phone
+    digit runs; only ~1 in 10 of those passes Luhn).
+
+    Pure integer Column expression: digits reversed, odd positions
+    doubled with the >9 → −9 fold, one aggregate sum, ``% 10 == 0``.
+    No UDF, no regex backtracking — whole-stage codegen, and the same
+    transform/list_sum form exists verbatim in the oracle dialect.
+    NULL, empty, or non-digit input is NULL (not false — unparseable is
+    not the same claim as checksum-failed).
+    """
+    if not isinstance(col, str):
+        # the checksum expression references the column BY NAME inside
+        # aggregate(); project composed expressions to a named column first
+        raise ValueError("luhn_valid takes a column NAME")
+    c = F.col(col)
+    digits_ok = c.rlike("^[0-9]+$")
+    check = F.expr(
+        f"aggregate(transform(split(reverse({col}), ''), (d, i) -> "
+        "CASE WHEN i % 2 = 1 THEN "
+        "  CASE WHEN int(d) * 2 > 9 THEN int(d) * 2 - 9 ELSE int(d) * 2 END "
+        "ELSE int(d) END), 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    return F.when(c.isNull() | ~digits_ok, F.lit(None)).otherwise(check)
+
+
+def credit_card_audit(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Checksum-validated payment-card detection: extract every 13-19
+    digit run (allowing space/dash separators), strip separators, and
+    Luhn-validate — returning one row per CANDIDATE with its verdict,
+    the triage queue behind redact_pii's blanket masking (redaction can
+    afford false positives; a leak REPORT cannot).
+
+    Map-side explode bounded by candidates-per-doc; the digit string is
+    masked to its last 4 in the output (the audit must not itself leak).
+    Returns ``(id_col, cc_masked, n_digits, luhn_ok)``.
+    """
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    cand = df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(coalesce({text_col}, ''), "
+                "'[0-9](?:[0-9 -]{11,21})[0-9]', 0)"
+            )
+        ).alias("_raw"),
+    ).select(
+        id_col,
+        F.regexp_replace(F.col("_raw"), "[ -]", "").alias("_digits"),
+    )
+    sized = cand.filter(
+        (F.length("_digits") >= 13) & (F.length("_digits") <= 19)
+    )
+    return sized.select(
+        id_col,
+        F.concat(
+            F.repeat(F.lit("*"), F.length("_digits") - 4),
+            F.substring(F.col("_digits"), -4, 4),
+        ).alias("cc_masked"),
+        F.length("_digits").cast("long").alias("n_digits"),
+        luhn_valid("_digits").alias("luhn_ok"),
+    )

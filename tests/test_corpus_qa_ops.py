@@ -672,3 +672,84 @@ def test_normalize_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ luhn / cc audit
+
+
+def test_luhn_known_numbers(spark):
+    from nebula_importer_spark.operators.text import luhn_valid
+
+    df = spark.createDataFrame(
+        [
+            ("79927398713", True),     # the canonical Luhn test number
+            ("4111111111111111", True),
+            ("4111111111111112", False),
+            ("5500005555555559", True),
+            ("1234567812345678", False),
+            (None, None),
+            ("", None),
+            ("12a4", None),
+        ],
+        "d string, want boolean",
+    )
+    rows = df.select("d", "want", luhn_valid("d").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, r.d
+
+
+def test_luhn_matches_python_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.text import luhn_valid
+
+    def luhn_py(d):
+        total = 0
+        for i, ch in enumerate(reversed(d)):
+            x = int(ch)
+            if i % 2 == 1:
+                x *= 2
+                if x > 9:
+                    x -= 9
+            total += x
+        return total % 10 == 0
+
+    rng = random.Random(17)
+    nums = ["".join(str(rng.randrange(10)) for _ in range(rng.randrange(12, 20))) for _ in range(200)]
+    df = spark.createDataFrame([(n,) for n in nums], "d string")
+    got = {r.d: r.got for r in df.select("d", luhn_valid("d").alias("got")).collect()}
+    assert got == {n: luhn_py(n) for n in nums}
+
+
+def test_credit_card_audit_extraction(spark):
+    from nebula_importer_spark.operators.text import credit_card_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 today"),
+            (2, "ref 4111-1111-1111-1112"),
+            (3, "no digits here"),
+            (4, "short 123456789"),       # < 13 digits: not a candidate
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in credit_card_audit(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].luhn_ok is True and rows[2].luhn_ok is False
+    # the audit itself must not leak: only last 4 digits survive
+    assert rows[1].cc_masked.endswith("1111") and set(rows[1].cc_masked[:-4]) == {"*"}
+
+
+def test_credit_card_audit_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import credit_card_audit, luhn_valid
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in input"):
+        credit_card_audit(df, text_col="missing")
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="column NAME"):
+        luhn_valid(F.lit("123"))
