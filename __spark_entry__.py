@@ -3829,6 +3829,28 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sweep-line peak concurrency (operators/temporal.py:
+    max_concurrent) of half-open event intervals (start = event time,
+    duration = 1s–2h derived from event_id) per event type — peak
+    concurrent sessions computed WITHOUT a global sort via the exact_auc
+    two-level prefix machinery. Ties are engine-independent because
+    every same-(t, delta) run's cumulative SET is fixed."""
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    iv = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("s"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 1000"
+            " + (event_id % 7200 + 1) * 1000"
+        ).alias("e"),
+    )
+    return max_concurrent(
+        iv, start_col="s", end_col="e", group_cols=["event_type"]
+    )
+
+
 def q_cc_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated card detection (operators/text.py:
     credit_card_audit + luhn_valid): deterministic 16-digit candidates
@@ -4381,6 +4403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Luhn-validated card audit (privacy family — in-window twin:
         # text_redact_pii's extraction regexes + integer checksum fold)
         "cc_audit_orders": q_cc_audit_orders,
+        # sweep-line peak concurrency (temporal family — in-window twins:
+        # sessionize_users' interval semantics + auc_doc_length's
+        # two-level prefix-sum rank machinery)
+        "max_concurrent_events": q_max_concurrent_events,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -7084,6 +7110,45 @@ def oracle_sql() -> dict[str, str]:
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
         ),
+        # sweep twin: single-window running sum in (t, delta) order —
+        # delta ascending = half-open semantics — peak + earliest instant
+        "max_concurrent_events": """
+            WITH iv AS (
+                SELECT event_type,
+                       epoch_us(ts)//1000 AS s,
+                       epoch_us(ts)//1000 + (event_id % 7200 + 1) * 1000 AS e
+                FROM events
+            ),
+            d AS (
+                SELECT event_type, s AS t, 1 AS dd FROM iv
+                UNION ALL
+                SELECT event_type, e AS t, -1 AS dd FROM iv
+            ),
+            c AS (
+                SELECT event_type, t,
+                       SUM(dd) OVER (
+                           PARTITION BY event_type ORDER BY t, dd
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM d
+            ),
+            n AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n_intervals
+                FROM iv GROUP BY 1
+            ),
+            p AS (
+                SELECT event_type, MAX(cum)::BIGINT AS max_concurrent
+                FROM c GROUP BY 1
+            ),
+            a AS (
+                SELECT c.event_type, MIN(c.t)::BIGINT AS at_ts
+                FROM c JOIN p ON c.event_type = p.event_type
+                           AND c.cum = p.max_concurrent
+                GROUP BY 1
+            )
+            SELECT n.event_type, n.n_intervals, p.max_concurrent, a.at_ts
+            FROM n JOIN p USING (event_type) JOIN a USING (event_type)
+        """,
         # cc-audit twin: same synthesized candidates, same extraction
         # regex, the Luhn fold as a 1-based list_transform (1-based even
         # positions ≡ the operator's 0-based odd positions)

@@ -896,3 +896,114 @@ def cusum_change(
         (-F.col("_dn._nb_")).cast("long").alias("down_bucket"),
         ppm("_dn._sm").alias("down_ppm"),
     )
+
+
+def max_concurrent(
+    df: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact sweep-line concurrency: the maximum number of
+    simultaneously-open intervals per group (peak concurrent sessions,
+    open connections, in-flight requests) and the EARLIEST instant it is
+    reached. Intervals are half-open ``[start, end)`` — an interval
+    ending exactly when another starts does not overlap it — with
+    integral timestamps by contract (epoch ms/us; the module's integer
+    discipline).
+
+    Algorithm: each interval contributes (+1 at start, −1 at end); the
+    concurrency at any instant is the running sum of deltas in
+    (time, delta) order — delta ascending puts the −1s BEFORE the +1s at
+    an equal instant, which IS the half-open semantics. The global
+    running sum is computed WITHOUT a global sort via the two-level
+    prefix machinery of metrics.exact_auc: equal-width order-preserving
+    time buckets (broadcast per-group min/max), a per-(group, bucket)
+    window prefix, and an exclusive prefix over the ≤ n_buckets bucket
+    totals joined back as offsets.
+
+    Determinism at ties: within a run of equal (time, delta) rows every
+    position's cumulative value is fixed (same-sign run — the sum rises
+    or falls monotonically through it), so ``max`` and its earliest time
+    are engine- and order-independent even though the rows within the
+    run are interchangeable.
+
+    NULL starts/ends are rejected loudly (an interval without endpoints
+    is a data bug). Intervals with ``end < start`` are rejected via the
+    same fail-fast probe. Returns one row per group:
+    ``(*group_cols, n_intervals, max_concurrent, at_ts)``.
+    """
+    from pyspark.sql import types as T
+
+    groups = list(group_cols or [])
+    for c in (start_col, end_col, *groups):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (start_col, end_col):
+        if not isinstance(df.schema[c].dataType, integral):
+            raise ValueError(
+                f"{c!r} must be integral epoch units (convert timestamps "
+                f"caller-side), got {df.schema[c].dataType.simpleString()}"
+            )
+    s, e = F.col(start_col), F.col(end_col)
+    bad = df.filter(
+        s.isNull() | e.isNull() | (e < s)
+    ).limit(1)
+    if bad.take(1):
+        raise ValueError(
+            f"NULL or inverted interval in input ({start_col}/{end_col})"
+        )
+
+    gcols = [F.col(c) for c in groups]
+    deltas = df.select(
+        *groups, s.cast("long").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        df.select(*groups, e.cast("long").alias("_t"), F.lit(-1).alias("_d"))
+    )
+    key = groups if groups else []
+    stats = deltas.groupBy(*key).agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+    joined = (
+        deltas.join(F.broadcast(stats), key)
+        if key
+        else deltas.crossJoin(F.broadcast(stats))
+    )
+    bucketed = joined.withColumn(
+        "_b", F.expr(f"((_t - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+    )
+    w_local = (
+        Window.partitionBy(*key, "_b")
+        .orderBy(F.col("_t").asc(), F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_cum_local", F.sum("_d").over(w_local))
+    totals = bucketed.groupBy(*key, "_b").agg(F.sum("_d").alias("_bt"))
+    w_off = (
+        Window.partitionBy(*key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("long"))
+    ).select(*key, "_b", "_off")
+    cum = local.join(F.broadcast(offsets), [*key, "_b"]).withColumn(
+        "_cum", F.col("_cum_local") + F.col("_off")
+    )
+    # max concurrency + earliest instant achieving it: struct-max on
+    # (cum, -t) picks the peak, ties by earliest time
+    out = cum.groupBy(*key).agg(
+        F.max(F.struct(F.col("_cum").alias("m"), (-F.col("_t")).alias("nt")))
+        .alias("_peak"),
+        F.max("n_intervals").alias("n_intervals"),  # constant per group
+    )
+    return out.select(
+        *groups,
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("_peak.m").cast("long").alias("max_concurrent"),
+        (-F.col("_peak.nt")).cast("long").alias("at_ts"),
+    )

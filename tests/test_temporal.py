@@ -828,3 +828,88 @@ def test_cusum_span_guard_and_validation(spark):
         cusum_change(df, bucket_sec=0)
     with pytest.raises(ValueError):
         cusum_change(df, key_col="missing")
+
+
+# -------------------------------------------------------------- max_concurrent
+
+
+def _sweep_model(intervals):
+    """Pure-Python sweep: max concurrency + earliest peak instant."""
+    ev = []
+    for s, e in intervals:
+        ev.append((s, 1))
+        ev.append((e, -1))
+    ev.sort()  # (t, delta): -1 before +1 at equal t = half-open semantics
+    cur = best = 0
+    at = None
+    for t, d in ev:
+        cur += d
+        if cur > best:
+            best, at = cur, t
+    return len(intervals), best, at
+
+
+def test_max_concurrent_hand_case(spark):
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    iv = [(0, 10), (5, 15), (10, 20), (12, 13)]
+    df = spark.createDataFrame(iv, "s long, e long")
+    r = max_concurrent(df, start_col="s", end_col="e").collect()[0]
+    # [0,10) and [10,20) do NOT overlap (half-open); peak = 3 at t=12
+    assert (r.n_intervals, r.max_concurrent, r.at_ts) == (4, 3, 12)
+
+
+def test_max_concurrent_half_open_boundary(spark):
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    df = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
+    r = max_concurrent(df, start_col="s", end_col="e").collect()[0]
+    assert r.max_concurrent == 1
+
+
+def test_max_concurrent_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    rng = random.Random(23)
+    for n_buckets in (4, 64):
+        iv = []
+        for _ in range(300):
+            s = rng.randrange(10_000)
+            iv.append((s, s + rng.randrange(0, 500)))
+        df = spark.createDataFrame(iv, "s long, e long")
+        r = max_concurrent(
+            df, start_col="s", end_col="e", n_buckets=n_buckets
+        ).collect()[0]
+        assert (r.n_intervals, r.max_concurrent, r.at_ts) == _sweep_model(iv)
+
+
+def test_max_concurrent_grouped(spark):
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 9), ("b", 0, 1)],
+        "g string, s long, e long",
+    )
+    r = {x.g: x for x in max_concurrent(
+        df, start_col="s", end_col="e", group_cols=["g"]
+    ).collect()}
+    assert r["a"].max_concurrent == 2 and r["a"].at_ts == 1
+    assert r["b"].max_concurrent == 1
+
+
+def test_max_concurrent_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import max_concurrent
+
+    df = spark.createDataFrame([(1, 5)], "s long, e long")
+    with pytest.raises(ValueError, match="not in input"):
+        max_concurrent(df, start_col="missing", end_col="e")
+    f = spark.createDataFrame([(1.5, 5.0)], "s double, e double")
+    with pytest.raises(ValueError, match="integral"):
+        max_concurrent(f, start_col="s", end_col="e")
+    inv = spark.createDataFrame([(5, 1)], "s long, e long")
+    with pytest.raises(ValueError, match="inverted"):
+        max_concurrent(inv, start_col="s", end_col="e")
