@@ -3829,6 +3829,46 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance under the driver gate
+    (streaming/sketches.py:run_incremental_cms): the events table
+    drained through foreachBatch into per-batch count-min partitions,
+    read back as the cell-wise-sum merged sketch, and queried for the
+    20 heaviest users exactly like the batch cms_user_counts row. The
+    oracle IS the batch CMS oracle — mergeability makes stream ≡ batch,
+    and the hash match is that proof under the gate."""
+    import tempfile
+
+    from nebula_importer_spark.operators.sketch import cms_estimate
+    from nebula_importer_spark.streaming.events import EVENT_SCHEMA
+    from nebula_importer_spark.streaming.sketches import (
+        read_cms,
+        run_incremental_cms,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nis-streamcms-")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    run_incremental_cms(
+        stream, f"{tmp}/out", f"{tmp}/ckpt", col="user_id", depth=4, width=512
+    )
+    m = read_cms(spark, f"{tmp}/out")
+    ev = _t(spark, sf_dir, "events")
+    top = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(m, top, "user_id", depth=4, width=512)
+    return top.join(est, "user_id").select("user_id", "true_count", "est_count")
+
+
 def q_max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sweep-line peak concurrency (operators/temporal.py:
     max_concurrent) of half-open event intervals (start = event time,
@@ -4407,6 +4447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize_users' interval semantics + auc_doc_length's
         # two-level prefix-sum rank machinery)
         "max_concurrent_events": q_max_concurrent_events,
+        # incremental streaming CMS (streaming family — in-window twins:
+        # stream_events_hourly's availableNow drain + kmv/bloom sketch
+        # machinery; oracle shared with cms_user_counts = the
+        # mergeability proof under the gate)
+        "stream_cms_counts": q_stream_cms_counts,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -7566,4 +7611,9 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     # on unique turn_idx / set union), so stream ≡ batch with NO arrival
     # assumption at all — shares the batch oracle outright
     sql["stream_conv_stats"] = sql["conv_stats"]
+    # incremental CMS is defined by MERGEABILITY: the cell-wise sum of
+    # per-batch matrices equals the batch matrix of the union, so the
+    # drained sketch shares the batch CMS oracle — the hash match IS the
+    # stream≡batch mergeability proof
+    sql["stream_cms_counts"] = sql["cms_user_counts"]
     return sql
