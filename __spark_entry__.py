@@ -1175,6 +1175,87 @@ def _graph_bfs_sql(hops: int = 4) -> str:
     return "".join(parts)
 
 
+_CS_EDGES_SQL = """WITH cs AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs
+    )"""
+
+
+def _graph_closeness_sql(k: int = 4, hops: int = 4, salt: str = "cc") -> str:
+    """DuckDB twin of q_graph_closeness: the same ORDER BY md5 LIMIT k
+    pivot sample, the same (source, node) composite-state BFS unrolled
+    as MATERIALIZED CTEs, the same integer 1e6 div d harmonic terms."""
+    parts = [
+        _CS_EDGES_SQL
+        + f""", nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ), seeds AS MATERIALIZED (
+        SELECT node FROM nodes
+        ORDER BY md5('{salt}|' || node), node LIMIT {k}
+    ), d0 AS MATERIALIZED (
+        SELECT node AS source, node, CAST(0 AS INT) AS dist FROM seeds
+    )"""
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f""", n{h} AS (
+        SELECT DISTINCT f.source, e.dst AS node
+        FROM d{h - 1} f JOIN edges e ON e.src = f.node
+        WHERE f.dist = {h - 1}
+    ), d{h} AS MATERIALIZED (
+        SELECT * FROM d{h - 1}
+        UNION ALL
+        SELECT n.source, n.node, CAST({h} AS INT) AS dist FROM n{h} n
+        WHERE NOT EXISTS (SELECT 1 FROM d{h - 1} d
+                          WHERE d.source = n.source AND d.node = n.node)
+    )"""
+        )
+    parts.append(
+        f""" SELECT node,
+               COUNT(*)::BIGINT AS n_sources,
+               SUM(dist)::BIGINT AS sum_dist,
+               SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)::BIGINT
+                   AS harmonic_ppm
+        FROM d{hops} GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+def _graph_walks_sql(steps: int = 4, salt: str = "walk", max_key: int = 300) -> str:
+    """DuckDB twin of q_graph_walks: per-step unrolled CTEs, each picking
+    the out-neighbor with the smallest md5(salt|walk_id|step|neighbor)
+    via the same row_number window Spark plans as WindowGroupLimit."""
+    parts = [
+        _CS_EDGES_SQL
+        + f""", p0 AS MATERIALIZED (
+        SELECT DISTINCT 'c_' || c_custkey AS walk_id,
+               CAST(0 AS INT) AS step, 'c_' || c_custkey AS node
+        FROM customer WHERE c_custkey < {max_key}
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+        SELECT walk_id, CAST({t} AS INT) AS step, node FROM (
+            SELECT f.walk_id, e.dst AS node,
+                   row_number() OVER (
+                       PARTITION BY f.walk_id
+                       ORDER BY md5('{salt}|' || f.walk_id || '|{t}|' || e.dst),
+                                e.dst) AS rn
+            FROM p{t - 1} f JOIN edges e ON e.src = f.node
+        ) WHERE rn = 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM p{t}" for t in range(steps + 1)
+    )
+    parts.append(" " + union)
+    return "".join(parts)
+
+
 def _cs_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized customer↔supplier interaction graph shared by the
     pagerank/bfs/label-propagation queries — symmetrized in ONE pass of the
@@ -4269,6 +4350,56 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
 
 
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness/harmonic centrality
+    (operators/graph.py:closeness_centrality): exact multi-source BFS from
+    4 md5-pivot seeds over the symmetrized customer↔supplier graph —
+    the Eppstein-Wang estimator whose per-term integer arithmetic
+    (1e6 div d) makes an importance ranking gate-hashable. Oracle = the
+    same 4 BFS rounds unrolled as MATERIALIZED CTEs + the same pivot
+    selection ORDER BY md5 LIMIT k."""
+    from nebula_importer_spark.operators.graph import closeness_centrality
+
+    return closeness_centrality(
+        _cs_graph(spark, sf_dir), k_sources=4, max_hops=4, salt="cc"
+    )
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (operators/graph.py:random_walks):
+    one 4-step walk per low-key customer node over the symmetrized
+    customer↔supplier graph, each step the md5-argmin out-neighbor —
+    the seeded stand-in for the uniform choice that keeps a walk corpus
+    reproducible across engines. Oracle = per-step unrolled CTEs with
+    the same md5 row_number pick."""
+    from nebula_importer_spark.operators.graph import random_walks
+
+    starts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.concat(F.lit("c_"), F.col("c_custkey")).alias("node"))
+    )
+    return random_walks(_cs_graph(spark, sf_dir), starts, walk_len=4, salt="walk")
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier profile (operators/profile.py:
+    robust_outliers): median/MAD Hampel identifier over event values in
+    floor-quantized micro-units — medians are element PICKS in
+    (value, id) order so the whole profile is exact integers, no float
+    averaging anywhere. Oracle = the same two windowed element picks +
+    the same int64 dev·1e6 > k_ppm·MAD test."""
+    from nebula_importer_spark.operators.profile import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        value_col="value",
+        id_col="event_id",
+        k_ppm=3_500_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -4592,6 +4723,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_events": q_quantile_sketch,
         # quantized ANN (machinery = ann rows; new quantization kernel)
         "ann_int8_topk": q_ann_int8_topk,
+        # sampled-pivot closeness/harmonic centrality (machinery = the
+        # bfs composite-state BSP + md5 pivot sample)
+        "graph_closeness": q_graph_closeness,
+        # deterministic DeepWalk walk corpus (machinery = per-step
+        # hash-argmin WindowGroupLimit picks)
+        "graph_walks": q_graph_walks,
+        # median/MAD Hampel outlier profile (machinery = windowed
+        # element picks, exact integer)
+        "events_mad_outliers": q_events_mad_outliers,
     }
 
 
@@ -7593,6 +7733,58 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1
             )
             SELECT query_id, step::BIGINT AS step, doc, mmr_scaled FROM sel
+        """,
+        "graph_closeness": _graph_closeness_sql(),
+        "graph_walks": _graph_walks_sql(),
+        "events_mad_outliers": """
+            WITH base AS (
+                SELECT user_id AS k,
+                       CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v,
+                       event_id AS id
+                FROM events
+            ),
+            nulls AS (
+                SELECT k, COUNT(*)::BIGINT AS n_rows,
+                       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT
+                           AS n_null
+                FROM base GROUP BY k
+            ),
+            vals AS (SELECT * FROM base WHERE v IS NOT NULL),
+            counts AS (SELECT k, COUNT(*) AS n FROM vals GROUP BY k),
+            med AS (
+                SELECT r.k, r.v AS median_q FROM (
+                    SELECT k, v, row_number() OVER (
+                        PARTITION BY k ORDER BY v, id) AS rn
+                    FROM vals) r
+                JOIN counts c ON r.k = c.k
+                WHERE r.rn = (c.n + 1) // 2
+            ),
+            dev AS (
+                SELECT vals.k, vals.id, abs(vals.v - med.median_q) AS d
+                FROM vals JOIN med ON vals.k = med.k
+            ),
+            mad AS (
+                SELECT r.k, r.d AS mad_q FROM (
+                    SELECT k, d, id, row_number() OVER (
+                        PARTITION BY k ORDER BY d, id) AS rn
+                    FROM dev) r
+                JOIN counts c ON r.k = c.k
+                WHERE r.rn = (c.n + 1) // 2
+            ),
+            fl AS (
+                SELECT dev.k,
+                       SUM(CASE WHEN dev.d * 1000000 > 3500000 * mad.mad_q
+                                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+                FROM dev JOIN mad ON dev.k = mad.k GROUP BY dev.k
+            )
+            SELECT nulls.k AS user_id, nulls.n_rows, nulls.n_null,
+                   med.median_q::BIGINT AS median_q,
+                   mad.mad_q::BIGINT AS mad_q,
+                   COALESCE(fl.n_outliers, 0)::BIGINT AS n_outliers
+            FROM nulls
+            LEFT JOIN med ON nulls.k = med.k
+            LEFT JOIN mad ON nulls.k = mad.k
+            LEFT JOIN fl ON nulls.k = fl.k
         """,
     })
 

@@ -396,3 +396,118 @@ def join_size_estimate(
             " div CAST(greatest(d_left, d_right, 1) AS DECIMAL(38,0))"
         ).cast("long"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k_ppm: int = 3_500_000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-key robust outlier profile via median/MAD (Hampel identifier,
+    Leys 2013 form): per key, the (lower) median of the values, the
+    median absolute deviation around it, and the count of values whose
+    absolute deviation exceeds ``k_ppm/1e6 × MAD`` — the
+    standard-deviation-free anomaly gate that a mean/stddev z-score
+    gets wrong under the very outliers it hunts (one corrupted 1e9
+    reading inflates σ and masks itself; the median never moves).
+    Default ``k_ppm=3.5e6`` ≈ the classic 3.5-MAD Hampel cut.
+
+    Exactness: values quantize to ``floor(value · scale)`` fixed-point
+    longs (floor, not round — identical on any engine given identical
+    IEEE doubles, the int_kmeans discipline); the median is an ELEMENT
+    PICK — the row at position ``(n+1)//2`` in ``(value, id)`` order —
+    so no averaging, no float, engine-identical including even-n (lower
+    median, documented). MAD is the lower median of ``|v − med|`` in
+    ``(dev, id)`` order. The outlier test ``dev · 1_000_000 > k_ppm ·
+    MAD`` is pure int64 (dev ≤ 2^43-ish micro-units × 1e6 stays under
+    2^63 for |value| < ~9e5 — beyond that pick a smaller scale).
+    MAD = 0 (over half the key's values identical) flags exactly the
+    values that differ at all — the natural degenerate semantics.
+
+    NULL values are counted per key (``n_null``) and excluded from the
+    statistics — visible, never a fake zero (the profile_columns
+    contract). Keys whose values are all NULL report NULL medians.
+
+    Distributed shape: two per-key ``row_number`` window passes (median
+    pick, MAD pick) + two key-equi-joins — all exchanges on the key
+    column, values never travel as keys. Per-key window sorts are the
+    mega-key caveat (operators/temporal.py): at 100 TB a key above the
+    skew threshold wants the salted two-level pick (token_budget's
+    machinery); per-user/per-entity cardinalities sit far below it.
+    """
+    for c in (key_col, value_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in the frame")
+    if k_ppm < 0:
+        raise ValueError(f"k_ppm must be >= 0, got {k_ppm}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.floor(F.col(value_col).cast("double") * float(scale))
+        .cast("long")
+        .alias("_v"),
+        F.col(id_col).alias("_id"),
+    )
+    nulls = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
+    vals = base.filter(F.col("_v").isNotNull())
+    wv = Window.partitionBy("_k").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    counts = vals.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    # lower median = the element at 1-based position (n+1)//2 — spelled as
+    # a floor to keep integer semantics explicit under Spark's / promotion
+    med = (
+        vals.withColumn("_rn", F.row_number().over(wv))
+        .join(counts, "_k")
+        .filter(F.col("_rn") == F.floor((F.col("_n") + F.lit(1)) / F.lit(2)))
+        .select("_k", F.col("_v").alias("median_q"))
+    )
+    dev = vals.join(med, "_k").select(
+        "_k", "_id", "_v", F.abs(F.col("_v") - F.col("median_q")).alias("_d")
+    )
+    wd = Window.partitionBy("_k").orderBy(F.col("_d").asc(), F.col("_id").asc())
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .join(counts, "_k")
+        .filter(F.col("_rn") == F.floor((F.col("_n") + F.lit(1)) / F.lit(2)))
+        .select("_k", F.col("_d").alias("mad_q"))
+    )
+    flagged = (
+        dev.join(mad, "_k")
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_d") * F.lit(1_000_000) > F.lit(k_ppm) * F.col("mad_q"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        nulls.join(med, "_k", "left")
+        .join(mad, "_k", "left")
+        .join(flagged, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_rows",
+            "n_null",
+            F.col("median_q").cast("long").alias("median_q"),
+            F.col("mad_q").cast("long").alias("mad_q"),
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
