@@ -3458,6 +3458,69 @@ def _hashed_features_sql(n_buckets: int = 64, salt: str = "hf") -> str:
     """
 
 
+def _dsir_sql(n_buckets: int = 64, salt: str = "dsir") -> str:
+    """DuckDB twin of dsir_importance: same NOT_WS tokens + space-joined
+    bigrams, same md5-first-8-hex bucket (the hashed_features twin's
+    strpos parse), same add-one floored micro-nat log terms over the FULL
+    bucket domain, same exact-int64 per-doc sum; empty docs ride the
+    LEFT JOIN back to documents with weight 0."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    B = n_buckets
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, lang, regexp_extract_all(
+                       coalesce(text, ''), '[^\\t\\n\\f\\r ]+') AS t
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, lang, unnest(
+                t || list_transform(
+                    range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i + 1])
+            ) AS term
+            FROM tk
+        ),
+        bk AS (
+            SELECT doc_id, lang, ({hexval}) % {B} AS b FROM (
+                SELECT doc_id, lang, md5('{salt}' || term) AS h FROM terms)
+        ),
+        ct AS (SELECT b, COUNT(*)::BIGINT AS ct FROM bk
+               WHERE lang = 'en' GROUP BY b),
+        cr AS (SELECT b, COUNT(*)::BIGINT AS cr FROM bk GROUP BY b),
+        tot AS (SELECT (SELECT coalesce(SUM(ct), 0) FROM ct)::BIGINT AS tt,
+                       (SELECT coalesce(SUM(cr), 0) FROM cr)::BIGINT AS tr),
+        dom AS (SELECT unnest(range(0, {B}))::BIGINT AS b),
+        lam AS (
+            SELECT dom.b,
+                   (FLOOR(ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+                             / (tot.tt + {B})::DOUBLE) * 1000000.0)
+                  - FLOOR(ln((coalesce(cr.cr, 0) + 1)::DOUBLE
+                             / (tot.tr + {B})::DOUBLE) * 1000000.0)
+                   )::BIGINT AS lam
+            FROM dom LEFT JOIN ct ON dom.b = ct.b
+                     LEFT JOIN cr ON dom.b = cr.b
+                     CROSS JOIN tot
+        ),
+        g AS (
+            SELECT bk.doc_id, COUNT(*)::BIGINT AS n_terms,
+                   SUM(lam.lam)::BIGINT AS w
+            FROM bk JOIN lam ON bk.b = lam.b GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(g.n_terms, 0)::BIGINT AS n_terms,
+               coalesce(g.w, 0)::BIGINT AS weight_unats,
+               CASE WHEN coalesce(g.n_terms, 0) > 0
+                    THEN round(g.w::DOUBLE / (1000000.0 * g.n_terms), 6)
+                    ELSE 0.0 END AS avg_logratio
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN g USING (doc_id)
+    """
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/text.py:
     strip_boilerplate) over documents re-lined into 10-token chunks
@@ -4400,6 +4463,22 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py:dsir_importance, Xie et
+    al. NeurIPS 2023): every document scored by the exact-int64 micro-nat
+    hashed-bigram log-likelihood ratio of the English subcorpus (target)
+    vs the whole corpus (raw) — the importance-resampling selector a
+    pretraining pipeline ranks its crawl with. Oracle = the same md5
+    bucket parse, the same add-one floored log terms over the full
+    64-bucket domain, the same int64 per-doc sum."""
+    from nebula_importer_spark.operators.dsir import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -4732,6 +4811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # median/MAD Hampel outlier profile (machinery = windowed
         # element picks, exact integer)
         "events_mad_outliers": q_events_mad_outliers,
+        # DSIR importance-resampling selector (machinery = hashed-bucket
+        # featurization + exact micro-nat log-ratio sums)
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -7786,6 +7868,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN mad ON nulls.k = mad.k
             LEFT JOIN fl ON nulls.k = fl.k
         """,
+        "dsir_weights": _dsir_sql(),
     })
 
 
