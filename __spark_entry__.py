@@ -4479,6 +4479,69 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure with exact min distances
+    (operators/graph.py:transitive_closure): the order→customer→nation→
+    region containment hierarchy PLUS a derived order→nation shortcut, so
+    the min-plus doubling has real multi-path mins to resolve (o→n is 1
+    direct vs 2 via the customer; o→r is 2 vs 3). ceil(log2(4)) = 2
+    join+agg rounds, not 4. Oracle = the recursive-CTE expansion with
+    MIN(dist) — independent sequential machinery, same semantics."""
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    e = (
+        orders.select(
+            F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("c_"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n_"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r_"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return transitive_closure(e, max_depth=4)
+
+
+_KG_CLOSURE_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT 'o_' || o_orderkey AS src, 'c_' || o_custkey AS dst FROM orders
+        UNION
+        SELECT 'o_' || o_orderkey, 'n_' || c_nationkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        UNION
+        SELECT 'c_' || c_custkey, 'n_' || c_nationkey FROM customer
+        UNION
+        SELECT 'n_' || n_nationkey, 'r_' || n_regionkey FROM nation
+    ),
+    reach AS (
+        SELECT src, dst, 1 AS dist FROM e
+        UNION
+        SELECT r.src, e.dst, r.dist + 1
+        FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.dist < 4
+    )
+    SELECT src, dst, MIN(dist)::BIGINT AS dist
+    FROM reach GROUP BY src, dst
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -4814,6 +4877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance-resampling selector (machinery = hashed-bucket
         # featurization + exact micro-nat log-ratio sums)
         "dsir_weights": q_dsir_weights,
+        # bounded min-plus transitive closure (machinery = path-doubling
+        # join+agg rounds, log2(depth) shuffles)
+        "kg_closure": q_kg_closure,
     }
 
 
@@ -7869,6 +7935,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN fl ON nulls.k = fl.k
         """,
         "dsir_weights": _dsir_sql(),
+        "kg_closure": _KG_CLOSURE_SQL,
     })
 
 

@@ -985,3 +985,94 @@ def test_lcc_randomized_vs_python(spark):
         for r in clustering_coefficient(df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# transitive_closure — min-plus path doubling
+# ---------------------------------------------------------------------------
+
+def _py_closure(edges, max_depth):
+    """Independent sequential BFS-per-source reference (dicts, no Spark)."""
+    adj = {}
+    for u, v in set(edges):
+        if u is None or v is None:
+            continue
+        adj.setdefault(u, set()).add(v)
+    out = {}
+    nodes = set(adj) | {v for vs in adj.values() for v in vs}
+    for s in nodes:
+        frontier, dist = {s}, 0
+        seen = {}
+        while frontier and dist < max_depth:
+            dist += 1
+            frontier = {w for v in frontier for w in adj.get(v, ())}
+            for w in frontier:
+                if (s, w) not in out and w not in seen:
+                    out[(s, w)] = dist
+                    seen[w] = dist
+            frontier = {w for w in frontier if seen.get(w) == dist}
+    return out
+
+
+def test_closure_chain_exact_distances(spark):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    got = {(r.src, r.dst): r.dist for r in transitive_closure(e, max_depth=4).collect()}
+    want = _py_closure([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], 4)
+    assert got == want
+    assert got[("a", "e")] == 4
+
+
+def test_closure_shortcut_takes_min(spark):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    # a->b->c plus direct a->c: dist(a,c) must be 1, not 2.
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"])
+    got = {(r.src, r.dst): r.dist for r in transitive_closure(e, max_depth=4).collect()}
+    assert got[("a", "c")] == 1
+
+
+def test_closure_cycle_emits_self_rows(spark):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    got = {(r.src, r.dst): r.dist for r in transitive_closure(e, max_depth=3).collect()}
+    assert got[("a", "a")] == 3 and got[("b", "b")] == 3 and got[("c", "c")] == 3
+
+
+def test_closure_depth_bound_and_nulls(spark):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("a", None), (None, "b")]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {(r.src, r.dst): r.dist for r in transitive_closure(e, max_depth=2).collect()}
+    assert ("a", "d") not in got  # dist 3 > bound
+    assert got[("a", "c")] == 2
+    assert all(s is not None and d is not None for s, d in got)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_closure_random_parity(spark, seed):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)})
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst): r.dist for r in transitive_closure(e, max_depth=5).collect()}
+    want = _py_closure(edges, 5)
+    assert got == want
+
+
+def test_closure_validation(spark):
+    from nebula_importer_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        transitive_closure(e, max_depth=0)
+    with pytest.raises(ValueError):
+        transitive_closure(e, src="missing")
