@@ -3359,6 +3359,27 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(tru, "event_type")
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (operators/sketch.py:hll_distinct):
+    per-event-type distinct-user estimate from 2^12 max-rho registers
+    over the deterministic md5-derived 52-bit hash — one map pass, no
+    distinct pass (max is idempotent), m bytes of state per group at any
+    cardinality. The raw estimate is exact integer arithmetic (fixed-
+    point register sum + one integral division by a plan-time folded
+    constant); the linear-counting branch floors ONE float log from a
+    4096-point domain verified bit-identical across engines. The oracle
+    replays registers, sum, and both branches; exact distinct rides
+    along to witness the ~1.04/sqrt(m) error bound."""
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", p=12, group_cols=["event_type"])
+    tru = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(tru, "event_type")
+
+
 def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention graph over the constructed KG
     (transcripts/entities.py:comention_edges): same-conversation entity
@@ -4639,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anon": q_privacy_k_anon,
         # deterministic KMV cardinality sketch (new family)
         "kmv_distinct_users": q_kmv_distinct_users,
+        "hll_distinct_users": q_hll_distinct_users,
 
         # diverse selection (MMR) — the retrieval→curation selection step
         "mmr_select": q_mmr_select,
@@ -7088,6 +7110,59 @@ def oracle_sql() -> dict[str, str]:
                    END::BIGINT AS est_distinct,
                    true_distinct
             FROM agg a JOIN tru t ON t.event_type = a.event_type
+        """,
+        # HLL twin: same md5-derived 52-bit hash split into top-12-bit
+        # bucket + 40-bit w, rho from length(bin(w)), max-rho registers,
+        # fixed-point register sum, the same plan-time-folded HUGEINT
+        # estimate constant, and the same two estimator branches
+        "hll_distinct_users": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                        1, 13))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            cell AS (
+                SELECT event_type, h // 1099511627776 AS b,
+                       h % 1099511627776 AS w
+                FROM h
+            ),
+            reg AS (
+                SELECT event_type, b,
+                       MAX(CASE WHEN w = 0 THEN 41
+                                ELSE 40 - (length(bin(w)) - 1) END) AS rho
+                FROM cell GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT event_type, COUNT(*) AS nz,
+                       SUM(1::BIGINT << (41 - rho))::BIGINT AS s_nz
+                FROM reg GROUP BY 1
+            ),
+            stat AS (
+                SELECT event_type, 4096::BIGINT AS m,
+                       (4096 - nz)::BIGINT AS v_zero,
+                       (s_nz + (4096 - nz) * (1::BIGINT << 41))::BIGINT
+                           AS s_scaled
+                FROM st
+            ),
+            est AS (
+                SELECT *,
+                       (CAST('26604264699558881575' AS HUGEINT)
+                        // s_scaled)::BIGINT AS raw
+                FROM stat
+            ),
+            tru AS (
+                SELECT event_type,
+                       COUNT(DISTINCT user_id)::BIGINT AS true_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, m, v_zero, s_scaled,
+                   CASE WHEN raw * 2 <= 5 * m AND v_zero > 0
+                        THEN CAST(floor(4096.0 * ln(4096.0 / v_zero))
+                                  AS BIGINT)
+                        ELSE raw END AS est_distinct,
+                   true_distinct
+            FROM est e JOIN tru t ON t.event_type = e.event_type
         """,
         # count-min twin: same per-row md5('cms<r>|' ‖ value) 52-bit cell
         # hashes, same 4×512 counter matrix, min-over-rows estimate for

@@ -317,3 +317,107 @@ def test_bloom_validation(spark):
         bloom_filter(df, "missing")
     with _pytest.raises(ValueError, match="not in small"):
         bloom_semi_join(df, df, "k", small_key="missing")
+
+
+# --- HyperLogLog ---------------------------------------------------------
+
+
+def _hll_python_model(values, p=12, salt="hll"):
+    """Independent Python replica of the register/estimate contract."""
+    import hashlib
+    import math
+
+    w_bits = 52 - p
+    q_max = w_bits + 1
+    m = 1 << p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(f"{salt}{v}".encode()).hexdigest()[:13], 16)
+        b, w = h >> w_bits, h % (1 << w_bits)
+        rho = q_max if w == 0 else w_bits - (w.bit_length() - 1)
+        regs[b] = max(regs.get(b, 0), rho)
+    s_scaled = sum(1 << (q_max - r) for r in regs.values()) + (
+        m - len(regs)
+    ) * (1 << q_max)
+    k = (7213 * m**3 * (1 << q_max)) // (10000 * m + 10790)
+    raw = k // s_scaled
+    v_zero = m - len(regs)
+    if raw * 2 <= 5 * m and v_zero > 0:
+        est = math.floor(m * math.log(m / v_zero))
+    else:
+        est = raw
+    return m, v_zero, s_scaled, est
+
+
+def test_hll_matches_python_model_exactly(spark):
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    for n in (0, 1, 37, 5000):
+        vals = list(range(n))
+        df = spark.createDataFrame(
+            [(v,) for v in vals] or [(None,)], "user_id long"
+        )
+        rows = hll_distinct(df, "user_id", p=12).collect()
+        if n == 0:
+            # null-only input, GLOBAL agg: one exact empty-sketch row
+            r = rows[0]
+            assert (r.v_zero, r.s_scaled, r.est_distinct) == (
+                4096, 4096 << 41, 0
+            )
+            continue
+        r = rows[0]
+        assert (r.m, r.v_zero, r.s_scaled, r.est_distinct) == \
+            _hll_python_model(vals)
+
+
+def test_hll_error_within_bound_and_duplicates_free(spark):
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    n = 30_000
+    df = spark.createDataFrame([(i % n,) for i in range(3 * n)], "u long")
+    r = hll_distinct(df, "u", p=12).collect()[0]
+    # ~1.04/sqrt(m) relative error; allow 4 sigma
+    assert abs(r.est_distinct - n) / n < 4 * 1.04 / (1 << 12) ** 0.5
+    # duplicates never change registers (max is idempotent)
+    solo = hll_distinct(
+        spark.createDataFrame([(i,) for i in range(n)], "u long"), "u", p=12
+    ).collect()[0]
+    assert (r.s_scaled, r.est_distinct) == (solo.s_scaled, solo.est_distinct)
+
+
+def test_hll_grouped_matches_isolated_groups(spark):
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    rows = [(("a" if i % 3 else "b"), i % 900) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    grouped = {
+        r.g: (r.v_zero, r.s_scaled, r.est_distinct)
+        for r in hll_distinct(df, "u", p=10, group_cols=["g"]).collect()
+    }
+    for g in ("a", "b"):
+        solo = hll_distinct(df.filter(f"g = '{g}'"), "u", p=10).collect()[0]
+        assert grouped[g] == (solo.v_zero, solo.s_scaled, solo.est_distinct)
+
+
+def test_hll_small_range_branch_is_linear_counting(spark):
+    import math
+
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    # tiny cardinality: nearly all registers empty -> linear counting
+    df = spark.createDataFrame([(i,) for i in range(25)], "u long")
+    r = hll_distinct(df, "u", p=12).collect()[0]
+    assert r.v_zero > 0
+    assert r.est_distinct == math.floor(4096 * math.log(4096 / r.v_zero))
+
+
+def test_hll_validation(spark):
+    from nebula_importer_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(1, "x")], "u long, g string")
+    with pytest.raises(ValueError):
+        hll_distinct(df, "u", p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "missing")
+    with pytest.raises(ValueError):
+        hll_distinct(df, "g", group_cols=["g"])
