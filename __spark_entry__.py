@@ -3167,6 +3167,105 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize: the 8-round BPE trainer (operators/bpe.py:
+    bpe_train) feeds its learned merge list straight into the map-only
+    encoder (bpe_encode — char-split + ordered greedy folds inside
+    whole-stage codegen, no shuffle), and the gate hashes the per-doc
+    EXACT token counts under the trained tokenizer — the number a
+    token-budget sampler or packing planner actually consumes. The
+    oracle re-derives the same merges with unrolled CTE rounds, then
+    resolves each document's count through the final VOCABULARY (word →
+    final symbol count join) — an independent route to the same totals,
+    valid because a word's encoding depends only on the word."""
+    from nebula_importer_spark.operators.bpe import NOT_WS, bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = bpe_train(docs, n_merges=8, min_pair_count=2)
+    merges = [
+        (r.left_sym, r.right_sym) for r in mt.orderBy("round").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    n_words = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(NOT_WS + "+"), F.lit(0)
+        )
+    )
+    return enc.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_token_counts_sql(n_rounds: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of q_bpe_token_counts: the _bpe_train_sql round
+    structure with the source word RETAINED through every fold, so the
+    final round IS a word -> token-count dictionary; documents resolve
+    through one join + sum (encoding is a pure function of the word)."""
+    parts = [f"""
+        w0 AS (
+            SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_extract_all(
+                    coalesce(text, ''), '[^\\t\\n\\f\\r ]+')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+            SELECT w,
+                   list_append(list_transform(
+                       range(1, length(w) + 1), i -> substr(w, i, 1)),
+                   '</w>') AS syms,
+                   cnt
+            FROM w0
+        )"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+        p{r} AS MATERIALIZED (
+            SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt)::BIGINT AS c
+            FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+                  FROM v{r - 1})
+            GROUP BY 1, 2
+        ),
+        b{r} AS MATERIALIZED (
+            SELECT l, r, c FROM p{r}
+            WHERE c >= {min_count}
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT w,
+                   list_reduce(
+                       list_transform(syms, s -> [s]),
+                       (acc, s) -> CASE
+                           WHEN acc[-1] = bl AND s[1] = br
+                           THEN acc[:-2] || [bm]
+                           ELSE acc || s END
+                   ) AS syms,
+                   cnt
+            FROM v{r - 1}, (
+                SELECT (SELECT l FROM b{r}) AS bl,
+                       (SELECT r FROM b{r}) AS br,
+                       (SELECT l || r FROM b{r}) AS bm
+            )
+        )""")
+    return "WITH " + ",".join(parts) + f""",
+        dict AS (SELECT w, len(syms)::BIGINT AS ntok FROM v{n_rounds}),
+        docw AS (
+            SELECT doc_id, unnest(regexp_extract_all(
+                coalesce(text, ''), '[^\\t\\n\\f\\r ]+')) AS w
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS nw, SUM(ntok)::BIGINT AS nt
+            FROM docw JOIN dict USING (w) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(nw, 0)::BIGINT AS n_words,
+               COALESCE(nt, 0)::BIGINT AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 def _bpe_train_sql(n_rounds: int = 8, min_count: int = 2) -> str:
     """DuckDB twin of bpe_train: each round is a CTE triple — weighted
     adjacent-pair counts by index, the (count desc, pair asc) argmax
@@ -4623,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
         # dedup family (each row a distinct algorithm) + incremental novelty
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5891,6 +5991,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_project": _embedding_project_sql(),
         "bpe_train_docs": _bpe_train_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "hashed_features": _hashed_features_sql(),
         "embedding_pca": _embedding_pca_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),

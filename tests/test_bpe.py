@@ -133,3 +133,40 @@ def test_bpe_validation(spark):
         bpe_train(df.drop("text"))
     with pytest.raises(ValueError, match="not in input"):
         bpe_encode(df, [], text_col="zz")
+
+
+def test_bpe_token_counts_equal_vocab_resolution(spark):
+    """Per-doc token counts from the map-only encoder must equal the
+    word->final-symbol-count dictionary route (the gate oracle's
+    identity: encoding is a pure function of the word)."""
+    from nebula_importer_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    mt = bpe_train(docs, n_merges=5, min_pair_count=2)
+    merges = [(r.left_sym, r.right_sym) for r in mt.orderBy("round").collect()]
+    enc = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # dictionary route: encode each distinct word once, sum per doc
+    vocab_rows = bpe_encode(
+        spark.createDataFrame(
+            [(w,) for w in ["low", "lower", "lowest", "new", "newer",
+                            "newest"]],
+            "text string",
+        ),
+        merges,
+    ).collect()
+    per_word = {r.text: len(r.bpe_tokens) for r in vocab_rows}
+    for doc_id, text in [(1, "low low lower lowest"),
+                         (2, "new newer newest low")]:
+        assert len(enc[doc_id]) == sum(per_word[w] for w in text.split())
+    assert enc[3] == [] and enc[4] == []
