@@ -4133,6 +4133,46 @@ def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "user_id").select("user_id", "true_count", "est_count")
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HyperLogLog maintenance under the driver gate
+    (streaming/sketches.py:run_incremental_hll): events drained through
+    foreachBatch into per-batch register partitions, read back as the
+    bucket-wise-max merged estimate. Max-merge is idempotent — a replay
+    cannot even overcount — so stream ≡ batch exactly, and the oracle IS
+    the batch hll_distinct_users oracle; the hash match is that proof
+    under the gate."""
+    import tempfile
+
+    from nebula_importer_spark.streaming.events import EVENT_SCHEMA
+    from nebula_importer_spark.streaming.sketches import (
+        read_hll,
+        run_incremental_hll,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nis-streamhll-")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    run_incremental_hll(
+        stream,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        col="user_id",
+        p=12,
+        group_cols=["event_type"],
+    )
+    est = read_hll(spark, f"{tmp}/out", p=12, group_cols=["event_type"])
+    tru = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("true_distinct"))
+    )
+    return est.join(tru, "event_type")
+
+
 def q_max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sweep-line peak concurrency (operators/temporal.py:
     max_concurrent) of half-open event intervals (start = event time,
@@ -4847,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery; oracle shared with cms_user_counts = the
         # mergeability proof under the gate)
         "stream_cms_counts": q_stream_cms_counts,
+        "stream_hll_distinct": q_stream_hll_distinct,
         "events_pivot": q_events_pivot,
         "region_revenue": q_region_revenue,
         "returned_orders": q_returned_orders,
@@ -8134,4 +8175,6 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     # drained sketch shares the batch CMS oracle — the hash match IS the
     # stream≡batch mergeability proof
     sql["stream_cms_counts"] = sql["cms_user_counts"]
+    # max-merge makes the streamed HLL ≡ the batch sketch of the union
+    sql["stream_hll_distinct"] = sql["hll_distinct_users"]
     return sql

@@ -334,6 +334,26 @@ def hll_distinct(
     second tiny agg over ≤ m rows per group. State per group is m bytes'
     worth of registers, whatever the cardinality: the 100-TB point.
     """
+    regs = hll_registers(df, col, p=p, group_cols=group_cols, salt=salt)
+    return hll_estimate(regs, p=p, group_cols=group_cols)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    *,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+) -> DataFrame:
+    """The HLL register table ``(*group_cols, bucket, rho)`` — nonzero
+    registers only, one row per occupied bucket. This is the MERGEABLE
+    sketch state: the registers of a union are the bucket-wise MAX of
+    the parts' registers (max is idempotent and associative), which is
+    what makes the sketch streamable batch-by-batch
+    (streaming/sketches.py:run_incremental_hll) and compactable at any
+    history length. See :func:`hll_distinct` for the register rule.
+    """
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
     if col not in df.columns:
@@ -341,30 +361,50 @@ def hll_distinct(
     groups = list(group_cols or [])
     if col in groups:
         raise ValueError(f"col {col!r} cannot also be a group column")
-    m = 1 << p
     w_bits = 52 - p
     q_max = w_bits + 1
-    k_const = _hll_constant(p)
-
     h = _kmv_hash(F.col(col), salt)
     cells = (
         df.filter(F.col(col).isNotNull())
         .select(
             *groups,
-            (h / F.lit(1 << w_bits)).cast("long").alias("_b"),
+            (h / F.lit(1 << w_bits)).cast("long").alias("bucket"),
             F.pmod(h, F.lit(1 << w_bits)).alias("_w"),
         )
         .select(
             *groups,
-            "_b",
+            "bucket",
             F.when(F.col("_w") == 0, F.lit(q_max))
             .otherwise(F.lit(w_bits) - (F.length(F.expr("bin(_w)")) - 1))
             .cast("int")
-            .alias("_rho"),
+            .alias("rho"),
         )
     )
-    regs = cells.groupBy(*groups, "_b").agg(F.max("_rho").alias("_rho"))
-    per_group = regs.groupBy(*groups).agg(
+    return cells.groupBy(*groups, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    *,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate from a ``hll_registers`` table (or any bucket-wise-max
+    merge of such tables — duplicate buckets are re-maxed here first, so
+    unions of per-batch register snapshots feed in directly). Output and
+    arithmetic contract as documented on :func:`hll_distinct`."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    for c in ("bucket", "rho"):
+        if c not in regs.columns:
+            raise ValueError(f"column {c!r} not in registers: {regs.columns}")
+    groups = list(group_cols or [])
+    m = 1 << p
+    w_bits = 52 - p
+    q_max = w_bits + 1
+    k_const = _hll_constant(p)
+    merged = regs.groupBy(*groups, "bucket").agg(F.max("rho").alias("_rho"))
+    per_group = merged.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("_nz"),
         # global agg over zero registers yields one row with a NULL sum:
         # coalesce to 0 so the empty sketch is the all-empty-register row

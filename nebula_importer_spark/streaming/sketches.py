@@ -14,6 +14,10 @@ streaming/transcripts.py exactly-once pattern).
 At 100 TB streaming ingest this is how per-key frequency telemetry
 stays cheap: depth×width longs per batch partition, compactable by the
 same cell-wise sum whenever the partition count grows.
+
+The HyperLogLog registers (operators/sketch.py:hll_registers) stream the
+same way but merge by bucket-wise MAX — idempotent, so a replay cannot
+even overcount; distinct-user telemetry costs ≤ 2^p rows per batch.
 """
 
 from __future__ import annotations
@@ -68,6 +72,75 @@ def run_incremental_cms(
         return dict(seen)
     seen["query"] = writer.start()
     return seen
+
+
+def run_incremental_hll(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    col: str,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+    available_now: bool = True,
+) -> dict:
+    """Drain a stream into per-batch HyperLogLog register partitions at
+    ``<out_dir>/hll/_batch_id=N`` (operators/sketch.py:hll_registers).
+    Registers merge by bucket-wise MAX — max is idempotent AND
+    insensitive to double-counting, so unlike the CMS (whose cells sum)
+    an HLL replay can't even overcount: the merged sketch equals the
+    batch sketch of the union under ANY replay. Read the live estimate
+    back with :func:`read_hll`. Per-batch state is ≤ 2^p rows per group
+    at any history length.
+
+    Returns {"batches": n}; with ``available_now=False`` the live
+    StreamingQuery handle is under "query".
+    """
+    from nebula_importer_spark.operators.sketch import hll_registers
+
+    hll_dir = f"{str(out_dir).rstrip('/')}/hll"
+    seen: dict = {"batches": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(
+            batch_df, col, p=p, group_cols=group_cols, salt=salt
+        )
+        (
+            regs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(hll_dir)
+        )
+        seen["batches"] += 1
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return dict(seen)
+    seen["query"] = writer.start()
+    return seen
+
+
+def read_hll(
+    spark,
+    out_dir: str,
+    *,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The live merged HLL estimate across every drained batch
+    partition: registers re-max per bucket inside
+    ``hll_estimate``, so this equals the batch ``hll_distinct`` over
+    the union of all drained rows."""
+    from nebula_importer_spark.operators.sketch import hll_estimate
+
+    regs = spark.read.parquet(f"{str(out_dir).rstrip('/')}/hll")
+    return hll_estimate(regs, p=p, group_cols=group_cols)
 
 
 def read_cms(spark, out_dir: str) -> DataFrame:

@@ -79,3 +79,62 @@ def test_stream_cms_replay_idempotent(spark, tmp_path):
         col="user_id", depth=3, width=64,
     )
     assert _cells(read_cms(spark, str(out))) == first
+
+
+def test_stream_hll_equals_batch_across_batches(spark, tmp_path):
+    from nebula_importer_spark.operators.sketch import hll_distinct
+    from nebula_importer_spark.streaming.sketches import (
+        read_hll,
+        run_incremental_hll,
+    )
+
+    indir, out, ckpt = tmp_path / "hin", tmp_path / "hout", tmp_path / "hckpt"
+    drop0 = [(i, i % 300) for i in range(500)]
+    drop1 = [(i + 500, (i * 11) % 450) for i in range(400)]
+    _events(spark, drop0).coalesce(1).write.parquet(str(indir / "d0"))
+    _events(spark, drop1).coalesce(1).write.parquet(str(indir / "d1"))
+
+    seen = run_incremental_hll(
+        _stream(spark, str(indir / "d*")),
+        str(out),
+        str(ckpt),
+        col="user_id",
+        p=10,
+    )
+    assert seen["batches"] == 2
+
+    merged = read_hll(spark, str(out), p=10).collect()[0]
+    batch = hll_distinct(
+        _events(spark, drop0 + drop1), "user_id", p=10
+    ).collect()[0]
+    # max-merge: streamed registers == batch registers, bit-exact stats
+    assert (merged.m, merged.v_zero, merged.s_scaled, merged.est_distinct) \
+        == (batch.m, batch.v_zero, batch.s_scaled, batch.est_distinct)
+
+
+def test_stream_hll_replay_cannot_overcount(spark, tmp_path):
+    from nebula_importer_spark.streaming.sketches import (
+        read_hll,
+        run_incremental_hll,
+    )
+
+    indir, out = tmp_path / "hin", tmp_path / "hout"
+    rows = [(i, i % 77) for i in range(300)]
+    _events(spark, rows).coalesce(1).write.parquet(str(indir / "d0"))
+
+    run_incremental_hll(
+        _stream(spark, str(indir / "d*")), str(out), str(tmp_path / "hc1"),
+        col="user_id", p=10,
+    )
+    first = read_hll(spark, str(out), p=10).collect()[0]
+    # fresh checkpoint = full replay; max is idempotent, so even WITHOUT
+    # the batch-keyed overwrite the estimate could not move — with it the
+    # store is unchanged too
+    run_incremental_hll(
+        _stream(spark, str(indir / "d*")), str(out), str(tmp_path / "hc2"),
+        col="user_id", p=10,
+    )
+    second = read_hll(spark, str(out), p=10).collect()[0]
+    assert (first.s_scaled, first.est_distinct) == (
+        second.s_scaled, second.est_distinct
+    )
