@@ -3932,6 +3932,69 @@ def q_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "zkey", "zbucket")
 
 
+def q_hilbert_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key + file assignment (operators/
+    layout.py:hilbert_key) over lineitem's (l_partkey, l_suppkey) — the
+    unit-step space-filling curve whose equal key-range buckets are
+    tighter rectangles than Z-order's (pytest proves bijection +
+    adjacency + locality ≥ zorder). Quantization identical to
+    zorder_lineitem; the rotate/reflect recurrence runs as a constant-
+    size runtime fold, and the oracle unrolls the same recurrence as
+    one CTE stage per bit."""
+    from nebula_importer_spark.operators.layout import hilbert_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return hilbert_key(
+        li, ["l_partkey", "l_suppkey"], bits=8, n_buckets=16
+    ).select("l_orderkey", "l_linenumber", "hkey", "hbucket")
+
+
+def _hilbert_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    """DuckDB twin of hilbert_lineitem: identical quantization to
+    _zorder_sql, then the per-bit rotate/reflect recurrence unrolled as
+    one CTE stage per bit (the state is sequential, so the oracle
+    materializes it stage-by-stage where Spark folds it at runtime)."""
+    stages = []
+    n1 = (1 << bits) - 1  # n-based reflection keeps coords in [0, n)
+    for r in range(1, bits + 1):
+        s = 1 << (bits - r)
+        rx = f"((x // {s}) & 1)"
+        ry = f"((y // {s}) & 1)"
+        stages.append(f"""
+        h{r} AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {n1} - y ELSE y END
+                   ELSE x END AS x,
+                   CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {n1} - x ELSE x END
+                   ELSE y END AS y,
+                   d + {s * s} * xor({rx} * 3, {ry}) AS d
+            FROM h{r - 1}
+        )""")
+    span = -((-(1 << (2 * bits))) // n_buckets)
+    top = (1 << bits) - 1
+    return f"""
+        WITH s AS (
+            SELECT min(l_partkey)::BIGINT AS mnx, max(l_partkey)::BIGINT AS mxx,
+                   min(l_suppkey)::BIGINT AS mny, max(l_suppkey)::BIGINT AS mxy
+            FROM lineitem
+        ),
+        h0 AS (
+            SELECT l_orderkey, l_linenumber,
+                   ((l_partkey - mnx) * {top}) // greatest(mxx - mnx, 1) AS x,
+                   ((l_suppkey - mny) * {top}) // greatest(mxy - mny, 1) AS y,
+                   0::BIGINT AS d
+            FROM lineitem, s
+        ),{",".join(stages)}
+        SELECT l_orderkey, l_linenumber, d::BIGINT AS hkey,
+               (d // {span})::BIGINT AS hbucket
+        FROM h{bits}
+    """
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point frequencies (operators/sketch.py:
     cms_matrix/cms_estimate): the 4×512-cell counter matrix over
@@ -4810,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         # Z-order clustering key + file assignment (data-layout family)
         "zorder_lineitem": q_zorder_lineitem,
+        "hilbert_lineitem": q_hilbert_lineitem,
         # CDC latest-wins apply with tombstones (changelog-ingestion
         # family: the set-oriented MERGE the reference's UPDATE/DELETE
         # write modes perform row-at-a-time client-side)
@@ -7656,6 +7720,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Z-order twin: generated from the same (bits=8, k=2, n_buckets=16)
         "zorder_lineitem": _zorder_sql(bits=8, n_buckets=16),
+        "hilbert_lineitem": _hilbert_sql(bits=8, n_buckets=16),
         # histogram twin: generated from the same (cols, n_buckets=8)
         "histogram_lineitem": _histogram_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n=8
