@@ -428,6 +428,31 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles by two-pass histogram-refinement
+    selection (operators/profile.py:exact_quantiles): pass A is one
+    partial-agg'd 4096-cell histogram per l_returnflag, pass B
+    rank-picks inside ONLY the target buckets (≈ 1/4096 of the rows) —
+    an order statistic WITHOUT a global sort, the selection a 100-TB
+    percentile job must use. Prices travel as exact integer cents
+    (TPC-H prices are exact cents; ·100 + round is lossless in double);
+    the element-pick rule means output values are input values
+    bit-identically. Oracle: the sorted-multiset definition itself."""
+    from nebula_importer_spark.operators.profile import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return exact_quantiles(
+        li, "cents", (50, 90, 99), group_cols=["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        F.col("pct").alias("pct"),
+        F.col("value").alias("price_cents"),
+    )
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never placed an order (broadcast of the
     distinct key set when dimension-sized; shuffle anti-join otherwise)."""
@@ -4900,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "rollup_revenue": q_rollup_revenue,
         "quantile_stats": q_quantile_stats,
+        "exact_quantiles_price": q_exact_quantiles_price,
         "customers_no_orders": q_customers_no_orders,
         "json_props_stats": q_json_props_stats,
         # equi-width CBO histograms (stats family — in-window machinery
@@ -5346,6 +5372,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        # two-pass selection twin: the sorted-multiset element pick IS
+        # the definition the histogram-refinement operator implements
+        "exact_quantiles_price": """
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            r AS (
+                SELECT l_returnflag, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag ORDER BY c) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM v
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct)
+            SELECT r.l_returnflag, pct::BIGINT AS pct, c AS price_cents
+            FROM r, q
+            WHERE rn = ((n - 1) * pct) // 100 + 1
         """,
         "quantile_stats": """
             SELECT l_returnflag,

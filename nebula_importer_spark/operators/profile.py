@@ -511,3 +511,114 @@ def robust_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    *,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT discrete quantiles (order statistics) of an integral column
+    by two-pass histogram-refinement selection — the scale-correct
+    alternative to a global sort: pass A builds a ``n_buckets``-cell
+    equal-width histogram (one partial-agg'd scan, ≤ |groups|·B cells of
+    state), locates each percentile's bucket and its rank WITHIN that
+    bucket from the cumulative counts; pass B touches ONLY the rows of
+    the target buckets (≈ n/B of the data) and rank-picks inside them.
+    A total sort moves the whole table through one exchange; this moves
+    histogram cells plus 1/B-th of the rows.
+
+    Quantile rule: the ELEMENT at 0-based index ``(n−1)·p div 100`` of
+    the value multiset — an exact integer pick, never interpolation, so
+    the output carries input values bit-identically (the
+    hash_sample_quantiles discipline) and the whole result is a pure
+    function of the multiset (ties at a rank share a value by
+    definition). NULLs are excluded (SQL aggregate semantics).
+
+    Integral-only by contract (like zorder_key): quantize floats
+    caller-side — float bucket math is engine-divergent. Bucket
+    arithmetic ``(x−min)·(B−1)`` stays exact in int64 for any range up
+    to 2^50; degenerate single-bucket groups (constant-ish columns)
+    degrade to one in-bucket rank — correct, just unpruned.
+
+    Output ``(*group_cols, pct, value)`` — one row per group per
+    requested percentile.
+    """
+    if not percentiles or any(not 0 <= p <= 100 for p in percentiles):
+        raise ValueError(f"percentiles must be in [0, 100]: {percentiles}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    groups = list(group_cols or [])
+    if col in groups:
+        raise ValueError(f"col {col!r} cannot also be a group column")
+    dt = {f.name: f.dataType for f in df.schema.fields}[col]
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(dt, integral):
+        raise ValueError(
+            f"exact_quantiles needs an integral column (quantize floats "
+            f"caller-side): {col} is {dt.simpleString()}"
+        )
+    from pyspark.sql.window import Window as W
+
+    base = df.filter(F.col(col).isNotNull()).select(
+        *groups, F.col(col).cast("long").alias("_v")
+    )
+    stats = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+    )
+    b = n_buckets - 1
+    bucket = F.expr(f"((_v - _mn) * {b}) div greatest(_mx - _mn, 1)")
+    hist = (
+        base.join(F.broadcast(stats), groups) if groups
+        else base.crossJoin(F.broadcast(stats))
+    ).select(*groups, "_n", "_mn", "_mx", bucket.alias("_b"))
+    cells = hist.groupBy(*groups, "_n", "_mn", "_mx", "_b").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cum = cells.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            W.partitionBy(*groups).orderBy("_b") if groups
+            else W.partitionBy().orderBy("_b")
+        ),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in percentiles])
+    ).alias("pct")
+    targets = (
+        cum.select(*groups, "_n", "_mn", "_mx", "_b", "_cnt", "_cum", pcts)
+        .withColumn("_kth", F.expr("((_n - 1) * pct) div 100") + 1)
+        .filter(
+            (F.col("_cum") >= F.col("_kth"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_kth"))
+        )
+        .select(
+            *groups, "pct", "_b", "_mn", "_mx",
+            (F.col("_kth") - (F.col("_cum") - F.col("_cnt")))
+            .alias("_local_rank"),
+        )
+    )
+    probe = (
+        base.join(F.broadcast(stats.select(*groups, "_mn", "_mx")), groups)
+        if groups
+        else base.crossJoin(F.broadcast(stats.select("_mn", "_mx")))
+    ).select(*groups, "_v", bucket.alias("_b"))
+    picked = probe.join(
+        F.broadcast(targets), [*groups, "_b"]
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy(*groups, "pct").orderBy("_v")
+            if groups else W.partitionBy("pct").orderBy("_v")
+        ),
+    ).filter(F.col("_rn") == F.col("_local_rank"))
+    return picked.select(
+        *groups, F.col("pct"), F.col("_v").alias("value")
+    )

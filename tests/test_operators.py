@@ -495,3 +495,59 @@ def test_join_estimate_validation(spark):
         join_size_estimate(a, "k", f, "k")
     with pytest.raises(ValueError, match="not in left"):
         join_size_estimate(a, "missing", a, "k")
+
+
+def test_exact_quantiles_matches_sorted_model(spark):
+    """Two-pass histogram-refinement selection == the sorted-multiset
+    element pick, across groups / duplicates / tiny groups / a constant
+    (single-bucket degenerate) group."""
+    import random
+
+    from nebula_importer_spark.operators.profile import exact_quantiles
+
+    rng = random.Random(7)
+    rows = []
+    data = {}
+    for g, n in (("a", 997), ("b", 40), ("c", 1), ("d", 500)):
+        vals = (
+            [7] * n if g == "d"  # constant: every row in one bucket
+            else [rng.randint(-(10**6), 10**6) for _ in range(n)]
+        )
+        data[g] = sorted(vals)
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g, r.pct): r.value
+        for r in exact_quantiles(
+            df, "v", (0, 25, 50, 99, 100), group_cols=["g"], n_buckets=64
+        ).collect()
+    }
+    for g, vals in data.items():
+        for p in (0, 25, 50, 99, 100):
+            want = vals[(len(vals) - 1) * p // 100]
+            assert got[(g, p)] == want, (g, p)
+
+
+def test_exact_quantiles_global_and_nulls(spark):
+    from nebula_importer_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 1, None, 3, 2, 4, None]], "v long"
+    )
+    got = {r.pct: r.value for r in
+           exact_quantiles(df, "v", (50, 100), n_buckets=4).collect()}
+    assert got == {50: 3, 100: 5}  # NULLs excluded, n=5
+
+
+def test_exact_quantiles_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(1, 2.0)], "v long, f double")
+    with pytest.raises(ValueError, match="percentiles"):
+        exact_quantiles(df, "v", (101,))
+    with pytest.raises(ValueError, match="integral"):
+        exact_quantiles(df, "f")
+    with pytest.raises(ValueError, match="n_buckets"):
+        exact_quantiles(df, "v", n_buckets=1)
