@@ -1585,6 +1585,23 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity (operators/text.py:
+    kneser_ney_lm_score): the d=3/4 absolute discount kept as an exact
+    rational so every term is ONE ln of an exactly-computed int64
+    fraction (numerator mixes the discounted bigram mass with the
+    continuation prior), floored to micro-nats — the stronger CCNet-style
+    filter, same train/score split as lm_perplexity. Count tables travel
+    as xxhash64 keys; the continuation/predecessor tables are the only
+    additions over the add-one LM."""
+    from nebula_importer_spark.operators.text import kneser_ney_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_lm_score(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
     min md5 per sliding window of 4 consecutive word-3-gram hashes — the
@@ -4848,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "search_bm25": q_search_bm25,
         "lm_perplexity": q_lm_perplexity,
+        "kn_lm_perplexity": q_kn_lm_perplexity,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6523,6 +6541,60 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN bic USING (g)
                 LEFT JOIN uni ON uni.w = split_part(sb.g, ' ', 1)
                 CROSS JOIN v
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(-(SUM(micro)::DOUBLE) / (1000000.0 * COUNT(*)), 6)
+                       AS cross_entropy,
+                   ROUND(EXP(-(SUM(micro)::DOUBLE) / (1000000.0 * COUNT(*))), 6)
+                       AS perplexity
+            FROM terms GROUP BY doc_id
+        """,
+        # Kneser–Ney twin: identical exact-rational d=3/4 fraction per
+        # term (raw strings instead of xxhash64 keys — a realized hash
+        # collision would surface as a gate diff, not be mirrored)
+        "kn_lm_perplexity": """
+            WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+            tt AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM tr),
+            v AS (SELECT COUNT(DISTINCT w) AS v FROM tt),
+            bi AS (
+                SELECT unnest(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 1], ' ')
+                       )) AS g
+                FROM tr
+            ),
+            bip AS (SELECT g, split_part(g, ' ', 1) AS w1,
+                           split_part(g, ' ', 2) AS w2 FROM bi),
+            bic AS (SELECT g, COUNT(*) AS cb FROM bip GROUP BY g),
+            ctx AS (SELECT w1, COUNT(*) AS cw, COUNT(DISTINCT w2) AS n1
+                    FROM bip GROUP BY w1),
+            pred AS (SELECT w2, COUNT(DISTINCT w1) AS np FROM bip GROUP BY w2),
+            ty AS (SELECT COUNT(DISTINCT g) AS t FROM bip),
+            sb AS (
+                SELECT doc_id, unnest(list_transform(
+                         range(1, greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0) + 1),
+                         i -> array_to_string(
+                                regexp_extract_all(text, '\\S+')[i : i + 1], ' ')
+                       )) AS g
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            terms AS (
+                SELECT sb.doc_id,
+                       CAST(FLOOR(LN(
+                           CASE WHEN cw IS NOT NULL THEN
+                               (greatest(4 * COALESCE(cb, 0) - 3, 0)
+                                    * (ty.t + v.v + 1)
+                                + 3 * n1 * (COALESCE(np, 0) + 1))::DOUBLE
+                               / (4 * cw * (ty.t + v.v + 1))
+                           ELSE (COALESCE(np, 0) + 1)::DOUBLE
+                                / (ty.t + v.v + 1)
+                           END) * 1000000) AS BIGINT) AS micro
+                FROM sb
+                LEFT JOIN bic USING (g)
+                LEFT JOIN ctx ON ctx.w1 = split_part(sb.g, ' ', 1)
+                LEFT JOIN pred ON pred.w2 = split_part(sb.g, ' ', 2)
+                CROSS JOIN ty CROSS JOIN v
             )
             SELECT doc_id, COUNT(*) AS n_bigrams,
                    ROUND(-(SUM(micro)::DOUBLE) / (1000000.0 * COUNT(*)), 6)

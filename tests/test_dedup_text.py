@@ -1323,3 +1323,88 @@ def test_ssjoin_validation(spark):
         ssjoin_prefix(df, n=0)
     with pytest.raises(ValueError):
         ssjoin_prefix(df, id_col="missing")
+
+
+def _kn_ref(score, train, precision=1_000_000):
+    import math
+    import re
+
+    def toks(t):
+        return re.findall(r"\S+", t or "")
+
+    bi = {}
+    ctx = {}
+    contin = {}
+    preds = {}
+    vocab = set()
+    for _, t in train:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+            contin.setdefault(a, set()).add(b)
+            preds.setdefault(b, set()).add(a)
+    t_types = len(bi)
+    dp = t_types + len(vocab) + 1
+    out = {}
+    for did, t in score:
+        ws = toks(t)
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            continue
+        s = 0
+        for a, b in grams:
+            npp = len(preds.get(b, ())) + 1
+            if a in ctx:
+                num = max(4 * bi.get((a, b), 0) - 3, 0) * dp \
+                    + 3 * len(contin[a]) * npp
+                den = 4 * ctx[a] * dp
+            else:
+                num, den = npp, dp
+            s += math.floor(math.log(num / den) * precision)
+        ce = -s / (precision * len(grams))
+        out[did] = (len(grams), round(ce, 6), round(math.exp(ce), 6))
+    return out
+
+
+def test_kneser_ney_matches_reference(spark):
+    import random
+
+    from nebula_importer_spark.operators.text import kneser_ney_lm_score
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda L: " ".join(rng.choice(vocab) for _ in range(L))  # noqa: E731
+    train = [(i, mk(rng.choice([0, 1, 5, 30]))) for i in range(40)]
+    score = [(i, mk(rng.choice([0, 1, 2, 8, 40]))) for i in range(30)]
+    score.append((99, "unseen tokens entirely outside the training set"))
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in kneser_ney_lm_score(sdf, tdf).collect()
+    }
+    assert got == _kn_ref(score, train)
+
+
+def test_kneser_ney_continuation_prior(spark):
+    """The San-Francisco property: 'francisco' and 'runs' are equally
+    FREQUENT in training, but 'francisco' follows only 'san' while
+    'runs' follows many contexts — after an unseen context the
+    continuation prior must make 'runs' likelier than 'francisco'
+    (an add-one unigram LM cannot tell them apart)."""
+    from nebula_importer_spark.operators.text import kneser_ney_lm_score
+
+    train = [
+        (0, "san francisco san francisco san francisco san francisco"),
+        (1, "he runs she runs it runs everyone runs"),
+    ]
+    score = [(10, "xx francisco"), (11, "xx runs")]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in kneser_ney_lm_score(sdf, tdf).collect()
+    }
+    assert ppl[10] > ppl[11]
