@@ -1602,6 +1602,26 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization by TextRank (operators/text.py:
+    textrank_sentences): 8-token windows of each document are nodes,
+    ≥ 2 shared distinct tokens an edge, and the exact-integer
+    mass-normalized PageRank ranks them — ONE global run over the union
+    of per-doc graphs (disconnected components evolve independently, so
+    within-doc ranking equals a per-doc run). The best-ranked window is
+    the doc's summary unit. Window mode because this corpus is
+    unpunctuated — transcript turns and OCR dumps hit the same case.
+    Oracle: same segmentation + pair join + 4 unrolled PR rounds."""
+    from nebula_importer_spark.operators.text import textrank_sentences
+
+    return textrank_sentences(
+        _t(spark, sf_dir, "documents"),
+        min_common=2,
+        iterations=4,
+        window_tokens=8,
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
     min md5 per sliding window of 4 consecutive word-3-gram hashes — the
@@ -2436,6 +2456,99 @@ def _pagerank_sql(iterations: int = 4) -> str:
         "WITH "
         + ",\n        ".join(ctes)
         + f"\n        SELECT node, r AS rank_scaled FROM r{iterations}"
+    )
+
+
+def _textrank_sql(
+    iterations: int = 4, min_common: int = 2, window: int = 8
+) -> str:
+    """DuckDB twin of q_textrank_docs: identical window segmentation
+    (1-based indices over the raw unit array), the (doc, token) pair
+    join, then the _pagerank_sql mass-normalized integer recurrence
+    unrolled over the sentence graph, and the (rank DESC, sidx ASC)
+    pick."""
+    scale = 10**12
+    ctes = [f"""seg AS (
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                   '[^\\t\\n\\f\\r ]+') AS toks
+            FROM documents
+        ),
+        sent0 AS (
+            SELECT doc_id,
+                   unnest(range(1, CAST(ceil(len(toks) / {window}.0)
+                                        AS BIGINT) + 1)) AS sidx,
+                   toks
+            FROM seg WHERE len(toks) > 0
+        ),
+        sents AS (
+            SELECT doc_id, sidx,
+                   trim(array_to_string(
+                       toks[(sidx - 1) * {window} + 1 :
+                            (sidx - 1) * {window} + {window}], ' ')) AS s
+            FROM sent0
+        ),
+        tk AS (
+            SELECT DISTINCT doc_id, sidx, w FROM (
+                SELECT doc_id, sidx,
+                       unnest(regexp_extract_all(s,
+                           '[^\\t\\n\\f\\r ]+')) AS w
+                FROM sents WHERE length(s) > 0
+            )
+        ),
+        pairs AS (
+            SELECT a.doc_id, a.sidx AS i, b.sidx AS j
+            FROM tk a JOIN tk b
+              ON a.doc_id = b.doc_id AND a.w = b.w AND a.sidx < b.sidx
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_common}
+        ),
+        e AS (
+            SELECT doc_id::VARCHAR || '#' || i::VARCHAR AS src,
+                   doc_id::VARCHAR || '#' || j::VARCHAR AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id::VARCHAR || '#' || j::VARCHAR,
+                   doc_id::VARCHAR || '#' || i::VARCHAR FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        prm AS (SELECT CAST({scale} AS BIGINT) // COUNT(*) AS i0,
+                       CAST({scale} AS BIGINT) // COUNT(*) * 15 // 100 AS b
+                FROM n),
+        r0 AS (SELECT node, (SELECT i0 FROM prm) AS r FROM n)"""]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+            SELECT n.node,
+                   CAST((SELECT b FROM prm)
+                        + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+            FROM n LEFT JOIN (
+                SELECT e.dst, SUM(p.r // deg.dg) AS m
+                FROM e JOIN deg USING (src) JOIN r{k - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            ) m ON m.dst = n.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f""",
+        scored AS (
+            SELECT s.doc_id, s.sidx, COALESCE(r.r, 0) AS rank
+            FROM sents s LEFT JOIN r{iterations} r
+              ON r.node = s.doc_id::VARCHAR || '#' || s.sidx::VARCHAR
+            WHERE length(s.s) > 0
+        ),
+        best AS (
+            SELECT doc_id, sidx, rank,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY rank DESC, sidx ASC) AS rn
+            FROM scored
+        ),
+        cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sentences
+                FROM scored GROUP BY 1)
+        SELECT b.doc_id, n_sentences, sidx::BIGINT AS best_sidx,
+               rank::BIGINT AS best_rank
+        FROM best b JOIN cnt USING (doc_id) WHERE rn = 1
+    """
     )
 
 
@@ -4866,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "lm_perplexity": q_lm_perplexity,
         "kn_lm_perplexity": q_kn_lm_perplexity,
+        "textrank_docs": q_textrank_docs,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6193,6 +6307,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": _kg_triples_sql(),
         "graph_pagerank": _pagerank_sql(4),
+        "textrank_docs": _textrank_sql(4),
         "graph_hits": _hits_sql(3),
         "graph_kcore": _kcore_sql(4, 12),
         "graph_ktruss": _ktruss_sql(4, 9),

@@ -960,3 +960,137 @@ def credit_card_audit(
         F.length("_digits").cast("long").alias("n_digits"),
         luhn_valid("_digits").alias("luhn_ok"),
     )
+
+
+def textrank_sentences(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_common: int = 2,
+    iterations: int = 4,
+    window_tokens: int | None = None,
+):
+    """Extractive summarization by TextRank (Mihalcea & Tarau 2004):
+    sentences are nodes, two sentences of the SAME document sharing
+    ≥ ``min_common`` distinct tokens are linked, and the exact-integer
+    PageRank (operators/graph.py:pagerank — mass-normalized, floor-div,
+    partition-order-proof) ranks them; the best-ranked sentence is the
+    document's one-line summary. The unweighted shared-token graph
+    keeps the whole pipeline in exact integers end-to-end (classic
+    TextRank's similarity weights are floats; the ranking signal
+    survives the simplification — the pytest proves the topically
+    central sentence wins on a crafted doc).
+
+    Sentence segmentation is RE2-safe (split on ``[.!?]+`` runs — no
+    lookbehind, which DuckDB's RE2 lacks); sentences index 1-based over
+    the RAW split array and blank segments are filtered AFTER indexing,
+    so indices are stable across engines. For unpunctuated corpora
+    (transcript turns, OCR dumps) pass ``window_tokens``: units become
+    consecutive fixed-size token windows instead (the chunk_documents
+    split). Sentences with no edge rank 0
+    (isolated nodes are outside the pagerank node set by construction);
+    a doc whose sentences are all isolated deterministically picks its
+    first sentence.
+
+    Distributed shape: the sentence-pair candidate join is an equi-join
+    on (doc, token) — within-document fan-out is bounded by sentence
+    count, never corpus-wide; the PageRank runs ONCE over the union of
+    all per-doc graphs (disconnected components evolve independently, so
+    within-doc ranking equals a per-doc run — mass normalization is
+    global but comparisons never cross docs).
+
+    Returns ``(id_col, n_sentences, best_sidx, best_rank)``.
+    """
+    from nebula_importer_spark.operators.graph import pagerank
+
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in input: {docs.columns}")
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    tc = F.coalesce(F.col(text_col), F.lit(""))
+    if window_tokens is not None:
+        if window_tokens < 1:
+            raise ValueError(f"window_tokens must be >= 1: {window_tokens}")
+        toks_all = F.regexp_extract_all(tc, F.lit(NOT_WS + "+"), 0)
+        n_t = F.size(toks_all)
+        units = F.when(n_t == 0, F.array()).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(n_t / F.lit(window_tokens)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks_all, i * window_tokens + 1, window_tokens),
+                    " ",
+                ),
+            )
+        )
+        raw = docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(units).alias("_p0", "_s"),
+        )
+    else:
+        raw = docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(tc, "[.!?]+")).alias("_p0", "_s"),
+        )
+    sents = raw.select(
+        "_id", (F.col("_p0") + 1).alias("_sidx"), F.trim("_s").alias("_s")
+    ).filter(F.length("_s") > 0)
+    toks = sents.select(
+        "_id", "_sidx",
+        F.explode(F.array_distinct(F.expr(
+            f"regexp_extract_all(_s, '{NOT_WS}+', 0)"
+        ))).alias("_w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._id") == F.col("b._id"))
+            & (F.col("a._w") == F.col("b._w"))
+            & (F.col("a._sidx") < F.col("b._sidx")),
+        )
+        .groupBy(
+            F.col("a._id").alias("_id"),
+            F.col("a._sidx").alias("_i"),
+            F.col("b._sidx").alias("_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_common)
+    )
+    node = lambda i, s: F.concat(  # noqa: E731
+        F.col(i).cast("string"), F.lit("#"), F.col(s).cast("string")
+    )
+    fwd = pairs.select(node("_id", "_i").alias("src"),
+                       node("_id", "_j").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=iterations)
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        sents.withColumn("_node", node("_id", "_sidx"))
+        .join(ranks, F.col("_node") == F.col("node"), "left")
+        .select(
+            "_id", "_sidx",
+            F.coalesce(F.col("rank_scaled"), F.lit(0).cast("long"))
+            .alias("_rank"),
+        )
+    )
+    w = W.partitionBy("_id").orderBy(F.col("_rank").desc(), F.col("_sidx"))
+    best = scored.withColumn("_rn", F.row_number().over(w))
+    n = sents.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sentences"))
+    return (
+        best.filter(F.col("_rn") == 1)
+        .join(n, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            F.col("_sidx").cast("long").alias("best_sidx"),
+            F.col("_rank").alias("best_rank"),
+        )
+    )

@@ -1408,3 +1408,50 @@ def test_kneser_ney_continuation_prior(spark):
         for r in kneser_ney_lm_score(sdf, tdf).collect()
     }
     assert ppl[10] > ppl[11]
+
+
+def test_textrank_central_sentence_wins(spark):
+    """The hub sentence shares >= 2 tokens with every other sentence;
+    the others only connect through it — PageRank must rank the hub
+    first. A doc of all-disjoint sentences deterministically picks its
+    first sentence at rank 0."""
+    from nebula_importer_spark.operators.text import textrank_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma one. alpha beta two two. "
+                "gamma alpha three four. five six seven eight."),
+            (2, "aa bb. cc dd. ee ff."),  # no edges at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_sentences, r.best_sidx, r.best_rank)
+           for r in textrank_sentences(docs, min_common=2).collect()}
+    # doc 1: sentence 1 ("alpha beta gamma one") is the hub
+    assert got[1][0] == 4 and got[1][1] == 1 and got[1][2] > 0
+    # doc 2: isolated sentences -> first sentence, rank 0
+    assert got[2] == (3, 1, 0)
+
+
+def test_textrank_window_mode_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import textrank_sentences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["tok"] * 20)), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_sentences, r.best_sidx)
+           for r in textrank_sentences(
+               docs, min_common=1, window_tokens=8).collect()}
+    # 20 tokens -> windows of 8,8,4 = 3 units, all sharing 'tok':
+    # a clique; tie on rank breaks to the earliest index
+    assert got[1] == (3, 1)
+    assert 2 not in got and 3 not in got  # empty/null docs absent
+    with pytest.raises(ValueError, match="min_common"):
+        textrank_sentences(docs, min_common=0)
+    with pytest.raises(ValueError, match="window_tokens"):
+        textrank_sentences(docs, window_tokens=0)
+    with pytest.raises(ValueError, match="not in input"):
+        textrank_sentences(docs.drop("text"))
