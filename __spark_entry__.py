@@ -1602,6 +1602,71 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate (operators/dq.py:
+    dq_constraints) over orders: key uniqueness, FK resolution into
+    customer, status membership, priority shape, totalprice range —
+    every row-local rule rides ONE shared aggregation pass (rules add
+    agg columns, not jobs); uniqueness is one partial-agg'd groupBy, the
+    FK check one anti-join against the broadcast-sized customer keys.
+    The deliberately-tight price range proves violations COUNT rather
+    than explode (the gate wants numbers, not row dumps at 100 TB)."""
+    from nebula_importer_spark.operators.dq import dq_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return dq_constraints(
+        orders,
+        [
+            {"kind": "not_null", "col": "o_custkey"},
+            {"kind": "unique", "cols": ["o_orderkey"]},
+            {"kind": "in_set", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"kind": "matches", "col": "o_orderpriority",
+             "pattern": "[1-5]-[A-Z]+"},
+            {"kind": "in_range", "col": "o_totalprice",
+             "lo": 0.0, "hi": 50000.0, "name": "price_under_50k"},
+            {"kind": "ref", "col": "o_custkey", "ref": cust,
+             "ref_col": "c_custkey"},
+        ],
+    )
+
+
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/dq.py:table_diff): orders vs a
+    deterministically perturbed twin (every 31st key dropped, every 7th
+    status rewritten, every 97th key re-added negated) — added/removed/
+    changed/unchanged plus per-column change counters from ONE
+    full-outer join and ONE aggregation pass. The nightly "did upstream
+    change only what it said" audit at 100 TB."""
+    from nebula_importer_spark.operators.dq import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    perturbed = (
+        orders.filter(F.col("o_orderkey") % 31 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return table_diff(
+        orders, perturbed, ["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
 def q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive summarization by TextRank (operators/text.py:
     textrank_sentences): 8-token windows of each document are nodes,
@@ -4980,6 +5045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "kn_lm_perplexity": q_kn_lm_perplexity,
         "textrank_docs": q_textrank_docs,
+        "dq_constraints_orders": q_dq_constraints_orders,
+        "table_diff_orders": q_table_diff_orders,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6308,6 +6375,93 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_sql(),
         "graph_pagerank": _pagerank_sql(4),
         "textrank_docs": _textrank_sql(4),
+        # Deequ-style gate: one scalar subquery per rule, rule order kept
+        "dq_constraints_orders": """
+            WITH m AS (
+                SELECT 'not_null:o_custkey' AS rule, 'not_null' AS kind,
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_custkey IS NULL)::BIGINT AS n_violations
+                UNION ALL
+                SELECT 'unique:o_orderkey', 'unique',
+                       (SELECT COALESCE(SUM(n - 1), 0) FROM (
+                            SELECT COUNT(*) AS n FROM orders
+                            GROUP BY o_orderkey) WHERE n > 1)::BIGINT
+                UNION ALL
+                SELECT 'in_set:o_orderstatus', 'in_set',
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P'))::BIGINT
+                UNION ALL
+                SELECT 'matches:o_orderpriority', 'matches',
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderpriority IS NOT NULL
+                          AND NOT regexp_full_match(
+                                o_orderpriority, '(?:[1-5]-[A-Z]+)'))::BIGINT
+                UNION ALL
+                SELECT 'price_under_50k', 'in_range',
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0
+                               OR o_totalprice > 50000.0))::BIGINT
+                UNION ALL
+                SELECT 'ref:o_custkey->c_custkey', 'ref',
+                       (SELECT COUNT(*) FROM orders o
+                        WHERE o.o_custkey IS NOT NULL
+                          AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))::BIGINT
+            )
+            SELECT rule, kind, n_violations,
+                   n_violations = 0 AS passed FROM m
+        """,
+        # snapshot-diff twin: same perturbation, IS DISTINCT FROM = the
+        # null-safe <=> negation
+        "table_diff_orders": """
+            WITH l AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                              o_totalprice AS p FROM orders),
+            r AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS s,
+                       o_totalprice AS p
+                FROM orders WHERE o_orderkey % 31 != 0
+                UNION ALL
+                SELECT -o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 97 = 0
+            ),
+            j AS (
+                SELECT l.k AS lk, r.k AS rk, l.s AS ls, r.s AS rs,
+                       l.p AS lp, r.p AS rp
+                FROM l FULL OUTER JOIN r ON l.k = r.k
+            ),
+            m AS (
+                SELECT
+                    SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END)::BIGINT
+                        AS added,
+                    SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END)::BIGINT
+                        AS removed,
+                    SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND (ls IS DISTINCT FROM rs
+                                  OR lp IS DISTINCT FROM rp)
+                        THEN 1 ELSE 0 END)::BIGINT AS changed,
+                    SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND ls IS NOT DISTINCT FROM rs
+                             AND lp IS NOT DISTINCT FROM rp
+                        THEN 1 ELSE 0 END)::BIGINT AS unchanged,
+                    SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND ls IS DISTINCT FROM rs
+                        THEN 1 ELSE 0 END)::BIGINT AS cs,
+                    SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND lp IS DISTINCT FROM rp
+                        THEN 1 ELSE 0 END)::BIGINT AS cp
+                FROM j
+            )
+            SELECT 'added' AS metric, added AS n FROM m
+            UNION ALL SELECT 'removed', removed FROM m
+            UNION ALL SELECT 'changed', changed FROM m
+            UNION ALL SELECT 'unchanged', unchanged FROM m
+            UNION ALL SELECT 'changed:o_orderstatus', cs FROM m
+            UNION ALL SELECT 'changed:o_totalprice', cp FROM m
+        """,
         "graph_hits": _hits_sql(3),
         "graph_kcore": _kcore_sql(4, 12),
         "graph_ktruss": _ktruss_sql(4, 9),

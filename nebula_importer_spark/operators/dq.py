@@ -1,0 +1,308 @@
+"""Data-quality gates: declarative constraint validation and keyed
+snapshot diff.
+
+The reference validates per-row at parse time against its YAML schema
+and writes rejects (/root/reference/pkg/reader/reader.go, the
+failed-row files of /root/reference/pkg/manager); a 100-TB pipeline
+additionally needs TABLE-level contracts — "this key is unique",
+"this FK resolves", "tonight's snapshot changed only what the upstream
+said it would" — checked before a bad drop poisons a training run.
+This module is the Deequ-style half of that story (profile.py is the
+discovery half: you profile an unknown source, then pin what you
+learned as constraints here).
+
+Distributed shape: every row-local rule (non-null, range, membership,
+regex) compiles into ONE shared aggregation pass — adding rules adds
+columns to the agg, not jobs. Uniqueness adds one partial-agg'd
+groupBy on the rule's key; referential integrity adds one left-anti
+join against the (distinct, usually broadcast-sized) referenced keys.
+Outputs are rule-per-row integer counts — exact, engine-stable,
+gate-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rule kinds accepted by :func:`dq_constraints`
+_KINDS = ("not_null", "unique", "in_set", "in_range", "matches", "ref")
+
+
+def dq_constraints(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Validate declarative constraints; returns one row per rule:
+    ``(rule, kind, n_violations, passed)`` ordered as given.
+
+    Rule shapes (dicts, ``name`` optional — defaults to a derived id):
+
+    - ``{"kind": "not_null", "col": c}`` — NULL values
+    - ``{"kind": "unique", "cols": [c, ...]}`` — rows beyond the first
+      per duplicated key (NULL keys participate like values, as in a
+      uniqueness index audit)
+    - ``{"kind": "in_set", "col": c, "values": [...]}`` — non-NULL
+      values outside the set (NULL is a not_null concern, not a set one)
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}`` — non-NULL
+      values outside ``[lo, hi]``
+    - ``{"kind": "matches", "col": c, "pattern": re2}`` — non-NULL
+      values not fully matching (RE2-safe patterns only — the oracle is
+      RE2; same discipline as text.py's explicit classes)
+    - ``{"kind": "ref", "col": c, "ref": other_df, "ref_col": k}`` —
+      non-NULL values with no match in the referenced key set (SQL FK
+      semantics: NULL FKs are not violations)
+
+    All row-local rules share ONE aggregation pass; each unique rule is
+    one partial-agg'd groupBy; each ref rule is one anti-join against
+    the referenced distinct keys (broadcast when dimension-sized — the
+    usual case).
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    row_local_aggs: list = []
+    row_local_meta: list[tuple[str, str, str]] = []  # (alias, name, kind)
+    extra_rows: list[tuple[str, str, DataFrame]] = []
+
+    def _col_of(rule: dict, key: str = "col") -> str:
+        c = rule.get(key)
+        if not c or c not in df.columns:
+            raise ValueError(f"rule {rule}: column {c!r} not in {df.columns}")
+        return c
+
+    for idx, rule in enumerate(rules):
+        kind = rule.get("kind")
+        if kind not in _KINDS:
+            raise ValueError(f"rule {rule}: kind must be one of {_KINDS}")
+        if kind == "not_null":
+            c = _col_of(rule)
+            name = rule.get("name", f"not_null:{c}")
+            row_local_aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long").alias(f"_r{idx}")
+            )
+            row_local_meta.append((f"_r{idx}", name, kind))
+        elif kind == "in_set":
+            c = _col_of(rule)
+            vals = rule.get("values")
+            if not vals:
+                raise ValueError(f"rule {rule}: values must be non-empty")
+            name = rule.get("name", f"in_set:{c}")
+            row_local_aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & ~F.col(c).isin(list(vals)), 1
+                    ).otherwise(0)
+                ).cast("long").alias(f"_r{idx}")
+            )
+            row_local_meta.append((f"_r{idx}", name, kind))
+        elif kind == "in_range":
+            c = _col_of(rule)
+            lo, hi = rule.get("lo"), rule.get("hi")
+            if lo is None or hi is None:
+                raise ValueError(f"rule {rule}: lo and hi are required")
+            name = rule.get("name", f"in_range:{c}")
+            row_local_aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias(f"_r{idx}")
+            )
+            row_local_meta.append((f"_r{idx}", name, kind))
+        elif kind == "matches":
+            c = _col_of(rule)
+            pat = rule.get("pattern")
+            if not pat:
+                raise ValueError(f"rule {rule}: pattern is required")
+            name = rule.get("name", f"matches:{c}")
+            row_local_aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ~F.col(c).rlike(f"^(?:{pat})$"),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias(f"_r{idx}")
+            )
+            row_local_meta.append((f"_r{idx}", name, kind))
+        elif kind == "unique":
+            cols = rule.get("cols")
+            if not cols or any(c not in df.columns for c in cols):
+                raise ValueError(f"rule {rule}: cols must all exist")
+            name = rule.get("name", "unique:" + ",".join(cols))
+            dups = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1)),
+                        F.lit(0),
+                    ).cast("long").alias("n_violations")
+                )
+            )
+            extra_rows.append((name, kind, dups))
+        else:  # ref
+            c = _col_of(rule)
+            ref, ref_col = rule.get("ref"), rule.get("ref_col")
+            if ref is None or not ref_col or ref_col not in ref.columns:
+                raise ValueError(f"rule {rule}: ref/ref_col are required")
+            name = rule.get("name", f"ref:{c}->{ref_col}")
+            keys = ref.select(F.col(ref_col).alias(c)).filter(
+                F.col(c).isNotNull()
+            ).distinct()
+            miss = (
+                df.filter(F.col(c).isNotNull())
+                .join(keys, c, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            )
+            extra_rows.append((name, kind, miss))
+
+    parts: list[DataFrame] = []
+    if row_local_aggs:
+        one = df.agg(*row_local_aggs)
+        melted = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            F.lit(kind).alias("kind"),
+                            F.coalesce(
+                                F.col(alias), F.lit(0).cast("long")
+                            ).alias("n_violations"),
+                        )
+                        for alias, name, kind in row_local_meta
+                    ]
+                )
+            ).alias("_s")
+        ).select("_s.rule", "_s.kind", "_s.n_violations")
+        parts.append(melted)
+    for name, kind, cnt in extra_rows:
+        parts.append(
+            cnt.select(
+                F.lit(name).alias("rule"),
+                F.lit(kind).alias("kind"),
+                F.col("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule", "kind", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed snapshot diff — the "what actually changed between
+    yesterday's table and today's" audit: returns one row per metric,
+    ``(metric, n)`` with ``added`` (key only in right), ``removed``
+    (key only in left), ``changed`` (key in both, any compared column
+    differs), ``unchanged``, and one ``changed:<col>`` row per compared
+    column. Comparison is null-safe (``<=>``): NULL==NULL is unchanged,
+    NULL→value is a change.
+
+    Distributed shape: ONE full-outer join on the key (the join both
+    sides would need for ANY diff semantics) and one aggregation pass
+    computing every metric simultaneously — per-column counters are
+    extra agg columns, not extra jobs. Duplicate keys are the caller's
+    contract (enforce with dq_constraints' unique rule first); a dup
+    key would make "the" diff ill-defined.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in key_cols:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"key column {c!r} must be in both frames")
+    cmp_cols = compare_cols or [
+        c for c in left.columns if c not in key_cols and c in right.columns
+    ]
+    for c in cmp_cols:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"compare column {c!r} must be in both frames")
+    l = left.select(
+        *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_l"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"_rk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_r"),
+    )
+    cond = None
+    for c in key_cols:
+        t = F.col(f"_lk_{c}") == F.col(f"_rk_{c}")
+        cond = t if cond is None else (cond & t)
+    j = l.join(r, cond, "full_outer")
+    col_changed = {
+        c: F.when(
+            F.col("_in_l").isNotNull()
+            & F.col("_in_r").isNotNull()
+            & ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")),
+            1,
+        ).otherwise(0)
+        for c in cmp_cols
+    }
+    any_changed = None
+    for c in cmp_cols:
+        any_changed = (
+            col_changed[c]
+            if any_changed is None
+            else F.greatest(any_changed, col_changed[c])
+        )
+    if any_changed is None:
+        any_changed = F.lit(0)
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("_in_l").isNull(), 1).otherwise(0)
+        ).cast("long").alias("_added"),
+        F.sum(
+            F.when(F.col("_in_r").isNull(), 1).otherwise(0)
+        ).cast("long").alias("_removed"),
+        F.sum(
+            F.when(
+                F.col("_in_l").isNotNull() & F.col("_in_r").isNotNull(),
+                any_changed,
+            ).otherwise(0)
+        ).cast("long").alias("_changed"),
+        F.sum(
+            F.when(
+                F.col("_in_l").isNotNull() & F.col("_in_r").isNotNull(),
+                1 - any_changed,
+            ).otherwise(0)
+        ).cast("long").alias("_unchanged"),
+        *[
+            F.sum(col_changed[c]).cast("long").alias(f"_cc_{i}")
+            for i, c in enumerate(cmp_cols)
+        ],
+    )
+    rows = [
+        F.struct(F.lit("added").alias("metric"),
+                 F.coalesce(F.col("_added"), F.lit(0)).alias("n")),
+        F.struct(F.lit("removed").alias("metric"),
+                 F.coalesce(F.col("_removed"), F.lit(0)).alias("n")),
+        F.struct(F.lit("changed").alias("metric"),
+                 F.coalesce(F.col("_changed"), F.lit(0)).alias("n")),
+        F.struct(F.lit("unchanged").alias("metric"),
+                 F.coalesce(F.col("_unchanged"), F.lit(0)).alias("n")),
+        *[
+            F.struct(
+                F.lit(f"changed:{c}").alias("metric"),
+                F.coalesce(F.col(f"_cc_{i}"), F.lit(0)).alias("n"),
+            )
+            for i, c in enumerate(cmp_cols)
+        ],
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("_s")).select(
+        "_s.metric", F.col("_s.n").cast("long").alias("n")
+    )
