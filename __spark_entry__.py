@@ -1602,6 +1602,23 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix over the 64-dim embeddings
+    (operators/similarity.py:embedding_correlation): milli-quantized
+    values, EXACT int64 sufficient statistics per upper-triangle cell
+    (accumulation-order-proof where float covariance drifts), one
+    bounded d² expand + ONE partial-agg'd ≤ d² groupBy. The feature-QA
+    pass for dead/duplicated dimensions; power_iteration_pca is the
+    scale path when only the top direction matters."""
+    from nebula_importer_spark.operators.similarity import (
+        embedding_correlation,
+    )
+
+    return embedding_correlation(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64, quant=1000
+    )
+
+
 def q_dq_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative data-quality gate (operators/dq.py:
     dq_constraints) over orders: key uniqueness, FK resolution into
@@ -5047,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": q_textrank_docs,
         "dq_constraints_orders": q_dq_constraints_orders,
         "table_diff_orders": q_table_diff_orders,
+        "embedding_correlation": q_embedding_correlation,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6412,6 +6430,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # correlation twin: same milli-quantization, same exact int64
+        # sufficient statistics, same fixed IEEE chain for r
+        "embedding_correlation": """
+            WITH e AS (
+                SELECT list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            ),
+            cells AS (
+                SELECT i, j, q[i] AS qi, q[j] AS qj
+                FROM e, range(1, 65) t(i), range(1, 65) s(j)
+                WHERE i <= j
+            ),
+            st AS (
+                SELECT i, j, COUNT(*)::BIGINT AS n,
+                       SUM(qi)::BIGINT AS sx, SUM(qj)::BIGINT AS sy,
+                       SUM(qi * qi)::BIGINT AS sxx,
+                       SUM(qj * qj)::BIGINT AS syy,
+                       SUM(qi * qj)::BIGINT AS sxy
+                FROM cells GROUP BY 1, 2
+            )
+            SELECT i::BIGINT AS i, j::BIGINT AS j,
+                   n, sx, sy, sxx, syy, sxy,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                        THEN (n * sxy - sx * sy)::DOUBLE
+                             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                * sqrt((n * syy - sy * sy)::DOUBLE))
+                   END AS corr
+            FROM st
         """,
         # snapshot-diff twin: same perturbation, IS DISTINCT FROM = the
         # null-safe <=> negation

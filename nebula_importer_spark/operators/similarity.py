@@ -984,3 +984,95 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def embedding_correlation(
+    df: "DataFrame",
+    col: str = "embedding",
+    *,
+    dim: int,
+    quant: int = 1000,
+) -> "DataFrame":
+    """Exact Pearson correlation matrix over an embedding column — the
+    feature-QA pass that catches dead dimensions (zero variance),
+    duplicated dimensions (|r| ≈ 1) and batch-effect stripes before a
+    similarity index is built on the vectors.
+
+    Exactness contract (the power_iteration_pca discipline): values are
+    floor-quantized ONCE to ``1/quant`` units, then every sufficient
+    statistic (Σx, Σy, Σxy, Σx², Σy², n) is an EXACT int64 sum —
+    accumulation-order-proof where a float covariance would drift per
+    partitioning. The final ``r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) ·
+    √(nΣy²−(Σy)²))`` is a fixed chain of exactly-rounded IEEE ops on
+    exactly-representable int64 inputs — bit-identical on any engine.
+    Int64 bounds: |q| ≤ quant·max|x| and n·Σxy must stay < 2^63 —
+    quant=1000 holds to ~10¹⁰ unit-normed rows; raise at your scale's
+    expense of quantization, not correctness. Zero-variance dimensions
+    yield NULL r (the dead-dimension flag itself).
+
+    Distributed shape: one map pass expands each row into its d·(d+1)/2
+    upper-triangle cells (bounded fan-out d², the explicit cost of an
+    exact matrix — the PCA operator is the scale path when only the top
+    direction is needed) and ONE partial-aggregable groupBy over ≤ d²
+    cells; the shuffle carries d²·partitions rows, not data.
+
+    Returns ``(i, j, n, sx, sy, sxx, syy, sxy, corr)`` with 1-based
+    ``i ≤ j``.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    q = F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * quant).cast("long"),
+    )
+    base = df.filter(
+        F.col(col).isNotNull() & (F.size(col) == dim)
+    ).select(q.alias("_q"))
+    cells = F.filter(
+        F.flatten(
+            F.transform(
+                "_q",
+                lambda qi, i: F.transform(
+                    "_q",
+                    lambda qj, j: F.struct(
+                        (i + 1).alias("i"),
+                        (j + 1).alias("j"),
+                        qi.alias("qi"),
+                        qj.alias("qj"),
+                    ),
+                ),
+            )
+        ),
+        lambda c: c["i"] <= c["j"],
+    )
+    stats = (
+        base.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.i").alias("i"), F.col("_c.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_c.qi").cast("long").alias("sx"),
+            F.sum("_c.qj").cast("long").alias("sy"),
+            F.sum(F.col("_c.qi") * F.col("_c.qi")).cast("long").alias("sxx"),
+            F.sum(F.col("_c.qj") * F.col("_c.qj")).cast("long").alias("syy"),
+            F.sum(F.col("_c.qi") * F.col("_c.qj")).cast("long").alias("sxy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return stats.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        corr.alias("corr"),
+    )

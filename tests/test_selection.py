@@ -205,3 +205,62 @@ def test_pq_deterministic_and_validated(spark):
         pq_topk(corpus, queries, k=0)
     with pytest.raises(ValueError):
         pq_topk(corpus.select("vec_id"), queries, k=1)
+
+
+def test_embedding_correlation_matches_numpy_on_quantized(spark):
+    """Exact int64 sufficient statistics == numpy's on the SAME
+    quantized values; perfect correlation / anti-correlation / dead
+    dimension behave by definition."""
+    import math
+    import random
+
+    from nebula_importer_spark.operators.similarity import (
+        embedding_correlation,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(200):
+        a = rng.uniform(-1, 1)
+        b = rng.uniform(-1, 1)
+        # dims: [a, 2a (r=1), -a (r=-1), const (dead), independent b]
+        rows.append(([a, 2 * a, -a, 0.5, b],))
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    got = {(r.i, r.j): r for r in
+           embedding_correlation(df, dim=5, quant=1000).collect()}
+    assert len(got) == 15  # upper triangle of 5x5
+
+    # python replica on the same floor-quantized values
+    import numpy as np
+
+    q = np.array([
+        [math.floor(float(np.float32(v)) * 1000) for v in row[0]]
+        for row in rows
+    ], dtype=np.int64)
+    n = q.shape[0]
+    for (i, j), r in got.items():
+        qi, qj = q[:, i - 1], q[:, j - 1]
+        assert r.n == n
+        assert r.sx == int(qi.sum()) and r.sy == int(qj.sum())
+        assert r.sxy == int((qi * qj).sum())
+    # r(1,2)=1 within quantization, r(1,3)=-1, dead dim 4 -> NULL
+    assert got[(1, 2)].corr > 0.999
+    assert got[(1, 3)].corr < -0.999
+    assert got[(4, 4)].corr is None and got[(1, 4)].corr is None
+    assert abs(got[(1, 5)].corr) < 0.2  # independent
+
+
+def test_embedding_correlation_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.similarity import (
+        embedding_correlation,
+    )
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        embedding_correlation(df, dim=0)
+    with pytest.raises(ValueError, match="not in input"):
+        embedding_correlation(df, "zz", dim=2)
+    # wrong-length vectors are filtered, not errors
+    assert embedding_correlation(df, dim=3).count() == 0
