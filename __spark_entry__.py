@@ -1602,6 +1602,22 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words differential token analysis (operators/text.py:
+    log_odds_tokens, Monroe/Colaresi/Quinn 2008): which tokens
+    characterize the 'en'-tagged slice vs the rest — informative-prior
+    log-odds z-scores from ONE shared count aggregation (both sides in
+    one shuffle via conditional sums); δ and z are fixed IEEE chains on
+    exact int64 counts, nothing float accumulates. The domain-drift /
+    contamination triage view raw frequency ratios get wrong."""
+    from nebula_importer_spark.operators.text import log_odds_tokens
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return log_odds_tokens(d, "_is_en", min_count=5)
+
+
 def q_embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Pearson correlation matrix over the 64-dim embeddings
     (operators/similarity.py:embedding_correlation): milli-quantized
@@ -5065,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraints_orders": q_dq_constraints_orders,
         "table_diff_orders": q_table_diff_orders,
         "embedding_correlation": q_embedding_correlation,
+        "log_odds_tokens": q_log_odds_tokens,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6430,6 +6447,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # Fightin'-Words twin: same exact int64 counts, same fixed IEEE
+        # delta/z chains (ln of int-ratio doubles, sqrt of 1/(y+1) sums)
+        "log_odds_tokens": """
+            WITH t AS (
+                SELECT (lang = 'en') AS side,
+                       unnest(regexp_extract_all(coalesce(text, ''),
+                              '[^\\t\\n\\f\\r ]+')) AS w
+                FROM documents
+            ),
+            c AS (
+                SELECT w AS token,
+                       SUM(CASE WHEN side THEN 1 ELSE 0 END)::BIGINT AS y1,
+                       SUM(CASE WHEN side THEN 0 ELSE 1 END)::BIGINT AS y2
+                FROM t GROUP BY w
+            ),
+            tot AS (
+                SELECT SUM(y1)::BIGINT AS n1, SUM(y2)::BIGINT AS n2,
+                       COUNT(*)::BIGINT AS v
+                FROM c
+            )
+            SELECT token, y1, y2,
+                   LN((y1 + 1)::DOUBLE / (n1 + v - y1 - 1)::DOUBLE)
+                   - LN((y2 + 1)::DOUBLE / (n2 + v - y2 - 1)::DOUBLE)
+                       AS delta,
+                   (LN((y1 + 1)::DOUBLE / (n1 + v - y1 - 1)::DOUBLE)
+                    - LN((y2 + 1)::DOUBLE / (n2 + v - y2 - 1)::DOUBLE))
+                   / SQRT(1.0 / (y1 + 1)::DOUBLE + 1.0 / (y2 + 1)::DOUBLE)
+                       AS z
+            FROM c, tot WHERE y1 + y2 >= 5
         """,
         # correlation twin: same milli-quantization, same exact int64
         # sufficient statistics, same fixed IEEE chain for r

@@ -1094,3 +1094,73 @@ def textrank_sentences(
             F.col("_rank").alias("best_rank"),
         )
     )
+
+
+def log_odds_tokens(
+    docs,
+    split_col: str,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+):
+    """Differential token analysis between two corpus slices — the
+    informative-Dirichlet-prior log-odds z-scores of Monroe, Colaresi &
+    Quinn 2008 ("Fightin' Words"), the standard "which words
+    characterize THIS slice" comparison for domain drift / contamination
+    triage (raw frequency ratios overweight rare words; the prior and
+    variance term fix exactly that). ``split_col`` must be boolean —
+    True rows form side 1.
+
+    Per token with uniform prior α=1, α0=V:
+    ``δ = ln((y1+1)/(n1+V−y1−1)) − ln((y2+1)/(n2+V−y2−1))``,
+    ``z = δ / sqrt(1/(y1+1) + 1/(y2+1))``. Counts are exact int64 from
+    ONE shared aggregation (both sides in one shuffle via conditional
+    sums); δ and z are FIXED chains of exactly-rounded IEEE ops on
+    exactly-representable int64 inputs — nothing float ever
+    accumulates, so the result is bit-identical on any engine (the
+    embedding_correlation discipline).
+
+    Distributed shape: one token explode + ONE partial-agg'd groupBy
+    (vocabulary-sized output), totals ride a broadcast 1-row aggregate.
+    Returns ``(token, y1, y2, delta, z)`` for tokens with
+    ``y1+y2 >= min_count``.
+    """
+    for c in (split_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in input: {docs.columns}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tc = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        F.col(split_col).cast("boolean").alias("_side"),
+        F.explode(F.expr(
+            f"regexp_extract_all(coalesce({text_col}, ''), '{NOT_WS}+', 0)"
+        )).alias("_w"),
+    )
+    counts = toks.groupBy("_w").agg(
+        F.sum(F.when(F.col("_side"), 1).otherwise(0)).cast("long").alias("y1"),
+        F.sum(F.when(F.col("_side"), 0).otherwise(1)).cast("long").alias("y2"),
+    )
+    totals = counts.agg(
+        F.sum("y1").cast("long").alias("_n1"),
+        F.sum("y2").cast("long").alias("_n2"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals)).filter(
+        F.col("y1") + F.col("y2") >= min_count
+    )
+    d1 = (F.col("y1") + 1).cast("double") / (
+        F.col("_n1") + F.col("_v") - F.col("y1") - 1
+    ).cast("double")
+    d2 = (F.col("y2") + 1).cast("double") / (
+        F.col("_n2") + F.col("_v") - F.col("y2") - 1
+    ).cast("double")
+    delta = F.log(d1) - F.log(d2)
+    z = delta / F.sqrt(
+        F.lit(1.0) / (F.col("y1") + 1).cast("double")
+        + F.lit(1.0) / (F.col("y2") + 1).cast("double")
+    )
+    return j.select(
+        F.col("_w").alias("token"), "y1", "y2",
+        delta.alias("delta"), z.alias("z"),
+    )

@@ -1455,3 +1455,48 @@ def test_textrank_window_mode_and_validation(spark):
         textrank_sentences(docs, window_tokens=0)
     with pytest.raises(ValueError, match="not in input"):
         textrank_sentences(docs.drop("text"))
+
+
+def test_log_odds_tokens_directional_and_model(spark):
+    """Tokens exclusive to side 1 get z > 0, exclusive to side 2 z < 0,
+    balanced tokens near 0; values match the Python Monroe et al.
+    formula exactly (same IEEE chain)."""
+    import math
+
+    from nebula_importer_spark.operators.text import log_odds_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (True, "apple apple apple shared shared"),
+            (True, "apple shared banana"),
+            (False, "zebra zebra zebra shared shared"),
+            (False, "zebra shared banana"),
+        ],
+        "side boolean, text string",
+    )
+    got = {r.token: r for r in
+           log_odds_tokens(docs, "side", min_count=2).collect()}
+    assert got["apple"].z > 0 and got["zebra"].z < 0
+    assert abs(got["shared"].z) < 0.5 and abs(got["banana"].z) < 0.5
+    # exact replica
+    y = {"apple": (4, 0), "zebra": (0, 4), "shared": (3, 3),
+         "banana": (1, 1)}
+    n1, n2, v = 8, 8, 4
+    for tok, (y1, y2) in y.items():
+        d = math.log((y1 + 1) / (n1 + v - y1 - 1)) - math.log(
+            (y2 + 1) / (n2 + v - y2 - 1))
+        z = d / math.sqrt(1.0 / (y1 + 1) + 1.0 / (y2 + 1))
+        assert got[tok].y1 == y1 and got[tok].y2 == y2
+        assert got[tok].delta == d and got[tok].z == z, tok
+
+
+def test_log_odds_tokens_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import log_odds_tokens
+
+    df = spark.createDataFrame([(True, "x")], "side boolean, text string")
+    with pytest.raises(ValueError, match="not in input"):
+        log_odds_tokens(df, "zz")
+    with pytest.raises(ValueError, match="min_count"):
+        log_odds_tokens(df, "side", min_count=0)
