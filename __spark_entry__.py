@@ -1602,6 +1602,39 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest by Borůvka (operators/graph.py:
+    boruvka_msf) over the supplier co-supply graph (edge weight =
+    100000 − shared-part count, so the forest keeps the STRONGEST
+    co-supply backbone): per round one relabel join + one per-component
+    WindowGroupLimit argmin + contraction via the CC operator —
+    components at least halve per round. The (weight, src, dst) total
+    order makes the forest unique and hash-stable under duplicate
+    weights; the oracle unrolls 8 Borůvka rounds with recursive-CTE
+    contractions and must agree edge-for-edge."""
+    from nebula_importer_spark.operators.graph import boruvka_msf
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg((F.lit(100000) - F.count(F.lit(1))).cast("long").alias("weight"))
+    )
+    return boruvka_msf(edges)
+
+
 def q_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fightin'-Words differential token analysis (operators/text.py:
     log_odds_tokens, Monroe/Colaresi/Quinn 2008): which tokens
@@ -2646,6 +2679,72 @@ def _textrank_sql(
         SELECT b.doc_id, n_sentences, sidx::BIGINT AS best_sidx,
                rank::BIGINT AS best_rank
         FROM best b JOIN cnt USING (doc_id) WHERE rn = 1
+    """
+    )
+
+
+def _msf_sql(rounds: int = 8) -> str:
+    """DuckDB twin of q_graph_msf: Borůvka unrolled — per round the
+    relabeled non-self edges, the (w, a, b)-total-order argmin per
+    component, and a recursive-CTE contraction (symmetric closure →
+    LEAST-min canonical label, the kg canonicalization pattern). Rounds
+    past convergence are no-ops on empty CTEs."""
+    parts = ["""pe AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS sh
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        e AS MATERIALIZED (
+            SELECT s1 AS a, s2 AS b, (100000 - sh)::BIGINT AS w FROM pe),
+        n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e),
+        c0 AS MATERIALIZED (SELECT node, node AS c FROM n)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        er{r} AS MATERIALIZED (
+            SELECT ca.c AS ca, cb.c AS cb, e.w, e.a, e.b
+            FROM e JOIN c{r - 1} ca ON ca.node = e.a
+                   JOIN c{r - 1} cb ON cb.node = e.b
+            WHERE ca.c != cb.c
+        ),
+        cand{r} AS (
+            SELECT ca AS c, cb AS o, w, a, b FROM er{r}
+            UNION ALL SELECT cb, ca, w, a, b FROM er{r}
+        ),
+        pick{r} AS MATERIALIZED (
+            SELECT c, o, a, b, w FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c ORDER BY w, a, b) AS rn
+                FROM cand{r}
+            ) WHERE rn = 1
+        ),
+        ch{r} AS (SELECT DISTINCT a, b, w FROM pick{r}),
+        und{r} AS (
+            SELECT c AS x, o AS y FROM pick{r}
+            UNION SELECT o, c FROM pick{r}
+        ),
+        reach{r}(x, y) AS (
+            SELECT x, y FROM und{r}
+            UNION
+            SELECT r.x, u.y FROM reach{r} r JOIN und{r} u ON r.y = u.x
+        ),
+        canon{r} AS (
+            SELECT x, LEAST(x, MIN(y)) AS cn FROM reach{r} GROUP BY x
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT p.node, COALESCE(cn.cn, p.c) AS c
+            FROM c{r - 1} p LEFT JOIN canon{r} cn ON cn.x = p.c
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT a, b, w FROM ch{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"""
+        SELECT DISTINCT a AS src, b AS dst, w AS weight
+        FROM ({union})
     """
     )
 
@@ -5082,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": q_table_diff_orders,
         "embedding_correlation": q_embedding_correlation,
         "log_odds_tokens": q_log_odds_tokens,
+        "graph_msf": q_graph_msf,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6410,6 +6510,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_sql(),
         "graph_pagerank": _pagerank_sql(4),
         "textrank_docs": _textrank_sql(4),
+        "graph_msf": _msf_sql(8),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1076,3 +1076,72 @@ def test_closure_validation(spark):
         transitive_closure(e, max_depth=0)
     with pytest.raises(ValueError):
         transitive_closure(e, src="missing")
+
+
+def _kruskal(edges):
+    """Unique-MSF model: Kruskal under the (w, a, b) total order on
+    canonicalized deduped edges."""
+    canon = {}
+    for s, d, w in edges:
+        if s == d or s is None or d is None or w is None:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_boruvka_msf_random_parity_vs_kruskal(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import boruvka_msf
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = rng.choice([8, 25, 60])
+        edges = []
+        for _ in range(n * 3):
+            a, b = rng.randrange(n), rng.randrange(n)
+            # duplicate weights on purpose: the total order must decide
+            edges.append((a, b, rng.randrange(5)))
+        # two extra isolated cliques -> a FOREST, not a tree
+        edges += [(100, 101, 1), (101, 102, 1), (100, 102, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long, weight long")
+        got = sorted(
+            (r.src, r.dst, r.weight) for r in boruvka_msf(df).collect()
+        )
+        assert got == _kruskal(edges), trial
+
+
+def test_boruvka_msf_edge_cases(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import boruvka_msf
+
+    # self-loops, parallel edges, nulls
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 9), (2, 1, 3), (2, 3, 7), (None, 3, 1),
+         (3, None, 1), (1, 2, None)],
+        "src long, dst long, weight long",
+    )
+    got = sorted((r.src, r.dst, r.weight) for r in boruvka_msf(df).collect())
+    assert got == [(1, 2, 3), (2, 3, 7)]
+    # empty graph
+    assert boruvka_msf(df.filter("src < 0")).count() == 0
+    with pytest.raises(ValueError, match="not in input"):
+        boruvka_msf(df.drop("weight"))
