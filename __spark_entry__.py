@@ -1602,6 +1602,46 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users by HLL register composition
+    (operators/sketch.py:hll_rolling_distinct): per-day registers built
+    in ONE pass over events, each register serving its 7 window-end days
+    via a bounded explode on the METADATA-sized register table, re-maxed
+    per (day, bucket) — the data is touched once at any window length,
+    where the exact rolling op re-scans every window. Oracle replays the
+    same register/serve/estimate arithmetic."""
+    from nebula_importer_spark.operators.sketch import hll_rolling_distinct
+
+    out = hll_rolling_distinct(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7, p=12
+    )
+    # day rendered as a string for the gate (the distinct_users_daily
+    # idiom — pandas canonicalizes DATE and TIMESTAMP differently)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "m", "v_zero", "s_scaled", "est_distinct",
+    )
+
+
+def q_column_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema matching by value overlap (operators/profile.py:
+    column_overlap): customer columns scored against supplier columns on
+    KMV-Jaccard of bottom-256 value-hash sketches — nationkey↔nationkey
+    scores ~100, the key pair shows the supplier-keys-⊂-customer-keys
+    containment, name columns score 0. The pairwise stage runs on
+    |cols|·k sketch rows, never a data-sized join per pair — FK
+    discovery across a 100-TB lake is a sketch problem."""
+    from nebula_importer_spark.operators.profile import column_overlap
+
+    return column_overlap(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        ["s_suppkey", "s_name", "s_nationkey"],
+        k=256,
+    )
+
+
 def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest by Borůvka (operators/graph.py:
     boruvka_msf) over the supplier co-supply graph (edge weight =
@@ -5182,6 +5222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_correlation": q_embedding_correlation,
         "log_odds_tokens": q_log_odds_tokens,
         "graph_msf": q_graph_msf,
+        "hll_rolling_users": q_hll_rolling_users,
+        "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
@@ -6548,6 +6590,124 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # rolling-HLL twin: per-day registers, 7-day serve explode on the
+        # register table, re-max, then the hll_distinct_users arithmetic
+        "hll_rolling_users": """
+            WITH h AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                        1, 13))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            reg AS (
+                SELECT d, h // 1099511627776 AS b,
+                       MAX(CASE WHEN h % 1099511627776 = 0 THEN 41
+                                ELSE 40 - (length(bin(h % 1099511627776)) - 1)
+                           END) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            days AS (SELECT DISTINCT d AS day FROM reg),
+            served AS (
+                SELECT (d + CAST(off AS INTEGER)) AS day, b, rho
+                FROM reg, range(0, 7) t(off)
+            ),
+            sreg AS (
+                SELECT s.day, b, MAX(rho) AS rho
+                FROM served s JOIN days USING (day) GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT day, COUNT(*) AS nz,
+                       SUM(1::BIGINT << (41 - rho))::BIGINT AS s_nz
+                FROM sreg GROUP BY 1
+            ),
+            stat AS (
+                SELECT day, 4096::BIGINT AS m,
+                       (4096 - nz)::BIGINT AS v_zero,
+                       (s_nz + (4096 - nz) * (1::BIGINT << 41))::BIGINT
+                           AS s_scaled
+                FROM st
+            ),
+            est AS (
+                SELECT *,
+                       (CAST('26604264699558881575' AS HUGEINT)
+                        // s_scaled)::BIGINT AS raw
+                FROM stat
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day, m, v_zero, s_scaled,
+                   CASE WHEN raw * 2 <= 5 * m AND v_zero > 0
+                        THEN CAST(floor(4096.0 * ln(4096.0 / v_zero))
+                                  AS BIGINT)
+                        ELSE raw END AS est_distinct
+            FROM est
+        """,
+        # column-overlap twin: per-column melt via UNION ALL, bottom-256
+        # per column, pair-union bottom-256, both-membership count
+        "column_overlap": """
+            WITH lm AS (
+                SELECT * FROM (
+                    SELECT 'c_custkey' AS left_col,
+                           CAST(c_custkey AS VARCHAR) AS v FROM customer
+                    UNION ALL SELECT 'c_name', c_name FROM customer
+                    UNION ALL SELECT 'c_nationkey',
+                           CAST(c_nationkey AS VARCHAR) FROM customer
+                    UNION ALL SELECT 'c_mktsegment', c_mktsegment
+                           FROM customer
+                ) WHERE v IS NOT NULL
+            ),
+            rm AS (
+                SELECT * FROM (
+                    SELECT 's_suppkey' AS right_col,
+                           CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+                    UNION ALL SELECT 's_name', s_name FROM supplier
+                    UNION ALL SELECT 's_nationkey',
+                           CAST(s_nationkey AS VARCHAR) FROM supplier
+                ) WHERE v IS NOT NULL
+            ),
+            sl AS (
+                SELECT left_col, h FROM (
+                    SELECT left_col, h, ROW_NUMBER() OVER (
+                        PARTITION BY left_col ORDER BY h) AS r
+                    FROM (SELECT DISTINCT left_col,
+                            ('0x' || substr(md5('colmatch' || v), 1, 13))
+                                ::BIGINT AS h
+                          FROM lm)
+                ) WHERE r <= 256
+            ),
+            sr AS (
+                SELECT right_col, h FROM (
+                    SELECT right_col, h, ROW_NUMBER() OVER (
+                        PARTITION BY right_col ORDER BY h) AS r
+                    FROM (SELECT DISTINCT right_col,
+                            ('0x' || substr(md5('colmatch' || v), 1, 13))
+                                ::BIGINT AS h
+                          FROM rm)
+                ) WHERE r <= 256
+            ),
+            u AS (
+                SELECT left_col, right_col, h,
+                       MAX(inl) AS inl, MAX(inr) AS inr
+                FROM (
+                    SELECT sl.left_col, rn.right_col, sl.h,
+                           1 AS inl, 0 AS inr
+                    FROM sl, (SELECT DISTINCT right_col FROM sr) rn
+                    UNION ALL
+                    SELECT ln.left_col, sr.right_col, sr.h, 0, 1
+                    FROM sr, (SELECT DISTINCT left_col FROM sl) ln
+                ) GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY left_col, right_col ORDER BY h) AS r
+                FROM u
+            )
+            SELECT left_col, right_col,
+                   COUNT(*)::BIGINT AS n_k,
+                   SUM(inl * inr)::BIGINT AS n_both,
+                   ((100 * SUM(inl * inr)) // COUNT(*))::BIGINT
+                       AS jaccard_pct
+            FROM ranked WHERE r <= 256
+            GROUP BY 1, 2
         """,
         # Fightin'-Words twin: same exact int64 counts, same fixed IEEE
         # delta/z chains (ln of int-ratio doubles, sqrt of 1/(y+1) sums)

@@ -622,3 +622,120 @@ def exact_quantiles(
     return picked.select(
         *groups, F.col("pct"), F.col("_v").alias("value")
     )
+
+
+def column_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    cols_left: list[str],
+    cols_right: list[str],
+    *,
+    k: int = 256,
+    salt: str = "colmatch",
+) -> DataFrame:
+    """Schema matching by value overlap — "which column of THAT table is
+    this column?" for data integration / FK discovery when names don't
+    line up: every (left, right) column pair scores a KMV-Jaccard
+    estimate of its value-set overlap, computed entirely on bottom-k
+    hash SKETCHES (k longs per column), never on the data pairwise.
+
+    Estimator (Bar-Yossef et al. / Beyer et al.): among the k smallest
+    hashes of the pair's value-set UNION, the fraction present in both
+    sets is an unbiased Jaccard estimate — exact when the union fits in
+    k (the sketch is lossless below capacity). Reported as the integer
+    ``(100·n_both) div n_k`` so the score is hash-stable.
+
+    Distributed shape: one melt pass per side (|cols| fixed-width
+    (col, hash) cells per row — values never shuffle), bottom-k per
+    column via a WindowGroupLimit rank; the pairwise stage runs on the
+    sketch tables (≤ |cols|·k rows — METADATA-sized, the point: |L|·|R|
+    column pairs cost |pairs|·k sketch rows, not a data-sized join per
+    pair).
+
+    Returns ``(left_col, right_col, n_k, n_both, jaccard_pct)``.
+    """
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    for c in cols_left:
+        if c not in left.columns:
+            raise ValueError(f"column {c!r} not in left: {left.columns}")
+    for c in cols_right:
+        if c not in right.columns:
+            raise ValueError(f"column {c!r} not in right: {right.columns}")
+    if not cols_left or not cols_right:
+        raise ValueError("cols_left and cols_right must be non-empty")
+    from pyspark.sql.window import Window as W
+
+    def sketch(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias(name),
+                        _kmv_hash_str(F.col(c), salt).alias("_h"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_c")
+        hx = (
+            df.select(cells)
+            .select(f"_c.{name}", F.col("_c._h").alias("_h"))
+            .filter(F.col("_h").isNotNull())
+            .distinct()
+        )
+        w = W.partitionBy(name).orderBy("_h")
+        return hx.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= k
+        ).select(name, "_h")
+
+    s_l = sketch(left, cols_left, "left_col")
+    s_r = sketch(right, cols_right, "right_col")
+    rn = s_r.select("right_col").distinct()
+    ln = s_l.select("left_col").distinct()
+    u = (
+        s_l.crossJoin(F.broadcast(rn)).select(
+            "left_col", "right_col", "_h",
+            F.lit(1).alias("_inl"), F.lit(0).alias("_inr"),
+        )
+        .unionByName(
+            s_r.crossJoin(F.broadcast(ln)).select(
+                "left_col", "right_col", "_h",
+                F.lit(0).alias("_inl"), F.lit(1).alias("_inr"),
+            )
+        )
+        .groupBy("left_col", "right_col", "_h")
+        .agg(F.max("_inl").alias("_inl"), F.max("_inr").alias("_inr"))
+    )
+    wu = W.partitionBy("left_col", "right_col").orderBy("_h")
+    ranked = u.withColumn("_r", F.row_number().over(wu)).filter(
+        F.col("_r") <= k
+    )
+    return (
+        ranked.groupBy("left_col", "right_col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(F.col("_inl") * F.col("_inr")).cast("long").alias("n_both"),
+        )
+        .select(
+            "left_col", "right_col", "n_k", "n_both",
+            F.expr("(100 * n_both) div n_k").cast("long")
+            .alias("jaccard_pct"),
+        )
+    )
+
+
+def _kmv_hash_str(col, salt: str):
+    """The sketch-module 52-bit md5 hash, locally (profile.py melts mixed
+    column types through a string cast first — NULLs stay NULL and are
+    filtered, matching SQL set semantics)."""
+    return F.when(
+        col.isNotNull(),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )

@@ -604,3 +604,54 @@ def bloom_semi_join(
         F.col(key).isNotNull()
     ).distinct()
     return pruned.join(keys, key, "left_semi")
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    *,
+    window_days: int = 7,
+    p: int = 12,
+    salt: str = "hll",
+) -> DataFrame:
+    """Rolling-window distinct estimate (e.g. weekly active users) by
+    HLL register composition: ONE pass builds per-day registers, each
+    register row then serves the ``window_days`` window-end days it
+    falls into (a bounded ``window_days``-element explode — the
+    register table is days·m rows, METADATA-sized, so the fan-out costs
+    nothing), and a re-max per (day, bucket) yields each day's trailing
+    sketch. The exact rolling distinct re-scans every window's raw rows
+    (rolling_active_users — right at small windows); this touches the
+    data ONCE at any window length, the sketch-composition point.
+
+    Window ends are only days PRESENT in the data (an empty day
+    contributes nothing and gets no row — same absent-group rule as
+    hll_distinct). Output ``(day, m, v_zero, s_scaled, est_distinct)``
+    with ``day`` as a DATE; arithmetic contract as hll_distinct.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    for c in (ts_col, col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    daily = hll_registers(
+        df.withColumn("_day", F.to_date(F.col(ts_col))).filter(
+            F.col("_day").isNotNull()
+        ),
+        col,
+        p=p,
+        group_cols=["_day"],
+        salt=salt,
+    )
+    days = daily.select(F.col("_day").alias("day")).distinct()
+    served = daily.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("_off"),
+        "_day", "bucket", "rho",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_off")).alias("day"),
+        "bucket", "rho",
+    ).join(days, "day", "left_semi")
+    return hll_estimate(served, p=p, group_cols=["day"])

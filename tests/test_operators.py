@@ -551,3 +551,48 @@ def test_exact_quantiles_validation(spark):
         exact_quantiles(df, "f")
     with pytest.raises(ValueError, match="n_buckets"):
         exact_quantiles(df, "v", n_buckets=1)
+
+
+def test_column_overlap_scores(spark):
+    """Identical columns score 100, contained keys score their true
+    Jaccard (exact below sketch capacity), disjoint names score 0."""
+    from nebula_importer_spark.operators.profile import column_overlap
+
+    left = spark.createDataFrame(
+        [(i, f"cust{i}", i % 10) for i in range(50)],
+        "ck long, cname string, nk long",
+    )
+    right = spark.createDataFrame(
+        [(i, f"supp{i}", i % 10) for i in range(20)],
+        "sk long, sname string, snk long",
+    )
+    got = {
+        (r.left_col, r.right_col): (r.n_k, r.n_both, r.jaccard_pct)
+        for r in column_overlap(
+            left, right, ["ck", "cname", "nk"], ["sk", "sname", "snk"],
+            k=256,
+        ).collect()
+    }
+    assert len(got) == 9
+    # nk/snk identical value sets (0..9): union 10 < k -> exact J=100
+    assert got[("nk", "snk")] == (10, 10, 100)
+    # ck ⊃ sk: union 50, both 20 -> exact 40%
+    assert got[("ck", "sk")] == (50, 20, 40)
+    assert got[("cname", "sname")][1] == 0
+    # int-vs-string columns never collide (hash of '3' used by both
+    # sides consistently): nk vs sname = 0
+    assert got[("nk", "sname")][1] == 0
+
+
+def test_column_overlap_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import column_overlap
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="k must"):
+        column_overlap(df, df, ["k"], ["k"], k=8)
+    with pytest.raises(ValueError, match="not in left"):
+        column_overlap(df, df, ["zz"], ["k"])
+    with pytest.raises(ValueError, match="non-empty"):
+        column_overlap(df, df, [], ["k"])

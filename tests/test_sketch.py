@@ -421,3 +421,57 @@ def test_hll_validation(spark):
         hll_distinct(df, "missing")
     with pytest.raises(ValueError):
         hll_distinct(df, "g", group_cols=["g"])
+
+
+def test_hll_rolling_equals_per_window_batch(spark):
+    """Each day's rolling sketch must equal the batch hll_distinct over
+    that day's trailing-window rows — register composition is exact, not
+    approximate-on-top-of-approximate."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.sketch import (
+        hll_distinct,
+        hll_rolling_distinct,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for d in range(10):
+        if d == 4:
+            continue  # a GAP day: no window end, contributes to later days
+        for u in range(50 * (d + 1)):
+            rows.append((base + datetime.timedelta(days=d, hours=u % 24),
+                         (u * 7 + d) % 400))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        r.day.isoformat(): (r.v_zero, r.s_scaled, r.est_distinct)
+        for r in hll_rolling_distinct(
+            df, "ts", "user_id", window_days=3, p=10
+        ).collect()
+    }
+    assert "2024-03-05" not in got  # gap day absent
+    for d in (0, 1, 2, 3, 5, 6, 7, 8, 9):
+        day = (base + datetime.timedelta(days=d)).date()
+        lo = day - datetime.timedelta(days=2)
+        sub = df.filter(
+            (F.col("ts") >= F.lit(str(lo)))
+            & (F.col("ts") < F.lit(str(day + datetime.timedelta(days=1))))
+        )
+        want = hll_distinct(sub, "user_id", p=10).collect()[0]
+        assert got[day.isoformat()] == (
+            want.v_zero, want.s_scaled, want.est_distinct
+        ), day
+
+
+def test_hll_rolling_validation(spark):
+    from nebula_importer_spark.operators.sketch import hll_rolling_distinct
+
+    df = spark.createDataFrame([(None, 1)], "ts timestamp, user_id long")
+    with pytest.raises(ValueError, match="window_days"):
+        hll_rolling_distinct(df, "ts", "user_id", window_days=0)
+    with pytest.raises(ValueError, match="not in input"):
+        hll_rolling_distinct(df, "zz", "user_id")
+    # all-null timestamps: no registers, no rows
+    assert hll_rolling_distinct(df, "ts", "user_id").count() == 0
