@@ -1602,6 +1602,27 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts
+    (operators/graph.py:association_rules): per directed part pair a→b,
+    exact integer support / confidence_ppm / lift_ppm from the order
+    baskets — the Apriori level-2 cut with the cooccurrence mega-group
+    guard. All arithmetic is composed integer floor division
+    (documented formula), hash-stable by construction."""
+    from nebula_importer_spark.operators.graph import association_rules
+
+    baskets = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return association_rules(
+        baskets,
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_support=3,
+        max_group_size=50,
+    )
+
+
 def q_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users by HLL register composition
     (operators/sketch.py:hll_rolling_distinct): per-day registers built
@@ -5223,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_tokens": q_log_odds_tokens,
         "graph_msf": q_graph_msf,
         "hll_rolling_users": q_hll_rolling_users,
+        "association_rules": q_association_rules,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6590,6 +6612,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # association-rules twin: same dedup/cap/count funnel, same
+        # composed integer floor divisions
+        "association_rules": """
+            WITH g0 AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ),
+            ok AS (
+                SELECT g FROM g0 GROUP BY g HAVING COUNT(*) <= 50
+            ),
+            b AS (SELECT g0.g, g0.i FROM g0 JOIN ok USING (g)),
+            nb AS (SELECT COUNT(DISTINCT g)::BIGINT AS nb FROM b),
+            it AS (SELECT i, COUNT(*)::BIGINT AS ci FROM b GROUP BY i),
+            pr AS (
+                SELECT x.i AS a, y.i AS bb, COUNT(*)::BIGINT AS cab
+                FROM b x JOIN b y ON x.g = y.g AND x.i != y.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            )
+            SELECT a AS antecedent, bb AS consequent,
+                   cab AS pair_support,
+                   ca.ci AS ante_support, cb.ci AS cons_support,
+                   ((1000000 * cab) // ca.ci)::BIGINT AS confidence_ppm,
+                   ((((1000000 * cab) // ca.ci) * nb.nb) // cb.ci)::BIGINT
+                       AS lift_ppm
+            FROM pr
+            JOIN it ca ON ca.i = pr.a
+            JOIN it cb ON cb.i = pr.bb
+            CROSS JOIN nb
         """,
         # rolling-HLL twin: per-day registers, 7-day serve explode on the
         # register table, re-max, then the hll_distinct_users arithmetic

@@ -1145,3 +1145,49 @@ def test_boruvka_msf_edge_cases(spark):
     assert boruvka_msf(df.filter("src < 0")).count() == 0
     with pytest.raises(ValueError, match="not in input"):
         boruvka_msf(df.drop("weight"))
+
+
+def test_association_rules_hand_computed(spark):
+    from nebula_importer_spark.operators.graph import association_rules
+
+    # baskets: {1:(a,b), 2:(a,b), 3:(a,b,c), 4:(a), 5:(c)}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (3, "c"), (4, "a"), (5, "c"), (3, "a")]  # dup collapses
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, group_col="g", item_col="i", min_pair_support=1
+        ).collect()
+    }
+    # c_a=4, c_b=3, c_ab=3, N=5
+    ab = got[("a", "b")]
+    assert (ab.pair_support, ab.ante_support, ab.cons_support) == (3, 4, 3)
+    assert ab.confidence_ppm == 1000000 * 3 // 4  # 750000
+    assert ab.lift_ppm == (750000 * 5) // 3       # 1250000 > 1e6: associated
+    ba = got[("b", "a")]
+    assert ba.confidence_ppm == 1000000  # b always with a
+    # a->c: 1 of 4 -> conf 250000, lift (250000*5)//2
+    ac = got[("a", "c")]
+    assert ac.confidence_ppm == 250000 and ac.lift_ppm == 625000
+
+
+def test_association_rules_guards(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import association_rules
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 1), (2, 2)], "g long, i long"
+    )
+    # basket 1 (10 items) dropped by the cap; only (1,2)/(2,1) survive
+    got = association_rules(
+        df, group_col="g", item_col="i", min_pair_support=1,
+        max_group_size=5,
+    ).collect()
+    assert sorted((r.antecedent, r.consequent) for r in got) == [
+        (1, 2), (2, 1)
+    ]
+    with pytest.raises(ValueError, match="min_pair_support"):
+        association_rules(df, group_col="g", item_col="i",
+                          min_pair_support=0)
