@@ -1602,6 +1602,74 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators/similarity.py:
+    kcenter_select): 8 maximally-spread embedding rows — per round one
+    map-side exact-int64 distance update against ONLY the newest center
+    (min over a set is a running min) + one TakeOrderedAndProject
+    argmax; milli-quantized distances + id tie-breaks make the selection
+    SEQUENCE unique. The pure-coverage diversity selector next to
+    mmr_select's relevance/diversity trade. Oracle: 8 unrolled
+    argmax/update rounds."""
+    from nebula_importer_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=8, dim=64, quant=1000,
+    )
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """DuckDB twin of q_kcenter_select: min-id seed, then per round the
+    exact squared-euclidean update against the newest center and the
+    (d DESC, id ASC) argmax, unrolled."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "kk -> ({a}[kk] - {b}[kk]) * ({a}[kk] - {b}[kk]))) AS BIGINT)"
+    )
+    parts = ["""v AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+            FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+              AND len(embedding) = 64
+        ),
+        s1 AS MATERIALIZED (
+            SELECT vec_id AS c, q FROM v ORDER BY vec_id LIMIT 1
+        ),
+        m1 AS MATERIALIZED (
+            SELECT v.vec_id, v.q, """
+        + dist.format(a="v.q", b="s.q")
+        + """ AS d
+            FROM v, s1 s WHERE v.vec_id != s.c
+        )"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+        s{r} AS MATERIALIZED (
+            SELECT vec_id AS c, q, d FROM m{r - 1}
+            ORDER BY d DESC, vec_id ASC LIMIT 1
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT m.vec_id, m.q,
+                   LEAST(m.d, {dist.format(a="m.q", b="s.q")}) AS d
+            FROM m{r - 1} m, s{r} s WHERE m.vec_id != s.c
+        )""")
+    union = "\n            UNION ALL ".join(
+        ["SELECT 1 AS rank, (SELECT c FROM s1) AS vec_id, "
+         "NULL::BIGINT AS dist_sq"]
+        + [
+            f"SELECT {r}, (SELECT c FROM s{r}), (SELECT d FROM s{r})"
+            for r in range(2, k + 1)
+        ]
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT rank::BIGINT AS rank, vec_id, dist_sq FROM ({union})
+        WHERE vec_id IS NOT NULL
+    """
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over co-ordered parts
     (operators/graph.py:association_rules): per directed part pair a→b,
@@ -5245,6 +5313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": q_graph_msf,
         "hll_rolling_users": q_hll_rolling_users,
         "association_rules": q_association_rules,
+        "kcenter_select": q_kcenter_select,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6575,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(4),
         "textrank_docs": _textrank_sql(4),
         "graph_msf": _msf_sql(8),
+        "kcenter_select": _kcenter_sql(8),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1076,3 +1076,95 @@ def embedding_correlation(
         "n", "sx", "sy", "sxx", "syy", "sxy",
         corr.alias("corr"),
     )
+
+
+def kcenter_select(
+    df: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    dim: int,
+    quant: int = 1000,
+) -> "DataFrame":
+    """Greedy k-center coreset selection (Gonzalez 1985; the classic
+    2-approximation to the k-center cover) — the DIVERSITY selector of a
+    training-data pipeline: each round adds the point FARTHEST from
+    everything already selected, so k points cover the embedding space
+    with provable radius ≤ 2·OPT (contrast mmr_topk, which trades
+    relevance against diversity; this is pure coverage).
+
+    Determinism contract: vectors are milli-quantized once and distances
+    are EXACT int64 squared euclidean (Σ(qa−qb)² ≤ d·(2·quant·max|x|)²
+    — int-exact at any partitioning); the seed is the MIN id and each
+    argmax breaks ties by id ASC, so the selection sequence is unique
+    and hash-stable (the bpe_train argmax discipline: ONE row crosses to
+    the driver per round).
+
+    Distributed shape: the running state is ``(id, qvec, min_d)`` —
+    min_d updates against ONLY the newest center (a map pass with the
+    center as a plan literal, no join), because
+    ``min(d(x, S ∪ {c})) = min(min_d, d(x, c))``. Per round: one
+    map-side update + one TakeOrderedAndProject argmax;
+    ``localCheckpoint`` truncates the k-round lineage (the k-core OOM
+    lesson).
+
+    Returns ``(rank, id, dist_sq)`` — ``dist_sq`` is the point's
+    distance² to the previously-selected set at the moment it was
+    chosen (NULL for the seed); rank 1..k in selection order. The last
+    row's dist_sq IS the cover radius² witness.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim < 1 or quant < 1:
+        raise ValueError(f"dim and quant must be >= 1: {dim}, {quant}")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant).cast("long"),
+    )
+    state = (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == dim)
+        )
+        .select(F.col(id_col).alias("_id"), q.alias("_q"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    seed_row = state.orderBy("_id").limit(1).collect()
+    if not seed_row:
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, dist_sq long"
+        )
+    selected = [(1, seed_row[0]["_id"], None)]
+    center = seed_row[0]["_q"]
+    state = state.filter(F.col("_id") != seed_row[0]["_id"]).withColumn(
+        "_min_d", F.lit(None).cast("long")
+    )
+    for rank in range(2, k + 1):
+        cvec = F.array(*[F.lit(int(v)).cast("long") for v in center])
+        d_new = F.aggregate(
+            F.zip_with("_q", cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        state = state.withColumn(
+            "_min_d", F.least(F.coalesce(F.col("_min_d"), d_new), d_new)
+        ).localCheckpoint(eager=True)
+        far = (
+            state.orderBy(F.col("_min_d").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        selected.append((rank, far[0]["_id"], int(far[0]["_min_d"])))
+        center = far[0]["_q"]
+        state = state.filter(F.col("_id") != far[0]["_id"])
+    return spark.createDataFrame(
+        selected, f"rank long, {id_col} long, dist_sq long"
+    )

@@ -264,3 +264,65 @@ def test_embedding_correlation_validation(spark):
         embedding_correlation(df, "zz", dim=2)
     # wrong-length vectors are filtered, not errors
     assert embedding_correlation(df, dim=3).count() == 0
+
+
+def test_kcenter_select_matches_python_greedy(spark):
+    import random
+
+    from nebula_importer_spark.operators.similarity import kcenter_select
+
+    rng = random.Random(9)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r.rank, r.vec_id, r.dist_sq)
+           for r in kcenter_select(
+               df, "vec_id", "embedding", k=6, dim=4, quant=1000
+           ).orderBy("rank").collect()]
+
+    # python replica on the same float32-rounded, milli-quantized values
+    import math
+
+    import numpy as np
+
+    q = {i: [math.floor(float(np.float32(v)) * 1000) for v in vec]
+         for i, vec in pts}
+    sel = [min(q)]
+    dists = {}
+    want = [(1, sel[0], None)]
+    for rank in range(2, 7):
+        c = q[sel[-1]]
+        for i in q:
+            if i in sel:
+                continue
+            d = sum((a - b) ** 2 for a, b in zip(q[i], c))
+            dists[i] = min(dists.get(i, d), d)
+        far = max(
+            (i for i in dists if i not in sel),
+            key=lambda i: (dists[i], -i),
+        )
+        want.append((rank, far, dists[far]))
+        sel.append(far)
+    assert got == want
+    # farthest-first: selection distances are non-increasing
+    ds = [d for _, _, d in got[1:]]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_kcenter_select_edges(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    # k exceeds population: stops at 2 (null vector filtered)
+    got = kcenter_select(df, "vec_id", "embedding", k=10, dim=2).collect()
+    assert [(r.rank, r.vec_id) for r in got] == [(1, 1), (2, 2)]
+    # empty input
+    assert kcenter_select(
+        df.filter("vec_id < 0"), "vec_id", "embedding", k=3, dim=2
+    ).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        kcenter_select(df, "vec_id", "embedding", k=0, dim=2)
