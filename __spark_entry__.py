@@ -1602,6 +1602,24 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py:t_closeness_emd): per
+    market segment, the ordered-domain EMD between the class's
+    account-balance-bucket distribution and the global one — the leak
+    k-anonymity and l-diversity both miss (a large, diverse class can
+    still be all-rich). Cross-multiplied integer cumulative differences
+    (no per-class float division), final report in exact ppm."""
+    from nebula_importer_spark.operators.privacy import t_closeness_emd
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_bucket"),
+    )
+    return t_closeness_emd(
+        cust, ["c_mktsegment"], "bal_bucket", t_threshold_ppm=10_000
+    )
+
+
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection (operators/similarity.py:
     kcenter_select): 8 maximally-spread embedding rows — per round one
@@ -5314,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rolling_users": q_hll_rolling_users,
         "association_rules": q_association_rules,
         "kcenter_select": q_kcenter_select,
+        "privacy_t_closeness": q_privacy_t_closeness,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6682,6 +6701,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # t-closeness twin: same cross-multiplied integer cumulative
+        # differences over the full observed value domain per class
+        "privacy_t_closeness": """
+            WITH base AS (
+                SELECT c_mktsegment,
+                       CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            gv AS (
+                SELECT c_mktsegment, bal_bucket, COUNT(*)::BIGINT AS cnt
+                FROM base GROUP BY 1, 2
+            ),
+            gl AS (
+                SELECT bal_bucket, COUNT(*)::BIGINT AS gcnt
+                FROM base GROUP BY 1
+            ),
+            mt AS (
+                SELECT COUNT(*)::BIGINT AS m, SUM(gcnt)::BIGINT AS nt
+                FROM gl
+            ),
+            sizes AS (
+                SELECT c_mktsegment, SUM(cnt)::BIGINT AS nc
+                FROM gv GROUP BY 1
+            ),
+            fl AS (
+                SELECT s.c_mktsegment, s.nc, g.bal_bucket, g.gcnt,
+                       COALESCE(v.cnt, 0)::BIGINT AS cnt
+                FROM sizes s CROSS JOIN gl g
+                LEFT JOIN gv v ON v.c_mktsegment = s.c_mktsegment
+                             AND v.bal_bucket = g.bal_bucket
+            ),
+            cum AS (
+                SELECT c_mktsegment, nc,
+                       SUM(cnt) OVER (PARTITION BY c_mktsegment
+                           ORDER BY bal_bucket) AS cc,
+                       SUM(gcnt) OVER (PARTITION BY c_mktsegment
+                           ORDER BY bal_bucket) AS cg
+                FROM fl
+            ),
+            per AS (
+                SELECT c_mktsegment, nc,
+                       SUM(abs(cc * mt.nt - cg * nc))::BIGINT AS s,
+                       ANY_VALUE(mt.m) AS m, ANY_VALUE(mt.nt) AS nt
+                FROM cum, mt GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, nc AS group_size,
+                   ((1000000 * s) // (nc * nt * greatest(m - 1, 1)))::BIGINT
+                       AS emd_ppm
+            FROM per
+            WHERE ((1000000 * s) // (nc * nt * greatest(m - 1, 1))) > 10000
         """,
         # association-rules twin: same dedup/cap/count funnel, same
         # composed integer floor divisions

@@ -77,3 +77,93 @@ def l_diversity_violations(
         )
         .filter(F.col("n_sensitive") < l_threshold)
     )
+
+
+def t_closeness_emd(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t_threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute (Li, Li &
+    Venkatasubramanian 2007) — the third rung after k-anonymity and
+    l-diversity: a class can be large (k-safe) and diverse (l-safe) and
+    still leak by SKEW (everyone in it earns top-decile salary). The
+    distance between a class's sensitive distribution and the global
+    one is the Earth Mover's Distance under the ordered-domain ground
+    metric: ``EMD = (1/(m−1)) · Σ_i |Σ_{j≤i}(p_j − q_j)|`` over the m
+    observed values.
+
+    Exactness: the cumulative difference is kept as the CROSS-MULTIPLIED
+    integer ``cum_class·N_total − cum_global·N_class`` (common
+    denominator — no per-class float division), summed exactly in
+    int64, and the final report is integer ppm:
+    ``emd_ppm = (10⁶·Σ|…|) div (N_class·N_total·(m−1))`` — hash-stable
+    at any partitioning. Overflow bound: Σ|…| ≤ m·N_class·N_total must
+    stay under 2^63 (audit tables, not event firehoses — documented).
+
+    Distributed shape: one partial-agg'd groupBy on (class, value), one
+    on value (global), a per-class ordered cumulative window over the
+    OBSERVED value domain (m rows per class — domain-sized, not
+    row-sized), and a final per-class agg. NULL sensitive values are
+    excluded on BOTH sides (an unknown value discloses nothing).
+
+    Returns classes with ``emd_ppm > t_threshold_ppm``:
+    ``(*qi_cols, group_size, emd_ppm)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    _check_cols(qi_cols)
+    if sensitive_col in qi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot also be a "
+            "quasi-identifier"
+        )
+    if not 0 <= t_threshold_ppm <= 1_000_000:
+        raise ValueError(
+            f"t_threshold_ppm must be in [0, 1e6], got {t_threshold_ppm}"
+        )
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    gv = base.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    glob = base.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_gcnt")
+    )
+    m_total = glob.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("_gcnt").cast("long").alias("_nt"),
+    )
+    sizes = gv.groupBy(*qi_cols).agg(
+        F.sum("_cnt").cast("long").alias("_nc")
+    )
+    # every class must see EVERY observed value (p_j = 0 rows included):
+    # cross the class list with the global value list, then left-join
+    # actual class counts
+    classes = sizes.select(*qi_cols, "_nc")
+    full = classes.join(F.broadcast(glob)).join(
+        gv, [*qi_cols, sensitive_col], "left"
+    ).select(
+        *qi_cols, "_nc", sensitive_col, "_gcnt",
+        F.coalesce(F.col("_cnt"), F.lit(0).cast("long")).alias("_cnt"),
+    )
+    w = W.partitionBy(*qi_cols).orderBy(sensitive_col)
+    cum = full.select(
+        *qi_cols, "_nc",
+        F.sum("_cnt").over(w).alias("_cc"),
+        F.sum("_gcnt").over(w).alias("_cg"),
+    )
+    per_class = cum.crossJoin(F.broadcast(m_total)).groupBy(
+        *qi_cols, "_nc", "_m", "_nt"
+    ).agg(
+        F.sum(
+            F.abs(F.col("_cc") * F.col("_nt") - F.col("_cg") * F.col("_nc"))
+        ).cast("long").alias("_s")
+    )
+    emd_ppm = F.expr("(1000000 * _s) div (_nc * _nt * greatest(_m - 1, 1))")
+    return per_class.select(
+        *qi_cols,
+        F.col("_nc").alias("group_size"),
+        emd_ppm.cast("long").alias("emd_ppm"),
+    ).filter(F.col("emd_ppm") > t_threshold_ppm)

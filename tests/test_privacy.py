@@ -121,3 +121,55 @@ def test_comention_mega_thread_guard(spark):
     assert got == {("x", "y")}  # the 11-entity thread is dropped
     with pytest.raises(ValueError):
         comention_edges(_triples(spark, rows), max_group_size=1)
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    """A class with the same size and full diversity but all-HIGH values
+    must flag; a class mirroring the global distribution must not."""
+    from nebula_importer_spark.operators.privacy import t_closeness_emd
+
+    # a LARGE near-uniform class dominates the global mix; a small
+    # same-diversity class sits entirely at the top of the domain
+    rows = (
+        [("mirror", v) for v in (1, 2, 3, 4) * 20]
+        + [("rich", v) for v in (3, 4, 4, 4) * 4]
+    )
+    df = spark.createDataFrame(rows, "seg string, val long")
+
+    def model(counts, globs, m):
+        nc, nt = sum(counts), sum(globs)
+        cum_c = cum_g = s = 0
+        for cc, gg in zip(counts, globs):
+            cum_c += cc
+            cum_g += gg
+            s += abs(cum_c * nt - cum_g * nc)
+        return (1_000_000 * s) // (nc * nt * (m - 1))
+
+    globs = [20, 20, 24, 32]  # value counts 1..4 over both classes
+    want_rich = model([0, 0, 4, 12], globs, 4)
+    want_mirror = model([20, 20, 20, 20], globs, 4)
+    assert want_mirror < 100_000 < want_rich
+    got = {r.seg: r.emd_ppm for r in
+           t_closeness_emd(df, ["seg"], "val",
+                           t_threshold_ppm=100_000).collect()}
+    assert got == {"rich": want_rich}
+    got_all = {r.seg: r.emd_ppm for r in
+               t_closeness_emd(df, ["seg"], "val",
+                               t_threshold_ppm=0).collect()}
+    assert got_all == {"rich": want_rich, "mirror": want_mirror}
+
+
+def test_t_closeness_nulls_and_validation(spark):
+    from nebula_importer_spark.operators.privacy import t_closeness_emd
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 9)], "seg string, val long"
+    )
+    # NULL sensitive excluded on both sides; extreme split -> both flag
+    got = t_closeness_emd(df, ["seg"], "val", t_threshold_ppm=0).collect()
+    assert {r.seg for r in got} == {"a", "b"}
+    assert all(r.group_size == 1 for r in got)
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        t_closeness_emd(df, ["val"], "val")
+    with pytest.raises(ValueError, match="t_threshold_ppm"):
+        t_closeness_emd(df, ["seg"], "val", t_threshold_ppm=2_000_000)
