@@ -1602,6 +1602,72 @@ def q_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching (operators/graph.py:maximal_matching) over the
+    part↔supplier bipartite graph from lineitem: mutual-minimum
+    proposals on deterministic md5 edge priorities — the Israeli–Itai
+    parallel scheme made reproducible, O(log) expected rounds where a
+    weight-ordered variant degenerates linearly. The greedy pairing
+    primitive behind one-merge-per-pair dedup and assignment. Oracle:
+    the same rounds unrolled."""
+    from nebula_importer_spark.operators.graph import maximal_matching
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p_"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return maximal_matching(e, max_rounds=30)
+
+
+def _matching_sql(rounds: int = 12) -> str:
+    """DuckDB twin of q_graph_matching: per unrolled round the
+    per-vertex (pri, a, b) argmin, the mutual-pick detection, and the
+    matched-vertex retirement. Rounds past convergence are no-ops."""
+    parts = ["""e0 AS MATERIALIZED (
+            SELECT a, b, md5('match' || a || '|' || b) AS pri
+            FROM (
+                SELECT DISTINCT
+                       LEAST('p_' || l_partkey, 's_' || l_suppkey) AS a,
+                       GREATEST('p_' || l_partkey, 's_' || l_suppkey) AS b
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            )
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        cand{r} AS (
+            SELECT a AS v, a, b, pri FROM e{r - 1}
+            UNION ALL SELECT b, a, b, pri FROM e{r - 1}
+        ),
+        pick{r} AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY v ORDER BY pri, a, b) AS rn
+                FROM cand{r}
+            ) WHERE rn = 1
+        ),
+        mut{r} AS MATERIALIZED (
+            SELECT a, b FROM pick{r} GROUP BY a, b HAVING COUNT(*) = 2
+        ),
+        mv{r} AS MATERIALIZED (
+            SELECT a AS v FROM mut{r} UNION SELECT b FROM mut{r}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.pri FROM e{r - 1} e
+            WHERE e.a NOT IN (SELECT v FROM mv{r})
+              AND e.b NOT IN (SELECT v FROM mv{r})
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT a AS src, b AS dst, {r}::BIGINT AS round FROM mut{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n        {union}"
+
+
 def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (operators/privacy.py:t_closeness_emd): per
     market segment, the ordered-domain EMD between the class's
@@ -5333,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "kcenter_select": q_kcenter_select,
         "privacy_t_closeness": q_privacy_t_closeness,
+        "graph_matching": q_graph_matching,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6664,6 +6731,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_docs": _textrank_sql(4),
         "graph_msf": _msf_sql(8),
         "kcenter_select": _kcenter_sql(8),
+        "graph_matching": _matching_sql(12),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1191,3 +1191,88 @@ def test_association_rules_guards(spark):
     with pytest.raises(ValueError, match="min_pair_support"):
         association_rules(df, group_col="g", item_col="i",
                           min_pair_support=0)
+
+
+def _matching_model(edges, salt="match", rounds=40):
+    import hashlib
+
+    e = set()
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        e.add((a, b))
+    pri = {
+        ab: hashlib.md5(f"{salt}{ab[0]}|{ab[1]}".encode()).hexdigest()
+        for ab in e
+    }
+    out = []
+    for rnd in range(1, rounds + 1):
+        if not e:
+            break
+        pick = {}
+        for a, b in e:
+            for v in (a, b):
+                k = (pri[(a, b)], a, b)
+                if v not in pick or k < pick[v]:
+                    pick[v] = k
+        mutual = {
+            (a, b) for a, b in e
+            if pick[a] == (pri[(a, b)], a, b) == pick[b]
+        }
+        out += [(a, b, rnd) for a, b in sorted(mutual)]
+        matched = {v for ab in mutual for v in ab}
+        e = {ab for ab in e if ab[0] not in matched and ab[1] not in matched}
+    return sorted(out)
+
+
+def test_maximal_matching_parity_and_properties(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import maximal_matching
+
+    rng = random.Random(23)
+    edges = [(f"v{rng.randrange(40)}", f"v{rng.randrange(40)}")
+             for _ in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r.src, r.dst, r.round) for r in maximal_matching(df).collect()
+    )
+    assert got == _matching_model(edges)
+    # matching property: every vertex appears at most once
+    seen = [v for a, b, _ in got for v in (a, b)]
+    assert len(seen) == len(set(seen))
+    # maximality: every input edge touches a matched vertex
+    matched = set(seen)
+    for s, d in edges:
+        if s != d:
+            a, b = min(s, d), max(s, d)
+            assert a in matched or b in matched, (a, b)
+
+
+def test_maximal_matching_hash_beats_sorted_path(spark):
+    """On a path with ids in sorted order, a weight/id-ordered proposal
+    scheme matches ONE edge per round; hash priorities break the
+    adversarial order — the whole 30-edge path resolves in a handful of
+    rounds (deterministic for this salt)."""
+    from nebula_importer_spark.operators.graph import maximal_matching
+
+    path = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    got = maximal_matching(df).collect()
+    assert max(r.round for r in got) <= 6
+    assert got and len(got) >= 10  # near-perfect matching on a path
+
+
+def test_maximal_matching_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import maximal_matching
+
+    df = spark.createDataFrame([("a", "a"), ("a", None)],
+                               "src string, dst string")
+    assert maximal_matching(df).count() == 0  # self-loop/null only
+    with pytest.raises(ValueError, match="not in input"):
+        maximal_matching(df.drop("dst"))
+    with pytest.raises(ValueError, match="max_rounds"):
+        maximal_matching(df, max_rounds=0)
