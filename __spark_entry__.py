@@ -1668,6 +1668,92 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (operators/graph.py:
+    maximal_independent_set) over the supplier co-supply graph: md5
+    vertex priorities make the O(log n)-round symmetry breaker a pure
+    function of the graph. The conflict-free-selection primitive
+    (scheduling, landmark seeds) beside the matching's pairing. Oracle:
+    unrolled win/retire rounds over the same edge construction as
+    graph_msf."""
+    from nebula_importer_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        # the raw co-supply graph is COMPLETE at this SF (every pair
+        # shares ~134 parts) — a 1-vertex MIS; keep only strong-co-supply
+        # edges so the gate exercises multi-round symmetry breaking
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 150)
+        .select("src", "dst")
+    )
+    return maximal_independent_set(edges, max_rounds=30)
+
+
+def _mis_sql(rounds: int = 10) -> str:
+    """DuckDB twin of q_graph_mis: symmetric adjacency over the co-supply
+    pairs, then per unrolled round the min-neighbour-priority winners and
+    the winner∪neighbour retirement. No-ops after convergence."""
+    parts = ["""pe AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 150
+        ),
+        adj0 AS MATERIALIZED (
+            SELECT s1 AS a, s2 AS b FROM pe
+            UNION SELECT s2, s1 FROM pe
+        ),
+        act0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT act.node FROM act{r - 1} act
+            LEFT JOIN (
+                SELECT a, MIN(md5('mis' || CAST(b AS VARCHAR))) AS mn
+                FROM adj{r - 1} GROUP BY a
+            ) nb ON nb.a = act.node
+            WHERE nb.mn IS NULL
+               OR md5('mis' || CAST(act.node AS VARCHAR)) < nb.mn
+        ),
+        ret{r} AS MATERIALIZED (
+            SELECT node FROM w{r}
+            UNION SELECT adj.b FROM adj{r - 1} adj
+                  JOIN w{r} w ON adj.a = w.node
+        ),
+        act{r} AS MATERIALIZED (
+            SELECT node FROM act{r - 1}
+            WHERE node NOT IN (SELECT node FROM ret{r})
+        ),
+        adj{r} AS MATERIALIZED (
+            SELECT a, b FROM adj{r - 1}
+            WHERE a NOT IN (SELECT node FROM ret{r})
+              AND b NOT IN (SELECT node FROM ret{r})
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT node, {r}::BIGINT AS round FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n        {union}"
+
+
 def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (operators/privacy.py:t_closeness_emd): per
     market segment, the ordered-domain EMD between the class's
@@ -5435,6 +5521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "privacy_t_closeness": q_privacy_t_closeness,
         "graph_matching": q_graph_matching,
+        "graph_mis": q_graph_mis,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6772,6 +6859,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_msf": _msf_sql(8),
         "kcenter_select": _kcenter_sql(8),
         "graph_matching": _matching_sql(12),
+        "graph_mis": _mis_sql(10),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

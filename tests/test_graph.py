@@ -1276,3 +1276,77 @@ def test_maximal_matching_validation(spark):
         maximal_matching(df.drop("dst"))
     with pytest.raises(ValueError, match="max_rounds"):
         maximal_matching(df, max_rounds=0)
+
+
+def _mis_model(edges, salt="mis", rounds=40):
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def pri(v):
+        return hashlib.md5(f"{salt}{v}".encode()).hexdigest()
+
+    active = set(adj)
+    out = []
+    for rnd in range(1, rounds + 1):
+        if not active:
+            break
+        winners = {
+            v for v in active
+            if all(pri(v) < pri(u) for u in adj[v] if u in active)
+        }
+        out += [(v, rnd) for v in sorted(winners)]
+        retired = set(winners)
+        for v in winners:
+            retired |= adj[v] & active
+        active -= retired
+    return sorted(out)
+
+
+def test_mis_parity_and_properties(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    rng = random.Random(29)
+    edges = [(f"v{rng.randrange(35)}", f"v{rng.randrange(35)}")
+             for _ in range(100)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r.node, r.round) for r in maximal_independent_set(df).collect()
+    )
+    assert got == _mis_model(edges)
+    # independence: no input edge has both endpoints in the set
+    mis = {n for n, _ in got}
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+            assert not (s in mis and d in mis), (s, d)
+    # maximality: every non-member has a member neighbour
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, v
+
+
+def test_mis_isolated_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    # only self-loops/nulls -> no vertices -> empty set
+    df = spark.createDataFrame([("a", "a"), (None, "b")],
+                               "src string, dst string")
+    assert maximal_independent_set(df).count() == 0
+    with pytest.raises(ValueError, match="max_rounds"):
+        maximal_independent_set(df, max_rounds=0)
