@@ -1668,6 +1668,16 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user (operators/behavior.py:
+    activity_streaks): the gaps-and-islands pattern — island key =
+    epoch_day − dense_rank, one day-count-bounded window per user, two
+    partial-agg'd groupBys. All integer epoch-day arithmetic."""
+    from nebula_importer_spark.operators.behavior import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set (operators/graph.py:
     maximal_independent_set) over the supplier co-supply graph: md5
@@ -5522,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_t_closeness": q_privacy_t_closeness,
         "graph_matching": q_graph_matching,
         "graph_mis": q_graph_mis,
+        "activity_streaks": q_activity_streaks,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6897,6 +6908,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # gaps-and-islands twin: same epoch-day island key, same
+        # (len, end) longest-streak tie-break
+        "activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            isl AS (
+                SELECT user_id, d,
+                       d - DENSE_RANK() OVER (
+                           PARTITION BY user_id ORDER BY d) AS i
+                FROM days
+            ),
+            pi AS (
+                SELECT user_id, i, COUNT(*)::BIGINT AS len,
+                       MAX(d) AS e
+                FROM isl GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT user_id, e, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY len DESC, e DESC) AS rn
+                FROM pi
+            )
+            SELECT p.user_id,
+                   SUM(len)::BIGINT AS n_active_days,
+                   COUNT(*)::BIGINT AS n_streaks,
+                   MAX(len)::BIGINT AS longest_streak,
+                   ANY_VALUE(strftime(DATE '1970-01-01'
+                       + CAST(b.e AS INTEGER), '%Y-%m-%d'))
+                       AS current_streak_end
+            FROM pi p JOIN (SELECT user_id, e FROM best WHERE rn = 1) b
+              USING (user_id)
+            GROUP BY p.user_id
         """,
         # t-closeness twin: same cross-multiplied integer cumulative
         # differences over the full observed value domain per class

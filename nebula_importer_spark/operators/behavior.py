@@ -263,3 +263,69 @@ def event_transitions(
             6,
         ).alias("p"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern done distributed: distinct active days per
+    user, then the island key ``epoch_day − dense_rank`` (consecutive
+    days share it, any gap shifts it), one count per island, one max per
+    user. Engagement/retention's streak view, and the pattern behind
+    SLA-uptime and sensor-continuity reports.
+
+    All integer arithmetic on epoch days (``datediff`` from the fixed
+    1970-01-01 origin — no timezone-dependent date math beyond the
+    session's pinned UTC). Distributed shape: one (user, day) dedup
+    exchange, one user-keyed window (dense_rank over the user's DAYS —
+    day-count-bounded, not event-bounded), two partial-agg'd groupBys.
+
+    Returns ``(user_col, n_active_days, n_streaks, longest_streak,
+    current_streak_end)`` — ``current_streak_end`` is the last day of
+    the LONGEST streak (ties: the latest), as a yyyy-MM-dd string.
+    """
+    for c in (user_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql.window import Window as W
+
+    days = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("_d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("_u").orderBy("_d")
+    islands = days.withColumn(
+        "_isl", F.col("_d") - F.dense_rank().over(w)
+    )
+    per_island = islands.groupBy("_u", "_isl").agg(
+        F.count(F.lit(1)).cast("long").alias("_len"),
+        F.max("_d").alias("_end"),
+    )
+    return (
+        per_island.groupBy("_u")
+        .agg(
+            F.sum("_len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("_len").cast("long").alias("longest_streak"),
+            F.max(F.struct(F.col("_len"), F.col("_end")))["_end"]
+            .alias("_best_end"),
+        )
+        .select(
+            F.col("_u").alias(user_col),
+            "n_active_days",
+            "n_streaks",
+            "longest_streak",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("_best_end")),
+                "yyyy-MM-dd",
+            ).alias("current_streak_end"),
+        )
+    )

@@ -277,3 +277,42 @@ def test_context_suffix_validation_and_nulls(spark):
         for r in context_suffix(df, 2).collect()
     }
     assert got == {"c": (2, 2)}
+
+
+def test_activity_streaks_hand_computed(spark):
+    import datetime
+
+    from nebula_importer_spark.operators.behavior import activity_streaks
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, h)
+
+    rows = [
+        # u1: days 1,2,3 (streak 3, two events same day), gap, 5,6
+        (1, ts(1)), (1, ts(1, 5)), (1, ts(2)), (1, ts(3)), (1, ts(5)),
+        (1, ts(6)),
+        # u2: single day
+        (2, ts(10)),
+        # u3: two equal-length streaks -> tie breaks to the LATER end
+        (3, ts(1)), (3, ts(2)), (3, ts(8)), (3, ts(9)),
+        # nulls ignored
+        (None, ts(1)), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak,
+                       r.current_streak_end)
+           for r in activity_streaks(df).collect()}
+    assert got[1] == (5, 2, 3, "2024-01-03")
+    assert got[2] == (1, 1, 1, "2024-01-10")
+    assert got[3] == (4, 2, 2, "2024-01-09")
+    assert set(got) == {1, 2, 3}
+
+
+def test_activity_streaks_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.behavior import activity_streaks
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="not in input"):
+        activity_streaks(df)
