@@ -1668,6 +1668,17 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step user journeys (operators/behavior.py:event_paths):
+    stacked lead() windows on ONE user-keyed exchange, partial-agg'd
+    path collapse, no per-user collect_list — a mega-user's sequence
+    never materializes (the sessionize mega-key lesson applied to
+    journey mining)."""
+    from nebula_importer_spark.operators.behavior import event_paths
+
+    return event_paths(_t(spark, sf_dir, "events"), n=3, min_count=2)
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day streak per user (operators/behavior.py:
     activity_streaks): the gaps-and-islands pattern — island key =
@@ -5533,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": q_graph_matching,
         "graph_mis": q_graph_mis,
         "activity_streaks": q_activity_streaks,
+        "event_paths": q_event_paths,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6908,6 +6920,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # journey twin: same (ts, id)-ordered stacked leads
+        "event_paths": """
+            WITH b AS (
+                SELECT user_id AS u, ts, event_id, event_type
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+            ),
+            s AS (
+                SELECT u, event_type AS t0,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                FROM b WINDOW w AS (PARTITION BY u ORDER BY ts, event_id)
+            )
+            SELECT t0 || '>' || t1 || '>' || t2 AS path,
+                   COUNT(*)::BIGINT AS n_occurrences,
+                   COUNT(DISTINCT u)::BIGINT AS n_users
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         # gaps-and-islands twin: same epoch-day island key, same
         # (len, end) longest-streak tie-break

@@ -329,3 +329,64 @@ def activity_streaks(
             ).alias("current_streak_end"),
         )
     )
+
+
+def event_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequent ordered event paths — the n-step extension of
+    :func:`event_transitions` (journey mining: "view → click → purchase"
+    counts, the product-analytics path report and the behavioral-clone
+    training signal). Every length-``n`` window of each user's
+    ``(ts, id)``-ordered event-type sequence counts once; paths render
+    as ``a>b>c`` strings.
+
+    Distributed shape: ONE user-keyed exchange backs two stacked lead()
+    windows (same exchange — identical partitioning/ordering, Spark
+    plans one Window operator); the n-gram collapse is a partial-agg'd
+    groupBy bounded map-side by ≤ |types|ⁿ distinct paths per task. No
+    per-user collect_list — a mega-user's sequence never materializes
+    as one array (the sessionize mega-key lesson applied to journey
+    mining).
+
+    Returns ``(path, n_occurrences, n_users)`` for paths seen at least
+    ``min_count`` times; ``n_users`` = distinct users exhibiting it.
+    """
+    if not 2 <= n <= 5:
+        raise ValueError(f"n must be in [2, 5], got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    for c in (user_col, ts_col, type_col, id_col):
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in input: {events.columns}")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(user_col, ts_col, id_col, type_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = base.select(
+        F.col(user_col).alias("_u"),
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("_u").cast("long").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )

@@ -316,3 +316,52 @@ def test_activity_streaks_validation(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="not in input"):
         activity_streaks(df)
+
+
+def test_event_paths_hand_computed(spark):
+    import datetime
+
+    from nebula_importer_spark.operators.behavior import event_paths
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # u1: view>click>buy, click>buy>view  (same-ts burst: id breaks)
+        (1, ts(0), 10, "view"), (1, ts(1), 11, "click"),
+        (1, ts(1), 12, "buy"), (1, ts(2), 13, "view"),
+        # u2: view>click>buy again
+        (2, ts(0), 20, "view"), (2, ts(1), 21, "click"),
+        (2, ts(2), 22, "buy"),
+        # u3: too short for a trigram
+        (3, ts(0), 30, "view"), (3, ts(1), 31, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r.path: (r.n_occurrences, r.n_users)
+           for r in event_paths(df, n=3, min_count=1).collect()}
+    assert got["view>click>buy"] == (2, 2)
+    assert got["click>buy>view"] == (1, 1)
+    assert len(got) == 2
+    # min_count filter
+    got2 = {r.path for r in event_paths(df, n=3, min_count=2).collect()}
+    assert got2 == {"view>click>buy"}
+
+
+def test_event_paths_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.behavior import event_paths
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "x")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    assert event_paths(df, min_count=1).count() == 0  # null ts filtered
+    with pytest.raises(ValueError, match="n must"):
+        event_paths(df, n=1)
+    with pytest.raises(ValueError, match="min_count"):
+        event_paths(df, min_count=0)
