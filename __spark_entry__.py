@@ -1668,6 +1668,24 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact higher-moment shape profile of events.value per event type
+    (operators/profile.py:moment_profile): skewness/kurtosis from EXACT
+    int64 raw power sums — Spark's own skewness()/kurtosis() merge
+    doubles in partition order and cannot be gate-hashed; this can. ONE
+    aggregation pass; fixed IEEE chains on exactly-representable
+    inputs; m2^1.5 as m2·sqrt(m2) (sqrt is correctly rounded, libm pow
+    is not)."""
+    from nebula_importer_spark.operators.profile import moment_profile
+
+    return moment_profile(
+        _t(spark, sf_dir, "events"), "value",
+        # quant=10: events.value reaches ~58, and s4 sums qq^4 — the
+        # documented n·(quant·max|x|)^4 < 2^63 bound picks the scale
+        group_cols=["event_type"], quant=10,
+    )
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-step user journeys (operators/behavior.py:event_paths):
     stacked lead() windows on ONE user-keyed exchange, partial-agg'd
@@ -5545,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": q_graph_mis,
         "activity_streaks": q_activity_streaks,
         "event_paths": q_event_paths,
+        "moment_profile": q_moment_profile,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6920,6 +6939,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # moment twin: same int64 power sums, same IEEE chain order
+        "moment_profile": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(value * 10) AS BIGINT) AS qq
+                FROM events WHERE value IS NOT NULL
+            ),
+            a AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n,
+                       SUM(qq)::BIGINT AS s1,
+                       SUM(qq * qq)::BIGINT AS s2,
+                       SUM(qq * qq * qq)::BIGINT AS s3,
+                       SUM(qq * qq * qq * qq)::BIGINT AS s4
+                FROM q GROUP BY 1
+            ),
+            m AS (
+                SELECT *,
+                       s1::DOUBLE / n AS mu,
+                       s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                           AS m2,
+                       s3::DOUBLE / n
+                           - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                           + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                               * (s1::DOUBLE / n) AS m3,
+                       s4::DOUBLE / n
+                           - 4 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+                           + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                               * (s2::DOUBLE / n)
+                           - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                               * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m4
+                FROM a
+            )
+            SELECT event_type, n, s1, s2, s3, s4,
+                   mu / 10 AS mean,
+                   m2 / (10 * 10) AS variance,
+                   CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END
+                       AS skewness,
+                   CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END
+                       AS kurtosis
+            FROM m
         """,
         # journey twin: same (ts, id)-ordered stacked leads
         "event_paths": """

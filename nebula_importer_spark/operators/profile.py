@@ -739,3 +739,79 @@ def _kmv_hash_str(col, salt: str):
             10,
         ).cast("long"),
     )
+
+
+def moment_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact higher-moment column profile — mean, variance, skewness,
+    kurtosis per group from EXACT int64 raw power sums (the
+    embedding_correlation discipline applied to shape statistics): the
+    distribution-shape QA that catches heavy tails and asymmetry a
+    min/max/histogram profile misses, with none of the float-sum
+    partition drift ``F.skewness``/``F.kurtosis`` carry (their merges
+    accumulate doubles in partition order).
+
+    Values floor-quantize ONCE to ``1/quant`` units; Σq, Σq², Σq³, Σq⁴
+    are exact int64 sums (bound: n·(quant·max|x|)⁴ < 2^63 — e.g. 10⁶
+    rows of |x| ≤ 30 at quant=1000; raise/lower quant to trade
+    resolution for headroom, documented not silent). Central moments
+    come from the raw sums by the standard expansions computed as FIXED
+    IEEE chains on exactly-representable int64 inputs — bit-identical
+    on any engine: m2 = s2/n − μ², m3 = s3/n − 3μs2/n + 2μ³,
+    m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴; skew = m3/m2^1.5,
+    kurt = m4/m2² − 3 (excess). Zero-variance groups yield NULL
+    skew/kurt.
+
+    Distributed shape: ONE partial-agg'd aggregation pass — adding
+    moments adds agg columns, not jobs. NULLs excluded.
+
+    Returns ``(*group_cols, n, s1, s2, s3, s4, mean, variance,
+    skewness, kurtosis)`` — the raw sums travel with the moments so
+    sketches merge by plain addition and any divergence is diagnosable.
+    """
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    if value_col not in df.columns:
+        raise ValueError(f"column {value_col!r} not in input: {df.columns}")
+    groups = list(group_cols or [])
+    q = F.floor(F.col(value_col).cast("double") * quant).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, q.alias("_q")
+    )
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_q").cast("long").alias("s1"),
+        F.sum(F.col("_q") * F.col("_q")).cast("long").alias("s2"),
+        F.sum(F.col("_q") * F.col("_q") * F.col("_q")).cast("long")
+        .alias("s3"),
+        F.sum(F.col("_q") * F.col("_q") * F.col("_q") * F.col("_q"))
+        .cast("long").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * mu * (F.col("s2").cast("double") / n)
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * mu * (F.col("s3").cast("double") / n)
+        + 6 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        *groups, "n", "s1", "s2", "s3", "s4",
+        (mu / quant).alias("mean"),
+        (m2 / (quant * quant)).alias("variance"),
+        # m2^1.5 as m2·sqrt(m2): sqrt is IEEE-754 correctly rounded on
+        # every engine, libm pow is not — the last-ulp parity detail
+        F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("kurtosis"),
+    )

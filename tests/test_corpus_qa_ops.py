@@ -753,3 +753,51 @@ def test_credit_card_audit_validation(spark):
 
     with pytest.raises(ValueError, match="column NAME"):
         luhn_valid(F.lit("123"))
+
+
+def test_moment_profile_matches_numpy_on_quantized(spark):
+    import math
+    import random
+
+    from nebula_importer_spark.operators.profile import moment_profile
+
+    rng = random.Random(31)
+    rows = (
+        [("sym", rng.uniform(-1, 1)) for _ in range(500)]
+        + [("skewed", rng.uniform(0, 1) ** 4) for _ in range(500)]
+        + [("const", 0.25)] * 50
+        + [("sym", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in moment_profile(
+        df, "v", group_cols=["g"], quant=1000).collect()}
+
+    for g in ("sym", "skewed", "const"):
+        q = [math.floor(v * 1000) for gg, v in rows
+             if gg == g and v is not None]
+        n = len(q)
+        s = [sum(x ** k for x in q) for k in (1, 2, 3, 4)]
+        r = got[g]
+        assert (r.n, r.s1, r.s2, r.s3, r.s4) == (n, *s)
+        mu = s[0] / n
+        m2 = s[1] / n - mu * mu
+        assert r.mean == mu / 1000 and r.variance == m2 / (1000 * 1000)
+    # shape sanity: the 4th-power draw is strongly right-skewed,
+    # the uniform is near-symmetric, the constant has NULL shape
+    assert got["skewed"].skewness > 1
+    assert abs(got["sym"].skewness) < 0.3
+    assert got["const"].skewness is None and got["const"].kurtosis is None
+    # uniform excess kurtosis ~ -1.2
+    assert -1.5 < got["sym"].kurtosis < -0.8
+
+
+def test_moment_profile_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import moment_profile
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="quant"):
+        moment_profile(df, "v", quant=0)
+    with pytest.raises(ValueError, match="not in input"):
+        moment_profile(df, "zz")
