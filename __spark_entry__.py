@@ -1668,6 +1668,31 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact price quantiles per return flag
+    (operators/profile.py:exact_weighted_quantiles): the two-pass
+    histogram-refinement selection with weight-rank targets — every
+    lineitem counts l_quantity times, so the p50 answers "the price at
+    the median UNIT", not the median line. Pass B resolves the in-bucket
+    weight rank with one cumulative window over ~1/4096 of the rows.
+    Strictly-positive integral weights; emitted VALUE is tie-safe (all
+    boundary candidates share it)."""
+    from nebula_importer_spark.operators.profile import (
+        exact_weighted_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return exact_weighted_quantiles(
+        li, "cents", "qty", (50, 90, 99), group_cols=["l_returnflag"]
+    ).select(
+        "l_returnflag", "pct", F.col("value").alias("price_cents")
+    )
+
+
 def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact higher-moment shape profile of events.value per event type
     (operators/profile.py:moment_profile): skewness/kurtosis from EXACT
@@ -5564,6 +5589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         "event_paths": q_event_paths,
         "moment_profile": q_moment_profile,
+        "weighted_quantiles_price": q_weighted_quantiles_price,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6939,6 +6965,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # weighted-selection twin: the weight-ranked multiset definition;
+        # ROWS frame forced (RANGE peers would collapse ties)
+        "weighted_quantiles_price": """
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            ),
+            r AS (
+                SELECT l_returnflag, c, w,
+                       SUM(w) OVER (PARTITION BY l_returnflag ORDER BY c, w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cw,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM v
+            ),
+            q AS (SELECT unnest([50, 90, 99]) AS pct)
+            SELECT l_returnflag, pct::BIGINT AS pct, c AS price_cents
+            FROM r, q
+            WHERE cw >= ((tw - 1) * pct) // 100 + 1
+              AND cw - w < ((tw - 1) * pct) // 100 + 1
         """,
         # moment twin: same int64 power sums, same IEEE chain order
         "moment_profile": """

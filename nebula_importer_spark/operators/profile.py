@@ -815,3 +815,119 @@ def moment_profile(
         F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("kurtosis"),
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    *,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT weighted discrete quantiles — :func:`exact_quantiles` with
+    every row counting ``weight`` times (token-weighted document length
+    percentiles, duration-weighted latency percentiles): the value at
+    WEIGHT-rank ``(W−1)·p div 100 + 1`` of the value-ordered multiset,
+    where W is the group's total weight. Same two-pass histogram-
+    refinement shape — pass A's cells sum weights instead of counts,
+    pass B resolves the in-bucket weight rank with one cumulative-weight
+    window over ONLY the target bucket's rows (≈ 1/B of the data), no
+    global sort.
+
+    Integral values AND integral positive weights by contract (quantize
+    caller-side — float weight sums are partition-order-dependent, the
+    exact point of this operator). Zero/negative weights are rejected
+    loudly: a zero-weight row is a filter decision, not a quantile one.
+
+    Returns ``(*group_cols, pct, value)``.
+    """
+    if not percentiles or any(not 0 <= p <= 100 for p in percentiles):
+        raise ValueError(f"percentiles must be in [0, 100]: {percentiles}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    for c in (col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    groups = list(group_cols or [])
+    if col in groups or weight_col in groups:
+        raise ValueError("col/weight_col cannot also be group columns")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (col, weight_col):
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"exact_weighted_quantiles needs integral columns: {c} is "
+                f"{by_name[c].simpleString()}"
+            )
+    from pyspark.sql.window import Window as W
+
+    base = df.filter(
+        F.col(col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(col).cast("long").alias("_v"),
+        F.col(weight_col).cast("long").alias("_wt"),
+    )
+    # loud zero/negative-weight guard (limit(1) probe, no second scan)
+    if base.filter(F.col("_wt") <= 0).take(1):
+        raise ValueError("weights must be strictly positive")
+    stats = base.groupBy(*groups).agg(
+        F.sum("_wt").alias("_n"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+    )
+    b = n_buckets - 1
+    bucket = F.expr(f"((_v - _mn) * {b}) div greatest(_mx - _mn, 1)")
+    hist = (
+        base.join(F.broadcast(stats), groups) if groups
+        else base.crossJoin(F.broadcast(stats))
+    ).select(*groups, "_n", "_mn", "_mx", "_wt", bucket.alias("_b"))
+    cells = hist.groupBy(*groups, "_n", "_mn", "_mx", "_b").agg(
+        F.sum("_wt").alias("_cnt")
+    )
+    cum = cells.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            W.partitionBy(*groups).orderBy("_b") if groups
+            else W.partitionBy().orderBy("_b")
+        ),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in percentiles])
+    ).alias("pct")
+    targets = (
+        cum.select(*groups, "_n", "_b", "_cnt", "_cum", pcts)
+        .withColumn("_kth", F.expr("((_n - 1) * pct) div 100") + 1)
+        .filter(
+            (F.col("_cum") >= F.col("_kth"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_kth"))
+        )
+        .select(
+            *groups, "pct", "_b",
+            (F.col("_kth") - (F.col("_cum") - F.col("_cnt")))
+            .alias("_local_rank"),
+        )
+    )
+    probe = (
+        base.join(F.broadcast(stats.select(*groups, "_mn", "_mx")), groups)
+        if groups
+        else base.crossJoin(F.broadcast(stats.select("_mn", "_mx")))
+    ).select(*groups, "_v", "_wt", bucket.alias("_b"))
+    picked = probe.join(
+        F.broadcast(targets), [*groups, "_b"]
+    ).withColumn(
+        "_cw",
+        F.sum("_wt").over(
+            (W.partitionBy(*groups, "pct") if groups
+             else W.partitionBy("pct")).orderBy("_v", "_wt")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).filter(
+        (F.col("_cw") >= F.col("_local_rank"))
+        & (F.col("_cw") - F.col("_wt") < F.col("_local_rank"))
+    )
+    return picked.select(
+        *groups, F.col("pct"), F.col("_v").alias("value")
+    )

@@ -596,3 +596,49 @@ def test_column_overlap_validation(spark):
         column_overlap(df, df, ["zz"], ["k"])
     with pytest.raises(ValueError, match="non-empty"):
         column_overlap(df, df, [], ["k"])
+
+
+def test_exact_weighted_quantiles_matches_expanded_model(spark):
+    """Weighted quantile == unweighted quantile of the weight-EXPANDED
+    multiset (the definition), across groups and duplicate values."""
+    import random
+
+    from nebula_importer_spark.operators.profile import (
+        exact_weighted_quantiles,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    expanded = {}
+    for g in ("a", "b"):
+        vals = [(rng.randint(-100, 100), rng.randint(1, 9))
+                for _ in range(200)]
+        rows += [(g, v, w) for v, w in vals]
+        flat = sorted(v for v, w in vals for _ in range(w))
+        expanded[g] = flat
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        (r.g, r.pct): r.value
+        for r in exact_weighted_quantiles(
+            df, "v", "w", (0, 25, 50, 99, 100), group_cols=["g"],
+            n_buckets=32,
+        ).collect()
+    }
+    for g, flat in expanded.items():
+        for p in (0, 25, 50, 99, 100):
+            assert got[(g, p)] == flat[(len(flat) - 1) * p // 100], (g, p)
+
+
+def test_exact_weighted_quantiles_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import (
+        exact_weighted_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "v long, w long")
+    with pytest.raises(ValueError, match="strictly positive"):
+        exact_weighted_quantiles(df, "v", "w")
+    df2 = spark.createDataFrame([(1, 2.0)], "v long, w double")
+    with pytest.raises(ValueError, match="integral"):
+        exact_weighted_quantiles(df2, "v", "w")
