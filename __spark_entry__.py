@@ -1668,6 +1668,27 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking over part names (operators/
+    linking.py:sorted_neighborhood_pairs): window-5 candidate pairs in
+    (name, key) sort order — the third classic blocking scheme beside
+    LSH and symmetric-delete, with the global rank computed by the
+    two-level prefix-bucket discipline (NO single-partition sort) and
+    pairing by rank-bucket equi-join. Oracle: the DEFINITION itself —
+    one ROW_NUMBER + rank-difference join (independent machinery)."""
+    from nebula_importer_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        key_col="p_name",
+        window=5,
+        prefix_len=2,
+    )
+
+
 def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted exact price quantiles per return flag
     (operators/profile.py:exact_weighted_quantiles): the two-pass
@@ -5590,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "moment_profile": q_moment_profile,
         "weighted_quantiles_price": q_weighted_quantiles_price,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6965,6 +6987,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule, kind, n_violations,
                    n_violations = 0 AS passed FROM m
+        """,
+        # sorted-neighborhood twin: the definition — one global
+        # ROW_NUMBER + a rank-difference join (the operator computes the
+        # SAME ranks via order-preserving prefix buckets, never a
+        # single-partition sort)
+        "sorted_neighborhood": """
+            WITH r AS (
+                SELECT p_partkey AS id, p_name AS k,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+                FROM part
+                WHERE p_name IS NOT NULL AND p_partkey IS NOT NULL
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.k AS key_a, b.k AS key_b,
+                   (b.rk - a.rk)::BIGINT AS rank_dist
+            FROM r a JOIN r b
+              ON b.rk > a.rk AND b.rk - a.rk < 5
         """,
         # weighted-selection twin: the weight-ranked multiset definition;
         # ROWS frame forced (RANGE peers would collapse ties)

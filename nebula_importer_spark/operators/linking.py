@@ -431,3 +431,93 @@ def fuzzy_join_editdist(
         right_text,
         F.levenshtein(F.col(left_text), F.col(right_text)).alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the third
+    classic candidate generator beside MinHash-LSH (minhash_lsh_join)
+    and symmetric-delete (fuzzy_join_editdist): sort records by a
+    blocking key and emit every pair within ``window`` positions.
+    Linear |R|·window candidates; catches near-matches the others
+    price differently (LSH is probabilistic, SymSpell is edit-bounded;
+    the neighborhood is whatever the sort key clusters).
+
+    The global sort rank is computed WITHOUT a single-partition sort —
+    the two-level exact_auc/token_budget discipline with a STRING key:
+    coarse buckets are the key's first ``prefix_len`` characters
+    (prefix buckets are ORDER-PRESERVING: every key under 'ab' sorts
+    before every key under 'ac'), ranks are local (bucket-keyed window
+    ordered by (key, id) — the id tie-break makes ranks unique) plus an
+    exclusive prefix over the ≤ |alphabet|^prefix_len bucket totals.
+    A hot prefix is a hot bucket — raise ``prefix_len`` for skewed key
+    distributions (the knob is the contract, documented not silent).
+    Pairing is a rank-bucket equi-join (``rank div window`` joins its
+    own and the adjacent bucket) — never a global self-join.
+
+    Returns ``(id_a, id_b, key_a, key_b, rank_dist)`` with
+    ``1 <= rank_dist < window``, ids ordered by rank. NULL keys are
+    excluded (they have no sort neighborhood).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    for c in (id_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql.window import Window as W
+
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        F.substring(F.col(key_col), 1, prefix_len).alias("_p"),
+    )
+    local = base.withColumn(
+        "_lr",
+        F.row_number().over(W.partitionBy("_p").orderBy("_k", "_id")),
+    )
+    totals = base.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+    woff = W.orderBy("_p").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_p",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0).cast("long"))
+        .alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), "_p").select(
+        "_id", "_k", (F.col("_lr") + F.col("_off")).alias("_r")
+    )
+    lhs = ranked.select(
+        F.col("_id").alias("id_a"), F.col("_k").alias("key_a"),
+        F.col("_r").alias("_ra"),
+        F.explode(
+            F.array(
+                F.expr(f"_r div {window}"),
+                F.expr(f"_r div {window} + 1"),
+            )
+        ).alias("_rb"),
+    )
+    rhs = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_k").alias("key_b"),
+        F.col("_r").alias("_rbr"),
+        F.expr(f"_r div {window}").alias("_rb"),
+    )
+    return (
+        lhs.join(rhs, "_rb")
+        .filter(
+            (F.col("_rbr") > F.col("_ra"))
+            & (F.col("_rbr") - F.col("_ra") < window)
+        )
+        .select(
+            "id_a", "id_b", "key_a", "key_b",
+            (F.col("_rbr") - F.col("_ra")).cast("long").alias("rank_dist"),
+        )
+    )

@@ -83,3 +83,61 @@ def test_triple_spans(spark):
     bob = got[("bob", "lives_in", "x")]
     assert bob["n_support"] == 1 and bob["n_convs"] == 1
     assert bob["first_ts"] == bob["last_ts"] == ts(6)
+
+
+def test_sorted_neighborhood_matches_definition(spark):
+    """Prefix-bucketed two-level ranks must equal the single-sort
+    definition: every pair within `window` sort positions, exactly
+    once, ids ordered by rank."""
+    import random
+    import string
+
+    from nebula_importer_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(43)
+    rows = [
+        (i, "".join(rng.choice(string.ascii_lowercase) for _ in range(4)))
+        for i in range(120)
+    ]
+    rows += [(200, "aaaa"), (201, "aaaa")]  # duplicate keys: id tie-break
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_dist)
+        for r in sorted_neighborhood_pairs(
+            df, id_col="id", key_col="k", window=4, prefix_len=1
+        ).collect()
+    )
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = sorted(
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 4, len(order)))
+    )
+    assert got == want
+    # a longer prefix must produce the SAME pairs (ranks are global)
+    got2 = sorted(
+        (r.id_a, r.id_b, r.rank_dist)
+        for r in sorted_neighborhood_pairs(
+            df, id_col="id", key_col="k", window=4, prefix_len=3
+        ).collect()
+    )
+    assert got2 == want
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, None)], "id long, k string")
+    assert sorted_neighborhood_pairs(
+        df, id_col="id", key_col="k"
+    ).count() == 0  # null keys excluded
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, id_col="id", key_col="k", window=1)
+    with pytest.raises(ValueError, match="not in input"):
+        sorted_neighborhood_pairs(df, id_col="zz", key_col="k")
