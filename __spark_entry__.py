@@ -1668,6 +1668,95 @@ def _matching_sql(rounds: int = 12) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound by the double BFS sweep (operators/graph.py:
+    diameter_bound) over the order→nation→region hierarchy (the
+    kg_closure edge construction): BFS from the min node, re-BFS from
+    its farthest node — two frontier-expansion runs and one driver
+    scalar between them. Oracle: both sweeps unrolled with the same
+    (dist DESC, node ASC) picks."""
+    from nebula_importer_spark.operators.graph import diameter_bound
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    oc = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+    )
+    cn = cust.select(
+        F.concat(F.lit("c_"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+    )
+    nr = nation.select(
+        F.concat(F.lit("n_"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r_"), F.col("n_regionkey")).alias("dst"),
+    )
+    return diameter_bound(
+        oc.unionByName(cn).unionByName(nr), max_hops=12
+    )
+
+
+def _diameter_sql(hops: int = 12) -> str:
+    """DuckDB twin of q_graph_diameter: both BFS sweeps unrolled (the
+    _graph_bfs_sql frontier pattern), argmax by (dist DESC, node ASC)
+    between and after, reached-count from the second sweep."""
+    base = """WITH e0 AS MATERIALIZED (
+        SELECT 'o_' || o_orderkey AS src, 'n_' || c_nationkey AS dst
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'c_' || c_custkey, 'n_' || c_nationkey FROM customer
+        UNION ALL
+        SELECT 'n_' || n_nationkey, 'r_' || n_regionkey FROM nation
+    ), edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+        WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+    ), s0 AS MATERIALIZED (
+        SELECT MIN(src) AS node FROM edges
+    ), a0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS INT) AS dist FROM s0
+    )"""
+    parts = [base]
+    for h in range(1, hops + 1):
+        parts.append(f""", an{h} AS (
+        SELECT DISTINCT e.dst AS node FROM a{h - 1} f
+        JOIN edges e ON e.src = f.node WHERE f.dist = {h - 1}
+    ), a{h} AS MATERIALIZED (
+        SELECT node, dist FROM a{h - 1}
+        UNION ALL
+        SELECT n.node, CAST({h} AS INT) FROM an{h} n
+        WHERE NOT EXISTS (SELECT 1 FROM a{h - 1} d WHERE d.node = n.node)
+    )""")
+    parts.append(f""", far1 AS MATERIALIZED (
+        SELECT node, dist FROM a{hops}
+        ORDER BY dist DESC, node ASC LIMIT 1
+    ), b0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS INT) AS dist FROM far1
+    )""")
+    for h in range(1, hops + 1):
+        parts.append(f""", bn{h} AS (
+        SELECT DISTINCT e.dst AS node FROM b{h - 1} f
+        JOIN edges e ON e.src = f.node WHERE f.dist = {h - 1}
+    ), b{h} AS MATERIALIZED (
+        SELECT node, dist FROM b{h - 1}
+        UNION ALL
+        SELECT n.node, CAST({h} AS INT) FROM bn{h} n
+        WHERE NOT EXISTS (SELECT 1 FROM b{h - 1} d WHERE d.node = n.node)
+    )""")
+    parts.append(f""" SELECT (SELECT node FROM s0) AS start_node,
+        (SELECT node FROM far1) AS sweep1_node,
+        (SELECT dist FROM far1)::BIGINT AS sweep1_dist,
+        (SELECT node FROM b{hops} ORDER BY dist DESC, node ASC LIMIT 1)
+            AS sweep2_node,
+        (SELECT dist FROM b{hops} ORDER BY dist DESC, node ASC LIMIT 1)
+            ::BIGINT AS diameter_lower_bound,
+        (SELECT COUNT(*) FROM b{hops})::BIGINT AS n_reached""")
+    return "".join(parts)
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking over part names (operators/
     linking.py:sorted_neighborhood_pairs): window-5 candidate pairs in
@@ -5612,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_profile": q_moment_profile,
         "weighted_quantiles_price": q_weighted_quantiles_price,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "graph_diameter": q_graph_diameter,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -6950,6 +7040,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "graph_matching": _matching_sql(12),
         "graph_mis": _mis_sql(10),
+        "graph_diameter": _diameter_sql(12),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

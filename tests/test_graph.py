@@ -1350,3 +1350,44 @@ def test_mis_isolated_and_validation(spark):
     assert maximal_independent_set(df).count() == 0
     with pytest.raises(ValueError, match="max_rounds"):
         maximal_independent_set(df, max_rounds=0)
+
+
+def test_diameter_bound_on_known_graphs(spark):
+    from nebula_importer_spark.operators.graph import diameter_bound
+
+    # path a-b-c-d-e: diameter 4; min start 'a' -> far 'e' (d=4) ->
+    # re-sweep from 'e' -> 'a' at 4
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    r = diameter_bound(
+        spark.createDataFrame(path, "src string, dst string")
+    ).collect()[0]
+    assert (r.start_node, r.sweep1_node, r.sweep1_dist) == ("a", "e", 4)
+    assert (r.sweep2_node, r.diameter_lower_bound, r.n_reached) == \
+        ("a", 4, 5)
+
+    # star: center 'c0' + leaves: diameter 2; start is min id
+    star = [("c0", f"l{i}") for i in range(5)]
+    r = diameter_bound(
+        spark.createDataFrame(star, "src string, dst string")
+    ).collect()[0]
+    assert r.diameter_lower_bound == 2 and r.n_reached == 6
+
+    # disconnected second component is invisible to the sweep
+    two = path + [("x", "y")]
+    r = diameter_bound(
+        spark.createDataFrame(two, "src string, dst string")
+    ).collect()[0]
+    assert r.n_reached == 5
+
+
+def test_diameter_bound_edges_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import diameter_bound
+
+    empty = spark.createDataFrame(
+        [("a", "a"), (None, "b")], "src string, dst string"
+    )
+    assert diameter_bound(empty).count() == 0
+    with pytest.raises(ValueError, match="max_hops"):
+        diameter_bound(empty, max_hops=0)
