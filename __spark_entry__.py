@@ -5444,6 +5444,27 @@ def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 interval history (operators/cdc.py:scd2_history): the
+    events changelog cut into per-user validity intervals — consecutive
+    same-event_type changes collapsed (the suppress-unchanged SCD2
+    rule), 'error' rows acting as tombstones that close the previous
+    interval without emitting a state row. Two windows on ONE (user_id)
+    exchange; columns carried, never recomputed. The history-preserving
+    twin of the in-window cdc_user_state latest-wins replay."""
+    from nebula_importer_spark.operators.cdc import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+        collapse_cols=["event_type"],
+    )
+
+
 def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned exact semi-join (operators/sketch.py:bloom_semi_join):
     lineitem rows belonging to high-value orders. The runtime-filter /
@@ -5758,6 +5779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family: the set-oriented MERGE the reference's UPDATE/DELETE
         # write modes perform row-at-a-time client-side)
         "cdc_user_state": q_cdc_user_state,
+        # SCD2 interval-history twin of the in-window cdc_user_state
+        # latest-wins replay (same changelog, history kept)
+        "scd2_user_state": q_scd2_user_state,
         # inverted-index construction (search-index family; BM25 above is
         # its query-time counterpart)
         "inverted_index_docs": q_inverted_index_docs,
@@ -9424,6 +9448,41 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             WHERE rn = 1
               AND (event_type IS NULL OR event_type <> 'error')
+        """,
+        # scd2 twin: same raw-lag collapse rule (equality is transitive,
+        # so raw-predecessor equality == surviving-predecessor equality),
+        # same lead-cut intervals, tombstones close but never emit
+        "scd2_user_state": """
+            WITH base AS (
+                SELECT *, (event_type = 'error') AS _tomb FROM events
+            ), lagd AS (
+                SELECT *,
+                    LAG(event_type) OVER w AS _pt,
+                    LAG(_tomb) OVER w AS _ptomb
+                FROM base
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                )
+            ), kept AS (
+                SELECT * FROM lagd
+                WHERE NOT (
+                    (event_type IS NOT DISTINCT FROM _pt)
+                    AND NOT _tomb
+                    AND NOT COALESCE(_ptomb, TRUE)
+                )
+            ), cut AS (
+                SELECT *, ts AS valid_from, LEAD(ts) OVER w2 AS valid_to
+                FROM kept
+                WINDOW w2 AS (
+                    PARTITION BY user_id
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                )
+            )
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   valid_from, valid_to,
+                   (valid_to IS NULL AND NOT _tomb) AS is_current
+            FROM cut WHERE NOT _tomb
         """,
         # bloom semi-join twin: the EXACT IN-semi-join — bloom prefilters
         # have no false negatives and the exact resolve step removes the

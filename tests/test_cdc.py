@@ -115,3 +115,110 @@ def test_randomized_vs_python_replay(spark):
             best[k] = (k, ts, i, op, v)
     want = sorted(t for t in best.values() if t[3] != "D")
     assert _rows(out) == want
+
+
+# --- scd2_history ---------------------------------------------------------
+
+from nebula_importer_spark.operators.cdc import scd2_history  # noqa: E402
+
+
+def test_scd2_intervals_and_tombstone_close(spark):
+    # key 1: v1 at t=1, v2 at t=3, tombstone at t=5, revive at t=7
+    df = spark.createDataFrame(
+        [
+            (1, 1, "I", "a"),
+            (1, 3, "U", "b"),
+            (1, 5, "D", None),
+            (1, 7, "I", "c"),
+        ],
+        "k long, ts long, op string, v string",
+    )
+    out = scd2_history(
+        df, key_cols=["k"], ts_col="ts", op_col="op"
+    )
+    rows = sorted(
+        (r.ts, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", 1, 3, False),
+        (3, "b", 3, 5, False),  # tombstone closes it...
+        (7, "c", 7, None, True),  # ...and the revive opens fresh
+    ]
+    # the tombstone row itself emits no state row
+    assert out.count() == 3
+
+
+def test_scd2_collapse_suppresses_unchanged(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "x", "same"),
+            (1, 2, "x", "same"),  # no-op change: collapsed
+            (1, 3, "x", "same"),  # transitively collapsed too
+            (1, 4, "y", "changed"),
+            (1, 5, "x", "back"),
+        ],
+        "k long, ts long, state string, note string",
+    )
+    out = scd2_history(
+        df,
+        key_cols=["k"],
+        ts_col="ts",
+        collapse_cols=["state"],
+    )
+    rows = sorted(
+        (r.ts, r.state, r.valid_from, r.valid_to) for r in out.collect()
+    )
+    # the run of x's is ONE interval [1, 4); y is [4, 5); x again [5, inf)
+    assert rows == [(1, "x", 1, 4), (4, "y", 4, 5), (5, "x", 5, None)]
+
+
+def test_scd2_revive_after_tombstone_not_collapsed(spark):
+    # same state before and after a tombstone must NOT collapse: the
+    # tombstone broke the run, so the revive is a fresh interval
+    df = spark.createDataFrame(
+        [
+            (1, 1, "I", "x"),
+            (1, 2, "D", "x"),
+            (1, 3, "I", "x"),
+        ],
+        "k long, ts long, op string, state string",
+    )
+    out = scd2_history(
+        df,
+        key_cols=["k"],
+        ts_col="ts",
+        op_col="op",
+        collapse_cols=["state"],
+    )
+    rows = sorted((r.ts, r.valid_from, r.valid_to) for r in out.collect())
+    assert rows == [(1, 1, 2), (3, 3, None)]
+
+
+def test_scd2_single_exchange_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a", "x")], "k long, ts long, op string, state string"
+    )
+    out = scd2_history(
+        df,
+        key_cols=["k"],
+        ts_col="ts",
+        op_col="op",
+        collapse_cols=["state"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both windows partition on k: Spark must reuse ONE hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError):
+        scd2_history(df, key_cols=[], ts_col="ts")
+    with pytest.raises(ValueError):
+        scd2_history(df, key_cols=["k"], ts_col="nope")
+    with pytest.raises(ValueError):
+        scd2_history(df, key_cols=["k"], ts_col="ts", collapse_cols=["no"])
+    bad = spark.createDataFrame([(1, 1, 2)], "k long, ts long, valid_to long")
+    with pytest.raises(ValueError):
+        scd2_history(bad, key_cols=["k"], ts_col="ts")
