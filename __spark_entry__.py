@@ -4949,6 +4949,23 @@ def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly-rate autocorrelation (operators/temporal.py:
+    autocorrelation): bucket events hourly, densify gaps to 0, and emit
+    the lag-1..6 sample ACF in cleared-denominator integer form
+    (num_k = Σ(N·x_t−S)(N·x_{t+k}−S), den = Σ(N·x_t−S)², acf_micro one
+    DECIMAL(38,0) truncating div) — the seasonality probe behind
+    watermark/backfill sizing. The heavy table collapses to a
+    time-range-sized series in one partial agg; the lag joins run on
+    that series only."""
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    return autocorrelation(
+        _t(spark, sf_dir, "events"), ts_col="ts", bucket_sec=3600,
+        max_lag=6,
+    )
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -5793,6 +5810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_doc_length": q_auc_doc_length,
         # CUSUM sustained-shift change points (drift-detection family)
         "cusum_events": q_cusum_events,
+        # exact integer lag-k autocorrelation of the hourly rate series
+        # (temporal family — cusum finds the shift, acf its stickiness)
+        "events_acf": q_events_acf,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -9092,6 +9112,53 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        # ACF twin: same hourly bucketing, dense grid, cleared-denominator
+        # integer form; HUGEINT // is the truncating-division twin of
+        # Spark's DECIMAL(38,0) div (both trunc toward zero)
+        "events_acf": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 3600000000 AS i,
+                       COUNT(*)::HUGEINT AS x
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            st AS (
+                SELECT MIN(i) AS mn, MAX(i) AS mx, SUM(x) AS s,
+                       (MAX(i) - MIN(i) + 1)::HUGEINT AS nb
+                FROM c
+            ),
+            d AS (
+                SELECT g.i, COALESCE(c.x, 0::HUGEINT) AS x
+                FROM (SELECT unnest(range(mn, mx + 1)) AS i FROM st) g
+                LEFT JOIN c ON c.i = g.i
+            ),
+            dn AS (
+                SELECT d.i, (st.nb * d.x - st.s) AS cterm FROM d, st
+            ),
+            den AS (SELECT SUM(cterm * cterm) AS den FROM dn),
+            lags AS (
+                SELECT unnest(range(1, 7))::BIGINT AS lag
+            ),
+            num AS (
+                SELECT l.lag, COUNT(*)::BIGINT AS n_pairs,
+                       SUM(a.cterm * b.cterm) AS num
+                FROM lags l
+                JOIN dn a ON TRUE
+                JOIN dn b ON b.i = a.i + l.lag
+                GROUP BY 1
+            )
+            SELECT l.lag,
+                   COALESCE(n.n_pairs, 0)::BIGINT AS n_pairs,
+                   n.num::BIGINT AS num_scaled,
+                   den.den::BIGINT AS den_scaled,
+                   (CASE WHEN den.den > 0
+                         THEN (1000000::HUGEINT * n.num) // den.den
+                    END)::BIGINT AS acf_micro,
+                   (SELECT nb FROM st)::BIGINT AS n_buckets,
+                   (SELECT COUNT(*) FROM events WHERE ts IS NULL)::BIGINT
+                       AS n_null
+            FROM lags l LEFT JOIN num n ON n.lag = l.lag, den
+            ORDER BY l.lag
         """,
         # CUSUM twin: same integer drift d=B·n−total over the dense grid,
         # prefix-sum closed form (S⁺=P−min(0,min P), S⁻=max(0,max P)−P),

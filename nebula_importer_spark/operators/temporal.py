@@ -1007,3 +1007,141 @@ def max_concurrent(
         F.col("_peak.m").cast("long").alias("max_concurrent"),
         (-F.col("_peak.nt")).cast("long").alias("at_ts"),
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    bucket_sec: int = 3600,
+    max_lag: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact sample autocorrelation of the event-RATE series: bucket the
+    stream into fixed windows (hourly by default), densify missing
+    buckets to 0, and compute the lag-k sample ACF of the count series —
+    the seasonality / burst-persistence diagnostic a pipeline runs
+    before picking watermark widths, backfill chunk sizes, or
+    anomaly-detection windows (pairs with ``cusum_change``: CUSUM finds
+    the level SHIFT, ACF measures how sticky the level is).
+
+    For counts ``x_1..x_N`` with ``S = Σx`` the lag-k ACF is
+
+        r_k = Σ_{t≤N−k} (x_t − S/N)(x_{t+k} − S/N) / Σ_t (x_t − S/N)²
+
+    Cleared of the mean's denominator (multiply through by N²):
+
+        num_k = Σ_{t≤N−k} (N·x_t − S)(N·x_{t+k} − S)
+        den   = Σ_t (N·x_t − S)²
+
+    — ALL integers. Arithmetic runs in DECIMAL(38,0) (N²·max(x)² wraps
+    int64 once N·max(x) passes ~3·10⁹ — the exact_auc discipline) and
+    the emitted ``acf_micro = (scale·num_k) div den`` is one exact
+    truncating division, so the result hashes identically on any
+    engine and any partitioning. NULL timestamps are dropped and
+    counted in every row (``n_null``).
+
+    Distributed shape: the heavy input collapses to ≤ (time-range ÷
+    ``bucket_sec``) rows in ONE map-side-combinable count aggregation;
+    everything after — densify via a DISTRIBUTED ``spark.range`` over
+    the [min,max] bucket span, the lag self-equi-join on ``idx+k``, the
+    per-lag partial agg — runs on that bounded series, so cost scales
+    with the TIME RANGE, never the event volume. Only 1-row AGGREGATE
+    scalars (span, total, null count) cross to the driver (the
+    diameter_bound / kcenter discipline); data rows never do. Empty
+    input (no non-NULL timestamp) returns an empty frame.
+
+    Returns one row per lag 1..``max_lag``:
+    ``(lag, n_pairs, num_scaled, den_scaled, acf_micro, n_buckets,
+    n_null)`` — num/den carried too so a caller can re-derive r_k at
+    any precision.
+    """
+    if ts_col not in events.columns:
+        raise ValueError(f"column {ts_col!r} not in input: {events.columns}")
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    spark = events.sparkSession
+    counts = (
+        events.select(_us(F.col(ts_col)).alias("_usv"))
+        .select(
+            F.when(
+                F.col("_usv").isNotNull(),
+                _floor_div_us("_usv", 1_000_000 * bucket_sec),
+            ).alias("_i")
+        )
+        .groupBy("_i")
+        .agg(F.count("*").alias("_x"))
+    )
+    counts = counts.localCheckpoint(eager=True)
+    # 1-row AGGREGATE scalars cross to the driver (the diameter_bound /
+    # kcenter discipline) — never data rows: bucket span, total count,
+    # null count. The span feeds a DISTRIBUTED spark.range (a sequence()
+    # explode would materialize the whole dense index in one task).
+    stats = counts.agg(
+        F.min("_i").alias("_mn"),
+        F.max("_i").alias("_mx"),
+        F.sum(F.when(F.col("_i").isNotNull(), F.col("_x"))).alias("_s"),
+        F.sum(F.when(F.col("_i").isNull(), F.col("_x"))).alias("_nn"),
+    ).collect()[0]
+    out_schema = (
+        "lag long, n_pairs long, num_scaled long, den_scaled long, "
+        "acf_micro long, n_buckets long, n_null long"
+    )
+    if stats["_mn"] is None:
+        return spark.createDataFrame([], out_schema)
+    mn, mx = int(stats["_mn"]), int(stats["_mx"])
+    n_buckets = mx - mn + 1
+    s_total = int(stats["_s"])
+    n_null = int(stats["_nn"] or 0)
+    d38 = "decimal(38,0)"
+    # centered term N·x_t − S in decimal, N and S as plan literals
+    withn = (
+        spark.range(mn, mx + 1)
+        .select(F.col("id").alias("_i"))
+        .join(counts.filter(F.col("_i").isNotNull()), "_i", "left")
+        .select(
+            "_i",
+            (
+                F.lit(n_buckets).cast(d38)
+                * F.coalesce("_x", F.lit(0)).cast(d38)
+                - F.lit(s_total).cast(d38)
+            ).alias("_c"),
+        )
+    )
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    left = withn.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("_i") + F.col("lag")).alias("_j"),
+        F.col("_c").alias("_cl"),
+    )
+    pairs = left.join(
+        withn.select(F.col("_i").alias("_j"), F.col("_c").alias("_cr")),
+        "_j",
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("_cl") * F.col("_cr")).alias("_num"),
+    )
+    den = withn.agg(F.sum(F.col("_c") * F.col("_c")).alias("_den"))
+    micro = F.expr(f"(CAST({scale} AS {d38}) * _num) div _den")
+    return (
+        lags.join(num, "lag", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("_num").cast("long").alias("num_scaled"),
+            F.col("_den").cast("long").alias("den_scaled"),
+            F.when(F.col("_den") > 0, micro).cast("long").alias("acf_micro"),
+            F.lit(n_buckets).cast("long").alias("n_buckets"),
+            F.lit(n_null).cast("long").alias("n_null"),
+        )
+        .orderBy("lag")
+    )

@@ -913,3 +913,127 @@ def test_max_concurrent_validation(spark):
     inv = spark.createDataFrame([(5, 1)], "s long, e long")
     with pytest.raises(ValueError, match="inverted"):
         max_concurrent(inv, start_col="s", end_col="e")
+
+
+# --- autocorrelation -------------------------------------------------------
+
+
+def _acf_model(xs: list[int], max_lag: int, scale: int = 1_000_000):
+    """Exact integer model of the cleared-denominator sample ACF."""
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    out = []
+    for k in range(1, max_lag + 1):
+        pairs = [(c[t], c[t + k]) for t in range(n - k)] if k < n else []
+        num = sum(a * b for a, b in pairs) if pairs else None
+        micro = None
+        if den > 0 and num is not None:
+            q = scale * num
+            micro = abs(q) // den * (1 if q >= 0 else -1)  # trunc toward 0
+        out.append((k, len(pairs), num, den, micro, n))
+    return out
+
+
+def _acf_events(spark, hours_counts):
+    rows = []
+    eid = 0
+    for h, cnt in hours_counts:
+        for _ in range(cnt):
+            rows.append((eid, datetime(2024, 1, 1, h, 30)))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_acf_hand_case(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    # hourly counts [1, 2, 3, 2] — alternating-ish, lag-1 r < 0 at lag 2
+    df = _acf_events(spark, [(0, 1), (1, 2), (2, 3), (3, 2)])
+    got = [
+        (r.lag, r.n_pairs, r.num_scaled, r.den_scaled, r.acf_micro,
+         r.n_buckets)
+        for r in autocorrelation(df, ts_col="ts", max_lag=3).collect()
+    ]
+    want = [t[:6] for t in _acf_model([1, 2, 3, 2], 3)]
+    assert got == want
+
+
+def test_acf_densifies_missing_buckets_to_zero(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    # events only in hours 0 and 2 -> series [2, 0, 1]
+    df = _acf_events(spark, [(0, 2), (2, 1)])
+    got = [
+        (r.lag, r.n_pairs, r.num_scaled, r.den_scaled, r.acf_micro)
+        for r in autocorrelation(df, ts_col="ts", max_lag=2).collect()
+    ]
+    want = [t[:5] for t in _acf_model([2, 0, 1], 2)]
+    assert got == want
+    assert got[0][4] is not None and got[0][4] < 0  # zero-gap anticorrelates
+
+
+def test_acf_lag_past_series_end_is_empty_pair_set(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    df = _acf_events(spark, [(0, 1), (1, 3)])
+    rows = {r.lag: r for r in
+            autocorrelation(df, ts_col="ts", max_lag=4).collect()}
+    assert rows[3].n_pairs == 0 and rows[3].num_scaled is None
+    assert rows[3].acf_micro is None
+
+
+def test_acf_constant_series_null_micro(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    # constant series: den = 0 -> acf undefined (NULL), not a div crash
+    df = _acf_events(spark, [(0, 2), (1, 2), (2, 2)])
+    for r in autocorrelation(df, ts_col="ts", max_lag=2).collect():
+        assert r.den_scaled == 0 and r.acf_micro is None
+
+
+def test_acf_null_ts_counted_and_empty_input(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0)), (2, None), (3, None)],
+        "event_id long, ts timestamp",
+    )
+    rows = autocorrelation(df, ts_col="ts", max_lag=1).collect()
+    assert rows[0].n_null == 2 and rows[0].n_buckets == 1
+    empty = spark.createDataFrame([], "event_id long, ts timestamp")
+    assert autocorrelation(empty, ts_col="ts").count() == 0
+
+
+def test_acf_randomized_vs_model(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    rng = random.Random(77)
+    hours_counts = [(h, rng.randint(0, 5)) for h in range(12)]
+    xs_by_hour = dict(hours_counts)
+    lo = min(h for h, c in hours_counts if c > 0)
+    hi = max(h for h, c in hours_counts if c > 0)
+    xs = [xs_by_hour.get(h, 0) for h in range(lo, hi + 1)]
+    df = _acf_events(spark, [(h, c) for h, c in hours_counts if c > 0])
+    got = [
+        (r.lag, r.n_pairs, r.num_scaled, r.den_scaled, r.acf_micro,
+         r.n_buckets)
+        for r in autocorrelation(df, ts_col="ts", max_lag=5).collect()
+    ]
+    want = [t[:6] for t in _acf_model(xs, 5)]
+    assert got == want
+
+
+def test_acf_validation(spark):
+    from nebula_importer_spark.operators.temporal import autocorrelation
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with pytest.raises(ValueError):
+        autocorrelation(df, ts_col="ts")
+    df2 = spark.createDataFrame([(datetime(2024, 1, 1),)], "ts timestamp")
+    with pytest.raises(ValueError):
+        autocorrelation(df2, ts_col="ts", max_lag=0)
+    with pytest.raises(ValueError):
+        autocorrelation(df2, ts_col="ts", bucket_sec=0)
+    with pytest.raises(ValueError):
+        autocorrelation(df2, ts_col="ts", scale=0)
