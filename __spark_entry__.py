@@ -4949,6 +4949,23 @@ def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (operators/selection.py:pareto_skyline): the
+    cheapest-per-size frontier of the part catalog — parts no other part
+    beats on BOTH (retail price ↓, size ↑). Two-phase distributed
+    skyline: per-partition chunked-numpy local prune (sound superset),
+    then an exact broadcast-NLJ anti-join on the original column types.
+    Comparisons only, no arithmetic — doubles hash bit-identically."""
+    from nebula_importer_spark.operators.selection import pareto_skyline
+
+    return pareto_skyline(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_size", "p_retailprice"
+        ),
+        dims=[("p_retailprice", "min"), ("p_size", "max")],
+    )
+
+
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hourly-rate autocorrelation (operators/temporal.py:
     autocorrelation): bucket events hourly, densify gaps to 0, and emit
@@ -5813,6 +5830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer lag-k autocorrelation of the hourly rate series
         # (temporal family — cusum finds the shift, acf its stickiness)
         "events_acf": q_events_acf,
+        # multi-objective Pareto frontier (selection family — the
+        # keep-every-trade-off twin of mmr/kcenter scalarized picks)
+        "skyline_parts": q_skyline_parts,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -9112,6 +9132,21 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        # skyline twin: the dominance definition itself as a correlated
+        # NOT EXISTS — comparisons only, so doubles compare identically
+        "skyline_parts": """
+            SELECT p_partkey, p_name, p_size, p_retailprice
+            FROM part a
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size)
+              )
         """,
         # ACF twin: same hourly bucketing, dense grid, cleared-denominator
         # integer form; HUGEINT // is the truncating-division twin of

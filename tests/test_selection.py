@@ -326,3 +326,112 @@ def test_kcenter_select_edges(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="k must"):
         kcenter_select(df, "vec_id", "embedding", k=0, dim=2)
+
+
+# --- pareto_skyline --------------------------------------------------------
+
+from nebula_importer_spark.operators.selection import pareto_skyline  # noqa: E402
+
+
+def test_skyline_hand_case(spark):
+    # minimize price, maximize size
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 4),   # dominated by 1 (same price, smaller)
+        (3, 8.0, 3),    # frontier (cheaper)
+        (4, 12.0, 9),   # frontier (bigger)
+        (5, 12.0, 9),   # full tie with 4: both kept
+        (6, 13.0, 9),   # dominated by 4 (same size, dearer)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = sorted(
+        (r.id, r.price, r.size)
+        for r in pareto_skyline(
+            df, dims=[("price", "min"), ("size", "max")]
+        ).collect()
+    )
+    assert got == [(1, 10.0, 5), (3, 8.0, 3), (4, 12.0, 9), (5, 12.0, 9)]
+
+
+def test_skyline_null_dims_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1), (2, None, 99), (3, 0.5, None)],
+        "id long, price double, size long",
+    )
+    got = sorted(
+        r.id
+        for r in pareto_skyline(
+            df, dims=[("price", "min"), ("size", "max")]
+        ).collect()
+    )
+    assert got == [1]
+
+
+def test_skyline_three_dims_randomized_vs_model(spark):
+    import random
+
+    rng = random.Random(4242)
+    rows = [
+        (i, rng.randint(0, 9), rng.randint(0, 9), rng.randint(0, 9))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    dims = [("a", "min"), ("b", "max"), ("c", "min")]
+    got = sorted(
+        (r.id, r.a, r.b, r.c)
+        for r in pareto_skyline(df.repartition(7), dims=dims).collect()
+    )
+    def dom(b, a):
+        (_, b1, b2, b3), (_, a1, a2, a3) = b, a
+        le = b1 <= a1 and b2 >= a2 and b3 <= a3
+        lt = b1 < a1 or b2 > a2 or b3 < a3
+        return le and lt
+    want = sorted(
+        r for r in rows if not any(dom(s, r) for s in rows)
+    )
+    assert got == want
+
+
+def test_skyline_tiny_chunk_matches_model(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 5), rng.randint(0, 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+
+    def dom(b, a):
+        return b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+
+    want = sorted(r for r in rows if not any(dom(s, r) for s in rows))
+    got = sorted(
+        (r.id, r.a, r.b)
+        for r in pareto_skyline(
+            df.repartition(5),
+            dims=[("a", "min"), ("b", "min")],
+            chunk=3,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_skyline_plan_is_broadcast_nlj_anti(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1)], "id long, price double, size long"
+    )
+    out = pareto_skyline(df, dims=[("price", "min"), ("size", "max")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_skyline_validation(spark):
+    df = spark.createDataFrame([(1, 1.0, 1)], "id long, a double, b long")
+    with pytest.raises(ValueError):
+        pareto_skyline(df, dims=[("a", "min")])
+    with pytest.raises(ValueError):
+        pareto_skyline(df, dims=[("a", "min"), ("nope", "max")])
+    with pytest.raises(ValueError):
+        pareto_skyline(df, dims=[("a", "min"), ("b", "best")])
+    with pytest.raises(ValueError):
+        pareto_skyline(df, dims=[("a", "min"), ("a", "max")])
+    with pytest.raises(ValueError):
+        pareto_skyline(df, dims=[("a", "min"), ("b", "max")], chunk=0)
