@@ -4949,6 +4949,68 @@ def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection (operators/selection.py:
+    max_coverage_select): 6 documents jointly covering the most distinct
+    trigrams — the submodular-greedy LEXICAL-diversity pick next to
+    kcenter_select's embedding-space spread. Grams stage once as
+    xxhash64; per round one anti-join + one partial-agg count + one
+    TakeOrdered argmax (ties id ASC). Oracle: all 6 rounds unrolled as
+    MATERIALIZED CTEs over exact gram strings."""
+    from nebula_importer_spark.operators.selection import max_coverage_select
+
+    return max_coverage_select(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        k=6, n=3,
+    )
+
+
+def _maxcov_sql(k: int = 6) -> str:
+    """DuckDB twin of q_max_coverage_docs: trigram universe per doc
+    (regexp \\S+ tokens, per-doc distinct), then per round the
+    (gain DESC, doc_id ASC) argmax, the winner's grams added to the
+    covered set, the winner's rows dropped — unrolled. Gains count gram
+    STRINGS; the Spark side counts per-doc-distinct xxhash64 of the
+    same strings, identical barring a 64-bit collision."""
+    parts = ["""t AS (
+            SELECT doc_id,
+                   regexp_extract_all(coalesce(text,''), '\\S+') AS toks
+            FROM documents WHERE doc_id IS NOT NULL
+        ),
+        g0 AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+            FROM t
+        )"""]
+    for r in range(1, k + 1):
+        parts.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT doc_id, COUNT(*)::BIGINT AS gain FROM g{r - 1}
+            GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT g FROM g{r - 1} JOIN w{r} USING (doc_id)
+        ),
+        g{r} AS MATERIALIZED (
+            SELECT a.doc_id, a.g FROM g{r - 1} a
+            WHERE a.doc_id <> (SELECT doc_id FROM w{r})
+              AND NOT EXISTS (SELECT 1 FROM c{r} c WHERE c.g = a.g)
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT {r} AS rank, doc_id, gain FROM w{r} WHERE gain > 0"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT rank::BIGINT AS rank, doc_id, gain,
+               CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT)
+                   AS covered_total
+        FROM ({union})
+    """
+    )
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto skyline (operators/selection.py:pareto_skyline): the
     cheapest-per-size frontier of the part catalog — parts no other part
@@ -5833,6 +5895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-objective Pareto frontier (selection family — the
         # keep-every-trade-off twin of mmr/kcenter scalarized picks)
         "skyline_parts": q_skyline_parts,
+        # submodular-greedy lexical max-coverage (selection family —
+        # surface-form spread next to kcenter's embedding spread)
+        "max_coverage_docs": q_max_coverage_docs,
         # --- position 51+: twins / variants of machinery checked above
         # (locally gated by tools/check_oracle.py under both confs every
         # round; no driver row only because of the 50-row cap) ---
@@ -9133,6 +9198,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 3
         """,
+        # max-coverage twin: 6 unrolled greedy rounds over gram strings
+        "max_coverage_docs": _maxcov_sql(6),
         # skyline twin: the dominance definition itself as a correlated
         # NOT EXISTS — comparisons only, so doubles compare identically
         "skyline_parts": """

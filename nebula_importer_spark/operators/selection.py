@@ -278,3 +278,89 @@ def pareto_skyline(
             strict = strict | (F.col(f"b.{c}") > F.col(f"a.{c}"))
     out = a.join(F.broadcast(b), dominates & strict, "left_anti")
     return out.select(*[F.col(f"a.{c}").alias(c) for c in cols])
+
+
+def max_coverage_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick ``k`` documents
+    that together cover the most DISTINCT word n-grams — each round adds
+    the document with the largest count of still-uncovered grams. The
+    classic (1−1/e)-approximation to max-coverage (Nemhauser/Wolsey/
+    Fisher 1978, submodular greedy), and the LEXICAL-diversity selector
+    of a training-data pipeline: :func:`~nebula_importer_spark.operators.
+    similarity.kcenter_select` spreads picks in EMBEDDING space, this
+    spreads them in SURFACE-FORM space (seed corpora, eval slices,
+    dedup-aware sampling anchors).
+
+    Determinism contract: gains are exact integer counts of distinct
+    64-bit gram hashes; every argmax breaks ties by id ASC, so the
+    selection sequence is unique and hash-stable (the bpe/kcenter argmax
+    discipline — ONE aggregate row crosses to the driver per round).
+    Greedy stops early when the best remaining gain is 0 (all grams
+    covered): later rounds could only add 0, so the output is the full
+    greedy solution, not a truncation.
+
+    Distributed shape: grams stage ONCE as ``(id, xxhash64(gram))`` —
+    per-doc-distinct, fixed-width, gram strings never travel after the
+    first pass (the decontaminate discipline). Each round is one
+    left-anti join against the covered-hash set + one partial-agg count
+    + one TakeOrdered; the covered set grows by the winner's grams only
+    and is ``localCheckpoint``ed per round (the k-core lineage lesson).
+    Collision note: two distinct grams colliding in xxhash64 would
+    merge — at ~10⁶-gram corpora the probability is ~10⁻⁷, the same
+    accepted trade every hash-keyed funnel here makes.
+
+    Returns ``(rank, <id_col>, gain, covered_total)`` in selection
+    order; ``covered_total`` is the running distinct-gram count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from nebula_importer_spark.operators.linking import word_ngrams
+
+    spark = df.sparkSession
+    grams = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+        )
+        .select("_id", F.xxhash64("_g").alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    covered = spark.createDataFrame([], "_h long")
+    selected: list[tuple] = []
+    total = 0
+    for rank in range(1, k + 1):
+        uncov = grams.join(covered, "_h", "left_anti")
+        top = (
+            uncov.groupBy("_id")
+            .agg(F.count("*").alias("_gain"))
+            .orderBy(F.col("_gain").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["_gain"]) == 0:
+            break
+        win, gain = top[0]["_id"], int(top[0]["_gain"])
+        total += gain
+        selected.append((rank, win, gain, total))
+        covered = covered.unionByName(
+            uncov.filter(F.col("_id") == F.lit(win)).select("_h")
+        ).localCheckpoint(eager=True)
+        grams = grams.filter(F.col("_id") != F.lit(win))
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        selected,
+        f"rank long, {id_col} {id_type}, gain long, covered_total long",
+    )

@@ -435,3 +435,95 @@ def test_skyline_validation(spark):
         pareto_skyline(df, dims=[("a", "min"), ("a", "max")])
     with pytest.raises(ValueError):
         pareto_skyline(df, dims=[("a", "min"), ("b", "max")], chunk=0)
+
+
+# --- max_coverage_select ---------------------------------------------------
+
+from nebula_importer_spark.operators.selection import (  # noqa: E402
+    max_coverage_select,
+)
+
+
+def _greedy_model(docs, k, n):
+    """Python greedy max-coverage on word n-grams (exact gram strings)."""
+    def grams(text):
+        toks = [t for t in text.split() if t]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    g = {i: grams(t) for i, t in docs}
+    covered, out, total = set(), [], 0
+    for rank in range(1, k + 1):
+        best = None
+        for i in sorted(g):
+            gain = len(g[i] - covered)
+            if best is None or gain > best[1]:
+                best = (i, gain)
+        if best is None or best[1] == 0:
+            break
+        total += best[1]
+        out.append((rank, best[0], best[1], total))
+        covered |= g.pop(best[0])
+    return out
+
+
+def test_max_coverage_hand_case(spark):
+    docs = [
+        (1, "a b c d"),        # grams: {a b, b c, c d}
+        (2, "a b c"),          # subset of 1
+        (3, "x y z w"),        # disjoint
+        (4, "c d e"),          # one new gram after 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in
+           max_coverage_select(df, id_col="doc_id", text_col="text",
+                               k=4, n=2).collect()]
+    assert got == _greedy_model(docs, 4, 2)
+    # doc 1 first (3 grams), doc 3 next (3 disjoint), doc 4 adds d e
+    assert [g[1] for g in got][:3] == [1, 3, 4]
+
+
+def test_max_coverage_stops_when_covered(spark):
+    docs = [(1, "a b"), (2, "a b"), (3, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in
+           max_coverage_select(df, id_col="doc_id", text_col="text",
+                               k=3, n=2).collect()]
+    # after doc 1 everything is covered: greedy ends, no 0-gain picks
+    assert got == [(1, 1, 1, 1)]
+
+
+def test_max_coverage_tie_breaks_min_id(spark):
+    docs = [(5, "p q r"), (2, "x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in
+           max_coverage_select(df, id_col="doc_id", text_col="text",
+                               k=2, n=2).collect()]
+    assert [g[1] for g in got] == [2, 5]
+
+
+def test_max_coverage_randomized_vs_model(spark):
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in
+           max_coverage_select(df.repartition(5), id_col="doc_id",
+                               text_col="text", k=6, n=2).collect()]
+    assert got == _greedy_model(docs, 6, 2)
+
+
+def test_max_coverage_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        max_coverage_select(df, id_col="doc_id", text_col="text", k=0)
+    with pytest.raises(ValueError):
+        max_coverage_select(df, id_col="doc_id", text_col="text", k=1, n=0)
+    with pytest.raises(ValueError):
+        max_coverage_select(df, id_col="nope", text_col="text", k=1)
