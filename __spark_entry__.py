@@ -2497,6 +2497,69 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int_kmeans(emb, k=8, iterations=4, dim=64)
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the embedding k-means
+    (operators/similarity.py:simplified_silhouette): centroid-form
+    silhouette over the SQUARED quantized L2 metric the clustering
+    optimizes — exact integer a/b per point, one DECIMAL(38,0)
+    truncating div to micro-units. Centroids recomputed from the final
+    assignment; one broadcast centroid pack + map-only fold, k-key
+    aggs only. Oracle: the unrolled kmeans CTE body + the same
+    recompute/a/b/score legs in HUGEINT."""
+    from nebula_importer_spark.operators.similarity import (
+        int_kmeans,
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    km = int_kmeans(emb, k=8, iterations=4, dim=64)
+    return simplified_silhouette(emb, km, dim=64)
+
+
+def _silhouette_sql() -> str:
+    """DuckDB twin of q_kmeans_silhouette: reuses the kmeans CTE body
+    (pts + kma), recomputes centroids from the final assignment via the
+    same floor division, squared-L2 a/b per point, micro-score with
+    HUGEINT // (the trunc-toward-zero twin of Spark's decimal div)."""
+    return (
+        _kmeans_cte_body()
+        + """
+        , sc AS (
+            SELECT k.cid, t.i, SUM(p.q[CAST(t.i AS INT) + 1]) AS s,
+                   COUNT(*) AS n
+            FROM kma k JOIN pts p USING (id), range(64) t(i)
+            GROUP BY k.cid, t.i
+        ), scent AS MATERIALIZED (
+            SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS cq
+            FROM sc GROUP BY cid
+        ), sd AS (
+            SELECT p.id, k.cid AS own, c.cid,
+                   list_sum(list_transform(list_zip(p.q, c.cq),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+            FROM pts p JOIN kma k USING (id) CROSS JOIN scent c
+        ), ab AS (
+            SELECT id, own,
+                   MAX(CASE WHEN cid = own THEN d END) AS a,
+                   MIN(CASE WHEN cid <> own THEN d END) AS b
+            FROM sd GROUP BY id, own
+        ), sm AS (
+            SELECT own AS cluster,
+                   CASE WHEN b IS NULL THEN NULL
+                        WHEN greatest(a, b) = 0 THEN 0
+                        ELSE ((b - a) * 1000000::HUGEINT)
+                             // greatest(a, b)
+                   END AS smicro
+            FROM ab
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               COUNT(*)::BIGINT AS n_points,
+               CAST(SUM(smicro) AS BIGINT) AS sil_sum_micro,
+               CAST(SUM(smicro) // COUNT(*) AS BIGINT) AS sil_mean_micro
+        FROM sm GROUP BY 1
+    """
+    )
+
+
 def _kmeans_cte_body(k: int = 8, iterations: int = 4, dim: int = 64) -> str:
     """DuckDB twin of q_embedding_kmeans: identical quantization
     (floor(x·2²⁰)+2·2²⁰ over exact double casts), init = the k smallest
@@ -5833,6 +5896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its band machinery is window-covered by dedup_minhash_lsh)
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_kmeans": q_embedding_kmeans,
+        # clustering-quality audit of the window-checked kmeans (eval
+        # family — centroid-form silhouette, exact integer micro-scores)
+        "kmeans_silhouette": q_kmeans_silhouette,
         # distributed power-iteration PCA (iterative-float family: 6dp
         # re-quantization per round makes the recurrence hash-stable)
         "embedding_pca": q_embedding_pca,
@@ -7136,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _embedding_pca_sql(),
         "embedding_bucket_purity": _bucket_purity_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "kmeans_silhouette": _silhouette_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
         # Full-probe IVF is exact by the cell-partition property (see
         # q_ann_ivf_topk), so the brute-force ranking is its true oracle.

@@ -1500,3 +1500,163 @@ def test_log_odds_tokens_validation(spark):
         log_odds_tokens(df, "zz")
     with pytest.raises(ValueError, match="min_count"):
         log_odds_tokens(df, "side", min_count=0)
+
+
+# --- simplified_silhouette -------------------------------------------------
+
+
+def _sil_model(pts, labels, dim, q=1 << 20, offset=2 * (1 << 20)):
+    """Python model: quantize, recompute centroids (floor-mean), squared
+    L2 a/b, micro-score with trunc-toward-zero division."""
+    import math
+
+    qv = {
+        i: [math.floor(float(x) * q) + offset for x in v]
+        for i, v in pts.items()
+    }
+    members = {}
+    for i, c in labels.items():
+        members.setdefault(c, []).append(i)
+    cents = {}
+    for c, ids in members.items():
+        n = len(ids)
+        cents[c] = [
+            sum(qv[i][d] for i in ids) // n for d in range(dim)
+        ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def trunc_div(x, y):
+        qq, r = divmod(x, y)
+        if qq < 0 and r != 0:
+            qq += 1
+        return qq
+
+    agg = {}
+    for i, c in labels.items():
+        a = d2(qv[i], cents[c])
+        others = [d2(qv[i], cents[o]) for o in cents if o != c]
+        if not others:
+            s = None
+        else:
+            b = min(others)
+            m = max(a, b)
+            s = 0 if m == 0 else trunc_div((b - a) * 1_000_000, m)
+        n, t = agg.get(c, (0, 0))
+        agg[c] = (n + 1, (t + s) if s is not None else None)
+    out = {}
+    for c, (n, t) in agg.items():
+        out[c] = (n, t, trunc_div(t, n) if t is not None else None)
+    return out
+
+
+def test_silhouette_matches_model(spark):
+    from nebula_importer_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    import random
+
+    rng = random.Random(31)
+    pts, labels = {}, {}
+    for i in range(60):
+        c = i % 3
+        base = [(-1.0, 0.0), (1.0, 0.5), (0.0, -1.0)][c]
+        pts[i] = [b + rng.uniform(-0.2, 0.2) for b in base]
+        labels[i] = c
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    adf = spark.createDataFrame(
+        [(i, c) for i, c in labels.items()], "vec_id long, cluster int"
+    )
+    got = {
+        r.cluster: (r.n_points, r.sil_sum_micro, r.sil_mean_micro)
+        for r in simplified_silhouette(pdf, adf, dim=2).collect()
+    }
+    assert got == _sil_model(pts, labels, 2)
+    # well-separated clusters score high
+    assert all(v[2] > 800_000 for v in got.values())
+
+
+def test_silhouette_misassigned_point_goes_negative(spark):
+    from nebula_importer_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    pts = {0: [0.0, 0.0], 1: [0.1, 0.0], 2: [1.0, 1.0], 3: [0.9, 1.0],
+           4: [1.0, 0.9]}
+    labels = {0: 0, 1: 0, 2: 1, 3: 1, 4: 0}  # point 4 mislabeled
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    adf = spark.createDataFrame(
+        [(i, c) for i, c in labels.items()], "vec_id long, cluster int"
+    )
+    got = {
+        r.cluster: (r.n_points, r.sil_sum_micro, r.sil_mean_micro)
+        for r in simplified_silhouette(pdf, adf, dim=2).collect()
+    }
+    assert got == _sil_model(pts, labels, 2)
+
+
+def test_silhouette_single_cluster_null_and_singleton_max(spark):
+    from nebula_importer_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    pdf = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    one = spark.createDataFrame([(0, 0), (1, 0)], "vec_id long, cluster int")
+    rows = simplified_silhouette(pdf, one, dim=2).collect()
+    assert rows[0].sil_mean_micro is None  # k=1: b undefined
+    two = spark.createDataFrame([(0, 0), (1, 1)], "vec_id long, cluster int")
+    got = {
+        r.cluster: r.sil_mean_micro
+        for r in simplified_silhouette(pdf, two, dim=2).collect()
+    }
+    # singletons: centroid IS the point -> a=0 -> s = +1e6
+    assert got == {0: 1_000_000, 1: 1_000_000}
+
+
+def test_silhouette_after_int_kmeans(spark):
+    from nebula_importer_spark.operators.similarity import (
+        int_kmeans,
+        simplified_silhouette,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        base = [(-1.0, -1.0), (1.0, 1.0)][i % 2]
+        rows.append((i, [b + rng.uniform(-0.1, 0.1) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = int_kmeans(df, k=2, iterations=3, dim=2)
+    out = simplified_silhouette(df, km, dim=2)
+    got = out.collect()
+    assert sum(r.n_points for r in got) == 40
+    assert all(r.sil_mean_micro > 700_000 for r in got)
+
+
+def test_silhouette_validation(spark):
+    from nebula_importer_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    pdf = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<double>"
+    )
+    adf = spark.createDataFrame([(0, 0)], "vec_id long, cluster int")
+    with pytest.raises(ValueError):
+        simplified_silhouette(pdf, adf, dim=0)
+    with pytest.raises(ValueError):
+        simplified_silhouette(pdf, adf, id_col="nope")
+    with pytest.raises(ValueError):
+        simplified_silhouette(pdf, adf.drop("cluster"))
