@@ -1928,6 +1928,106 @@ def _mis_sql(rounds: int = 10) -> str:
     return "WITH " + ",".join(parts) + f"\n        {union}"
 
 
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (operators/graph.py:
+    greedy_coloring) over the supplier co-supply graph — the
+    conflict-grouping step past MIS: peel the SAME graph into
+    independent classes, each winner taking the mex of its colored
+    neighbourhood. md5 priorities make the whole coloring a pure
+    function of the edge set. Oracle: 20 unrolled rounds (sf0.01
+    converges in 16) over the same edge construction as graph_mis."""
+    from nebula_importer_spark.operators.graph import greedy_coloring
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 150)
+        .select("src", "dst")
+    )
+    return greedy_coloring(edges)
+
+
+def _coloring_sql(rounds: int = 20) -> str:
+    """DuckDB twin of q_graph_coloring: same co-supply adjacency, per
+    unrolled round the strict-min-priority winners, then each winner's
+    MEX over already-colored neighbours (smallest i in 0..cnt absent
+    from the neighbour color set). No-ops after convergence."""
+    parts = ["""pe AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 150
+        ),
+        adj0 AS MATERIALIZED (
+            SELECT s1 AS a, s2 AS b FROM pe
+            UNION SELECT s2, s1 FROM pe
+        ),
+        unc0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj0),
+        col0 AS MATERIALIZED (
+            SELECT NULL::BIGINT AS node, NULL::BIGINT AS color,
+                   NULL::BIGINT AS round WHERE FALSE
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT u.node FROM unc{r - 1} u
+            LEFT JOIN (
+                SELECT a, MIN(md5('color' || CAST(b AS VARCHAR))) AS mn
+                FROM adj0
+                WHERE a IN (SELECT node FROM unc{r - 1})
+                  AND b IN (SELECT node FROM unc{r - 1})
+                GROUP BY a
+            ) nb ON nb.a = u.node
+            WHERE nb.mn IS NULL
+               OR md5('color' || CAST(u.node AS VARCHAR)) < nb.mn
+        ),
+        nd{r} AS MATERIALIZED (
+            SELECT w.node, COUNT(DISTINCT c.color) AS cnt
+            FROM w{r} w
+            LEFT JOIN adj0 ad ON ad.a = w.node
+            LEFT JOIN col{r - 1} c ON c.node = ad.b
+            GROUP BY w.node
+        ),
+        new{r} AS MATERIALIZED (
+            SELECT c.node, MIN(c.i)::BIGINT AS color, {r}::BIGINT AS round
+            FROM (
+                SELECT node, unnest(range(0, cnt + 1)) AS i FROM nd{r}
+            ) c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM adj0 ad JOIN col{r - 1} cc ON cc.node = ad.b
+                WHERE ad.a = c.node AND cc.color = c.i
+            )
+            GROUP BY c.node
+        ),
+        col{r} AS MATERIALIZED (
+            SELECT * FROM col{r - 1}
+            UNION ALL SELECT node, color, round FROM new{r}
+        ),
+        unc{r} AS MATERIALIZED (
+            SELECT node FROM unc{r - 1}
+            WHERE node NOT IN (SELECT node FROM w{r})
+        )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n        SELECT node, color, round FROM col{rounds}"
+    )
+
+
 def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (operators/privacy.py:t_closeness_emd): per
     market segment, the ordered-domain EMD between the class's
@@ -5876,6 +5976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_t_closeness": q_privacy_t_closeness,
         "graph_matching": q_graph_matching,
         "graph_mis": q_graph_mis,
+        # Jones-Plassmann coloring (graph family — the conflict-grouping
+        # step past MIS: peel the same graph into independent classes)
+        "graph_coloring": q_graph_coloring,
         "activity_streaks": q_activity_streaks,
         "event_paths": q_event_paths,
         "moment_profile": q_moment_profile,
@@ -7236,6 +7339,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_sql(8),
         "graph_matching": _matching_sql(12),
         "graph_mis": _mis_sql(10),
+        "graph_coloring": _coloring_sql(20),
         "graph_diameter": _diameter_sql(12),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """

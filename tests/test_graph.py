@@ -1391,3 +1391,107 @@ def test_diameter_bound_edges_and_validation(spark):
     assert diameter_bound(empty).count() == 0
     with pytest.raises(ValueError, match="max_hops"):
         diameter_bound(empty, max_hops=0)
+
+
+# --- greedy_coloring (Jones-Plassmann) --------------------------------------
+
+
+def _jp_model(edge_list, salt="color"):
+    """Python Jones-Plassmann: md5 priorities, strict-min winners, mex."""
+    import hashlib
+
+    adj = {}
+    for a, b in edge_list:
+        if a == b or a is None or b is None:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def pri(n):
+        return hashlib.md5(f"{salt}{n}".encode()).hexdigest()
+
+    color, rnd_of = {}, {}
+    uncolored = set(adj)
+    rnd = 0
+    while uncolored:
+        rnd += 1
+        winners = [
+            n for n in uncolored
+            if all(
+                pri(n) < pri(m)
+                for m in adj[n] if m in uncolored and m != n
+            )
+        ]
+        for n in winners:
+            used = {color[m] for m in adj[n] if m in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[n] = c
+            rnd_of[n] = rnd
+        uncolored -= set(winners)
+    return {n: (color[n], rnd_of[n]) for n in color}
+
+
+def test_coloring_proper_and_greedy_on_random_graph(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import greedy_coloring
+
+    rng = random.Random(13)
+    edge_list = list({
+        tuple(sorted((rng.randint(0, 25), rng.randint(0, 25))))
+        for _ in range(60)
+    })
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: (r.color, r.round)
+        for r in greedy_coloring(df).collect()
+    }
+    assert got == _jp_model(edge_list)
+    # proper coloring: no edge joins two same-colored nodes
+    for a, b in edge_list:
+        assert got[a][0] != got[b][0]
+
+
+def test_coloring_star_is_two_colors(spark):
+    from nebula_importer_spark.operators.graph import greedy_coloring
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 12)], "src long, dst long"
+    )
+    got = {r.node: r.color for r in greedy_coloring(df).collect()}
+    assert len(set(got.values())) == 2
+    # the hub is alone in its class
+    hub_color = got[0]
+    assert sum(1 for c in got.values() if c == hub_color) == 1
+
+
+def test_coloring_clique_uses_n_colors(spark):
+    from nebula_importer_spark.operators.graph import greedy_coloring
+
+    nodes = list(range(5))
+    df = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
+    )
+    got = {r.node: r.color for r in greedy_coloring(df).collect()}
+    assert sorted(got.values()) == [0, 1, 2, 3, 4]
+
+
+def test_coloring_validation_and_round_cap(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import greedy_coloring
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        greedy_coloring(df, src="nope")
+    with pytest.raises(ValueError):
+        greedy_coloring(df, max_rounds=0)
+    # a path of 6 nodes cannot fully color in 1 JP round
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        greedy_coloring(path, max_rounds=1)
