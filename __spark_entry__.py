@@ -5208,6 +5208,24 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hour-of-day seasonal profile (operators/temporal.py:
+    seasonal_profile): bucket events hourly, densify gaps to 0, and per
+    PHASE p of the 24-bucket cycle emit the exact seasonal index
+    seasonal_ppm = (s_p·N·10^6) div (n_p·S) (phase mean over global
+    mean), phase mean_milli, and the phase's largest positive residual
+    peak_excess = max_t(x_t·n_p − s_p) with its earliest bucket — the
+    ratio-to-global seasonal decomposition that sizes alert thresholds
+    and autoscaling schedules. DECIMAL(38,0) keeps the ppm exact; only
+    1-row aggregate scalars reach the driver."""
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    return seasonal_profile(
+        _t(spark, sf_dir, "events"), ts_col="ts", bucket_sec=3600,
+        period=24,
+    )
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6061,6 +6079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer lag-k autocorrelation of the hourly rate series
         # (temporal family — cusum finds the shift, acf its stickiness)
         "events_acf": q_events_acf,
+        # exact hour-of-day seasonal indices (temporal family — cusum =
+        # shift, acf = persistence, this = the cycle itself)
+        "events_seasonal": q_events_seasonal,
         # multi-objective Pareto frontier (selection family — the
         # keep-every-trade-off twin of mmr/kcenter scalarized picks)
         "skyline_parts": q_skyline_parts,
@@ -9432,6 +9453,56 @@ def oracle_sql() -> dict[str, str]:
                        AS n_null
             FROM lags l LEFT JOIN num n ON n.lag = l.lag, den
             ORDER BY l.lag
+        """,
+        # Seasonal twin: same dense hourly grid as events_acf, phase =
+        # bucket mod 24; HUGEINT keeps (s_p·N·10^6) exact, // truncates
+        # like Spark's DECIMAL(38,0) div on the non-negative operands,
+        # earliest-argmax via equality join on the per-phase max
+        "events_seasonal": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 3600000000 AS i,
+                       COUNT(*)::HUGEINT AS x
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            st AS (
+                SELECT MIN(i) AS mn, MAX(i) AS mx, SUM(x) AS s,
+                       (MAX(i) - MIN(i) + 1)::HUGEINT AS nb
+                FROM c
+            ),
+            d AS (
+                SELECT g.i, ((g.i % 24) + 24) % 24 AS p,
+                       COALESCE(c.x, 0::HUGEINT) AS x
+                FROM (SELECT unnest(range(mn, mx + 1)) AS i FROM st) g
+                LEFT JOIN c ON c.i = g.i
+            ),
+            ph AS (
+                SELECT p, COUNT(*)::HUGEINT AS np, SUM(x) AS sp
+                FROM d GROUP BY 1
+            ),
+            ex AS (
+                SELECT d.p, d.i, (d.x * ph.np - ph.sp) AS e
+                FROM d JOIN ph ON ph.p = d.p
+            ),
+            pm AS (SELECT p, MAX(e) AS pe FROM ex GROUP BY 1),
+            pb AS (
+                SELECT ex.p, pm.pe, MIN(ex.i) AS pb
+                FROM ex JOIN pm ON pm.p = ex.p AND ex.e = pm.pe
+                GROUP BY 1, 2
+            )
+            SELECT ph.p::BIGINT AS phase,
+                   ph.np::BIGINT AS n_buckets,
+                   ph.sp::BIGINT AS total,
+                   ((ph.sp * 1000) // ph.np)::BIGINT AS mean_milli,
+                   (CASE WHEN st.s > 0
+                         THEN (ph.sp * st.nb * 1000000::HUGEINT)
+                              // (ph.np * st.s)
+                    END)::BIGINT AS seasonal_ppm,
+                   pb.pe::BIGINT AS peak_excess,
+                   pb.pb::BIGINT AS peak_bucket,
+                   (SELECT COUNT(*) FROM events WHERE ts IS NULL)::BIGINT
+                       AS n_null
+            FROM ph JOIN pb ON pb.p = ph.p, st
+            ORDER BY 1
         """,
         # CUSUM twin: same integer drift d=B·n−total over the dense grid,
         # prefix-sum closed form (S⁺=P−min(0,min P), S⁻=max(0,max P)−P),

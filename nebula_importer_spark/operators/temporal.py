@@ -1145,3 +1145,127 @@ def autocorrelation(
         )
         .orderBy("lag")
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    bucket_sec: int = 3600,
+    period: int = 24,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact seasonal profile of the event-rate series: bucket the
+    stream (hourly by default), densify gaps to 0, and for each PHASE of
+    the cycle (hour-of-day under the defaults) report how that phase's
+    mean rate compares to the global mean, plus the phase's largest
+    positive residual — the classic seasonal-index decomposition
+    (ratio-to-moving-average family, here ratio-to-global on a fixed
+    integer period) a pipeline consults before alerting thresholds,
+    autoscaling schedules, or watermark widths. Completes the temporal
+    diagnostic trio: :func:`cusum_change` finds level SHIFTS,
+    :func:`autocorrelation` measures persistence, this isolates the
+    CYCLE.
+
+    All-integer contract: with ``S = Σx`` over ``N`` dense buckets and
+    per-phase ``s_p, n_p``:
+
+        seasonal_ppm_p = (s_p · N · scale) div (n_p · S)   -- phase mean
+                                                            / global mean
+        mean_milli_p   = (s_p · 1000) div n_p
+        peak_excess_p  = max_t (x_t · n_p − s_p)            -- scaled by
+                                                               n_p
+    ``peak_bucket`` is the earliest bucket achieving the max (struct-max
+    with negated-bucket tiebreak, the max_concurrent discipline).
+    DECIMAL(38,0) keeps the ppm exact at any N; divisions truncate
+    toward zero on both engines. NULL timestamps are dropped and
+    reported (``n_null`` on every row). Empty input → empty frame.
+
+    Distributed shape: identical to :func:`autocorrelation` — the heavy
+    table collapses to a time-range-sized series in ONE partial agg,
+    densify rides a distributed ``spark.range``, then ONE ``period``-key
+    aggregation; only 1-row aggregate scalars reach the driver.
+    """
+    if ts_col not in events.columns:
+        raise ValueError(f"column {ts_col!r} not in input: {events.columns}")
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    spark = events.sparkSession
+    counts = (
+        events.select(_us(F.col(ts_col)).alias("_usv"))
+        .select(
+            F.when(
+                F.col("_usv").isNotNull(),
+                _floor_div_us("_usv", 1_000_000 * bucket_sec),
+            ).alias("_i")
+        )
+        .groupBy("_i")
+        .agg(F.count("*").alias("_x"))
+        .localCheckpoint(eager=True)
+    )
+    stats = counts.agg(
+        F.min("_i").alias("_mn"),
+        F.max("_i").alias("_mx"),
+        F.sum(F.when(F.col("_i").isNotNull(), F.col("_x"))).alias("_s"),
+        F.sum(F.when(F.col("_i").isNull(), F.col("_x"))).alias("_nn"),
+    ).collect()[0]
+    out_schema = (
+        "phase long, n_buckets long, total long, mean_milli long, "
+        "seasonal_ppm long, peak_excess long, peak_bucket long, "
+        "n_null long"
+    )
+    if stats["_mn"] is None:
+        return spark.createDataFrame([], out_schema)
+    mn, mx = int(stats["_mn"]), int(stats["_mx"])
+    s_total = int(stats["_s"])
+    n_null = int(stats["_nn"] or 0)
+    n_total = mx - mn + 1
+    d38 = "decimal(38,0)"
+    dense = (
+        spark.range(mn, mx + 1)
+        .select(F.col("id").alias("_i"))
+        .join(counts.filter(F.col("_i").isNotNull()), "_i", "left")
+        .select(
+            "_i",
+            F.coalesce("_x", F.lit(0)).cast("long").alias("_x"),
+            F.pmod(F.col("_i"), F.lit(period)).cast("long").alias("_p"),
+        )
+    )
+    per_phase = dense.groupBy("_p").agg(
+        F.count("*").cast("long").alias("_np"),
+        F.sum("_x").cast("long").alias("_sp"),
+    )
+    # peak positive residual needs the phase totals back on the series:
+    # one broadcast of ≤ period rows, then a struct-max per phase
+    joined = dense.join(F.broadcast(per_phase), "_p")
+    peak = joined.groupBy("_p").agg(
+        F.max(
+            F.struct(
+                (F.col("_x") * F.col("_np") - F.col("_sp")).alias("e"),
+                (-F.col("_i")).alias("nb"),
+            )
+        ).alias("_pk")
+    )
+    ppm = F.expr(
+        f"(CAST(_sp AS {d38}) * CAST({n_total} AS {d38})"
+        f" * CAST({scale} AS {d38}))"
+        f" div (CAST(_np AS {d38}) * CAST({s_total} AS {d38}))"
+    )
+    out = per_phase.join(peak, "_p").select(
+        F.col("_p").alias("phase"),
+        F.col("_np").alias("n_buckets"),
+        F.col("_sp").alias("total"),
+        F.expr("(_sp * 1000) div _np").cast("long").alias("mean_milli"),
+        (
+            F.when(F.lit(s_total) > 0, ppm).cast("long")
+        ).alias("seasonal_ppm"),
+        F.col("_pk.e").cast("long").alias("peak_excess"),
+        (-F.col("_pk.nb")).cast("long").alias("peak_bucket"),
+        F.lit(n_null).cast("long").alias("n_null"),
+    )
+    return out.orderBy("phase")

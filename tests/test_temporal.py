@@ -1037,3 +1037,112 @@ def test_acf_validation(spark):
         autocorrelation(df2, ts_col="ts", bucket_sec=0)
     with pytest.raises(ValueError):
         autocorrelation(df2, ts_col="ts", scale=0)
+
+
+# --- seasonal_profile ------------------------------------------------------
+
+
+def _seasonal_model(xs, lo, period, n_null=0, scale=1_000_000):
+    """Python model over the dense series xs starting at bucket lo."""
+    def trunc_div(x, y):
+        q, r = divmod(x, y)
+        if q < 0 and r != 0:
+            q += 1
+        return q
+
+    n, s = len(xs), sum(xs)
+    per = {}
+    for t, x in enumerate(xs):
+        b = lo + t
+        p = b % period
+        np_, sp, pk = per.get(p, (0, 0, None))
+        per[p] = (np_ + 1, sp + x, pk)
+    out = {}
+    for p, (np_, sp, _) in per.items():
+        best = None
+        for t, x in enumerate(xs):
+            b = lo + t
+            if b % period != p:
+                continue
+            e = x * np_ - sp
+            if best is None or e > best[0] or (e == best[0] and b < best[1]):
+                best = (e, b)
+        ppm = trunc_div(sp * n * scale, np_ * s) if s > 0 else None
+        out[p] = (
+            np_, sp, trunc_div(sp * 1000, np_), ppm, best[0], best[1],
+            n_null,
+        )
+    return out
+
+
+def test_seasonal_profile_hand_case(spark):
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    # 6 hourly buckets, period 3: phases see [1,4], [2,0], [3,5]
+    df = _acf_events(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 5)]
+    )  # hour 4 empty -> densified 0
+    got = {
+        r.phase: (r.n_buckets, r.total, r.mean_milli, r.seasonal_ppm,
+                  r.peak_excess, r.peak_bucket, r.n_null)
+        for r in seasonal_profile(df, ts_col="ts", period=3).collect()
+    }
+    lo = 473352  # hours since epoch of 2024-01-01 00:00
+    want = _seasonal_model([1, 2, 3, 4, 0, 5], lo, 3)
+    assert got == want
+
+
+def test_seasonal_profile_flat_series_is_1x(spark):
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    df = _acf_events(spark, [(h, 2) for h in range(6)])
+    rows = seasonal_profile(df, ts_col="ts", period=2).collect()
+    assert all(r.seasonal_ppm == 1_000_000 for r in rows)
+    assert all(r.peak_excess == 0 for r in rows)
+
+
+def test_seasonal_profile_randomized_vs_model(spark):
+    import random
+
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    rng = random.Random(123)
+    hc = [(h, rng.randint(0, 4)) for h in range(18)]
+    present = [h for h, c in hc if c > 0]
+    lo_h, hi_h = min(present), max(present)
+    xs = [dict(hc).get(h, 0) for h in range(lo_h, hi_h + 1)]
+    df = _acf_events(spark, [(h, c) for h, c in hc if c > 0])
+    got = {
+        r.phase: (r.n_buckets, r.total, r.mean_milli, r.seasonal_ppm,
+                  r.peak_excess, r.peak_bucket, r.n_null)
+        for r in seasonal_profile(df, ts_col="ts", period=5).collect()
+    }
+    want = _seasonal_model(xs, 473352 + lo_h, 5)
+    assert got == want
+
+
+def test_seasonal_profile_null_ts_and_empty(spark):
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0)), (2, None)],
+        "event_id long, ts timestamp",
+    )
+    rows = seasonal_profile(df, ts_col="ts", period=4).collect()
+    assert len(rows) == 1 and rows[0].n_null == 1
+    empty = spark.createDataFrame([], "event_id long, ts timestamp")
+    assert seasonal_profile(empty, ts_col="ts").count() == 0
+
+
+def test_seasonal_profile_validation(spark):
+    from nebula_importer_spark.operators.temporal import seasonal_profile
+
+    df = spark.createDataFrame([(datetime(2024, 1, 1),)], "ts timestamp")
+    with pytest.raises(ValueError):
+        seasonal_profile(df, ts_col="nope")
+    with pytest.raises(ValueError):
+        seasonal_profile(df, ts_col="ts", period=1)
+    with pytest.raises(ValueError):
+        seasonal_profile(df, ts_col="ts", bucket_sec=0)
+    with pytest.raises(ValueError):
+        seasonal_profile(df, ts_col="ts", scale=0)
