@@ -5226,6 +5226,61 @@ def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed part-sequence graph
+    (operators/graph.py:strongly_connected_components): within each
+    order, consecutive lineitems (by l_linenumber, every-20th part) form
+    a directed edge part[i] → part[i+1]; SCCs are the cyclically
+    co-sequenced part clusters — the directed analogue of the undirected
+    CC dedup graph, and the reachability partition a KG consumer asks of
+    subject→object triples. Trim + fwd/bwd min-label propagation
+    (Orzan-style); the quadratic reach closure exists ONLY in the DuckDB
+    oracle twin — the Spark side shuffles one label per node per step."""
+    from nebula_importer_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    seq = li.select(
+        F.concat(F.lit("p_"), F.col("l_partkey")).alias("node"),
+        F.lead(F.concat(F.lit("p_"), F.col("l_partkey"))).over(w).alias(
+            "nxt"
+        ),
+    )
+    edges = seq.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("node"))
+    ).select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+    return strongly_connected_components(edges)
+
+
+_GRAPH_SCC_SQL = """
+WITH RECURSIVE base AS MATERIALIZED (
+    SELECT l_orderkey AS ok, l_linenumber AS ln,
+           'p_' || CAST(l_partkey AS VARCHAR) AS node
+    FROM lineitem WHERE l_partkey % 20 = 0
+), seq AS MATERIALIZED (
+    SELECT node, LEAD(node) OVER (PARTITION BY ok ORDER BY ln) AS nxt
+    FROM base
+), edges AS MATERIALIZED (
+    SELECT DISTINCT node AS src, nxt AS dst FROM seq
+    WHERE nxt IS NOT NULL AND nxt <> node
+), nodes AS MATERIALIZED (
+    SELECT src AS v FROM edges UNION SELECT dst FROM edges
+), reach AS (
+    SELECT src AS s, dst AS d FROM edges
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d
+)
+SELECT v AS node, MIN(m) AS scc_id FROM (
+    SELECT v, v AS m FROM nodes
+    UNION ALL
+    SELECT a.s AS v, a.d AS m
+    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+) GROUP BY v
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6003,6 +6058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles_price": q_weighted_quantiles_price,
         "sorted_neighborhood": q_sorted_neighborhood,
         "graph_diameter": q_graph_diameter,
+        # directed-graph family: SCC (machinery = CC/kcore iterative rows)
+        "graph_scc": q_graph_scc,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7362,6 +7419,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_sql(10),
         "graph_coloring": _coloring_sql(20),
         "graph_diameter": _diameter_sql(12),
+        "graph_scc": _GRAPH_SCC_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1495,3 +1495,128 @@ def test_coloring_validation_and_round_cap(spark):
     )
     with pytest.raises(RuntimeError):
         greedy_coloring(path, max_rounds=1)
+
+
+def _py_scc(edges):
+    """Independent iterative-Tarjan reference (explicit stack, no
+    recursion limit risk): returns {node: min id of its SCC}."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.add(u)
+        nodes.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for w in adj.get(v, [])[pi:]:
+                work[-1] = (v, pi + 1)
+                if w not in index:
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+                pi += 1
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return comp
+
+
+def test_scc_known_graph(spark):
+    from nebula_importer_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # two cycles joined by DAG edges + a pure tail
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # SCC {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),      # SCC {d,e}
+        ("e", "f"), ("f", "g"),                  # tail singletons
+        ("x", "a"),                              # head singleton
+        ("b", "b"),                              # self-loop (ignored)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("d", "d"), ("e", "d"),
+        ("f", "f"), ("g", "g"), ("x", "x"),
+    }
+
+
+def test_scc_single_giant_cycle(spark):
+    from nebula_importer_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 12
+    edges = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = strongly_connected_components(e).collect()
+    assert len(rows) == n
+    assert {r["scc_id"] for r in rows} == {"n00"}
+
+
+def test_scc_random_parity(spark):
+    from nebula_importer_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(20260820)
+    for trial in range(3):
+        n = rng.randint(8, 20)
+        m = rng.randint(n, 3 * n)
+        edges = list(
+            {
+                (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+                for _ in range(m)
+            }
+        )
+        expect = _py_scc(edges)
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(e).collect()
+        }
+        # operator drops pure self-loop isolates (no non-self edges);
+        # restrict the reference accordingly
+        keep = {u for u, v in edges if u != v} | {
+            v for u, v in edges if u != v
+        }
+        expect = {k: v for k, v in expect.items() if k in keep}
+        assert got == expect, f"trial {trial}: {sorted(edges)}"
