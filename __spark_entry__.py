@@ -5226,6 +5226,109 @@ def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRUNE_PREDS = [
+    ("partkey_band", "l_partkey", 100, 299),
+    ("suppkey_band", "l_suppkey", 10, 29),
+    ("orderkey_head", "l_orderkey", 1, 2000),
+]
+
+
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit (operators/layout.py:pruning_audit):
+    insert-order layout (orderkey-range buckets) vs Z-order layout
+    (zorder_lineitem's exact bucketing) against a 3-predicate workload —
+    the re-clustering cost/benefit measurement run BEFORE a 100-TB
+    rewrite. Expected shape (and what the oracle certifies): partkey/
+    suppkey bands scan ~every natural bucket but few Z-order buckets;
+    the orderkey head predicate prunes natural tightly and Z-order
+    poorly — both sides of the tradeoff, exact to the row."""
+    from nebula_importer_spark.operators.layout import (
+        pruning_audit,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8, n_buckets=16)
+    bounds = li.agg(
+        F.min("l_orderkey").alias("_mn"), F.max("l_orderkey").alias("_mx")
+    )
+    z = z.crossJoin(F.broadcast(bounds)).withColumn(
+        "natbucket",
+        F.expr("(l_orderkey - _mn) * 16 div (_mx - _mn + 1)").cast("long"),
+    )
+    return pruning_audit(
+        z, {"natural": "natbucket", "zorder": "zbucket"}, _PRUNE_PREDS
+    )
+
+
+def _pruning_audit_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    """DuckDB twin of q_layout_pruning: the _zorder_sql bucket expression
+    plus the orderkey-range natural bucket, zone maps per layout, the
+    same overlap test and truncating-div skip ratio."""
+    k, top = 2, (1 << bits) - 1
+    z = " | ".join(
+        f"((({q} >> {b}) & 1) << {b * k + i})"
+        for i, q in enumerate(("qx", "qy"))
+        for b in range(bits)
+    )
+    span = -((-(1 << (bits * k))) // n_buckets)
+    legs = []
+    for layout, zm in (("natural", "zm_n"), ("zorder", "zm_z")):
+        for pid, col, lo, hi in _PRUNE_PREDS:
+            legs.append(f"""
+            SELECT '{layout}' AS layout, '{pid}' AS pred_id,
+                   COUNT(*)::BIGINT AS n_buckets,
+                   SUM(CASE WHEN {col}_max >= {lo} AND {col}_min <= {hi}
+                       THEN 1 ELSE 0 END)::BIGINT AS buckets_scanned,
+                   SUM(n)::BIGINT AS rows_total,
+                   SUM(CASE WHEN {col}_max >= {lo} AND {col}_min <= {hi}
+                       THEN n ELSE 0 END)::BIGINT AS rows_scanned,
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE {col} BETWEEN {lo} AND {hi})::BIGINT
+                       AS rows_matched
+            FROM {zm}""")
+    union = " UNION ALL ".join(legs)
+    zm_cols = ", ".join(
+        f"min({c})::BIGINT AS {c}_min, max({c})::BIGINT AS {c}_max"
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    return f"""
+        WITH s AS (
+            SELECT min(l_partkey)::BIGINT AS mnx, max(l_partkey)::BIGINT AS mxx,
+                   min(l_suppkey)::BIGINT AS mny, max(l_suppkey)::BIGINT AS mxy,
+                   min(l_orderkey)::BIGINT AS mno, max(l_orderkey)::BIGINT AS mxo
+            FROM lineitem
+        ),
+        q AS (
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   ((l_partkey - mnx) * {top}) // greatest(mxx - mnx, 1) AS qx,
+                   ((l_suppkey - mny) * {top}) // greatest(mxy - mny, 1) AS qy,
+                   ((l_orderkey - mno) * 16) // (mxo - mno + 1) AS natbucket
+            FROM lineitem, s
+        ),
+        bk AS MATERIALIZED (
+            SELECT l_orderkey, l_partkey, l_suppkey, natbucket,
+                   (({z}) // {span})::BIGINT AS zbucket
+            FROM q
+        ),
+        zm_n AS MATERIALIZED (
+            SELECT natbucket, COUNT(*)::BIGINT AS n, {zm_cols}
+            FROM bk GROUP BY natbucket
+        ),
+        zm_z AS MATERIALIZED (
+            SELECT zbucket, COUNT(*)::BIGINT AS n, {zm_cols}
+            FROM bk GROUP BY zbucket
+        )
+        SELECT layout, pred_id, n_buckets, buckets_scanned, rows_total,
+               rows_scanned, rows_matched,
+               ((rows_total - rows_scanned) * 1000000 // rows_total)
+                   ::BIGINT AS skip_ppm
+        FROM ({union})
+    """
+
+
 def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the directed part-sequence graph
     (operators/graph.py:strongly_connected_components): within each
@@ -6060,6 +6163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         # directed-graph family: SCC (machinery = CC/kcore iterative rows)
         "graph_scc": q_graph_scc,
+        # layout family: pruning effectiveness audit over zorder buckets
+        "layout_pruning": q_layout_pruning,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7420,6 +7525,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": _coloring_sql(20),
         "graph_diameter": _diameter_sql(12),
         "graph_scc": _GRAPH_SCC_SQL,
+        "layout_pruning": _pruning_audit_sql(bits=8, n_buckets=16),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

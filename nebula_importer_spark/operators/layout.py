@@ -333,3 +333,130 @@ def compaction_plan(
         )
         .drop("_cum")
     )
+
+
+def pruning_audit(
+    df: DataFrame,
+    layouts: dict[str, str],
+    predicates: list[tuple[str, str, int, int]],
+) -> DataFrame:
+    """File-skipping effectiveness audit: for each candidate layout
+    (a bucket/file-assignment column already on ``df``) × each range
+    predicate ``(pred_id, col, lo, hi)``, measure what a min/max
+    zone-map reader would actually scan.
+
+    This is the measurement that justifies (or kills) a re-clustering
+    job BEFORE burning a 100-TB rewrite: compute the per-bucket zone
+    maps under each layout, overlap-test them against the query
+    workload, and compare ``skip_ppm`` across layouts. The classic
+    result this surfaces: an insert-order layout prunes time/orderkey
+    predicates and nothing else; a Z-order/Hilbert layout prunes every
+    interleaved dimension at once but gives up some of the single-key
+    locality — the audit quantifies both sides exactly.
+
+    Semantics: a bucket is SCANNED for ``(col, lo, hi)`` iff its zone
+    ``[min(col), max(col)]`` intersects ``[lo, hi]`` (NULL-only zones —
+    min/max NULL — are skippable, matching parquet row-group stats
+    semantics). Output per (layout, pred):
+
+    - ``n_buckets`` / ``buckets_scanned`` — zone-map-level skip,
+    - ``rows_total`` / ``rows_scanned`` — data-level cost of the scan,
+    - ``rows_matched`` — true selectivity (layout-independent),
+    - ``skip_ppm`` = (rows_total − rows_scanned)·10⁶ div rows_total.
+
+    Exactness: counts are longs, the ratio one truncating div — engine-
+    and partition-order-proof.
+
+    Scale: per layout ONE partial-aggregable groupBy builds the zone
+    map (the object parquet footers / Iceberg manifests already hold —
+    at 10^12 rows you'd read it from metadata, not recompute); every
+    overlap test then runs on ≤ n_buckets METADATA rows per layout.
+    ``rows_matched`` for all predicates rides a single conditional-agg
+    pass. Nothing here shuffles data-sized payloads.
+    """
+    if not layouts:
+        raise ValueError("layouts must be non-empty")
+    if not predicates:
+        raise ValueError("predicates must be non-empty")
+    for name, bcol in layouts.items():
+        if bcol not in df.columns:
+            raise ValueError(
+                f"layout {name!r}: bucket column {bcol!r} not in input: "
+                f"{df.columns}"
+            )
+    seen: set[str] = set()
+    for pid, col, lo, hi in predicates:
+        if col not in df.columns:
+            raise ValueError(
+                f"predicate {pid!r}: column {col!r} not in input"
+            )
+        if pid in seen:
+            raise ValueError(f"duplicate pred_id {pid!r}")
+        seen.add(pid)
+        if lo > hi:
+            raise ValueError(f"predicate {pid!r}: lo {lo} > hi {hi}")
+
+    # one full-scan conditional-agg pass: true selectivity per predicate
+    matched = df.agg(
+        *[
+            F.sum(
+                F.col(col).between(F.lit(lo), F.lit(hi)).cast("long")
+            ).alias(pid)
+            for pid, col, lo, hi in predicates
+        ]
+    )
+    stack = ", ".join(
+        f"'{pid}', {pid}" for pid, _, _, _ in predicates
+    )
+    matched_melt = matched.selectExpr(
+        f"stack({len(predicates)}, {stack}) AS (pred_id, rows_matched)"
+    ).select("pred_id", F.coalesce("rows_matched", F.lit(0)).alias(
+        "rows_matched"))
+
+    pred_cols = sorted({col for _, col, _, _ in predicates})
+    per_layout: list[DataFrame] = []
+    for name, bcol in sorted(layouts.items()):
+        # materialize: the zone map is metadata-sized, and every
+        # predicate leg below re-aggregates it — without this each leg
+        # would re-run the data-sized groupBy
+        zm = zone_map(df, bcol, pred_cols).localCheckpoint(eager=True)
+        legs = []
+        for pid, col, lo, hi in predicates:
+            hit = (
+                (F.col(f"{col}_max") >= F.lit(lo))
+                & (F.col(f"{col}_min") <= F.lit(hi))
+            ).cast("long")
+            legs.append(
+                zm.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                    F.sum(hit).alias("buckets_scanned"),
+                    F.sum("n_rows").alias("rows_total"),
+                    F.sum(F.col("n_rows") * hit).alias("rows_scanned"),
+                ).select(
+                    F.lit(name).alias("layout"),
+                    F.lit(pid).alias("pred_id"),
+                    "n_buckets",
+                    "buckets_scanned",
+                    "rows_total",
+                    "rows_scanned",
+                )
+            )
+        leg = legs[0]
+        for nxt in legs[1:]:
+            leg = leg.unionByName(nxt)
+        per_layout.append(leg)
+    out = per_layout[0]
+    for nxt in per_layout[1:]:
+        out = out.unionByName(nxt)
+    return out.join(F.broadcast(matched_melt), "pred_id").select(
+        "layout",
+        "pred_id",
+        "n_buckets",
+        "buckets_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matched",
+        F.expr(
+            "(rows_total - rows_scanned) * 1000000L div rows_total"
+        ).alias("skip_ppm"),
+    )

@@ -239,3 +239,128 @@ def test_hilbert_validation(spark):
         hilbert_key(df, ["a", "c"])
     with pytest.raises(ValueError, match="reserved"):
         hilbert_key(df.withColumn("hkey", df.a), ["a", "b"])
+
+
+def _audit_rows(spark, rows, layouts, preds):
+    from nebula_importer_spark.operators.layout import pruning_audit
+
+    df = spark.createDataFrame(
+        rows, "b_sorted long, b_scatter long, x long, y long"
+    )
+    out = pruning_audit(df, layouts, preds)
+    return {
+        (r["layout"], r["pred_id"]): r.asDict() for r in out.collect()
+    }
+
+
+def test_pruning_audit_sorted_vs_scattered(spark):
+    # x in 0..15; b_sorted clusters x into 4 tight buckets, b_scatter
+    # round-robins so every bucket spans the full x range
+    rows = [(i // 4, i % 4, i, 100 - i) for i in range(16)]
+    got = _audit_rows(
+        spark,
+        rows,
+        {"sorted": "b_sorted", "scatter": "b_scatter"},
+        [("x_low", "x", 0, 3), ("x_mid", "x", 6, 9)],
+    )
+    s = got[("sorted", "x_low")]
+    assert s["n_buckets"] == 4 and s["buckets_scanned"] == 1
+    assert s["rows_total"] == 16 and s["rows_scanned"] == 4
+    assert s["rows_matched"] == 4
+    assert s["skip_ppm"] == (16 - 4) * 1_000_000 // 16
+    # x_mid straddles buckets 1 and 2 under the sorted layout
+    assert got[("sorted", "x_mid")]["buckets_scanned"] == 2
+    # the scattered layout prunes nothing
+    sc = got[("scatter", "x_low")]
+    assert sc["buckets_scanned"] == 4 and sc["rows_scanned"] == 16
+    assert sc["skip_ppm"] == 0
+    assert sc["rows_matched"] == 4
+
+
+def test_pruning_audit_zero_match_and_nulls(spark):
+    from nebula_importer_spark.operators.layout import pruning_audit
+
+    df = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 5), (1, None, 5), (1, None, 5)],
+        "b long, x long, y long",
+    )
+    got = {
+        (r["layout"], r["pred_id"]): r.asDict()
+        for r in pruning_audit(
+            df, {"nat": "b"}, [("miss", "x", 50, 60), ("hit", "x", 1, 1)]
+        ).collect()
+    }
+    # bucket 1 is NULL-only for x → skippable (parquet stats semantics)
+    m = got[("nat", "miss")]
+    assert m["buckets_scanned"] == 0 and m["rows_scanned"] == 0
+    assert m["rows_matched"] == 0 and m["skip_ppm"] == 1_000_000
+    h = got[("nat", "hit")]
+    assert h["buckets_scanned"] == 1 and h["rows_scanned"] == 2
+    assert h["rows_matched"] == 1
+
+
+def test_pruning_audit_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.layout import pruning_audit
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(5), rng.randrange(5), rng.randrange(40),
+         rng.randrange(40))
+        for _ in range(120)
+    ]
+    preds = [("p1", "x", 5, 15), ("p2", "y", 0, 9), ("p3", "x", 30, 39)]
+    df = spark.createDataFrame(
+        rows, "b1 long, b2 long, x long, y long"
+    ).repartition(7)
+    got = {
+        (r["layout"], r["pred_id"]): r.asDict()
+        for r in pruning_audit(
+            df, {"l1": "b1", "l2": "b2"}, preds
+        ).collect()
+    }
+    for lname, bi in (("l1", 0), ("l2", 1)):
+        buckets = {}
+        for r in rows:
+            buckets.setdefault(r[bi], []).append(r)
+        for pid, cname, lo, hi in preds:
+            ci = 2 if cname == "x" else 3
+            scanned = [
+                b
+                for b, rs in buckets.items()
+                if max(r[ci] for r in rs) >= lo
+                and min(r[ci] for r in rs) <= hi
+            ]
+            g = got[(lname, pid)]
+            assert g["n_buckets"] == len(buckets)
+            assert g["buckets_scanned"] == len(scanned)
+            assert g["rows_scanned"] == sum(
+                len(buckets[b]) for b in scanned
+            )
+            assert g["rows_matched"] == sum(
+                1 for r in rows if lo <= r[ci] <= hi
+            )
+            assert g["skip_ppm"] == (
+                (len(rows) - g["rows_scanned"]) * 1_000_000 // len(rows)
+            )
+
+
+def test_pruning_audit_validation(spark):
+    from nebula_importer_spark.operators.layout import pruning_audit
+
+    df = spark.createDataFrame([(0, 1)], "b long, x long")
+    with pytest.raises(ValueError, match="layouts"):
+        pruning_audit(df, {}, [("p", "x", 0, 1)])
+    with pytest.raises(ValueError, match="predicates"):
+        pruning_audit(df, {"n": "b"}, [])
+    with pytest.raises(ValueError, match="bucket column"):
+        pruning_audit(df, {"n": "zzz"}, [("p", "x", 0, 1)])
+    with pytest.raises(ValueError, match="column 'zzz'"):
+        pruning_audit(df, {"n": "b"}, [("p", "zzz", 0, 1)])
+    with pytest.raises(ValueError, match="duplicate"):
+        pruning_audit(
+            df, {"n": "b"}, [("p", "x", 0, 1), ("p", "x", 2, 3)]
+        )
+    with pytest.raises(ValueError, match="lo"):
+        pruning_audit(df, {"n": "b"}, [("p", "x", 5, 1)])
