@@ -5384,6 +5384,71 @@ SELECT v AS node, MIN(m) AS scc_id FROM (
 """
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type OLS rate trend (operators/temporal.py:
+    trend_fit): hourly buckets on one shared global grid, cleared-
+    denominator integer least squares — slope/intercept/r² as single
+    truncating DECIMAL(38,0) divs. Completes the temporal diagnostic
+    quartet (cusum shift, acf persistence, seasonal cycle, trend drift).
+    NO densify join: zero buckets enter only through closed-form grid
+    sums, so cost scales with distinct (type, hour), never event
+    volume."""
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    return trend_fit(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_cols=["event_type"],
+        bucket_sec=3600,
+    )
+
+
+_EVENTS_TREND_SQL = """
+    WITH c AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+               COUNT(*)::HUGEINT AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT MIN(i)::HUGEINT AS mn, (MAX(i) - MIN(i) + 1)::HUGEINT AS t
+        FROM c
+    ),
+    g AS (
+        SELECT mn, t,
+               (t * (t - 1)) // 2 AS sx,
+               ((t - 1) * t * (2 * t - 1)) // 6 AS sxx
+        FROM st
+    ),
+    gd AS (SELECT mn, t, sx, sxx, t * sxx - sx * sx AS den FROM g),
+    nn AS (
+        SELECT COUNT(*)::BIGINT AS n_null FROM events WHERE ts IS NULL
+    ),
+    p AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_obs,
+               SUM(y) AS sy,
+               SUM((i::HUGEINT - mn) * y) AS sxy,
+               SUM(y * y) AS syy
+        FROM c, gd GROUP BY event_type, mn
+    )
+    SELECT event_type,
+           t::BIGINT AS n_buckets,
+           n_obs,
+           sy::BIGINT AS sum_y,
+           (CASE WHEN den > 0
+                 THEN (1000000 * (t * sxy - sx * sy)) // den END)::BIGINT
+               AS slope_micro,
+           (CASE WHEN den > 0
+                 THEN (1000000 * (sy * sxx - sx * sxy)) // den END)::BIGINT
+               AS intercept_micro,
+           (CASE WHEN den * (t * syy - sy * sy) > 0
+                 THEN (1000000 * (t * sxy - sx * sy) * (t * sxy - sx * sy))
+                      // (den * (t * syy - sy * sy)) END)::BIGINT
+               AS r2_micro,
+           n_null
+    FROM p, gd, nn
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6165,6 +6230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         # layout family: pruning effectiveness audit over zorder buckets
         "layout_pruning": q_layout_pruning,
+        # temporal family: per-key OLS drift (quartet: cusum/acf/seasonal)
+        "events_trend": q_events_trend,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7526,6 +7593,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter": _diameter_sql(12),
         "graph_scc": _GRAPH_SCC_SQL,
         "layout_pruning": _pruning_audit_sql(bits=8, n_buckets=16),
+        "events_trend": _EVENTS_TREND_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1269,3 +1269,147 @@ def seasonal_profile(
         F.lit(n_null).cast("long").alias("n_null"),
     )
     return out.orderBy("phase")
+
+
+def trend_fit(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    bucket_sec: int = 3600,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-key OLS trend of the event-rate series: bucket the
+    stream into fixed windows and fit ``count = b0 + b1·bucket_index``
+    per key by least squares, ALL in cleared-denominator integer form —
+    the drift diagnostic that closes the temporal quartet (cusum = level
+    SHIFT, acf = persistence, seasonal = cycle, this = monotone TREND),
+    and the signal that sizes capacity plans / flags decaying sources
+    before a backfill.
+
+    Every key is fit over the SAME dense global grid ``[min_bucket,
+    max_bucket]`` (slopes are comparable across keys), but the zero
+    buckets are NEVER materialized: a zero count contributes nothing to
+    ``Σy``, ``Σxy`` or ``Σy²``, and the grid-only sums are closed forms
+    of the span ``T`` — ``Σx = T(T−1)/2``, ``Σx² = (T−1)T(2T−1)/6`` —
+    so unlike the acf/seasonal densify there is NO range join at all.
+    With ``S*`` the per-key sums over observed buckets:
+
+        slope      = (T·Σxy − Σx·Σy) / (T·Σx² − Σx²_sum)   → slope_micro
+        intercept  = (Σy·Σx² − Σx·Σxy) / den               → intercept_micro
+        r²         = num² / (den · (T·Σy² − Σy²))          → r2_micro
+
+    each emitted as ONE truncating ``div`` in DECIMAL(38,0) (the
+    exact_auc discipline; magnitudes: num ≤ T²·max_count·T — int64
+    wraps once T·max_count passes ~3·10⁹, decimal38 holds to 10³⁸).
+    ``r2_micro`` is NULL for a constant series (zero variance), and
+    slope/intercept are NULL when ``T == 1`` (vertical fit).
+
+    Distributed shape: ONE map-side-combinable (key, bucket) count
+    agg, then ONE key-keyed agg over the bounded per-key bucket rows —
+    cost scales with distinct (key, bucket), never event volume. Only
+    the 3 global 1-row scalars (span min/max, null count) cross to the
+    driver. NULL timestamps are dropped and counted (``n_null`` on
+    every row). Empty input returns an empty frame (key columns typed
+    string in that degenerate case).
+
+    Returns ``(key_cols…, n_buckets, n_obs, sum_y, slope_micro,
+    intercept_micro, r2_micro, n_null)``.
+    """
+    if ts_col not in events.columns:
+        raise ValueError(f"column {ts_col!r} not in input: {events.columns}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in key_cols:
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in input: {events.columns}")
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    spark = events.sparkSession
+    unit = 1_000_000 * bucket_sec
+    tagged = events.select(
+        *key_cols, _us(F.col(ts_col)).alias("_usv")
+    ).select(
+        *key_cols,
+        F.when(
+            F.col("_usv").isNotNull(), _floor_div_us("_usv", unit)
+        ).alias("_i"),
+    )
+    counts = (
+        tagged.groupBy(*key_cols, "_i")
+        .agg(F.count("*").alias("_y"))
+        .localCheckpoint(eager=True)
+    )
+    stats = counts.agg(
+        F.min("_i").alias("_mn"),
+        F.max("_i").alias("_mx"),
+        F.sum(F.when(F.col("_i").isNull(), F.col("_y"))).alias("_nn"),
+    ).collect()[0]
+    key_schema = ", ".join(f"`{c}` string" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, n_buckets long, n_obs long, sum_y long, "
+        "slope_micro long, intercept_micro long, r2_micro long, "
+        "n_null long"
+    )
+    if stats["_mn"] is None:
+        return spark.createDataFrame([], out_schema)
+    mn, mx = int(stats["_mn"]), int(stats["_mx"])
+    n_null = int(stats["_nn"] or 0)
+    t = mx - mn + 1
+    sx = t * (t - 1) // 2
+    sxx = (t - 1) * t * (2 * t - 1) // 6
+    den = t * sxx - sx * sx  # 0 iff t == 1
+    d38 = "decimal(38,0)"
+    per_key = (
+        counts.filter(F.col("_i").isNotNull())
+        .select(
+            *key_cols,
+            (F.col("_i") - F.lit(mn)).cast(d38).alias("_x"),
+            F.col("_y").cast(d38).alias("_yd"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("_yd").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_yd")).alias("_sxy"),
+            F.sum(F.col("_yd") * F.col("_yd")).alias("_syy"),
+        )
+    )
+    num = F.expr(f"CAST({t} AS {d38}) * _sxy - CAST({sx} AS {d38}) * _sy")
+    inum = F.expr(
+        f"_sy * CAST({sxx} AS {d38}) - CAST({sx} AS {d38}) * _sxy"
+    )
+    yvar = F.expr(f"CAST({t} AS {d38}) * _syy - _sy * _sy")
+    per_key = (
+        per_key.withColumn("_num", num)
+        .withColumn("_inum", inum)
+        .withColumn("_r2den", F.lit(den).cast(d38) * yvar)
+    )
+    return per_key.select(
+        *key_cols,
+        F.lit(t).cast("long").alias("n_buckets"),
+        "n_obs",
+        F.col("_sy").cast("long").alias("sum_y"),
+        F.when(
+            F.lit(den) > 0,
+            F.expr(f"(CAST({scale} AS {d38}) * _num) div {den}"),
+        )
+        .cast("long")
+        .alias("slope_micro"),
+        F.when(
+            F.lit(den) > 0,
+            F.expr(f"(CAST({scale} AS {d38}) * _inum) div {den}"),
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+        F.when(
+            F.col("_r2den") > 0,
+            F.expr(f"(CAST({scale} AS {d38}) * _num * _num) div _r2den"),
+        )
+        .cast("long")
+        .alias("r2_micro"),
+        F.lit(n_null).cast("long").alias("n_null"),
+    )

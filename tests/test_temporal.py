@@ -1146,3 +1146,194 @@ def test_seasonal_profile_validation(spark):
         seasonal_profile(df, ts_col="ts", bucket_sec=0)
     with pytest.raises(ValueError):
         seasonal_profile(df, ts_col="ts", scale=0)
+
+
+def _py_trend(rows, bucket_sec, keys_idx=0):
+    """Integer model: global grid, per-key cleared-denominator OLS."""
+    from collections import defaultdict
+
+    buckets = defaultdict(int)
+    n_null = 0
+    for k, ts in rows:
+        if ts is None:
+            n_null += 1
+            continue
+        buckets[(k, ts // bucket_sec)] += 1
+    if not buckets:
+        return {}, 0
+    mn = min(i for _, i in buckets)
+    mx = max(i for _, i in buckets)
+    t = mx - mn + 1
+    sx = t * (t - 1) // 2
+    sxx = (t - 1) * t * (2 * t - 1) // 6
+    den = t * sxx - sx * sx
+    per = defaultdict(lambda: [0, 0, 0, 0])  # n_obs, sy, sxy, syy
+    for (k, i), y in buckets.items():
+        x = i - mn
+        p = per[k]
+        p[0] += 1
+        p[1] += y
+        p[2] += x * y
+        p[3] += y * y
+    out = {}
+    for k, (n_obs, sy, sxy, syy) in per.items():
+        num = t * sxy - sx * sy
+        inum = sy * sxx - sx * sxy
+        yvar = t * syy - sy * sy
+        r2den = den * yvar
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b > 0) else -q
+        out[k] = {
+            "n_buckets": t,
+            "n_obs": n_obs,
+            "sum_y": sy,
+            "slope_micro": tdiv(10**6 * num, den) if den > 0 else None,
+            "intercept_micro": tdiv(10**6 * inum, den) if den > 0 else None,
+            "r2_micro": tdiv(10**6 * num * num, r2den) if r2den > 0 else None,
+        }
+    return out, n_null
+
+
+def _trend_df(spark, rows):
+    from datetime import datetime, timezone
+
+    data = [
+        (
+            k,
+            datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None)
+            if ts is not None
+            else None,
+        )
+        for k, ts in rows
+    ]
+    return spark.createDataFrame(data, "k string, ts timestamp")
+
+
+def test_trend_fit_exact_line(spark):
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    # key "up": counts 1,2,3,4 per hour -> slope exactly 1.0/bucket, r2=1
+    rows = []
+    for h in range(4):
+        for _ in range(h + 1):
+            rows.append(("up", 3600 * h + 7))
+    got = {
+        r["k"]: r.asDict()
+        for r in trend_fit(
+            _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    u = got["up"]
+    assert u["n_buckets"] == 4 and u["n_obs"] == 4 and u["sum_y"] == 10
+    assert u["slope_micro"] == 1_000_000
+    assert u["intercept_micro"] == 1_000_000
+    assert u["r2_micro"] == 1_000_000
+    assert u["n_null"] == 0
+
+
+def test_trend_fit_constant_and_single_bucket(spark):
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    # constant series: slope 0, r2 NULL (zero variance)
+    rows = [("c", 3600 * h) for h in range(5)]
+    got = {
+        r["k"]: r.asDict()
+        for r in trend_fit(
+            _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    c = got["c"]
+    assert c["slope_micro"] == 0 and c["r2_micro"] is None
+    # single global bucket: den == 0 -> slope/intercept NULL
+    rows1 = [("a", 10), ("a", 20), ("b", 30)]
+    got1 = {
+        r["k"]: r.asDict()
+        for r in trend_fit(
+            _trend_df(spark, rows1), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    assert got1["a"]["slope_micro"] is None
+    assert got1["a"]["n_buckets"] == 1
+
+
+def test_trend_fit_sparse_key_zero_buckets_count(spark):
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    # key "s" appears only in bucket 0 while the global grid spans 3
+    # buckets (key "w" extends it) — zero buckets pull s's slope negative
+    rows = [("s", 100), ("s", 200), ("w", 3600 * 2 + 5)]
+    got = {
+        r["k"]: r.asDict()
+        for r in trend_fit(
+            _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    s = got["s"]
+    assert s["n_buckets"] == 3 and s["n_obs"] == 1 and s["sum_y"] == 2
+    # model: T=3, sx=3, sxx=5, den=3*5-9=6; sxy=0, sy=2
+    # num = 3*0-3*2 = -6 -> slope = -1.0 exactly
+    assert s["slope_micro"] == -1_000_000
+    expect, _ = _py_trend(rows, 3600)
+    for k, e in expect.items():
+        g = got[k]
+        for f, v in e.items():
+            assert g[f] == v, (k, f)
+
+
+def test_trend_fit_null_ts_and_empty(spark):
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    rows = [("a", 0), ("a", 3600), ("a", None), ("b", None)]
+    out = trend_fit(_trend_df(spark, rows), ts_col="ts", key_cols=["k"])
+    got = {r["k"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"a"}  # null-only keys vanish from the fit
+    assert got["a"]["n_null"] == 2
+    empty = trend_fit(
+        _trend_df(spark, [("a", None)]), ts_col="ts", key_cols=["k"]
+    )
+    assert empty.count() == 0
+
+
+def test_trend_fit_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    rng = random.Random(424242)
+    rows = []
+    for _ in range(400):
+        k = f"k{rng.randrange(4)}"
+        ts = rng.randrange(0, 3600 * 12) if rng.random() > 0.05 else None
+        rows.append((k, ts))
+    expect, n_null = _py_trend(rows, 3600)
+    got = {
+        r["k"]: r.asDict()
+        for r in trend_fit(
+            _trend_df(spark, rows).repartition(7),
+            ts_col="ts",
+            key_cols=["k"],
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        g = got[k]
+        assert g["n_null"] == n_null
+        for f, v in e.items():
+            assert g[f] == v, (k, f, g[f], v)
+
+
+def test_trend_fit_validation(spark):
+    from nebula_importer_spark.operators.temporal import trend_fit
+
+    df = _trend_df(spark, [("a", 0)])
+    with pytest.raises(ValueError, match="not in input"):
+        trend_fit(df, ts_col="zzz", key_cols=["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        trend_fit(df, ts_col="ts", key_cols=[])
+    with pytest.raises(ValueError, match="not in input"):
+        trend_fit(df, ts_col="ts", key_cols=["zzz"])
+    with pytest.raises(ValueError, match="bucket_sec"):
+        trend_fit(df, ts_col="ts", key_cols=["k"], bucket_sec=0)
+    with pytest.raises(ValueError, match="scale"):
+        trend_fit(df, ts_col="ts", key_cols=["k"], scale=0)
