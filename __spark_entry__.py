@@ -5449,6 +5449,99 @@ _EVENTS_TREND_SQL = """
 """
 
 
+def q_supplier_duels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry supplier strengths from within-order quantity duels
+    (operators/metrics.py:bradley_terry) — the pairwise-preference
+    estimator (Hunter 2004 MM) behind ranking from judgment pairs
+    (reward-model preference data, annotator quality). Duel
+    construction: lineitems of one order meet pairwise (bounded ≤7-line
+    fan-out), higher l_quantity wins, ties contribute nothing; 4 exact
+    integer MM rounds. Oracle = the same rounds unrolled as CTEs with
+    HUGEINT // twins."""
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    )
+    duels = (
+        pairs.select(
+            F.concat(F.lit("s_"), F.col("a.l_suppkey")).alias("item_a"),
+            F.concat(F.lit("s_"), F.col("b.l_suppkey")).alias("item_b"),
+            (F.col("a.l_quantity") > F.col("b.l_quantity"))
+            .cast("long")
+            .alias("wa"),
+            (F.col("a.l_quantity") < F.col("b.l_quantity"))
+            .cast("long")
+            .alias("wb"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("wa").alias("wins_a"), F.sum("wb").alias("wins_b"))
+    )
+    return bradley_terry(duels, n_rounds=4)
+
+
+def _bt_duels_sql(n_rounds: int = 4) -> str:
+    """DuckDB twin of q_supplier_duels: same duel construction, then the
+    MM recurrence unrolled — per round one join of the match table
+    against the previous strengths, the identical truncating divs."""
+    parts = [
+        """WITH p AS MATERIALIZED (
+        SELECT 's_' || a.l_suppkey AS ia, 's_' || b.l_suppkey AS ib,
+               SUM(CASE WHEN a.l_quantity > b.l_quantity
+                   THEN 1 ELSE 0 END)::HUGEINT AS wa,
+               SUM(CASE WHEN a.l_quantity < b.l_quantity
+                   THEN 1 ELSE 0 END)::HUGEINT AS wb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), mm AS MATERIALIZED (
+        SELECT i, j, SUM(n) AS n, SUM(w) AS w FROM (
+            SELECT ia AS i, ib AS j, wa + wb AS n, wa AS w FROM p
+            UNION ALL
+            SELECT ib, ia, wa + wb, wb FROM p
+        ) GROUP BY 1, 2 HAVING SUM(n) > 0
+    ), tot AS MATERIALIZED (
+        SELECT i, SUM(w) AS n_wins, SUM(n) AS n_matches FROM mm GROUP BY i
+    ), w0 AS MATERIALIZED (
+        SELECT i, 1000000::HUGEINT AS w FROM tot
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", d{r} AS (
+        SELECT mm.i,
+               SUM((mm.n * 1000000000000::HUGEINT)
+                   // GREATEST(wi.w + wj.w, 1)) AS d
+        FROM mm JOIN w{r - 1} wi ON wi.i = mm.i
+                JOIN w{r - 1} wj ON wj.i = mm.j
+        GROUP BY mm.i
+    ), w{r} AS MATERIALIZED (
+        SELECT t.i,
+               CASE WHEN d.d > 0
+                    THEN (t.n_wins * 1000000000000::HUGEINT) // d.d
+                    ELSE 0 END AS w
+        FROM tot t JOIN d{r} d ON d.i = t.i
+    )"""
+        )
+    parts.append(
+        f""", tw AS (SELECT SUM(w) AS tw FROM w{n_rounds})
+    SELECT t.i AS item, t.n_wins::BIGINT AS n_wins,
+           t.n_matches::BIGINT AS n_matches,
+           w{n_rounds}.w::BIGINT AS w_micro,
+           (CASE WHEN tw.tw > 0
+                 THEN (w{n_rounds}.w * 1000000) // tw.tw END)::BIGINT
+               AS score_ppm
+    FROM tot t JOIN w{n_rounds} ON w{n_rounds}.i = t.i, tw"""
+    )
+    return "".join(parts)
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6232,6 +6325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruning": q_layout_pruning,
         # temporal family: per-key OLS drift (quartet: cusum/acf/seasonal)
         "events_trend": q_events_trend,
+        # eval/ranking family: Bradley-Terry MM from pairwise duels
+        "supplier_duels": q_supplier_duels,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7594,6 +7689,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": _GRAPH_SCC_SQL,
         "layout_pruning": _pruning_audit_sql(bits=8, n_buckets=16),
         "events_trend": _EVENTS_TREND_SQL,
+        "supplier_duels": _bt_duels_sql(n_rounds=4),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

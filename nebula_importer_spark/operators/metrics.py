@@ -611,3 +611,155 @@ def calibration_report(
             .alias("gap_abs"),
         )
     )
+
+
+def bradley_terry(
+    duels: DataFrame,
+    *,
+    item_a: str = "item_a",
+    item_b: str = "item_b",
+    wins_a: str = "wins_a",
+    wins_b: str = "wins_b",
+    n_rounds: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bradley-Terry preference strengths from pairwise duel counts by
+    Hunter's MM iteration (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models") — THE estimator behind ranking items from
+    pairwise judgments (preference data for reward models, annotator
+    quality, reranker A/B duels). The MM update
+
+        w_i ← W_i / Σ_j n_ij / (w_i + w_j)
+
+    (``W_i`` total wins, ``n_ij`` matches between i and j) runs in EXACT
+    integer micro-units: each pair contributes the truncating div
+    ``(n_ij·10¹²) div (w_i + w_j)`` — a per-pair-exact term, so the
+    per-item sum is order-free — and the update is one more truncating
+    div. Same-input bit-identical on any engine/partitioning (the
+    quantized-recurrence discipline of embedding_pca: determinism comes
+    from re-quantizing every round, convergence-in-the-limit is traded
+    for gate-checkable exactness at finite rounds).
+
+    Conventions: duels arrive as unordered-pair win counts; reversed
+    duplicates aggregate. Items that never win converge to strength 0
+    (the true MLE degenerates without strong connectivity — Ford 1957's
+    condition — so a 0 is a SIGNAL the comparison graph is one-sided,
+    not noise). Zero-vs-zero pair denominators clamp to 1; a zero
+    per-item divisor emits 0 (both only reachable in degenerate
+    graphs).
+
+    Distributed shape: the duel table aggregates ONCE to per-pair
+    matches + per-item win totals; each MM round is one equi-join of
+    the |pairs| match table against the |items| strength table + one
+    item-keyed partial agg, localCheckpointed (iterative lineage
+    discipline). Strengths never leave the cluster; only the final
+    1-row Σw normalizer broadcasts back for ``score_ppm``.
+
+    Returns ``(item, n_wins, n_matches, w_micro, score_ppm)``.
+    """
+    for c in (item_a, item_b, wins_a, wins_b):
+        if c not in duels.columns:
+            raise ValueError(f"column {c!r} not in input: {duels.columns}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    d38 = "decimal(38,0)"
+    base = duels.select(
+        F.col(item_a).alias("_a"),
+        F.col(item_b).alias("_b"),
+        F.col(wins_a).cast("long").alias("_wa"),
+        F.col(wins_b).cast("long").alias("_wb"),
+    )
+    bad = base.filter(
+        F.col("_a").isNull()
+        | F.col("_b").isNull()
+        | (F.col("_a") == F.col("_b"))
+        | (F.col("_wa") < 0)
+        | (F.col("_wb") < 0)
+    ).limit(1)
+    if bad.take(1):
+        raise ValueError(
+            "duels must have non-null distinct items and wins >= 0"
+        )
+    # directed view: (i, j, wins_of_i_vs_j) both ways, then aggregate —
+    # reversed-duplicate inputs collapse here
+    directed = base.select(
+        F.col("_a").alias("_i"), F.col("_b").alias("_j"),
+        F.col("_wa").alias("_w"), (F.col("_wa") + F.col("_wb")).alias("_n"),
+    ).unionByName(
+        base.select(
+            F.col("_b").alias("_i"), F.col("_a").alias("_j"),
+            F.col("_wb").alias("_w"),
+            (F.col("_wa") + F.col("_wb")).alias("_n"),
+        )
+    )
+    matches = (
+        directed.groupBy("_i", "_j")
+        .agg(F.sum("_n").alias("_n"), F.sum("_w").alias("_wi"))
+        .filter(F.col("_n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        matches.groupBy("_i")
+        .agg(
+            F.sum("_wi").cast("long").alias("n_wins"),
+            F.sum("_n").cast("long").alias("n_matches"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = totals.select(
+        "_i", F.lit(scale).cast("long").alias("_wcur")
+    )
+    for _ in range(n_rounds):
+        terms = (
+            matches.join(
+                cur.select(F.col("_i").alias("_j"), F.col("_wcur").alias(
+                    "_wj")), "_j"
+            )
+            .join(cur, "_i")
+            .select(
+                "_i",
+                F.expr(
+                    f"(CAST(_n AS {d38}) * 1000000000000) div "
+                    f"greatest(CAST(_wcur AS {d38}) + CAST(_wj AS {d38}),"
+                    f" CAST(1 AS {d38}))"
+                ).alias("_t"),
+            )
+        )
+        denom = terms.groupBy("_i").agg(F.sum("_t").alias("_d"))
+        cur = (
+            totals.join(denom, "_i")
+            .select(
+                "_i",
+                F.when(
+                    F.col("_d") > 0,
+                    F.expr(
+                        f"(CAST(n_wins AS {d38}) * 1000000000000) div _d"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_wcur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    total_w = cur.agg(F.sum(F.col("_wcur").cast(d38)).alias("_tw"))
+    return (
+        totals.join(cur, "_i")
+        .crossJoin(F.broadcast(total_w))
+        .select(
+            F.col("_i").alias("item"),
+            "n_wins",
+            "n_matches",
+            F.col("_wcur").alias("w_micro"),
+            F.when(
+                F.col("_tw") > 0,
+                F.expr(
+                    f"(CAST(_wcur AS {d38}) * 1000000) div _tw"
+                ),
+            )
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )

@@ -486,3 +486,138 @@ def test_calibration_validation(spark):
         calibration_report(good, score_col="score", label_col="label", n_bins=0)
     with pytest.raises(ValueError, match="not in input"):
         calibration_report(good, score_col="missing", label_col="label")
+
+
+def _py_bt(duels, n_rounds=6, scale=1_000_000):
+    """Integer-recurrence model of bradley_terry (dicts, Python ints)."""
+    from collections import defaultdict
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    n = defaultdict(int)
+    wi = defaultdict(int)
+    for a, b, wa, wb in duels:
+        n[(a, b)] += wa + wb
+        n[(b, a)] += wa + wb
+        wi[a] += wa
+        wi[b] += wb
+    n = {k: v for k, v in n.items() if v > 0}
+    items = sorted({i for i, _ in n})
+    wins = {i: wi[i] for i in items}
+    nm = {i: sum(v for (a, _), v in n.items() if a == i) for i in items}
+    w = {i: scale for i in items}
+    for _ in range(n_rounds):
+        d = defaultdict(int)
+        for (i, j), nij in n.items():
+            d[i] += tdiv(nij * 10**12, max(w[i] + w[j], 1))
+        w = {
+            i: tdiv(wins[i] * 10**12, d[i]) if d[i] > 0 else 0
+            for i in items
+        }
+    tot = sum(w.values())
+    return {
+        i: {
+            "n_wins": wins[i],
+            "n_matches": nm[i],
+            "w_micro": w[i],
+            "score_ppm": tdiv(w[i] * 10**6, tot) if tot > 0 else None,
+        }
+        for i in items
+    }
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    # a beats b 9:1, b beats c 9:1, a beats c 9:1 — strict order a>b>c
+    duels = [("a", "b", 9, 1), ("b", "c", 9, 1), ("a", "c", 9, 1)]
+    df = spark.createDataFrame(
+        duels, "item_a string, item_b string, wins_a long, wins_b long"
+    )
+    got = {r["item"]: r.asDict() for r in bradley_terry(df).collect()}
+    assert got["a"]["w_micro"] > got["b"]["w_micro"] > got["c"]["w_micro"]
+    assert got["a"]["n_wins"] == 18 and got["a"]["n_matches"] == 20
+    expect = _py_bt(duels)
+    for k, e in expect.items():
+        for f, v in e.items():
+            assert got[k][f] == v, (k, f, got[k][f], v)
+
+
+def test_bradley_terry_symmetric_is_uniform(spark):
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    duels = [("a", "b", 5, 5), ("b", "c", 5, 5), ("a", "c", 5, 5)]
+    df = spark.createDataFrame(
+        duels, "item_a string, item_b string, wins_a long, wins_b long"
+    )
+    rows = bradley_terry(df).collect()
+    assert len({r["w_micro"] for r in rows}) == 1
+    assert all(r["score_ppm"] == 333333 for r in rows)
+
+
+def test_bradley_terry_never_wins_and_reversed_dupes(spark):
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    # loser never wins -> strength 0; (b,a) row merges with (a,b)
+    duels = [("a", "b", 3, 0), ("b", "a", 0, 2), ("a", "c", 1, 1)]
+    df = spark.createDataFrame(
+        duels, "item_a string, item_b string, wins_a long, wins_b long"
+    )
+    got = {r["item"]: r.asDict() for r in bradley_terry(df).collect()}
+    assert got["b"]["w_micro"] == 0 and got["b"]["n_matches"] == 5
+    assert got["a"]["n_wins"] == 6
+    expect = _py_bt(duels)
+    for k, e in expect.items():
+        for f, v in e.items():
+            assert got[k][f] == v, (k, f)
+
+
+def test_bradley_terry_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    rng = random.Random(99)
+    items = [f"i{x}" for x in range(8)]
+    duels = []
+    for _ in range(40):
+        a, b = rng.sample(items, 2)
+        duels.append((a, b, rng.randrange(0, 6), rng.randrange(0, 6)))
+    df = spark.createDataFrame(
+        duels, "item_a string, item_b string, wins_a long, wins_b long"
+    ).repartition(5)
+    got = {r["item"]: r.asDict() for r in bradley_terry(df).collect()}
+    expect = _py_bt(duels)
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        for f, v in e.items():
+            assert got[k][f] == v, (k, f, got[k][f], v)
+
+
+def test_bradley_terry_validation(spark):
+    from nebula_importer_spark.operators.metrics import bradley_terry
+
+    ok = spark.createDataFrame(
+        [("a", "b", 1, 0)],
+        "item_a string, item_b string, wins_a long, wins_b long",
+    )
+    with pytest.raises(ValueError, match="not in input"):
+        bradley_terry(ok, item_a="zzz")
+    with pytest.raises(ValueError, match="n_rounds"):
+        bradley_terry(ok, n_rounds=0)
+    with pytest.raises(ValueError, match="scale"):
+        bradley_terry(ok, scale=0)
+    self_duel = spark.createDataFrame(
+        [("a", "a", 1, 0)],
+        "item_a string, item_b string, wins_a long, wins_b long",
+    )
+    with pytest.raises(ValueError, match="distinct items"):
+        bradley_terry(self_duel)
+    neg = spark.createDataFrame(
+        [("a", "b", -1, 0)],
+        "item_a string, item_b string, wins_a long, wins_b long",
+    )
+    with pytest.raises(ValueError, match="wins >= 0"):
+        bradley_terry(neg)
