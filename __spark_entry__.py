@@ -5542,6 +5542,108 @@ def _bt_duels_sql(n_rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_voptimal_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal document-length histogram (operators/profile.py:
+    voptimal_histogram, Jagadish VLDB'98): ONE data pass folds n_chars
+    into ≤32 exact fine cells, then the O(k·m²) DP runs on that
+    metadata table — variable-width buckets minimizing micro-quantized
+    within-bucket SSE, the skew-aware upgrade of histogram_lineitem's
+    equi-width cells. Unique optimum via (cost, i) lexicographic
+    argmin; oracle = the same DP unrolled level by level."""
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    return voptimal_histogram(
+        _t(spark, sf_dir, "documents"), "n_chars", n_cells=32, k=4
+    )
+
+
+def _voptimal_sql(n_cells: int = 32, k: int = 4, scale: int = 10**6) -> str:
+    """DuckDB twin of q_voptimal_doclen: identical fine-cell quantization
+    and prefix sums, DP levels unrolled as CTEs with ROW_NUMBER argmin
+    on (cost, i), backtrack as k chained CTEs. Assumes ≥ k present
+    cells (true for documents.n_chars at every shipped SF — the Spark
+    side degrades gracefully below that, the oracle need not)."""
+    lvls = [
+        f"""l1 AS MATERIALIZED (
+        SELECT j, pss * {scale} - (ps * ps * {scale}) // pc AS cost
+        FROM pre
+    )"""
+    ]
+    for b in range(2, k + 1):
+        lvls.append(
+            f"""c{b} AS (
+        SELECT p.j, i.j AS i,
+               l.cost + ((p.pss - i.pss) * {scale}
+                   - ((p.ps - i.ps) * (p.ps - i.ps) * {scale})
+                     // (p.pc - i.pc)) AS cost
+        FROM l{b - 1} l JOIN pre i ON i.j = l.j JOIN pre p ON p.j > i.j
+    ), l{b} AS MATERIALIZED (
+        SELECT j, cost, i FROM (
+            SELECT j, cost, i,
+                   ROW_NUMBER() OVER (PARTITION BY j
+                                      ORDER BY cost, i) AS rk
+            FROM c{b}) WHERE rk = 1
+    )"""
+        )
+    bts = [
+        f"""s{k} AS (SELECT MAX(j) AS j FROM pre),
+    b{k} AS (SELECT {k} AS bucket, l.i + 1 AS lo_j, s.j AS hi_j, l.i AS nxt
+             FROM s{k} s JOIN l{k} l ON l.j = s.j)"""
+    ]
+    for b in range(k - 1, 1, -1):
+        bts.append(
+            f"""b{b} AS (SELECT {b} AS bucket, l.i + 1 AS lo_j,
+                    p.nxt AS hi_j, l.i AS nxt
+             FROM b{b + 1} p JOIN l{b} l ON l.j = p.nxt)"""
+        )
+    bts.append(
+        """b1 AS (SELECT 1 AS bucket, 0 AS lo_j, p.nxt AS hi_j, -1 AS nxt
+             FROM b2 p)"""
+    )
+    spans = " UNION ALL ".join(
+        f"SELECT bucket, lo_j, hi_j FROM b{b}" for b in range(1, k + 1)
+    )
+    return f"""
+    WITH v AS (
+        SELECT n_chars::BIGINT AS x FROM documents WHERE n_chars IS NOT NULL
+    ),
+    bb AS (
+        SELECT MIN(x)::HUGEINT AS mn,
+               (MAX(x) - MIN(x) + 1)::HUGEINT AS span
+        FROM v
+    ),
+    cells AS MATERIALIZED (
+        SELECT ((x - mn) * {n_cells}) // span AS c,
+               COUNT(*)::HUGEINT AS cnt, SUM(x)::HUGEINT AS s,
+               SUM(x::HUGEINT * x::HUGEINT) AS ss,
+               MIN(x) AS vmin, MAX(x) AS vmax
+        FROM v, bb GROUP BY 1
+    ),
+    pre AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY c) - 1 AS j,
+               SUM(cnt) OVER w AS pc, SUM(s) OVER w AS ps,
+               SUM(ss) OVER w AS pss, vmin, vmax
+        FROM cells WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)
+    ),
+    {", ".join(lvls)},
+    {", ".join(bts)},
+    spans AS ({spans})
+    SELECT s.bucket::BIGINT AS bucket,
+           (SELECT MIN(vmin) FROM pre
+            WHERE j BETWEEN s.lo_j AND s.hi_j)::BIGINT AS lo,
+           (SELECT MAX(vmax) FROM pre
+            WHERE j BETWEEN s.lo_j AND s.hi_j)::BIGINT AS hi,
+           (h.pc - COALESCE(q.pc, 0))::BIGINT AS n_rows,
+           ((h.pss - COALESCE(q.pss, 0)) * {scale}
+            - ((h.ps - COALESCE(q.ps, 0)) * (h.ps - COALESCE(q.ps, 0))
+               * {scale}) // (h.pc - COALESCE(q.pc, 0)))::BIGINT
+               AS sse_micro
+    FROM spans s
+    JOIN pre h ON h.j = s.hi_j
+    LEFT JOIN pre q ON q.j = s.lo_j - 1
+    """
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6327,6 +6429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         # eval/ranking family: Bradley-Terry MM from pairwise duels
         "supplier_duels": q_supplier_duels,
+        # stats family: V-optimal DP histogram on the bounded cell sketch
+        "voptimal_doclen": q_voptimal_doclen,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7690,6 +7794,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_pruning": _pruning_audit_sql(bits=8, n_buckets=16),
         "events_trend": _EVENTS_TREND_SQL,
         "supplier_duels": _bt_duels_sql(n_rounds=4),
+        "voptimal_doclen": _voptimal_sql(n_cells=32, k=4),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

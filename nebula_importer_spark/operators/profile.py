@@ -931,3 +931,228 @@ def exact_weighted_quantiles(
     return picked.select(
         *groups, F.col("pct"), F.col("_v").alias("value")
     )
+
+
+def voptimal_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    n_cells: int = 32,
+    k: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """V-optimal histogram (Jagadish et al., "Optimal Histograms with
+    Quality Guarantees", VLDB 1998): partition a column's value range
+    into ``k`` variable-width buckets minimizing total within-bucket
+    variance — the histogram a CBO wants for skewed columns, where
+    equi-width buckets (column_histogram) put one mega-cell next to
+    empty ones.
+
+    Two-level design — the "aggregate massively, optimize on the
+    bounded sketch" pattern: ONE data pass folds the column into
+    ≤ ``n_cells`` equi-width fine cells (count, sum, sum-of-squares,
+    min, max — all exact integers, same ``((x−mn)·n) div span`` rule as
+    column_histogram), and the O(k·m²) dynamic program then runs
+    entirely on that m ≤ n_cells METADATA table: per DP level one
+    equi-join of the previous level's boundary costs against the cell
+    prefix sums + an argmin agg, localCheckpointed. Data volume touches
+    only the first pass; the DP never sees a data row.
+
+    Objective (defined, not approximated): per segment the MICRO-
+    QUANTIZED sum of squared errors ``sse = sumsq·scale −
+    (sum²·scale) div cnt`` (one truncating DECIMAL(38,0) div per
+    segment — exactly reproducible on any engine; monotone-equivalent
+    to SSE up to the micro quantum), minimized over segmentations of
+    the PRESENT cells; ties broken toward the smallest split index, so
+    the optimum is UNIQUE and gate-checkable. Granularity caveat: the
+    optimum is over cell boundaries, not raw values — n_cells bounds
+    the resolution (the VLDB'98 sketch-first formulation).
+
+    NULLs are dropped (a CBO histogram describes values); fewer present
+    cells than ``k`` degrades to one bucket per cell. Empty input
+    returns an empty frame.
+
+    Returns ``(bucket, lo, hi, n_rows, sse_micro)`` — bucket 1..k in
+    value order, ``[lo, hi]`` the ACTUAL min/max data values inside.
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > n_cells:
+        raise ValueError(f"k ({k}) must be <= n_cells ({n_cells})")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if col not in by_name:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(by_name[col], integral):
+        raise ValueError(
+            f"column {col!r} must be integral (got {by_name[col]}) — "
+            "quantize floats caller-side (the zorder_key rule)"
+        )
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    d38 = "decimal(38,0)"
+    out_schema = (
+        "bucket long, lo long, hi long, n_rows long, sse_micro long"
+    )
+    vals = df.select(F.col(col).cast("long").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    bounds = vals.agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    ).collect()[0]
+    if bounds["_mn"] is None:
+        return spark.createDataFrame([], out_schema)
+    mn, mx = int(bounds["_mn"]), int(bounds["_mx"])
+    span = mx - mn + 1
+    cells = (
+        vals.select(
+            F.expr(f"((_v - {mn}) * {n_cells}) div {span}").alias("_c"),
+            "_v",
+        )
+        .groupBy("_c")
+        .agg(
+            F.count("*").cast(d38).alias("_cnt"),
+            F.sum(F.col("_v").cast(d38)).alias("_sum"),
+            F.sum(
+                F.col("_v").cast(d38) * F.col("_v").cast(d38)
+            ).alias("_ss"),
+            F.min("_v").alias("_vmin"),
+            F.max("_v").alias("_vmax"),
+        )
+    )
+    # metadata from here on: m <= n_cells rows. The single-partition
+    # window is deliberate — it indexes/prefixes the SKETCH, not data.
+    widx = Window.orderBy("_c")
+    wpre = widx.rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        cells.select(
+            (F.row_number().over(widx) - 1).alias("_j"),
+            F.sum("_cnt").over(wpre).alias("_pc"),
+            F.sum("_sum").over(wpre).alias("_ps"),
+            F.sum("_ss").over(wpre).alias("_pss"),
+            "_vmin",
+            "_vmax",
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = pre.count()
+    k_eff = min(k, m)
+
+    # level 1: one bucket over cells 0..j (sse from plain prefixes)
+    lvl = pre.select(
+        "_j",
+        F.expr(
+            f"_pss * CAST({scale} AS {d38}) - "
+            f"(_ps * _ps * CAST({scale} AS {d38})) div _pc"
+        ).alias("_cost"),
+    ).localCheckpoint(eager=True)
+    argmins: list[DataFrame] = []  # level b (2..k_eff): (_j, _i)
+    for _b in range(2, k_eff + 1):
+        cand = (
+            lvl.select(F.col("_j").alias("_i"), F.col("_cost").alias(
+                "_pcost"))
+            .join(
+                pre.select(
+                    F.col("_j"), F.col("_pc"), F.col("_ps"), F.col("_pss")
+                ),
+                F.col("_j") > F.col("_i"),
+            )
+            .join(
+                pre.select(
+                    F.col("_j").alias("_i"),
+                    F.col("_pc").alias("_qc"),
+                    F.col("_ps").alias("_qs"),
+                    F.col("_pss").alias("_qss"),
+                ),
+                "_i",
+            )
+            .select(
+                "_j",
+                "_i",
+                (
+                    F.col("_pcost")
+                    + F.expr(
+                        f"(_pss - _qss) * CAST({scale} AS {d38}) - "
+                        f"((_ps - _qs) * (_ps - _qs) * "
+                        f"CAST({scale} AS {d38})) div (_pc - _qc)"
+                    )
+                ).alias("_cost"),
+            )
+        )
+        best = (
+            cand.groupBy("_j")
+            .agg(F.min(F.struct("_cost", "_i")).alias("_m"))
+            .select(
+                "_j",
+                F.col("_m._cost").alias("_cost"),
+                F.col("_m._i").alias("_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        argmins.append(best)
+        lvl = best.select("_j", "_cost")
+
+    # backtrack: bucket k_eff ends at the last cell; walk argmins down
+    sel = pre.agg(F.max("_j").alias("_j"))
+    spans: list[DataFrame] = []
+    for b in range(k_eff, 0, -1):
+        if b >= 2:
+            step = sel.join(argmins[b - 2], "_j")
+            spans.append(
+                step.select(
+                    F.lit(b).cast("long").alias("bucket"),
+                    (F.col("_i") + 1).alias("_lo"),
+                    F.col("_j").alias("_hi"),
+                )
+            )
+            sel = step.select(F.col("_i").alias("_j"))
+        else:
+            spans.append(
+                sel.select(
+                    F.lit(1).cast("long").alias("bucket"),
+                    F.lit(0).cast("long").alias("_lo"),
+                    F.col("_j").alias("_hi"),
+                )
+            )
+    out = spans[0]
+    for s in spans[1:]:
+        out = out.unionByName(s)
+    joined = out.join(
+        pre.select("_j", "_vmin", "_vmax"),
+        (F.col("_j") >= F.col("_lo")) & (F.col("_j") <= F.col("_hi")),
+    ).groupBy("bucket", "_lo", "_hi").agg(
+        F.min("_vmin").alias("lo"), F.max("_vmax").alias("hi")
+    )
+    hi_pre = pre.select(
+        F.col("_j").alias("_hi"), "_pc", "_ps", "_pss"
+    )
+    lo_pre = pre.select(
+        (F.col("_j") + 1).alias("_lo"),
+        F.col("_pc").alias("_qc"),
+        F.col("_ps").alias("_qs"),
+        F.col("_pss").alias("_qss"),
+    )
+    return (
+        joined.join(hi_pre, "_hi")
+        .join(lo_pre, "_lo", "left")
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            (
+                F.col("_pc") - F.coalesce("_qc", F.lit(0).cast(d38))
+            ).cast("long").alias("n_rows"),
+            F.expr(
+                f"CAST((_pss - COALESCE(_qss, 0)) * CAST({scale} AS {d38})"
+                f" - ((_ps - COALESCE(_qs, 0)) * (_ps - COALESCE(_qs, 0))"
+                f" * CAST({scale} AS {d38}))"
+                f" div (_pc - COALESCE(_qc, 0)) AS BIGINT)"
+            ).alias("sse_micro"),
+        )
+        .orderBy("bucket")
+    )

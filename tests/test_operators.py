@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nebula_importer_spark.operators.connected_components import (
@@ -642,3 +643,144 @@ def test_exact_weighted_quantiles_validation(spark):
     df2 = spark.createDataFrame([(1, 2.0)], "v long, w double")
     with pytest.raises(ValueError, match="integral"):
         exact_weighted_quantiles(df2, "v", "w")
+
+
+def _py_voptimal(values, n_cells, k, scale=10**6):
+    """Independent DP model (Python ints, O(k·m²))."""
+    vs = [v for v in values if v is not None]
+    if not vs:
+        return []
+    mn, mx = min(vs), max(vs)
+    span = mx - mn + 1
+    cells = {}
+    for v in vs:
+        c = (v - mn) * n_cells // span
+        st = cells.setdefault(c, [0, 0, 0, v, v])
+        st[0] += 1
+        st[1] += v
+        st[2] += v * v
+        st[3] = min(st[3], v)
+        st[4] = max(st[4], v)
+    order = sorted(cells)
+    m = len(order)
+    k_eff = min(k, m)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    # prefix sums over present cells
+    pc, ps, pss = [0] * (m + 1), [0] * (m + 1), [0] * (m + 1)
+    for x, c in enumerate(order):
+        st = cells[c]
+        pc[x + 1] = pc[x] + st[0]
+        ps[x + 1] = ps[x] + st[1]
+        pss[x + 1] = pss[x] + st[2]
+
+    def sse(i_excl, j):  # cells i_excl+1 .. j (0-based)
+        cnt = pc[j + 1] - pc[i_excl + 1]
+        s = ps[j + 1] - ps[i_excl + 1]
+        q = pss[j + 1] - pss[i_excl + 1]
+        return q * scale - tdiv(s * s * scale, cnt)
+
+    INF = float("inf")
+    cost = [[INF] * m for _ in range(k_eff + 1)]
+    arg = [[None] * m for _ in range(k_eff + 1)]
+    for j in range(m):
+        cost[1][j] = sse(-1, j)
+    for b in range(2, k_eff + 1):
+        for j in range(b - 1, m):
+            best = None
+            for i in range(b - 2, j):
+                c = cost[b - 1][i] + sse(i, j)
+                if best is None or (c, i) < best:
+                    best = (c, i)
+            cost[b][j], arg[b][j] = best
+    # backtrack
+    out = []
+    j = m - 1
+    for b in range(k_eff, 0, -1):
+        i = arg[b][j] if b >= 2 else -1
+        seg = order[i + 1 : j + 1]
+        lo = min(cells[c][3] for c in seg)
+        hi = max(cells[c][4] for c in seg)
+        n = pc[j + 1] - pc[i + 1]
+        out.append((b, lo, hi, n, sse(i, j)))
+        j = i
+    return sorted(out)
+
+
+def test_voptimal_separates_clusters(spark):
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    # two tight clusters + one outlier: k=3 must isolate each exactly
+    vals = [10, 11, 12, 10, 11, 500, 501, 502, 500, 9000]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = voptimal_histogram(df, "x", n_cells=64, k=3).collect()
+    got = sorted((r.bucket, r.lo, r.hi, r.n_rows, r.sse_micro) for r in rows)
+    assert [g[1:4] for g in got] == [
+        (10, 12, 5), (500, 502, 4), (9000, 9000, 1),
+    ]
+    assert got == _py_voptimal(vals, 64, 3)
+
+
+def test_voptimal_constant_and_fewer_cells_than_k(spark):
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    df = spark.createDataFrame([(7,), (7,), (7,)], "x long")
+    rows = voptimal_histogram(df, "x", n_cells=16, k=4).collect()
+    assert len(rows) == 1
+    assert (rows[0].lo, rows[0].hi, rows[0].n_rows, rows[0].sse_micro) == (
+        7, 7, 3, 0,
+    )
+    # 2 distinct values, k=4 -> 2 buckets
+    df2 = spark.createDataFrame([(1,), (100,)], "x long")
+    rows2 = voptimal_histogram(df2, "x", n_cells=16, k=4).collect()
+    assert len(rows2) == 2
+    assert all(r.sse_micro == 0 for r in rows2)
+
+
+def test_voptimal_nulls_and_empty(spark):
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "x long")
+    rows = voptimal_histogram(df, "x", n_cells=8, k=2).collect()
+    assert sum(r.n_rows for r in rows) == 2
+    empty = spark.createDataFrame([(None,)], "x long")
+    assert voptimal_histogram(empty, "x", n_cells=8, k=2).count() == 0
+
+
+def test_voptimal_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    rng = random.Random(555)
+    for trial in range(3):
+        vals = [rng.randrange(0, 1000) for _ in range(150)]
+        # skew: heavy mass near 0
+        vals += [rng.randrange(0, 30) for _ in range(100)]
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "x long"
+        ).repartition(5)
+        rows = voptimal_histogram(df, "x", n_cells=24, k=4).collect()
+        got = sorted(
+            (r.bucket, r.lo, r.hi, r.n_rows, r.sse_micro) for r in rows
+        )
+        assert got == _py_voptimal(vals, 24, 4), f"trial {trial}"
+
+
+def test_voptimal_validation(spark):
+    from nebula_importer_spark.operators.profile import voptimal_histogram
+
+    df = spark.createDataFrame([(1, 1.5)], "x long, f double")
+    with pytest.raises(ValueError, match="n_cells"):
+        voptimal_histogram(df, "x", n_cells=0)
+    with pytest.raises(ValueError, match="k "):
+        voptimal_histogram(df, "x", k=0)
+    with pytest.raises(ValueError, match="must be <="):
+        voptimal_histogram(df, "x", n_cells=2, k=3)
+    with pytest.raises(ValueError, match="not in input"):
+        voptimal_histogram(df, "zzz")
+    with pytest.raises(ValueError, match="integral"):
+        voptimal_histogram(df, "f")
