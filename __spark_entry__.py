@@ -5644,6 +5644,71 @@ def _voptimal_sql(n_cells: int = 32, k: int = 4, scale: int = 10**6) -> str:
     """
 
 
+def q_isotonic_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic calibration of document length → P(lang = en)
+    (operators/metrics.py:isotonic_calibration): the monotone
+    probability fit for the same score auc_doc_length grades — PAV
+    solved in closed form via the Barlow minimax on a ≤16-cell exact
+    sketch, rational means totally ordered through the 10¹⁸-scaled
+    truncating div. fit_micro is nondecreasing by construction."""
+    from nebula_importer_spark.operators.metrics import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return isotonic_calibration(
+        docs, score_col="score", y_col="label", n_cells=16
+    )
+
+
+_ISOTONIC_SQL = """
+    WITH v AS (
+        SELECT n_chars::BIGINT AS x,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    bb AS (
+        SELECT MIN(x)::HUGEINT AS mn,
+               (MAX(x) - MIN(x) + 1)::HUGEINT AS span
+        FROM v
+    ),
+    cells AS MATERIALIZED (
+        SELECT ((x - mn) * 16) // span AS c, COUNT(*)::HUGEINT AS n,
+               SUM(y)::HUGEINT AS sy, MIN(x) AS xlo, MAX(x) AS xhi
+        FROM v, bb GROUP BY 1
+    ),
+    pre AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY c) - 1 AS i,
+               SUM(n) OVER w AS pc, SUM(sy) OVER w AS psy,
+               n, sy, xlo, xhi
+        FROM cells WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)
+    ),
+    starts AS (
+        SELECT i + 1 AS j, pc AS qc, psy AS qs FROM pre
+        UNION ALL
+        SELECT 0 AS j, 0::HUGEINT AS qc, 0::HUGEINT AS qs
+    ),
+    segs AS MATERIALIZED (
+        SELECT s.j, k.i AS k,
+               ((k.psy - s.qs) * 1000000000000000000::HUGEINT)
+                   // (k.pc - s.qc) AS sm
+        FROM pre k JOIN starts s ON s.j <= k.i
+    ),
+    inner_min AS (
+        SELECT p.i, s.j, MIN(s.sm) AS im
+        FROM segs s JOIN pre p ON s.j <= p.i AND p.i <= s.k
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT i, MAX(im) AS f FROM inner_min GROUP BY i)
+    SELECT p.i::BIGINT AS cell, p.xlo::BIGINT AS score_lo,
+           p.xhi::BIGINT AS score_hi, p.n::BIGINT AS n_rows,
+           ((p.sy * 1000000) // p.n)::BIGINT AS mean_micro,
+           (f.f // 1000000000000)::BIGINT AS fit_micro
+    FROM pre p JOIN fit f ON f.i = p.i
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6431,6 +6496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_duels": q_supplier_duels,
         # stats family: V-optimal DP histogram on the bounded cell sketch
         "voptimal_doclen": q_voptimal_doclen,
+        # eval family: exact isotonic calibration (minimax-form PAV)
+        "isotonic_doclen": q_isotonic_doclen,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7795,6 +7862,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend": _EVENTS_TREND_SQL,
         "supplier_duels": _bt_duels_sql(n_rounds=4),
         "voptimal_doclen": _voptimal_sql(n_cells=32, k=4),
+        "isotonic_doclen": _ISOTONIC_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -621,3 +621,152 @@ def test_bradley_terry_validation(spark):
     )
     with pytest.raises(ValueError, match="wins >= 0"):
         bradley_terry(neg)
+
+
+def _py_isotonic(pairs, n_cells, scale=10**6):
+    """Reference: classic PAV with exact Fractions over the same cells,
+    fit re-quantized exactly like the operator (10^18 scaled div, then
+    div to micro)."""
+    from fractions import Fraction
+
+    pts = [(x, y) for x, y in pairs if x is not None and y is not None]
+    if not pts:
+        return []
+    mn = min(x for x, _ in pts)
+    mx = max(x for x, _ in pts)
+    span = mx - mn + 1
+    cells = {}
+    for x, y in pts:
+        c = (x - mn) * n_cells // span
+        st = cells.setdefault(c, [0, 0, x, x])
+        st[0] += 1
+        st[1] += y
+        st[2] = min(st[2], x)
+        st[3] = max(st[3], x)
+    order = sorted(cells)
+    # PAV pooling
+    blocks = [
+        [cells[c][1], cells[c][0], [i]] for i, c in enumerate(order)
+    ]
+    i = 0
+    merged = True
+    while merged:
+        merged = False
+        j = 0
+        while j + 1 < len(blocks):
+            a, b = blocks[j], blocks[j + 1]
+            if Fraction(a[0], a[1]) > Fraction(b[0], b[1]):
+                blocks[j] = [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+                del blocks[j + 1]
+                merged = True
+                if j > 0:
+                    j -= 1
+            else:
+                j += 1
+    out = []
+    for s, n, idxs in blocks:
+        scaled = (s * 10**18) // n  # s >= 0 here
+        fitm = scaled // (10**18 // scale)
+        for i in idxs:
+            c = order[i]
+            st = cells[c]
+            out.append(
+                (
+                    i,
+                    st[2],
+                    st[3],
+                    st[0],
+                    (st[1] * scale) // st[0],
+                    fitm,
+                )
+            )
+    return sorted(out)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from nebula_importer_spark.operators.metrics import isotonic_calibration
+
+    pairs = [(0, 0), (0, 0), (10, 0), (10, 1), (20, 1), (20, 1)]
+    df = spark.createDataFrame(pairs, "s long, y long")
+    rows = isotonic_calibration(
+        df, score_col="s", y_col="y", n_cells=4
+    ).collect()
+    fits = [r.fit_micro for r in rows]
+    means = [r.mean_micro for r in rows]
+    assert fits == means == [0, 500000, 1000000]
+
+
+def test_isotonic_pools_violators(spark):
+    from nebula_importer_spark.operators.metrics import isotonic_calibration
+
+    # middle cell dips: (1.0, 0.0, 1.0) -> pooled middle pair or overall
+    pairs = [(0, 1), (10, 0), (20, 1)]
+    df = spark.createDataFrame(pairs, "s long, y long")
+    rows = isotonic_calibration(
+        df, score_col="s", y_col="y", n_cells=3
+    ).collect()
+    got = [(r.cell, r.n_rows, r.mean_micro, r.fit_micro) for r in rows]
+    assert got == [
+        (0, 1, 1000000, 500000),
+        (1, 1, 0, 500000),
+        (2, 1, 1000000, 1000000),
+    ]
+    expect = _py_isotonic(pairs, 3)
+    full = sorted(
+        (r.cell, r.score_lo, r.score_hi, r.n_rows, r.mean_micro,
+         r.fit_micro)
+        for r in rows
+    )
+    assert full == expect
+
+
+def test_isotonic_random_parity_and_monotone(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import isotonic_calibration
+
+    rng = random.Random(31337)
+    for trial in range(3):
+        pairs = [
+            (rng.randrange(0, 500), rng.randrange(0, 2))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(pairs, "s long, y long").repartition(5)
+        rows = isotonic_calibration(
+            df, score_col="s", y_col="y", n_cells=16
+        ).collect()
+        got = sorted(
+            (r.cell, r.score_lo, r.score_hi, r.n_rows, r.mean_micro,
+             r.fit_micro)
+            for r in rows
+        )
+        assert got == _py_isotonic(pairs, 16), f"trial {trial}"
+        fits = [g[5] for g in got]
+        assert fits == sorted(fits), f"trial {trial}: not monotone"
+
+
+def test_isotonic_nulls_empty_validation(spark):
+    from nebula_importer_spark.operators.metrics import isotonic_calibration
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 1), (2, None)], "s long, y long"
+    )
+    rows = isotonic_calibration(
+        df, score_col="s", y_col="y", n_cells=4
+    ).collect()
+    assert len(rows) == 1 and rows[0].n_rows == 1
+    empty = spark.createDataFrame([(None, None)], "s long, y long")
+    assert (
+        isotonic_calibration(
+            empty, score_col="s", y_col="y", n_cells=4
+        ).count()
+        == 0
+    )
+    f = spark.createDataFrame([(1.5, 1)], "s double, y long")
+    with pytest.raises(ValueError, match="integral"):
+        isotonic_calibration(f, score_col="s", y_col="y")
+    with pytest.raises(ValueError, match="not in input"):
+        isotonic_calibration(f, score_col="zzz", y_col="y")
+    ok = spark.createDataFrame([(1, 1)], "s long, y long")
+    with pytest.raises(ValueError, match="n_cells"):
+        isotonic_calibration(ok, score_col="s", y_col="y", n_cells=0)
