@@ -5709,6 +5709,63 @@ _ISOTONIC_SQL = """
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchases to click/view touches in a
+    30-min lookback (operators/behavior.py:attribution): first/last/
+    linear credit in exact ppm per conversion (linear remainder pinned
+    to the first touch so every model sums to exactly 10⁶). Lookback =
+    the range_self_join bucket trick — candidates scale with temporal
+    density, never |events|²."""
+    from nebula_importer_spark.operators.behavior import attribution
+
+    return attribution(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        window_sec=1800,
+    )
+
+
+_ATTRIBUTION_SQL = """
+    WITH conv AS (
+        SELECT user_id AS u, epoch_us(ts) AS cus, event_id AS cid
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ),
+    t AS (
+        SELECT user_id AS u, epoch_us(ts) AS tus, event_id AS tid,
+               event_type AS tt
+        FROM events
+        WHERE event_type IN ('click', 'view') AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT c.u, c.cid, t.tid, t.tt, t.tus, c.cus - t.tus AS gap
+        FROM conv c JOIN t
+          ON t.u = c.u AND c.cus - t.tus BETWEEN 0 AND 1800000000
+    ),
+    r AS (
+        SELECT u, cid, tid, tt, gap,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY tus ASC, tid ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY cid) AS n
+        FROM p
+    )
+    SELECT u AS user, cid AS conversion_id, tid AS touch_id,
+           tt AS touch_type, gap::BIGINT AS gap_us,
+           n::BIGINT AS n_touches,
+           (CASE WHEN rk = 1 THEN 1000000 ELSE 0 END)::BIGINT
+               AS credit_first_ppm,
+           (CASE WHEN rk = n THEN 1000000 ELSE 0 END)::BIGINT
+               AS credit_last_ppm,
+           (1000000 // n + CASE WHEN rk = 1
+                THEN 1000000 - n * (1000000 // n) ELSE 0 END)::BIGINT
+               AS credit_linear_ppm
+    FROM r
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6498,6 +6555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voptimal_doclen": q_voptimal_doclen,
         # eval family: exact isotonic calibration (minimax-form PAV)
         "isotonic_doclen": q_isotonic_doclen,
+        # behavior family: multi-touch conversion attribution
+        "events_attribution": q_events_attribution,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7863,6 +7922,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_duels": _bt_duels_sql(n_rounds=4),
         "voptimal_doclen": _voptimal_sql(n_cells=32, k=4),
         "isotonic_doclen": _ISOTONIC_SQL,
+        "events_attribution": _ATTRIBUTION_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -390,3 +390,133 @@ def event_paths(
         )
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str,
+    touch_types: list[str],
+    window_sec: float,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multi-touch conversion attribution: for every conversion event,
+    find the user's touch events in the ``window_sec`` lookback and
+    assign credit under the three standard models AT ONCE — first-touch,
+    last-touch, and linear — in exact ppm integers (the analytics layer
+    every funnel owner asks of an event stream; fractional credit models
+    are where float pipelines silently drift, so the linear split is a
+    truncating ``div`` with the remainder pinned to the FIRST touch:
+    credits sum to exactly ``scale`` per conversion under every model).
+
+    Pair semantics: touch qualifies iff ``0 ≤ ts_conv − ts_touch ≤
+    window`` (a touch at the conversion instant counts); touch order
+    within a conversion is the total order ``(ts, id)``, so ranks — and
+    therefore credits — are unique and engine-stable. Conversions with
+    no in-window touch emit nothing (organic conversions are the
+    complement, countable upstream).
+
+    Distributed shape: the lookback join is the range_self_join
+    bucketing — ``bucket = floor(us/window)``, the touch side emits
+    (bucket, bucket+1), ONE (user, bucket) equi-join — so candidates
+    scale with per-user temporal density, never |events|². The per-
+    conversion window (rank + count) partitions on conversion id,
+    bounded by touches-per-window; a mega-user is already split across
+    conversions by construction.
+
+    Returns ``(user, conversion_id, touch_id, touch_type, gap_us,
+    n_touches, credit_first_ppm, credit_last_ppm, credit_linear_ppm)``.
+    """
+    for c in (user_col, ts_col, type_col, id_col):
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in input: {events.columns}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not be a touch type"
+        )
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    from nebula_importer_spark.operators.temporal import (  # noqa: PLC0415
+        _floor_div_us,
+        _us,
+    )
+
+    window_us = int(window_sec * 1_000_000)
+    if window_us < 1:
+        raise ValueError(f"window_sec={window_sec} is below 1 microsecond")
+    base = events.select(
+        F.col(user_col).alias("_k"),
+        _us(F.col(ts_col)).alias("_us"),
+        F.col(type_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_us").isNotNull() & F.col("_k").isNotNull())
+    conv = base.filter(F.col("_t") == conversion_type).select(
+        "_k",
+        F.col("_us").alias("_cus"),
+        F.col("_id").alias("_cid"),
+        _floor_div_us("_us", window_us).alias("_cb"),
+    )
+    touch = (
+        base.filter(F.col("_t").isin(list(touch_types)))
+        .select(
+            "_k",
+            F.col("_us").alias("_tus"),
+            F.col("_id").alias("_tid"),
+            F.col("_t").alias("_ttype"),
+            _floor_div_us("_us", window_us).alias("_tb"),
+        )
+        .withColumn("_jb", F.explode(F.array(F.col("_tb"), F.col("_tb") + 1)))
+        .drop("_tb")
+    )
+    pairs = conv.join(
+        touch,
+        (conv["_k"] == touch["_k"]) & (conv["_cb"] == touch["_jb"]),
+    ).filter(
+        (F.col("_cus") - F.col("_tus") >= 0)
+        & (F.col("_cus") - F.col("_tus") <= window_us)
+    ).select(
+        conv["_k"].alias("user"),
+        "_cid",
+        "_tid",
+        "_ttype",
+        (F.col("_cus") - F.col("_tus")).alias("gap_us"),
+        "_tus",
+    )
+    w_asc = Window.partitionBy("_cid").orderBy("_tus", "_tid")
+    w_cnt = Window.partitionBy("_cid")
+    ranked = pairs.select(
+        "user",
+        F.col("_cid").alias("conversion_id"),
+        F.col("_tid").alias("touch_id"),
+        F.col("_ttype").alias("touch_type"),
+        "gap_us",
+        F.row_number().over(w_asc).alias("_rk"),
+        F.count("*").over(w_cnt).alias("_n"),
+    )
+    share = F.expr(f"{scale} div _n")
+    rem = F.expr(f"{scale} - _n * ({scale} div _n)")
+    return ranked.select(
+        "user",
+        "conversion_id",
+        "touch_id",
+        "touch_type",
+        "gap_us",
+        F.col("_n").cast("long").alias("n_touches"),
+        F.when(F.col("_rk") == 1, F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_first_ppm"),
+        F.when(F.col("_rk") == F.col("_n"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_last_ppm"),
+        (share + F.when(F.col("_rk") == 1, rem).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("credit_linear_ppm"),
+    )

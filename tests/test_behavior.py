@@ -125,3 +125,176 @@ def test_rolling_active_users_window_one_is_dau(spark):
     ev = _events(spark, [(1, "view", 10), (2, "view", 20), (1, "view", DAY)])
     got = {r["day"]: r["n_users"] for r in rolling_active_users(ev, window_days=1).collect()}
     assert got == {0: 2, 1: 1}
+
+
+def _attr_df(spark, rows):
+    from datetime import datetime, timezone
+
+    data = [
+        (
+            u,
+            datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None),
+            t,
+            i,
+        )
+        for u, ts, t, i in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+
+
+def test_attribution_models_and_remainder(spark):
+    from nebula_importer_spark.operators.behavior import attribution
+
+    # user 1: three touches then a purchase; linear split 333333 each,
+    # remainder 1 ppm pinned to the FIRST touch
+    rows = [
+        (1, 100, "click", 10),
+        (1, 200, "view", 11),
+        (1, 300, "click", 12),
+        (1, 400, "purchase", 13),
+        (1, 5000, "click", 14),  # outside any conversion window
+    ]
+    out = attribution(
+        _attr_df(spark, rows),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        window_sec=600,
+    ).collect()
+    got = {r.touch_id: r.asDict() for r in out}
+    assert set(got) == {10, 11, 12}
+    assert all(r["n_touches"] == 3 for r in got.values())
+    assert [got[i]["credit_first_ppm"] for i in (10, 11, 12)] == [
+        1_000_000, 0, 0,
+    ]
+    assert [got[i]["credit_last_ppm"] for i in (10, 11, 12)] == [
+        0, 0, 1_000_000,
+    ]
+    assert [got[i]["credit_linear_ppm"] for i in (10, 11, 12)] == [
+        333334, 333333, 333333,
+    ]
+    assert got[10]["gap_us"] == 300 * 1_000_000
+
+
+def test_attribution_window_boundary_and_instant(spark):
+    from nebula_importer_spark.operators.behavior import attribution
+
+    rows = [
+        (1, 0, "click", 1),       # exactly window away -> included
+        (1, 600, "purchase", 2),
+        (2, 50, "click", 3),
+        (2, 50, "purchase", 4),   # same instant -> included
+        (3, 100, "purchase", 5),  # organic: no touches -> absent
+        (4, 700, "click", 6),     # touch AFTER conversion -> excluded
+        (4, 650, "purchase", 7),
+    ]
+    out = attribution(
+        _attr_df(spark, rows),
+        conversion_type="purchase",
+        touch_types=["click"],
+        window_sec=600,
+    ).collect()
+    got = {(r.conversion_id, r.touch_id) for r in out}
+    assert got == {(2, 1), (4, 3)}
+
+
+def test_attribution_multi_conversion_same_user(spark):
+    from nebula_importer_spark.operators.behavior import attribution
+
+    # one touch feeds both conversions within its window
+    rows = [
+        (1, 100, "click", 1),
+        (1, 200, "purchase", 2),
+        (1, 300, "purchase", 3),
+    ]
+    out = attribution(
+        _attr_df(spark, rows),
+        conversion_type="purchase",
+        touch_types=["click"],
+        window_sec=600,
+    ).collect()
+    assert {(r.conversion_id, r.touch_id) for r in out} == {(2, 1), (3, 1)}
+    assert all(r.credit_linear_ppm == 1_000_000 for r in out)
+
+
+def test_attribution_random_parity(spark):
+    import random
+    from collections import defaultdict
+
+    from nebula_importer_spark.operators.behavior import attribution
+
+    rng = random.Random(2024)
+    rows = []
+    eid = 0
+    for _ in range(300):
+        eid += 1
+        rows.append(
+            (
+                rng.randrange(5),
+                rng.randrange(0, 4000),
+                rng.choice(["click", "view", "purchase", "error"]),
+                eid,
+            )
+        )
+    window = 500
+    out = attribution(
+        _attr_df(spark, rows).repartition(7),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        window_sec=window,
+    ).collect()
+    # python model
+    by_user = defaultdict(list)
+    for u, ts, t, i in rows:
+        by_user[u].append((ts, t, i))
+    expect = {}
+    for u, evs in by_user.items():
+        convs = [(ts, i) for ts, t, i in evs if t == "purchase"]
+        touches = [(ts, t, i) for ts, t, i in evs if t in ("click", "view")]
+        for cts, cid in convs:
+            q = sorted(
+                (ts, i, t)
+                for ts, t, i in touches
+                if 0 <= cts - ts <= window
+            )
+            n = len(q)
+            for rk, (ts, tid, tt) in enumerate(q, 1):
+                lin = 10**6 // n + (10**6 - n * (10**6 // n) if rk == 1 else 0)
+                expect[(cid, tid)] = (
+                    u, tt, (cts - ts) * 10**6, n,
+                    10**6 if rk == 1 else 0,
+                    10**6 if rk == n else 0,
+                    lin,
+                )
+    got = {
+        (r.conversion_id, r.touch_id): (
+            r.user, r.touch_type, r.gap_us, r.n_touches,
+            r.credit_first_ppm, r.credit_last_ppm, r.credit_linear_ppm,
+        )
+        for r in out
+    }
+    assert got == expect
+
+
+def test_attribution_validation(spark):
+    from nebula_importer_spark.operators.behavior import attribution
+
+    df = _attr_df(spark, [(1, 0, "click", 1)])
+    with pytest.raises(ValueError, match="not in input"):
+        attribution(
+            df, user_col="zzz", conversion_type="p", touch_types=["c"],
+            window_sec=10,
+        )
+    with pytest.raises(ValueError, match="touch_types"):
+        attribution(
+            df, conversion_type="p", touch_types=[], window_sec=10
+        )
+    with pytest.raises(ValueError, match="must not be a touch"):
+        attribution(
+            df, conversion_type="c", touch_types=["c"], window_sec=10
+        )
+    with pytest.raises(ValueError, match="below 1 microsecond"):
+        attribution(
+            df, conversion_type="p", touch_types=["c"], window_sec=0
+        )
