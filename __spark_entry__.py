@@ -5766,6 +5766,53 @@ _ATTRIBUTION_SQL = """
 """
 
 
+def q_apportion_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 100k-token budget
+    across document sources ∝ their total characters (operators/
+    sampling.py:apportion_budget) — the exact allocation step feeding
+    token_budget_sample/mix_domains; Σalloc == budget by the quota
+    property, ties key-ASC unique."""
+    from nebula_importer_spark.operators.sampling import apportion_budget
+
+    w = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.sum("n_chars").cast("long").alias("weight"))
+    )
+    return apportion_budget(w, budget=100_000)
+
+
+_APPORTION_SQL = """
+    WITH w AS (
+        SELECT source AS key, SUM(n_chars)::BIGINT AS weight
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(weight)::HUGEINT AS tw FROM w),
+    q AS (
+        SELECT key, weight,
+               CASE WHEN tw > 0
+                    THEN (100000::HUGEINT * weight) // tw ELSE 0 END AS fl,
+               CASE WHEN tw > 0
+                    THEN (100000::HUGEINT * weight) % tw ELSE 0 END AS rem
+        FROM w, t
+    ),
+    l AS (
+        SELECT CASE WHEN (SELECT MAX(tw) FROM t) > 0
+                    THEN 100000 - SUM(fl) ELSE 0 END AS k
+        FROM q
+    ),
+    r AS (
+        SELECT key, weight, fl,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rk
+        FROM q
+    )
+    SELECT key, weight,
+           (fl + CASE WHEN rk <= (SELECT k FROM l)
+                      THEN 1 ELSE 0 END)::BIGINT AS alloc
+    FROM r
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6557,6 +6604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_doclen": q_isotonic_doclen,
         # behavior family: multi-touch conversion attribution
         "events_attribution": q_events_attribution,
+        # sampling family: Hamilton quota budget apportionment
+        "apportion_tokens": q_apportion_tokens,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7923,6 +7972,7 @@ def oracle_sql() -> dict[str, str]:
         "voptimal_doclen": _voptimal_sql(n_cells=32, k=4),
         "isotonic_doclen": _ISOTONIC_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
+        "apportion_tokens": _APPORTION_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

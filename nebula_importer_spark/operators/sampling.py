@@ -410,3 +410,99 @@ def weighted_sample(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    *,
+    budget: int,
+    key_col: str = "key",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``budget`` across strata exactly proportional to non-negative
+    integer ``weights`` — the allocation step BEFORE token_budget_sample
+    / stratified_topk_sample when a corpus plan says "N tokens total,
+    proportional to domain sizes" (seats-in-parliament math applied to
+    token budgets; floats drift, quotas don't).
+
+    Rule: each stratum gets ``floor(budget·w_i / W)``; the leftover
+    ``budget − Σ floors`` seats go one each to the largest remainders
+    ``budget·w_i mod W``, ties broken by key ASC — a UNIQUE, exact,
+    engine-stable allocation with ``Σ alloc == budget`` whenever
+    ``W > 0`` (the quota property: every allocation is the floor or
+    ceiling of its exact proportional share). Zero-weight strata get 0;
+    ``W == 0`` allocates all zeros (visible, not an error). NULL keys/
+    weights are rejected loudly — an allocation row without identity or
+    mass is an upstream bug.
+
+    Distributed shape: the weight table is strata-sized metadata (one
+    row per domain/source — ≤10⁴ even at 100 TB); one 1-row total
+    broadcast, one rank window over the remainder order. Returns
+    ``(key, weight, alloc)``.
+    """
+    for c in (key_col, weight_col):
+        if c not in weights.columns:
+            raise ValueError(
+                f"column {c!r} not in input: {weights.columns}"
+            )
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = weights.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    bad = base.filter(
+        F.col("key").isNull()
+        | F.col("weight").isNull()
+        | (F.col("weight") < 0)
+    ).limit(1)
+    if bad.take(1):
+        raise ValueError(
+            "weights must have non-null keys and weights >= 0"
+        )
+    d38 = "decimal(38,0)"
+    tot = base.agg(F.sum(F.col("weight").cast(d38)).alias("_w"))
+    quota = base.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "weight",
+        F.when(
+            F.col("_w") > 0,
+            F.expr(f"(CAST({budget} AS {d38}) * weight) div _w"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_fl"),
+        F.when(
+            F.col("_w") > 0,
+            F.expr(f"(CAST({budget} AS {d38}) * weight) % _w"),
+        )
+        .otherwise(F.lit(0))
+        .cast(d38)
+        .alias("_rem"),
+        F.col("_w"),
+    )
+    leftover = quota.agg(
+        F.when(
+            F.max("_w") > 0,
+            F.lit(budget) - F.coalesce(F.sum("_fl"), F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_k")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("key"))
+    return (
+        quota.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "key",
+            "weight",
+            (
+                F.col("_fl")
+                + F.when(F.col("_rk") <= F.col("_k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -297,3 +297,93 @@ def test_weighted_sample_plans_takeordered_not_global_sort(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def _py_apportion(pairs, budget):
+    tot = sum(w for _, w in pairs)
+    if tot == 0:
+        return {k: 0 for k, _ in pairs}
+    fl = {k: budget * w // tot for k, w in pairs}
+    rem = {k: budget * w % tot for k, w in pairs}
+    left = budget - sum(fl.values())
+    order = sorted(pairs, key=lambda kw: (-rem[kw[0]], kw[0]))
+    for k, _ in order[:left]:
+        fl[k] += 1
+    return fl
+
+
+def test_apportion_exact_and_sums(spark):
+    from nebula_importer_spark.operators.sampling import apportion_budget
+
+    df = spark.createDataFrame(
+        [("en", 60), ("de", 25), ("fr", 15)], "key string, weight long"
+    )
+    got = {
+        r["key"]: r["alloc"]
+        for r in apportion_budget(df, budget=10).collect()
+    }
+    assert got == {"en": 6, "de": 3, "fr": 1}  # remainders 0, 5, 5 -> de
+    assert sum(got.values()) == 10
+
+
+def test_apportion_tie_and_zero_weight(spark):
+    from nebula_importer_spark.operators.sampling import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("z", 0)], "key string, weight long"
+    )
+    got = {
+        r["key"]: r["alloc"]
+        for r in apportion_budget(df, budget=2).collect()
+    }
+    # remainders tie at 2/3 -> key ASC: a, b get the seats
+    assert got == {"a": 1, "b": 1, "c": 0, "z": 0}
+
+
+def test_apportion_degenerate_and_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.sampling import apportion_budget
+
+    zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "key string, weight long"
+    )
+    got0 = {
+        r["key"]: r["alloc"]
+        for r in apportion_budget(zero, budget=7).collect()
+    }
+    assert got0 == {"a": 0, "b": 0}
+
+    rng = random.Random(12)
+    for _ in range(3):
+        pairs = [
+            (f"k{i:02d}", rng.randrange(0, 50)) for i in range(12)
+        ]
+        budget = rng.randrange(0, 200)
+        df = spark.createDataFrame(
+            pairs, "key string, weight long"
+        ).repartition(4)
+        got = {
+            r["key"]: r["alloc"]
+            for r in apportion_budget(df, budget=budget).collect()
+        }
+        expect = _py_apportion(pairs, budget)
+        assert got == expect
+        if sum(w for _, w in pairs) > 0:
+            assert sum(got.values()) == budget
+
+
+def test_apportion_validation(spark):
+    from nebula_importer_spark.operators.sampling import apportion_budget
+
+    df = spark.createDataFrame([("a", 1)], "key string, weight long")
+    with pytest.raises(ValueError, match="not in input"):
+        apportion_budget(df, budget=1, key_col="zzz")
+    with pytest.raises(ValueError, match="budget"):
+        apportion_budget(df, budget=-1)
+    neg = spark.createDataFrame([("a", -1)], "key string, weight long")
+    with pytest.raises(ValueError, match="weights >= 0"):
+        apportion_budget(neg, budget=1)
+    nul = spark.createDataFrame([(None, 1)], "key string, weight long")
+    with pytest.raises(ValueError, match="non-null"):
+        apportion_budget(nul, budget=1)
