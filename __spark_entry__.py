@@ -5813,6 +5813,94 @@ _APPORTION_SQL = """
 """
 
 
+def q_mondrian_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian k=100 anonymization of customers over QIs (nationkey,
+    floor(acctbal), custkey mod 100) — operators/privacy.py:
+    mondrian_anonymize, the generalization BUILDER next to the
+    privacy-audit family (k-anon/l-div/t-closeness grade what this
+    emits). Bounded-depth deterministic single-cut variant; oracle =
+    the same rounds unrolled with window-median CTEs."""
+    from nebula_importer_spark.operators.privacy import mondrian_anonymize
+
+    qi = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.floor("c_acctbal").cast("long").alias("bal"),
+        (F.col("c_custkey") % 100).cast("long").alias("ck"),
+    )
+    return mondrian_anonymize(qi, ["nat", "bal", "ck"], k=100, rounds=6)
+
+
+def _mondrian_sql(k: int = 100, rounds: int = 6) -> str:
+    """DuckDB twin of q_mondrian_customers: identical widest-span /
+    lower-median / both-sides-≥k rules, each round one block of CTEs
+    (stats → candidate dim → melt → window median → left count →
+    decision → relabel)."""
+    parts = [
+        """WITH rows0 AS MATERIALIZED (
+        SELECT 'r' AS g, c_nationkey::BIGINT AS d0,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS d1,
+               (c_custkey % 100)::BIGINT AS d2
+        FROM customer
+        WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+          AND c_custkey IS NOT NULL
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", st{r} AS MATERIALIZED (
+        SELECT g, COUNT(*) AS n,
+               MIN(d0) AS mn0, MAX(d0) AS mx0,
+               MIN(d1) AS mn1, MAX(d1) AS mx1,
+               MIN(d2) AS mn2, MAX(d2) AS mx2
+        FROM rows{r} GROUP BY g
+    ), cd{r} AS MATERIALIZED (
+        SELECT g,
+               CASE WHEN mx0 - mn0 >= mx1 - mn1
+                     AND mx0 - mn0 >= mx2 - mn2 THEN 0
+                    WHEN mx1 - mn1 >= mx2 - mn2 THEN 1 ELSE 2 END AS dim
+        FROM st{r}
+        WHERE n >= {2 * k}
+          AND GREATEST(mx0 - mn0, mx1 - mn1, mx2 - mn2) > 0
+    ), ml{r} AS MATERIALIZED (
+        SELECT r.g,
+               CASE c.dim WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END AS val
+        FROM rows{r} r JOIN cd{r} c USING (g)
+    ), md{r} AS MATERIALIZED (
+        SELECT g, val AS s FROM (
+            SELECT g, val,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY val) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM ml{r}) WHERE rn = (n - 1) // 2 + 1
+    ), dc{r} AS MATERIALIZED (
+        SELECT c.g, c.dim, m.s
+        FROM cd{r} c JOIN md{r} m USING (g)
+        JOIN (SELECT l.g,
+                     SUM(CASE WHEN l.val <= m2.s THEN 1 ELSE 0 END) AS lf,
+                     COUNT(*) AS nn
+              FROM ml{r} l JOIN md{r} m2 USING (g)
+              GROUP BY l.g) q USING (g)
+        WHERE q.lf >= {k} AND q.nn - q.lf >= {k}
+    ), rows{r + 1} AS MATERIALIZED (
+        SELECT CASE WHEN d.g IS NULL THEN r.g
+                    ELSE r.g || (CASE WHEN (CASE d.dim WHEN 0 THEN d0
+                                            WHEN 1 THEN d1 ELSE d2 END)
+                                       <= d.s
+                                 THEN 'L' ELSE 'R' END)
+               END AS g, d0, d1, d2
+        FROM rows{r} r LEFT JOIN dc{r} d USING (g)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT g AS group_id, COUNT(*)::BIGINT AS n_rows,
+           MIN(d0)::BIGINT AS nat_lo, MAX(d0)::BIGINT AS nat_hi,
+           MIN(d1)::BIGINT AS bal_lo, MAX(d1)::BIGINT AS bal_hi,
+           MIN(d2)::BIGINT AS ck_lo, MAX(d2)::BIGINT AS ck_hi
+    FROM rows{rounds} GROUP BY g"""
+    )
+    return "".join(parts)
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6606,6 +6694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         # sampling family: Hamilton quota budget apportionment
         "apportion_tokens": q_apportion_tokens,
+        # privacy family: Mondrian k-anonymization BUILDER (audits exist)
+        "mondrian_customers": q_mondrian_customers,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -7973,6 +8063,7 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_doclen": _ISOTONIC_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
         "apportion_tokens": _APPORTION_SQL,
+        "mondrian_customers": _mondrian_sql(k=100, rounds=6),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

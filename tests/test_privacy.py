@@ -173,3 +173,127 @@ def test_t_closeness_nulls_and_validation(spark):
         t_closeness_emd(df, ["val"], "val")
     with pytest.raises(ValueError, match="t_threshold_ppm"):
         t_closeness_emd(df, ["seg"], "val", t_threshold_ppm=2_000_000)
+
+
+def _py_mondrian(rows, nd, k, rounds):
+    """Independent model of the deterministic single-cut Mondrian."""
+    groups = {"r": [r for r in rows if all(v is not None for v in r)]}
+    for _ in range(rounds):
+        decs = {}
+        for g, rs in groups.items():
+            n = len(rs)
+            if n < 2 * k:
+                continue
+            spans = [
+                (max(r[i] for r in rs) - min(r[i] for r in rs), i)
+                for i in range(nd)
+            ]
+            span, dim = max(spans, key=lambda t: (t[0], -t[1]))
+            if span <= 0:
+                continue
+            vals = sorted(r[dim] for r in rs)
+            s = vals[(n - 1) // 2]
+            left = sum(1 for r in rs if r[dim] <= s)
+            if left >= k and n - left >= k:
+                decs[g] = (dim, s)
+        if not decs:
+            break
+        nxt = {}
+        for g, rs in groups.items():
+            if g in decs:
+                dim, s = decs[g]
+                nxt.setdefault(g + "L", []).extend(
+                    r for r in rs if r[dim] <= s
+                )
+                nxt.setdefault(g + "R", []).extend(
+                    r for r in rs if r[dim] > s
+                )
+            else:
+                nxt[g] = rs
+        groups = nxt
+    out = []
+    for g, rs in sorted(groups.items()):
+        row = [g, len(rs)]
+        for i in range(nd):
+            row.append(min(r[i] for r in rs))
+            row.append(max(r[i] for r in rs))
+        out.append(tuple(row))
+    return sorted(out)
+
+
+def test_mondrian_basic_split_and_k_floor(spark):
+    from nebula_importer_spark.operators.privacy import mondrian_anonymize
+
+    # 2 clear clusters of 3 along dim a -> one cut at the median
+    rows = [(0, 5), (1, 5), (2, 5), (100, 5), (101, 5), (102, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(
+        (
+            r.group_id, r.n_rows, r.a_lo, r.a_hi, r.b_lo, r.b_hi,
+        )
+        for r in mondrian_anonymize(df, ["a", "b"], k=3).collect()
+    )
+    assert got == [
+        ("rL", 3, 0, 2, 5, 5),
+        ("rR", 3, 100, 102, 5, 5),
+    ]
+    # k = 4 forbids the cut: single root box
+    got4 = mondrian_anonymize(df, ["a", "b"], k=4).collect()
+    assert len(got4) == 1 and got4[0].n_rows == 6
+
+
+def test_mondrian_every_group_at_least_k(spark):
+    import random
+
+    from nebula_importer_spark.operators.privacy import mondrian_anonymize
+
+    rng = random.Random(88)
+    rows = [
+        (rng.randrange(100), rng.randrange(50), rng.randrange(10))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long").repartition(
+        6
+    )
+    out = mondrian_anonymize(df, ["a", "b", "c"], k=20).collect()
+    assert all(r.n_rows >= 20 for r in out)
+    assert sum(r.n_rows for r in out) == 200
+    got = sorted(
+        (
+            r.group_id, r.n_rows, r.a_lo, r.a_hi, r.b_lo, r.b_hi,
+            r.c_lo, r.c_hi,
+        )
+        for r in out
+    )
+    assert got == _py_mondrian(rows, 3, 20, 8)
+
+
+def test_mondrian_tie_heavy_median_blocks_cut(spark):
+    from nebula_importer_spark.operators.privacy import mondrian_anonymize
+
+    # 9 rows at value 0, 1 row at 10: median 0 -> left 9, right 1 < k
+    rows = [(0,)] * 9 + [(10,)]
+    df = spark.createDataFrame(rows, "a long")
+    out = mondrian_anonymize(df, ["a"], k=2).collect()
+    assert len(out) == 1 and out[0].n_rows == 10
+
+
+def test_mondrian_nulls_small_input_validation(spark):
+    from nebula_importer_spark.operators.privacy import mondrian_anonymize
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 2), (3, 3)], "a long, b long"
+    )
+    out = mondrian_anonymize(df, ["a", "b"], k=5).collect()
+    assert len(out) == 1 and out[0].n_rows == 2  # NULL QI dropped, < k kept
+    with pytest.raises(ValueError, match="qi_cols"):
+        mondrian_anonymize(df, [], k=2)
+    with pytest.raises(ValueError, match="duplicate"):
+        mondrian_anonymize(df, ["a", "a"], k=2)
+    with pytest.raises(ValueError, match="k must"):
+        mondrian_anonymize(df, ["a"], k=0)
+    with pytest.raises(ValueError, match="not in input"):
+        mondrian_anonymize(df, ["zzz"], k=2)
+    f = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="integral"):
+        mondrian_anonymize(f, ["x"], k=2)
