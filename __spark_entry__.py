@@ -5901,6 +5901,81 @@ def _mondrian_sql(k: int = 100, rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def q_kg_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-dictionary ambiguity audit over the KG corpus (operators/
+    linking.py:linking_ambiguity): every 'BobN' mention rides a MIN-
+    entity tie-break between person:bobN and person:bobaltN — this row
+    makes that silent resolution VISIBLE (occurrence mass, candidate
+    count, pick, competing-max witness), the dictionary-hygiene report
+    next to kg_conflicts' fact-level one."""
+    from nebula_importer_spark.operators.linking import linking_ambiguity
+    from nebula_importer_spark.transcripts.extract import normalize_mention
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    transcripts, alias_dict, _ = _kg_pipeline_inputs(spark, sf_dir)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(transcripts)
+    mentions = surface.select(
+        normalize_mention(F.col("subj_sf")).alias("mention_norm")
+    ).unionByName(
+        surface.select(
+            normalize_mention(F.col("obj_sf")).alias("mention_norm")
+        )
+    )
+    aliases = alias_dict.select(
+        normalize_mention(F.col("alias")).alias("alias_norm"), "entity_id"
+    )
+    return linking_ambiguity(mentions, aliases)
+
+
+def _kg_ambiguity_sql() -> str:
+    """DuckDB twin of q_kg_ambiguity: the extraction legs + the triples
+    oracle's normalized alias CTE, mention-slot occurrence counts, and
+    per-alias candidate stats."""
+    sur = _kg_extract_docs_sql()
+    norm = "lower(regexp_replace(trim({c}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH sur AS ({sur}),
+        alias AS (
+            SELECT 'ann' || doc_id || ' lee' AS alias_norm,
+                   'person:ann' || doc_id AS entity_id FROM documents
+            UNION ALL SELECT 'acme' || (doc_id % 13) || ' corp',
+                   'org:acme' || (doc_id % 13) FROM documents
+            UNION ALL SELECT 'bob' || doc_id, 'person:bob' || doc_id
+                FROM documents
+            UNION ALL SELECT 'bob' || doc_id, 'person:bobalt' || doc_id
+                FROM documents
+            UNION ALL SELECT 'city' || (doc_id % 7),
+                   'place:city' || (doc_id % 7) FROM documents
+            UNION ALL SELECT 'cara' || doc_id || ' q',
+                   'person:cara' || doc_id FROM documents
+            UNION ALL SELECT 'dan' || doc_id || ' who knows eve',
+                   'person:dan' || doc_id FROM documents
+        ),
+        occ AS (
+            SELECT m AS mention_norm, COUNT(*)::BIGINT AS n_mentions
+            FROM (
+                SELECT {norm.format(c='subj_sf')} AS m FROM sur
+                UNION ALL
+                SELECT {norm.format(c='obj_sf')} FROM sur
+            ) WHERE m IS NOT NULL GROUP BY m
+        ),
+        cand AS (
+            SELECT alias_norm AS mention_norm,
+                   COUNT(*)::BIGINT AS n_candidates,
+                   MIN(entity_id) AS picked_entity,
+                   MAX(entity_id) AS max_entity
+            FROM (SELECT DISTINCT alias_norm, entity_id FROM alias)
+            GROUP BY alias_norm
+        )
+        SELECT o.mention_norm, o.n_mentions, c.n_candidates,
+               c.picked_entity, c.max_entity,
+               (CASE WHEN c.n_candidates >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS ambiguous
+        FROM occ o JOIN cand c USING (mention_norm)
+    """
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6696,6 +6771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apportion_tokens": q_apportion_tokens,
         # privacy family: Mondrian k-anonymization BUILDER (audits exist)
         "mondrian_customers": q_mondrian_customers,
+        # kg family: alias-dictionary ambiguity audit (linking hygiene)
+        "kg_ambiguity": q_kg_ambiguity,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8064,6 +8141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _ATTRIBUTION_SQL,
         "apportion_tokens": _APPORTION_SQL,
         "mondrian_customers": _mondrian_sql(k=100, rounds=6),
+        "kg_ambiguity": _kg_ambiguity_sql(),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -521,3 +521,76 @@ def sorted_neighborhood_pairs(
             (F.col("_rbr") - F.col("_ra")).cast("long").alias("rank_dist"),
         )
     )
+
+
+def linking_ambiguity(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    *,
+    mention_col: str = "mention_norm",
+    alias_col: str = "alias_norm",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Linking-quality audit: for every mention surface form that the
+    alias dictionary CAN resolve, how contested is the resolution? The
+    link_mentions exact path silently settles one-alias-many-entities
+    collisions with MIN(entity_id); this operator makes every such
+    tie-break VISIBLE — the dictionary-hygiene report a KG-construction
+    owner reads before trusting the canonical graph (nebula-importer is
+    handed unambiguous vid mappings in YAML, /root/reference/pkg/spec/
+    v3/node.go; an extraction pipeline must audit what it induced).
+
+    Per resolvable mention: occurrence mass (how many mention slots ride
+    the pick), candidate count, the winning entity under the exact-link
+    MIN rule, and the max-entity witness (so an ambiguous row shows a
+    concrete competing id without collecting the full candidate set —
+    the kg_conflicts min/max-witness discipline).
+
+    Distributed shape: mentions collapse to their distinct-vocabulary
+    counts FIRST (one partial-agg shuffle — the link_mentions
+    vocabulary-distinct discipline), the alias dictionary aggregates to
+    per-alias candidate stats (dimension-sized, broadcast). One
+    broadcast join, no data-sized key ever shuffles twice.
+
+    Returns ``(mention_norm, n_mentions, n_candidates, picked_entity,
+    max_entity, ambiguous)`` — ``ambiguous`` a 0/1 long.
+    """
+    for c, df_, nm in (
+        (mention_col, mentions, "mentions"),
+        (alias_col, alias_dict, "alias_dict"),
+        (entity_col, alias_dict, "alias_dict"),
+    ):
+        if c not in df_.columns:
+            raise ValueError(
+                f"column {c!r} not in {nm}: {df_.columns}"
+            )
+    occ = (
+        mentions.select(F.col(mention_col).alias("mention_norm"))
+        .filter(F.col("mention_norm").isNotNull())
+        .groupBy("mention_norm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
+    cand = (
+        alias_dict.select(
+            F.col(alias_col).alias("mention_norm"),
+            F.col(entity_col).alias("_e"),
+        )
+        .filter(
+            F.col("mention_norm").isNotNull() & F.col("_e").isNotNull()
+        )
+        .distinct()
+        .groupBy("mention_norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.min("_e").alias("picked_entity"),
+            F.max("_e").alias("max_entity"),
+        )
+    )
+    return occ.join(F.broadcast(cand), "mention_norm").select(
+        "mention_norm",
+        "n_mentions",
+        "n_candidates",
+        "picked_entity",
+        "max_entity",
+        (F.col("n_candidates") >= 2).cast("long").alias("ambiguous"),
+    )

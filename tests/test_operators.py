@@ -784,3 +784,49 @@ def test_voptimal_validation(spark):
         voptimal_histogram(df, "zzz")
     with pytest.raises(ValueError, match="integral"):
         voptimal_histogram(df, "f")
+
+
+def test_linking_ambiguity_counts_and_witnesses(spark):
+    from nebula_importer_spark.operators.linking import linking_ambiguity
+
+    mentions = spark.createDataFrame(
+        [("bob",), ("bob",), ("bob",), ("ann",), ("ghost",), (None,)],
+        "mention_norm string",
+    )
+    aliases = spark.createDataFrame(
+        [
+            ("bob", "person:bob"),
+            ("bob", "person:bobalt"),
+            ("bob", "person:bob"),       # duplicate row collapses
+            ("ann", "person:ann"),
+            ("unused", "person:x"),
+        ],
+        "alias_norm string, entity_id string",
+    )
+    got = {
+        r.mention_norm: r.asDict()
+        for r in linking_ambiguity(mentions, aliases).collect()
+    }
+    # ghost (no alias) and NULL are absent; unused alias absent
+    assert set(got) == {"bob", "ann"}
+    b = got["bob"]
+    assert b["n_mentions"] == 3 and b["n_candidates"] == 2
+    assert b["picked_entity"] == "person:bob"
+    assert b["max_entity"] == "person:bobalt"
+    assert b["ambiguous"] == 1
+    a = got["ann"]
+    assert (a["n_candidates"], a["ambiguous"]) == (1, 0)
+    assert a["picked_entity"] == a["max_entity"] == "person:ann"
+
+
+def test_linking_ambiguity_validation(spark):
+    from nebula_importer_spark.operators.linking import linking_ambiguity
+
+    m = spark.createDataFrame([("x",)], "mention_norm string")
+    a = spark.createDataFrame(
+        [("x", "e")], "alias_norm string, entity_id string"
+    )
+    with pytest.raises(ValueError, match="not in mentions"):
+        linking_ambiguity(m, a, mention_col="zzz")
+    with pytest.raises(ValueError, match="not in alias_dict"):
+        linking_ambiguity(m, a, entity_col="zzz")
