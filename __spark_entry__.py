@@ -5976,6 +5976,70 @@ def _kg_ambiguity_sql() -> str:
     """
 
 
+def q_kg_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path layering of the KG containment DAG (operators/
+    graph.py:dag_layers) — the kg_closure edge set (order→customer→
+    nation→region PLUS the order→nation shortcut, so the LONGEST-path
+    semantics are actually exercised: nations sit at layer 2 despite
+    the depth-1 shortcut). The topological level sets a loader/
+    scheduler runs in parallel waves; raises on cycles."""
+    from nebula_importer_spark.operators.graph import dag_layers
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    e = (
+        orders.select(
+            F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("c_"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n_"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r_"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return dag_layers(e, max_rounds=8)
+
+
+_KG_LAYERS_SQL = """
+    WITH RECURSIVE ed AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 'o_' || o_orderkey AS src, 'c_' || o_custkey AS dst
+            FROM orders
+            UNION ALL
+            SELECT 'o_' || o_orderkey, 'n_' || c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            UNION ALL
+            SELECT 'c_' || c_custkey, 'n_' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n_' || n_nationkey, 'r_' || n_regionkey FROM nation
+        )
+    ),
+    nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+    p AS (
+        SELECT v, 0 AS len FROM nodes
+        UNION
+        SELECT e.dst, p.len + 1 FROM p JOIN ed e ON e.src = p.v
+        WHERE p.len < 8
+    )
+    SELECT v AS node, MAX(len)::BIGINT AS layer FROM p GROUP BY v
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6773,6 +6837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mondrian_customers": q_mondrian_customers,
         # kg family: alias-dictionary ambiguity audit (linking hygiene)
         "kg_ambiguity": q_kg_ambiguity,
+        # graph family: critical-path DAG layering (+ cycle detector)
+        "kg_layers": q_kg_layers,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8142,6 +8208,7 @@ def oracle_sql() -> dict[str, str]:
         "apportion_tokens": _APPORTION_SQL,
         "mondrian_customers": _mondrian_sql(k=100, rounds=6),
         "kg_ambiguity": _kg_ambiguity_sql(),
+        "kg_layers": _KG_LAYERS_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

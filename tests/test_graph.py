@@ -1620,3 +1620,66 @@ def test_scc_random_parity(spark):
         }
         expect = {k: v for k, v in expect.items() if k in keep}
         assert got == expect, f"trial {trial}: {sorted(edges)}"
+
+
+def test_dag_layers_chain_and_diamond(spark):
+    from nebula_importer_spark.operators.graph import dag_layers
+
+    # diamond with a shortcut: layer = LONGEST path, so d is 2 not 1
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["layer"] for r in dag_layers(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_dag_layers_cycle_and_selfloop_raise(spark):
+    from nebula_importer_spark.operators.graph import dag_layers
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="not a DAG"):
+        dag_layers(cyc, max_rounds=10)
+    loop = spark.createDataFrame(
+        [("a", "b"), ("b", "b")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="self-loop"):
+        dag_layers(loop)
+
+
+def test_dag_layers_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import dag_layers
+
+    rng = random.Random(606)
+    n = 25
+    # random DAG: edges only i -> j with i < j
+    edges = list(
+        {
+            (f"v{a:02d}", f"v{b:02d}")
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["layer"] for r in dag_layers(e).collect()}
+    # python longest-path
+    from collections import defaultdict
+
+    inn = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        inn[v].append(u)
+        nodes.update((u, v))
+    layer = {}
+
+    def depth(v):
+        if v not in layer:
+            layer[v] = (
+                1 + max(depth(u) for u in inn[v]) if inn[v] else 0
+            )
+        return layer[v]
+
+    expect = {v: depth(v) for v in nodes}
+    assert got == expect
