@@ -6040,6 +6040,75 @@ _KG_LAYERS_SQL = """
 """
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/dq.py:benford_audit) over
+    floor(o_totalprice) — a multiplicative amount, Benford-conforming —
+    vs o_custkey — uniform, loudly non-conforming: the forensic DQ
+    contrast in one result. String-rendered leading digits (no float
+    log in either engine), ppm constants, cleared-denominator chi²."""
+    from nebula_importer_spark.operators.dq import benford_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("price"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    return benford_audit(o, ["price", "custkey"])
+
+
+def _benford_sql() -> str:
+    from nebula_importer_spark.operators.dq import BENFORD_PPM
+
+    grid = ", ".join(f"({d}, {e})" for d, e in BENFORD_PPM.items())
+    legs = []
+    for name, expr in (
+        ("price", "CAST(FLOOR(o_totalprice) AS BIGINT)"),
+        ("custkey", "o_custkey::BIGINT"),
+    ):
+        legs.append(f"""
+            SELECT '{name}' AS col, {expr} AS v FROM orders""")
+    return f"""
+    WITH m AS ({" UNION ALL ".join(legs)}),
+    cnt AS (
+        SELECT col,
+               SUM(CASE WHEN v IS NOT NULL AND v <> 0
+                   THEN 1 ELSE 0 END)::BIGINT AS n_total,
+               SUM(CASE WHEN v IS NULL OR v = 0
+                   THEN 1 ELSE 0 END)::BIGINT AS n_excluded
+        FROM m GROUP BY col HAVING SUM(CASE WHEN v IS NOT NULL AND v <> 0
+                                       THEN 1 ELSE 0 END) > 0
+    ),
+    pd AS (
+        SELECT col, CAST(SUBSTR(CAST(ABS(v) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+               COUNT(*)::BIGINT AS n_obs
+        FROM m WHERE v IS NOT NULL AND v <> 0 GROUP BY 1, 2
+    ),
+    grid(digit, expected_ppm) AS (VALUES {grid}),
+    dense AS (
+        SELECT c.col, g.digit, COALESCE(pd.n_obs, 0)::BIGINT AS n_obs,
+               g.expected_ppm::BIGINT AS expected_ppm,
+               c.n_total, c.n_excluded
+        FROM cnt c CROSS JOIN grid g
+        LEFT JOIN pd ON pd.col = c.col AND pd.digit = g.digit
+    ),
+    chi AS (
+        SELECT col,
+               SUM((n_obs::HUGEINT * 1000000 - n_total::HUGEINT
+                    * expected_ppm)
+                   * (n_obs::HUGEINT * 1000000 - n_total::HUGEINT
+                      * expected_ppm)
+                   // (n_total::HUGEINT * expected_ppm))::BIGINT
+                   AS chi2_scaled
+        FROM dense GROUP BY col
+    )
+    SELECT d.col AS "column", d.digit, d.n_obs,
+           ((d.n_obs::HUGEINT * 1000000) // d.n_total)::BIGINT
+               AS observed_ppm,
+           d.expected_ppm, chi.chi2_scaled, d.n_total, d.n_excluded
+    FROM dense d JOIN chi ON chi.col = d.col
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6839,6 +6908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ambiguity": q_kg_ambiguity,
         # graph family: critical-path DAG layering (+ cycle detector)
         "kg_layers": q_kg_layers,
+        # dq family: Benford first-digit forensic audit
+        "benford_orders": q_benford_orders,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8209,6 +8280,7 @@ def oracle_sql() -> dict[str, str]:
         "mondrian_customers": _mondrian_sql(k=100, rounds=6),
         "kg_ambiguity": _kg_ambiguity_sql(),
         "kg_layers": _KG_LAYERS_SQL,
+        "benford_orders": _benford_sql(),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -306,3 +306,121 @@ def table_diff(
     return agg.select(F.explode(F.array(*rows)).alias("_s")).select(
         "_s.metric", F.col("_s.n").cast("long").alias("n")
     )
+
+
+#: floor(log10(1 + 1/d) · 10^6) for d = 1..9 — Benford's law in exact ppm.
+#: Precomputed plan CONSTANTS (no runtime log, no float in either engine).
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data and unit-mixup detector for
+    amount-like columns (Nigrini's forensic-accounting test applied to
+    pipeline DQ: a column whose digits suddenly stop being Benford has
+    usually changed units, pipelines, or honesty upstream).
+
+    Exact everywhere: the leading digit comes from the integer's STRING
+    rendering (no log10 float — both engines render longs identically),
+    expected frequencies are precomputed ppm constants, and the per-
+    column distance is the cleared-denominator chi-square analogue
+    ``chi2_scaled = Σ_d (O_d·10⁶ − N·e_d)² div (N·e_d)`` — one
+    truncating DECIMAL(38,0) div per digit, order-free. Zero and NULL
+    values are excluded (they have no significant digit) and counted;
+    MISSING digits still emit a row with ``n_obs = 0`` (an absent digit
+    is the loudest Benford signal, so the 9-digit grid is dense).
+
+    Integral columns only (quantize floats caller-side — floor a price
+    to cents/dollars first). One melt pass + one (column, digit) agg —
+    at most ``9·len(cols)`` result rows; a broadcast 9-row grid join
+    densifies. Columns with no qualifying rows are absent entirely.
+
+    Returns ``(column, digit, n_obs, observed_ppm, expected_ppm,
+    chi2_scaled, n_total, n_excluded)``.
+    """
+    from pyspark.sql import types as T
+
+    if not cols:
+        raise ValueError("benford_audit needs at least one column")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"column {c!r} must be integral (got {by_name[c]}) — "
+                "quantize floats caller-side"
+            )
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    legs = [
+        df.select(
+            F.lit(c).alias("column"),
+            F.substring(F.abs(F.col(c)).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+            F.when(
+                F.col(c).isNull() | (F.col(c) == 0), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("_ex"),
+        )
+        for c in cols
+    ]
+    melted = legs[0]
+    for leg in legs[1:]:
+        melted = melted.unionByName(leg)
+    counts = (
+        melted.groupBy("column")
+        .agg(
+            F.sum(F.lit(1) - F.col("_ex")).cast("long").alias("n_total"),
+            F.sum("_ex").cast("long").alias("n_excluded"),
+        )
+        .filter(F.col("n_total") > 0)
+    )
+    per_digit = (
+        melted.filter(F.col("_ex") == 0)
+        .groupBy("column", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    grid = spark.createDataFrame(
+        [(d, e) for d, e in BENFORD_PPM.items()],
+        "digit long, expected_ppm long",
+    )
+    dense = (
+        counts.crossJoin(F.broadcast(grid))
+        .join(per_digit, ["column", "digit"], "left")
+        .select(
+            "column",
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "expected_ppm",
+            "n_total",
+            "n_excluded",
+        )
+    )
+    term = F.expr(
+        f"((CAST(n_obs AS {d38}) * 1000000 - CAST(n_total AS {d38}) *"
+        f" expected_ppm) * (CAST(n_obs AS {d38}) * 1000000 -"
+        f" CAST(n_total AS {d38}) * expected_ppm))"
+        f" div (CAST(n_total AS {d38}) * expected_ppm)"
+    )
+    chi = dense.select("column", term.alias("_t")).groupBy("column").agg(
+        F.sum("_t").cast("long").alias("chi2_scaled")
+    )
+    return dense.join(F.broadcast(chi), "column").select(
+        "column",
+        "digit",
+        "n_obs",
+        F.expr("(CAST(n_obs AS DECIMAL(38,0)) * 1000000) div n_total")
+        .cast("long")
+        .alias("observed_ppm"),
+        "expected_ppm",
+        "chi2_scaled",
+        "n_total",
+        "n_excluded",
+    )

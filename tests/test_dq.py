@@ -108,3 +108,99 @@ def test_table_diff_validation(spark):
         table_diff(df, df, [])
     with pytest.raises(ValueError, match="both frames"):
         table_diff(df, df.withColumnRenamed("k", "kk"), ["k"])
+
+
+def _py_benford(colvals):
+    from nebula_importer_spark.operators.dq import BENFORD_PPM
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    out = {}
+    for c, vals in colvals.items():
+        good = [v for v in vals if v is not None and v != 0]
+        if not good:
+            continue
+        n = len(good)
+        nex = len(vals) - n
+        obs = {d: 0 for d in range(1, 10)}
+        for v in good:
+            obs[int(str(abs(v))[0])] += 1
+        chi = sum(
+            tdiv(
+                (obs[d] * 10**6 - n * e) ** 2, n * e
+            )
+            for d, e in BENFORD_PPM.items()
+        )
+        for d, e in BENFORD_PPM.items():
+            out[(c, d)] = (
+                obs[d], tdiv(obs[d] * 10**6, n), e, chi, n, nex,
+            )
+    return out
+
+
+def test_benford_digits_and_grid_density(spark):
+    from nebula_importer_spark.operators.dq import benford_audit
+
+    df = spark.createDataFrame(
+        [(123, 9), (19, 9), (205, 9), (None, 9), (0, 9), (-310, 9)],
+        "a long, b long",
+    )
+    rows = benford_audit(df, ["a", "b"]).collect()
+    got = {(r["column"], r.digit): r.asDict() for r in rows}
+    # dense 9-digit grid per column
+    assert len(rows) == 18
+    a1 = got[("a", 1)]
+    assert a1["n_obs"] == 2  # 123, 19
+    assert a1["n_total"] == 4 and a1["n_excluded"] == 2
+    assert got[("a", 2)]["n_obs"] == 1  # 205
+    assert got[("a", 3)]["n_obs"] == 1  # -310 -> abs
+    assert got[("a", 4)]["n_obs"] == 0  # dense zero row
+    assert got[("b", 9)]["n_obs"] == 6 and got[("b", 9)]["n_total"] == 6
+    expect = _py_benford({"a": [123, 19, 205, None, 0, -310],
+                          "b": [9] * 6})
+    for k, e in expect.items():
+        g = got[k]
+        assert (
+            g["n_obs"], g["observed_ppm"], g["expected_ppm"],
+            g["chi2_scaled"], g["n_total"], g["n_excluded"],
+        ) == e, k
+
+
+def test_benford_conforming_vs_uniform_chi2(spark):
+    import random
+
+    from nebula_importer_spark.operators.dq import benford_audit
+
+    rng = random.Random(7)
+    # log-uniform values are Benford-conforming; uniform values are not
+    benford = [int(10 ** (rng.uniform(1, 6))) for _ in range(2000)]
+    uniform = [rng.randrange(10**5, 10**6) for _ in range(2000)]
+    df = spark.createDataFrame(
+        list(zip(benford, uniform)), "good long, bad long"
+    ).repartition(5)
+    rows = benford_audit(df, ["good", "bad"]).collect()
+    chi = {r["column"]: r["chi2_scaled"] for r in rows}
+    assert chi["bad"] > 10 * chi["good"]
+    expect = _py_benford({"good": benford, "bad": uniform})
+    got = {(r["column"], r["digit"]): r for r in rows}
+    for k, e in expect.items():
+        g = got[k]
+        assert (
+            g["n_obs"], g["observed_ppm"], g["expected_ppm"],
+            g["chi2_scaled"], g["n_total"], g["n_excluded"],
+        ) == e, k
+
+
+def test_benford_all_excluded_and_validation(spark):
+    from nebula_importer_spark.operators.dq import benford_audit
+
+    df = spark.createDataFrame([(0, 1.5)], "z long, f double")
+    assert benford_audit(df, ["z"]).count() == 0  # no qualifying rows
+    with pytest.raises(ValueError, match="at least one"):
+        benford_audit(df, [])
+    with pytest.raises(ValueError, match="not in input"):
+        benford_audit(df, ["zzz"])
+    with pytest.raises(ValueError, match="integral"):
+        benford_audit(df, ["f"])
