@@ -6109,6 +6109,59 @@ def _benford_sql() -> str:
 """
 
 
+def q_conv_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Gini-Simpson participation diversity
+    (transcripts/analytics.py:conv_diversity): role evenness, dominant-
+    role share, and the tool twin — the SFT-filter feature conv_stats'
+    raw counts don't give; chosen over Shannon entropy because
+    1 − Σpᵢ² is RATIONAL in the counts → one exact truncating div,
+    engine-proof where ln is not."""
+    from nebula_importer_spark.transcripts.analytics import conv_diversity
+
+    return conv_diversity(_synth_transcripts(spark, sf_dir))
+
+
+_CONV_DIVERSITY_SQL = f"""
+    WITH {_TRANSCRIPTS_CTE},
+    rc AS (
+        SELECT conv_id, role AS r, COUNT(*)::HUGEINT AS c
+        FROM tr GROUP BY 1, 2
+    ),
+    roles AS (
+        SELECT conv_id, SUM(c) AS n_turns, COUNT(*)::BIGINT AS n_roles,
+               SUM(c * c) AS ss, MAX(c) AS mx
+        FROM rc GROUP BY conv_id
+    ),
+    top AS (
+        SELECT rc.conv_id, MIN(rc.r) AS dominant_role
+        FROM rc JOIN roles USING (conv_id)
+        WHERE rc.c = roles.mx GROUP BY rc.conv_id
+    ),
+    tc AS (
+        SELECT conv_id, tool AS t, COUNT(*)::HUGEINT AS c
+        FROM tr WHERE tool IS NOT NULL GROUP BY 1, 2
+    ),
+    tools AS (
+        SELECT conv_id, SUM(c) AS n_tool_calls,
+               COUNT(*)::BIGINT AS n_tools, SUM(c * c) AS tss
+        FROM tc GROUP BY conv_id
+    )
+    SELECT r.conv_id, r.n_turns::BIGINT AS n_turns, r.n_roles,
+           ((r.n_turns * r.n_turns - r.ss) * 1000000
+            // (r.n_turns * r.n_turns))::BIGINT AS role_gini_ppm,
+           t.dominant_role,
+           ((r.mx * 1000000) // r.n_turns)::BIGINT AS dominant_share_ppm,
+           COALESCE(x.n_tool_calls, 0)::BIGINT AS n_tool_calls,
+           COALESCE(x.n_tools, 0)::BIGINT AS n_tools,
+           (CASE WHEN x.n_tool_calls > 0
+                 THEN (x.n_tool_calls * x.n_tool_calls - x.tss) * 1000000
+                      // (x.n_tool_calls * x.n_tool_calls) END)::BIGINT
+               AS tool_gini_ppm
+    FROM roles r JOIN top t USING (conv_id)
+    LEFT JOIN tools x USING (conv_id)
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6910,6 +6963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_layers": q_kg_layers,
         # dq family: Benford first-digit forensic audit
         "benford_orders": q_benford_orders,
+        # transcripts family: Gini-Simpson participation diversity
+        "conv_diversity": q_conv_diversity,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8281,6 +8336,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ambiguity": _kg_ambiguity_sql(),
         "kg_layers": _KG_LAYERS_SQL,
         "benford_orders": _benford_sql(),
+        "conv_diversity": _CONV_DIVERSITY_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

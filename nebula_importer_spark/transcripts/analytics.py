@@ -384,3 +384,108 @@ def context_suffix(
         F.max(turn).cast("int").alias("last_turn"),
         F.sum("_tok").cast("long").alias("tokens_kept"),
     )
+
+
+def conv_diversity(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-conversation participation diversity — the SFT-filter feature
+    conv_stats' raw counts don't give directly: how evenly are turns
+    spread across roles, and tool calls across tools? Measured with the
+    GINI-SIMPSON index ``1 − Σ pᵢ²`` instead of Shannon entropy
+    deliberately: it is a RATIONAL function of the counts, so
+    ``(n² − Σcᵢ²)·scale div n²`` is one exact truncating DECIMAL(38,0)
+    div — engine/partition-proof where a float ``ln`` is not (the
+    monologue→0, uniform→(k−1)/k reading is the same).
+
+    Also emits the dominant share ``max cᵢ·scale div n`` (the
+    "one role does all the talking" flag) with the min-role tie-break,
+    and the tool twin over non-NULL tool calls (NULL diversity when the
+    conversation never calls a tool — visible, not a fake 0).
+
+    Distributed shape: one (conv, role) partial agg + one conv agg (and
+    the tool twin), then one equi-join of two conversation-keyed frames
+    — the conv_stats discipline; nothing data-sized shuffles twice.
+
+    Returns ``(conv_id, n_turns, n_roles, role_gini_ppm,
+    dominant_role, dominant_share_ppm, n_tool_calls, n_tools,
+    tool_gini_ppm)``.
+    """
+    for c in (conv_col, role_col, tool_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    d38 = "decimal(38,0)"
+
+    def _gini(sum_sq: str, n: str) -> F.Column:
+        return F.expr(
+            f"((CAST({n} AS {d38}) * {n} - {sum_sq}) * {scale})"
+            f" div (CAST({n} AS {d38}) * {n})"
+        ).cast("long")
+
+    rc = (
+        df.select(F.col(conv_col).alias("conv_id"), F.col(role_col).alias(
+            "_r"))
+        .groupBy("conv_id", "_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    roles = rc.groupBy("conv_id").agg(
+        F.sum("_c").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_roles"),
+        F.sum(F.col("_c").cast(d38) * F.col("_c").cast(d38)).alias("_ss"),
+        F.max(F.struct(F.col("_c"), F.col("_r"))).alias("_dom"),
+    )
+    # struct max = (max count, max role) — flip role for a MIN-role
+    # tie-break by re-aggregating on the negated comparison? Simpler:
+    # max(struct(c, r)) breaks count ties toward the LARGER role string;
+    # redo with min over candidates at max count for a stable MIN rule.
+    top = rc.join(
+        roles.select("conv_id", F.col("_dom._c").alias("_mx")),
+        "conv_id",
+    ).filter(F.col("_c") == F.col("_mx")).groupBy("conv_id").agg(
+        F.min("_r").alias("dominant_role")
+    )
+    tc = (
+        df.filter(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("conv_id"), F.col(tool_col).alias("_t")
+        )
+        .groupBy("conv_id", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    tools = tc.groupBy("conv_id").agg(
+        F.sum("_c").cast("long").alias("n_tool_calls"),
+        F.count(F.lit(1)).cast("long").alias("n_tools"),
+        F.sum(F.col("_c").cast(d38) * F.col("_c").cast(d38)).alias("_tss"),
+    )
+    return (
+        roles.join(top, "conv_id")
+        .join(tools, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_roles",
+            _gini("_ss", "n_turns").alias("role_gini_ppm"),
+            "dominant_role",
+            F.expr(
+                f"(CAST(_dom._c AS {d38}) * {scale}) div n_turns"
+            )
+            .cast("long")
+            .alias("dominant_share_ppm"),
+            F.coalesce("n_tool_calls", F.lit(0))
+            .cast("long")
+            .alias("n_tool_calls"),
+            F.coalesce("n_tools", F.lit(0)).cast("long").alias("n_tools"),
+            F.when(
+                F.col("n_tool_calls") > 0, _gini("_tss", "n_tool_calls")
+            )
+            .cast("long")
+            .alias("tool_gini_ppm"),
+        )
+    )

@@ -365,3 +365,97 @@ def test_event_paths_validation(spark):
         event_paths(df, n=1)
     with pytest.raises(ValueError, match="min_count"):
         event_paths(df, min_count=0)
+
+
+def test_conv_diversity_closed_cases(spark):
+    from nebula_importer_spark.transcripts.analytics import conv_diversity
+
+    rows = [
+        # c1: 2 user + 2 assistant -> gini = 1 - 2*(1/2)^2 = 0.5
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", "t1"),
+        ("c1", 2, "user", None),
+        ("c1", 3, "assistant", "t1"),
+        # c2: monologue -> gini 0, dominant share 1e6, no tools
+        ("c2", 0, "user", None),
+        ("c2", 1, "user", None),
+        # c3: tie between roles -> dominant = min role name
+        ("c3", 0, "user", "a"),
+        ("c3", 1, "assistant", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {r.conv_id: r.asDict() for r in conv_diversity(df).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_roles"]) == (4, 2)
+    assert c1["role_gini_ppm"] == 500000
+    assert c1["dominant_share_ppm"] == 500000
+    assert c1["n_tool_calls"] == 2 and c1["n_tools"] == 1
+    assert c1["tool_gini_ppm"] == 0  # single tool -> no diversity
+    c2 = got["c2"]
+    assert c2["role_gini_ppm"] == 0
+    assert c2["dominant_share_ppm"] == 1_000_000
+    assert c2["n_tool_calls"] == 0 and c2["tool_gini_ppm"] is None
+    c3 = got["c3"]
+    assert c3["dominant_role"] == "assistant"  # tie -> min role
+    assert c3["tool_gini_ppm"] == 500000  # two distinct tools
+
+
+def test_conv_diversity_random_parity(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from nebula_importer_spark.transcripts.analytics import conv_diversity
+
+    rng = random.Random(321)
+    rows = []
+    for _ in range(400):
+        c = f"c{rng.randrange(8)}"
+        role = rng.choice(["user", "assistant", "tool", "system"])
+        tool = (
+            f"t{rng.randrange(3)}" if rng.random() < 0.3 else None
+        )
+        rows.append((c, 0, role, tool))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    ).repartition(5)
+    got = {r.conv_id: r.asDict() for r in conv_diversity(df).collect()}
+    by_conv = defaultdict(list)
+    for c, _, role, tool in rows:
+        by_conv[c].append((role, tool))
+    for c, evs in by_conv.items():
+        rcnt = Counter(r for r, _ in evs)
+        n = len(evs)
+        g = got[c]
+        assert g["n_turns"] == n and g["n_roles"] == len(rcnt)
+        ss = sum(v * v for v in rcnt.values())
+        assert g["role_gini_ppm"] == (n * n - ss) * 10**6 // (n * n)
+        mx = max(rcnt.values())
+        assert g["dominant_role"] == min(
+            r for r, v in rcnt.items() if v == mx
+        )
+        assert g["dominant_share_ppm"] == mx * 10**6 // n
+        tcnt = Counter(t for _, t in evs if t is not None)
+        tn = sum(tcnt.values())
+        assert g["n_tool_calls"] == tn and g["n_tools"] == len(tcnt)
+        if tn:
+            tss = sum(v * v for v in tcnt.values())
+            assert g["tool_gini_ppm"] == (tn * tn - tss) * 10**6 // (
+                tn * tn
+            )
+        else:
+            assert g["tool_gini_ppm"] is None
+
+
+def test_conv_diversity_validation(spark):
+    from nebula_importer_spark.transcripts.analytics import conv_diversity
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", None)],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    with pytest.raises(ValueError, match="not in input"):
+        conv_diversity(df, role_col="zzz")
+    with pytest.raises(ValueError, match="scale"):
+        conv_diversity(df, scale=0)
