@@ -6162,6 +6162,85 @@ _CONV_DIVERSITY_SQL = f"""
 """
 
 
+def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime curve (operators/behavior.py:
+    kaplan_meier): duration = days between a customer's first and last
+    order, event = 1 (churned) iff the last order predates the corpus
+    horizon minus 90 days, else right-censored — the retention curve
+    every product/capacity review asks of a purchase history.
+    Micro-quantized product recurrence, folded JVM-side over the
+    bounded day table."""
+    from nebula_importer_spark.operators.behavior import kaplan_meier
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("_day"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("_day").alias("_mn"), F.max("_day").alias("_mx"))
+    )
+    horizon = per_cust.agg(F.max("_mx").alias("_gm"))
+    subjects = per_cust.crossJoin(F.broadcast(horizon)).select(
+        (F.col("_mx") - F.col("_mn")).alias("duration"),
+        (F.col("_mx") < F.col("_gm") - 90).cast("long").alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
+_USER_SURVIVAL_SQL = """
+    WITH RECURSIVE u AS (
+        SELECT o_custkey,
+               MIN(datediff('day', DATE '1992-01-01', o_orderdate)) AS mn,
+               MAX(datediff('day', DATE '1992-01-01', o_orderdate)) AS mx
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(mx) AS gm FROM u),
+    s AS (
+        SELECT mx - mn AS t,
+               CASE WHEN mx < gm - 90 THEN 1 ELSE 0 END AS e
+        FROM u, g
+    ),
+    d AS (
+        SELECT t, SUM(e)::HUGEINT AS d, SUM(1 - e)::HUGEINT AS c
+        FROM s GROUP BY t
+    ),
+    tot AS (SELECT COUNT(*)::HUGEINT AS n FROM s),
+    r AS (
+        SELECT t, d, c,
+               (SELECT n FROM tot)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n
+        FROM d
+    ),
+    ev AS (
+        SELECT t, n, d, c, ROW_NUMBER() OVER (ORDER BY t) AS i
+        FROM r WHERE d > 0
+    ),
+    km AS (
+        SELECT i, t, n, d, c,
+               (1000000::HUGEINT * (n - d)) // n AS sv
+        FROM ev WHERE i = 1
+        UNION ALL
+        SELECT e.i, e.t, e.n, e.d, e.c, (k.sv * (e.n - e.d)) // e.n
+        FROM km k JOIN ev e ON e.i = k.i + 1
+    )
+    SELECT t::BIGINT AS t, n::BIGINT AS n_risk, d::BIGINT AS n_events,
+           c::BIGINT AS n_censored, sv::BIGINT AS survival_micro
+    FROM km
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -6965,6 +7044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         # transcripts family: Gini-Simpson participation diversity
         "conv_diversity": q_conv_diversity,
+        # behavior family: Kaplan-Meier survival / churn curve
+        "user_survival": q_user_survival,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8337,6 +8418,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_layers": _KG_LAYERS_SQL,
         "benford_orders": _benford_sql(),
         "conv_diversity": _CONV_DIVERSITY_SQL,
+        "user_survival": _USER_SURVIVAL_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

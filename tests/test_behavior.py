@@ -298,3 +298,101 @@ def test_attribution_validation(spark):
         attribution(
             df, conversion_type="p", touch_types=["c"], window_sec=0
         )
+
+
+def _py_km(pairs, scale=10**6):
+    """Integer-recurrence KM model."""
+    from collections import defaultdict
+
+    good = [(t, e) for t, e in pairs if t is not None and e is not None]
+    d = defaultdict(int)
+    c = defaultdict(int)
+    for t, e in good:
+        (d if e else c)[t] += 1
+    times = sorted(set(d) | set(c))
+    n = len(good)
+    s = scale
+    out = []
+    for t in times:
+        if d[t] > 0:
+            m = s * (n - d[t])
+            s = (m - m % n) // n
+            out.append((t, n, d[t], c[t], s))
+        n -= d[t] + c[t]
+    return out
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from nebula_importer_spark.operators.behavior import kaplan_meier
+
+    # classic: 10 subjects, events at 2 (x2), 5; censor at 3
+    pairs = (
+        [(2, 1), (2, 1), (3, 0), (5, 1)]
+        + [(9, 0)] * 6
+    )
+    df = spark.createDataFrame(pairs, "duration long, event long")
+    rows = kaplan_meier(df).collect()
+    got = [
+        (r.t, r.n_risk, r.n_events, r.n_censored, r.survival_micro)
+        for r in rows
+    ]
+    # t=2: S = 8/10 = 0.8; t=5: risk 7 (censor at 3 dropped), S = 0.8*6/7
+    assert got[0] == (2, 10, 2, 0, 800000)
+    assert got[1] == (5, 7, 1, 0, 800000 * 6 // 7)
+    assert got == _py_km(pairs)
+
+
+def test_kaplan_meier_all_censored_and_ties(spark):
+    from nebula_importer_spark.operators.behavior import kaplan_meier
+
+    cens = spark.createDataFrame(
+        [(5, 0), (7, 0)], "duration long, event long"
+    )
+    assert kaplan_meier(cens).count() == 0  # no event times
+    # event + censor tie at t: both in the risk set (events-first rule)
+    tie = spark.createDataFrame(
+        [(3, 1), (3, 0), (9, 1)], "duration long, event long"
+    )
+    got = [
+        (r.t, r.n_risk, r.n_events, r.n_censored, r.survival_micro)
+        for r in kaplan_meier(tie).collect()
+    ]
+    assert got == [(3, 3, 1, 1, 666666), (9, 1, 1, 0, 0)]
+
+
+def test_kaplan_meier_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.behavior import kaplan_meier
+
+    rng = random.Random(777)
+    pairs = [
+        (rng.randrange(0, 40), rng.randrange(0, 2)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        pairs, "duration long, event long"
+    ).repartition(7)
+    got = [
+        (r.t, r.n_risk, r.n_events, r.n_censored, r.survival_micro)
+        for r in kaplan_meier(df).collect()
+    ]
+    assert got == _py_km(pairs)
+    # survival is nonincreasing
+    surv = [g[4] for g in got]
+    assert surv == sorted(surv, reverse=True)
+
+
+def test_kaplan_meier_validation(spark):
+    from nebula_importer_spark.operators.behavior import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1)], "duration long, event long")
+    with pytest.raises(ValueError, match="not in input"):
+        kaplan_meier(df, duration_col="zzz")
+    with pytest.raises(ValueError, match="scale"):
+        kaplan_meier(df, scale=0)
+    neg = spark.createDataFrame([(-1, 1)], "duration long, event long")
+    with pytest.raises(ValueError, match=">= 0"):
+        kaplan_meier(neg)
+    bad = spark.createDataFrame([(1, 2)], "duration long, event long")
+    with pytest.raises(ValueError, match="event flags"):
+        kaplan_meier(bad)
