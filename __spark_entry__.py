@@ -6241,6 +6241,65 @@ _USER_SURVIVAL_SQL = """
 """
 
 
+def q_user_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals active time per user (operators/temporal.py:
+    interval_coverage): each event opens a 5-minute activity window;
+    overlaps MERGE before summing (naive SUM(end−start) double-counts
+    every overlap), so covered = true in-session seconds and
+    span − covered = total idle gap. One key exchange (sweep windows +
+    agg share it)."""
+    from nebula_importer_spark.operators.temporal import (
+        _us,
+        interval_coverage,
+    )
+
+    iv = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            _us(F.col("ts")).alias("s"),
+            (_us(F.col("ts")) + F.lit(300_000_000)).alias("e"),
+        )
+    )
+    return interval_coverage(
+        iv, key_col="user_id", start_col="s", end_col="e"
+    )
+
+
+_USER_ACTIVE_TIME_SQL = """
+    WITH iv AS (
+        SELECT user_id AS k, epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    t AS (
+        SELECT k, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS newf
+        FROM iv
+        WINDOW w AS (PARTITION BY k ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sg AS (
+        SELECT k, s, e,
+               SUM(newf) OVER (PARTITION BY k ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS seg
+        FROM t
+    ),
+    g AS (
+        SELECT k, seg, COUNT(*)::BIGINT AS n,
+               MIN(s) AS smin, MAX(e) AS emax
+        FROM sg GROUP BY 1, 2
+    )
+    SELECT k AS key, SUM(n)::BIGINT AS n_intervals,
+           COUNT(*)::BIGINT AS n_segments,
+           SUM(emax - smin)::BIGINT AS covered,
+           (MAX(emax) - MIN(smin))::BIGINT AS span
+    FROM g GROUP BY k
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7046,6 +7105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_diversity": q_conv_diversity,
         # behavior family: Kaplan-Meier survival / churn curve
         "user_survival": q_user_survival,
+        # temporal family: union-of-intervals active-time sweep
+        "user_active_time": q_user_active_time,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8419,6 +8480,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_orders": _benford_sql(),
         "conv_diversity": _CONV_DIVERSITY_SQL,
         "user_survival": _USER_SURVIVAL_SQL,
+        "user_active_time": _USER_ACTIVE_TIME_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

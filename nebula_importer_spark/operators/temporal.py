@@ -1413,3 +1413,79 @@ def trend_fit(
         .alias("r2_micro"),
         F.lit(n_null).cast("long").alias("n_null"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key — the sweep-line length
+    computation behind uptime/SLA accounting, active-time billing, and
+    "how many seconds was this user actually in-session" when sessions
+    overlap (naive SUM(end−start) double-counts every overlap; this
+    merges first).
+
+    Half-open ``[start, end)`` semantics, exact integer arithmetic.
+    A new disjoint segment starts where ``start > max(previous ends)``
+    (the classic sweep: one running-max window, one running-sum segment
+    id, one agg — all sharing ONE key exchange). NULL or inverted
+    (``end < start``) intervals are rejected loudly — a negative
+    interval is an upstream bug, not mergeable data; zero-length
+    intervals are kept and contribute 0.
+
+    Skew: the window partitions on ``key_col`` — a mega key serializes
+    into one task, the same caveat as sessionize_batch (whose salted
+    span mode is the template if a key exceeds the comfortable-sort
+    threshold; coverage is segment-local, so span stitching applies).
+
+    Returns ``(key, n_intervals, n_segments, covered, span)`` —
+    ``covered`` the union length, ``span`` ``max(end) − min(start)``
+    (so ``span − covered`` is the total gap time).
+    """
+    for c in (key_col, start_col, end_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    bad = base.filter(
+        F.col("_k").isNull()
+        | F.col("_s").isNull()
+        | F.col("_e").isNull()
+        | (F.col("_e") < F.col("_s"))
+    ).limit(1)
+    if bad.take(1):
+        raise ValueError(
+            "intervals must have non-null key/start/end and end >= start"
+        )
+    w = Window.partitionBy("_k").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = base.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_seg",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    segs = tagged.groupBy("_k", "_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("_s").alias("_smin"),
+        F.max("_e").alias("_emax"),
+    )
+    return segs.groupBy(F.col("_k").alias("key")).agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("_emax") - F.col("_smin")).cast("long").alias(
+            "covered"
+        ),
+        (F.max("_emax") - F.min("_smin")).cast("long").alias("span"),
+    )

@@ -1337,3 +1337,88 @@ def test_trend_fit_validation(spark):
         trend_fit(df, ts_col="ts", key_cols=["k"], bucket_sec=0)
     with pytest.raises(ValueError, match="scale"):
         trend_fit(df, ts_col="ts", key_cols=["k"], scale=0)
+
+
+def _py_coverage(rows):
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        by_key[k].append((s, e))
+    out = {}
+    for k, iv in by_key.items():
+        iv.sort()
+        segs = []
+        for s, e in iv:
+            if segs and s <= segs[-1][1]:
+                segs[-1][1] = max(segs[-1][1], e)
+            else:
+                segs.append([s, e])
+        out[k] = (
+            len(iv),
+            len(segs),
+            sum(e - s for s, e in segs),
+            max(e for _, e in iv) - min(s for s, _ in iv),
+        )
+    return out
+
+
+def test_interval_coverage_merge_and_gaps(spark):
+    from nebula_importer_spark.operators.temporal import interval_coverage
+
+    rows = [
+        ("u1", 0, 10),
+        ("u1", 5, 15),    # overlaps -> one segment [0,15)
+        ("u1", 20, 30),   # gap -> second segment
+        ("u1", 30, 35),   # touching (start == prev end) merges
+        ("u2", 0, 0),     # zero-length: kept, contributes 0
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r.key: (r.n_intervals, r.n_segments, r.covered, r.span)
+        for r in interval_coverage(
+            df, key_col="k", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got["u1"] == (4, 2, 30, 35)
+    assert got["u2"] == (1, 1, 0, 0)
+    assert got == _py_coverage(rows)
+
+
+def test_interval_coverage_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.temporal import interval_coverage
+
+    rng = random.Random(404)
+    rows = []
+    for _ in range(400):
+        k = f"u{rng.randrange(6)}"
+        s = rng.randrange(0, 1000)
+        rows.append((k, s, s + rng.randrange(0, 60)))
+    df = spark.createDataFrame(
+        rows, "k string, s long, e long"
+    ).repartition(7)
+    got = {
+        r.key: (r.n_intervals, r.n_segments, r.covered, r.span)
+        for r in interval_coverage(
+            df, key_col="k", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == _py_coverage(rows)
+
+
+def test_interval_coverage_validation(spark):
+    from nebula_importer_spark.operators.temporal import interval_coverage
+
+    df = spark.createDataFrame([("k", 1, 2)], "k string, s long, e long")
+    with pytest.raises(ValueError, match="not in input"):
+        interval_coverage(df, key_col="zzz", start_col="s", end_col="e")
+    inv = spark.createDataFrame([("k", 5, 2)], "k string, s long, e long")
+    with pytest.raises(ValueError, match="end >= start"):
+        interval_coverage(inv, key_col="k", start_col="s", end_col="e")
+    nul = spark.createDataFrame(
+        [(None, 1, 2)], "k string, s long, e long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        interval_coverage(nul, key_col="k", start_col="s", end_col="e")
