@@ -6300,6 +6300,69 @@ _USER_ACTIVE_TIME_SQL = """
 """
 
 
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust per-type rate trend (operators/temporal.py:
+    theil_sen_trend) — the burst-proof twin of events_trend's OLS:
+    median of all pairwise bucket slopes, rationals totally ordered by
+    the Euclidean (whole, frac) pair (a single 10¹⁸ quotient wraps
+    int64 once |slope| > 9.2 — found by the wrap regression test),
+    lower-median element pick, floor-exact slope_micro."""
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    return theil_sen_trend(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_cols=["event_type"],
+        bucket_sec=3600,
+    )
+
+
+_EVENTS_THEIL_SEN_SQL = """
+    WITH c AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS i,
+               COUNT(*)::BIGINT AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    nn AS (
+        SELECT COUNT(*)::BIGINT AS n_null FROM events WHERE ts IS NULL
+    ),
+    st AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_obs FROM c GROUP BY 1
+    ),
+    p AS (
+        SELECT a.event_type,
+               b.y - a.y AS num, b.i - a.i AS den
+        FROM c a JOIN c b
+          ON b.event_type = a.event_type AND b.i > a.i
+    ),
+    dec AS (
+        SELECT event_type,
+               CASE WHEN num >= 0 THEN num // den
+                    ELSE -((-num + den - 1) // den) END AS wh,
+               ((((num % den) + den) % den) * 1000000000000000000::HUGEINT)
+                   // den AS fr
+        FROM p
+    ),
+    rk AS (
+        SELECT event_type, wh, fr,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY wh, fr) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM dec
+    ),
+    med AS (
+        SELECT event_type, np::BIGINT AS n_pairs,
+               (wh * 1000000 + fr // 1000000000000)::BIGINT
+                   AS slope_micro
+        FROM rk WHERE rn = (np - 1) // 2 + 1
+    )
+    SELECT st.event_type, st.n_obs,
+           COALESCE(med.n_pairs, 0)::BIGINT AS n_pairs,
+           med.slope_micro, nn.n_null
+    FROM st LEFT JOIN med USING (event_type), nn
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7107,6 +7170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_survival": q_user_survival,
         # temporal family: union-of-intervals active-time sweep
         "user_active_time": q_user_active_time,
+        # temporal family: Theil-Sen robust trend (OLS twin above)
+        "events_theil_sen": q_events_theil_sen,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8481,6 +8546,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_diversity": _CONV_DIVERSITY_SQL,
         "user_survival": _USER_SURVIVAL_SQL,
         "user_active_time": _USER_ACTIVE_TIME_SQL,
+        "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

@@ -1422,3 +1422,138 @@ def test_interval_coverage_validation(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         interval_coverage(nul, key_col="k", start_col="s", end_col="e")
+
+
+def _py_theil_sen(rows, bucket_sec=3600, scale=10**6):
+    from collections import defaultdict
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    buckets = defaultdict(int)
+    n_null = 0
+    for k, ts in rows:
+        if ts is None:
+            n_null += 1
+        else:
+            buckets[(k, ts // bucket_sec)] += 1
+    per = defaultdict(list)
+    for (k, i), y in buckets.items():
+        per[k].append((i, y))
+    out = {}
+    for k, pts in per.items():
+        pts.sort()
+        slopes = []
+        for ii in range(len(pts)):
+            for jj in range(ii + 1, len(pts)):
+                (xi, yi), (xj, yj) = pts[ii], pts[jj]
+                num, den = yj - yi, xj - xi
+                wh = num // den  # floor (den > 0)
+                fr = (num - wh * den) * 10**18 // den
+                slopes.append((wh, fr))
+        slopes.sort()
+        if slopes:
+            wh, fr = slopes[(len(slopes) - 1) // 2]
+            out[k] = (
+                len(pts), len(slopes),
+                wh * scale + fr // (10**18 // scale), n_null,
+            )
+        else:
+            out[k] = (len(pts), 0, None, n_null)
+    return out
+
+
+def test_theil_sen_robust_to_burst(spark):
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    # steady 2/hour for 9 hours + a 50-event burst in hour 4:
+    # OLS would bend; the pairwise-slope median stays ~0
+    rows = []
+    for h in range(9):
+        n = 50 if h == 4 else 2
+        rows.extend([("k", 3600 * h + 5)] * n)
+    got = {
+        r["k"]: r.asDict()
+        for r in theil_sen_trend(
+            _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    k = got["k"]
+    assert k["n_obs"] == 9 and k["n_pairs"] == 36
+    assert k["slope_micro"] == 0
+    expect = _py_theil_sen(rows)
+    assert (
+        k["n_obs"], k["n_pairs"], k["slope_micro"], k["n_null"]
+    ) == expect["k"]
+
+
+def test_theil_sen_single_bucket_and_nulls(spark):
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    rows = [("a", 10), ("a", 20), ("a", None), ("b", 5), ("b", 7200)]
+    got = {
+        r["k"]: r.asDict()
+        for r in theil_sen_trend(
+            _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+        ).collect()
+    }
+    assert got["a"]["n_obs"] == 1 and got["a"]["slope_micro"] is None
+    assert got["a"]["n_null"] == 1
+    # b: buckets 0 (1 event) and 2 (1 event): slope = 0/2 = 0
+    assert got["b"]["n_pairs"] == 1 and got["b"]["slope_micro"] == 0
+
+
+def test_theil_sen_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    rng = random.Random(1001)
+    rows = []
+    for _ in range(300):
+        k = f"k{rng.randrange(3)}"
+        ts = rng.randrange(0, 3600 * 10) if rng.random() > 0.05 else None
+        rows.append((k, ts))
+    got = {
+        r["k"]: (
+            r["n_obs"], r["n_pairs"], r["slope_micro"], r["n_null"],
+        )
+        for r in theil_sen_trend(
+            _trend_df(spark, rows).repartition(7),
+            ts_col="ts",
+            key_cols=["k"],
+        ).collect()
+    }
+    assert got == _py_theil_sen(rows)
+
+
+def test_theil_sen_validation(spark):
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    df = _trend_df(spark, [("a", 0)])
+    with pytest.raises(ValueError, match="not in input"):
+        theil_sen_trend(df, ts_col="zzz", key_cols=["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        theil_sen_trend(df, ts_col="ts", key_cols=[])
+    with pytest.raises(ValueError, match="bucket_sec"):
+        theil_sen_trend(df, ts_col="ts", key_cols=["k"], bucket_sec=0)
+
+
+def test_theil_sen_large_slope_no_int64_wrap(spark):
+    """Regression: a single 10^18-scaled quotient wraps int64 once
+    |slope| > 9.2 (counts 20 -> 7 across one bucket wrapped to +5.4e18
+    before the Euclidean (whole, frac) decomposition landed)."""
+    from nebula_importer_spark.operators.temporal import theil_sen_trend
+
+    rows = [("k", 5)] * 1 + [("k", 3605)] * 100 + [("k", 7205)] * 1
+    got = theil_sen_trend(
+        _trend_df(spark, rows), ts_col="ts", key_cols=["k"]
+    ).collect()[0]
+    # slopes: +99, -99, 0 -> median 0; before the fix the ±99e18
+    # quotients wrapped and reordered the pick
+    assert got["slope_micro"] == 0
+    expect = _py_theil_sen(rows)
+    assert (
+        got["n_obs"], got["n_pairs"], got["slope_micro"], got["n_null"]
+    ) == expect["k"]
