@@ -6363,6 +6363,72 @@ _EVENTS_THEIL_SEN_SQL = """
 """
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the event stream (operators/
+    metrics.py:diff_in_diff): cohort = odd user ids, pre/post split at
+    the time-range midpoint, outcome = event value in cents — the 2×2
+    causal estimate with the quantized-cell-mean contract (expected ≈ 0
+    on this synthetic stream: the honest null result)."""
+    from nebula_importer_spark.operators.metrics import diff_in_diff
+    from nebula_importer_spark.operators.temporal import _us
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id", "value", _us(F.col("ts")).alias("_usv")
+    )
+    bounds = ev.agg(
+        F.expr("(min(_usv) + max(_usv)) div 2").alias("_mid")
+    )
+    subjects = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        (F.col("_usv") >= F.col("_mid")).cast("long").alias("post"),
+        F.floor(F.col("value") * 100).cast("long").alias("outcome"),
+    )
+    return diff_in_diff(subjects)
+
+
+_EVENTS_DID_SQL = """
+    WITH ev AS (
+        SELECT user_id, value, epoch_us(ts) AS u
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    b AS (SELECT (MIN(u) + MAX(u)) // 2 AS mid FROM ev),
+    s AS (
+        SELECT (user_id % 2)::BIGINT AS g,
+               (CASE WHEN u >= mid THEN 1 ELSE 0 END)::BIGINT AS p,
+               CAST(FLOOR(value * 100) AS HUGEINT) AS y
+        FROM ev, b
+    ),
+    c AS (
+        SELECT
+            SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_00,
+            SUM(CASE WHEN g = 0 AND p = 0 THEN y ELSE 0 END) AS s00,
+            SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_01,
+            SUM(CASE WHEN g = 0 AND p = 1 THEN y ELSE 0 END) AS s01,
+            SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_10,
+            SUM(CASE WHEN g = 1 AND p = 0 THEN y ELSE 0 END) AS s10,
+            SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_11,
+            SUM(CASE WHEN g = 1 AND p = 1 THEN y ELSE 0 END) AS s11
+        FROM s
+    )
+    SELECT n_00, ((s00 * 1000000) // n_00)::BIGINT AS mean_00_micro,
+           n_01, ((s01 * 1000000) // n_01)::BIGINT AS mean_01_micro,
+           n_10, ((s10 * 1000000) // n_10)::BIGINT AS mean_10_micro,
+           n_11, ((s11 * 1000000) // n_11)::BIGINT AS mean_11_micro,
+           (CASE WHEN n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0
+                 THEN ((s11 * 1000000) // n_11 - (s10 * 1000000) // n_10)
+                    - ((s01 * 1000000) // n_01 - (s00 * 1000000) // n_00)
+            END)::BIGINT AS did_micro,
+           0::BIGINT AS n_dropped
+    FROM c
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7172,6 +7238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_active_time": q_user_active_time,
         # temporal family: Theil-Sen robust trend (OLS twin above)
         "events_theil_sen": q_events_theil_sen,
+        # causal family: 2x2 difference-in-differences
+        "events_did": q_events_did,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8547,6 +8615,7 @@ def oracle_sql() -> dict[str, str]:
         "user_survival": _USER_SURVIVAL_SQL,
         "user_active_time": _USER_ACTIVE_TIME_SQL,
         "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
+        "events_did": _EVENTS_DID_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

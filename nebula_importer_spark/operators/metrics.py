@@ -922,3 +922,110 @@ def isotonic_calibration(
         )
         .orderBy("cell")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    *,
+    group_col: str = "treated",
+    period_col: str = "post",
+    outcome_col: str = "outcome",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Difference-in-differences estimate — the 2×2 causal workhorse
+    (Card-Krueger design): how much did the treated group's mean
+    outcome move BEYOND the control group's move across the same
+    pre→post boundary?
+
+        DiD = (m̄_treated,post − m̄_treated,pre)
+            − (m̄_control,post − m̄_control,pre)
+
+    Exactness contract: each cell mean is quantized ONCE to micro units
+    (``(Σy·scale) div n`` — truncating DECIMAL(38,0) div), and the DiD
+    is exact integer arithmetic over those four quantized means — the
+    estimate is DEFINED at micro resolution (a cross-multiplied exact
+    rational needs a 4-cell common denominator that overflows any fixed
+    width; one quantization per cell is the honest, engine-stable
+    contract, same as bradley_terry's per-round floors).
+
+    ``group_col``/``period_col`` must be 0/1 longs (map cohorts
+    caller-side); NULL outcome/flag rows are dropped and counted. ANY
+    empty cell makes the design undefined → NULL ``did_micro`` with the
+    cell counts still visible (never a fake 0). One conditional-agg
+    pass, 1-row output:
+
+    ``(n_00, mean_00_micro, n_01, mean_01_micro, n_10, mean_10_micro,
+    n_11, mean_11_micro, did_micro, n_dropped)`` — suffix ``gp`` =
+    (group, period).
+    """
+    for c in (group_col, period_col, outcome_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    d38 = "decimal(38,0)"
+    g, p, y = F.col(group_col), F.col(period_col), F.col(outcome_col)
+    ok = g.isNotNull() & p.isNotNull() & y.isNotNull()
+    bad_flags = df.filter(
+        (g.isNotNull() & ~g.isin(0, 1)) | (p.isNotNull() & ~p.isin(0, 1))
+    ).limit(1)
+    if bad_flags.take(1):
+        raise ValueError("group/period flags must be 0 or 1")
+    aggs = [
+        F.sum((~ok).cast("long")).alias("n_dropped"),
+    ]
+    for gi in (0, 1):
+        for pi in (0, 1):
+            cell = ok & (g == gi) & (p == pi)
+            aggs.append(
+                F.sum(cell.cast("long")).alias(f"n_{gi}{pi}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cell, y.cast(d38)).otherwise(
+                        F.lit(0).cast(d38)
+                    )
+                ).alias(f"_s{gi}{pi}")
+            )
+    row = df.agg(*aggs)
+    means = []
+    for gi in (0, 1):
+        for pi in (0, 1):
+            means.append(
+                F.when(
+                    F.col(f"n_{gi}{pi}") > 0,
+                    F.expr(
+                        f"(_s{gi}{pi} * CAST({scale} AS {d38}))"
+                        f" div n_{gi}{pi}"
+                    ),
+                )
+                .cast("long")
+                .alias(f"mean_{gi}{pi}_micro")
+            )
+    out = row.select(
+        "n_00", "n_01", "n_10", "n_11", "n_dropped", *means
+    )
+    did = (
+        (F.col("mean_11_micro") - F.col("mean_10_micro"))
+        - (F.col("mean_01_micro") - F.col("mean_00_micro"))
+    )
+    return out.select(
+        "n_00",
+        "mean_00_micro",
+        "n_01",
+        "mean_01_micro",
+        "n_10",
+        "mean_10_micro",
+        "n_11",
+        "mean_11_micro",
+        F.when(
+            (F.col("n_00") > 0)
+            & (F.col("n_01") > 0)
+            & (F.col("n_10") > 0)
+            & (F.col("n_11") > 0),
+            did,
+        )
+        .cast("long")
+        .alias("did_micro"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+    )

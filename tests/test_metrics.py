@@ -770,3 +770,68 @@ def test_isotonic_nulls_empty_validation(spark):
     ok = spark.createDataFrame([(1, 1)], "s long, y long")
     with pytest.raises(ValueError, match="n_cells"):
         isotonic_calibration(ok, score_col="s", y_col="y", n_cells=0)
+
+
+def test_did_textbook_effect(spark):
+    from nebula_importer_spark.operators.metrics import diff_in_diff
+
+    # control moves +1, treated moves +3 -> DiD = +2
+    rows = (
+        [(0, 0, 10)] * 4 + [(0, 1, 11)] * 4
+        + [(1, 0, 20)] * 4 + [(1, 1, 23)] * 4
+    )
+    df = spark.createDataFrame(rows, "treated long, post long, outcome long")
+    r = diff_in_diff(df).collect()[0]
+    assert r.mean_00_micro == 10_000_000 and r.mean_01_micro == 11_000_000
+    assert r.mean_10_micro == 20_000_000 and r.mean_11_micro == 23_000_000
+    assert r.did_micro == 2_000_000
+    assert r.n_dropped == 0
+
+
+def test_did_empty_cell_and_drops(spark):
+    from nebula_importer_spark.operators.metrics import diff_in_diff
+
+    rows = [(0, 0, 1), (0, 1, 2), (1, 0, 3), (None, 1, 9), (1, 1, None)]
+    df = spark.createDataFrame(rows, "treated long, post long, outcome long")
+    r = diff_in_diff(df).collect()[0]
+    assert r.n_11 == 0 and r.did_micro is None  # undefined design
+    assert r.n_dropped == 2
+    assert r.mean_10_micro == 3_000_000
+
+
+def test_did_random_parity_and_validation(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import diff_in_diff
+
+    rng = random.Random(515)
+    rows = [
+        (rng.randrange(2), rng.randrange(2), rng.randrange(-50, 200))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "treated long, post long, outcome long"
+    ).repartition(5)
+    r = diff_in_diff(df).collect()[0]
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    m = {}
+    for gi in (0, 1):
+        for pi in (0, 1):
+            cell = [y for g, p, y in rows if g == gi and p == pi]
+            m[(gi, pi)] = tdiv(sum(cell) * 10**6, len(cell))
+            assert r[f"n_{gi}{pi}"] == len(cell)
+            assert r[f"mean_{gi}{pi}_micro"] == m[(gi, pi)]
+    assert r.did_micro == (m[(1, 1)] - m[(1, 0)]) - (
+        m[(0, 1)] - m[(0, 0)]
+    )
+    bad = spark.createDataFrame(
+        [(2, 0, 1)], "treated long, post long, outcome long"
+    )
+    with pytest.raises(ValueError, match="0 or 1"):
+        diff_in_diff(bad)
+    with pytest.raises(ValueError, match="not in input"):
+        diff_in_diff(bad, group_col="zzz")
