@@ -7128,21 +7128,23 @@ _GATE_WINDOW = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     # entity linking
     "fuzzy_customer_names",
-    # ANN / embedding analytics
+    # ANN / embedding analytics + preference ranking
     "ann_cosine_topk", "embedding_pca", "embedding_correlation",
-    "kcenter_select",
-    # KG construction
+    "supplier_duels",
+    # KG construction + linking hygiene
     "kg_triples", "kg_extract_docs",
-    # iterative graph analytics
-    "graph_pagerank", "graph_kcore", "graph_msf", "graph_matching",
+    # iterative graph analytics (SCC = the directed-reachability row)
+    "graph_pagerank", "graph_kcore", "graph_msf", "graph_scc",
     # transcripts / behavior
     "conv_stats", "retention_cohorts",
-    # multimodal + KG snapshot diff
-    "multimodal_doc_features", "kg_snapshot_diff",
-    # privacy + sketches + layout
-    "privacy_t_closeness", "hll_distinct_users", "hilbert_lineitem",
-    # data-quality contracts + selection + diff
-    "dq_constraints_orders", "table_diff_orders", "exact_quantiles_price",
+    # multimodal + KG snapshot diff + dictionary-ambiguity audit
+    "multimodal_doc_features", "kg_snapshot_diff", "kg_ambiguity",
+    # privacy BUILDER (t-closeness audit tail-gated; mondrian also
+    # exercises exact_quantiles internally) + layout pruning audit
+    # (computes zorder buckets internally; hilbert tail-gated)
+    "mondrian_customers", "layout_pruning",
+    # data-quality contracts + forensic digits + V-optimal DP histogram
+    "dq_constraints_orders", "benford_orders", "voptimal_doclen",
     # profiling / skew / cdc / runtime-prune / eval / change-point
     "profile_customer", "events_skew_report", "cdc_user_state",
     "bloom_semi_lineitem", "auc_doc_length", "cusum_events",
@@ -7152,8 +7154,12 @@ _GATE_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Positions 51+ hold twins and variants whose machinery a window row
     # already covers (salted rewrites, containment-vs-jaccard, iterate
-    # variants, relational re-combinations, map-only text variants) —
-    # all still gated by tools/check_oracle.py and pytest every round.
+    # variants, relational re-combinations, map-only text variants;
+    # displaced family members — t_closeness, hilbert, kcenter,
+    # table_diff, exact_quantiles, hll_distinct, matching — whose
+    # machinery now rides in-window transitively or via a stronger
+    # sibling) — all still gated by tools/check_oracle.py and pytest
+    # every round.
     q = {
         # sources + mapping (S*, P*, G*)
         "vertex_customer": q_vertex_customer,
