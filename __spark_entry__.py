@@ -6429,6 +6429,49 @@ _EVENTS_DID_SQL = """
 """
 
 
+def q_graph_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the customer↔supplier graph
+    (operators/graph.py:wl_refinement) — structural-role fingerprints
+    (WL-kernel / GNN-expressiveness machinery) with the hub-safe
+    52-bit-hash-SUM multiset encoding instead of neighbor arrays; the
+    color histogram is the graph's structure fingerprint."""
+    from nebula_importer_spark.operators.graph import wl_refinement
+
+    return wl_refinement(_cs_graph(spark, sf_dir), rounds=3)
+
+
+def _graph_wl_sql(rounds: int = 3, salt: str = "wl") -> str:
+    """DuckDB twin of q_graph_wl: same degree seed, same 52-bit md5
+    bridge, same exact HUGEINT multiset sums, rounds unrolled."""
+    parts = [
+        _CS_EDGES_SQL
+        + f""", c0 AS MATERIALIZED (
+        SELECT src AS node, md5('{salt}0|' || CAST(COUNT(*) AS VARCHAR))
+               AS col
+        FROM edges GROUP BY src
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", s{r} AS (
+        SELECT e.dst AS node,
+               SUM((('0x' || substr(md5('{salt}h|' || c.col), 1, 13))
+                   ::BIGINT)::HUGEINT) AS sm
+        FROM edges e JOIN c{r - 1} c ON c.node = e.src
+        GROUP BY e.dst
+    ), c{r} AS MATERIALIZED (
+        SELECT c.node,
+               md5('{salt}{r}|' || c.col || '|' || CAST(s.sm AS VARCHAR))
+                   AS col
+        FROM c{r - 1} c JOIN s{r} s ON s.node = c.node
+    )"""
+        )
+    parts.append(
+        f" SELECT node, col AS wl_color FROM c{rounds}"
+    )
+    return "".join(parts)
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7246,6 +7289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen": q_events_theil_sen,
         # causal family: 2x2 difference-in-differences
         "events_did": q_events_did,
+        # graph family: 1-WL structural-role fingerprints
+        "graph_wl": q_graph_wl,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8622,6 +8667,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_time": _USER_ACTIVE_TIME_SQL,
         "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
         "events_did": _EVENTS_DID_SQL,
+        "graph_wl": _graph_wl_sql(rounds=3),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

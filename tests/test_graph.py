@@ -1683,3 +1683,90 @@ def test_dag_layers_random_parity(spark):
 
     expect = {v: depth(v) for v in nodes}
     assert got == expect
+
+
+def _py_wl(edges, rounds=3, salt="wl"):
+    """Identical-recurrence Python model (hashlib md5, exact int sums)."""
+    import hashlib
+    from collections import defaultdict
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u is not None and v is not None and u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    color = {v: md5(f"{salt}0|{len(nb)}") for v, nb in adj.items()}
+    for r in range(1, rounds + 1):
+        nxt = {}
+        for v, nb in adj.items():
+            s = sum(int(md5(f"{salt}h|{color[u]}")[:13], 16) for u in nb)
+            nxt[v] = md5(f"{salt}{r}|{color[v]}|{s}")
+        color = nxt
+    return color
+
+
+def test_wl_distinguishes_path_roles(spark):
+    from nebula_importer_spark.operators.graph import wl_refinement
+
+    # path a-b-c-d-e: ends {a,e}, nexts {b,d}, center {c} — 3 classes
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["wl_color"] for r in wl_refinement(e).collect()}
+    assert got["a"] == got["e"]
+    assert got["b"] == got["d"]
+    assert len({got["a"], got["b"], got["c"]}) == 3
+    assert got == _py_wl(edges)
+
+
+def test_wl_known_blindness_and_isomorphism(spark):
+    from nebula_importer_spark.operators.graph import wl_refinement
+
+    # classic 1-WL failure: 6-cycle vs two disjoint triangles — every
+    # node degree 2, identical neighbor multisets forever -> ONE color
+    hexa = [(f"h{i}", f"h{(i + 1) % 6}") for i in range(6)]
+    tris = [("t0", "t1"), ("t1", "t2"), ("t2", "t0"),
+            ("t3", "t4"), ("t4", "t5"), ("t5", "t3")]
+    e = spark.createDataFrame(hexa + tris, "src string, dst string")
+    got = {r["node"]: r["wl_color"] for r in wl_refinement(e).collect()}
+    assert len(set(got.values())) == 1  # documented blindness
+    # isomorphic stars get identical color multisets
+    s1 = [("c1", f"l1{i}") for i in range(4)]
+    s2 = [("c2", f"l2{i}") for i in range(4)]
+    e2 = spark.createDataFrame(s1 + s2, "src string, dst string")
+    got2 = {r["node"]: r["wl_color"] for r in wl_refinement(e2).collect()}
+    assert got2["c1"] == got2["c2"]
+    assert got2["l10"] == got2["l23"]
+    assert got2["c1"] != got2["l10"]
+
+
+def test_wl_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import wl_refinement
+
+    rng = random.Random(2468)
+    edges = list(
+        {
+            (f"v{rng.randrange(18):02d}", f"v{rng.randrange(18):02d}")
+            for _ in range(40)
+        }
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["wl_color"]
+        for r in wl_refinement(e, rounds=2).collect()
+    }
+    assert got == _py_wl(edges, rounds=2)
+
+
+def test_wl_validation(spark):
+    from nebula_importer_spark.operators.graph import wl_refinement
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="not in edges"):
+        wl_refinement(e, src="zzz")
+    with pytest.raises(ValueError, match="rounds"):
+        wl_refinement(e, rounds=-1)
