@@ -6472,6 +6472,83 @@ def _graph_wl_sql(rounds: int = 3, salt: str = "wl") -> str:
     return "".join(parts)
 
 
+def q_stump_doclang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CART decision stump (operators/metrics.py:gini_stump):
+    which of {n_chars, doc_id mod 50} best separates English docs, and
+    at what threshold — the weak-learner / feature-screening primitive
+    trained sketch-first (one data pass to ≤32 cells per feature, exact
+    rational Gini ordered by the Euclidean (whole,frac) device, unique
+    (feature,cell) tie-break)."""
+    from nebula_importer_spark.operators.metrics import gini_stump
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("len_chars"),
+        (F.col("doc_id") % 50).cast("long").alias("noise_mod"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return gini_stump(
+        docs, feature_cols=["len_chars", "noise_mod"], n_cells=32
+    )
+
+
+def _gini_stump_sql(n_cells: int = 32, scale: int = 10**6) -> str:
+    """DuckDB twin of q_stump_doclang: same melt/cells/prefix windows,
+    same exact rational weighted Gini with the (whole, frac) order."""
+    return f"""
+    WITH m AS (
+        SELECT 'len_chars' AS f, n_chars::BIGINT AS x,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS y
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        UNION ALL
+        SELECT 'noise_mod', (doc_id % 50)::BIGINT,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT
+        FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ),
+    b AS (
+        SELECT f, MIN(x)::HUGEINT AS mn,
+               (MAX(x) - MIN(x) + 1)::HUGEINT AS span
+        FROM m GROUP BY f
+    ),
+    cells AS MATERIALIZED (
+        SELECT m.f, ((x - mn) * {n_cells}) // span AS c,
+               COUNT(*)::HUGEINT AS n, SUM(y) AS p, MAX(x) AS xmax
+        FROM m JOIN b ON b.f = m.f GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT f, c, xmax,
+               SUM(n) OVER w AS nl, SUM(p) OVER w AS pl,
+               SUM(n) OVER t AS nt, SUM(p) OVER t AS pt
+        FROM cells
+        WINDOW w AS (PARTITION BY f ORDER BY c ROWS UNBOUNDED PRECEDING),
+               t AS (PARTITION BY f)
+    ),
+    cand AS (
+        SELECT f, c, xmax, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt,
+               2 * pl * (nl - pl) * (nt - nl)
+                   + 2 * (pt - pl) * ((nt - nl) - (pt - pl)) * nl AS num,
+               nl * (nt - nl) * nt AS den
+        FROM pre WHERE nl > 0 AND nl < nt
+    ),
+    dec AS (
+        SELECT *, num // den AS wh,
+               ((num % den) * 1000000000000000000::HUGEINT) // den AS fr
+        FROM cand
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY wh, fr, f, c) AS rk
+            FROM dec) WHERE rk = 1
+    )
+    SELECT f AS feature, xmax::BIGINT AS split_value,
+           nl::BIGINT AS n_left, pl::BIGINT AS pos_left,
+           nr::BIGINT AS n_right, pr::BIGINT AS pos_right,
+           (wh * {scale} + fr // {10**18 // scale})::BIGINT AS gini_micro,
+           ((2 * pt * (nt - pt) * {scale}) // (nt * nt))::BIGINT
+               AS parent_gini_micro
+    FROM best
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7291,6 +7368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did": q_events_did,
         # graph family: 1-WL structural-role fingerprints
         "graph_wl": q_graph_wl,
+        # train family: exact CART decision stump (weak learner)
+        "stump_doclang": q_stump_doclang,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8668,6 +8747,7 @@ def oracle_sql() -> dict[str, str]:
         "events_theil_sen": _EVENTS_THEIL_SEN_SQL,
         "events_did": _EVENTS_DID_SQL,
         "graph_wl": _graph_wl_sql(rounds=3),
+        "stump_doclang": _gini_stump_sql(n_cells=32),
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

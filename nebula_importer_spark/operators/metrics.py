@@ -1029,3 +1029,173 @@ def diff_in_diff(
         .alias("did_micro"),
         F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
     )
+
+
+def gini_stump(
+    df: DataFrame,
+    *,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_cells: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact depth-1 decision tree (CART split): over all features and
+    all fine-cell thresholds, pick the split minimizing the weighted
+    Gini impurity — the weak-learner / feature-screening primitive a
+    quality-filter pipeline trains before anything deeper, and the
+    single most informative "which column separates good from bad"
+    answer.
+
+    Sketch-first (the voptimal_histogram pattern): ONE data pass folds
+    each feature into ≤ ``n_cells`` equi-width cells of (count,
+    positives); candidate splits are the ≤ cells·features prefix
+    boundaries of that METADATA table. The weighted impurity of a
+    candidate is the exact rational
+
+        G·n = 2·posL·negL/nL + 2·posR·negR/nR
+            = (2·posL·negL·nR + 2·posR·negR·nL) / (nL·nR)
+
+    totally ordered WITHOUT big quotients by the Euclidean
+    (whole, frac) device (the theil_sen_trend trick: whole =
+    floor(num/den) via pmod, frac = (pmod·10¹⁸) div den) — ties break
+    toward (feature ASC, cell ASC), so the stump is UNIQUE and
+    gate-checkable. Degenerate splits (empty side) are skipped; a
+    feature whose cells all collapse contributes no candidates.
+
+    Labels must be 0/1; NULL feature values are excluded from that
+    feature's candidates (per-feature n may differ — stated); NULL
+    labels are dropped globally. Returns ONE row:
+    ``(feature, split_value, n_left, pos_left, n_right, pos_right,
+    gini_micro, parent_gini_micro)`` — ``split_value`` the largest
+    observed value on the left side (``x <= split_value`` goes left),
+    ``gini_micro`` = floor(G·10⁶) of the winning split.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in [*feature_cols, label_col]:
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"column {c!r} must be integral (got {by_name[c]})"
+            )
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    from pyspark.sql.window import Window
+
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    lbl = F.col(label_col)
+    base = df.filter(lbl.isNotNull())
+    if base.filter(~lbl.isin(0, 1)).take(1):
+        raise ValueError("labels must be 0 or 1")
+    legs = []
+    for c in feature_cols:
+        legs.append(
+            base.filter(F.col(c).isNotNull()).select(
+                F.lit(c).alias("_f"),
+                F.col(c).cast("long").alias("_x"),
+                lbl.cast("long").alias("_y"),
+            )
+        )
+    melted = legs[0]
+    for leg in legs[1:]:
+        melted = melted.unionByName(leg)
+    bounds = melted.groupBy("_f").agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    cells = (
+        melted.join(F.broadcast(bounds), "_f")
+        .select(
+            "_f",
+            F.expr(
+                f"((_x - _mn) * {n_cells}) div (_mx - _mn + 1)"
+            ).alias("_c"),
+            "_x",
+            "_y",
+        )
+        .groupBy("_f", "_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_p"),
+            F.max("_x").alias("_xmax"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_f").orderBy("_c")
+    wpre = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("_f")
+    cand = (
+        cells.select(
+            "_f",
+            "_c",
+            "_xmax",
+            F.sum("_n").over(wpre).alias("_nl"),
+            F.sum("_p").over(wpre).alias("_pl"),
+            F.sum("_n").over(tot).alias("_nt"),
+            F.sum("_p").over(tot).alias("_pt"),
+        )
+        .filter((F.col("_nl") > 0) & (F.col("_nl") < F.col("_nt")))
+        .select(
+            "_f",
+            "_c",
+            "_xmax",
+            "_nl",
+            "_pl",
+            (F.col("_nt") - F.col("_nl")).alias("_nr"),
+            (F.col("_pt") - F.col("_pl")).alias("_pr"),
+            "_nt",
+            "_pt",
+        )
+    )
+    num = F.expr(
+        f"2 * CAST(_pl AS {d38}) * (_nl - _pl) * _nr"
+        f" + 2 * CAST(_pr AS {d38}) * (_nr - _pr) * _nl"
+    )
+    den = F.expr(f"CAST(_nl AS {d38}) * _nr * _nt")
+    scored = cand.withColumn("_num", num).withColumn("_den", den)
+    # Euclidean decomposition: exact total order on num/den in two longs
+    scored = (
+        scored.withColumn("_r", F.expr("pmod(_num, _den)"))
+        .withColumn(
+            "_wh", F.expr("CAST((_num - _r) / _den AS DECIMAL(38,0))")
+        )
+        .withColumn(
+            "_fr",
+            F.expr(
+                f"CAST((_r * CAST({10**18} AS {d38})) div _den"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    wbest = Window.orderBy(
+        "_wh", "_fr", F.asc("_f"), F.asc("_c")
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(wbest))
+        .filter(F.col("_rk") == 1)
+        .localCheckpoint(eager=True)
+    )
+    parent = F.expr(
+        f"(2 * CAST(_pt AS {d38}) * (_nt - _pt) * CAST({scale} AS {d38}))"
+        f" div (CAST(_nt AS {d38}) * _nt)"
+    )
+    return best.select(
+        F.col("_f").alias("feature"),
+        F.col("_xmax").alias("split_value"),
+        F.col("_nl").cast("long").alias("n_left"),
+        F.col("_pl").cast("long").alias("pos_left"),
+        F.col("_nr").cast("long").alias("n_right"),
+        F.col("_pr").cast("long").alias("pos_right"),
+        (
+            F.col("_wh").cast("long") * F.lit(scale)
+            + F.expr(f"_fr div {10**18 // scale}")
+        )
+        .cast("long")
+        .alias("gini_micro"),
+        parent.cast("long").alias("parent_gini_micro"),
+    )

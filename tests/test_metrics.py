@@ -835,3 +835,110 @@ def test_did_random_parity_and_validation(spark):
         diff_in_diff(bad)
     with pytest.raises(ValueError, match="not in input"):
         diff_in_diff(bad, group_col="zzz")
+
+
+def _py_stump(rows, features, n_cells=32, scale=10**6):
+    """Model: same cells, same rational order via (whole, frac)."""
+    from collections import defaultdict
+
+    labeled = [r for r in rows if r[-1] is not None]
+    cand = []
+    for fi, f in enumerate(features):
+        vals = [(r[fi], r[-1]) for r in labeled if r[fi] is not None]
+        if not vals:
+            continue
+        mn = min(x for x, _ in vals)
+        mx = max(x for x, _ in vals)
+        span = mx - mn + 1
+        cells = defaultdict(lambda: [0, 0, None])
+        for x, y in vals:
+            c = (x - mn) * n_cells // span
+            st = cells[c]
+            st[0] += 1
+            st[1] += y
+            st[2] = x if st[2] is None else max(st[2], x)
+        order = sorted(cells)
+        nt = sum(cells[c][0] for c in order)
+        pt = sum(cells[c][1] for c in order)
+        nl = pl = 0
+        for c in order:
+            nl += cells[c][0]
+            pl += cells[c][1]
+            if nl == 0 or nl == nt:
+                continue
+            nr, pr = nt - nl, pt - pl
+            num = 2 * pl * (nl - pl) * nr + 2 * pr * (nr - pr) * nl
+            den = nl * nr * nt
+            wh, r = divmod(num, den)
+            fr = r * 10**18 // den
+            cand.append(
+                (wh, fr, f, c,
+                 (f, cells[c][2], nl, pl, nr, pr,
+                  wh * scale + fr // (10**18 // scale),
+                  (2 * pt * (nt - pt) * scale) // (nt * nt)))
+            )
+    cand.sort()
+    return cand[0][4]
+
+
+def test_stump_perfect_separator(spark):
+    from nebula_importer_spark.operators.metrics import gini_stump
+
+    # f1 separates perfectly at 10; f2 is noise
+    rows = [(i, 7, 0) for i in range(10)] + [
+        (100 + i, 7, 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, label long")
+    r = gini_stump(df, feature_cols=["f1", "f2"]).collect()[0]
+    assert r.feature == "f1"
+    assert r.gini_micro == 0
+    assert r.n_left == 10 and r.pos_left == 0
+    assert r.n_right == 10 and r.pos_right == 10
+    assert r.split_value == 9
+    assert r.parent_gini_micro == 500000
+
+
+def test_stump_random_parity_and_nulls(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import gini_stump
+
+    rng = random.Random(606060)
+    rows = []
+    for _ in range(400):
+        a = rng.randrange(0, 100)
+        b = rng.randrange(0, 50)
+        # label correlated with a, noisy
+        y = 1 if (a + rng.randrange(0, 40)) > 70 else 0
+        if rng.random() < 0.03:
+            a = None
+        rows.append((a, b, y))
+    df = spark.createDataFrame(
+        rows, "fa long, fb long, label long"
+    ).repartition(5)
+    r = gini_stump(df, feature_cols=["fa", "fb"], n_cells=16).collect()[0]
+    got = (
+        r.feature, r.split_value, r.n_left, r.pos_left, r.n_right,
+        r.pos_right, r.gini_micro, r.parent_gini_micro,
+    )
+    assert got == _py_stump(rows, ["fa", "fb"], n_cells=16)
+    assert r.feature == "fa"  # the informative feature wins
+
+
+def test_stump_validation(spark):
+    from nebula_importer_spark.operators.metrics import gini_stump
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 1)], "a long, b double, label long"
+    )
+    with pytest.raises(ValueError, match="feature_cols"):
+        gini_stump(df, feature_cols=[])
+    with pytest.raises(ValueError, match="not in input"):
+        gini_stump(df, feature_cols=["zzz"])
+    with pytest.raises(ValueError, match="integral"):
+        gini_stump(df, feature_cols=["b"])
+    with pytest.raises(ValueError, match="n_cells"):
+        gini_stump(df, feature_cols=["a"], n_cells=1)
+    bad = spark.createDataFrame([(1, 2)], "a long, label long")
+    with pytest.raises(ValueError, match="0 or 1"):
+        gini_stump(bad, feature_cols=["a"])
