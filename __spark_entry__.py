@@ -6549,6 +6549,162 @@ def _gini_stump_sql(n_cells: int = 32, scale: int = 10**6) -> str:
 """
 
 
+def q_confusion_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion report (operators/metrics.py:
+    confusion_report) grading the n-gram lang_id heuristic against the
+    documents table's true lang labels — the per-class P/R/F1 view a
+    corpus pipeline reads before letting the classifier route 100 TB
+    (zh has no heuristic leg, so its rows land in 'und': visible here
+    as zero-recall 'zh' and zero-precision 'und', exactly the silent
+    drop the per-class view exists to catch). One (label,pred) grid
+    pass; exact ppm rationals; <micro>/<macro> summary rows ride along."""
+    from nebula_importer_spark.operators.metrics import confusion_report
+    from nebula_importer_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label"), lang_id("text").alias("pred")
+    )
+    return confusion_report(d)
+
+
+def q_mcnemar_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired A/B test (operators/metrics.py:mcnemar_test):
+    does the n-gram lang_id heuristic beat the majority-class
+    ('en'-always) baseline on the SAME documents — the discordant-pairs
+    gate for swapping corpus filters, where unpaired accuracy deltas
+    mislead. One map-side-combinable aggregation, zero joins."""
+    from nebula_importer_spark.operators.metrics import mcnemar_test
+    from nebula_importer_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label"),
+        lang_id("text").alias("pred_a"),
+        F.lit("en").alias("pred_b"),
+    )
+    return mcnemar_test(d)
+
+
+def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square association audit (operators/profile.py:
+    chi_square_assoc): is a document's language statistically dependent
+    on its source domain — the stratification-key sanity check a
+    mixture-balancing pipeline runs before trusting `source` as a
+    sampling stratum. Sketch-first: one pass to the lang×source
+    contingency grid, full r×c grid (empty cells included) and the
+    exact cross-multiplied (O·N−R·C)²·scale div (N·R·C) statistic on
+    metadata; v2_micro is Cramér's V² on the same quantized value."""
+    from nebula_importer_spark.operators.profile import chi_square_assoc
+
+    return chi_square_assoc(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+_CHI2_LANG_SOURCE_SQL = """
+    WITH base AS (
+        SELECT lang AS x, source AS y FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    obs AS (
+        SELECT x, y, COUNT(*)::HUGEINT AS o FROM base GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, SUM(o) AS r FROM obs GROUP BY 1),
+    cy AS (SELECT y, SUM(o) AS c FROM obs GROUP BY 1),
+    tot AS (
+        SELECT SUM(o) AS n, COUNT(DISTINCT x) AS lx,
+               COUNT(DISTINCT y) AS ly
+        FROM obs
+    ),
+    grid AS (
+        SELECT rx.r, cy.c, COALESCE(obs.o, 0)::HUGEINT AS o, tot.n
+        FROM rx CROSS JOIN cy CROSS JOIN tot
+        LEFT JOIN obs ON obs.x = rx.x AND obs.y = cy.y
+    ),
+    s AS (
+        SELECT SUM(((o * n - r * c) * (o * n - r * c) * 1000000)
+                   // (n * r * c)) AS chi2
+        FROM grid
+    )
+    SELECT tot.n::BIGINT AS n, tot.lx::BIGINT AS levels_x,
+           tot.ly::BIGINT AS levels_y,
+           ((tot.lx - 1) * (tot.ly - 1))::BIGINT AS dof,
+           s.chi2::BIGINT AS chi2_micro,
+           CASE WHEN LEAST(tot.lx - 1, tot.ly - 1) = 0 THEN NULL
+                ELSE (s.chi2 // (tot.n * LEAST(tot.lx - 1, tot.ly - 1)))::BIGINT
+           END AS v2_micro
+    FROM tot CROSS JOIN s
+"""
+
+
+def q_kendall_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (operators/profile.py:kendall_tau)
+    between document length and whitespace count — the outlier-proof
+    monotone-association profile (vs ols_trend's parametric slope).
+    Sketch-first: one pass to a ≤64² quantized joint grid, exact
+    concordant/discordant cell-pair sums on metadata, negative-safe
+    floored tau-a and sign·squared tau-b in micro units."""
+    from nebula_importer_spark.operators.profile import kendall_tau
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("len_chars"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("n_spaces"),
+    )
+    return kendall_tau(docs, "len_chars", "n_spaces", n_cells=64)
+
+
+_KENDALL_DOCLEN_SQL = """
+    WITH v AS (
+        SELECT n_chars::BIGINT AS vx,
+               (length(text) - length(replace(text, ' ', '')))::BIGINT AS vy
+        FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    b AS (
+        SELECT MIN(vx) AS mnx, MAX(vx) - MIN(vx) + 1 AS spx,
+               MIN(vy) AS mny, MAX(vy) - MIN(vy) + 1 AS spy
+        FROM v
+    ),
+    g AS (
+        SELECT ((vx - mnx) * 64) // spx AS cx,
+               ((vy - mny) * 64) // spy AS cy,
+               COUNT(*)::HUGEINT AS m
+        FROM v CROSS JOIN b GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT COALESCE(SUM(CASE WHEN c.cy > a.cy THEN a.m * c.m END), 0) AS conc,
+               COALESCE(SUM(CASE WHEN c.cy < a.cy THEN a.m * c.m END), 0) AS disc
+        FROM g a JOIN g c ON c.cx > a.cx
+    ),
+    marg AS (
+        SELECT (SELECT SUM(m) FROM g) AS n,
+               (SELECT SUM(t.s * (t.s - 1) // 2) FROM
+                  (SELECT SUM(m) AS s FROM g GROUP BY cx) t) AS tx,
+               (SELECT SUM(t.s * (t.s - 1) // 2) FROM
+                  (SELECT SUM(m) AS s FROM g GROUP BY cy) t) AS ty,
+               (SELECT SUM(m * (m - 1) // 2) FROM g) AS txy
+    ),
+    f AS (
+        SELECT n, n * (n - 1) // 2 AS n0, conc, disc, tx, ty, txy,
+               conc - disc AS num
+        FROM marg CROSS JOIN pairs
+    )
+    SELECT n::BIGINT AS n, n0::BIGINT AS n0, conc::BIGINT AS concordant,
+           disc::BIGINT AS discordant, tx::BIGINT AS tied_x,
+           ty::BIGINT AS tied_y, txy::BIGINT AS tied_xy,
+           CASE WHEN n0 = 0 THEN NULL ELSE
+             ((num * 1000000
+               - ((num * 1000000 % n0) + n0) % n0) / n0)::BIGINT
+           END AS tau_a_micro,
+           CASE WHEN n0 = 0 OR (n0 - tx) * (n0 - ty) = 0 THEN NULL ELSE
+             (CASE WHEN num >= 0 THEN 1 ELSE -1 END
+              * ((num * num * 1000000) // ((n0 - tx) * (n0 - ty))))::BIGINT
+           END AS tau_b2_signed_micro
+    FROM f
+"""
+
+
 def q_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Mann-Whitney AUC (operators/metrics.py:
     exact_auc): how well document length separates English docs —
@@ -7370,6 +7526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": q_graph_wl,
         # train family: exact CART decision stump (weak learner)
         "stump_doclang": q_stump_doclang,
+        # stats family: categorical association + rank correlation
+        "assoc_lang_source": q_assoc_lang_source,
+        "confusion_lang_id": q_confusion_lang_id,
+        "mcnemar_lang_id": q_mcnemar_lang_id,
+        "kendall_doclen": q_kendall_doclen,
         "column_overlap": q_column_overlap,
         # iterative BPE tokenizer training (8 unrolled-round oracle twin)
         "bpe_train_docs": q_bpe_train,
@@ -8748,6 +8909,123 @@ def oracle_sql() -> dict[str, str]:
         "events_did": _EVENTS_DID_SQL,
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
+        "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "confusion_lang_id": f"""
+            WITH r AS (
+                SELECT lang AS label,
+                       {ratios['en']} AS r_en, {ratios['de']} AS r_de,
+                       {ratios['fr']} AS r_fr, {ratios['es']} AS r_es
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+            ),
+            pairs AS (
+                SELECT label,
+                       CASE
+                         WHEN r_en > 0 AND r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                         WHEN r_de > 0 AND r_de > r_en AND r_de >= r_fr AND r_de >= r_es THEN 'de'
+                         WHEN r_fr > 0 AND r_fr > r_en AND r_fr > r_de AND r_fr >= r_es THEN 'fr'
+                         WHEN r_es > 0 AND r_es > r_en AND r_es > r_de AND r_es > r_fr THEN 'es'
+                         ELSE 'und'
+                       END AS pred
+                FROM r
+            ),
+            cells AS (
+                SELECT label, pred, COUNT(*)::HUGEINT AS n
+                FROM pairs GROUP BY 1, 2
+            ),
+            lab AS (SELECT label AS c, SUM(n) AS nl FROM cells GROUP BY 1),
+            prd AS (SELECT pred AS c, SUM(n) AS np FROM cells GROUP BY 1),
+            diag AS (SELECT label AS c, n AS tp FROM cells WHERE label = pred),
+            k AS (
+                SELECT COALESCE(lab.c, prd.c) AS c,
+                       COALESCE(nl, 0) AS support,
+                       COALESCE(tp, 0) AS tp,
+                       COALESCE(np, 0) - COALESCE(tp, 0) AS fp,
+                       COALESCE(nl, 0) - COALESCE(tp, 0) AS fn
+                FROM lab FULL JOIN prd ON lab.c = prd.c
+                LEFT JOIN diag ON diag.c = COALESCE(lab.c, prd.c)
+            ),
+            pc AS (
+                SELECT c, support, tp, fp, fn,
+                       CASE WHEN tp + fp = 0 THEN NULL
+                            ELSE tp * 1000000 // (tp + fp) END AS p_ppm,
+                       CASE WHEN tp + fn = 0 THEN NULL
+                            ELSE tp * 1000000 // (tp + fn) END AS r_ppm,
+                       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f_ppm
+                FROM k
+            ),
+            mi AS (
+                SELECT '<micro>' AS c, SUM(support) AS support,
+                       SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+                FROM pc
+            ),
+            mi2 AS (
+                SELECT c, support, tp, fp, fn,
+                       CASE WHEN tp + fp = 0 THEN NULL
+                            ELSE tp * 1000000 // (tp + fp) END AS p_ppm,
+                       CASE WHEN tp + fn = 0 THEN NULL
+                            ELSE tp * 1000000 // (tp + fn) END AS r_ppm,
+                       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f_ppm
+                FROM mi
+            ),
+            ma AS (
+                SELECT '<macro>' AS c, SUM(support) AS support,
+                       NULL::HUGEINT AS tp, NULL::HUGEINT AS fp,
+                       NULL::HUGEINT AS fn,
+                       SUM(COALESCE(p_ppm, 0)) // COUNT(*) AS p_ppm,
+                       SUM(COALESCE(r_ppm, 0)) // COUNT(*) AS r_ppm,
+                       SUM(COALESCE(f_ppm, 0)) // COUNT(*) AS f_ppm
+                FROM pc
+            )
+            SELECT c AS class, support::BIGINT AS support, tp::BIGINT AS tp,
+                   fp::BIGINT AS fp, fn::BIGINT AS fn,
+                   p_ppm::BIGINT AS precision_ppm,
+                   r_ppm::BIGINT AS recall_ppm, f_ppm::BIGINT AS f1_ppm
+            FROM (SELECT * FROM pc UNION ALL SELECT * FROM mi2
+                  UNION ALL SELECT * FROM ma)
+        """,
+        "mcnemar_lang_id": f"""
+            WITH r AS (
+                SELECT lang AS label,
+                       {ratios['en']} AS r_en, {ratios['de']} AS r_de,
+                       {ratios['fr']} AS r_fr, {ratios['es']} AS r_es
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+            ),
+            p AS (
+                SELECT (CASE
+                         WHEN r_en > 0 AND r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                         WHEN r_de > 0 AND r_de > r_en AND r_de >= r_fr AND r_de >= r_es THEN 'de'
+                         WHEN r_fr > 0 AND r_fr > r_en AND r_fr > r_de AND r_fr >= r_es THEN 'fr'
+                         WHEN r_es > 0 AND r_es > r_en AND r_es > r_de AND r_es > r_fr THEN 'es'
+                         ELSE 'und'
+                       END = label)::HUGEINT AS a,
+                       ('en' = label)::HUGEINT AS b
+                FROM r
+            ),
+            s AS (
+                SELECT COUNT(*)::HUGEINT AS n, SUM(a * b) AS n11,
+                       SUM(a * (1 - b)) AS n10, SUM((1 - a) * b) AS n01,
+                       SUM((1 - a) * (1 - b)) AS n00
+                FROM p
+            )
+            SELECT COALESCE(n, 0)::BIGINT AS n,
+                   COALESCE(n11, 0)::BIGINT AS n11,
+                   COALESCE(n10, 0)::BIGINT AS n10,
+                   COALESCE(n01, 0)::BIGINT AS n01,
+                   COALESCE(n00, 0)::BIGINT AS n00,
+                   CASE WHEN COALESCE(n10, 0) + COALESCE(n01, 0) = 0 THEN NULL
+                        ELSE ((n10 - n01) * (n10 - n01) * 1000000
+                              // (n10 + n01))::BIGINT END AS chi2_micro,
+                   CASE WHEN COALESCE(n10, 0) + COALESCE(n01, 0) = 0 THEN NULL
+                        ELSE (GREATEST(ABS(n10 - n01) - 1, 0)
+                              * GREATEST(ABS(n10 - n01) - 1, 0) * 1000000
+                              // (n10 + n01))::BIGINT END AS chi2_corrected_micro
+            FROM s
+        """,
+        "kendall_doclen": _KENDALL_DOCLEN_SQL,
         # Deequ-style gate: one scalar subquery per rule, rule order kept
         "dq_constraints_orders": """
             WITH m AS (

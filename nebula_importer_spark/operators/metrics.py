@@ -1199,3 +1199,215 @@ def gini_stump(
         .alias("gini_micro"),
         parent.cast("long").alias("parent_gini_micro"),
     )
+
+
+def confusion_report(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multi-class confusion-matrix report: per-class TP/FP/FN with
+    exact-integer precision/recall/F1 — the per-class grading a trained
+    classifier (lang-id, quality filter, routing model) gets before its
+    predictions gate a 100-TB corpus. Complements exact_auc (threshold-
+    free ranking) and cohens_kappa (chance-corrected agreement) with
+    the per-class view that reveals WHICH class a filter is silently
+    dropping.
+
+    Sketch-first: ONE data pass folds rows into the (label, pred)
+    contingency grid (classes² metadata rows); every class's counts
+    derive from that grid's marginals. Classes are the UNION of
+    observed labels and predictions, so a never-predicted class still
+    gets its zero-precision row and a hallucinated class its
+    zero-recall row. Rates are exact quantized rationals —
+    ``precision_ppm = tp·scale div (tp+fp)`` etc., ``f1_ppm =
+    2·tp·scale div (2·tp+fp+fn)`` — NULL when the denominator is 0
+    (undefined, not fake 0: engine-identical, distinguishable).
+
+    Two summary rows ride along: class ``<micro>`` (pooled counts —
+    micro-P = micro-R = accuracy in the single-label setting) and
+    ``<macro>`` (unweighted mean of per-class ppm values with NULLs
+    counted as 0 — the sklearn zero_division=0 convention, stated;
+    tp/fp/fn NULL there since counts don't average). Rows with a NULL
+    label or prediction are dropped (stated).
+
+    Returns ``(class, support, tp, fp, fn, precision_ppm, recall_ppm,
+    f1_ppm)`` — one row per class plus the two summary rows.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    for c in (label_col, pred_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if label_col == pred_col:
+        raise ValueError("label_col and pred_col must differ")
+    d38 = "decimal(38,0)"
+    cells = (
+        df.filter(
+            F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .select(
+            F.col(label_col).cast("string").alias("_l"),
+            F.col(pred_col).cast("string").alias("_p"),
+        )
+        .groupBy("_l", "_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    lab = cells.groupBy("_l").agg(F.sum("_n").alias("_nl"))
+    prd = cells.groupBy("_p").agg(F.sum("_n").alias("_np"))
+    diag = cells.filter(F.col("_l") == F.col("_p")).select(
+        F.col("_l").alias("_c"), F.col("_n").alias("_tp")
+    )
+    classes = (
+        lab.select(F.col("_l").alias("_c"), "_nl")
+        .join(prd.select(F.col("_p").alias("_c"), "_np"), "_c", "full")
+        .join(diag, "_c", "left")
+        .select(
+            "_c",
+            F.coalesce("_nl", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("_tp", F.lit(0)).cast("long").alias("tp"),
+            (
+                F.coalesce("_np", F.lit(0)) - F.coalesce("_tp", F.lit(0))
+            ).cast("long").alias("fp"),
+            (
+                F.coalesce("_nl", F.lit(0)) - F.coalesce("_tp", F.lit(0))
+            ).cast("long").alias("fn"),
+        )
+    )
+
+    def _rates(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn(
+                "precision_ppm",
+                F.expr(
+                    f"CASE WHEN tp + fp = 0 THEN NULL ELSE CAST("
+                    f"CAST(tp AS {d38}) * {scale} div (tp + fp)"
+                    f" AS BIGINT) END"
+                ),
+            )
+            .withColumn(
+                "recall_ppm",
+                F.expr(
+                    f"CASE WHEN tp + fn = 0 THEN NULL ELSE CAST("
+                    f"CAST(tp AS {d38}) * {scale} div (tp + fn)"
+                    f" AS BIGINT) END"
+                ),
+            )
+            .withColumn(
+                "f1_ppm",
+                F.expr(
+                    f"CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE CAST("
+                    f"CAST(2 AS {d38}) * tp * {scale}"
+                    f" div (2 * tp + fp + fn) AS BIGINT) END"
+                ),
+            )
+        )
+
+    per_class = _rates(classes)
+    micro = _rates(
+        classes.agg(
+            F.sum("support").cast("long").alias("support"),
+            F.sum("tp").cast("long").alias("tp"),
+            F.sum("fp").cast("long").alias("fp"),
+            F.sum("fn").cast("long").alias("fn"),
+        ).select(F.lit("<micro>").alias("_c"), "support", "tp", "fp", "fn")
+    )
+    macro = per_class.agg(
+        F.sum("support").cast("long").alias("support"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.coalesce("precision_ppm", F.lit(0))).alias("_sp"),
+        F.sum(F.coalesce("recall_ppm", F.lit(0))).alias("_sr"),
+        F.sum(F.coalesce("f1_ppm", F.lit(0))).alias("_sf"),
+    ).select(
+        F.lit("<macro>").alias("_c"),
+        "support",
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("long").alias("fp"),
+        F.lit(None).cast("long").alias("fn"),
+        F.expr("CAST(_sp div _k AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(_sr div _k AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(_sf div _k AS BIGINT)").alias("f1_ppm"),
+    )
+    return (
+        per_class.unionByName(micro)
+        .unionByName(macro)
+        .withColumnRenamed("_c", "class")
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    pred_a_col: str = "pred_a",
+    pred_b_col: str = "pred_b",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947): do two classifiers graded
+    on the SAME rows differ beyond what their disagreement pattern
+    explains — the A/B gate for swapping one corpus filter for another,
+    where unpaired accuracy deltas mislead (the discordant cells b and
+    c carry ALL the evidence; rows both models get right or both get
+    wrong are uninformative).
+
+    ONE aggregation pass (map-side combinable sums — zero joins, zero
+    extra shuffles beyond the final 1-row reduce) folds the table into
+    the paired 2×2: ``n11`` both correct, ``n10`` only A correct,
+    ``n01`` only B correct, ``n00`` both wrong. The statistic is the
+    exact quantized rational ``(n10−n01)²·scale div (n10+n01)`` (χ²,
+    1 dof) plus Edwards' continuity-corrected variant
+    ``(max(|n10−n01|−1, 0))²·scale div (n10+n01)`` — both NULL when
+    n10+n01 = 0 (no discordant pairs: no evidence, not zero evidence).
+    Rows with a NULL label or either prediction NULL are dropped
+    (stated; a NULL prediction is an abstention, not a wrong answer —
+    filter upstream to score abstentions as errors).
+
+    Returns ONE row: ``(n, n11, n10, n01, n00, chi2_micro,
+    chi2_corrected_micro)``.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    for c in (label_col, pred_a_col, pred_b_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if len({label_col, pred_a_col, pred_b_col}) != 3:
+        raise ValueError("label/pred_a/pred_b columns must be distinct")
+    d38 = "decimal(38,0)"
+    a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("long")
+    b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("long")
+    agg = (
+        df.filter(
+            F.col(label_col).isNotNull()
+            & F.col(pred_a_col).isNotNull()
+            & F.col(pred_b_col).isNotNull()
+        )
+        .select(a_ok.alias("_a"), b_ok.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("_a * _b")).cast("long").alias("n11"),
+            F.sum(F.expr("_a * (1 - _b)")).cast("long").alias("n10"),
+            F.sum(F.expr("(1 - _a) * _b")).cast("long").alias("n01"),
+            F.sum(F.expr("(1 - _a) * (1 - _b)")).cast("long").alias("n00"),
+        )
+    )
+    return agg.select(
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n11", F.lit(0)).alias("n11"),
+        F.coalesce("n10", F.lit(0)).alias("n10"),
+        F.coalesce("n01", F.lit(0)).alias("n01"),
+        F.coalesce("n00", F.lit(0)).alias("n00"),
+        F.expr(
+            f"CASE WHEN coalesce(n10, 0) + coalesce(n01, 0) = 0 THEN NULL"
+            f" ELSE CAST(CAST(n10 - n01 AS {d38}) * (n10 - n01) * {scale}"
+            f" div (n10 + n01) AS BIGINT) END"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"CASE WHEN coalesce(n10, 0) + coalesce(n01, 0) = 0 THEN NULL"
+            f" ELSE CAST(CAST(greatest(abs(n10 - n01) - 1, 0) AS {d38})"
+            f" * greatest(abs(n10 - n01) - 1, 0) * {scale}"
+            f" div (n10 + n01) AS BIGINT) END"
+        ).alias("chi2_corrected_micro"),
+    )

@@ -1156,3 +1156,296 @@ def voptimal_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def chi_square_assoc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: int = 1_000_000,
+    max_levels: int = 1000,
+    max_rows: int = 10**7,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the "are these columns associated?" audit a profiler runs
+    before trusting a stratification key or declaring a schema-matched
+    pair redundant (column_overlap finds value overlap; this finds
+    statistical DEPENDENCE, which overlap can't see).
+
+    Sketch-first: ONE data pass folds the table into the (x, y)
+    contingency grid (≤ max_levels² metadata rows — the validated
+    bound); marginals, the full r×c grid (INCLUDING empty cells, which
+    carry expected-count mass the observed grid omits), and the
+    statistic all derive from that metadata table. Per cell the exact
+    rational contribution (O − E)²/E with E = R·C/N is cross-multiplied
+    to integers as
+
+        cell_micro = floor((O·N − R·C)² · scale / (N·R·C))
+
+    and ``chi2_micro = Σ cell_micro`` — floor-per-cell then exact long
+    sum, so the result is bit-identical on any engine or partitioning
+    (operational quantized semantics, same device as voptimal_histogram;
+    the true chi² differs by < one micro per cell). ``v2_micro`` is
+    Cramér's V² on the same quantized statistic:
+    ``chi2_micro div (n · min(r−1, c−1))`` — NULL when dof = 0.
+
+    Rows with NULL in either column are dropped (stated; a NULL level
+    is not a category). Raises when a side exceeds ``max_levels``
+    (a chi² over an id-like column is a bug, and the grid must stay
+    metadata-sized) or n exceeds ``max_rows`` (DECIMAL(38,0) headroom:
+    the cross-multiplied numerator is ≤ N⁴·scale — pre-aggregate or
+    sample beyond 10⁷).
+
+    Returns ONE row:
+    ``(n, levels_x, levels_y, dof, chi2_micro, v2_micro)``.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if max_levels < 2:
+        raise ValueError(f"max_levels must be >= 2, got {max_levels}")
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if x_col == y_col:
+        raise ValueError("x_col and y_col must differ")
+    d38 = "decimal(38,0)"
+    obs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+        .localCheckpoint(eager=True)
+    )
+    rx = obs.groupBy("_x").agg(F.sum("_o").alias("_r"))
+    cy = obs.groupBy("_y").agg(F.sum("_o").alias("_c"))
+    tot = obs.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_x").alias("_lx"),
+        F.countDistinct("_y").alias("_ly"),
+    ).collect()[0]
+    n = int(tot["_n"] or 0)
+    lx, ly = int(tot["_lx"]), int(tot["_ly"])
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "n long, levels_x long, levels_y long, dof long, "
+            "chi2_micro long, v2_micro long",
+        )
+    if lx > max_levels or ly > max_levels:
+        raise ValueError(
+            f"levels ({lx}×{ly}) exceed max_levels={max_levels}; "
+            "chi-square over id-like columns is unbounded — bucket first"
+        )
+    if n > max_rows:
+        raise ValueError(
+            f"n={n} exceeds max_rows={max_rows} (DECIMAL(38,0) headroom "
+            "for the cross-multiplied statistic) — pre-aggregate or sample"
+        )
+    grid = (
+        rx.crossJoin(cy)
+        .join(obs, ["_x", "_y"], "left")
+        .select(
+            "_r",
+            "_c",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+        )
+    )
+    dof = (lx - 1) * (ly - 1)
+    kmin = min(lx - 1, ly - 1)
+    cell = F.expr(
+        f"((CAST(_o AS {d38}) * {n} - CAST(_r AS {d38}) * _c)"
+        f" * (CAST(_o AS {d38}) * {n} - CAST(_r AS {d38}) * _c)"
+        f" * CAST({scale} AS {d38}))"
+        f" div (CAST({n} AS {d38}) * _r * _c)"
+    )
+    out = grid.agg(F.sum(cell).cast("long").alias("chi2_micro")).select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(lx).cast("long").alias("levels_x"),
+        F.lit(ly).cast("long").alias("levels_y"),
+        F.lit(dof).cast("long").alias("dof"),
+        "chi2_micro",
+        (
+            F.expr(f"CAST(chi2_micro AS {d38}) div {n * kmin}").cast("long")
+            if kmin > 0
+            else F.lit(None).cast("long")
+        ).alias("v2_micro"),
+    )
+    return out
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    n_cells: int = 64,
+    scale: int = 1_000_000,
+    max_rows: int = 10**7,
+) -> DataFrame:
+    """Kendall rank correlation between two integral columns — the
+    monotone-association profile that survives outliers and nonlinearity
+    where an OLS slope (ols_trend) or Pearson moment doesn't.
+
+    Sketch-first: ONE data pass quantizes both columns into ≤ n_cells
+    equi-width cells each (the ``((v−mn)·n) div span`` rule shared with
+    voptimal_histogram) and folds the table into the ≤ n_cells² joint
+    grid; concordant/discordant pair counts are then the exact
+    cell-pair sums ``Σ n_ab·n_cd`` over the METADATA grid self-join
+    (grid ⋈ grid with cx strictly increasing — ≤ n_cells⁴ arithmetic on
+    a few-KB table, zero data rows). Semantics are the exact Kendall
+    counts of the QUANTIZED pairs: values sharing a cell are ties
+    (stated, same capped-universe discipline as ngram_jaccard_pairs);
+    with spans ≤ n_cells the quantization is the identity and the
+    result is the exact raw-value tau.
+
+    Outputs exact longs ``(n, n0, concordant, discordant, tied_x,
+    tied_y, tied_xy)`` with ``n0 = n(n−1)/2`` (ties counted per
+    marginal, both-tied pairs in all three tied columns; the identity
+    n0 = C + D + tied_x + tied_y − tied_xy holds), plus
+
+    - ``tau_a_micro`` = floor((C−D)·scale / n0) — true floor (negative-
+      safe via the pmod device), NULL when n0 = 0;
+    - ``tau_b2_signed_micro`` = sign(C−D) · floor((C−D)²·scale /
+      ((n0−tied_x)·(n0−tied_y))) — Kendall tau-b is (C−D)/√(…); the
+      square avoids the irrational root while staying monotone in |τ_b|
+      and sign-correct. NULL when either tie-corrected margin is 0.
+
+    NULL rows (either column) are dropped. Raises on non-integral
+    columns (quantize floats caller-side) and when n exceeds
+    ``max_rows`` (DECIMAL(38,0) headroom: the cross-multiplied tau-b
+    numerator is ≤ n⁴·scale/4).
+
+    Returns ONE row.
+    """
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (x_col, y_col):
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"column {c!r} must be integral (got {by_name[c]}) — "
+                "quantize floats caller-side (the zorder_key rule)"
+            )
+    if x_col == y_col:
+        raise ValueError("x_col and y_col must differ")
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    out_schema = (
+        "n long, n0 long, concordant long, discordant long, tied_x long, "
+        "tied_y long, tied_xy long, tau_a_micro long, "
+        "tau_b2_signed_micro long"
+    )
+    vals = df.select(
+        F.col(x_col).cast("long").alias("_vx"),
+        F.col(y_col).cast("long").alias("_vy"),
+    ).filter(F.col("_vx").isNotNull() & F.col("_vy").isNotNull())
+    b = vals.agg(
+        F.min("_vx").alias("_mnx"),
+        F.max("_vx").alias("_mxx"),
+        F.min("_vy").alias("_mny"),
+        F.max("_vy").alias("_mxy"),
+    ).collect()[0]
+    if b["_mnx"] is None:
+        return spark.createDataFrame([], out_schema)
+    spx = int(b["_mxx"]) - int(b["_mnx"]) + 1
+    spy = int(b["_mxy"]) - int(b["_mny"]) + 1
+    grid = (
+        vals.select(
+            F.expr(
+                f"(( _vx - {int(b['_mnx'])} ) * {n_cells}) div {spx}"
+            ).alias("_cx"),
+            F.expr(
+                f"(( _vy - {int(b['_mny'])} ) * {n_cells}) div {spy}"
+            ).alias("_cy"),
+        )
+        .groupBy("_cx", "_cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    n = grid.agg(F.sum("_n")).collect()[0][0]
+    n = int(n or 0)
+    if n > max_rows:
+        raise ValueError(
+            f"n={n} exceeds max_rows={max_rows} (DECIMAL(38,0) headroom "
+            "for the cross-multiplied tau-b terms) — sample first"
+        )
+    a, c = grid.alias("a"), grid.alias("c")
+    pairs = (
+        a.join(c, F.col("a._cx") < F.col("c._cx"))
+        .select(
+            (
+                F.when(F.col("c._cy") > F.col("a._cy"), F.col("a._n") * F.col("c._n"))
+                .otherwise(F.lit(0))
+            ).alias("_conc"),
+            (
+                F.when(F.col("c._cy") < F.col("a._cy"), F.col("a._n") * F.col("c._n"))
+                .otherwise(F.lit(0))
+            ).alias("_disc"),
+        )
+        .agg(
+            F.sum("_conc").cast("long").alias("concordant"),
+            F.sum("_disc").cast("long").alias("discordant"),
+        )
+    )
+    tx = (
+        grid.groupBy("_cx")
+        .agg(F.sum("_n").alias("_m"))
+        .agg(F.sum(F.expr("_m * (_m - 1) div 2")).cast("long").alias("tied_x"))
+    )
+    ty = (
+        grid.groupBy("_cy")
+        .agg(F.sum("_n").alias("_m"))
+        .agg(F.sum(F.expr("_m * (_m - 1) div 2")).cast("long").alias("tied_y"))
+    )
+    txy = grid.agg(
+        F.sum(F.expr("_n * (_n - 1) div 2")).cast("long").alias("tied_xy")
+    )
+    n0 = n * (n - 1) // 2
+    row = (
+        pairs.crossJoin(tx).crossJoin(ty).crossJoin(txy)
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(n0).cast("long").alias("n0"),
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).alias("discordant"),
+            "tied_x",
+            "tied_y",
+            "tied_xy",
+        )
+        .withColumn("_num", F.expr("concordant - discordant"))
+    )
+    if n0 == 0:
+        return row.select(
+            "n", "n0", "concordant", "discordant", "tied_x", "tied_y",
+            "tied_xy",
+            F.lit(None).cast("long").alias("tau_a_micro"),
+            F.lit(None).cast("long").alias("tau_b2_signed_micro"),
+        )
+    # floor((C−D)·scale / n0): pmod makes the numerator divisible, so the
+    # div is exact — true floor even for negative numerators, on any engine
+    tau_a = F.expr(
+        f"CAST((CAST(_num AS {d38}) * {scale}"
+        f" - pmod(CAST(_num AS {d38}) * {scale}, {n0})) div {n0} AS BIGINT)"
+    )
+    tau_b2 = F.expr(
+        f"CASE WHEN (CAST({n0} AS {d38}) - tied_x) * ({n0} - tied_y) = 0"
+        f" THEN NULL ELSE"
+        f" CAST(sign(_num) AS BIGINT)"
+        f" * CAST((CAST(_num AS {d38}) * _num * {scale})"
+        f" div ((CAST({n0} AS {d38}) - tied_x) * ({n0} - tied_y)) AS BIGINT)"
+        f" END"
+    )
+    return row.select(
+        "n", "n0", "concordant", "discordant", "tied_x", "tied_y", "tied_xy",
+        tau_a.alias("tau_a_micro"),
+        tau_b2.alias("tau_b2_signed_micro"),
+    )

@@ -801,3 +801,202 @@ def test_moment_profile_validation(spark):
         moment_profile(df, "v", quant=0)
     with pytest.raises(ValueError, match="not in input"):
         moment_profile(df, "zz")
+
+
+def _py_chi2(labeled, scale=10**6):
+    from collections import Counter
+
+    n = len(labeled)
+    cx = Counter(x for x, _ in labeled)
+    cy = Counter(y for _, y in labeled)
+    obs = Counter(labeled)
+    chi2 = 0
+    for xv in cx:
+        for yv in cy:
+            o, r, c = obs.get((xv, yv), 0), cx[xv], cy[yv]
+            chi2 += (o * n - r * c) ** 2 * scale // (n * r * c)
+    k = min(len(cx) - 1, len(cy) - 1)
+    return (
+        n, len(cx), len(cy), (len(cx) - 1) * (len(cy) - 1), chi2,
+        chi2 // (n * k) if k > 0 else None,
+    )
+
+
+def test_chi_square_assoc_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.profile import chi_square_assoc
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(600):
+        x = rng.choice(["a", "b", "c", "d"])
+        # y depends on x for two levels, independent otherwise
+        y = (
+            rng.choice(["p", "q", "r"])
+            if x in ("c", "d")
+            else ("p" if rng.random() < 0.7 else "q")
+        )
+        if rng.random() < 0.03:
+            x = None
+        if rng.random() < 0.03:
+            y = None
+        rows.append((x, y, i))
+    df = spark.createDataFrame(rows, "x string, y string, i long").repartition(7)
+    r = chi_square_assoc(df, "x", "y").collect()[0]
+    got = (r.n, r.levels_x, r.levels_y, r.dof, r.chi2_micro, r.v2_micro)
+    assert got == _py_chi2(
+        [(x, y) for x, y, _ in rows if x is not None and y is not None]
+    )
+    assert r.chi2_micro > 0
+
+
+def test_chi_square_assoc_independent_and_degenerate(spark):
+    from nebula_importer_spark.operators.profile import chi_square_assoc
+
+    # perfectly proportional grid: chi2 exactly 0
+    rows = [("a", "p")] * 6 + [("a", "q")] * 2 + [("b", "p")] * 3 + [
+        ("b", "q")
+    ] * 1
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi_square_assoc(df, "x", "y").collect()[0]
+    assert r.chi2_micro == 0 and r.v2_micro == 0
+    # one-level side: dof 0, v2 NULL
+    one = spark.createDataFrame([("a", "p"), ("b", "p")], "x string, y string")
+    r1 = chi_square_assoc(one, "x", "y").collect()[0]
+    assert (r1.dof, r1.chi2_micro, r1.v2_micro) == (0, 0, None)
+    # all-NULL input: empty frame
+    nul = spark.createDataFrame([(None, "p")], "x string, y string")
+    assert chi_square_assoc(nul, "x", "y").count() == 0
+
+
+def test_chi_square_assoc_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import chi_square_assoc
+
+    df = spark.createDataFrame([("a", "b", 1)], "x string, y string, i long")
+    with pytest.raises(ValueError, match="not in input"):
+        chi_square_assoc(df, "zz", "y")
+    with pytest.raises(ValueError, match="must differ"):
+        chi_square_assoc(df, "x", "x")
+    ids = spark.createDataFrame(
+        [(str(i), "y") for i in range(40)], "x string, y string"
+    )
+    with pytest.raises(ValueError, match="max_levels"):
+        chi_square_assoc(ids, "x", "y", max_levels=10)
+    with pytest.raises(ValueError, match="max_rows"):
+        chi_square_assoc(df, "x", "y", max_rows=0)
+
+
+def _py_kendall(pairs, n_cells, scale=10**6):
+    from collections import Counter
+
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    mnx, mny = min(xs), min(ys)
+    spx = max(xs) - mnx + 1
+    spy = max(ys) - mny + 1
+    q = [
+        ((a - mnx) * n_cells // spx, (b - mny) * n_cells // spy)
+        for a, b in pairs
+    ]
+    n = len(q)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = q[j][0] - q[i][0]
+            dy = q[j][1] - q[i][1]
+            if dx and dy:
+                if (dx > 0) == (dy > 0):
+                    conc += 1
+                else:
+                    disc += 1
+    tx = sum(m * (m - 1) // 2 for m in Counter(a for a, _ in q).values())
+    ty = sum(m * (m - 1) // 2 for m in Counter(b for _, b in q).values())
+    txy = sum(m * (m - 1) // 2 for m in Counter(q).values())
+    n0 = n * (n - 1) // 2
+    num = conc - disc
+    den = (n0 - tx) * (n0 - ty)
+    tb = (
+        None
+        if den == 0
+        else (1 if num >= 0 else -1) * (num * num * scale // den)
+    )
+    return (
+        n, n0, conc, disc, tx, ty, txy,
+        (num * scale) // n0 if n0 else None, tb,
+    )
+
+
+def test_kendall_tau_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.profile import kendall_tau
+
+    rng = random.Random(42)
+    for trend in (1, -1):
+        rows = []
+        for i in range(250):
+            a = rng.randrange(0, 300)
+            b = trend * a + rng.randrange(-80, 80)
+            if rng.random() < 0.02:
+                a = None
+            rows.append((a, b, i))
+        df = spark.createDataFrame(
+            rows, "u long, v long, i long"
+        ).repartition(5)
+        r = kendall_tau(df, "u", "v", n_cells=16).collect()[0]
+        got = (
+            r.n, r.n0, r.concordant, r.discordant, r.tied_x, r.tied_y,
+            r.tied_xy, r.tau_a_micro, r.tau_b2_signed_micro,
+        )
+        assert got == _py_kendall(
+            [(a, b) for a, b, _ in rows if a is not None], 16
+        )
+        # identity: every pair is concordant, discordant, or tied
+        assert r.n0 == (
+            r.concordant + r.discordant + r.tied_x + r.tied_y - r.tied_xy
+        )
+        assert (r.tau_a_micro > 0) == (trend == 1)
+        assert (r.tau_b2_signed_micro > 0) == (trend == 1)
+
+
+def test_kendall_tau_exact_when_cells_resolve(spark):
+    from nebula_importer_spark.operators.profile import kendall_tau
+
+    # span <= n_cells: quantization is the identity; perfect monotone
+    # sequence gives tau_a == tau_b == 1 exactly
+    rows = [(i, 2 * i + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = kendall_tau(df, "u", "v", n_cells=32).collect()[0]
+    assert r.concordant == 45 and r.discordant == 0
+    assert r.tied_x == r.tied_y == r.tied_xy == 0
+    assert r.tau_a_micro == 10**6 and r.tau_b2_signed_micro == 10**6
+    # single row: n0 == 0 -> NULL taus
+    one = spark.createDataFrame([(1, 2)], "u long, v long")
+    r1 = kendall_tau(one, "u", "v").collect()[0]
+    assert (r1.n, r1.n0, r1.tau_a_micro, r1.tau_b2_signed_micro) == (
+        1, 0, None, None,
+    )
+    # empty after NULL drop: empty frame
+    nul = spark.createDataFrame([(None, 2)], "u long, v long")
+    assert kendall_tau(nul, "u", "v").count() == 0
+
+
+def test_kendall_tau_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import kendall_tau
+
+    df = spark.createDataFrame([(1, 2.0, 3)], "u long, w double, i long")
+    with pytest.raises(ValueError, match="not in input"):
+        kendall_tau(df, "zz", "u")
+    with pytest.raises(ValueError, match="integral"):
+        kendall_tau(df, "u", "w")
+    with pytest.raises(ValueError, match="must differ"):
+        kendall_tau(df, "u", "u")
+    with pytest.raises(ValueError, match="n_cells"):
+        kendall_tau(df, "u", "i", n_cells=1)
+    with pytest.raises(ValueError, match="max_rows"):
+        kendall_tau(df, "u", "i", max_rows=0)

@@ -942,3 +942,152 @@ def test_stump_validation(spark):
     bad = spark.createDataFrame([(1, 2)], "a long, label long")
     with pytest.raises(ValueError, match="0 or 1"):
         gini_stump(bad, feature_cols=["a"])
+
+
+def _py_confusion(pairs, scale=10**6):
+    from collections import Counter
+
+    lab = Counter(l for l, _ in pairs)
+    prd = Counter(p for _, p in pairs)
+    diag = Counter(l for l, p in pairs if l == p)
+    classes = sorted(set(lab) | set(prd))
+    out = {}
+    for c in classes:
+        tp = diag.get(c, 0)
+        fp = prd.get(c, 0) - tp
+        fn = lab.get(c, 0) - tp
+        out[c] = (
+            lab.get(c, 0), tp, fp, fn,
+            tp * scale // (tp + fp) if tp + fp else None,
+            tp * scale // (tp + fn) if tp + fn else None,
+            2 * tp * scale // (2 * tp + fp + fn) if 2 * tp + fp + fn else None,
+        )
+    n = len(pairs)
+    stp = sum(diag.values())
+    sfp = sum(prd.values()) - stp
+    sfn = sum(lab.values()) - stp
+    out["<micro>"] = (
+        n, stp, sfp, sfn,
+        stp * scale // (stp + sfp), stp * scale // (stp + sfn),
+        2 * stp * scale // (2 * stp + sfp + sfn),
+    )
+    k = len(classes)
+    out["<macro>"] = (
+        n, None, None, None,
+        sum(out[c][4] or 0 for c in classes) // k,
+        sum(out[c][5] or 0 for c in classes) // k,
+        sum(out[c][6] or 0 for c in classes) // k,
+    )
+    return out
+
+
+def test_confusion_report_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import confusion_report
+
+    rng = random.Random(99)
+    langs = ["en", "de", "fr", "zh"]
+    rows = []
+    for i in range(500):
+        l = rng.choice(langs)
+        # 'zh' never predicted (pred 'und' instead); 'xx' hallucinated
+        p = l if rng.random() < 0.7 else rng.choice(["en", "de", "und", "xx"])
+        if p == "zh":
+            p = "und"
+        if rng.random() < 0.02:
+            l = None
+        rows.append((l, p, i))
+    df = spark.createDataFrame(
+        rows, "label string, pred string, i long"
+    ).repartition(6)
+    got = {
+        r["class"]: (
+            r.support, r.tp, r.fp, r.fn,
+            r.precision_ppm, r.recall_ppm, r.f1_ppm,
+        )
+        for r in confusion_report(df).collect()
+    }
+    want = _py_confusion([(l, p) for l, p, _ in rows if l is not None])
+    assert got == want
+    # 'zh' never predicted: zero tp, NULL precision, defined zero recall
+    assert got["zh"][1] == 0 and got["zh"][4] is None and got["zh"][5] == 0
+    # hallucinated 'xx': zero support, NULL recall
+    assert got["xx"][0] == 0 and got["xx"][5] is None
+    # micro precision == recall == accuracy for single-label rows
+    assert got["<micro>"][4] == got["<micro>"][5]
+
+
+def test_confusion_report_validation(spark):
+    from nebula_importer_spark.operators.metrics import confusion_report
+
+    df = spark.createDataFrame([("a", "a")], "label string, pred string")
+    with pytest.raises(ValueError, match="not in input"):
+        confusion_report(df, label_col="zz")
+    with pytest.raises(ValueError, match="must differ"):
+        confusion_report(df, label_col="label", pred_col="label")
+    with pytest.raises(ValueError, match="scale"):
+        confusion_report(df, scale=0)
+
+
+def test_mcnemar_known_and_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import mcnemar_test
+
+    # classic textbook cell counts: n10=20, n01=5 -> chi2 = 225/25 = 9
+    rows = (
+        [("x", "x", "x")] * 30       # both correct
+        + [("x", "x", "y")] * 20     # only A correct
+        + [("x", "y", "x")] * 5      # only B correct
+        + [("x", "y", "y")] * 10     # both wrong
+    )
+    df = spark.createDataFrame(
+        rows, "label string, pred_a string, pred_b string"
+    ).repartition(4)
+    r = mcnemar_test(df).collect()[0]
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (65, 30, 20, 5, 10)
+    assert r.chi2_micro == 9_000_000
+    assert r.chi2_corrected_micro == (14 * 14 * 10**6) // 25
+
+    rng = random.Random(17)
+    rows2 = []
+    for i in range(400):
+        l = rng.choice(["p", "q"])
+        a = l if rng.random() < 0.8 else ("p" if l == "q" else "q")
+        b = l if rng.random() < 0.6 else ("p" if l == "q" else "q")
+        if rng.random() < 0.02:
+            b = None
+        rows2.append((l, a, b))
+    df2 = spark.createDataFrame(
+        rows2, "label string, pred_a string, pred_b string"
+    )
+    r2 = mcnemar_test(df2).collect()[0]
+    kept = [(l, a, b) for l, a, b in rows2 if b is not None]
+    b_ = sum(1 for l, a, b in kept if a == l and b != l)
+    c_ = sum(1 for l, a, b in kept if a != l and b == l)
+    assert (r2.n, r2.n10, r2.n01) == (len(kept), b_, c_)
+    assert r2.chi2_micro == (b_ - c_) ** 2 * 10**6 // (b_ + c_)
+
+
+def test_mcnemar_degenerate_and_validation(spark):
+    from nebula_importer_spark.operators.metrics import mcnemar_test
+
+    # no discordant pairs: NULL statistic, not 0
+    rows = [("x", "x", "x")] * 3 + [("x", "y", "y")] * 2
+    df = spark.createDataFrame(
+        rows, "label string, pred_a string, pred_b string"
+    )
+    r = mcnemar_test(df).collect()[0]
+    assert (r.n10, r.n01) == (0, 0)
+    assert r.chi2_micro is None and r.chi2_corrected_micro is None
+    # empty input: one all-zero row with NULL statistics
+    empty = spark.createDataFrame(
+        [], "label string, pred_a string, pred_b string"
+    )
+    re = mcnemar_test(empty).collect()[0]
+    assert (re.n, re.n11, re.chi2_micro) == (0, 0, None)
+    with pytest.raises(ValueError, match="not in input"):
+        mcnemar_test(df, pred_a_col="zz")
+    with pytest.raises(ValueError, match="distinct"):
+        mcnemar_test(df, pred_a_col="pred_b", pred_b_col="pred_b")
