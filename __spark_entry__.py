@@ -6584,6 +6584,97 @@ def q_mcnemar_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(d)
 
 
+def q_alpha_lang_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha (operators/metrics.py:
+    krippendorff_alpha) treating 4-document id-blocks as units and lang
+    as the rating — the varying-panel-size agreement statistic
+    cohens_kappa (fixed 2 raters) can't express. Exact rational via the
+    lcm(1..max_raters−1) scaling device; one (item,value) grid pass."""
+    from nebula_importer_spark.operators.metrics import krippendorff_alpha
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 4").alias("item"), F.col("lang").alias("value")
+    )
+    return krippendorff_alpha(d)
+
+
+_ALPHA_LANG_SQL = """
+    WITH r AS (
+        SELECT (doc_id // 4) AS u, lang AS v FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ),
+    cells AS (
+        SELECT u, v, COUNT(*)::HUGEINT AS o FROM r GROUP BY 1, 2
+    ),
+    items AS (
+        SELECT u, SUM(o) AS m, SUM(o * o) AS sq FROM cells GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS ni,
+               SUM(CASE WHEN m < 2 THEN 1 ELSE 0 END) AS nu
+        FROM items
+    ),
+    pair AS (SELECT * FROM items WHERE m >= 2),
+    a AS (
+        SELECT SUM((m * m - sq) * (27720 // (m - 1))) AS a_term,
+               SUM(m) AS n
+        FROM pair
+    ),
+    marg AS (
+        SELECT c.v, SUM(c.o) AS nc
+        FROM cells c JOIN pair p ON p.u = c.u GROUP BY 1
+    ),
+    b AS (
+        SELECT SUM(nc * ((SELECT n FROM a) - nc)) AS b_term,
+               COUNT(*) AS nv
+        FROM marg
+    )
+    SELECT ni::BIGINT AS n_items, COALESCE(nu, 0)::BIGINT AS n_unpairable,
+           COALESCE(a.n, 0)::BIGINT AS n, b.nv::BIGINT AS n_values,
+           CASE WHEN b.b_term IS NULL OR b.b_term = 0 THEN NULL ELSE
+             (((27720 * b.b_term - (a.n - 1) * a.a_term) * 1000000
+               - (((27720 * b.b_term - (a.n - 1) * a.a_term) * 1000000
+                   % (27720 * b.b_term)) + 27720 * b.b_term)
+                 % (27720 * b.b_term))
+              / (27720 * b.b_term))::BIGINT
+           END AS alpha_micro
+    FROM stats, a, b
+"""
+
+
+def q_fd_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/profile.py:fd_violations):
+    does user_id → event_type hold on the events stream — the g3-error
+    key-discovery probe (Kivinen-Mannila) a CDC/denormalization step
+    runs before trusting an attribute as per-key constant. One grid
+    pass; exact minimum-deletion violation count + quantized ppm."""
+    from nebula_importer_spark.operators.profile import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "events"), ["user_id"], "event_type")
+
+
+_FD_USER_EVENT_SQL = """
+    WITH cells AS (
+        SELECT user_id AS k, event_type AS v, COUNT(*)::HUGEINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT k, SUM(n) AS tot, MAX(n) AS mx, COUNT(*) AS nv
+        FROM cells GROUP BY 1
+    )
+    SELECT COALESCE(SUM(tot), 0)::BIGINT AS n_rows,
+           COUNT(*)::BIGINT AS n_groups,
+           COALESCE(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_violating_groups,
+           COALESCE(SUM(tot - mx), 0)::BIGINT AS n_violation_rows,
+           (COALESCE(SUM(tot - mx), 0) = 0) AS holds,
+           CASE WHEN COALESCE(SUM(tot), 0) = 0 THEN NULL ELSE
+             ((SUM(tot - mx) * 1000000) // SUM(tot))::BIGINT
+           END AS violation_ppm
+    FROM g
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -7528,6 +7619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "alpha_lang_blocks": q_alpha_lang_blocks,
+        "fd_user_event": q_fd_user_event,
         "confusion_lang_id": q_confusion_lang_id,
         "mcnemar_lang_id": q_mcnemar_lang_id,
         "kendall_doclen": q_kendall_doclen,
@@ -8910,6 +9003,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "alpha_lang_blocks": _ALPHA_LANG_SQL,
+        "fd_user_event": _FD_USER_EVENT_SQL,
         "confusion_lang_id": f"""
             WITH r AS (
                 SELECT lang AS label,

@@ -1411,3 +1411,125 @@ def mcnemar_test(
             f" div (n10 + n01) AS BIGINT) END"
         ).alias("chi2_corrected_micro"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    *,
+    item_col: str = "item",
+    value_col: str = "value",
+    max_raters: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected agreement over
+    items rated by VARYING numbers of raters, the generalization
+    cohens_kappa (exactly 2 fixed raters) can't cover: the reliability
+    gate for multi-annotator labeling campaigns before their labels
+    train a filter.
+
+    Input is long format: one row per (item, rating value); rater
+    identity is irrelevant for alpha (only the value multiset per item
+    matters). Sketch-first: ONE pass folds rows into the (item, value)
+    grid; per-item tallies, value marginals, and the statistic derive
+    from that metadata. Items with fewer than 2 ratings are unpairable
+    and excluded (counted in ``n_unpairable``, per Krippendorff).
+
+    Exactness device: the per-item observed-disagreement term
+    ``(m_u² − Σ_c o_uc²)/(m_u−1)`` has a VARYING denominator, so the sum
+    is pre-scaled by ``L = lcm(1..max_raters−1)`` — every ``L/(m_u−1)``
+    is then an exact integer and the sum an exact long. With
+    ``B = Σ_c n_c(n−n_c)`` the alpha is the exact rational
+    ``1 − (n−1)·A/(L·B)`` and ``alpha_micro`` its true floor in micro
+    units (negative-safe via the pmod device) — bit-identical on any
+    engine. Items exceeding ``max_raters`` ratings raise (the lcm bound
+    is the exactness contract; raise it for bigger panels — L(16)
+    = 720720 still leaves DECIMAL(38,0) headroom beyond 10⁹ ratings).
+
+    NULL items or values are dropped (stated). ``alpha_micro`` is NULL
+    when expected disagreement is 0 (every pairable rating identical —
+    agreement is undefined, not perfect). Returns ONE row:
+    ``(n_items, n_unpairable, n, n_values, alpha_micro)`` with ``n``
+    the pairable-rating count.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not 2 <= max_raters <= 40:
+        raise ValueError(
+            f"max_raters must be in [2, 40] (lcm headroom), got {max_raters}"
+        )
+    for c in (item_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if item_col == value_col:
+        raise ValueError("item_col and value_col must differ")
+    import math
+
+    lcm = 1
+    for k in range(1, max_raters):
+        lcm = math.lcm(lcm, k)
+    d38 = "decimal(38,0)"
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(item_col).cast("string").alias("_u"),
+            F.col(value_col).cast("string").alias("_v"),
+        )
+        .groupBy("_u", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+        .localCheckpoint(eager=True)
+    )
+    items = cells.groupBy("_u").agg(
+        F.sum("_o").alias("_m"),
+        F.sum(F.expr("_o * _o")).alias("_sq"),
+    )
+    over = items.filter(F.col("_m") > max_raters).take(1)
+    if over:
+        raise ValueError(
+            f"item {over[0]['_u']!r} has {over[0]['_m']} ratings "
+            f"> max_raters={max_raters}; raise max_raters (lcm exactness "
+            "bound) or pre-sample ratings per item"
+        )
+    pairable = items.filter(F.col("_m") >= 2).localCheckpoint(eager=True)
+    counts = items.agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum(F.expr("CASE WHEN _m < 2 THEN 1 ELSE 0 END")).alias("_nu"),
+    ).collect()[0]
+    n_items = int(counts["_ni"] or 0)
+    n_unpair = int(counts["_nu"] or 0)
+    spark = df.sparkSession
+    out_schema = (
+        "n_items long, n_unpairable long, n long, n_values long, "
+        "alpha_micro long"
+    )
+    if n_items == n_unpair:
+        return spark.createDataFrame(
+            [(n_items, n_unpair, 0, 0, None)], out_schema
+        )
+    # A = Σ_u (m²−Σo²)·(L/(m−1)) over pairable items; n = Σ_u m
+    a_row = pairable.agg(
+        F.sum(
+            F.expr(f"CAST((_m * _m - _sq) AS {d38}) * ({lcm} div (_m - 1))")
+        ).alias("_a"),
+        F.sum("_m").cast("long").alias("_n"),
+    ).collect()[0]
+    a_term, n = int(a_row["_a"]), int(a_row["_n"])
+    # value marginals over PAIRABLE items only
+    marg = (
+        cells.join(pairable.select("_u"), "_u")
+        .groupBy("_v")
+        .agg(F.sum("_o").alias("_nc"))
+    )
+    b_row = marg.agg(
+        F.sum(F.expr(f"CAST(_nc AS {d38}) * ({n} - _nc)")).alias("_b"),
+        F.count(F.lit(1)).alias("_nv"),
+    ).collect()[0]
+    b_term, n_values = int(b_row["_b"]), int(b_row["_nv"])
+    if b_term == 0:
+        alpha = None
+    else:
+        num = lcm * b_term - (n - 1) * a_term
+        den = lcm * b_term
+        alpha = (num * scale - (num * scale % den + den) % den) // den
+    return spark.createDataFrame(
+        [(n_items, n_unpair, n, n_values, alpha)], out_schema
+    )

@@ -1449,3 +1449,73 @@ def kendall_tau(
         tau_a.alias("tau_a_micro"),
         tau_b2.alias("tau_b2_signed_micro"),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs → rhs`` hold, and if not,
+    how badly — the data-quality probe behind key discovery, denormal-
+    ization safety ("can I collapse this column into the dim table?"),
+    and CDC sanity (a changing "immutable" attribute is an upstream
+    bug). Violations are counted as the MINIMUM number of rows to
+    delete to make the FD hold: per LHS group, rows outside the
+    group's majority RHS value (Σ (group_size − max_value_count) — the
+    standard g3 error measure, Kivinen & Mannila 1995).
+
+    Sketch-first: ONE data pass folds rows into the (lhs…, rhs) grid;
+    group sizes, majority counts, and the summary all derive from that
+    metadata table (bounded by the ACTIVE domain, not rows). SQL GROUP
+    BY semantics throughout: a NULL LHS forms its own group and a NULL
+    RHS is its own value (engine-identical, stated). ``violation_ppm``
+    is the exact quantized rational ``violations·scale div n_rows``.
+
+    Returns ONE row: ``(n_rows, n_groups, n_violating_groups,
+    n_violation_rows, holds, violation_ppm)`` — ``holds`` true iff
+    zero violations; empty input yields the all-zero row with
+    ``holds = true`` and NULL ppm (0/0 undefined, not fake 0).
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    for c in [*lhs_cols, rhs_col]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if rhs_col in lhs_cols:
+        raise ValueError("rhs_col must not be in lhs_cols")
+    d38 = "decimal(38,0)"
+    cells = (
+        df.groupBy(*lhs_cols, rhs_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    groups = cells.groupBy(*lhs_cols).agg(
+        F.sum("_n").alias("_tot"),
+        F.max("_n").alias("_mx"),
+        F.count(F.lit(1)).alias("_nv"),
+    )
+    return groups.agg(
+        F.coalesce(F.sum("_tot"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN _nv > 1 THEN 1 ELSE 0 END")), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(F.sum(F.expr("_tot - _mx")), F.lit(0))
+        .cast("long")
+        .alias("n_violation_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_violating_groups",
+        "n_violation_rows",
+        (F.col("n_violation_rows") == 0).alias("holds"),
+        F.expr(
+            f"CASE WHEN n_rows = 0 THEN NULL ELSE CAST("
+            f"CAST(n_violation_rows AS {d38}) * {scale} div n_rows"
+            f" AS BIGINT) END"
+        ).alias("violation_ppm"),
+    )

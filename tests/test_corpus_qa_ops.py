@@ -1000,3 +1000,70 @@ def test_kendall_tau_validation(spark):
         kendall_tau(df, "u", "i", n_cells=1)
     with pytest.raises(ValueError, match="max_rows"):
         kendall_tau(df, "u", "i", max_rows=0)
+
+
+def test_fd_violations_parity_and_edges(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from nebula_importer_spark.operators.profile import fd_violations
+
+    rng = random.Random(88)
+    rows = []
+    for i in range(400):
+        u = rng.randrange(0, 60)
+        # mostly functional: user -> device, 10% drift + NULLs both sides
+        dev = f"d{u % 7}" if rng.random() < 0.9 else f"d{rng.randrange(9)}"
+        if rng.random() < 0.03:
+            dev = None
+        rows.append((u if rng.random() > 0.02 else None, dev, i))
+    df = spark.createDataFrame(rows, "u long, dev string, i long").repartition(5)
+    r = fd_violations(df, ["u"], "dev").collect()[0]
+    by_u = defaultdict(Counter)
+    for u, dev, _ in rows:
+        by_u[u][dev] += 1
+    viol = sum(sum(c.values()) - max(c.values()) for c in by_u.values())
+    nvg = sum(1 for c in by_u.values() if len(c) > 1)
+    assert (
+        r.n_rows, r.n_groups, r.n_violating_groups, r.n_violation_rows,
+    ) == (len(rows), len(by_u), nvg, viol)
+    assert r.holds is False
+    assert r.violation_ppm == viol * 10**6 // len(rows)
+
+    # exact FD: holds with 0 ppm
+    fd = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    rf = fd_violations(fd, ["k"], "v").collect()[0]
+    assert rf.holds is True and rf.violation_ppm == 0
+
+    # composite LHS: (a, b) -> c
+    comp = spark.createDataFrame(
+        [(1, 1, "x"), (1, 1, "x"), (1, 2, "y"), (1, 2, "z")],
+        "a long, b long, c string",
+    )
+    rc = fd_violations(comp, ["a", "b"], "c").collect()[0]
+    assert (rc.n_groups, rc.n_violation_rows) == (2, 1)
+
+    # empty input: zero row, NULL ppm
+    empty = spark.createDataFrame([], "k long, v string")
+    re = fd_violations(empty, ["k"], "v").collect()[0]
+    assert (re.n_rows, re.n_groups, re.holds, re.violation_ppm) == (
+        0, 0, True, None,
+    )
+
+
+def test_fd_violations_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="non-empty"):
+        fd_violations(df, [], "v")
+    with pytest.raises(ValueError, match="not in input"):
+        fd_violations(df, ["zz"], "v")
+    with pytest.raises(ValueError, match="must not be in"):
+        fd_violations(df, ["k", "v"], "v")
+    with pytest.raises(ValueError, match="scale"):
+        fd_violations(df, ["k"], "v", scale=0)

@@ -1091,3 +1091,135 @@ def test_mcnemar_degenerate_and_validation(spark):
         mcnemar_test(df, pred_a_col="zz")
     with pytest.raises(ValueError, match="distinct"):
         mcnemar_test(df, pred_a_col="pred_b", pred_b_col="pred_b")
+
+
+def _py_alpha(ratings, scale=10**6):
+    """Independent model: explicit coincidence-matrix formulation
+    (Krippendorff 2011), exact fractions — NOT the lcm device."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    by_item = defaultdict(list)
+    for u, v in ratings:
+        if u is not None and v is not None:
+            by_item[u].append(v)
+    pair = {u: vs for u, vs in by_item.items() if len(vs) >= 2}
+    n_items = len(by_item)
+    n_unpair = n_items - len(pair)
+    if not pair:
+        return (n_items, n_unpair, 0, 0, None)
+    n = sum(len(vs) for vs in pair.values())
+    marg = Counter(v for vs in pair.values() for v in vs)
+    d_o = Fraction(0)
+    for vs in pair.values():
+        m = len(vs)
+        cnt = Counter(vs)
+        # off-diagonal coincidences within the unit
+        d_o += Fraction(m * m - sum(o * o for o in cnt.values()), m - 1)
+    d_e = Fraction(sum(nc * (n - nc) for nc in marg.values()), n - 1)
+    if d_e == 0:
+        return (n_items, n_unpair, n, len(marg), None)
+    alpha = 1 - d_o / d_e
+    micro = (alpha.numerator * scale) // alpha.denominator
+    return (n_items, n_unpair, n, len(marg), micro)
+
+
+def test_krippendorff_known_case(spark):
+    from nebula_importer_spark.operators.metrics import krippendorff_alpha
+
+    def alpha_of(rows):
+        df = spark.createDataFrame(rows, "item string, value string")
+        return krippendorff_alpha(df).collect()[0].alpha_micro
+
+    # hand-derived closed cases (D_o, D_e worked by the coincidence
+    # formulation): perfect agreement -> 1; u2 split (x,y) against a
+    # 3x/1y marginal -> D_o = D_e = 2 -> exactly 0; crossed
+    # disagreement -> D_o = 4, D_e = 8/3 -> alpha = -1/2
+    assert alpha_of(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")]
+    ) == 1_000_000
+    assert alpha_of(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")]
+    ) == 0
+    assert alpha_of(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("b", "x")]
+    ) == -500_000
+    # varying panel sizes (1..4 raters, missing values): parity with the
+    # independent exact-Fraction coincidence model
+    data = {
+        1: ["a", "a", "a"], 2: ["b", "b", "b"], 3: ["c", "c", "c"],
+        4: ["c", "c", "c"], 5: ["b", "b", "b"], 6: ["a", "b", "c", "d"],
+        7: ["d", "d", "d", "d"], 8: ["a", "a", "b", "a"],
+        9: ["b", "b", "b", "b"], 10: ["e", "e", "e"],
+        11: ["a", "a", "a"], 12: ["c"],
+    }
+    rows = [(str(u), v) for u, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "item string, value string")
+    r = krippendorff_alpha(df).collect()[0]
+    got = (r.n_items, r.n_unpairable, r.n, r.n_values, r.alpha_micro)
+    assert got == _py_alpha(rows)
+    assert r.n_unpairable == 1 and r.alpha_micro > 700_000
+
+
+def test_krippendorff_random_parity_and_edges(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import krippendorff_alpha
+
+    rng = random.Random(311)
+    rows = []
+    for u in range(120):
+        m = rng.randrange(1, 7)  # includes unpairable singletons
+        base = rng.choice(["x", "y", "z"])
+        for _ in range(m):
+            v = base if rng.random() < 0.6 else rng.choice(["x", "y", "z"])
+            rows.append((f"u{u}", v))
+    if True:
+        rows.append((None, "x"))
+        rows.append(("u0", None))
+    df = spark.createDataFrame(rows, "item string, value string").repartition(6)
+    r = krippendorff_alpha(df).collect()[0]
+    got = (r.n_items, r.n_unpairable, r.n, r.n_values, r.alpha_micro)
+    assert got == _py_alpha(rows)
+    # perfect agreement but single value: expected disagreement 0 -> NULL
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")],
+        "item string, value string",
+    )
+    rs = krippendorff_alpha(same).collect()[0]
+    assert rs.alpha_micro is None and rs.n == 4
+    # all unpairable: NULL with counts
+    single = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "item string, value string"
+    )
+    ru = krippendorff_alpha(single).collect()[0]
+    assert (ru.n_items, ru.n_unpairable, ru.n, ru.alpha_micro) == (
+        2, 2, 0, None,
+    )
+    # systematic disagreement: alpha < 0 (negative-safe floor)
+    disagree = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "item string, value string",
+    )
+    rd = krippendorff_alpha(disagree).collect()[0]
+    assert rd.alpha_micro == _py_alpha(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    )[4]
+    assert rd.alpha_micro < 0
+
+
+def test_krippendorff_validation(spark):
+    from nebula_importer_spark.operators.metrics import krippendorff_alpha
+
+    df = spark.createDataFrame([("a", "x")], "item string, value string")
+    with pytest.raises(ValueError, match="not in input"):
+        krippendorff_alpha(df, item_col="zz")
+    with pytest.raises(ValueError, match="must differ"):
+        krippendorff_alpha(df, item_col="item", value_col="item")
+    with pytest.raises(ValueError, match="max_raters"):
+        krippendorff_alpha(df, max_raters=1)
+    big = spark.createDataFrame(
+        [("a", str(i)) for i in range(5)], "item string, value string"
+    )
+    with pytest.raises(ValueError, match="max_raters=3"):
+        krippendorff_alpha(big, max_raters=3)
