@@ -6675,6 +6675,95 @@ _FD_USER_EVENT_SQL = """
 """
 
 
+def q_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer cross-correlation (operators/temporal.py:
+    cross_correlation): do purchases trail clicks, and by how many
+    hours — the lead/lag detector lag_autocorr (self-correlation) can't
+    express. Two per-series bucket reductions, then 13 lag legs on the
+    bucket metadata with windowed marginals; sign·squared Pearson in
+    micro units, deterministic argmax flag."""
+    from nebula_importer_spark.operators.temporal import cross_correlation
+
+    return cross_correlation(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        series_col="event_type",
+        series_a="click",
+        series_b="purchase",
+        bucket_sec=3600,
+        max_lag=6,
+    )
+
+
+_XCORR_SQL = """
+    WITH base AS (
+        SELECT event_type AS s,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+               COUNT(*)::HUGEINT AS x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    bnd AS (
+        SELECT MIN(t) AS mn, MAX(t) AS mx, MAX(t) - MIN(t) + 1 AS tl
+        FROM base
+    ),
+    lags AS (
+        SELECT l AS lag, (SELECT tl FROM bnd) - ABS(l) AS n_pairs
+        FROM generate_series(-6, 6) AS g(l)
+    ),
+    av AS (SELECT t, x FROM base WHERE s = 'click'),
+    bv AS (SELECT t AS u, x AS y FROM base WHERE s = 'purchase'),
+    dots AS (
+        SELECT lag, SUM(av.x * bv.y) AS sum_ab
+        FROM av CROSS JOIN lags JOIN bv ON bv.u = av.t + lag
+        GROUP BY 1
+    ),
+    am AS (
+        SELECT lag, SUM(x) AS sa, SUM(x * x) AS saa
+        FROM av CROSS JOIN lags CROSS JOIN bnd
+        WHERE av.t >= bnd.mn - LEAST(lag, 0)
+          AND av.t <= bnd.mx - GREATEST(lag, 0)
+        GROUP BY 1
+    ),
+    bm AS (
+        SELECT lag, SUM(y) AS sb, SUM(y * y) AS sbb
+        FROM bv CROSS JOIN lags CROSS JOIN bnd
+        WHERE bv.u >= bnd.mn + GREATEST(lag, 0)
+          AND bv.u <= bnd.mx + LEAST(lag, 0)
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT lags.lag, lags.n_pairs,
+               COALESCE(sum_ab, 0) AS sum_ab,
+               COALESCE(sa, 0) AS sa, COALESCE(saa, 0) AS saa,
+               COALESCE(sb, 0) AS sb, COALESCE(sbb, 0) AS sbb
+        FROM lags LEFT JOIN dots USING (lag)
+        LEFT JOIN am USING (lag) LEFT JOIN bm USING (lag)
+    ),
+    calc AS (
+        SELECT lag, n_pairs, sum_ab,
+               n_pairs * sum_ab - sa * sb AS num,
+               (n_pairs * saa - sa * sa) * (n_pairs * sbb - sb * sb) AS den
+        FROM r
+    ),
+    fin AS (
+        SELECT lag, n_pairs, sum_ab, num,
+               CASE WHEN den = 0 THEN NULL ELSE
+                 (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                 * ((num * num * 1000000) // den)
+               END AS r2
+        FROM calc
+    )
+    SELECT lag::BIGINT AS lag, n_pairs::BIGINT AS n_pairs,
+           sum_ab::BIGINT AS sum_ab, num::BIGINT AS num,
+           r2::BIGINT AS r2_signed_micro,
+           (ROW_NUMBER() OVER (
+               ORDER BY r2 DESC NULLS LAST, ABS(lag), lag) = 1) AS is_best
+    FROM fin
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -7619,6 +7708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "xcorr_click_purchase": q_xcorr_click_purchase,
         "alpha_lang_blocks": q_alpha_lang_blocks,
         "fd_user_event": q_fd_user_event,
         "confusion_lang_id": q_confusion_lang_id,
@@ -9003,6 +9093,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "xcorr_click_purchase": _XCORR_SQL,
         "alpha_lang_blocks": _ALPHA_LANG_SQL,
         "fd_user_event": _FD_USER_EVENT_SQL,
         "confusion_lang_id": f"""

@@ -1623,3 +1623,192 @@ def theil_sen_trend(
             F.lit(int(n_null)).cast("long").alias("n_null"),
         )
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    series_col: str = "series",
+    series_a: str,
+    series_b: str,
+    bucket_sec: int = 3600,
+    max_lag: int = 6,
+    value_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact integer cross-correlation between two event series at lags
+    −max_lag..+max_lag — the lead/lag detector ("do errors FOLLOW
+    deploys? by how many hours?") that lag_autocorr can't express
+    (one series against itself) and an OLS trend can't see at all.
+
+    Series are the rows whose ``series_col`` equals ``series_a`` /
+    ``series_b``; each is bucketed to ``bucket_sec`` epochs and reduced
+    to per-bucket counts (or exact sums of integral ``value_col``) —
+    one partial-agg'd shuffle each, then everything downstream runs on
+    the bucket METADATA table (time-range-sized, not row-sized; the 13
+    lag legs are a broadcast dimension). The aligned range [mn, mx]
+    spans BOTH series; absent buckets are true zeros.
+
+    Per lag ℓ (positive = b trails a by ℓ buckets): the pair window has
+    ``n_pairs = T − |ℓ|`` aligned bucket pairs, and the statistic is
+    the exact integer Pearson numerator over that window,
+    ``num = n_pairs·Σ aₜbₜ₊ℓ − (Σa)(Σb)`` with all marginal sums taken
+    over the window (not the full range — the textbook windowed CCF).
+    ``r2_signed_micro = sign(num)·floor(num²·scale/den)`` with ``den``
+    the product of the two windowed variance terms — the tau_b2 device:
+    squared to avoid the irrational root, sign preserved, monotone in
+    |r|; NULL when either window is constant (zero variance: undefined,
+    not zero). The best lag is argmax over r2_signed_micro with ties
+    toward the smaller |lag| then the smaller lag — returned as
+    ``is_best`` so the one-row answer needs no client-side sort.
+
+    Returns one row per lag: ``(lag, n_pairs, sum_ab, num, r2_signed_
+    micro, is_best)``. NULL timestamps/series are dropped; raises when
+    the aligned range has ≤ max_lag buckets (every window would be
+    empty or degenerate).
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if series_a == series_b:
+        raise ValueError("series_a and series_b must differ")
+    need = [ts_col, series_col] + ([value_col] if value_col else [])
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in need:
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if value_col is not None:
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if not isinstance(by_name[value_col], integral):
+            raise ValueError(
+                f"column {value_col!r} must be integral (got "
+                f"{by_name[value_col]}) — quantize floats caller-side"
+            )
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    val = (
+        F.col(value_col).cast("long")
+        if value_col
+        else F.lit(1).cast("long")
+    )
+    base = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(series_col).isin(series_a, series_b)
+        )
+        .select(
+            F.col(series_col).alias("_s"),
+            F.expr(
+                f"CAST(floor(unix_timestamp({ts_col}) / {bucket_sec})"
+                f" AS BIGINT)"
+            ).alias("_t"),
+            val.alias("_v"),
+        )
+        .groupBy("_s", "_t")
+        .agg(F.sum("_v").cast("long").alias("_x"))
+        .localCheckpoint(eager=True)
+    )
+    b = base.agg(F.min("_t").alias("_mn"), F.max("_t").alias("_mx")).collect()[0]
+    if b["_mn"] is None:
+        return spark.createDataFrame(
+            [],
+            "lag long, n_pairs long, sum_ab long, num long, "
+            "r2_signed_micro long, is_best boolean",
+        )
+    mn, mx = int(b["_mn"]), int(b["_mx"])
+    t_len = mx - mn + 1
+    if t_len <= max_lag:
+        raise ValueError(
+            f"aligned range has {t_len} buckets <= max_lag={max_lag}; "
+            "widen bucket_sec or lower max_lag"
+        )
+    lags = spark.createDataFrame(
+        [(l, t_len - abs(l)) for l in range(-max_lag, max_lag + 1)],
+        "lag long, n_pairs long",
+    )
+    a_cells = base.filter(F.col("_s") == series_a).select("_t", "_x")
+    b_cells = base.filter(F.col("_s") == series_b).select(
+        F.col("_t").alias("_u"), F.col("_x").alias("_y")
+    )
+    # dot products: b at t+lag joined against a at t, one equi-join
+    dots = (
+        a_cells.crossJoin(F.broadcast(lags))
+        .withColumn("_u", F.col("_t") + F.col("lag"))
+        .join(b_cells, "_u")
+        .groupBy("lag")
+        .agg(F.sum(F.expr("_x * _y")).cast("long").alias("sum_ab"))
+    )
+    # windowed marginals: a over [mn, mx−max(ℓ,0)+min(ℓ,0)]… concretely
+    # a's window is [mn−min(ℓ,0), mx−max(ℓ,0)], b's is a's shifted by ℓ
+    amarg = (
+        a_cells.crossJoin(F.broadcast(lags))
+        .filter(
+            (F.col("_t") >= F.lit(mn) - F.least(F.col("lag"), F.lit(0)))
+            & (F.col("_t") <= F.lit(mx) - F.greatest(F.col("lag"), F.lit(0)))
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum("_x").cast("long").alias("_sa"),
+            F.sum(F.expr("_x * _x")).cast("long").alias("_saa"),
+        )
+    )
+    bmarg = (
+        b_cells.crossJoin(F.broadcast(lags))
+        .filter(
+            (F.col("_u") >= F.lit(mn) + F.greatest(F.col("lag"), F.lit(0)))
+            & (F.col("_u") <= F.lit(mx) + F.least(F.col("lag"), F.lit(0)))
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum("_y").cast("long").alias("_sb"),
+            F.sum(F.expr("_y * _y")).cast("long").alias("_sbb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rows = (
+        lags.join(dots, "lag", "left")
+        .join(amarg, "lag", "left")
+        .join(bmarg, "lag", "left")
+        .select(
+            "lag",
+            "n_pairs",
+            F.coalesce("sum_ab", F.lit(0)).alias("sum_ab"),
+            F.coalesce("_sa", F.lit(0)).alias("_sa"),
+            F.coalesce("_saa", F.lit(0)).alias("_saa"),
+            F.coalesce("_sb", F.lit(0)).alias("_sb"),
+            F.coalesce("_sbb", F.lit(0)).alias("_sbb"),
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                f"CAST(CAST(n_pairs AS {d38}) * sum_ab"
+                f" - CAST(_sa AS {d38}) * _sb AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "r2_signed_micro",
+            F.expr(
+                f"CASE WHEN (CAST(n_pairs AS {d38}) * _saa - CAST(_sa AS {d38}) * _sa)"
+                f" * (CAST(n_pairs AS {d38}) * _sbb - CAST(_sb AS {d38}) * _sb) = 0"
+                f" THEN NULL ELSE"
+                f" CAST(sign(num) AS BIGINT) * CAST("
+                f" (CAST(num AS {d38}) * num * {scale}) div"
+                f" ((CAST(n_pairs AS {d38}) * _saa - CAST(_sa AS {d38}) * _sa)"
+                f"  * (CAST(n_pairs AS {d38}) * _sbb - CAST(_sb AS {d38}) * _sb))"
+                f" AS BIGINT) END"
+            ),
+        )
+    )
+    wbest = Window.orderBy(
+        F.desc_nulls_last("r2_signed_micro"), F.abs("lag"), "lag"
+    )
+    return rows.withColumn(
+        "is_best", F.row_number().over(wbest) == 1
+    ).select(
+        "lag", "n_pairs", "sum_ab", "num", "r2_signed_micro", "is_best"
+    )

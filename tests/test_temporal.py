@@ -1557,3 +1557,151 @@ def test_theil_sen_large_slope_no_int64_wrap(spark):
     assert (
         got["n_obs"], got["n_pairs"], got["slope_micro"], got["n_null"]
     ) == expect["k"]
+
+
+def _py_xcorr(events, series_a, series_b, bucket_sec, max_lag, scale=10**6):
+    """Dense-array model of cross_correlation (independent of the
+    sparse-cell windowed-marginal implementation)."""
+    from collections import Counter
+
+    cells = Counter()
+    for s, ts, v in events:
+        if ts is None or s not in (series_a, series_b):
+            continue
+        cells[(s, ts // bucket_sec)] += v
+    if not cells:
+        return []
+    ts_all = [t for _, t in cells]
+    mn, mx = min(ts_all), max(ts_all)
+    t_len = mx - mn + 1
+    a = [cells.get((series_a, mn + i), 0) for i in range(t_len)]
+    b = [cells.get((series_b, mn + i), 0) for i in range(t_len)]
+    out = []
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            pa, pb = a[: t_len - lag], b[lag:]
+        else:
+            pa, pb = a[-lag:], b[: t_len + lag]
+        n = len(pa)
+        sab = sum(x * y for x, y in zip(pa, pb))
+        sa, sb = sum(pa), sum(pb)
+        saa = sum(x * x for x in pa)
+        sbb = sum(y * y for y in pb)
+        num = n * sab - sa * sb
+        den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+        r2 = (
+            None
+            if den == 0
+            else (1 if num >= 0 else -1) * (num * num * scale // den)
+        )
+        out.append((lag, n, sab, num, r2))
+    best = sorted(
+        out,
+        key=lambda r: (
+            -(r[4] if r[4] is not None else -(10**18)),
+            abs(r[0]),
+            r[0],
+        ),
+    )[0][0]
+    return [(l, n, sab, num, r2, l == best) for l, n, sab, num, r2 in out]
+
+
+def test_cross_correlation_planted_lag(spark):
+    from nebula_importer_spark.operators.temporal import cross_correlation
+
+    # series b is series a shifted 2 buckets later: best lag must be +2
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    pattern = [5, 0, 9, 1, 7, 3, 8, 0, 6, 2, 9, 4]
+    for i, k in enumerate(pattern):
+        for _ in range(k):
+            rows.append(("a", base + datetime.timedelta(hours=i)))
+            rows.append(("b", base + datetime.timedelta(hours=i + 2)))
+    df = spark.createDataFrame(rows, "series string, ts timestamp")
+    got = cross_correlation(
+        df, series_a="a", series_b="b", bucket_sec=3600, max_lag=4
+    ).collect()
+    best = [r for r in got if r.is_best]
+    assert len(best) == 1 and best[0].lag == 2
+    assert best[0].r2_signed_micro == 10**6  # exact shifted copy
+
+
+def test_cross_correlation_random_parity(spark):
+    import datetime
+    import random
+
+    from nebula_importer_spark.operators.temporal import cross_correlation
+
+    rng = random.Random(505)
+    base = datetime.datetime(2024, 3, 1)
+    events = []
+    for _ in range(600):
+        s = rng.choice(["a", "b", "c"])  # 'c' must be ignored
+        ts = rng.randrange(0, 40 * 3600)
+        events.append((s, ts, 1))
+    rows = [
+        (s, base + datetime.timedelta(seconds=ts)) for s, ts, _ in events
+    ] + [("a", None)]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp"
+    ).repartition(6)
+    got = sorted(
+        (r.lag, r.n_pairs, r.sum_ab, r.num, r.r2_signed_micro, r.is_best)
+        for r in cross_correlation(
+            df, series_a="a", series_b="b", bucket_sec=3600, max_lag=5
+        ).collect()
+    )
+    epoch = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    want = sorted(
+        _py_xcorr(
+            [(s, epoch + ts, v) for s, ts, v in events], "a", "b", 3600, 5
+        )
+    )
+    assert got == want
+    assert sum(1 for r in got if r[5]) == 1
+
+
+def test_cross_correlation_validation_and_edges(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import cross_correlation
+
+    df = spark.createDataFrame(
+        [("a", None)], "series string, ts timestamp"
+    )
+    # all-NULL timestamps: empty frame
+    assert (
+        cross_correlation(
+            df, series_a="a", series_b="b", max_lag=2
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        cross_correlation(df, series_a="a", series_b="a")
+    with pytest.raises(ValueError, match="not in input"):
+        cross_correlation(df, series_a="a", series_b="b", ts_col="zz")
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(df, series_a="a", series_b="b", max_lag=0)
+    with pytest.raises(ValueError, match="bucket_sec"):
+        cross_correlation(df, series_a="a", series_b="b", bucket_sec=0)
+    with pytest.raises(ValueError, match="integral"):
+        bad = spark.createDataFrame(
+            [("a", None, 1.0)], "series string, ts timestamp, v double"
+        )
+        cross_correlation(bad, series_a="a", series_b="b", value_col="v")
+    # narrow range: every window degenerate -> raise
+    import datetime
+
+    narrow = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0)),
+            ("b", datetime.datetime(2024, 1, 1, 1)),
+        ],
+        "series string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="aligned range"):
+        cross_correlation(
+            narrow, series_a="a", series_b="b", bucket_sec=3600, max_lag=6
+        )
