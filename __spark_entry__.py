@@ -6764,6 +6764,107 @@ _XCORR_SQL = """
 """
 
 
+def q_rbo_len_vs_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (operators/metrics.py:rbo_overlap) per source
+    domain between two label-free document rankings — by n_chars vs by
+    whitespace count (ties → doc_id), top-15, p = 9/10: the
+    ranking-DIFF gate for swapping a retriever/scorer without
+    relevance labels. Exact rational depth weights floored once per
+    term; one (query,item) equi-join + broadcast depth legs."""
+    from pyspark.sql.window import Window
+
+    from nebula_importer_spark.operators.metrics import rbo_overlap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("_len"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("_sp"),
+    )
+    wa = Window.partitionBy("source").orderBy(F.desc("_len"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(F.desc("_sp"), "doc_id")
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(wa).alias("ra")
+    ).withColumn("system", F.lit("len")).withColumnRenamed("ra", "rank")
+    ranked_b = d.select(
+        "source", "doc_id", F.row_number().over(wb).alias("rank")
+    ).withColumn("system", F.lit("spaces"))
+    both = ranked.unionByName(ranked_b)
+    return rbo_overlap(
+        both,
+        query_col="source",
+        system_col="system",
+        rank_col="rank",
+        item_col="doc_id",
+        systems=("len", "spaces"),
+        p=(9, 10),
+        k=15,
+    )
+
+
+def _rbo_sql(k: int = 15, pn: int = 9, pd_: int = 10) -> str:
+    """DuckDB twin of q_rbo_len_vs_spaces: same rankings, same join +
+    depth legs, same floor-per-term exact rational weights."""
+    weights = " UNION ALL ".join(
+        f"SELECT {d} AS d, {(pd_ - pn) * pn ** (d - 1)}::HUGEINT AS wnum,"
+        f" {pd_**d * d}::HUGEINT AS wden"
+        for d in range(1, k + 1)
+    )
+    return f"""
+    WITH d0 AS (
+        SELECT source, doc_id, n_chars AS len,
+               (length(text) - length(replace(text, ' ', ''))) AS sp
+        FROM documents
+    ),
+    ra AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY len DESC, doc_id) AS r
+        FROM d0
+    ),
+    rb AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sp DESC, doc_id) AS r
+        FROM d0
+    ),
+    pa AS (SELECT * FROM ra WHERE r <= {k}),
+    pb AS (SELECT * FROM rb WHERE r <= {k}),
+    sizes AS (
+        SELECT COALESCE(a.source, b.source) AS q,
+               COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b
+        FROM (SELECT source, COUNT(*) AS na FROM pa GROUP BY 1) a
+        FULL JOIN (SELECT source, COUNT(*) AS nb FROM pb GROUP BY 1) b
+        ON a.source = b.source
+    ),
+    md AS (
+        SELECT pa.source AS q, GREATEST(pa.r, pb.r) AS m,
+               COUNT(*)::HUGEINT AS c
+        FROM pa JOIN pb ON pa.source = pb.source AND pa.doc_id = pb.doc_id
+        GROUP BY 1, 2
+    ),
+    w AS ({weights}),
+    terms AS (
+        SELECT q, d, SUM(c) AS x,
+               (ANY_VALUE(wnum) * SUM(c) * 1000000) // ANY_VALUE(wden) AS t
+        FROM md JOIN w ON md.m <= w.d
+        GROUP BY q, d
+    ),
+    agg AS (
+        SELECT q, SUM(t) AS rbo,
+               MAX(CASE WHEN d = {k} THEN x END) AS xk
+        FROM terms GROUP BY 1
+    )
+    SELECT sizes.q AS query, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           COALESCE(xk, 0)::BIGINT AS overlap_at_k,
+           COALESCE(rbo, 0)::BIGINT AS rbo_micro
+    FROM sizes LEFT JOIN agg ON agg.q = sizes.q
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -7708,6 +7809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "rbo_len_vs_spaces": q_rbo_len_vs_spaces,
         "xcorr_click_purchase": q_xcorr_click_purchase,
         "alpha_lang_blocks": q_alpha_lang_blocks,
         "fd_user_event": q_fd_user_event,
@@ -9093,6 +9195,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "rbo_len_vs_spaces": _rbo_sql(k=15),
         "xcorr_click_purchase": _XCORR_SQL,
         "alpha_lang_blocks": _ALPHA_LANG_SQL,
         "fd_user_event": _FD_USER_EVENT_SQL,

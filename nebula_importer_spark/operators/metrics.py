@@ -1533,3 +1533,148 @@ def krippendorff_alpha(
     return spark.createDataFrame(
         [(n_items, n_unpair, n, n_values, alpha)], out_schema
     )
+
+
+def rbo_overlap(
+    df: DataFrame,
+    *,
+    query_col: str = "query",
+    system_col: str = "system",
+    rank_col: str = "rank",
+    item_col: str = "item",
+    systems: tuple[str, str] = ("a", "b"),
+    p: tuple[int, int] = (9, 10),
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    depth ``k``: how similar are two systems' rankings per query,
+    weighted toward the top — the ranking-DIFF metric retrieval_metrics
+    (one run vs relevance labels) can't express: it compares two runs
+    to each other with no labels at all (A/B-ing a retriever swap,
+    detecting index drift, regression-gating an ANN approximation
+    against the exact ranking).
+
+    ``RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d`` with ``X_d`` the overlap
+    of the two depth-d prefixes. Exactness: ``p`` is the RATIONAL
+    ``p_num/p_den`` (default 9/10), so the depth-d weight is the exact
+    rational ``(p_den−p_num)·p_num^{d−1}/p_den^d``; each term is
+    floored ONCE to micro units then exactly summed (the chi2 floor-
+    per-cell contract — bit-identical on any engine, < k micro below
+    the true value). Bounds ``p_den ≤ 10``, ``k ≤ 25`` keep
+    ``p_den^k·k`` and ``p_num^{k−1}·k·scale`` inside DECIMAL(38,0).
+
+    Distributed shape: prefixes join on (query, item) — one equi-join;
+    a match at ranks (ra, rb) enters every depth ``d ≥ max(ra, rb)``,
+    so per-query match depths fold to ≤ k metadata rows and the k
+    depth legs are a broadcast dimension. Queries appearing in either
+    system get a row (zero overlap → rbo 0). Duplicate (query, system,
+    rank) rows or duplicate items inside a prefix raise (a ranking
+    must be a function of rank; a silent dup would double-count X_d).
+
+    Returns per query: ``(query, n_a, n_b, overlap_at_k, rbo_micro)``
+    — ``n_a``/``n_b`` the prefix sizes actually present (≤ k).
+    """
+    pn, pd_ = p
+    if not (0 < pn < pd_ <= 10):
+        raise ValueError(f"p must satisfy 0 < num < den <= 10, got {p}")
+    if not 1 <= k <= 25:
+        raise ValueError(f"k must be in [1, 25], got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if systems[0] == systems[1]:
+        raise ValueError("systems must differ")
+    for c in (query_col, system_col, rank_col, item_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    base = (
+        df.filter(
+            F.col(system_col).isin(*systems)
+            & F.col(query_col).isNotNull()
+            & F.col(rank_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & (F.col(rank_col) >= 1)
+            & (F.col(rank_col) <= k)
+        )
+        .select(
+            F.col(query_col).cast("string").alias("_q"),
+            F.col(system_col).cast("string").alias("_s"),
+            F.col(rank_col).cast("long").alias("_r"),
+            F.col(item_col).cast("string").alias("_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup_rank = (
+        base.groupBy("_q", "_s", "_r").count().filter("count > 1").take(1)
+    )
+    if dup_rank:
+        r0 = dup_rank[0]
+        raise ValueError(
+            f"duplicate rank {r0['_r']} in (query={r0['_q']!r}, "
+            f"system={r0['_s']!r}) — a ranking maps each rank to one item"
+        )
+    dup_item = (
+        base.groupBy("_q", "_s", "_i").count().filter("count > 1").take(1)
+    )
+    if dup_item:
+        r0 = dup_item[0]
+        raise ValueError(
+            f"duplicate item {r0['_i']!r} in (query={r0['_q']!r}, "
+            f"system={r0['_s']!r}) prefix — items must be distinct"
+        )
+    a = base.filter(F.col("_s") == systems[0]).select(
+        "_q", "_i", F.col("_r").alias("_ra")
+    )
+    bq = base.filter(F.col("_s") == systems[1]).select(
+        "_q", "_i", F.col("_r").alias("_rb")
+    )
+    sizes = base.groupBy("_q").agg(
+        F.sum((F.col("_s") == systems[0]).cast("long")).alias("n_a"),
+        F.sum((F.col("_s") == systems[1]).cast("long")).alias("n_b"),
+    )
+    mdepth = (
+        a.join(bq, ["_q", "_i"])
+        .select("_q", F.greatest("_ra", "_rb").alias("_m"))
+        .groupBy("_q", "_m")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    # depth legs with exact rational weights (p_den−p_num)·p_num^(d−1)/p_den^d
+    depths = spark.createDataFrame(
+        [
+            (d, str((pd_ - pn) * pn ** (d - 1)), str(pd_**d * d))
+            for d in range(1, k + 1)
+        ],
+        "d long, wnum string, wden string",
+    )
+    terms = (
+        mdepth.join(F.broadcast(depths), mdepth["_m"] <= depths["d"])
+        .groupBy("_q", "d", "wnum", "wden")
+        .agg(F.sum("_c").alias("_x"))
+        .select(
+            "_q",
+            F.col("d").alias("_d"),
+            "_x",
+            F.expr(
+                f"CAST(CAST(wnum AS {d38}) * _x * {scale}"
+                f" div CAST(wden AS {d38}) AS BIGINT)"
+            ).alias("_t"),
+        )
+    )
+    agg = terms.groupBy("_q").agg(
+        F.sum("_t").cast("long").alias("rbo_micro"),
+        F.max(F.when(F.col("_d") == k, F.col("_x"))).alias("overlap_at_k"),
+    )
+    return (
+        sizes.join(agg, "_q", "left")
+        .select(
+            F.col("_q").alias("query"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("overlap_at_k", F.lit(0))
+            .cast("long")
+            .alias("overlap_at_k"),
+            F.coalesce("rbo_micro", F.lit(0)).cast("long").alias("rbo_micro"),
+        )
+    )

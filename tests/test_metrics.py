@@ -1223,3 +1223,115 @@ def test_krippendorff_validation(spark):
     )
     with pytest.raises(ValueError, match="max_raters=3"):
         krippendorff_alpha(big, max_raters=3)
+
+
+def _py_rbo(rows, systems=("a", "b"), p=(9, 10), k=20, scale=10**6):
+    from collections import defaultdict
+
+    pn, pd_ = p
+    pref = defaultdict(dict)  # (q, s) -> {item: rank}
+    for q, s, r, i in rows:
+        if None in (q, s, r, i) or s not in systems or not 1 <= r <= k:
+            continue
+        pref[(q, s)][i] = r
+    queries = sorted({q for q, _ in pref})
+    out = {}
+    for q in queries:
+        A = pref.get((q, systems[0]), {})
+        B = pref.get((q, systems[1]), {})
+        md = [max(A[i], B[i]) for i in set(A) & set(B)]
+        rbo = 0
+        xk = 0
+        for d in range(1, k + 1):
+            x = sum(1 for m in md if m <= d)
+            if x == 0:
+                continue
+            wnum = (pd_ - pn) * pn ** (d - 1)
+            wden = pd_**d * d
+            rbo += wnum * x * scale // wden
+            if d == k:
+                xk = x
+        out[q] = (len(A), len(B), xk, rbo)
+    return out
+
+
+def test_rbo_closed_cases(spark):
+    from nebula_importer_spark.operators.metrics import rbo_overlap
+
+    # identical rankings: every term exact -> Σ floor((1/10)·9^(d-1)·d·1e6/(10^d·d))
+    rows = [("q1", s, r, f"doc{r}") for s in ("a", "b") for r in range(1, 21)]
+    # disjoint rankings: rbo exactly 0
+    rows += [("q2", "a", r, f"x{r}") for r in range(1, 21)]
+    rows += [("q2", "b", r, f"y{r}") for r in range(1, 21)]
+    # reversed top-4 only (k prefix subset)
+    rows += [("q3", "a", r, f"z{r}") for r in range(1, 5)]
+    rows += [("q3", "b", r, f"z{5 - r}") for r in range(1, 5)]
+    df = spark.createDataFrame(
+        rows, "query string, system string, rank long, item string"
+    ).repartition(5)
+    got = {
+        r.query: (r.n_a, r.n_b, r.overlap_at_k, r.rbo_micro)
+        for r in rbo_overlap(df).collect()
+    }
+    want = _py_rbo(rows)
+    assert got == want
+    exp_ident = sum(
+        9 ** (d - 1) * d * 10**6 // (10**d * d) for d in range(1, 21)
+    )
+    assert got["q1"] == (20, 20, 20, exp_ident)
+    assert 870_000 < exp_ident < 879_000  # ~ 1 - 0.9^20
+    assert got["q2"] == (20, 20, 0, 0)
+    # reversed lists share all items: overlap grows late, rbo well below 1
+    assert got["q3"][2] == 4 and 0 < got["q3"][3] < exp_ident
+
+
+def test_rbo_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import rbo_overlap
+
+    rng = random.Random(77)
+    rows = []
+    for q in range(12):
+        pool = [f"d{q}_{i}" for i in range(30)]
+        for s in ("a", "b"):
+            picks = rng.sample(pool, rng.randrange(5, 21))
+            rows += [(f"q{q}", s, r + 1, it) for r, it in enumerate(picks)]
+    rows.append(("q0", "c", 1, "ignored"))  # third system ignored
+    rows.append((None, "a", 1, "nullq"))
+    df = spark.createDataFrame(
+        rows, "query string, system string, rank long, item string"
+    ).repartition(7)
+    got = {
+        r.query: (r.n_a, r.n_b, r.overlap_at_k, r.rbo_micro)
+        for r in rbo_overlap(df, k=15).collect()
+    }
+    assert got == _py_rbo(rows, k=15)
+
+
+def test_rbo_validation(spark):
+    from nebula_importer_spark.operators.metrics import rbo_overlap
+
+    ok = spark.createDataFrame(
+        [("q", "a", 1, "x")], "query string, system string, rank long, item string"
+    )
+    with pytest.raises(ValueError, match="p must"):
+        rbo_overlap(ok, p=(10, 10))
+    with pytest.raises(ValueError, match="k must"):
+        rbo_overlap(ok, k=0)
+    with pytest.raises(ValueError, match="systems must differ"):
+        rbo_overlap(ok, systems=("a", "a"))
+    with pytest.raises(ValueError, match="not in input"):
+        rbo_overlap(ok, rank_col="zz")
+    dup_rank = spark.createDataFrame(
+        [("q", "a", 1, "x"), ("q", "a", 1, "y")],
+        "query string, system string, rank long, item string",
+    )
+    with pytest.raises(ValueError, match="duplicate rank"):
+        rbo_overlap(dup_rank)
+    dup_item = spark.createDataFrame(
+        [("q", "a", 1, "x"), ("q", "a", 2, "x")],
+        "query string, system string, rank long, item string",
+    )
+    with pytest.raises(ValueError, match="duplicate item"):
+        rbo_overlap(dup_item)
