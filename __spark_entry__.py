@@ -6865,6 +6865,145 @@ def _rbo_sql(k: int = 15, pn: int = 9, pd_: int = 10) -> str:
 """
 
 
+def q_kg_nil_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL detection (operators/linking.py:nil_mentions) against a
+    PRUNED alias dictionary — the place aliases are withheld, modeling
+    the revision that hasn't learned locations yet: every City{k}
+    object surface lands in exactly one of 7 NIL clusters whose mass
+    the report ranks, the entity-DISCOVERY stage of the EL loop
+    (kg_ambiguity audits what the dict knows; this reports what it
+    doesn't). Broadcast anti-join vs the distinct alias vocabulary +
+    one vocabulary-sized groupBy."""
+    from nebula_importer_spark.operators.linking import nil_mentions
+    from nebula_importer_spark.transcripts.extract import normalize_mention
+    from nebula_importer_spark.transcripts.pipeline import TranscriptPipeline
+
+    transcripts, alias_dict, _ = _kg_pipeline_inputs(spark, sf_dir)
+    pipe = TranscriptPipeline(spark)
+    surface = pipe.triples_surface(transcripts)
+    mentions = surface.select(
+        normalize_mention(F.col("subj_sf")).alias("mention_norm")
+    ).unionByName(
+        surface.select(
+            normalize_mention(F.col("obj_sf")).alias("mention_norm")
+        )
+    )
+    pruned = alias_dict.filter(
+        ~F.col("entity_id").startswith("place:")
+    ).select(normalize_mention(F.col("alias")).alias("alias_norm"))
+    return nil_mentions(mentions, pruned, min_cluster=2)
+
+
+def _kg_nil_sql() -> str:
+    """DuckDB twin of q_kg_nil_mentions: extraction legs + the pruned
+    (no place:) alias CTE + the anti-join/cluster/share projection."""
+    sur = _kg_extract_docs_sql()
+    norm = "lower(regexp_replace(trim({c}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH sur AS ({sur}),
+        alias AS (
+            SELECT 'ann' || doc_id || ' lee' AS a FROM documents
+            UNION ALL SELECT 'acme' || (doc_id % 13) || ' corp'
+                FROM documents
+            UNION ALL SELECT 'bob' || doc_id FROM documents
+            UNION ALL SELECT 'cara' || doc_id || ' q' FROM documents
+            UNION ALL SELECT 'dan' || doc_id || ' who knows eve'
+                FROM documents
+        ),
+        vocab AS (SELECT DISTINCT a FROM alias),
+        m AS (
+            SELECT mm AS m FROM (
+                SELECT {norm.format(c='subj_sf')} AS mm FROM sur
+                UNION ALL
+                SELECT {norm.format(c='obj_sf')} FROM sur
+            ) WHERE mm IS NOT NULL
+        ),
+        unlinked AS (
+            SELECT m FROM m WHERE m NOT IN (SELECT a FROM vocab)
+        ),
+        clusters AS (
+            SELECT m, COUNT(*)::HUGEINT AS n FROM unlinked GROUP BY m
+        ),
+        tot AS (SELECT COALESCE(SUM(n), 0) AS t FROM clusters)
+        SELECT m AS mention_norm, n::BIGINT AS n_mentions,
+               ((n * 1000000) // tot.t)::BIGINT AS unlinked_ppm
+        FROM clusters CROSS JOIN tot
+        WHERE n >= 2
+    """
+
+
+def q_kg_alias_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-dictionary bootstrap (operators/linking.py:
+    alias_bootstrap) over simulated fuzzy-linker evidence: the spacing
+    variant 'acme {k}' (not in the dictionary) resolves to org:acme{k}
+    in 80% of its links and to a decoy in 20% — the purity gate admits
+    the true mapping and the anti-join keeps every already-known alias
+    out. The self-training enrichment loop of the EL pipeline."""
+    from nebula_importer_spark.operators.linking import alias_bootstrap
+    from nebula_importer_spark.transcripts.extract import normalize_mention
+
+    _, alias_dict, _ = _kg_pipeline_inputs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    k13 = (F.col("doc_id") % 13).cast("string")
+    links = d.select(
+        F.concat(F.lit("acme "), k13).alias("mention_norm"),
+        F.when(
+            F.col("doc_id") % 10 < 8, F.concat(F.lit("org:acme"), k13)
+        )
+        .otherwise(F.concat(F.lit("org:evil"), k13))
+        .alias("entity_id"),
+    )
+    known = alias_dict.select(
+        normalize_mention(F.col("alias")).alias("alias_norm"), "entity_id"
+    )
+    return alias_bootstrap(
+        links, known, min_count=3, min_purity_ppm=750_000
+    )
+
+
+_KG_BOOTSTRAP_SQL = """
+    WITH links AS (
+        SELECT 'acme ' || (doc_id % 13) AS m,
+               CASE WHEN doc_id % 10 < 8
+                    THEN 'org:acme' || (doc_id % 13)
+                    ELSE 'org:evil' || (doc_id % 13) END AS e
+        FROM documents
+    ),
+    alias AS (
+        SELECT 'ann' || doc_id || ' lee' AS a,
+               'person:ann' || doc_id AS e FROM documents
+        UNION ALL SELECT 'acme' || (doc_id % 13) || ' corp',
+               'org:acme' || (doc_id % 13) FROM documents
+        UNION ALL SELECT 'bob' || doc_id, 'person:bob' || doc_id
+            FROM documents
+        UNION ALL SELECT 'bob' || doc_id, 'person:bobalt' || doc_id
+            FROM documents
+        UNION ALL SELECT 'city' || (doc_id % 7),
+               'place:city' || (doc_id % 7) FROM documents
+        UNION ALL SELECT 'cara' || doc_id || ' q',
+               'person:cara' || doc_id FROM documents
+        UNION ALL SELECT 'dan' || doc_id || ' who knows eve',
+               'person:dan' || doc_id FROM documents
+    ),
+    known AS (SELECT DISTINCT a AS m, e FROM alias),
+    grid AS (
+        SELECT m, e, COUNT(*)::HUGEINT AS n_links
+        FROM links GROUP BY 1, 2
+    ),
+    surf AS (SELECT m, SUM(n_links) AS n_surface FROM grid GROUP BY 1)
+    SELECT grid.m AS mention_norm, grid.e AS entity_id,
+           grid.n_links::BIGINT AS n_links,
+           surf.n_surface::BIGINT AS n_surface_links,
+           ((grid.n_links * 1000000) // surf.n_surface)::BIGINT
+               AS purity_ppm
+    FROM grid JOIN surf USING (m)
+    LEFT JOIN known ON known.m = grid.m AND known.e = grid.e
+    WHERE known.m IS NULL
+      AND grid.n_links >= 3
+      AND (grid.n_links * 1000000) // surf.n_surface >= 750000
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -7809,6 +7948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "kg_nil_mentions": q_kg_nil_mentions,
+        "kg_alias_bootstrap": q_kg_alias_bootstrap,
         "rbo_len_vs_spaces": q_rbo_len_vs_spaces,
         "xcorr_click_purchase": q_xcorr_click_purchase,
         "alpha_lang_blocks": q_alpha_lang_blocks,
@@ -9195,6 +9336,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "kg_nil_mentions": _kg_nil_sql(),
+        "kg_alias_bootstrap": _KG_BOOTSTRAP_SQL,
         "rbo_len_vs_spaces": _rbo_sql(k=15),
         "xcorr_click_purchase": _XCORR_SQL,
         "alpha_lang_blocks": _ALPHA_LANG_SQL,

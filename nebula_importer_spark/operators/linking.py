@@ -594,3 +594,168 @@ def linking_ambiguity(
         "max_entity",
         (F.col("n_candidates") >= 2).cast("long").alias("ambiguous"),
     )
+
+
+def nil_mentions(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    *,
+    mention_col: str = "mention_norm",
+    alias_col: str = "alias_norm",
+    min_cluster: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """NIL detection + surface clustering — the entity-discovery stage
+    of an EL pipeline (McNamee & Dang, TAC-KBP): mentions that link to
+    NOTHING in the alias dictionary, clustered by normalized surface
+    form and ranked by mass, are the candidate NEW entities the next
+    dictionary revision should add. link_mentions resolves what the
+    dictionary knows; this is the report of what it doesn't.
+
+    Distributed shape: one broadcast-able anti-join against the
+    DISTINCT alias surface (vocabulary-sized, the link_mentions
+    discipline) + one groupBy on the normalized surface. Surfaces are
+    short normalized strings (bounded mention grammar), so the group
+    key is acceptable as-is — unlike document text (the exact_dedup
+    hash-key rule) there is no long-payload shuffle to avoid; the
+    cluster table is vocabulary-sized, not mention-sized.
+
+    Caller supplies ALREADY-NORMALIZED columns on both sides (the same
+    normalize_mention both the linker and the dictionary use — stated:
+    this op does not re-normalize, so its notion of "unlinked" is
+    exactly the linker's). NULL mentions are dropped. Returns one row
+    per unlinked surface with ``n_mentions >= min_cluster``:
+    ``(mention_norm, n_mentions, unlinked_ppm)`` — ``unlinked_ppm``
+    the cluster's exact share of ALL unlinked mention mass (including
+    below-threshold clusters, so the visible rows state how much of
+    the problem they cover).
+    """
+    if min_cluster < 1:
+        raise ValueError(f"min_cluster must be >= 1, got {min_cluster}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if mention_col not in mentions.columns:
+        raise ValueError(
+            f"column {mention_col!r} not in mentions: {mentions.columns}"
+        )
+    if alias_col not in aliases.columns:
+        raise ValueError(
+            f"column {alias_col!r} not in aliases: {aliases.columns}"
+        )
+    d38 = "decimal(38,0)"
+    vocab = aliases.select(F.col(alias_col).alias("_a")).distinct()
+    unlinked = (
+        mentions.filter(F.col(mention_col).isNotNull())
+        .select(F.col(mention_col).alias("_m"))
+        .join(vocab, F.col("_m") == F.col("_a"), "left_anti")
+    )
+    clusters = unlinked.groupBy("_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    total = clusters.agg(
+        F.coalesce(F.sum("n_mentions"), F.lit(0)).alias("_tot")
+    )
+    return (
+        clusters.filter(F.col("n_mentions") >= min_cluster)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_m").alias(mention_col),
+            "n_mentions",
+            F.expr(
+                f"CAST(CAST(n_mentions AS {d38}) * {scale} div _tot"
+                f" AS BIGINT)"
+            ).alias("unlinked_ppm"),
+        )
+    )
+
+
+def alias_bootstrap(
+    links: DataFrame,
+    aliases: DataFrame,
+    *,
+    mention_col: str = "mention_norm",
+    entity_col: str = "entity_id",
+    alias_col: str = "alias_norm",
+    alias_entity_col: str = "entity_id",
+    min_count: int = 2,
+    min_purity_ppm: int = 800_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Alias-dictionary bootstrap — the self-training enrichment loop
+    of an EL pipeline: surface forms that the linker resolved (fuzzily,
+    via coref, via context) to an entity, consistently enough, become
+    NEW dictionary rows for the next revision. The quality gates are
+    exact integers: ``n_links`` (evidence mass) and ``purity_ppm``
+    (how exclusively this surface maps to this entity across ALL its
+    links — a surface torn between entities is ambiguity, not a new
+    alias; linking_ambiguity audits the dictionary, this op grows it).
+
+    Distributed shape: one (surface, entity) grid aggregation + a
+    surface-marginal join on that metadata table + one anti-join
+    against the existing (alias, entity) pairs, so already-known
+    aliases never resurface. NULL mention/entity rows are dropped.
+
+    Returns ``(mention_norm, entity_id, n_links, n_surface_links,
+    purity_ppm)`` for candidates with ``n_links >= min_count`` and
+    ``purity_ppm >= min_purity_ppm``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if not 0 <= min_purity_ppm <= scale:
+        raise ValueError(
+            f"min_purity_ppm must be in [0, {scale}], got {min_purity_ppm}"
+        )
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if mention_col not in links.columns or entity_col not in links.columns:
+        raise ValueError(
+            f"columns {mention_col!r}/{entity_col!r} not in links: "
+            f"{links.columns}"
+        )
+    if (
+        alias_col not in aliases.columns
+        or alias_entity_col not in aliases.columns
+    ):
+        raise ValueError(
+            f"columns {alias_col!r}/{alias_entity_col!r} not in aliases: "
+            f"{aliases.columns}"
+        )
+    d38 = "decimal(38,0)"
+    grid = (
+        links.filter(
+            F.col(mention_col).isNotNull() & F.col(entity_col).isNotNull()
+        )
+        .select(
+            F.col(mention_col).alias("_m"), F.col(entity_col).alias("_e")
+        )
+        .groupBy("_m", "_e")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    surf = grid.groupBy("_m").agg(
+        F.sum("n_links").cast("long").alias("n_surface_links")
+    )
+    known = aliases.select(
+        F.col(alias_col).alias("_m"), F.col(alias_entity_col).alias("_e")
+    ).distinct()
+    return (
+        grid.join(surf, "_m")
+        .join(known, ["_m", "_e"], "left_anti")
+        .withColumn(
+            "purity_ppm",
+            F.expr(
+                f"CAST(CAST(n_links AS {d38}) * {scale}"
+                f" div n_surface_links AS BIGINT)"
+            ),
+        )
+        .filter(
+            (F.col("n_links") >= min_count)
+            & (F.col("purity_ppm") >= min_purity_ppm)
+        )
+        .select(
+            F.col("_m").alias(mention_col),
+            F.col("_e").alias(entity_col),
+            "n_links",
+            "n_surface_links",
+            "purity_ppm",
+        )
+    )

@@ -830,3 +830,120 @@ def test_linking_ambiguity_validation(spark):
         linking_ambiguity(m, a, mention_col="zzz")
     with pytest.raises(ValueError, match="not in alias_dict"):
         linking_ambiguity(m, a, entity_col="zzz")
+
+
+# ----------------------------------------------------- nil_mentions
+
+
+def test_nil_mentions_clusters_and_shares(spark):
+    from nebula_importer_spark.operators.linking import nil_mentions
+
+    mentions = spark.createDataFrame(
+        [("eve",)] * 5 + [("frank jones",)] * 3 + [("oddball",)]
+        + [("ann lee",)] * 4 + [(None,)],
+        "mention_norm string",
+    ).repartition(4)
+    aliases = spark.createDataFrame(
+        [("ann lee", "person:ann"), ("bob", "person:bob")],
+        "alias_norm string, entity_id string",
+    )
+    got = {
+        r.mention_norm: (r.n_mentions, r.unlinked_ppm)
+        for r in nil_mentions(mentions, aliases, min_cluster=2).collect()
+    }
+    # linked 'ann lee' and the singleton 'oddball' are out; shares are
+    # over ALL unlinked mass (9 = 5 + 3 + 1)
+    assert got == {
+        "eve": (5, 5 * 10**6 // 9),
+        "frank jones": (3, 3 * 10**6 // 9),
+    }
+    # min_cluster=1 surfaces the singleton too
+    all3 = nil_mentions(mentions, aliases, min_cluster=1).count()
+    assert all3 == 3
+    # fully-linked input: empty
+    clean = spark.createDataFrame([("ann lee",)], "mention_norm string")
+    assert nil_mentions(clean, aliases).count() == 0
+
+
+def test_nil_mentions_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.linking import nil_mentions
+
+    m = spark.createDataFrame([("x",)], "mention_norm string")
+    a = spark.createDataFrame([("x", "e")], "alias_norm string, entity_id string")
+    with pytest.raises(ValueError, match="min_cluster"):
+        nil_mentions(m, a, min_cluster=0)
+    with pytest.raises(ValueError, match="not in mentions"):
+        nil_mentions(m, a, mention_col="zz")
+    with pytest.raises(ValueError, match="not in aliases"):
+        nil_mentions(m, a, alias_col="zz")
+
+
+# ---------------------------------------------------- alias_bootstrap
+
+
+def test_alias_bootstrap_gates(spark):
+    from nebula_importer_spark.operators.linking import alias_bootstrap
+
+    links = spark.createDataFrame(
+        # 'acme co' -> org:acme 4x pure: candidate
+        [("acme co", "org:acme")] * 4
+        # 'mercury' split 3/2 between two entities: purity 600000 < gate
+        + [("mercury", "org:planet")] * 3
+        + [("mercury", "person:freddie")] * 2
+        # 'bob s' -> person:bob only once: below min_count
+        + [("bob s", "person:bob")]
+        # 'ann lee' -> person:ann already known: anti-joined away
+        + [("ann lee", "person:ann")] * 5
+        + [(None, "e"), ("x", None)],
+        "mention_norm string, entity_id string",
+    ).repartition(4)
+    aliases = spark.createDataFrame(
+        [("ann lee", "person:ann")],
+        "alias_norm string, entity_id string",
+    )
+    got = {
+        (r.mention_norm, r.entity_id): (
+            r.n_links, r.n_surface_links, r.purity_ppm,
+        )
+        for r in alias_bootstrap(
+            links, aliases, min_count=2, min_purity_ppm=800_000
+        ).collect()
+    }
+    assert got == {("acme co", "org:acme"): (4, 4, 10**6)}
+    # lowering both gates admits the split surface (both legs) + more
+    relaxed = alias_bootstrap(
+        links, aliases, min_count=2, min_purity_ppm=400_000
+    ).count()
+    assert relaxed == 3  # acme + both mercury legs
+    # a known (alias, entity) pair never resurfaces even with loose gates
+    loose = {
+        (r.mention_norm, r.entity_id)
+        for r in alias_bootstrap(
+            links, aliases, min_count=1, min_purity_ppm=0
+        ).collect()
+    }
+    assert ("ann lee", "person:ann") not in loose
+    assert ("bob s", "person:bob") in loose
+
+
+def test_alias_bootstrap_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.linking import alias_bootstrap
+
+    l = spark.createDataFrame(
+        [("x", "e")], "mention_norm string, entity_id string"
+    )
+    a = spark.createDataFrame(
+        [("x", "e")], "alias_norm string, entity_id string"
+    )
+    with pytest.raises(ValueError, match="min_count"):
+        alias_bootstrap(l, a, min_count=0)
+    with pytest.raises(ValueError, match="min_purity_ppm"):
+        alias_bootstrap(l, a, min_purity_ppm=2_000_000)
+    with pytest.raises(ValueError, match="not in links"):
+        alias_bootstrap(l, a, mention_col="zz")
+    with pytest.raises(ValueError, match="not in aliases"):
+        alias_bootstrap(l, a, alias_col="zz")
