@@ -7004,6 +7004,82 @@ _KG_BOOTSTRAP_SQL = """
 """
 
 
+def q_sniff_orders_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema sniffing (operators/profile.py:infer_column_types) over a
+    stringly-typed rendering of orders — the reference's YAML declares
+    every prop type by hand (pkg/spec/v3/prop.go); this is the one-pass
+    evidence report that YAML is written from (config/suggest.py
+    renders it). Six literal classes counted simultaneously in one
+    whole-stage-codegen'd aggregation; melt on the single aggregated
+    row."""
+    from nebula_importer_spark.operators.profile import infer_column_types
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("okey"),
+        F.col("o_totalprice").cast("string").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("string").alias("odate"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("even"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(""))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("cust"),
+    )
+    return infer_column_types(o)
+
+
+def _sniff_orders_sql() -> str:
+    """DuckDB twin of q_sniff_orders_csv — the SAME TYPE_PATTERNS
+    imported from the operator module (pattern parity by construction)
+    and the same first-match priority CASE."""
+    from nebula_importer_spark.operators.profile import (
+        TYPE_PATTERNS,
+        _TYPE_PRIORITY,
+    )
+
+    render = {
+        "okey": "CAST(o_orderkey AS VARCHAR)",
+        "price": "CAST(o_totalprice AS VARCHAR)",
+        "status": "o_orderstatus",
+        "odate": "CAST(o_orderdate AS VARCHAR)",
+        "even": "CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END",
+        "cust": "CASE WHEN o_orderkey % 10 = 0 THEN ''"
+                " ELSE CAST(o_custkey AS VARCHAR) END",
+    }
+    case = "CASE "
+    for name, label in _TYPE_PRIORITY:
+        case += (
+            f"WHEN n_evidence > 0 AND n_{name} = n_evidence"
+            f" THEN '{label}' "
+        )
+    case += "ELSE 'STRING' END"
+    blocks = []
+    for col, expr in render.items():
+        counts = ", ".join(
+            f"SUM(CASE WHEN v IS NOT NULL AND trim(v) <> ''"
+            f" AND regexp_full_match(v, '{pat}')"
+            f" THEN 1 ELSE 0 END)::BIGINT AS n_{name}"
+            for name, pat in TYPE_PATTERNS
+        )
+        blocks.append(f"""
+            SELECT '{col}' AS "column", n_rows, n_null, n_blank,
+                   n_evidence, n_bool, n_int, n_float, n_date, n_time,
+                   n_datetime, {case} AS inferred_type
+            FROM (
+                SELECT COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_null,
+                   SUM(CASE WHEN v IS NOT NULL AND trim(v) = ''
+                       THEN 1 ELSE 0 END)::BIGINT AS n_blank,
+                   SUM(CASE WHEN v IS NOT NULL AND trim(v) <> ''
+                       THEN 1 ELSE 0 END)::BIGINT AS n_evidence,
+                   {counts}
+                FROM (SELECT {expr} AS v FROM orders)
+            )""")
+    return " UNION ALL ".join(blocks)
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -7948,6 +8024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "sniff_orders_csv": q_sniff_orders_csv,
         "kg_nil_mentions": q_kg_nil_mentions,
         "kg_alias_bootstrap": q_kg_alias_bootstrap,
         "rbo_len_vs_spaces": q_rbo_len_vs_spaces,
@@ -9336,6 +9413,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "sniff_orders_csv": _sniff_orders_sql(),
         "kg_nil_mentions": _kg_nil_sql(),
         "kg_alias_bootstrap": _KG_BOOTSTRAP_SQL,
         "rbo_len_vs_spaces": _rbo_sql(k=15),

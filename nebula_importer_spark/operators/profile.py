@@ -1519,3 +1519,120 @@ def fd_violations(
             f" AS BIGINT) END"
         ).alias("violation_ppm"),
     )
+
+
+#: Anchored literal-shape patterns shared by infer_column_types and its
+#: oracles — deliberately restricted to syntax that means the same thing
+#: in Java regex (Spark rlike) and RE2 (DuckDB regexp_full_match).
+TYPE_PATTERNS: list[tuple[str, str]] = [
+    ("bool", r"(?i)^(true|false)$"),
+    ("int", r"^[+-]?(0[xX][0-9a-fA-F]+|[0-9]+)$"),
+    (
+        "float",
+        r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$",
+    ),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("time", r"^[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}(\.[0-9]+)?$"),
+    (
+        "datetime",
+        r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{1,2}:[0-9]{1,2}:"
+        r"[0-9]{1,2}(\.[0-9]+)?$",
+    ),
+]
+
+#: Inference priority: first class whose pattern EVERY evidence value
+#: matches wins. INT before DOUBLE (ints also parse as doubles); the
+#: hex-INT form follows the reference's integer grammar
+#: (/root/reference/pkg/utils/string.go:5-48).
+_TYPE_PRIORITY = [
+    ("bool", "BOOL"),
+    ("int", "INT"),
+    ("float", "DOUBLE"),
+    ("date", "DATE"),
+    ("time", "TIME"),
+    ("datetime", "DATETIME"),
+]
+
+
+def infer_column_types(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Schema sniffing over string columns — the step between "a 100-TB
+    CSV drop landed" and "a typed source config exists": per column,
+    how many values parse as each literal class, and the type the
+    evidence supports. The reference trusts its YAML to declare types
+    and rejects rows at parse time (/root/reference/pkg/reader/
+    reader.go, pkg/picker/converter_type.go:58-121); this op is how
+    that YAML gets WRITTEN (suggest_source_config renders it) —
+    profile_columns counts nulls/distincts, this one reads SYNTAX.
+
+    ONE aggregation pass computes every per-class match count for every
+    column simultaneously (anchored rlike per class — whole-stage-
+    codegen'd conditional sums, map-side combinable; the melt to rows
+    happens on the single aggregated row, schema-sized). Evidence =
+    non-NULL, non-blank values; blanks count separately (they are
+    nullValue candidates, not type evidence). ``inferred_type`` is the
+    FIRST class in (BOOL, INT, DOUBLE, DATE, TIME, DATETIME) that ALL
+    evidence matches — STRING when none does or when there is no
+    evidence (no evidence is not evidence of STRING-ness, but STRING
+    is the only safe declaration; stated). Patterns live in
+    ``TYPE_PATTERNS`` and are Java/RE2-portable (the oracle contract).
+
+    Returns one row per column: ``(column, n_rows, n_null, n_blank,
+    n_evidence, n_bool, n_int, n_float, n_date, n_time, n_datetime,
+    inferred_type)``. Raises on non-string columns (typed columns
+    already have a schema — sniffing them is a bug).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("infer_column_types needs at least one column")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    typed = [c for c in cols if not isinstance(by_name[c], T.StringType)]
+    if typed:
+        raise ValueError(
+            f"non-string columns {typed} already carry a schema — "
+            "infer_column_types reads string syntax only"
+        )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        blank = col.isNotNull() & (F.trim(col) == "")
+        ev = col.isNotNull() & (F.trim(col) != "")
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}"))
+        aggs.append(F.sum(F.when(blank, 1).otherwise(0)).alias(f"_blank_{i}"))
+        aggs.append(F.sum(F.when(ev, 1).otherwise(0)).alias(f"_ev_{i}"))
+        for name, pat in TYPE_PATTERNS:
+            aggs.append(
+                F.sum(F.when(ev & col.rlike(pat), 1).otherwise(0)).alias(
+                    f"_{name}_{i}"
+                )
+            )
+    one = df.agg(*aggs)
+
+    entries = []
+    for i, c in enumerate(cols):
+        ev = F.col(f"_ev_{i}")
+        inferred = F.lit("STRING")
+        # build the CASE in reverse priority so the FIRST match wins
+        for name, label in reversed(_TYPE_PRIORITY):
+            inferred = F.when(
+                (ev > 0) & (F.col(f"_{name}_{i}") == ev), F.lit(label)
+            ).otherwise(inferred)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(f"_null_{i}").cast("long").alias("n_null"),
+                F.col(f"_blank_{i}").cast("long").alias("n_blank"),
+                ev.cast("long").alias("n_evidence"),
+                *[
+                    F.col(f"_{name}_{i}").cast("long").alias(f"n_{name}")
+                    for name, _ in TYPE_PATTERNS
+                ],
+                inferred.alias("inferred_type"),
+            )
+        )
+    return one.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")

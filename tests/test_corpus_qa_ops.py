@@ -1067,3 +1067,104 @@ def test_fd_violations_validation(spark):
         fd_violations(df, ["k", "v"], "v")
     with pytest.raises(ValueError, match="scale"):
         fd_violations(df, ["k"], "v", scale=0)
+
+
+def test_infer_column_types_classes(spark):
+    from nebula_importer_spark.operators.profile import infer_column_types
+
+    rows = [
+        ("1", "1.5", "true", "2024-01-02", "12:30:01", "2024-01-02 10:00:00", "abc", "7"),
+        ("0x1F", "2", "FALSE", "1999-12-31", "1:2:3.5", "2024-01-02T10:00:00.123", "", None),
+        ("-42", ".5", "True", "2024-06-01", "23:59:59", "2024-01-02 10:00:00", "x y", "7.5"),
+    ]
+    schema = "i string, f string, b string, d string, t string, dt string, s string, m string"
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    got = {r.column: r for r in infer_column_types(df).collect()}
+    assert got["i"].inferred_type == "INT"      # incl. hex + sign
+    assert got["f"].inferred_type == "DOUBLE"   # ints mixed with floats
+    assert got["b"].inferred_type == "BOOL"
+    assert got["d"].inferred_type == "DATE"
+    assert got["t"].inferred_type == "TIME"
+    assert got["dt"].inferred_type == "DATETIME"
+    assert got["s"].inferred_type == "STRING"
+    # mixed int/float with a NULL: DOUBLE on the evidence, null counted
+    assert got["m"].inferred_type == "DOUBLE" and got["m"].n_null == 1
+    # blanks are not evidence
+    assert got["s"].n_blank == 1 and got["s"].n_evidence == 2
+    # int values count as float evidence too (priority resolves)
+    assert got["i"].n_int == 3 and got["i"].n_float == 2  # hex not float
+    # no-evidence column: STRING
+    empty = spark.createDataFrame([(None,), ("",)], "e string")
+    ge = infer_column_types(empty).collect()[0]
+    assert ge.inferred_type == "STRING" and ge.n_evidence == 0
+
+
+def test_infer_column_types_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import infer_column_types
+
+    df = spark.createDataFrame([(1, "a")], "n long, s string")
+    with pytest.raises(ValueError, match="already carry a schema"):
+        infer_column_types(df)
+    with pytest.raises(ValueError, match="not in the frame"):
+        infer_column_types(df, ["zz"])
+    with pytest.raises(ValueError, match="at least one"):
+        infer_column_types(df, [])
+
+
+def test_suggest_source_config_golden_and_roundtrip(spark, tmp_path):
+    from nebula_importer_spark.config.suggest import suggest_source_config
+
+    rows = [
+        ("1", "alice", "2024-01-02", "3.5", ""),
+        ("2", "bob", "2024-02-03", "4", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, name string, joined string, score string, note string"
+    )
+    yaml_block = suggest_source_config(
+        df, path="people.csv", tag_name="Person"
+    )
+    assert yaml_block == (
+        "  - path: people.csv\n"
+        "    csv:\n"
+        '      delimiter: ","\n'
+        "      withHeader: true\n"
+        "    tags:\n"
+        "      - name: Person\n"
+        "        id:\n"
+        '          type: "INT"\n'
+        "          index: 0\n"
+        "        props:\n"
+        "          - name: name\n"
+        '            type: "STRING"\n'
+        "            index: 1\n"
+        "          - name: joined\n"
+        '            type: "DATE"\n'
+        "            index: 2\n"
+        "          - name: score\n"
+        '            type: "DOUBLE"\n'
+        "            index: 3\n"
+        "          - name: note\n"
+        '            type: "STRING"\n'
+        "            index: 4\n"
+        "            nullable: true\n"
+    )
+    # the suggestion parses through the real config loader
+    from nebula_importer_spark.config import load_config
+
+    full = (
+        "client:\n  version: v3\nmanager:\n  spaceName: sniffed\n"
+        "sources:\n" + yaml_block
+    )
+    cfg_path = tmp_path / "suggested.yaml"
+    cfg_path.write_text(full)
+    cfg = load_config(str(cfg_path))
+    tag = cfg.sources[0].tags[0]
+    assert tag.name == "Person" and tag.id.type == "INT"
+    assert [p.name for p in tag.props] == ["name", "joined", "score", "note"]
+    # a TIME id degrades to STRING (NodeID restriction)
+    tdf = spark.createDataFrame([("1:2:3", "x")], "t string, v string")
+    y2 = suggest_source_config(tdf, path="p.csv", tag_name="T")
+    assert 'type: "STRING"\n          index: 0' in y2
