@@ -7080,6 +7080,102 @@ def _sniff_orders_sql() -> str:
     return " UNION ALL ".join(blocks)
 
 
+def q_map_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 (operators/metrics.py:average_precision)
+    of the exact cosine retriever against same-label truth — the
+    rank-sensitive single number retrieval_eval_ann's P/R/nDCG triple
+    can't give (burying a hit inside the prefix moves AP, not P@k).
+    Floor-per-term exact rationals; the only float is the proven cosine
+    order."""
+    from nebula_importer_spark.operators.metrics import average_precision
+    from nebula_importer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ranked = brute_force_topk(emb, queries, k=10)
+    truth = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("_l"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_l"),
+            ),
+            "_l",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return average_precision(ranked, truth, k=10, doc_col="neighbor_id")
+
+
+def _map_eval_sql(k: int, n_queries: int) -> str:
+    """DuckDB twin of q_map_eval_ann: the retrieval_eval ranking/truth
+    CTEs + the floor-per-term AP assembly."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(
+                       list_zip(q.qv, e.embedding::DOUBLE[]),
+                       x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))))
+                   AS cos
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, rn FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                ) AS rn
+                FROM scored
+            ) WHERE rn <= {k}
+        ),
+        truth AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id
+            FROM embeddings e, q
+            WHERE e.label = q.ql AND e.vec_id <> q.query_id
+        ),
+        nrel AS (
+            SELECT query_id, COUNT(*)::HUGEINT AS n_rel
+            FROM truth GROUP BY 1
+        ),
+        nranked AS (
+            SELECT query_id, COUNT(*)::HUGEINT AS n_ranked
+            FROM ranked GROUP BY 1
+        ),
+        hits AS (
+            SELECT r.query_id, r.rn,
+                   SUM(1) OVER (PARTITION BY r.query_id ORDER BY r.rn
+                                ROWS UNBOUNDED PRECEDING)::HUGEINT AS h
+            FROM ranked r
+            JOIN truth t
+              ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        ),
+        terms AS (
+            SELECT query_id, SUM((h * 1000000) // rn) AS s,
+                   COUNT(*)::HUGEINT AS n_hits
+            FROM hits GROUP BY 1
+        )
+        SELECT nranked.query_id, n_ranked::BIGINT AS n_ranked,
+               COALESCE(n_rel, 0)::BIGINT AS n_rel,
+               COALESCE(n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN n_rel IS NULL OR n_rel = 0 THEN NULL ELSE
+                 (COALESCE(s, 0) // n_rel)::BIGINT END AS ap_micro
+        FROM nranked
+        LEFT JOIN nrel USING (query_id)
+        LEFT JOIN terms USING (query_id)
+    """
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8024,6 +8120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "map_eval_ann": q_map_eval_ann,
         "sniff_orders_csv": q_sniff_orders_csv,
         "kg_nil_mentions": q_kg_nil_mentions,
         "kg_alias_bootstrap": q_kg_alias_bootstrap,
@@ -9413,6 +9510,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "map_eval_ann": _map_eval_sql(k=10, n_queries=20),
         "sniff_orders_csv": _sniff_orders_sql(),
         "kg_nil_mentions": _kg_nil_sql(),
         "kg_alias_bootstrap": _KG_BOOTSTRAP_SQL,

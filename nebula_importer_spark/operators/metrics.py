@@ -1678,3 +1678,113 @@ def rbo_overlap(
             F.coalesce("rbo_micro", F.lit(0)).cast("long").alias("rbo_micro"),
         )
     )
+
+
+def average_precision(
+    ranked: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-query average precision truncated at ``k`` (the MAP family)
+    — the single-number rank-sensitive grade retrieval_metrics' P/R/
+    nDCG@k triple doesn't give: every relevant doc contributes the
+    precision AT ITS OWN RANK, so burying hit #2 from rank 2 to rank
+    k−1 is punished even though P@k and recall@k can't see it.
+
+    ``AP@k = (1/R) Σ_{r≤k, r hit} P@r`` with ``R = |truth(q)|``. Each
+    ``P@r = hits_≤r / r`` is a per-hit exact rational floored ONCE to
+    micro units then exactly summed, and the final ``/R`` is one more
+    exact floor — the RBO floor-per-term contract: bit-identical on any
+    engine, < (hits+1) micro below the true value, engine-stable where
+    a float Σ would be partition-order-dependent. Queries with no truth
+    pairs get NULL (undefined, never fake 0 — the exact_auc
+    discipline); rows past rank ``k`` are ignored defensively; truth
+    pairs are deduplicated here.
+
+    Distributed shape: hit marking is one equi-join against the dedup'd
+    truth pairs; the running hit count is ONE window over rank within
+    query — hits only (≤ k rows per query reach the window input after
+    the join, bounded state); a truth-side count and one final
+    query-keyed join. Returns ``(query_id, n_ranked, n_rel, n_hits,
+    ap_micro)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    for c, side, d in (
+        (query_col, "ranked", ranked),
+        (doc_col, "ranked", ranked),
+        (rank_col, "ranked", ranked),
+    ):
+        if c not in d.columns:
+            raise ValueError(f"column {c!r} not in {side}: {d.columns}")
+    for c in (query_col, doc_col):
+        if c not in truth.columns:
+            raise ValueError(f"column {c!r} not in truth: {truth.columns}")
+    d38 = "decimal(38,0)"
+    from pyspark.sql.window import Window
+
+    base = ranked.filter(
+        F.col(query_col).isNotNull()
+        & F.col(doc_col).isNotNull()
+        & (F.col(rank_col) >= 1)
+        & (F.col(rank_col) <= k)
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("long").alias("_r"),
+    )
+    tpairs = (
+        truth.filter(
+            F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+        )
+        .select(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        )
+        .distinct()
+    )
+    nrel = tpairs.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    nranked = base.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked")
+    )
+    hits = base.join(tpairs, ["_q", "_d"])
+    w = Window.partitionBy("_q").orderBy("_r")
+    terms = hits.select(
+        "_q",
+        "_r",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_h"),
+    ).select(
+        "_q",
+        F.expr(f"CAST(CAST(_h AS {d38}) * {scale} div _r AS BIGINT)").alias(
+            "_t"
+        ),
+    )
+    ap = terms.groupBy("_q").agg(
+        F.sum("_t").cast("long").alias("_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    return (
+        nranked.join(nrel, "_q", "left")
+        .join(ap, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_ranked",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                f"CASE WHEN n_rel IS NULL OR n_rel = 0 THEN NULL ELSE"
+                f" CAST(CAST(coalesce(_sum, 0) AS {d38}) div n_rel"
+                f" AS BIGINT) END"
+            ).alias("ap_micro"),
+        )
+    )

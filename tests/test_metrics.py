@@ -1335,3 +1335,96 @@ def test_rbo_validation(spark):
     )
     with pytest.raises(ValueError, match="duplicate item"):
         rbo_overlap(dup_item)
+
+
+def _py_ap(ranked, truth, k, scale=10**6):
+    from collections import defaultdict
+
+    tset = set()
+    for q, d in truth:
+        if q is not None and d is not None:
+            tset.add((q, d))
+    nrel = defaultdict(int)
+    for q, d in tset:
+        nrel[q] += 1
+    byq = defaultdict(list)
+    for q, d, r in ranked:
+        if q is None or d is None or not 1 <= r <= k:
+            continue
+        byq[q].append((r, d))
+    out = {}
+    for q, rows in byq.items():
+        rows.sort()
+        h = 0
+        s = 0
+        nh = 0
+        for r, d in rows:
+            if (q, d) in tset:
+                h += 1
+                nh += 1
+                s += h * scale // r
+        out[q] = (
+            len(rows),
+            nrel.get(q, 0),
+            nh,
+            s // nrel[q] if nrel.get(q) else None,
+        )
+    return out
+
+
+def test_average_precision_closed_and_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import average_precision
+
+    # hand case: hits at ranks 1 and 3 of R=2 -> AP = (1 + 2/3)/2
+    ranked = spark.createDataFrame(
+        [("q", f"d{r}", r) for r in range(1, 6)],
+        "query_id string, doc_id string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q", "d1"), ("q", "d3")], "query_id string, doc_id string"
+    )
+    r = average_precision(ranked, truth, k=5).collect()[0]
+    assert r.ap_micro == (10**6 + 2 * 10**6 // 3) // 2
+    assert (r.n_ranked, r.n_rel, r.n_hits) == (5, 2, 2)
+
+    rng = random.Random(13)
+    ranked_rows, truth_rows = [], []
+    for q in range(10):
+        docs = rng.sample(range(50), 20)
+        ranked_rows += [(f"q{q}", f"d{d}", i + 1) for i, d in enumerate(docs)]
+        truth_rows += [(f"q{q}", f"d{d}") for d in rng.sample(range(50), 8)]
+    truth_rows.append(("q0", truth_rows[0][1]))  # dup truth pair
+    ranked_rows.append(("q9", "dX", 99))  # beyond k: ignored
+    rdf = spark.createDataFrame(
+        ranked_rows, "query_id string, doc_id string, rank long"
+    ).repartition(5)
+    tdf = spark.createDataFrame(
+        truth_rows, "query_id string, doc_id string"
+    )
+    got = {
+        r.query_id: (r.n_ranked, r.n_rel, r.n_hits, r.ap_micro)
+        for r in average_precision(rdf, tdf, k=15).collect()
+    }
+    assert got == _py_ap(ranked_rows, truth_rows, 15)
+
+
+def test_average_precision_no_truth_and_validation(spark):
+    from nebula_importer_spark.operators.metrics import average_precision
+
+    ranked = spark.createDataFrame(
+        [("q", "d1", 1)], "query_id string, doc_id string, rank long"
+    )
+    empty_truth = spark.createDataFrame(
+        [], "query_id string, doc_id string"
+    )
+    r = average_precision(ranked, empty_truth, k=3).collect()[0]
+    assert r.ap_micro is None and r.n_rel == 0  # undefined, not 0
+    with pytest.raises(ValueError, match="k must"):
+        average_precision(ranked, empty_truth, k=0)
+    with pytest.raises(ValueError, match="not in ranked"):
+        average_precision(ranked, empty_truth, k=3, rank_col="zz")
+    bad = spark.createDataFrame([("q",)], "query_id string")
+    with pytest.raises(ValueError, match="not in truth"):
+        average_precision(ranked, bad, k=3)
