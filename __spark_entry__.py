@@ -7176,6 +7176,116 @@ def _map_eval_sql(k: int, n_queries: int) -> str:
     """
 
 
+def q_hyperball_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/graph.py:hyperball)
+    over the order→customer→nation→region containment DAG (the
+    kg_closure graph, shortcut included): per node, HLL-estimated
+    |ball(v, r)| for r = 1..3 — the sketch-per-node machinery behind
+    effective-diameter/centrality estimation where exact closure goes
+    quadratic. Balls here are tiny, so every row rides the VERIFIED
+    small-range branch and reads the exact BFS ball size — the oracle
+    proves the whole register/merge/estimate chain, not an
+    approximation."""
+    from nebula_importer_spark.operators.graph import hyperball
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    e = (
+        orders.select(
+            F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("c_"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n_"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r_"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return hyperball(e, radius=3, p=6)
+
+
+#: HyperBall oracle: exact min-dist closure (the kg_closure recursive
+#: CTE) expands each node's r-ball, then the SAME md5 register rule and
+#: integer estimate as the hll_distinct oracle, at p=6 (m=64, W=46).
+_HYPERBALL_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT 'o_' || o_orderkey AS src, 'c_' || o_custkey AS dst FROM orders
+        UNION
+        SELECT 'o_' || o_orderkey, 'n_' || c_nationkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        UNION
+        SELECT 'c_' || c_custkey, 'n_' || c_nationkey FROM customer
+        UNION
+        SELECT 'n_' || n_nationkey, 'r_' || n_regionkey FROM nation
+    ),
+    reach AS (
+        SELECT src, dst, 1 AS dist FROM e
+        UNION
+        SELECT r.src, e.dst, r.dist + 1
+        FROM reach r JOIN e ON r.dst = e.src
+        WHERE r.dist < 3
+    ),
+    mind AS (
+        SELECT src, dst, MIN(dist) AS dist FROM reach GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS v FROM e UNION SELECT dst FROM e
+    ),
+    members AS (
+        SELECT v AS node, rr AS radius, v AS member
+        FROM nodes, range(1, 4) t(rr)
+        UNION
+        SELECT src, rr, dst
+        FROM mind, range(1, 4) t(rr) WHERE dist <= rr
+    ),
+    h AS (
+        SELECT node, radius,
+               ('0x' || substr(md5('hb' || member), 1, 13))::BIGINT AS h
+        FROM members
+    ),
+    reg AS (
+        SELECT node, radius, h // 70368744177664 AS b,
+               MAX(CASE WHEN h % 70368744177664 = 0 THEN 47
+                        ELSE 46 - (length(bin(h % 70368744177664)) - 1)
+                   END) AS rho
+        FROM h GROUP BY 1, 2, 3
+    ),
+    st AS (
+        SELECT node, radius, COUNT(*) AS nz,
+               SUM(1::BIGINT << (47 - rho))::BIGINT AS s_nz
+        FROM reg GROUP BY 1, 2
+    ),
+    stat AS (
+        SELECT node, radius, 64::BIGINT AS m, (64 - nz)::BIGINT AS v_zero,
+               (s_nz + (64 - nz) * (1::BIGINT << 47))::BIGINT AS s_scaled
+        FROM st
+    ),
+    est AS (
+        SELECT *, (408907220466408505::HUGEINT // s_scaled)::BIGINT AS raw
+        FROM stat
+    )
+    SELECT node, radius::BIGINT AS radius, m, v_zero, s_scaled,
+           CASE WHEN raw * 2 <= 5 * m AND v_zero > 0
+                THEN CAST(floor(64.0 * ln(64.0 / v_zero)) AS BIGINT)
+                ELSE raw END AS est_distinct
+    FROM est
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8120,6 +8230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "hyperball_kg": q_hyperball_kg,
         "map_eval_ann": q_map_eval_ann,
         "sniff_orders_csv": q_sniff_orders_csv,
         "kg_nil_mentions": q_kg_nil_mentions,
@@ -9510,6 +9621,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "hyperball_kg": _HYPERBALL_SQL,
         "map_eval_ann": _map_eval_sql(k=10, n_queries=20),
         "sniff_orders_csv": _sniff_orders_sql(),
         "kg_nil_mentions": _kg_nil_sql(),

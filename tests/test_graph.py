@@ -1770,3 +1770,109 @@ def test_wl_validation(spark):
         wl_refinement(e, src="zzz")
     with pytest.raises(ValueError, match="rounds"):
         wl_refinement(e, rounds=-1)
+
+
+def _py_hyperball(edges, radius, p=6, salt="hb"):
+    """Independent model: exact BFS balls, then the md5 register rule +
+    integer/linear-counting estimate exactly as hll_distinct defines."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    m = 1 << p
+    w_bits = 52 - p
+    q_max = w_bits + 1
+
+    def h52(v):
+        return int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:13], 16)
+
+    succ = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        succ[s].add(d)
+        nodes |= {s, d}
+    balls = {v: {v} for v in nodes}
+    out = {}
+    # alpha constant as in sketch._hll_constant
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    k_const = alpha_num * m * m * (1 << q_max) // alpha_den
+    for r in range(1, radius + 1):
+        balls = {
+            v: balls[v] | set().union(*(balls[w] for w in succ[v]))
+            if succ[v] else balls[v]
+            for v in nodes
+        }
+        for v in nodes:
+            regs = {}
+            for u in balls[v]:
+                h = h52(u)
+                b = h >> w_bits
+                w = h % (1 << w_bits)
+                rho = q_max if w == 0 else w_bits - (w.bit_length() - 1)
+                regs[b] = max(regs.get(b, 0), rho)
+            nz = len(regs)
+            s_scaled = sum(1 << (q_max - rho) for rho in regs.values()) + (
+                m - nz
+            ) * (1 << q_max)
+            v_zero = m - nz
+            raw = k_const // s_scaled
+            if raw * 2 <= 5 * m and v_zero > 0:
+                est = math.floor(float(m) * math.log(float(m) / v_zero))
+            else:
+                est = raw
+            out[(v, r)] = (m, v_zero, s_scaled, est)
+    return out
+
+
+def test_hyperball_chain_and_parity(spark):
+    from nebula_importer_spark.operators.graph import hyperball
+
+    # directed chain a->b->c->d: ball sizes grow 2,3,4 then saturate
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    got = {
+        (r.node, r.radius): (r.m, r.v_zero, r.s_scaled, r.est_distinct)
+        for r in hyperball(df, radius=3).collect()
+    }
+    want = _py_hyperball(chain, 3)
+    assert got == want
+    # small-range branch reads tiny balls exactly
+    assert got[("a", 1)][3] == 2
+    assert got[("a", 2)][3] == 3
+    assert got[("a", 3)][3] == 4
+    assert got[("d", 3)][3] == 1  # sink: only itself
+
+
+def test_hyperball_random_graph_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import hyperball
+
+    rng = random.Random(21)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(120)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(5)
+    got = {
+        (r.node, r.radius): (r.m, r.v_zero, r.s_scaled, r.est_distinct)
+        for r in hyperball(df, radius=2, p=6).collect()
+    }
+    assert got == _py_hyperball(edges, 2, p=6)
+
+
+def test_hyperball_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import hyperball
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="radius"):
+        hyperball(df, radius=0)
+    with pytest.raises(ValueError, match="p must"):
+        hyperball(df, p=1)
