@@ -7286,6 +7286,153 @@ _HYPERBALL_SQL = """
 """
 
 
+def q_ref_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (operators/dq.py:
+    referential_integrity): are event user_ids known customer keys —
+    the join-safety gate before events ⋈ customer silently drops
+    orphans. One dedup'd parent key set + ONE anti-join; MATCH SIMPLE
+    NULL-FK exemption; exact orphan ppm over checked rows."""
+    from nebula_importer_spark.operators.dq import referential_integrity
+
+    return referential_integrity(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "customer"),
+        fk_cols=["user_id"],
+        pk_cols=["c_custkey"],
+    )
+
+
+_REF_INTEGRITY_SQL = """
+    WITH checked AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    pk AS (SELECT DISTINCT c_custkey FROM customer),
+    orphans AS (
+        SELECT user_id FROM checked
+        WHERE user_id NOT IN (SELECT c_custkey FROM pk)
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM events)::HUGEINT AS n_child,
+               (SELECT COUNT(*) FROM checked)::HUGEINT AS n_checked,
+               (SELECT COUNT(*) FROM orphans)::HUGEINT AS n_orphans,
+               (SELECT COUNT(DISTINCT user_id) FROM orphans)::HUGEINT
+                   AS n_orphan_keys
+    )
+    SELECT n_child::BIGINT AS n_child,
+           (n_child - n_checked)::BIGINT AS n_null_fk,
+           n_checked::BIGINT AS n_checked,
+           n_orphans::BIGINT AS n_orphans,
+           n_orphan_keys::BIGINT AS n_orphan_keys,
+           (n_orphans = 0) AS holds,
+           CASE WHEN n_checked = 0 THEN NULL ELSE
+             ((n_orphans * 1000000) // n_checked)::BIGINT END AS orphan_ppm
+    FROM s
+"""
+
+
+def q_graph_health_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph hygiene report (operators/graph.py:graph_health) over the
+    RAW per-order customer→nation edge stream — deliberately
+    un-collapsed, so the parallel-edge mass (every repeat order re-adds
+    the same edge) is visible: the malformed-input audit every
+    iterative graph op assumes away. One distinct + marginal aggs +
+    a reversed-key equi-join for reciprocity."""
+    from nebula_importer_spark.operators.graph import graph_health
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    e = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.concat(F.lit("c_"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+    )
+    return graph_health(e)
+
+
+_GRAPH_HEALTH_SQL = """
+    WITH raw AS (
+        SELECT 'c_' || o_custkey AS s, 'n_' || c_nationkey AS d
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    dis AS (
+        SELECT DISTINCT s, d FROM raw WHERE s IS NOT NULL AND d IS NOT NULL
+    ),
+    nl AS (SELECT s, d FROM dis WHERE s <> d),
+    agg AS (
+        SELECT
+          (SELECT COUNT(*) FROM raw)::HUGEINT AS n_edges,
+          (SELECT COUNT(*) FROM raw WHERE s IS NULL OR d IS NULL)::HUGEINT
+              AS n_null_endpoint,
+          (SELECT COUNT(*) FROM dis WHERE s = d)::HUGEINT AS n_self_loops,
+          (SELECT COUNT(*) FROM dis)::HUGEINT AS n_distinct,
+          (SELECT COUNT(*) FROM (SELECT s FROM dis UNION SELECT d FROM dis)
+          )::HUGEINT AS n_nodes,
+          (SELECT COUNT(*) FROM nl a JOIN nl b
+             ON a.s = b.d AND a.d = b.s)::HUGEINT AS n_reciprocal
+    )
+    SELECT n_edges::BIGINT AS n_edges,
+           n_null_endpoint::BIGINT AS n_null_endpoint,
+           n_self_loops::BIGINT AS n_self_loops,
+           n_distinct::BIGINT AS n_distinct,
+           (n_edges - n_null_endpoint - n_distinct)::BIGINT
+               AS n_parallel_extra,
+           n_nodes::BIGINT AS n_nodes,
+           n_reciprocal::BIGINT AS n_reciprocal,
+           CASE WHEN n_distinct - n_self_loops = 0 THEN NULL ELSE
+             ((n_reciprocal * 1000000) // (n_distinct - n_self_loops))::BIGINT
+           END AS reciprocity_ppm
+    FROM agg
+"""
+
+
+def q_assortativity_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py:degree_assortativity)
+    of the customer↔supplier graph — the one-number topology
+    fingerprint that says whether this repo's hub-guards are
+    load-bearing here. Exact Pearson over oriented endpoint degrees as
+    a single floored milli quotient (r = num/den exactly under the
+    both-orientations symmetry)."""
+    from nebula_importer_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_cs_graph(spark, sf_dir))
+
+
+_ASSORT_CS_SQL = """
+    WITH cs AS (
+        SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (
+        SELECT LEAST(c, s) AS a, GREATEST(c, s) AS b FROM cs
+    ),
+    dis AS (SELECT DISTINCT a, b FROM und),
+    ori AS (
+        SELECT a AS u, b AS v FROM dis
+        UNION ALL SELECT b, a FROM dis
+    ),
+    deg AS (SELECT u, COUNT(*)::HUGEINT AS dg FROM ori GROUP BY 1),
+    paired AS (
+        SELECT du.dg AS x, dv.dg AS y
+        FROM ori JOIN deg du ON du.u = ori.u
+        JOIN deg dv ON dv.u = ori.v
+    ),
+    agg AS (
+        SELECT COUNT(*)::HUGEINT AS m, SUM(x) AS sx,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM paired
+    ),
+    nn AS (SELECT COUNT(*)::HUGEINT AS n_nodes FROM deg)
+    SELECT (m / 2)::BIGINT AS n_edges_undirected,
+           nn.n_nodes::BIGINT AS n_nodes,
+           CASE WHEN m = 0 OR m * sxx - sx * sx = 0 THEN NULL ELSE
+             (((m * sxy - sx * sx) * 1000
+               - ((((m * sxy - sx * sx) * 1000) % (m * sxx - sx * sx))
+                  + (m * sxx - sx * sx)) % (m * sxx - sx * sx))
+              / (m * sxx - sx * sx))::BIGINT
+           END AS r_milli
+    FROM agg CROSS JOIN nn
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8230,6 +8377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "ref_integrity_events": q_ref_integrity_events,
+        "graph_health_orders": q_graph_health_orders,
+        "assortativity_cs": q_assortativity_cs,
         "hyperball_kg": q_hyperball_kg,
         "map_eval_ann": q_map_eval_ann,
         "sniff_orders_csv": q_sniff_orders_csv,
@@ -9621,6 +9771,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "ref_integrity_events": _REF_INTEGRITY_SQL,
+        "graph_health_orders": _GRAPH_HEALTH_SQL,
+        "assortativity_cs": _ASSORT_CS_SQL,
         "hyperball_kg": _HYPERBALL_SQL,
         "map_eval_ann": _map_eval_sql(k=10, n_queries=20),
         "sniff_orders_csv": _sniff_orders_sql(),

@@ -424,3 +424,80 @@ def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
         "n_total",
         "n_excluded",
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    fk_cols: list[str],
+    pk_cols: list[str],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-table referential-integrity audit: how many child rows
+    point at a parent key that doesn't exist — the join-safety gate a
+    pipeline runs before an inner join silently drops orphans (or a
+    snapshot load half-succeeded). fd_violations audits WITHIN a table;
+    this audits the FK edge BETWEEN tables.
+
+    SQL FK semantics (stated): a child row with any NULL FK column is
+    exempt (counted in ``n_null_fk``, never an orphan — the MATCH
+    SIMPLE rule); the parent side is deduplicated on the key. Shape:
+    one distinct on the parent key (dimension-sized, broadcast-able by
+    the optimizer) + ONE anti-join; counts ride a single aggregation.
+    ``orphan_ppm`` is exact over the CHECKED rows (non-NULL-FK), NULL
+    when nothing was checkable (0/0 undefined, the fd_violations
+    discipline).
+
+    Returns ONE row: ``(n_child, n_null_fk, n_checked, n_orphans,
+    n_orphan_keys, holds, orphan_ppm)``.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not fk_cols or not pk_cols:
+        raise ValueError("fk_cols and pk_cols must be non-empty")
+    if len(fk_cols) != len(pk_cols):
+        raise ValueError(
+            f"fk_cols ({len(fk_cols)}) and pk_cols ({len(pk_cols)}) "
+            "must have the same arity"
+        )
+    for c in fk_cols:
+        if c not in child.columns:
+            raise ValueError(f"column {c!r} not in child: {child.columns}")
+    for c in pk_cols:
+        if c not in parent.columns:
+            raise ValueError(f"column {c!r} not in parent: {parent.columns}")
+    d38 = "decimal(38,0)"
+    fk = [F.col(c).alias(f"_k{i}") for i, c in enumerate(fk_cols)]
+    pk = [F.col(c).alias(f"_k{i}") for i, c in enumerate(pk_cols)]
+    keys = [f"_k{i}" for i in range(len(fk_cols))]
+    some_null = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        some_null = cond if some_null is None else (some_null | cond)
+    c_rows = child.select(*fk)
+    n_child = c_rows.count()
+    checked = c_rows.filter(~some_null)
+    pkeys = parent.select(*pk).distinct()
+    orphans = checked.join(pkeys, keys, "left_anti")
+    agg = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphans"),
+        F.count_distinct(*[F.col(k) for k in keys])
+        .cast("long")
+        .alias("n_orphan_keys"),
+    ).crossJoin(
+        checked.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+    )
+    return agg.select(
+        F.lit(n_child).cast("long").alias("n_child"),
+        (F.lit(n_child) - F.col("n_checked")).cast("long").alias("n_null_fk"),
+        "n_checked",
+        "n_orphans",
+        "n_orphan_keys",
+        (F.col("n_orphans") == 0).alias("holds"),
+        F.expr(
+            f"CASE WHEN n_checked = 0 THEN NULL ELSE CAST("
+            f"CAST(n_orphans AS {d38}) * {scale} div n_checked"
+            f" AS BIGINT) END"
+        ).alias("orphan_ppm"),
+    )

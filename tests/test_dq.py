@@ -204,3 +204,53 @@ def test_benford_all_excluded_and_validation(spark):
         benford_audit(df, ["zzz"])
     with pytest.raises(ValueError, match="integral"):
         benford_audit(df, ["f"])
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from nebula_importer_spark.operators.dq import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c"), (9, "d"), (None, "e")],
+        "fk long, payload string",
+    ).repartition(3)
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,), (1,)], "pk long"  # dup parent keys dedup'd
+    )
+    r = referential_integrity(
+        child, parent, fk_cols=["fk"], pk_cols=["pk"]
+    ).collect()[0]
+    assert (r.n_child, r.n_null_fk, r.n_checked) == (5, 1, 4)
+    assert (r.n_orphans, r.n_orphan_keys) == (2, 1)  # both fk=9 rows
+    assert r.holds is False
+    assert r.orphan_ppm == 2 * 10**6 // 4
+
+    # composite key + clean FK
+    c2 = spark.createDataFrame([(1, "x", 1)], "a long, b string, i long")
+    p2 = spark.createDataFrame([(1, "x")], "a long, b string")
+    r2 = referential_integrity(
+        c2, p2, fk_cols=["a", "b"], pk_cols=["a", "b"]
+    ).collect()[0]
+    assert r2.holds is True and r2.orphan_ppm == 0
+    # all-NULL FKs: nothing checkable -> NULL ppm
+    c3 = spark.createDataFrame([(None, "x")], "a long, b string")
+    r3 = referential_integrity(
+        c3, p2, fk_cols=["a"], pk_cols=["a"]
+    ).collect()[0]
+    assert (r3.n_checked, r3.holds, r3.orphan_ppm) == (0, True, None)
+
+
+def test_referential_integrity_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.dq import referential_integrity
+
+    c = spark.createDataFrame([(1,)], "a long")
+    p = spark.createDataFrame([(1,)], "b long")
+    with pytest.raises(ValueError, match="non-empty"):
+        referential_integrity(c, p, fk_cols=[], pk_cols=["b"])
+    with pytest.raises(ValueError, match="same arity"):
+        referential_integrity(c, p, fk_cols=["a"], pk_cols=["b", "b"])
+    with pytest.raises(ValueError, match="not in child"):
+        referential_integrity(c, p, fk_cols=["zz"], pk_cols=["b"])
+    with pytest.raises(ValueError, match="not in parent"):
+        referential_integrity(c, p, fk_cols=["a"], pk_cols=["zz"])

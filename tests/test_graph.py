@@ -1876,3 +1876,94 @@ def test_hyperball_validation(spark):
         hyperball(df, radius=0)
     with pytest.raises(ValueError, match="p must"):
         hyperball(df, p=1)
+
+
+def test_graph_health_report(spark):
+    from nebula_importer_spark.operators.graph import graph_health
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "b"),          # parallel
+            ("b", "a"),                       # reciprocal of a->b
+            ("b", "c"), ("c", "c"),           # plus a self-loop
+            ("d", None), (None, "e"),         # null endpoints
+        ],
+        "src string, dst string",
+    ).repartition(3)
+    r = graph_health(edges).collect()[0]
+    assert r.n_edges == 7 and r.n_null_endpoint == 2
+    assert r.n_distinct == 4 and r.n_self_loops == 1
+    assert r.n_parallel_extra == 1
+    assert r.n_nodes == 3  # a, b, c
+    assert r.n_reciprocal == 2  # a->b and b->a
+    assert r.reciprocity_ppm == 2 * 10**6 // 3
+    # loop-only graph: NULL reciprocity (no non-loop edges)
+    loops = spark.createDataFrame([("x", "x")], "src string, dst string")
+    rl = graph_health(loops).collect()[0]
+    assert rl.reciprocity_ppm is None and rl.n_self_loops == 1
+
+
+def test_degree_assortativity_signs(spark):
+    from nebula_importer_spark.operators.graph import degree_assortativity
+
+    # star: hub degree n, leaves degree 1 -> strongly negative
+    star = [("h", f"l{i}") for i in range(8)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    r = degree_assortativity(df).collect()[0]
+    assert r.n_edges_undirected == 8 and r.n_nodes == 9
+    assert r.r_milli == -1000  # exactly -1 for a pure star
+
+    # two disjoint cliques of different sizes: positive assortativity
+    cliq = []
+    for grp, n in (("p", 4), ("q", 6)):
+        nodes = [f"{grp}{i}" for i in range(n)]
+        cliq += [
+            (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+        ]
+    df2 = spark.createDataFrame(cliq, "src string, dst string")
+    r2 = degree_assortativity(df2).collect()[0]
+    assert r2.r_milli == 1000  # within-clique degrees are equal -> r = 1
+
+    # regular graph (one cycle): zero variance -> NULL
+    cyc = [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)]
+    r3 = degree_assortativity(
+        spark.createDataFrame(cyc, "src string, dst string")
+    ).collect()[0]
+    assert r3.r_milli is None
+
+    # parity vs an exact Fraction model on a random graph
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(25)]
+    es = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    es = [(s, d) for s, d in es if s != d]
+    rg = degree_assortativity(
+        spark.createDataFrame(es, "src string, dst string").repartition(4)
+    ).collect()[0]
+    und = {tuple(sorted(e)) for e in es}
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in und] + [
+        (deg[b], deg[a]) for a, b in und
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    want = (
+        None
+        if den == 0
+        else (Fraction(num, den).numerator * 1000)
+        // Fraction(num, den).denominator
+        if False
+        else (num * 1000) // den  # python floor matches the pmod device
+    )
+    assert rg.r_milli == want
