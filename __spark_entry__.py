@@ -7433,6 +7433,39 @@ _ASSORT_CS_SQL = """
 """
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CUSUM change-point maintenance under the driver gate
+    (streaming/sketches.py:run_incremental_buckets): events drained
+    through foreachBatch into per-batch (key, bucket) partial-count
+    partitions, read back through cusum_from_buckets — partial sums
+    merge exactly, so stream ≡ batch cusum_change and the oracle IS the
+    batch cusum oracle; the hash match is that proof under the gate."""
+    import tempfile
+
+    from nebula_importer_spark.streaming.events import EVENT_SCHEMA
+    from nebula_importer_spark.streaming.sketches import (
+        read_cusum,
+        run_incremental_buckets,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nis-streamcusum-")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    run_incremental_buckets(
+        stream,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        ts_col="ts",
+        key_col="event_type",
+        bucket_sec=86400,
+    )
+    return read_cusum(spark, f"{tmp}/out", key_col="event_type")
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8377,6 +8410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "stream_cusum": q_stream_cusum,
         "ref_integrity_events": q_ref_integrity_events,
         "graph_health_orders": q_graph_health_orders,
         "assortativity_cs": q_assortativity_cs,
@@ -12702,4 +12736,5 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     sql["stream_cms_counts"] = sql["cms_user_counts"]
     # max-merge makes the streamed HLL ≡ the batch sketch of the union
     sql["stream_hll_distinct"] = sql["hll_distinct_users"]
+    sql["stream_cusum"] = sql["cusum_events"]
     return sql

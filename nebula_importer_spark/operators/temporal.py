@@ -823,6 +823,50 @@ def cusum_change(
         .groupBy("_k", "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
+    return _cusum_core(counts, key_col, max_span_buckets)
+
+
+def cusum_from_buckets(
+    bucketed: DataFrame,
+    *,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    n_col: str = "n",
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """CUSUM level-shift detection from an ALREADY-BUCKETED count table
+    ``(key, bucket, n)`` - the entry point that makes the statistic
+    STREAMABLE: per-bucket counts are mergeable partial sums (duplicate
+    (key, bucket) rows re-sum here first), so micro-batches can each
+    write their partial bucket counts and the merged table feeds this
+    function to yield EXACTLY the batch ``cusum_change`` of the union
+    (streaming/sketches.py:run_incremental_buckets / read_cusum).
+    Semantics, guards, and output schema are cusum_change's - same
+    machinery, same oracle."""
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}"
+        )
+    for c in (key_col, bucket_col, n_col):
+        if c not in bucketed.columns:
+            raise ValueError(
+                f"column {c!r} not in input: {bucketed.columns}"
+            )
+    counts = (
+        bucketed.select(
+            F.col(key_col).alias("_k"),
+            F.col(bucket_col).cast("long").alias("_b"),
+            F.col(n_col).cast("long").alias("_n"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+    )
+    return _cusum_core(counts, key_col, max_span_buckets)
+
+
+def _cusum_core(
+    counts: DataFrame, key_col: str, max_span_buckets: int
+) -> DataFrame:
     bounds = counts.groupBy("_k").agg(
         F.min("_b").alias("_lo"),
         F.max("_b").alias("_hi"),

@@ -152,3 +152,82 @@ def read_cms(spark, out_dir: str) -> DataFrame:
         .groupBy("r", "c")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def run_incremental_buckets(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_sec: int = 3600,
+    available_now: bool = True,
+) -> dict:
+    """Drain a stream into per-batch (key, bucket) partial-count
+    partitions at ``<out_dir>/buckets/_batch_id=N`` — the streamable
+    state behind CUSUM change-point telemetry: bucket counts are
+    mergeable partial SUMS (the CMS discipline, not HLL's max), each
+    batch's partition is keyed by ``_batch_id`` and dynamically
+    overwritten, so replay is idempotent and per-batch cost is flat at
+    any history length (state rows per batch ≤ keys·buckets touched by
+    THAT batch, never the full horizon). Read the live change-point
+    report back with :func:`read_cusum` — equal to the batch
+    ``cusum_change`` over the union of all drained rows.
+
+    Returns {"batches": n}; with ``available_now=False`` the live
+    StreamingQuery handle is under "query".
+    """
+    b_dir = f"{str(out_dir).rstrip('/')}/buckets"
+    seen: dict = {"batches": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                F.floor(
+                    F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec)
+                ).cast("long").alias("bucket"),
+            )
+            .groupBy("key", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        (
+            counts.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(b_dir)
+        )
+        seen["batches"] += 1
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return dict(seen)
+    seen["query"] = writer.start()
+    return seen
+
+
+def read_cusum(
+    spark,
+    out_dir: str,
+    *,
+    key_col: str = "event_type",
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """The live CUSUM change-point report across every drained batch
+    partition: partial bucket counts re-SUM inside
+    ``cusum_from_buckets``, so this equals the batch ``cusum_change``
+    over the union of all drained rows (the gate row hashes the end
+    state against exactly that oracle)."""
+    from nebula_importer_spark.operators.temporal import cusum_from_buckets
+
+    buckets = spark.read.parquet(f"{str(out_dir).rstrip('/')}/buckets")
+    out = cusum_from_buckets(
+        buckets, key_col="key", max_span_buckets=max_span_buckets
+    )
+    return out.withColumnRenamed("key", key_col)

@@ -138,3 +138,95 @@ def test_stream_hll_replay_cannot_overcount(spark, tmp_path):
     assert (first.s_scaled, first.est_distinct) == (
         second.s_scaled, second.est_distinct
     )
+
+
+def test_incremental_buckets_equals_batch_cusum(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.temporal import (
+        cusum_change,
+        cusum_from_buckets,
+    )
+    from nebula_importer_spark.streaming.sketches import (
+        read_cusum,
+        run_incremental_buckets,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    # 'svc': level shift at hour 30; 'bg': flat
+    for h in range(60):
+        n = 2 if h < 30 else 9
+        for i in range(n):
+            rows.append((f"e{h}_{i}", base + datetime.timedelta(hours=h, minutes=i), "svc"))
+        rows.append((f"b{h}", base + datetime.timedelta(hours=h), "bg"))
+    df = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+    src_dir = tmp_path / "src"
+    # several files so the stream sees multiple micro-batches
+    df.repartition(5).write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src_dir))
+    )
+    res = run_incremental_buckets(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        ts_col="ts",
+        key_col="event_type",
+        bucket_sec=3600,
+    )
+    assert res["batches"] >= 2  # genuinely incremental
+    got = {
+        r.event_type: r.asDict()
+        for r in read_cusum(
+            spark, str(tmp_path / "out"), key_col="event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.asDict()
+        for r in cusum_change(df, bucket_sec=3600).collect()
+    }
+    assert got == want
+    # geometry: for a sustained up-shift the positive statistic peaks at
+    # the LAST bucket, while the negative statistic (pre-shift deficit)
+    # peaks exactly AT the change point — that's the detected shift
+    first = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+    assert got["svc"]["up_bucket"] == first + 59
+    assert got["svc"]["down_bucket"] == first + 29
+    assert got["svc"]["down_stat"] > 0
+
+    # duplicate (key,bucket) partials re-sum: feeding split halves equals whole
+    buckets = (
+        df.select(
+            F.col("event_type").alias("key"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    halves = buckets.withColumn("n", F.col("n") - F.lit(1)).filter("n > 0").unionByName(
+        buckets.select("key", "bucket", F.lit(1).cast("long").alias("n"))
+    )
+    a = {r.key: r.asDict() for r in cusum_from_buckets(buckets).collect()}
+    b = {r.key: r.asDict() for r in cusum_from_buckets(halves).collect()}
+    # keys where n-1 dropped a bucket entirely differ; restrict to svc which
+    # has n >= 2 everywhere
+    assert a["svc"] == b["svc"]
+
+
+def test_cusum_from_buckets_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import cusum_from_buckets
+
+    df = spark.createDataFrame([("k", 1, 2)], "key string, bucket long, n long")
+    with pytest.raises(ValueError, match="max_span_buckets"):
+        cusum_from_buckets(df, max_span_buckets=0)
+    with pytest.raises(ValueError, match="not in input"):
+        cusum_from_buckets(df, n_col="zz")
