@@ -7466,6 +7466,86 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_cusum(spark, f"{tmp}/out", key_col="event_type")
 
 
+def q_wsp_kg_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (operators/graph.py:
+    weighted_shortest_paths) over the containment DAG with REAL route
+    choice: order→nation has a flat-50 shortcut competing against the
+    order→customer→nation route whose cost is price- and key-derived —
+    the per-pair min is a genuine argmin, not a single-path sum.
+    Hop-indexed min-plus doubling state (the exactness point: a cheap
+    long route must not evict a short one inside the budget); integer
+    cents weights (·100 + round is lossless on TPC-H prices)."""
+    from nebula_importer_spark.operators.graph import weighted_shortest_paths
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e = (
+        o.select(
+            F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("dst"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 100).alias(
+                "weight"
+            ),
+        )
+        .unionByName(
+            o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+                F.concat(F.lit("o_"), F.col("o_orderkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+                F.lit(50).cast("long").alias("weight"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c_"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n_"), F.col("c_nationkey")).alias("dst"),
+                (F.col("c_custkey") % 40).cast("long").alias("weight"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n_"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r_"), F.col("n_regionkey")).alias("dst"),
+                F.col("n_nationkey").cast("long").alias("weight"),
+            )
+        )
+    )
+    return weighted_shortest_paths(e, max_hops=4)
+
+
+_WSP_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT 'o_' || o_orderkey AS s, 'c_' || o_custkey AS d,
+               (ROUND(o_totalprice * 100)::BIGINT % 100) AS w
+        FROM orders
+        UNION ALL
+        SELECT 'o_' || o_orderkey, 'n_' || c_nationkey, 50
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'c_' || c_custkey, 'n_' || c_nationkey, (c_custkey % 40)
+        FROM customer
+        UNION ALL
+        SELECT 'n_' || n_nationkey, 'r_' || n_regionkey, n_nationkey
+        FROM nation
+    ),
+    emin AS (SELECT s, d, MIN(w) AS w FROM e GROUP BY 1, 2),
+    reach AS (
+        SELECT s, d, w, 1 AS h FROM emin
+        UNION
+        SELECT r.s, e2.d, r.w + e2.w, r.h + 1
+        FROM reach r JOIN emin e2 ON e2.s = r.d
+        WHERE r.h < 4
+    ),
+    best AS (
+        SELECT s, d, w, h,
+               ROW_NUMBER() OVER (PARTITION BY s, d ORDER BY w, h) AS rk
+        FROM reach
+    )
+    SELECT s AS src, d AS dst, w::BIGINT AS weight, h::BIGINT AS hops
+    FROM best WHERE rk = 1
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8410,6 +8490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "wsp_kg_routes": q_wsp_kg_routes,
         "stream_cusum": q_stream_cusum,
         "ref_integrity_events": q_ref_integrity_events,
         "graph_health_orders": q_graph_health_orders,
@@ -9805,6 +9886,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "wsp_kg_routes": _WSP_SQL,
         "ref_integrity_events": _REF_INTEGRITY_SQL,
         "graph_health_orders": _GRAPH_HEALTH_SQL,
         "assortativity_cs": _ASSORT_CS_SQL,

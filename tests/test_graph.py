@@ -1967,3 +1967,91 @@ def test_degree_assortativity_signs(spark):
         else (num * 1000) // den  # python floor matches the pmod device
     )
     assert rg.r_milli == want
+
+
+def _py_wsp(edges, max_hops):
+    """Exact hop-bounded Bellman-Ford over collapsed parallel edges."""
+    from collections import defaultdict
+
+    emin = {}
+    for s, d, w in edges:
+        if s is None or d is None or w is None:
+            continue
+        k = (s, d)
+        emin[k] = min(emin.get(k, w), w)
+    # dp[h][(s,d)] = min weight using exactly <= h edges
+    best = dict(((s, d), (w, 1)) for (s, d), w in emin.items())
+    frontier = dict(((s, d), w) for (s, d), w in emin.items())
+    for h in range(2, max_hops + 1):
+        new_frontier = {}
+        for (s, m), w1 in frontier.items():
+            for (m2, d), w2 in emin.items():
+                if m2 != m:
+                    continue
+                k = (s, d)
+                w = w1 + w2
+                if k not in new_frontier or w < new_frontier[k]:
+                    new_frontier[k] = w
+        for k, w in new_frontier.items():
+            if k not in best or (w, h) < best[k]:
+                best[k] = (w, h)
+        frontier = new_frontier
+    return {k: v for k, v in best.items()}
+
+
+def test_weighted_shortest_paths_closed_and_parity(spark):
+    from nebula_importer_spark.operators.graph import weighted_shortest_paths
+
+    # cheaper-but-longer vs expensive-direct: both visible at right hops
+    edges = [
+        ("a", "b", 10),
+        ("a", "x", 1), ("x", "y", 1), ("y", "b", 1),  # cost 3 in 3 hops
+        ("b", "c", 2),
+        ("a", "b", 50),  # parallel collapses
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {
+        (r.src, r.dst): (r.weight, r.hops)
+        for r in weighted_shortest_paths(df, max_hops=4).collect()
+    }
+    assert got[("a", "b")] == (3, 3)  # long route wins
+    assert got[("a", "c")] == (5, 4)
+    # hop budget 2: the cheap 3-hop route is out of reach
+    got2 = {
+        (r.src, r.dst): (r.weight, r.hops)
+        for r in weighted_shortest_paths(df, max_hops=2).collect()
+    }
+    assert got2[("a", "b")] == (10, 1)
+    assert got2 == _py_wsp(edges, 2)
+
+    import random
+
+    rng = random.Random(9)
+    nodes = [f"n{i}" for i in range(15)]
+    res = [
+        (rng.choice(nodes), rng.choice(nodes), rng.randrange(1, 20))
+        for _ in range(50)
+    ]
+    res = [(s, d, w) for s, d, w in res if s != d]
+    dfr = spark.createDataFrame(
+        res, "src string, dst string, weight long"
+    ).repartition(4)
+    gotr = {
+        (r.src, r.dst): (r.weight, r.hops)
+        for r in weighted_shortest_paths(dfr, max_hops=6).collect()
+    }
+    assert gotr == _py_wsp(res, 6)
+
+
+def test_weighted_shortest_paths_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import weighted_shortest_paths
+
+    df = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, w double")
+    with pytest.raises(ValueError, match="max_hops"):
+        weighted_shortest_paths(df, weight="w", max_hops=0)
+    with pytest.raises(ValueError, match="not in edges"):
+        weighted_shortest_paths(df, weight="zz")
+    with pytest.raises(ValueError, match="integral"):
+        weighted_shortest_paths(df, weight="w")
