@@ -7546,6 +7546,79 @@ _WSP_SQL = """
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (operators/sampling.py:
+    temperature_sample): a 150-row corpus drawn across source domains
+    proportional to sqrt(n_d) — the multilingual-LM flattening rule
+    (p ∝ n^0.5) that up-weights tail domains; exact isqrt weights +
+    Hamilton apportionment + md5-rank per-domain draws, all
+    engine-stable by construction."""
+    from nebula_importer_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, domain_col="source", id_col="doc_id", budget=150
+    ).select("doc_id", "source")
+
+
+_TEMP_MIX_SQL = """
+    WITH base AS (
+        SELECT source, doc_id FROM documents
+        WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    c AS (
+        SELECT source AS key, COUNT(*)::BIGINT AS n FROM base GROUP BY 1
+    ),
+    w AS (
+        SELECT key,
+               CASE WHEN (FLOOR(SQRT(n::DOUBLE))::BIGINT + 1)
+                         * (FLOOR(SQRT(n::DOUBLE))::BIGINT + 1) <= n
+                    THEN FLOOR(SQRT(n::DOUBLE))::BIGINT + 1
+                    WHEN FLOOR(SQRT(n::DOUBLE))::BIGINT
+                         * FLOOR(SQRT(n::DOUBLE))::BIGINT > n
+                    THEN FLOOR(SQRT(n::DOUBLE))::BIGINT - 1
+                    ELSE FLOOR(SQRT(n::DOUBLE))::BIGINT END AS weight
+        FROM c
+    ),
+    t AS (SELECT SUM(weight)::HUGEINT AS tw FROM w),
+    q AS (
+        SELECT key, weight,
+               CASE WHEN tw > 0
+                    THEN (150::HUGEINT * weight) // tw ELSE 0 END AS fl,
+               CASE WHEN tw > 0
+                    THEN (150::HUGEINT * weight) % tw ELSE 0 END AS rem
+        FROM w, t
+    ),
+    l AS (
+        SELECT CASE WHEN (SELECT MAX(tw) FROM t) > 0
+                    THEN 150 - SUM(fl) ELSE 0 END AS k
+        FROM q
+    ),
+    r AS (
+        SELECT key, fl,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rk
+        FROM q
+    ),
+    alloc AS (
+        SELECT key,
+               fl + CASE WHEN rk <= (SELECT k FROM l) THEN 1 ELSE 0 END
+                   AS alloc
+        FROM r
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('temp' || CAST(doc_id AS VARCHAR))
+               ) AS rk
+        FROM base
+    )
+    SELECT doc_id, source
+    FROM ranked JOIN alloc ON alloc.key = ranked.source
+    WHERE ranked.rk <= alloc.alloc
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8490,6 +8563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "temperature_mix": q_temperature_mix,
         "wsp_kg_routes": q_wsp_kg_routes,
         "stream_cusum": q_stream_cusum,
         "ref_integrity_events": q_ref_integrity_events,
@@ -9886,6 +9960,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "temperature_mix": _TEMP_MIX_SQL,
         "wsp_kg_routes": _WSP_SQL,
         "ref_integrity_events": _REF_INTEGRITY_SQL,
         "graph_health_orders": _GRAPH_HEALTH_SQL,

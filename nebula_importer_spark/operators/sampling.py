@@ -506,3 +506,68 @@ def apportion_budget(
             .alias("alloc"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    id_col: str,
+    budget: int,
+    alpha_half: bool = True,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-LM sampling
+    rule, e.g. mBERT/XLM-R's p ∝ n^α): allocate an integer row
+    ``budget`` across domains proportional to ``n_d^α`` and draw that
+    many rows per domain deterministically — α = 1/2 (``alpha_half``,
+    the common T=2 flattening that up-weights tail domains without
+    letting a mega-domain drown them) or α = 1 (proportional, the
+    degenerate case, for A/B-ing the flattening itself).
+
+    Pure composition of proven pieces, each exactness-bearing: domain
+    weights are ``isqrt(n_d)`` — EXACT integer square root (float sqrt
+    floored, then two-sided ±1 correction; the correction is the
+    engine-stability device, double sqrt alone rounds differently at
+    2⁵²-scale inputs) — allocation is Hamilton largest-remainder
+    (``apportion_budget``: unique, Σ = budget, quota property), and the
+    per-domain draw is the md5-rank top-alloc (``stratified_topk``'s
+    machinery with a VARIABLE per-stratum k via one broadcast join).
+    NULL domains/ids are dropped (stated). A domain's allocation is
+    capped by its size implicitly (rank filter) — under-full domains
+    leave the total below budget (visible via counts, not silently
+    reassigned; stated).
+
+    Returns the sampled rows (original columns) — deterministic,
+    reproducible, engine-checkable.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    for c in (domain_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    base = df.filter(
+        F.col(domain_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    counts = base.groupBy(F.col(domain_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    if alpha_half:
+        s0 = "CAST(FLOOR(SQRT(CAST(_n AS DOUBLE))) AS BIGINT)"
+        isq = (
+            f"CASE WHEN ({s0} + 1) * ({s0} + 1) <= _n THEN {s0} + 1 "
+            f"WHEN {s0} * {s0} > _n THEN {s0} - 1 ELSE {s0} END"
+        )
+        weights = counts.select("key", F.expr(isq).alias("weight"))
+    else:
+        weights = counts.select("key", F.col("_n").alias("weight"))
+    alloc = apportion_budget(
+        weights, budget=budget, key_col="key", weight_col="weight"
+    ).select(F.col("key").alias(domain_col), "alloc")
+    w = Window.partitionBy(domain_col).orderBy(_md5_key(id_col, salt))
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(alloc), domain_col)
+        .filter(F.col("_rk") <= F.col("alloc"))
+        .drop("_rk", "alloc")
+    )

@@ -387,3 +387,92 @@ def test_apportion_validation(spark):
     nul = spark.createDataFrame([(None, 1)], "key string, weight long")
     with pytest.raises(ValueError, match="non-null"):
         apportion_budget(nul, budget=1)
+
+
+def _py_temp_alloc(sizes, budget, half=True):
+    import math
+
+    w = {k: math.isqrt(n) if half else n for k, n in sizes.items()}
+    tw = sum(w.values())
+    if tw == 0:
+        return {k: 0 for k in sizes}
+    fl = {k: budget * wv // tw for k, wv in w.items()}
+    rem = {k: budget * wv % tw for k, wv in w.items()}
+    left = budget - sum(fl.values())
+    order = sorted(sizes, key=lambda k: (-rem[k], k))
+    for k in order[:left]:
+        fl[k] += 1
+    return fl
+
+
+def test_temperature_sample_allocation_and_determinism(spark):
+    from nebula_importer_spark.operators.sampling import temperature_sample
+
+    rows = []
+    sizes = {"big": 900, "mid": 100, "tiny": 9}
+    i = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((dom, i))
+            i += 1
+    rows.append((None, i))
+    rows.append(("big", None))
+    df = spark.createDataFrame(rows, "source string, doc_id long").repartition(6)
+
+    got = temperature_sample(
+        df, domain_col="source", id_col="doc_id", budget=120
+    )
+    by_dom = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+        ).collect()
+    }
+    want = _py_temp_alloc(sizes, 120, half=True)
+    assert by_dom == {k: v for k, v in want.items() if v > 0}
+    # sqrt flattening: big/tiny sample ratio tracks sqrt(900/9)=10 (up to
+    # Hamilton remainder seats), nowhere near the raw 100:1
+    assert 8 <= want["big"] / want["tiny"] <= 12
+    # proportional mode restores the raw ratio
+    prop = _py_temp_alloc(sizes, 120, half=False)
+    got_prop = temperature_sample(
+        df, domain_col="source", id_col="doc_id", budget=120,
+        alpha_half=False,
+    )
+    by_prop = {
+        r["source"]: r["n"]
+        for r in got_prop.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_prop == {k: v for k, v in prop.items() if v > 0}
+    # deterministic: same call, same rows
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            df, domain_col="source", id_col="doc_id", budget=120
+        ).collect()
+    )
+    assert a == b
+    # under-full domain: alloc capped by size, not reassigned
+    skew = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 200 + i) for i in range(2)],
+        "source string, doc_id long",
+    )
+    g2 = temperature_sample(
+        skew, domain_col="source", id_col="doc_id", budget=50
+    )
+    cnt = {r["source"]: r["count"] for r in g2.groupBy("source").count().collect()}
+    assert cnt["b"] == 2  # wanted more than 2, capped at domain size
+
+
+def test_temperature_sample_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame([("a", 1)], "source string, doc_id long")
+    with pytest.raises(ValueError, match="budget"):
+        temperature_sample(df, domain_col="source", id_col="doc_id", budget=0)
+    with pytest.raises(ValueError, match="not in input"):
+        temperature_sample(df, domain_col="zz", id_col="doc_id", budget=5)
