@@ -7619,6 +7619,55 @@ _TEMP_MIX_SQL = """
 """
 
 
+def q_band_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join (operators/temporal.py:band_join): pairs of
+    same-priority orders from different customers whose total prices
+    agree within a dollar — the near-equal reconciliation probe
+    (duplicate-payment / mirrored-booking detection). Bucket-complete
+    candidates on (priority, price-bucket) equi-keys, exact |diff|
+    filter; integer cents (·100 + round lossless on TPC-H prices)."""
+    from nebula_importer_spark.operators.temporal import band_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("lkey"),
+        F.col("o_custkey").alias("lcust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("rkey"),
+        F.col("o_custkey").alias("rcust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = band_join(
+        o, r, left_val="cents", right_val="cents", eps=100,
+        on=["o_orderpriority"],
+    )
+    return out.filter(
+        (F.col("lkey") < F.col("rkey")) & (F.col("lcust") != F.col("rcust"))
+    ).select(
+        "o_orderpriority", "lkey", "rkey", "cents", "cents_r", "diff"
+    )
+
+
+_BAND_JOIN_SQL = """
+    WITH o AS (
+        SELECT o_orderpriority, o_orderkey, o_custkey,
+               ROUND(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+    )
+    SELECT a.o_orderpriority, a.o_orderkey AS lkey, b.o_orderkey AS rkey,
+           a.cents AS cents, b.cents AS cents_r,
+           (a.cents - b.cents)::BIGINT AS diff
+    FROM o a JOIN o b
+      ON a.o_orderpriority = b.o_orderpriority
+     AND abs(a.cents - b.cents) <= 100
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_custkey <> b.o_custkey
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8563,6 +8612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "band_join_prices": q_band_join_prices,
         "temperature_mix": q_temperature_mix,
         "wsp_kg_routes": q_wsp_kg_routes,
         "stream_cusum": q_stream_cusum,
@@ -9960,6 +10010,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "band_join_prices": _BAND_JOIN_SQL,
         "temperature_mix": _TEMP_MIX_SQL,
         "wsp_kg_routes": _WSP_SQL,
         "ref_integrity_events": _REF_INTEGRITY_SQL,

@@ -1856,3 +1856,87 @@ def cross_correlation(
     ).select(
         "lag", "n_pairs", "sum_ab", "num", "r2_signed_micro", "is_best"
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_val: str,
+    right_val: str,
+    eps: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Numeric band join: all pairs with ``|left.val − right.val| ≤
+    eps`` (optionally within equi-keys ``on``) — the proximity join
+    behind sensor alignment, price matching, and near-equal
+    reconciliation that a plain equi-join can't express and a theta
+    join executes as a broadcast nested loop. asof_join is the
+    TEMPORAL, last-one-wins cousin; this is symmetric and returns
+    EVERY in-band pair.
+
+    Bucket-complete by construction: both sides bucket at width
+    ``eps`` (``floor div`` — exact on the required integral values,
+    quantize floats caller-side), the left side fans out to buckets
+    {b−1, b, b+1}, and candidates meet in an EQUI-join on
+    (on…, bucket) — any in-band pair differs by < 2 buckets, so no
+    candidate is missed (the fuzzy_join_editdist completeness
+    discipline) — then the exact |diff| ≤ eps filter prunes corners.
+    Shuffle is on fixed-width (keys, bucket); the 3× fan-out rides the
+    LEFT side (put the smaller table left). Hot buckets (mega-clusters
+    of near-equal values) are the caller's skew cliff — same mitigation
+    surface as every equi-join here (salting), stated.
+
+    NULL values (either side) drop. Output: left columns + right
+    columns (right-side collisions suffixed ``_r``) + ``diff`` =
+    left − right (signed long). ``on`` keys appear once.
+    """
+    if eps < 0:
+        raise ValueError(f"eps must be >= 0, got {eps}")
+    on = list(on or [])
+    lby = {f.name: f.dataType for f in left.schema.fields}
+    rby = {f.name: f.dataType for f in right.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if left_val not in lby:
+        raise ValueError(f"column {left_val!r} not in left: {left.columns}")
+    if right_val not in rby:
+        raise ValueError(
+            f"column {right_val!r} not in right: {right.columns}"
+        )
+    if not isinstance(lby[left_val], integral) or not isinstance(
+        rby[right_val], integral
+    ):
+        raise ValueError(
+            "band values must be integral — quantize floats caller-side "
+            "(the zorder_key rule)"
+        )
+    for k in on:
+        if k not in lby or k not in rby:
+            raise ValueError(f"on-key {k!r} must be in both sides")
+    width = max(eps, 1)
+    lv = F.col(left_val).cast("long")
+    rv = F.col(right_val).cast("long")
+    lkeep = [c for c in left.columns]
+    rkeep = [c for c in right.columns if c not in on]
+    rename = {c: (c + "_r" if c in lkeep else c) for c in rkeep}
+    l_b = (
+        left.filter(lv.isNotNull())
+        .withColumn("_b0", F.expr(f"CAST({left_val} AS BIGINT) div {width}"))
+        .withColumn("_b", F.explode(F.array(
+            F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1
+        )))
+        .drop("_b0")
+    )
+    r_b = right.filter(rv.isNotNull()).withColumn(
+        "_b", F.expr(f"CAST({right_val} AS BIGINT) div {width}")
+    )
+    for old, new in rename.items():
+        r_b = r_b.withColumnRenamed(old, new)
+    joined = l_b.join(r_b, [*on, "_b"]).drop("_b")
+    rv_final = rename.get(right_val, right_val)
+    return joined.filter(
+        F.abs(F.col(left_val) - F.col(rv_final)) <= eps
+    ).withColumn(
+        "diff",
+        (F.col(left_val).cast("long") - F.col(rv_final).cast("long")),
+    )

@@ -1705,3 +1705,82 @@ def test_cross_correlation_validation_and_edges(spark):
         cross_correlation(
             narrow, series_a="a", series_b="b", bucket_sec=3600, max_lag=6
         )
+
+
+def test_band_join_complete_and_exact(spark):
+    from nebula_importer_spark.operators.temporal import band_join
+
+    left = spark.createDataFrame(
+        [("a", 100), ("b", 205), ("c", 300), ("n", None)],
+        "lid string, v long",
+    )
+    right = spark.createDataFrame(
+        [("x", 103), ("y", 199), ("z", 290), ("w", 1000)],
+        "rid string, v long",
+    )
+    got = {
+        (r.lid, r.rid, r.diff)
+        for r in band_join(
+            left, right, left_val="v", right_val="v", eps=6
+        ).collect()
+    }
+    assert got == {("a", "x", -3), ("b", "y", 6)}  # 300-290=10 is out
+
+    # brute-force parity on random data, incl. bucket-boundary pairs
+    import random
+
+    rng = random.Random(31)
+    lrows = [(f"l{i}", rng.randrange(0, 400)) for i in range(80)]
+    rrows = [(f"r{i}", rng.randrange(0, 400)) for i in range(80)]
+    ldf = spark.createDataFrame(lrows, "lid string, v long").repartition(4)
+    rdf = spark.createDataFrame(rrows, "rid string, v long").repartition(3)
+    for eps in (0, 1, 7):
+        got = {
+            (r.lid, r.rid)
+            for r in band_join(
+                ldf, rdf, left_val="v", right_val="v", eps=eps
+            ).collect()
+        }
+        want = {
+            (l, r)
+            for l, lv in lrows
+            for r, rv in rrows
+            if abs(lv - rv) <= eps
+        }
+        assert got == want, eps
+
+    # on-keys restrict the candidate space
+    lg = spark.createDataFrame(
+        [("g1", "a", 10), ("g2", "b", 10)], "g string, lid string, v long"
+    )
+    rg = spark.createDataFrame(
+        [("g1", "x", 11)], "g string, rid string, v long"
+    )
+    gg = band_join(
+        lg, rg, left_val="v", right_val="v", eps=2, on=["g"]
+    ).collect()
+    assert len(gg) == 1 and gg[0].lid == "a" and gg[0].g == "g1"
+
+    # same-named value columns: right side suffixed
+    ls = spark.createDataFrame([("a", 5)], "id string, v long")
+    rs = spark.createDataFrame([("b", 6)], "id string, v long")
+    row = band_join(ls, rs, left_val="v", right_val="v", eps=1).collect()[0]
+    assert row.v == 5 and row.v_r == 6 and row.id == "a" and row.id_r == "b"
+
+
+def test_band_join_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import band_join
+
+    l = spark.createDataFrame([(1.0,)], "v double")
+    r = spark.createDataFrame([(1,)], "w long")
+    with pytest.raises(ValueError, match="eps"):
+        band_join(l, r, left_val="v", right_val="w", eps=-1)
+    with pytest.raises(ValueError, match="not in left"):
+        band_join(l, r, left_val="zz", right_val="w", eps=1)
+    with pytest.raises(ValueError, match="integral"):
+        band_join(l, r, left_val="v", right_val="w", eps=1)
+    li = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="both sides"):
+        band_join(li, r, left_val="v", right_val="w", eps=1, on=["g"])
