@@ -7668,6 +7668,91 @@ _BAND_JOIN_SQL = """
 """
 
 
+def q_regression_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation (operators/metrics.py:regression_report)
+    of the crude "6 chars per word" length predictor against true
+    n_chars — the numeric-target sibling of confusion_lang_id's
+    per-class grading: exact MAE/bias/MSE micro moments + floored
+    R² milli (bias shows the systematic under/over-shoot MAE hides).
+    One map-side-combinable aggregation."""
+    from nebula_importer_spark.operators.metrics import regression_report
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("label"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.replace(F.col("text"), F.lit(" "), F.lit(""))
+                )
+                + 1
+            )
+            * 6
+        ).cast("long").alias("pred"),
+    )
+    return regression_report(d)
+
+
+_REGRESSION_DOCLEN_SQL = """
+    WITH p AS (
+        SELECT n_chars::HUGEINT AS y,
+               ((length(text) - length(replace(text, ' ', '')) + 1) * 6
+               )::HUGEINT AS pr
+        FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    e AS (SELECT y, pr - y AS err FROM p),
+    s AS (
+        SELECT COUNT(*)::HUGEINT AS n, SUM(ABS(err)) AS sae, SUM(err) AS se,
+               SUM(err * err) AS see, SUM(y) AS sy, SUM(y * y) AS syy
+        FROM e
+    )
+    SELECT n::BIGINT AS n,
+           CASE WHEN n = 0 THEN NULL ELSE
+             ((sae * 1000000) // n)::BIGINT END AS mae_micro,
+           CASE WHEN n = 0 THEN NULL ELSE
+             ((se * 1000000
+               - (((se * 1000000) % n) + n) % n) / n)::BIGINT
+           END AS bias_micro,
+           CASE WHEN n = 0 THEN NULL ELSE
+             ((see * 1000000) // n)::BIGINT END AS mse_micro,
+           CASE WHEN n = 0 OR n * syy - sy * sy = 0 THEN NULL ELSE
+             (((n * syy - sy * sy - n * see) * 1000
+               - ((((n * syy - sy * sy - n * see) * 1000)
+                   % (n * syy - sy * sy)) + (n * syy - sy * sy))
+                 % (n * syy - sy * sy))
+              / (n * syy - sy * sy))::BIGINT
+           END AS r2_milli
+    FROM s
+"""
+
+
+def q_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (operators/privacy.py:
+    pseudonymize): the customer release table with direct identifiers
+    (key + name) replaced by salted md5 tokens — referential
+    consistency preserved (tokenized joins yield the raw pairs), the
+    BUILD step next to the k-anon/l-div audits. Map-only, zero
+    shuffles."""
+    from nebula_importer_spark.operators.privacy import pseudonymize
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return pseudonymize(c, ["c_custkey", "c_name"], salt="release-2026")
+
+
+_PSEUDONYMIZE_SQL = """
+    SELECT 'tok_' || substr(
+               md5('release-2026' || 'c_custkey' || '|'
+                   || CAST(c_custkey AS VARCHAR)), 1, 16) AS c_custkey,
+           'tok_' || substr(
+               md5('release-2026' || 'c_name' || '|' || c_name), 1, 16)
+               AS c_name,
+           c_nationkey
+    FROM customer
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8612,6 +8697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "pseudonymize_customers": q_pseudonymize_customers,
+        "regression_doclen": q_regression_doclen,
         "band_join_prices": q_band_join_prices,
         "temperature_mix": q_temperature_mix,
         "wsp_kg_routes": q_wsp_kg_routes,
@@ -10010,6 +10097,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "pseudonymize_customers": _PSEUDONYMIZE_SQL,
+        "regression_doclen": _REGRESSION_DOCLEN_SQL,
         "band_join_prices": _BAND_JOIN_SQL,
         "temperature_mix": _TEMP_MIX_SQL,
         "wsp_kg_routes": _WSP_SQL,

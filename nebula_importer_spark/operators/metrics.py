@@ -1788,3 +1788,86 @@ def average_precision(
             ).alias("ap_micro"),
         )
     )
+
+
+def regression_report(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Regression evaluation — the numeric-target sibling of
+    confusion_report: exact integer error moments for a predictor of an
+    integral target (quality scores, token counts, latency — quantize
+    float targets caller-side, the zorder_key rule). One map-side-
+    combinable aggregation, zero joins.
+
+    All exact: ``n``, ``mae_micro = Σ|e|·scale div n``, ``bias_micro =
+    Σe·scale floor-div n`` (negative-safe pmod floor — systematic over/
+    under-prediction, which MAE hides), ``mse_micro = Σe²·scale div n``,
+    and ``r2_milli`` = floor(R²·1000) computed as the exact rational
+    ``1 − SSE/SST`` with cross-multiplied integers
+    (``(SST−SSE)·n·1000 −` adjusted for the mean term: SST·n =
+    n·Σy² − (Σy)²; SSE·n = n·Σe²; both exact longs in DECIMAL(38,0)) —
+    NULL when SST = 0 (constant target: undefined, not fake 0/1).
+    R² may be negative (model worse than the mean) — the floor device
+    is negative-safe.
+
+    NULL label/pred rows are dropped (stated). Returns ONE row:
+    ``(n, mae_micro, bias_micro, mse_micro, r2_milli)``.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (label_col, pred_col):
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"column {c!r} must be integral (got {by_name[c]}) — "
+                "quantize floats caller-side"
+            )
+    if label_col == pred_col:
+        raise ValueError("label_col and pred_col must differ")
+    d38 = "decimal(38,0)"
+    agg = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .select(
+            F.col(label_col).cast("long").alias("_y"),
+            (F.col(pred_col).cast("long") - F.col(label_col).cast("long"))
+            .alias("_e"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.abs(F.col("_e"))).cast("long").alias("_sae"),
+            F.sum("_e").cast("long").alias("_se"),
+            F.sum(F.expr(f"CAST(_e AS {d38}) * _e")).alias("_see"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.expr(f"CAST(_y AS {d38}) * _y")).alias("_syy"),
+        )
+    )
+    sst = f"(CAST(n AS {d38}) * _syy - CAST(_sy AS {d38}) * _sy)"
+    num = f"({sst} - CAST(n AS {d38}) * _see)"
+    return agg.select(
+        "n",
+        F.expr(
+            f"CASE WHEN n = 0 THEN NULL ELSE"
+            f" CAST(CAST(_sae AS {d38}) * {scale} div n AS BIGINT) END"
+        ).alias("mae_micro"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN NULL ELSE"
+            f" CAST((CAST(_se AS {d38}) * {scale}"
+            f" - pmod(CAST(_se AS {d38}) * {scale}, n)) / n AS BIGINT) END"
+        ).alias("bias_micro"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN NULL ELSE"
+            f" CAST(_see * CAST({scale} AS {d38}) div n AS BIGINT) END"
+        ).alias("mse_micro"),
+        F.expr(
+            f"CASE WHEN n = 0 OR {sst} = 0 THEN NULL ELSE"
+            f" CAST(({num} * 1000 - pmod({num} * 1000, {sst}))"
+            f" / {sst} AS BIGINT) END"
+        ).alias("r2_milli"),
+    )

@@ -333,3 +333,99 @@ def mondrian_anonymize(
         out_aggs.append(F.min(c).alias(f"{c}_lo"))
         out_aggs.append(F.max(c).alias(f"{c}_hi"))
     return rows.groupBy(F.col("_g").alias("group_id")).agg(*out_aggs)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    salt: str,
+    prefix: str = "tok_",
+) -> DataFrame:
+    """Deterministic pseudonymization: replace identifier columns with
+    salted md5 tokens — the share-with-a-vendor / cross-team-join
+    release transform that k_anonymity_violations and
+    l_diversity_violations AUDIT but don't BUILD (mondrian_anonymize
+    generalizes quasi-identifiers; this tokenizes direct identifiers).
+
+    The token is ``prefix + md5(salt ‖ column-name ‖ '|' ‖ value)[:16]``
+    — deterministic per (column, value), so referential consistency
+    survives: equi-joins on a tokenized key yield EXACTLY the pairs the
+    raw key would (the property that makes tokenized releases still
+    analyzable), while the same value in DIFFERENT columns gets
+    different tokens (column name in the hash — no cross-column linkage
+    for free). NULL stays NULL (absence is not an identifier). Map-only
+    — zero shuffles, whole-stage-codegen'd md5.
+
+    Security contract (stated plainly): md5 here is a keyed DETERMINISTIC
+    token, not an anonymization proof — with a weak salt or a guessable
+    value space it is dictionary-reversible; treat the salt as a secret
+    and the output as pseudonymous, not anonymous (GDPR terms). Use
+    :func:`pseudonym_mapping` for the escrow table.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not salt:
+        raise ValueError("salt must be non-empty (it is the token key)")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(c),
+                        F.lit("|"),
+                        F.col(c).cast("string"),
+                    )
+                ),
+                1,
+                16,
+            ),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
+        )
+    return out
+
+
+def pseudonym_mapping(
+    df: DataFrame,
+    col: str,
+    *,
+    salt: str,
+    prefix: str = "tok_",
+) -> DataFrame:
+    """The escrow table for :func:`pseudonymize`: one row per DISTINCT
+    non-NULL value of ``col`` with its token — re-identification under
+    controlled access, and the audit artifact proving token uniqueness
+    (collisions in md5-16 are birthday-bounded ~2³²; check
+    ``n_distinct(token) == n_distinct(value)`` downstream on release-
+    critical columns). One distinct exchange on the value."""
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in the frame: {df.columns}")
+    if not salt:
+        raise ValueError("salt must be non-empty (it is the token key)")
+    vals = df.filter(F.col(col).isNotNull()).select(col).distinct()
+    return vals.select(
+        F.col(col).alias("value"),
+        F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(col),
+                        F.lit("|"),
+                        F.col(col).cast("string"),
+                    )
+                ),
+                1,
+                16,
+            ),
+        ).alias("token"),
+    )

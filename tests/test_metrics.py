@@ -1428,3 +1428,87 @@ def test_average_precision_no_truth_and_validation(spark):
     bad = spark.createDataFrame([("q",)], "query_id string")
     with pytest.raises(ValueError, match="not in truth"):
         average_precision(ranked, bad, k=3)
+
+
+def _py_regr(pairs, scale=10**6):
+    pairs = [(y, p) for y, p in pairs if y is not None and p is not None]
+    n = len(pairs)
+    if n == 0:
+        return None
+    es = [p - y for y, p in pairs]
+    sae = sum(abs(e) for e in es)
+    se = sum(es)
+    see = sum(e * e for e in es)
+    sy = sum(y for y, _ in pairs)
+    syy = sum(y * y for y, _ in pairs)
+    sst = n * syy - sy * sy
+    r2 = None if sst == 0 else ((sst - n * see) * 1000) // sst
+    return (
+        n,
+        sae * scale // n,
+        (se * scale) // n,  # python floor == pmod device
+        see * scale // n,
+        r2,
+    )
+
+
+def test_regression_report_closed_and_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import regression_report
+
+    # perfect predictor: zero errors, R2 exactly 1
+    perfect = spark.createDataFrame(
+        [(i, i) for i in range(10)], "label long, pred long"
+    )
+    r = regression_report(perfect).collect()[0]
+    assert (r.mae_micro, r.bias_micro, r.mse_micro, r.r2_milli) == (
+        0, 0, 0, 1000,
+    )
+    # mean predictor: R2 exactly 0
+    ys = [0, 2, 4, 6]  # mean 3
+    meanp = spark.createDataFrame(
+        [(y, 3) for y in ys], "label long, pred long"
+    )
+    rm = regression_report(meanp).collect()[0]
+    assert rm.r2_milli == 0
+    # systematic under-prediction: negative bias visible, MAE == |bias|
+    under = spark.createDataFrame(
+        [(i, i - 5) for i in range(20)], "label long, pred long"
+    )
+    ru = regression_report(under).collect()[0]
+    assert ru.bias_micro == -5 * 10**6 and ru.mae_micro == 5 * 10**6
+    # constant target: SST 0 -> NULL R2
+    const = spark.createDataFrame(
+        [(7, 6), (7, 8)], "label long, pred long"
+    )
+    assert regression_report(const).collect()[0].r2_milli is None
+
+    rng = random.Random(61)
+    rows = []
+    for _ in range(500):
+        y = rng.randrange(-50, 200)
+        p = y + rng.randrange(-30, 31)
+        if rng.random() < 0.02:
+            p = None
+        rows.append((y, p))
+    df = spark.createDataFrame(rows, "label long, pred long").repartition(7)
+    g = regression_report(df).collect()[0]
+    assert (
+        g.n, g.mae_micro, g.bias_micro, g.mse_micro, g.r2_milli,
+    ) == _py_regr(rows)
+
+
+def test_regression_report_validation(spark):
+    from nebula_importer_spark.operators.metrics import regression_report
+
+    df = spark.createDataFrame([(1, 2.0)], "label long, p double")
+    with pytest.raises(ValueError, match="not in input"):
+        regression_report(df, pred_col="zz")
+    with pytest.raises(ValueError, match="integral"):
+        regression_report(df, pred_col="p")
+    with pytest.raises(ValueError, match="must differ"):
+        regression_report(df, pred_col="label")
+    empty = spark.createDataFrame([], "label long, pred long")
+    r = regression_report(empty).collect()[0]
+    assert r.n == 0 and r.mae_micro is None and r.r2_milli is None

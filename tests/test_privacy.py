@@ -297,3 +297,70 @@ def test_mondrian_nulls_small_input_validation(spark):
     f = spark.createDataFrame([(1.5,)], "x double")
     with pytest.raises(ValueError, match="integral"):
         mondrian_anonymize(f, ["x"], k=2)
+
+
+def test_pseudonymize_consistency_and_joins(spark):
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.privacy import (
+        pseudonym_mapping,
+        pseudonymize,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20), (3, None, 30)],
+        "uid long, name string, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (9, "z")], "uid long, w string"
+    )
+    lt = pseudonymize(left, ["uid", "name"], salt="s3cret")
+    rt = pseudonymize(right, ["uid"], salt="s3cret")
+    # referential consistency: tokenized join == raw join (same pair count)
+    raw = left.join(right, "uid").count()
+    tok = lt.join(rt, "uid").count()
+    assert raw == tok == 2
+    # NULL passes through
+    assert lt.filter("uid is not null and name is null").count() == 1
+    # same value in different columns -> different tokens
+    two = spark.createDataFrame([("a", "a")], "x string, y string")
+    tt = pseudonymize(two, ["x", "y"], salt="s").collect()[0]
+    assert tt.x != tt.y and tt.x.startswith("tok_") and len(tt.x) == 20
+    # deterministic across calls
+    again = pseudonymize(left, ["uid", "name"], salt="s3cret")
+    assert sorted(map(tuple, lt.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # different salt -> different tokens
+    other = pseudonymize(left, ["uid"], salt="other")
+    a = {r.uid for r in lt.collect()}
+    b = {r.uid for r in other.collect()}
+    assert a.isdisjoint(b)
+    # mapping covers distinct non-null values, tokens match the transform
+    m = pseudonym_mapping(left, "uid", salt="s3cret")
+    mm = {r.value: r.token for r in m.collect()}
+    assert set(mm) == {1, 2, 3}
+    joined = left.join(
+        m.withColumnRenamed("value", "uid"), "uid"
+    ).select("token")
+    lt_uids = {r.uid for r in lt.collect()}
+    assert {r.token for r in joined.collect()} == lt_uids
+
+
+def test_pseudonymize_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.privacy import (
+        pseudonym_mapping,
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pseudonymize(df, [], salt="s")
+    with pytest.raises(ValueError, match="salt"):
+        pseudonymize(df, ["a"], salt="")
+    with pytest.raises(ValueError, match="not in the frame"):
+        pseudonymize(df, ["zz"], salt="s")
+    with pytest.raises(ValueError, match="not in the frame"):
+        pseudonym_mapping(df, "zz", salt="s")
