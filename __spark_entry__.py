@@ -7753,6 +7753,40 @@ _PSEUDONYMIZE_SQL = """
 """
 
 
+def q_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality for EVERY node from the HyperBall sketches
+    (operators/graph.py:harmonic_from_balls) — Boldi-Vigna's actual
+    application, vs closeness_centrality's sampled pivots: one sketch
+    pass, all nodes. Floor-per-term exact micro sums over the
+    gate-checked ball estimates of the containment DAG."""
+    from nebula_importer_spark.operators.graph import harmonic_from_balls
+
+    return harmonic_from_balls(q_hyperball_kg(spark, sf_dir))
+
+
+_HARMONIC_HB_SQL = f"""
+    WITH hb AS ({_HYPERBALL_SQL}),
+    t AS (
+        SELECT node, radius, est_distinct,
+               est_distinct - COALESCE(
+                   LAG(est_distinct) OVER (
+                       PARTITION BY node ORDER BY radius), 1) AS delta
+        FROM hb
+    ),
+    terms AS (
+        SELECT node, radius, est_distinct,
+               (delta * 1000000
+                - (((delta * 1000000) % radius) + radius) % radius)
+               / radius AS term
+        FROM t
+    )
+    SELECT node, MAX(radius)::BIGINT AS max_radius,
+           MAX_BY(est_distinct, radius)::BIGINT AS reach_est,
+           SUM(term)::BIGINT AS harmonic_micro
+    FROM terms GROUP BY node
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8697,6 +8731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
         "regression_doclen": q_regression_doclen,
         "band_join_prices": q_band_join_prices,
@@ -10097,6 +10132,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,
         "regression_doclen": _REGRESSION_DOCLEN_SQL,
         "band_join_prices": _BAND_JOIN_SQL,

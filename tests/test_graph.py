@@ -2055,3 +2055,64 @@ def test_weighted_shortest_paths_validation(spark):
         weighted_shortest_paths(df, weight="zz")
     with pytest.raises(ValueError, match="integral"):
         weighted_shortest_paths(df, weight="w")
+
+
+def test_harmonic_from_balls_chain_parity(spark):
+    from nebula_importer_spark.operators.graph import (
+        harmonic_from_balls,
+        hyperball,
+    )
+
+    # chain a->b->c->d: small-range branch reads exact ball sizes, so
+    # harmonic is the exact 1/1 + 1/2 + 1/3 sum in floored micro terms
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    hb = hyperball(df, radius=3)
+    got = {
+        r.node: (r.max_radius, r.reach_est, r.harmonic_micro)
+        for r in harmonic_from_balls(hb).collect()
+    }
+    third = 10**6 // 3
+    assert got["a"] == (3, 4, 10**6 + 10**6 // 2 + third)
+    assert got["b"] == (3, 3, 10**6 + 10**6 // 2)
+    assert got["c"] == (3, 2, 10**6)
+    assert got["d"] == (3, 1, 0)  # sink reaches nothing
+
+    # model parity on the random graph: same deltas, same floors
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(77)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)})
+    edges = [(s, d) for s, d in edges if s != d]
+    dfe = spark.createDataFrame(edges, "src string, dst string")
+    hb2 = hyperball(dfe, radius=3, p=6)
+    est = defaultdict(dict)
+    for r in hb2.collect():
+        est[r.node][r.radius] = r.est_distinct
+    want = {}
+    for v, by_r in est.items():
+        s = 0
+        prev = 1
+        for r in sorted(by_r):
+            d = by_r[r] - prev
+            t = d * 10**6
+            s += (t - (t % r + r) % r) // r
+            prev = by_r[r]
+        want[v] = (max(by_r), by_r[max(by_r)], s)
+    got2 = {
+        r.node: (r.max_radius, r.reach_est, r.harmonic_micro)
+        for r in harmonic_from_balls(hb2).collect()
+    }
+    assert got2 == want
+
+
+def test_harmonic_from_balls_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import harmonic_from_balls
+
+    df = spark.createDataFrame([("a", 1)], "node string, radius long")
+    with pytest.raises(ValueError, match="not in balls"):
+        harmonic_from_balls(df)
