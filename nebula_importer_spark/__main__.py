@@ -115,6 +115,32 @@ def _version_string() -> str:
     )
 
 
+def _cmd_sniff(args: argparse.Namespace) -> int:
+    """Sniff a headered CSV and print a ready-to-edit source config —
+    the missing first step of the reference workflow (its YAML is
+    hand-written; operators/profile.py:infer_column_types +
+    config/suggest.py:suggest_source_config write the draft)."""
+    from nebula_importer_spark.config.suggest import suggest_source_config
+    from nebula_importer_spark.session import get_spark
+
+    spark = get_spark("nebula-importer-sniff", master=args.master)
+    df = (
+        spark.read.option("header", True)
+        .option("delimiter", args.delimiter)
+        .csv(args.path)
+    )
+    block = suggest_source_config(
+        df,
+        path=args.path,
+        tag_name=args.tag,
+        id_col=args.id_col,
+        delimiter=args.delimiter,
+    )
+    print("sources:")
+    print(block, end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nebula_importer_spark")
     # lazy banner: argparse's version= evaluates at PARSER construction, so
@@ -152,6 +178,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--batch", type=int, default=None)
     st.add_argument("--master", default=None)
     st.set_defaults(fn=_cmd_statements)
+
+    sn = sub.add_parser(
+        "sniff", help="infer types from a headered CSV, print a source config"
+    )
+    sn.add_argument("path")
+    sn.add_argument("--tag", required=True)
+    sn.add_argument("--id-col", dest="id_col", default=None)
+    sn.add_argument("--delimiter", default=",")
+    sn.add_argument("--master", default=None)
+    sn.set_defaults(fn=_cmd_sniff)
 
     args = ap.parse_args(argv)
     try:

@@ -311,3 +311,28 @@ sources:
     )
     assert "INSERT VERTEX IGNORE_EXISTED_INDEX `person`(`name`) VALUES " in text
     assert '"a":("Ann")' in text and '"b":("Bob")' in text
+
+
+def test_cli_sniff_prints_loadable_config(tmp_path):
+    """`sniff` prints a sources: block that load_config parses and that
+    `import` then runs clean — the full draft-a-config workflow."""
+    data = tmp_path / "s.csv"
+    data.write_text("id,name,score\n1,Ann,3.5\n2,Bob,4\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "sniff",
+         str(data), "--tag", "Person", "--master", "local[2]"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout[out.stdout.index("sources:"):]
+    assert 'type: "INT"' in text and 'type: "DOUBLE"' in text
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("manager: {spaceName: sniffed}\n" + text)
+    run = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "import",
+         "-c", str(cfg), "-o", str(tmp_path / "out"), "--master", "local[2]"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    payload = json.loads(run.stdout[run.stdout.index("{"):])
+    assert payload["total_written"] == 2 and not payload["failed"]
