@@ -7787,6 +7787,66 @@ _HARMONIC_HB_SQL = f"""
 """
 
 
+def q_ams_selfjoin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F₂ sketch (operators/sketch.py:ams_f2): one-pass constant-
+    state self-join-size estimate of events.user_id per event type —
+    the skew-priced join-cost input join_size_estimate computes from
+    exact per-key stats, here at sketch cost (k=16 longs per group,
+    never a per-key table). True F₂ rides along for the accuracy read."""
+    from nebula_importer_spark.operators.sketch import ams_f2
+
+    e = _t(spark, sf_dir, "events")
+    est = ams_f2(e, "user_id", k=16, group_cols=["event_type"]).select(
+        "event_type", "n", "f2_est"
+    )
+    tru = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("_c * _c")).cast("long").alias("true_f2"))
+    )
+    return est.join(tru, "event_type")
+
+
+_AMS_SQL_TEMPLATE = """
+    WITH base AS (
+        SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, {sign_sums}
+        FROM base GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, n,
+               (list_sort([{squares}])[{mid}])::BIGINT AS f2_est
+        FROM s
+    ),
+    tru AS (
+        SELECT event_type, SUM(c * c)::BIGINT AS true_f2
+        FROM (
+            SELECT event_type, user_id, COUNT(*)::HUGEINT AS c
+            FROM base GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT est.event_type, n, f2_est, true_f2
+    FROM est JOIN tru ON tru.event_type = est.event_type
+"""
+
+
+def _ams_sql(k: int = 16, salt: str = "ams") -> str:
+    sign = (
+        "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
+        "|| CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 = 0 "
+        "THEN 1 ELSE -1 END)::BIGINT AS s{j}"
+    )
+    sign_sums = ", ".join(sign.format(s=salt, j=j) for j in range(k))
+    squares = ", ".join(f"s{j} * s{j}" for j in range(k))
+    return _AMS_SQL_TEMPLATE.format(
+        sign_sums=sign_sums, squares=squares, mid=(k - 1) // 2 + 1
+    )
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8731,6 +8791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
         "regression_doclen": q_regression_doclen,
@@ -10132,6 +10193,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,
         "regression_doclen": _REGRESSION_DOCLEN_SQL,

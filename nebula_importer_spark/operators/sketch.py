@@ -655,3 +655,67 @@ def hll_rolling_distinct(
         "bucket", "rho",
     ).join(days, "day", "left_semi")
     return hll_estimate(served, p=p, group_cols=["day"])
+
+
+def ams_f2(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 16,
+    group_cols: list[str] | None = None,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996,
+    the Gödel-Prize one): estimate ``F₂ = Σ_v f_v²`` — the SELF-JOIN
+    SIZE of a key column, the quantity a CBO needs to price a join on a
+    skewed key (join_size_estimate computes it from exact per-key
+    stats; this is the ONE-PASS CONSTANT-STATE version that never
+    materializes per-key counts — the 100-TB point when the key's
+    active domain itself is huge).
+
+    Estimator: ``k`` independent ±1 hash signs (md5-derived, the
+    deterministic-sketch discipline of this module — reproducible on
+    any engine, unlike seeded RNG); per estimator the signed sum
+    ``S_j = Σ_v sign_j(v)·f_v`` is ONE exact long aggregation
+    (map-side combinable; E[S²] = F₂ exactly), and the reported
+    ``f2_est`` is the MEDIAN of the k squares (median-of-estimates
+    tames the variance, per the paper; lower-median element pick =
+    deterministic). All integers end-to-end: signs ±1, sums exact
+    longs, squares exact (|S| ≤ n ≤ 3·10⁹ for int64² headroom in
+    DECIMAL(38,0)).
+
+    NULLs are dropped (a NULL key joins nothing). Per group the state
+    is k longs — constant, mergeable by addition (streamable under the
+    CMS discipline). Returns ``(*group_cols, n, f2_est)`` plus
+    ``s_sums`` (the k signed sums, array) — the sufficient statistics,
+    so sketches merge downstream by element-wise addition and any
+    divergence is diagnosable.
+    """
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in input: {df.columns}")
+    groups = list(group_cols or [])
+    if col in groups:
+        raise ValueError(f"col {col!r} cannot also be a group column")
+    base = df.filter(F.col(col).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k):
+        sign = (
+            F.when(
+                _kmv_hash(F.col(col), f"{salt}{j}|") % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).cast("long")
+        aggs.append(F.sum(sign).cast("long").alias(f"_s{j}"))
+    one = base.groupBy(*groups).agg(*aggs) if groups else base.agg(*aggs)
+    sq = F.array(
+        *[F.expr(f"coalesce(_s{j}, 0) * coalesce(_s{j}, 0)") for j in range(k)]
+    )
+    return one.select(
+        *groups,
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.sort_array(sq)[(k - 1) // 2].cast("long").alias("f2_est"),
+        F.array(
+            *[F.coalesce(F.col(f"_s{j}"), F.lit(0)) for j in range(k)]
+        ).alias("s_sums"),
+    )

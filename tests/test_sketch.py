@@ -475,3 +475,67 @@ def test_hll_rolling_validation(spark):
         hll_rolling_distinct(df, "zz", "user_id")
     # all-null timestamps: no registers, no rows
     assert hll_rolling_distinct(df, "ts", "user_id").count() == 0
+
+
+def _py_ams(values, k=16, salt="ams"):
+    import hashlib
+
+    sums = [0] * k
+    vals = [v for v in values if v is not None]
+    for j in range(k):
+        for v in vals:
+            h = int(
+                hashlib.md5(f"{salt}{j}|{v}".encode()).hexdigest()[:13], 16
+            )
+            sums[j] += 1 if h % 2 == 0 else -1
+    sq = sorted(s * s for s in sums)
+    return len(vals), sq[(k - 1) // 2], sums
+
+
+def test_ams_f2_parity_and_accuracy(spark):
+    import random
+    from collections import Counter
+
+    from nebula_importer_spark.operators.sketch import ams_f2
+
+    rng = random.Random(23)
+    # skewed key: one heavy hitter dominates F2
+    vals = [0] * 300 + [rng.randrange(1, 200) for _ in range(700)]
+    rng.shuffle(vals)
+    rows = [(v,) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "k long").repartition(6)
+    r = ams_f2(df, "k", k=16).collect()[0]
+    n, est, sums = _py_ams(vals, 16)
+    assert (r.n, r.f2_est, list(r.s_sums)) == (n, est, sums)
+    true_f2 = sum(c * c for c in Counter(vals).values())
+    # AMS with k=16 medians: within a factor ~2 of truth on this shape
+    assert true_f2 / 2 <= r.f2_est <= true_f2 * 2
+
+    # grouped: per-group sums match per-group models
+    grows = [("a", v) for v in vals[:400]] + [("b", v) for v in vals[400:]]
+    gdf = spark.createDataFrame(grows, "g string, k long")
+    got = {
+        r.g: (r.n, r.f2_est, list(r.s_sums))
+        for r in ams_f2(gdf, "k", k=8, group_cols=["g"]).collect()
+    }
+    assert got["a"] == _py_ams(vals[:400], 8)
+    assert got["b"] == _py_ams(vals[400:], 8)
+    # mergeability: element-wise-summed s_sums equal the global sketch
+    merged = [
+        x + y for x, y in zip(got["a"][2], got["b"][2])
+    ]
+    assert merged == _py_ams(vals, 8)[2]
+
+
+def test_ams_f2_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sketch import ams_f2
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="k must"):
+        ams_f2(df, "k", k=0)
+    with pytest.raises(ValueError, match="not in input"):
+        ams_f2(df, "zz")
+    with pytest.raises(ValueError, match="group column"):
+        ams_f2(df, "k", group_cols=["k"])
