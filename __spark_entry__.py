@@ -7847,6 +7847,42 @@ def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     )
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checks the perceptual-hash PLUMBING (operators/
+    multimodal.py:perceptual_hashes): document bytes are codec-less
+    payloads, so every row rides the flagged deterministic sha-derived
+    stand-in — which the oracle recomputes bit-exactly (sha256 hex →
+    two 63-bit ints). The REAL aHash/dHash kernel (integer luma,
+    mean/gradient bits, brightness/resize invariances) is value-checked
+    in pytest on generated PNGs (oracle SQL can't decode images —
+    stated, same split as the decode_image contract)."""
+    from nebula_importer_spark.operators.multimodal import perceptual_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("doc").alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
+    )
+    return perceptual_hashes(assets).select(
+        "asset_id", "decoded", "ahash", "dhash"
+    )
+
+
+_MULTIMODAL_PHASH_SQL = """
+    WITH h AS (
+        SELECT doc_id, sha256(COALESCE(text, '')) AS hx FROM documents
+    )
+    SELECT doc_id AS asset_id, FALSE AS decoded,
+           (((('0x' || substr(hx, 1, 8))::BIGINT::HUGEINT * 4294967296
+              + ('0x' || substr(hx, 9, 8))::BIGINT)
+             % 9223372036854775808))::BIGINT AS ahash,
+           (((('0x' || substr(hx, 17, 8))::BIGINT::HUGEINT * 4294967296
+              + ('0x' || substr(hx, 25, 8))::BIGINT)
+             % 9223372036854775808))::BIGINT AS dhash
+    FROM h
+"""
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8791,6 +8827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "multimodal_phash": q_multimodal_phash,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10193,6 +10230,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "multimodal_phash": _MULTIMODAL_PHASH_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -380,3 +380,97 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _gray_8x9(arr: "np.ndarray") -> "np.ndarray":
+    """Luma (integer Rec.601-ish weights /256) + nearest resample to
+    the 9×8 grid both perceptual hashes read — all integer ops, so the
+    hash is deterministic on any platform (no float rounding)."""
+    h, w, c = arr.shape
+    if c >= 3:
+        gray = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1].astype(np.int64)
+            + 114 * arr[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        gray = arr[:, :, 0].astype(np.int64)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    return gray[np.ix_(ys, xs)]
+
+
+def _phash_pair(payload: bytes) -> tuple[bool, int, int]:
+    """(decoded, ahash64, dhash64) — aHash: 8×8 mean-threshold bits;
+    dHash: 8×8 left>right gradient bits over the 9×8 grid. Integer
+    mean via floor div (stated: the exactness contract)."""
+    try:
+        arr = decode_image(payload)
+    except NotImplementedError:
+        # deterministic stand-in so plumbing tests run without a codec:
+        # hash bits from sha256, flagged undecoded
+        d = hashlib.sha256(payload or b"").digest()
+        a = int.from_bytes(d[:8], "big") & (2**63 - 1)
+        b = int.from_bytes(d[8:16], "big") & (2**63 - 1)
+        return False, a, b
+    g = _gray_8x9(arr)
+    block = g[:, :8]
+    mean = int(block.sum()) // 64
+    abits = 0
+    dbits = 0
+    for r in range(8):
+        for cc in range(8):
+            abits = (abits << 1) | (1 if block[r, cc] > mean else 0)
+            dbits = (dbits << 1) | (1 if g[r, cc] > g[r, cc + 1] else 0)
+    # keep in signed int64 range: drop to 63 bits (top-left bit of each
+    # hash is sacrificed — identical on both sides of any comparison)
+    return True, abits & (2**63 - 1), dbits & (2**63 - 1)
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """Perceptual image hashes for near-duplicate detection — the
+    image-side analog of simhash_pairs: aHash (mean-threshold) and
+    dHash (gradient) 64-bit signatures whose Hamming distance survives
+    re-encoding, minor crops, and brightness shifts that break the
+    exact sha256 dedup (multimodal hash audit). Arrow-batched
+    mapInPandas, map-only — payloads never shuffle; downstream
+    candidate generation is the SimHash pigeonhole block join
+    (operators/dedup.py:simhash_pairs machinery) on the fixed-width
+    hash, not an all-pairs pass.
+
+    All-integer kernel (integer luma, floor-div mean, nearest
+    resample): the hashes are bit-identical on any platform — the same
+    exactness contract as every signature in this repo. Payloads with
+    no available codec get a flagged (``decoded = false``)
+    deterministic sha-derived stand-in so the plumbing stays testable
+    in codec-less environments (the decode_image degrade path,
+    documented there).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_phash_pair(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "decoded": [r[0] for r in rows],
+                    "ahash": [r[1] for r in rows],
+                    "dhash": [r[2] for r in rows],
+                }
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        kernel, PHASH_SCHEMA
+    )

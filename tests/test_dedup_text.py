@@ -1660,3 +1660,61 @@ def test_silhouette_validation(spark):
         simplified_silhouette(pdf, adf, id_col="nope")
     with pytest.raises(ValueError):
         simplified_silhouette(pdf, adf.drop("cluster"))
+
+
+def test_perceptual_hashes_invariances(spark):
+    import numpy as np
+
+    from nebula_importer_spark.operators.multimodal import (
+        _phash_pair,
+        encode_png,
+        perceptual_hashes,
+        resize_nearest,
+        synth_assets,
+    )
+
+    # structured gradient image: left half dark, right half bright
+    base = np.zeros((32, 32, 1), dtype=np.uint8)
+    base[:, 16:, 0] = 200
+    png = encode_png(base)
+    ok, a0, d0 = _phash_pair(png)
+    assert ok
+    # brightness shift: aHash/dHash both stable (threshold vs mean/gradient)
+    shifted = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    ok, a1, d1 = _phash_pair(encode_png(shifted))
+    assert ok and a1 == a0 and d1 == d0
+    # nearest-resized copy: same structure, same hashes
+    small = resize_nearest(base, 16, 16)
+    ok, a2, d2 = _phash_pair(encode_png(small))
+    assert ok and a2 == a0 and d2 == d0
+    # different structure: many differing bits
+    other = np.zeros((32, 32, 1), dtype=np.uint8)
+    other[16:, :, 0] = 200  # horizontal instead of vertical split
+    ok, a3, d3 = _phash_pair(encode_png(other))
+    ham = bin(a0 ^ a3).count("1")
+    assert ok and ham >= 16
+
+    # Spark leg: real PNG payloads decode (flag true, kernel hashes);
+    # synth random-bytes payloads take the flagged stand-in path
+    from nebula_importer_spark.operators.multimodal import ASSET_SCHEMA
+
+    png_rows_in = [
+        (100, "image", png, "image/png", 32, 32, 1),
+        (101, "image", encode_png(shifted), "image/png", 32, 32, 2),
+    ]
+    pngs = spark.createDataFrame(png_rows_in, ASSET_SCHEMA)
+    assets = synth_assets(spark, n=6).unionByName(pngs)
+    out = perceptual_hashes(assets).collect()
+    assert len(out) == 8
+    flags = {r.asset_id: r.decoded for r in out}
+    assert flags[100] and flags[101]
+    assert not any(flags[i] for i in range(6))  # random bytes: stand-in
+    by_id = {r.asset_id: r for r in out}
+    # the decoded rows carry the kernel hashes (brightness-invariant pair)
+    assert (by_id[100].ahash, by_id[100].dhash) == (a0, d0)
+    assert (by_id[101].ahash, by_id[101].dhash) == (a0, d0)
+    for r in out:
+        assert 0 <= r.ahash < 2**63 and 0 <= r.dhash < 2**63
+    # determinism: second run identical
+    again = perceptual_hashes(assets).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
