@@ -7883,6 +7883,50 @@ _MULTIMODAL_PHASH_SQL = """
     FROM h
 """
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift distance matrix (operators/similarity.py:
+    centroid_drift): exact squared L2 between every pair of label
+    centroids over the embeddings table — the corpus-drift monitor
+    from sufficient statistics only (one data pass, groups² metadata
+    join, never a pairwise row join). Quantize-once + cross-multiplied
+    rational = engine-stable."""
+    from nebula_importer_spark.operators.similarity import centroid_drift
+
+    return centroid_drift(
+        _t(spark, sf_dir, "embeddings"),
+        group_col="label",
+        vec_col="embedding",
+    )
+
+
+_EMBED_DRIFT_SQL = """
+    WITH comps AS (
+        SELECT label::VARCHAR AS g, t.i - 1 AS d,
+               FLOOR(embedding[t.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, range(1, 65) t(i)
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND t.i <= len(embedding)
+    ),
+    stats AS (
+        SELECT g, d, SUM(q)::HUGEINT AS s, COUNT(*)::HUGEINT AS n
+        FROM comps GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb, MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+               SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                   AS num
+        FROM stats a JOIN stats b ON a.g < b.g AND a.d = b.d
+        GROUP BY 1, 2
+    )
+    SELECT ga AS group_a, gb AS group_b, n_a::BIGINT AS n_a,
+           n_b::BIGINT AS n_b,
+           ((num * 1000000)
+            // (n_a * n_b * 1000 * n_a * n_b * 1000))::BIGINT
+               AS dist2_micro
+    FROM pairs
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8827,6 +8871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "embedding_drift": q_embedding_drift,
         "multimodal_phash": q_multimodal_phash,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
@@ -10230,6 +10275,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "embedding_drift": _EMBED_DRIFT_SQL,
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,

@@ -1295,3 +1295,107 @@ def simplified_silhouette(
             "sil_mean_micro"
         ),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-drift distance matrix: exact squared L2 distance
+    between every pair of group CENTROIDS — the corpus-drift /
+    domain-shift monitor ("did this source's embedding distribution
+    move between snapshots?", "which domains are embedding-space
+    neighbors?") that needs only sufficient statistics, never a pairwise
+    row join. embedding_bucket_purity grades an index's bucketing; this
+    grades the CORPUS itself.
+
+    Exactness device: vectors are quantized to integers once
+    (``floor(x·quant)`` — the zorder_key rule, stated operational
+    semantics), so each group's sufficient statistic is an exact
+    integer (Σ-vector, count) pair from ONE aggregation. The centroid
+    distance is then the exact cross-multiplied rational
+    ``Σ_d (s_ad·n_b − s_bd·n_a)² / (n_a·n_b·quant)²`` floored once to
+    micro units — bit-identical anywhere. DECIMAL(38,0) headroom
+    demands ``quant·n ≤ 10⁹`` per group (|s·n| ≤ 10¹⁵ → the micro-
+    scaled squared sum over ≤128 dims stays under 10³⁸) — guard-raised;
+    lower ``quant`` for bigger groups (drift is a centroid-scale
+    signal, 3 quantized digits is plenty). Group pairs are emitted
+    once (a < b, canonical order).
+
+    Distributed shape: one groupBy over posexploded components
+    (map-side combinable; (groups·dims) metadata rows out), centroids
+    re-assembled per group, then a groups² metadata self-join — data
+    rows are touched exactly once. NULL vectors/groups drop. Returns
+    ``(group_a, group_b, n_a, n_b, dist2_micro)``.
+    """
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1, got {quant}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    for c in (group_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    d38 = "decimal(38,0)"
+    comps = (
+        df.filter(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+        )
+        .select(
+            "_g",
+            "_d",
+            F.floor(F.col("_x").cast("double") * quant)
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    stats = comps.groupBy("_g", "_d").agg(
+        F.sum("_q").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).localCheckpoint(eager=True)
+    max_n = 10**9 // quant
+    over = stats.filter(F.col("_n") > max_n).take(1)
+    if over:
+        raise ValueError(
+            f"group {over[0]['_g']!r} has {over[0]['_n']} rows > "
+            f"{max_n} (= 1e9/quant, the DECIMAL(38,0) headroom bound) — "
+            "lower quant or sample groups first"
+        )
+    a = stats.select(
+        F.col("_g").alias("ga"), "_d",
+        F.col("_s").alias("sa"), F.col("_n").alias("na"),
+    )
+    b = stats.select(
+        F.col("_g").alias("gb"), F.col("_d").alias("_db"),
+        F.col("_s").alias("sb"), F.col("_n").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("ga") < F.col("gb")) & (F.col("_d") == F.col("_db"))
+    )
+    num = (
+        f"(CAST(sa AS {d38}) * nb - CAST(sb AS {d38}) * na)"
+    )
+    return (
+        pairs.groupBy("ga", "gb")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.sum(F.expr(f"{num} * {num}")).alias("_num"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(_num * {scale} div"
+                f" (CAST(n_a AS {d38}) * n_b * {quant}"
+                f"  * CAST(n_a AS {d38}) * n_b * {quant}) AS BIGINT)"
+            ).alias("dist2_micro"),
+        )
+    )

@@ -1718,3 +1718,83 @@ def test_perceptual_hashes_invariances(spark):
     # determinism: second run identical
     again = perceptual_hashes(assets).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def _py_centroid_drift(rows, quant=1000, scale=10**6):
+    import math
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: None)
+    counts = defaultdict(int)
+    for g, vec in rows:
+        if g is None or vec is None:
+            continue
+        q = [math.floor(x * quant) for x in vec]
+        if sums[g] is None:
+            sums[g] = q
+        else:
+            sums[g] = [a + b for a, b in zip(sums[g], q)]
+        counts[g] += 1
+    out = {}
+    gs = sorted(counts)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1:]:
+            na, nb = counts[a], counts[b]
+            num = sum(
+                (sa * nb - sb * na) ** 2
+                for sa, sb in zip(sums[a], sums[b])
+            )
+            out[(a, b)] = (
+                na, nb, num * scale // (na * nb * quant) ** 2,
+            )
+    return out
+
+
+def test_centroid_drift_parity_and_geometry(spark):
+    import random
+
+    from nebula_importer_spark.operators.similarity import centroid_drift
+
+    rng = random.Random(19)
+    rows = []
+    # three groups: two near-identical distributions, one shifted by 1.0
+    for g, shift in (("a", 0.0), ("b", 0.02), ("c", 1.0)):
+        for _ in range(40):
+            rows.append(
+                (g, [shift + rng.uniform(-0.1, 0.1) for _ in range(8)])
+            )
+    rows.append((None, [0.0] * 8))
+    rows.append(("a", None))
+    df = spark.createDataFrame(
+        rows, "label string, embedding array<double>"
+    ).repartition(5)
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.dist2_micro)
+        for r in centroid_drift(
+            df, group_col="label", vec_col="embedding"
+        ).collect()
+    }
+    want = _py_centroid_drift(
+        [(g, v) for g, v in rows if g is not None and v is not None]
+    )
+    assert got == want
+    # geometry: the shifted group is far from both others, a-b are close
+    assert got[("a", "c")][2] > 100 * got[("a", "b")][2]
+    # ~8 dims x 1.0 shift -> dist2 ~ 8 in micro units
+    assert 6 * 10**6 < got[("a", "c")][2] < 10 * 10**6
+
+
+def test_centroid_drift_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.similarity import centroid_drift
+
+    df = spark.createDataFrame(
+        [("a", [0.1])], "label string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="quant"):
+        centroid_drift(df, quant=0)
+    with pytest.raises(ValueError, match="not in input"):
+        centroid_drift(df, group_col="zz")
+    with pytest.raises(ValueError, match="headroom"):
+        centroid_drift(df, quant=2 * 10**9)  # max_n = 0 -> any group raises
