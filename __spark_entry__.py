@@ -7927,6 +7927,62 @@ _EMBED_DRIFT_SQL = """
 """
 
 
+def q_ks_doclen_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance (operators/profile.py:ks_two_sample)
+    between en and zh document-length distributions — the numeric
+    distribution-drift test beside assoc_lang_source's categorical
+    dependence: sup |CDF_en − CDF_zh| over the shared quantized grid,
+    exact cross-multiplied rational, argmax value reported."""
+    from nebula_importer_spark.operators.profile import ks_two_sample
+
+    return ks_two_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        "n_chars",
+        group_a="en",
+        group_b="zh",
+        n_cells=64,
+    )
+
+
+_KS_DOCLEN_SQL = """
+    WITH vals AS (
+        SELECT lang AS g, n_chars::BIGINT AS v FROM documents
+        WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+    ),
+    b AS (SELECT MIN(v) AS mn, MAX(v) - MIN(v) + 1 AS span FROM vals),
+    cells AS (
+        SELECT g, ((v - mn) * 64) // span AS c, COUNT(*)::HUGEINT AS n,
+               MAX(v) AS vmax
+        FROM vals CROSS JOIN b GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT c,
+               COALESCE(SUM(CASE WHEN g = 'en' THEN n END), 0) AS na,
+               COALESCE(SUM(CASE WHEN g = 'zh' THEN n END), 0) AS nb,
+               MAX(vmax) AS vm
+        FROM cells GROUP BY 1
+    ),
+    scored AS (
+        SELECT c, vm,
+               SUM(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cb,
+               SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        FROM grid
+    ),
+    best AS (
+        SELECT *, ABS(ca * tb - cb * ta) AS gap,
+               ROW_NUMBER() OVER (
+                   ORDER BY ABS(ca * tb - cb * ta) DESC, c ASC) AS rk
+        FROM scored
+    )
+    SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+           ((gap * 1000000) // (ta * tb))::BIGINT AS ks_micro,
+           vm::BIGINT AS ks_at_value
+    FROM best WHERE rk = 1
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8871,6 +8927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "ks_doclen_langs": q_ks_doclen_langs,
         "embedding_drift": q_embedding_drift,
         "multimodal_phash": q_multimodal_phash,
         "ams_selfjoin_users": q_ams_selfjoin_users,
@@ -10275,6 +10332,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "ks_doclen_langs": _KS_DOCLEN_SQL,
         "embedding_drift": _EMBED_DRIFT_SQL,
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),

@@ -1636,3 +1636,135 @@ def infer_column_types(
             )
         )
     return one.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    group_a: str,
+    group_b: str,
+    n_cells: int = 256,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two groups'
+    distributions of an integral column — the NUMERIC distribution-
+    drift test beside chi_square_assoc (categorical dependence) and
+    centroid_drift (embedding shift): "did latency/length/price move
+    between snapshot A and B?" answered by the sup-distance between
+    empirical CDFs.
+
+    Sketch-first: ONE data pass quantizes the column into ≤ n_cells
+    equi-width cells over the two groups' COMBINED range (the shared
+    grid is what makes the CDFs comparable) and folds rows to per-
+    (group, cell) counts; cumulative sums and the sup run on that
+    metadata. Exact under quantization (stated, the kendall_tau
+    capped-semantics discipline): the statistic is the exact rational
+    ``max_cells |cum_a·n_b − cum_b·n_a| / (n_a·n_b)`` floored once to
+    micro units, with the ARGMAX cell's upper value boundary reported
+    (ties → smallest cell: deterministic). With spans ≤ n_cells the
+    quantization is the identity and this is the exact raw-value KS.
+
+    NULL values drop; a missing group raises (an absent sample is an
+    upstream bug, not distance 1). Returns ONE row: ``(n_a, n_b,
+    ks_micro, ks_at_value)``.
+    """
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in (group_col, value_col):
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(by_name[value_col], integral):
+        raise ValueError(
+            f"column {value_col!r} must be integral (got "
+            f"{by_name[value_col]}) — quantize floats caller-side"
+        )
+    d38 = "decimal(38,0)"
+    from pyspark.sql.window import Window
+
+    vals = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    b = vals.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx")).collect()[0]
+    if b["_mn"] is None:
+        raise ValueError("no rows in either group after NULL drop")
+    mn, mx = int(b["_mn"]), int(b["_mx"])
+    span = mx - mn + 1
+    cells = (
+        vals.select(
+            "_g",
+            F.expr(f"((_v - {mn}) * {n_cells}) div {span}").alias("_c"),
+            "_v",
+        )
+        .groupBy("_g", "_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.max("_v").alias("_vmax"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    present = {r["_g"] for r in cells.select("_g").distinct().collect()}
+    for g in (group_a, group_b):
+        if g not in present:
+            raise ValueError(f"group {g!r} has no rows — absent sample")
+    # dense per-cell (a, b) counts via full cell list
+    grid = (
+        cells.groupBy("_c")
+        .agg(
+            F.sum(F.when(F.col("_g") == group_a, F.col("_n"))).alias("_na"),
+            F.sum(F.when(F.col("_g") == group_b, F.col("_n"))).alias("_nb"),
+            F.max("_vmax").alias("_vm"),
+        )
+        .select(
+            "_c",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+            "_vm",
+        )
+    )
+    w = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    scored = grid.select(
+        "_c",
+        "_vm",
+        F.sum("_na").over(w).alias("_ca"),
+        F.sum("_nb").over(w).alias("_cb"),
+        F.sum("_na").over(tot).alias("_ta"),
+        F.sum("_nb").over(tot).alias("_tb"),
+    ).withColumn(
+        "_gap",
+        F.abs(
+            F.expr(f"CAST(_ca AS {d38}) * _tb - CAST(_cb AS {d38}) * _ta")
+        ),
+    )
+    best = scored.select(
+        F.max(
+            F.struct(
+                F.col("_gap").alias("g"),
+                (-F.col("_c")).alias("negc"),
+                F.col("_vm").alias("v"),
+                F.col("_ta").alias("ta"),
+                F.col("_tb").alias("tb"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_b.ta").cast("long").alias("n_a"),
+        F.col("_b.tb").cast("long").alias("n_b"),
+        F.expr(
+            f"CAST(_b.g * {scale} div (CAST(_b.ta AS {d38}) * _b.tb)"
+            f" AS BIGINT)"
+        ).alias("ks_micro"),
+        F.col("_b.v").cast("long").alias("ks_at_value"),
+    )

@@ -1168,3 +1168,89 @@ def test_suggest_source_config_golden_and_roundtrip(spark, tmp_path):
     tdf = spark.createDataFrame([("1:2:3", "x")], "t string, v string")
     y2 = suggest_source_config(tdf, path="p.csv", tag_name="T")
     assert 'type: "STRING"\n          index: 0' in y2
+
+
+def _py_ks(rows, ga, gb, n_cells, scale=10**6):
+    a = sorted(v for g, v in rows if g == ga and v is not None)
+    bb = sorted(v for g, v in rows if g == gb and v is not None)
+    allv = a + bb
+    mn, mx = min(allv), max(allv)
+    span = mx - mn + 1
+    from collections import Counter
+
+    ca = Counter((v - mn) * n_cells // span for v in a)
+    cb = Counter((v - mn) * n_cells // span for v in bb)
+    vmax = {}
+    for v in allv:
+        c = (v - mn) * n_cells // span
+        vmax[c] = max(vmax.get(c, v), v)
+    na, nb = len(a), len(bb)
+    cum_a = cum_b = 0
+    best = None
+    for c in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(c, 0)
+        cum_b += cb.get(c, 0)
+        gap = abs(cum_a * nb - cum_b * na)
+        key = (gap, -c)
+        if best is None or key > best[0]:
+            best = (key, vmax[c])
+    return na, nb, best[0][0] * scale // (na * nb), best[1]
+
+
+def test_ks_two_sample_parity_and_shift(spark):
+    import random
+
+    from nebula_importer_spark.operators.profile import ks_two_sample
+
+    rng = random.Random(12)
+    rows = []
+    for _ in range(400):
+        rows.append(("a", rng.randrange(0, 1000)))
+    for _ in range(350):
+        rows.append(("b", rng.randrange(300, 1300)))  # shifted
+    rows.append(("c", 5))   # ignored third group
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "g string, v long").repartition(5)
+    r = ks_two_sample(
+        df, "g", "v", group_a="a", group_b="b", n_cells=64
+    ).collect()[0]
+    want = _py_ks(rows, "a", "b", 64)
+    assert (r.n_a, r.n_b, r.ks_micro, r.ks_at_value) == want
+    # a 300-unit shift on a 1000-wide uniform: KS ~ 0.3
+    assert 200_000 < r.ks_micro < 400_000
+
+    # identical samples: KS exactly 0
+    same = [("a", v) for v in range(50)] + [("b", v) for v in range(50)]
+    r0 = ks_two_sample(
+        spark.createDataFrame(same, "g string, v long"),
+        "g", "v", group_a="a", group_b="b", n_cells=64,
+    ).collect()[0]
+    assert r0.ks_micro == 0
+    # disjoint supports: KS exactly 1
+    dis = [("a", v) for v in range(50)] + [("b", 1000 + v) for v in range(50)]
+    r1 = ks_two_sample(
+        spark.createDataFrame(dis, "g string, v long"),
+        "g", "v", group_a="a", group_b="b", n_cells=64,
+    ).collect()[0]
+    assert r1.ks_micro == 10**6
+
+
+def test_ks_two_sample_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import ks_two_sample
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="must differ"):
+        ks_two_sample(df, "g", "v", group_a="a", group_b="a")
+    with pytest.raises(ValueError, match="not in input"):
+        ks_two_sample(df, "zz", "v", group_a="a", group_b="b")
+    with pytest.raises(ValueError, match="no rows"):
+        ks_two_sample(
+            df.filter("v > 99"), "g", "v", group_a="a", group_b="b"
+        )
+    with pytest.raises(ValueError, match="absent sample"):
+        ks_two_sample(df, "g", "v", group_a="a", group_b="b")
+    fl = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="integral"):
+        ks_two_sample(fl, "g", "v", group_a="a", group_b="b")
