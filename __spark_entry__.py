@@ -7983,6 +7983,38 @@ _KS_DOCLEN_SQL = """
 """
 
 
+def q_gini_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient (operators/behavior.py:
+    gini_inequality) of per-user event mass — "how unequal is the
+    traffic?", one comparable scalar per snapshot beside
+    events_skew_report's per-key heavy hitters. Exact Lorenz-rank
+    integer sum, one floor division."""
+    from nebula_importer_spark.operators.behavior import gini_inequality
+
+    return gini_inequality(_t(spark, sf_dir, "events"), key_col="user_id")
+
+
+_GINI_EVENTS_SQL = """
+    WITH keys AS (
+        SELECT user_id AS k, COUNT(*)::HUGEINT AS x
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM keys
+    ),
+    agg AS (
+        SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS tot,
+               SUM(2 * i * x) AS s2ix
+        FROM ranked
+    )
+    SELECT n::BIGINT AS n_keys, COALESCE(tot, 0)::BIGINT AS total,
+           CASE WHEN n = 0 OR COALESCE(tot, 0) = 0 THEN NULL ELSE
+             (((s2ix - (n + 1) * tot) * 1000000) // (n * tot))::BIGINT
+           END AS gini_micro
+    FROM agg
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8927,6 +8959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "gini_user_events": q_gini_user_events,
         "ks_doclen_langs": q_ks_doclen_langs,
         "embedding_drift": q_embedding_drift,
         "multimodal_phash": q_multimodal_phash,
@@ -10332,6 +10365,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "gini_user_events": _GINI_EVENTS_SQL,
         "ks_doclen_langs": _KS_DOCLEN_SQL,
         "embedding_drift": _EMBED_DRIFT_SQL,
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,

@@ -645,3 +645,85 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def gini_inequality(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    weight_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gini coefficient of per-key mass concentration — "do 1% of users
+    generate 90% of events?", the inequality number behind skew
+    planning (events_skew_report finds WHICH keys are hot; this says
+    how unequal the whole distribution is, one comparable scalar per
+    table/snapshot). Distinct from conv_diversity's Gini-SIMPSON
+    (a probability-of-collision diversity); this is the Lorenz-curve
+    Gini (a concentration measure).
+
+    Exact integer form: with per-key masses ``x_(1) ≤ … ≤ x_(n)``
+    (ranked ascending, ties broken by key for a deterministic rank),
+    ``G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)`` — the numerator is an
+    exact long sum over one rank window (per-key masses are a partial-
+    agg'd reduction first, so the window sees KEYS, not rows; the
+    global sort is over the key table — at 100 TB distribute it with
+    the exact_auc two-level prefix-sum device if the key count itself
+    is data-scale). One floor division at the end (``gini_micro``);
+    G ∈ [0, 1−1/n] for non-negative masses and the all-equal table
+    reads exactly 0.
+
+    NULL keys drop; ``weight_col`` (integral) sums as the mass, else
+    row counts. Negative masses raise (Lorenz needs non-negative).
+    Returns ONE row: ``(n_keys, total, gini_micro)`` — NULL gini when
+    n·total = 0.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if key_col not in df.columns:
+        raise ValueError(f"column {key_col!r} not in input: {df.columns}")
+    if weight_col is not None and weight_col not in df.columns:
+        raise ValueError(
+            f"column {weight_col!r} not in input: {df.columns}"
+        )
+    d38 = "decimal(38,0)"
+    from pyspark.sql.window import Window
+
+    mass = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col
+        else F.count(F.lit(1))
+    )
+    keys = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(mass.cast("long").alias("_x"))
+    )
+    neg = keys.filter(F.col("_x") < 0).take(1)
+    if neg:
+        raise ValueError(
+            f"key {neg[0]['_k']!r} has negative mass {neg[0]['_x']} — "
+            "the Lorenz construction needs non-negative masses"
+        )
+    w = Window.orderBy("_x", "_k")
+    ranked = keys.select(
+        "_x", F.row_number().over(w).alias("_i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(
+            F.expr(f"CAST(2 AS {d38}) * _i * _x")
+        ).alias("_s2ix"),
+    )
+    return agg.select(
+        "n_keys",
+        F.coalesce("total", F.lit(0)).alias("total"),
+        F.expr(
+            f"CASE WHEN coalesce(n_keys, 0) = 0 OR coalesce(total, 0) = 0"
+            f" THEN NULL ELSE"
+            f" CAST((_s2ix - (CAST(n_keys AS {d38}) + 1) * total)"
+            f" * {scale} div (CAST(n_keys AS {d38}) * total) AS BIGINT)"
+            f" END"
+        ).alias("gini_micro"),
+    )

@@ -396,3 +396,73 @@ def test_kaplan_meier_validation(spark):
     bad = spark.createDataFrame([(1, 2)], "duration long, event long")
     with pytest.raises(ValueError, match="event flags"):
         kaplan_meier(bad)
+
+
+def _py_gini(masses, scale=10**6):
+    xs = sorted(masses)
+    n = len(xs)
+    tot = sum(xs)
+    if n == 0 or tot == 0:
+        return (n, tot, None)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    return (n, tot, num * scale // (n * tot))
+
+
+def test_gini_inequality_closed_and_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.behavior import gini_inequality
+
+    # all-equal masses: exactly 0
+    eq = spark.createDataFrame(
+        [(u, i) for u in range(10) for i in range(5)], "user_id long, i long"
+    )
+    r0 = gini_inequality(eq).collect()[0]
+    assert (r0.n_keys, r0.total, r0.gini_micro) == (10, 50, 0)
+
+    # one key owns everything among n keys: G = 1 - 1/n exactly
+    mono = spark.createDataFrame(
+        [(0, i) for i in range(96)] + [(u, 0) for u in range(1, 4)],
+        "user_id long, i long",
+    )
+    # keys 1..3 have mass 1 each, key 0 has 96: compare against model
+    rm = gini_inequality(mono).collect()[0]
+    assert (rm.n_keys, rm.total, rm.gini_micro) == _py_gini([96, 1, 1, 1])
+
+    rng = random.Random(8)
+    rows = []
+    masses = {}
+    for u in range(60):
+        m = rng.randrange(1, 50)
+        masses[u] = m
+        rows += [(u, i) for i in range(m)]
+    rows.append((None, 0))
+    df = spark.createDataFrame(rows, "user_id long, i long").repartition(6)
+    r = gini_inequality(df).collect()[0]
+    assert (r.n_keys, r.total, r.gini_micro) == _py_gini(
+        list(masses.values())
+    )
+
+    # weighted mode equals expanding the weights
+    wdf = spark.createDataFrame(
+        [(u, m) for u, m in masses.items()], "user_id long, w long"
+    )
+    rw = gini_inequality(wdf, weight_col="w").collect()[0]
+    assert (rw.n_keys, rw.total, rw.gini_micro) == _py_gini(
+        list(masses.values())
+    )
+
+
+def test_gini_inequality_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.behavior import gini_inequality
+
+    df = spark.createDataFrame([(1, -2)], "user_id long, w long")
+    with pytest.raises(ValueError, match="not in input"):
+        gini_inequality(df, key_col="zz")
+    with pytest.raises(ValueError, match="negative mass"):
+        gini_inequality(df, weight_col="w")
+    empty = spark.createDataFrame([], "user_id long, w long")
+    r = gini_inequality(empty).collect()[0]
+    assert (r.n_keys, r.total, r.gini_micro) == (0, 0, None)
