@@ -8015,6 +8015,57 @@ _GINI_EVENTS_SQL = """
 """
 
 
+def q_rich_club_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve (operators/graph.py:rich_club) of the
+    customer↔supplier graph — do the high-degree hubs wire to each
+    other, per degree threshold: the per-k view assortativity_cs's one
+    correlation can't resolve. Broadcast threshold legs over the
+    degree table; exact 2E/(N(N−1)) ppm per club."""
+    from nebula_importer_spark.operators.graph import rich_club
+
+    return rich_club(
+        _cs_graph(spark, sf_dir), thresholds=[1, 2, 4, 8, 16, 32, 64]
+    )
+
+
+_RICH_CLUB_SQL = """
+    WITH cs AS (
+        SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    dis AS (
+        SELECT DISTINCT LEAST(c, s) AS a, GREATEST(c, s) AS b FROM cs
+    ),
+    deg AS (
+        SELECT n, COUNT(*)::HUGEINT AS d FROM (
+            SELECT a AS n FROM dis UNION ALL SELECT b FROM dis
+        ) GROUP BY 1
+    ),
+    ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k),
+    nclub AS (
+        SELECT k, COUNT(*)::HUGEINT AS n_club
+        FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+    ),
+    eclub AS (
+        SELECT k, COUNT(*)::HUGEINT AS e_club
+        FROM dis
+        JOIN deg da ON da.n = dis.a
+        JOIN deg db ON db.n = dis.b
+        CROSS JOIN ks
+        WHERE da.d > ks.k AND db.d > ks.k
+        GROUP BY 1
+    )
+    SELECT ks.k::BIGINT AS k,
+           COALESCE(n_club, 0)::BIGINT AS n_club,
+           COALESCE(e_club, 0)::BIGINT AS e_club,
+           CASE WHEN COALESCE(n_club, 0) < 2 THEN NULL ELSE
+             ((2 * COALESCE(e_club, 0) * 1000000)
+              // (n_club * (n_club - 1)))::BIGINT END AS phi_micro
+    FROM ks LEFT JOIN nclub ON nclub.k = ks.k
+    LEFT JOIN eclub ON eclub.k = ks.k
+"""
+
+
 def q_assoc_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square association audit (operators/profile.py:
     chi_square_assoc): is a document's language statistically dependent
@@ -8959,6 +9010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_doclang": q_stump_doclang,
         # stats family: categorical association + rank correlation
         "assoc_lang_source": q_assoc_lang_source,
+        "rich_club_cs": q_rich_club_cs,
         "gini_user_events": q_gini_user_events,
         "ks_doclen_langs": q_ks_doclen_langs,
         "embedding_drift": q_embedding_drift,
@@ -10365,6 +10417,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wl": _graph_wl_sql(rounds=3),
         "stump_doclang": _gini_stump_sql(n_cells=32),
         "assoc_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "rich_club_cs": _RICH_CLUB_SQL,
         "gini_user_events": _GINI_EVENTS_SQL,
         "ks_doclen_langs": _KS_DOCLEN_SQL,
         "embedding_drift": _EMBED_DRIFT_SQL,

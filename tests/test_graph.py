@@ -2116,3 +2116,72 @@ def test_harmonic_from_balls_validation(spark):
     df = spark.createDataFrame([("a", 1)], "node string, radius long")
     with pytest.raises(ValueError, match="not in balls"):
         harmonic_from_balls(df)
+
+
+def _py_rich_club(edges, thresholds):
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    out = {}
+    for k in thresholds:
+        club = {n for n, d in deg.items() if d > k}
+        ec = sum(1 for a, b in und if a in club and b in club)
+        nc = len(club)
+        phi = (
+            None if nc < 2 else 2 * ec * 10**6 // (nc * (nc - 1))
+        )
+        out[k] = (nc, ec, phi)
+    return out
+
+
+def test_rich_club_closed_and_parity(spark):
+    from nebula_importer_spark.operators.graph import rich_club
+
+    # hub clique of 4 (wired to each other) + leaves on each hub
+    edges = []
+    hubs = ["h1", "h2", "h3", "h4"]
+    for i, a in enumerate(hubs):
+        for b in hubs[i + 1:]:
+            edges.append((a, b))
+        for j in range(4):
+            edges.append((a, f"leaf_{a}_{j}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.k: (r.n_club, r.e_club, r.phi_micro)
+        for r in rich_club(df, thresholds=[0, 3, 6]).collect()
+    }
+    # k=3: only hubs (degree 7) qualify; they form a complete K4 -> phi=1
+    assert got[3] == (4, 6, 10**6)
+    # k=6: still the hubs (degree 7 > 6)
+    assert got[6] == (4, 6, 10**6)
+    assert got == _py_rich_club(edges, [0, 3, 6])
+
+    import random
+
+    rng = random.Random(44)
+    nodes = [f"n{i}" for i in range(30)]
+    res = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)})
+    dfr = spark.createDataFrame(res, "src string, dst string").repartition(4)
+    gotr = {
+        r.k: (r.n_club, r.e_club, r.phi_micro)
+        for r in rich_club(dfr, thresholds=[1, 2, 4, 8]).collect()
+    }
+    assert gotr == _py_rich_club(res, [1, 2, 4, 8])
+    # empty club: NULL phi visible
+    assert gotr[8][2] is None or gotr[8][0] >= 2
+
+
+def test_rich_club_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import rich_club
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="thresholds"):
+        rich_club(df, thresholds=[-1])
+    with pytest.raises(ValueError, match="not in input"):
+        rich_club(df, src="zz")
