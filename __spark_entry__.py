@@ -7883,6 +7883,68 @@ _MULTIMODAL_PHASH_SQL = """
     FROM h
 """
 
+
+def q_phash_ham_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming pair join (operators/dedup.py:hamming_pairs) —
+    near-duplicate FINGERPRINT pairs within 3 flipped bits, found by
+    the pigeonhole band equi-join (max_dist+1 bands, one must match)
+    plus an exact bit_count(xor) verify. The oracle is the UNCAPPED
+    all-pairs Hamming scan, so the hash match proves the band funnel
+    misses no qualifying pair. The gate corpus plants the structure:
+    every fifth document gets a twin whose sha-derived 63-bit hash has
+    ≤3 deterministically-chosen bits flipped — only those twins (plus
+    any true random collisions) may pair."""
+    from nebula_importer_spark.operators.dedup import hamming_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    hx = F.sha2(F.coalesce("text", F.lit("")), 256)
+    # (hex1 * 2^32 + hex2) mod 2^63 with no int64 overflow:
+    # (hex1 mod 2^31) * 2^32 + hex2  <  2^63 since hex2 < 2^32
+    h = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2**31)
+    ) * F.lit(2**32) + F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    base = d.select(F.col("doc_id").alias("asset_id"), h.alias("hash64"))
+    mask = F.expr(
+        "shiftleft(1L, cast(asset_id % 63 AS INT))"
+        " | shiftleft(1L, cast((asset_id * 7 + 13) % 63 AS INT))"
+        " | shiftleft(1L, cast((asset_id * 3 + 29) % 63 AS INT))"
+    )
+    twins = base.filter(F.col("asset_id") % 5 == 0).select(
+        (F.col("asset_id") + 10**7).alias("asset_id"),
+        F.col("hash64").bitwiseXOR(mask).alias("hash64"),
+    )
+    return hamming_pairs(
+        base.unionByName(twins), "asset_id", "hash64", max_dist=3
+    ).select("id_a", "id_b", "dist")
+
+
+_PHASH_HAM_SQL = """
+    WITH hh AS (
+        SELECT doc_id, sha256(COALESCE(text, '')) AS hx FROM documents
+    ),
+    base AS (
+        SELECT doc_id AS asset_id,
+               (((('0x' || substr(hx, 1, 8))::BIGINT::HUGEINT * 4294967296
+                  + ('0x' || substr(hx, 9, 8))::BIGINT)
+                 % 9223372036854775808))::BIGINT AS h
+        FROM hh
+    ),
+    uni AS (
+        SELECT asset_id, h FROM base
+        UNION ALL
+        SELECT asset_id + 10000000,
+               xor(h, ((1::BIGINT << (asset_id % 63)::INT)
+                     | (1::BIGINT << ((asset_id * 7 + 13) % 63)::INT)
+                     | (1::BIGINT << ((asset_id * 3 + 29) % 63)::INT)))
+        FROM base WHERE asset_id % 5 = 0
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           bit_count(xor(a.h, b.h))::BIGINT AS dist
+    FROM uni a JOIN uni b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-drift distance matrix (operators/similarity.py:
     centroid_drift): exact squared L2 between every pair of label
@@ -9015,6 +9077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_doclen_langs": q_ks_doclen_langs,
         "embedding_drift": q_embedding_drift,
         "multimodal_phash": q_multimodal_phash,
+        "phash_ham_pairs": q_phash_ham_pairs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10422,6 +10485,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_doclen_langs": _KS_DOCLEN_SQL,
         "embedding_drift": _EMBED_DRIFT_SQL,
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,
+        "phash_ham_pairs": _PHASH_HAM_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -759,3 +759,90 @@ def ssjoin_prefix(
             / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "hash64",
+    max_dist: int = 3,
+    bits: int = 63,
+) -> DataFrame:
+    """Banded Hamming-distance pair join — all pairs of fixed-width
+    integer fingerprints (SimHash, perceptual aHash/dHash) within
+    ``max_dist`` flipped bits, WITHOUT an all-pairs scan.
+
+    Pigeonhole completeness: the ``bits``-wide hash is cut into
+    ``max_dist + 1`` contiguous bands. Two hashes within Hamming
+    distance ``max_dist`` differ in at most ``max_dist`` bands, so at
+    least one band is bit-identical — the equi-join on
+    ``(band_index, band_value)`` misses NO qualifying pair. The exact
+    ``bit_count(xor)`` verify then removes band-collision false
+    positives, so the output is exactly the all-pairs result (which is
+    what the gate oracle computes — the hash match IS the completeness
+    proof).
+
+    Scale shape: candidates = band-value collisions only. Random
+    fingerprints collide on a w-bit band with probability 2^-w (w = 15
+    for the default 63/4 split), so fan-out is driven by genuinely
+    near-duplicate content, not corpus size; the verify join carries
+    two BIGINTs per candidate, never payloads. This is the SimHash
+    block-join generalized to any precomputed fingerprint column and
+    any distance budget.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    if max_dist >= bits:
+        raise ValueError(
+            f"max_dist {max_dist} leaves no discriminating band at {bits} bits"
+        )
+    for c in (id_col, hash_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    n_bands = max_dist + 1
+    width = -(-bits // n_bands)  # ceil — last band may be narrower
+    h = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
+    ).filter(F.col("_id").isNotNull() & F.col("_h").isNotNull())
+    h = spread_small_input(h)
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftright(F.col("_h"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bv"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b.bi").alias("_bi"), F.col("_b.bv").alias("_bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long").alias("dist"),
+    ).filter(F.col("dist") <= F.lit(max_dist))

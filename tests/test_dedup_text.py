@@ -1798,3 +1798,58 @@ def test_centroid_drift_validation(spark):
         centroid_drift(df, group_col="zz")
     with pytest.raises(ValueError, match="headroom"):
         centroid_drift(df, quant=2 * 10**9)  # max_n = 0 -> any group raises
+
+
+def test_hamming_pairs_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from nebula_importer_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(421)
+    rows = []
+    # 40 random 63-bit hashes plus planted near-duplicates at known dists
+    for i in range(40):
+        rows.append((i, rng.getrandbits(63)))
+    nid = 100
+    for base, flips in ((0, 1), (5, 2), (9, 3), (13, 4)):
+        h = rows[base][1]
+        for bit in rng.sample(range(63), flips):
+            h ^= 1 << bit
+        rows.append((nid, h))
+        nid += 1
+    df = spark.createDataFrame(rows, "asset_id long, hash64 long")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in hamming_pairs(df, max_dist=3).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    # the planted 4-bit flip must be excluded, the <=3 ones included
+    assert (13, 103) not in got
+    assert got[(0, 100)] == 1 and got[(9, 102)] == 3
+
+
+def test_hamming_pairs_zero_dist_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43), (4, None)],
+        "asset_id long, hash64 long",
+    )
+    got = hamming_pairs(df, max_dist=0).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 0)]
+    with pytest.raises(ValueError, match="max_dist"):
+        hamming_pairs(df, max_dist=-1)
+    with pytest.raises(ValueError, match="bits"):
+        hamming_pairs(df, bits=64)
+    with pytest.raises(ValueError, match="discriminating"):
+        hamming_pairs(df, max_dist=8, bits=8)
+    with pytest.raises(ValueError, match="not in input"):
+        hamming_pairs(df, hash_col="zz")
