@@ -7834,6 +7834,70 @@ _AMS_SQL_TEMPLATE = """
 """
 
 
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Flesch/Flesch-Kincaid readability
+    (operators/text.py:readability) — map-only, zero-Exchange, every
+    division pinned to BIGINT truncation so the classic quality signal
+    is engine- and layout-identical. The synthetic corpus carries no
+    sentence punctuation, so the gate first injects a period after
+    every 5th token with one deterministic regexp (identical scan
+    semantics both engines) — sentence counts then vary per doc and
+    the S*W denominators exercise the whole formula, including the
+    min-1-syllable no-vowel-token rule."""
+    from nebula_importer_spark.operators.text import NOT_WS, WS, readability
+
+    d = _t(spark, sf_dir, "documents")
+    sent = F.regexp_replace(
+        F.coalesce("text", F.lit("")),
+        "((?:" + NOT_WS + "+" + WS + "+){4}" + NOT_WS + "+)",
+        "$1.",
+    )
+    return readability(d.select("doc_id", sent.alias("text")))
+
+
+_READABILITY_SQL = """
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(
+                   COALESCE(text, ''),
+                   '((?:[^\t\n\f\r ]+[\t\n\f\r ]+){4}[^\t\n\f\r ]+)',
+                   '\\1.', 'g') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[^\t\n\f\r ]+'))::BIGINT AS w,
+               len(regexp_extract_all(t, '[.!?]+'))::BIGINT AS sraw,
+               len(regexp_extract_all(lower(t), '[aeiouy]+'))::BIGINT AS vr,
+               len(list_filter(regexp_extract_all(lower(t), '[^\t\n\f\r ]+'),
+                   x -> NOT regexp_matches(x, '[aeiouy]')))::BIGINT AS nv
+        FROM s
+    ),
+    m AS (
+        SELECT doc_id, w AS n_words,
+               CASE WHEN w = 0 THEN 0
+                    ELSE greatest(sraw, 1) END::BIGINT AS n_sentences,
+               (vr + nv)::BIGINT AS n_syllables
+        FROM c
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_sentences * n_words > 0 THEN
+               ((390 * n_words * n_words
+                 + 11800 * n_syllables * n_sentences
+                 - 15590 * n_sentences * n_words)
+                // (n_sentences * n_words))::BIGINT
+           END AS fk_grade_milli,
+           CASE WHEN n_sentences * n_words > 0 THEN
+               ((206835 * n_sentences * n_words
+                 - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences)
+                // (n_sentences * n_words))::BIGINT
+           END AS reading_ease_milli
+    FROM m
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9078,6 +9142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "multimodal_phash": q_multimodal_phash,
         "phash_ham_pairs": q_phash_ham_pairs,
+        "readability_docs": q_readability_docs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10486,6 +10551,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBED_DRIFT_SQL,
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,
         "phash_ham_pairs": _PHASH_HAM_SQL,
+        "readability_docs": _READABILITY_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1164,3 +1164,87 @@ def log_odds_tokens(
         F.col("_w").alias("token"), "y1", "y2",
         delta.alias("delta"), z.alias("z"),
     )
+
+
+def readability(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact-integer readability metrics (Flesch 1948 / Kincaid 1975) —
+    the classic document-complexity quality signal, computed MAP-ONLY
+    (zero Exchange) with every division pinned to integer truncation so
+    the result is bit-identical on any engine or layout.
+
+    Pinned contract (documented, both engines implement it verbatim):
+
+    - words     = ``NOT_WS``-run tokens (the repo-wide tokenizer)
+    - sentences = runs of ``[.!?]+``, floored to 1 for any non-empty doc
+      (a fragment is one sentence, not a division by zero)
+    - syllables = vowel-group runs ``[aeiouy]+`` over the lowercased
+      text, plus 1 for each token containing NO vowel group (the
+      standard min-one-syllable-per-word rule; vowel runs never span
+      tokens because whitespace is not a vowel)
+    - ``fk_grade_milli``  = trunc((390·W² + 11800·Sy·S − 15590·S·W)
+      / (S·W)) — Flesch-Kincaid grade level ×1000 over the common
+      denominator S·W; can be negative (trivial text), so the
+      truncate-toward-zero semantics of Spark ``div`` and DuckDB ``//``
+      (verified to agree on BIGINT) is part of the contract
+    - ``reading_ease_milli`` = trunc((206835·S·W − 1015·W² − 84600·Sy·S)
+      / (S·W))
+
+    Empty/null docs report zero counts and NULL scores (visible, not
+    dropped). Scale: one projection pass, no shuffle, no UDF — the
+    whole operator is whole-stage-codegen regexp arithmetic.
+    """
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lo = F.lower(t)
+    words = F.regexp_count(t, F.lit(NOT_WS + "+")).cast("long")
+    sents_raw = F.regexp_count(t, F.lit("[.!?]+")).cast("long")
+    sents = F.when(words == 0, F.lit(0)).otherwise(
+        F.greatest(sents_raw, F.lit(1))
+    ).cast("long")
+    vruns = F.regexp_count(lo, F.lit("[aeiouy]+")).cast("long")
+    novowel = F.size(
+        F.filter(
+            F.regexp_extract_all(lo, F.lit(NOT_WS + "+"), F.lit(0)),
+            lambda w: ~w.rlike("[aeiouy]"),
+        )
+    ).cast("long")
+    sylls = vruns + novowel
+    out = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    )
+    W, S, Sy = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    den = S * W
+    grade_num = F.lit(390) * W * W + F.lit(11800) * Sy * S - F.lit(15590) * den
+    ease_num = F.lit(206835) * den - F.lit(1015) * W * W - F.lit(84600) * Sy * S
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(den > 0, F.expr(
+            f"div({_SQL_GRADE_NUM}, n_sentences * n_words)"
+        )).alias("fk_grade_milli"),
+        F.when(den > 0, F.expr(
+            f"div({_SQL_EASE_NUM}, n_sentences * n_words)"
+        )).alias("reading_ease_milli"),
+    )
+
+
+_SQL_GRADE_NUM = (
+    "390 * n_words * n_words + 11800 * n_syllables * n_sentences"
+    " - 15590 * n_sentences * n_words"
+)
+_SQL_EASE_NUM = (
+    "206835 * n_sentences * n_words - 1015 * n_words * n_words"
+    " - 84600 * n_syllables * n_sentences"
+)

@@ -1254,3 +1254,43 @@ def test_ks_two_sample_validation(spark):
     fl = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="integral"):
         ks_two_sample(fl, "g", "v", group_a="a", group_b="b")
+
+
+def test_readability_known_values(spark):
+    from nebula_importer_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog barked loudly! Why?"),
+         (2, "a b c"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(df).collect()}
+    # doc 1: 8 words, 3 sentence runs, 10 vowel groups, no no-vowel tokens
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (8, 3, 10)
+    # 0.39*(8/3) + 11.8*(10/8) - 15.59 = 0.2 exactly -> 200 milli
+    assert r1.fk_grade_milli == 200
+    # doc 2: "b" and "c" have no vowel group -> min-1 rule adds 2
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (3, 1, 3)
+    # negative grade truncates toward zero: -2.62 -> -2620 milli
+    assert r2.fk_grade_milli == -2620
+    # empty/null: zero counts, NULL scores
+    for d in (3, 4):
+        assert (got[d].n_words, got[d].n_sentences, got[d].n_syllables) == (0, 0, 0)
+        assert got[d].fk_grade_milli is None
+        assert got[d].reading_ease_milli is None
+
+
+def test_readability_validation_and_plan(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import readability
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in input"):
+        readability(df, text_col="zz")
+    # map-only contract: no Exchange anywhere in the physical plan
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
