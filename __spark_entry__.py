@@ -7898,6 +7898,81 @@ _READABILITY_SQL = """
 
 
 
+def q_nb_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes train→predict in one plan
+    (operators/classify.py:nb_classify): the even-doc_id half of the
+    corpus trains a language classifier (label = lang), the odd half is
+    scored — the trained-filter loop every curation pipeline runs,
+    exact because NB is pure aggregation (no SGD order dependence).
+    Per-token log terms floor to integer micro-nats (partition-order-
+    proof sums); Spark shuffles token counts as xxhash64 keys while the
+    oracle groups raw strings — a hash collision or tokenizer drift
+    would surface as a gate diff."""
+    from nebula_importer_spark.operators.classify import nb_classify
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_classify(
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang"),
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        label_col="lang",
+    )
+
+
+_NB_LANG_SQL = """
+    WITH tr AS (
+        SELECT lang AS l, COALESCE(text, '') AS text FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+    ),
+    sc AS (
+        SELECT doc_id, COALESCE(text, '') AS text FROM documents
+        WHERE doc_id % 2 = 1
+    ),
+    ltoks AS (
+        SELECT l, unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
+        FROM tr
+    ),
+    counts AS (SELECT l, w, COUNT(*)::BIGINT AS c FROM ltoks GROUP BY 1, 2),
+    ntok AS (SELECT l, COUNT(*)::BIGINT AS nl FROM ltoks GROUP BY 1),
+    prior AS (SELECT l, COUNT(*)::BIGINT AS dl FROM tr GROUP BY 1),
+    dtot AS (SELECT COUNT(*)::BIGINT AS d FROM tr),
+    vocab AS (SELECT COUNT(DISTINCT w)::BIGINT AS v FROM ltoks),
+    ldim AS (
+        SELECT l, nl,
+               FLOOR(ln(dl::DOUBLE / d) * 1000000)::BIGINT AS pm, v
+        FROM ntok JOIN prior USING (l) CROSS JOIN dtot CROSS JOIN vocab
+    ),
+    stoks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
+        FROM sc
+    ),
+    terms AS (
+        SELECT s.id, ld.l, ld.pm,
+               FLOOR(ln((COALESCE(c.c, 0) + 1)::DOUBLE / (ld.nl + ld.v))
+                     * 1000000)::BIGINT AS m
+        FROM stoks s CROSS JOIN ldim ld
+        LEFT JOIN counts c ON c.l = ld.l AND c.w = s.w
+    ),
+    per AS (
+        SELECT id, l, COUNT(*)::BIGINT AS n,
+               (SUM(m) + MIN(pm))::BIGINT AS score
+        FROM terms GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT id, l, n, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY score DESC, l ASC) AS rn,
+               LEAD(score) OVER (
+                   PARTITION BY id ORDER BY score DESC, l ASC) AS nxt
+        FROM per
+    )
+    SELECT id AS doc_id, l AS pred_label, score AS score_micro,
+           (score - nxt)::BIGINT AS margin_micro, n AS n_tokens
+    FROM rk WHERE rn = 1
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9143,6 +9218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "phash_ham_pairs": q_phash_ham_pairs,
         "readability_docs": q_readability_docs,
+        "nb_lang_docs": q_nb_lang_docs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10552,6 +10628,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash": _MULTIMODAL_PHASH_SQL,
         "phash_ham_pairs": _PHASH_HAM_SQL,
         "readability_docs": _READABILITY_SQL,
+        "nb_lang_docs": _NB_LANG_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,
