@@ -7973,6 +7973,96 @@ _NB_LANG_SQL = """
 
 
 
+def q_kmv_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (operators/sketch.py:kmv_set_ops):
+    estimated audience union/intersection/Jaccard between every pair of
+    event types over the user_id domain at k=64 sketch cost — the
+    segment-overlap question answered from k longs per group, with the
+    exact distinct-overlap riding the row as the error witness (the
+    kmv_distinct gate contract). Deterministic md5 bottom-k makes the
+    sketch itself oracle-checkable; below-capacity pairs degrade to
+    exact counts by construction."""
+    from nebula_importer_spark.operators.sketch import kmv_set_ops
+
+    return kmv_set_ops(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+_KMV_SET_OPS_SQL = """
+    WITH gv AS (
+        SELECT DISTINCT event_type AS g, user_id AS v FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    hx AS (
+        SELECT DISTINCT g,
+               ('0x' || substr(md5('kmv' || CAST(v AS VARCHAR)),
+                1, 13))::BIGINT AS h
+        FROM gv
+    ),
+    rk AS (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+        FROM hx
+    ),
+    kept AS (SELECT g, h FROM rk WHERE r <= 64),
+    theta AS (
+        SELECT g, CASE WHEN COUNT(*) < 64 THEN 4503599627370496
+                       ELSE MAX(h) END AS th
+        FROM kept GROUP BY g
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb, least(a.th, b.th) AS th
+        FROM theta a JOIN theta b ON a.g < b.g
+    ),
+    sa AS (
+        SELECT p.ga, p.gb, COUNT(*)::BIGINT AS ca
+        FROM pairs p JOIN kept k ON k.g = p.ga AND k.h < p.th
+        GROUP BY 1, 2
+    ),
+    sb AS (
+        SELECT p.ga, p.gb, COUNT(*)::BIGINT AS cb
+        FROM pairs p JOIN kept k ON k.g = p.gb AND k.h < p.th
+        GROUP BY 1, 2
+    ),
+    si AS (
+        SELECT p.ga, p.gb, COUNT(*)::BIGINT AS ci
+        FROM pairs p
+        JOIN kept x ON x.g = p.ga AND x.h < p.th
+        JOIN kept y ON y.g = p.gb AND y.h = x.h
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT a.g AS ga, b.g AS gb, COUNT(*)::BIGINT AS xi
+        FROM gv a JOIN gv b ON a.v = b.v AND a.g < b.g
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT g, COUNT(*)::BIGINT AS s FROM gv GROUP BY g)
+    SELECT p.ga AS group_a, p.gb AS group_b,
+           CASE WHEN p.th >= 4503599627370496
+                THEN COALESCE(ca, 0) + COALESCE(cb, 0) - COALESCE(ci, 0)
+                ELSE ((COALESCE(ca, 0) + COALESCE(cb, 0) - COALESCE(ci, 0))
+                      * 4503599627370496) // p.th
+           END::BIGINT AS est_union,
+           CASE WHEN p.th >= 4503599627370496 THEN COALESCE(ci, 0)
+                ELSE (COALESCE(ci, 0) * 4503599627370496) // p.th
+           END::BIGINT AS est_inter,
+           CASE WHEN COALESCE(ca, 0) + COALESCE(cb, 0) - COALESCE(ci, 0) > 0
+                THEN (COALESCE(ci, 0) * 1000000)
+                     // (COALESCE(ca, 0) + COALESCE(cb, 0) - COALESCE(ci, 0))
+           END::BIGINT AS jaccard_ppm,
+           (za.s + zb.s - COALESCE(xi, 0))::BIGINT AS exact_union,
+           COALESCE(xi, 0)::BIGINT AS exact_inter
+    FROM pairs p
+    LEFT JOIN sa ON sa.ga = p.ga AND sa.gb = p.gb
+    LEFT JOIN sb ON sb.ga = p.ga AND sb.gb = p.gb
+    LEFT JOIN si ON si.ga = p.ga AND si.gb = p.gb
+    LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb
+    JOIN sz za ON za.g = p.ga
+    JOIN sz zb ON zb.g = p.gb
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9219,6 +9309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_ham_pairs": q_phash_ham_pairs,
         "readability_docs": q_readability_docs,
         "nb_lang_docs": q_nb_lang_docs,
+        "kmv_overlap_types": q_kmv_overlap_types,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10629,6 +10720,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_ham_pairs": _PHASH_HAM_SQL,
         "readability_docs": _READABILITY_SQL,
         "nb_lang_docs": _NB_LANG_SQL,
+        "kmv_overlap_types": _KMV_SET_OPS_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -719,3 +719,144 @@ def ams_f2(
             *[F.coalesce(F.col(f"_s{j}"), F.lit(0)) for j in range(k)]
         ).alias("s_sums"),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Theta-sketch set operations over per-group KMV sketches — the
+    estimated |A ∪ B|, |A ∩ B| and Jaccard for EVERY pair of groups at
+    sketch cost (k longs per group), the audience-overlap / segment-
+    containment question answered without a data-scale join.
+
+    Combine rule (Dasgupta et al., "Theta Sketch Framework"): per group
+    keep the k smallest distinct 52-bit md5 hashes; for a pair, the
+    effective threshold is θ = min(θ_a, θ_b) (θ_g = the group's k-th
+    smallest hash, or the full 2^52 space when the group is below
+    capacity — its sketch is then COMPLETE and lossless). Hashes ≥ θ
+    are discarded from both sides; the surviving counts scale by
+    2^52/θ: ``est = (count · 2^52) div θ`` — integer floor division,
+    hash-stable, and EXACT (at hash level) whenever both groups are
+    below capacity.
+
+    Distributed shape: ONE dedup exchange on the fixed-width
+    (group, hash) key + the WindowGroupLimit bottom-k — identical to
+    :func:`kmv_distinct`; everything after operates on sketch rows
+    (≤ k·|groups|) and the |groups|² pair table — metadata scale, the
+    whole point: group pairs never touch the data again. The exact
+    per-pair distinct-overlap (one value-keyed self-join on the
+    deduped values) rides along as the error witness, mirroring the
+    ``kmv_distinct`` gate contract.
+
+    Returns ``(group_a, group_b, est_union, est_inter, jaccard_ppm,
+    exact_union, exact_inter)`` for every unordered group pair.
+    """
+    if k < 16:
+        raise ValueError(f"k must be >= 16 for a usable estimate, got {k}")
+    for c in (col, group_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if col == group_col:
+        raise ValueError(f"col {col!r} cannot also be the group column")
+
+    gv = df.select(
+        F.col(group_col).alias("_g"), F.col(col).alias("_v")
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull()).distinct()
+    hx = gv.select("_g", _kmv_hash(F.col("_v"), salt).alias("_h")).distinct()
+    w = Window.partitionBy("_g").orderBy("_h")
+    kept = hx.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    theta = kept.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
+    ).select(
+        "_g",
+        F.when(F.col("_n") < k, F.lit(KMV_SPACE))
+        .otherwise(F.col("_kth"))
+        .alias("_theta"),
+    )
+    pairs = (
+        theta.alias("ta")
+        .join(theta.alias("tb"), F.col("ta._g") < F.col("tb._g"))
+        .select(
+            F.col("ta._g").alias("_ga"),
+            F.col("tb._g").alias("_gb"),
+            F.least("ta._theta", "tb._theta").alias("_th"),
+        )
+    )
+    ska = kept.select(F.col("_g").alias("_ga"), F.col("_h").alias("_ha"))
+    skb = kept.select(F.col("_g").alias("_gb"), F.col("_h").alias("_hb"))
+    surv_a = (
+        pairs.join(ska, "_ga")
+        .filter(F.col("_ha") < F.col("_th"))
+        .groupBy("_ga", "_gb")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    surv_b = (
+        pairs.join(skb, "_gb")
+        .filter(F.col("_hb") < F.col("_th"))
+        .groupBy("_ga", "_gb")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    skb2 = kept.select(F.col("_g").alias("_gb2"), F.col("_h").alias("_hb"))
+    inter = (
+        pairs.join(ska, "_ga")
+        .join(
+            skb2,
+            (F.col("_gb") == F.col("_gb2")) & (F.col("_ha") == F.col("_hb")),
+        )
+        .filter(F.col("_ha") < F.col("_th"))
+        .groupBy("_ga", "_gb")
+        .agg(F.count(F.lit(1)).alias("_ci"))
+    )
+    # exact witness: distinct-value overlap from the deduped values
+    ex = (
+        gv.alias("xa")
+        .join(
+            gv.alias("xb"),
+            (F.col("xa._v") == F.col("xb._v"))
+            & (F.col("xa._g") < F.col("xb._g")),
+        )
+        .groupBy(
+            F.col("xa._g").alias("_ga"), F.col("xb._g").alias("_gb")
+        )
+        .agg(F.count(F.lit(1)).alias("_xi"))
+    )
+    sizes = gv.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    est = (
+        pairs.join(surv_a, ["_ga", "_gb"], "left")
+        .join(surv_b, ["_ga", "_gb"], "left")
+        .join(inter, ["_ga", "_gb"], "left")
+        .join(ex, ["_ga", "_gb"], "left")
+        .join(sizes.select(F.col("_g").alias("_ga"), F.col("_sz").alias("_sza")), "_ga")
+        .join(sizes.select(F.col("_g").alias("_gb"), F.col("_sz").alias("_szb")), "_gb")
+        .select(
+            "_ga", "_gb", "_th",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+            F.coalesce("_ci", F.lit(0)).alias("_ci"),
+            F.coalesce("_xi", F.lit(0)).alias("_xi"),
+            "_sza", "_szb",
+        )
+    )
+    u_cnt = F.col("_ca") + F.col("_cb") - F.col("_ci")
+    return est.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        F.when(F.col("_th") >= KMV_SPACE, u_cnt)
+        .otherwise(F.expr(f"((_ca + _cb - _ci) * {KMV_SPACE}) div _th"))
+        .cast("long")
+        .alias("est_union"),
+        F.when(F.col("_th") >= KMV_SPACE, F.col("_ci"))
+        .otherwise(F.expr(f"(_ci * {KMV_SPACE}) div _th"))
+        .cast("long")
+        .alias("est_inter"),
+        F.when(u_cnt > 0, F.expr("(_ci * 1000000) div (_ca + _cb - _ci)"))
+        .cast("long")
+        .alias("jaccard_ppm"),
+        (F.col("_sza") + F.col("_szb") - F.col("_xi")).cast("long").alias("exact_union"),
+        F.col("_xi").cast("long").alias("exact_inter"),
+    )

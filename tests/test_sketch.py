@@ -539,3 +539,52 @@ def test_ams_f2_validation(spark):
         ams_f2(df, "zz")
     with pytest.raises(ValueError, match="group column"):
         ams_f2(df, "k", group_cols=["k"])
+
+
+def test_kmv_set_ops_exact_below_capacity(spark):
+    from nebula_importer_spark.operators.sketch import kmv_set_ops
+
+    rows = (
+        [("a", i) for i in range(30)]
+        + [("b", i) for i in range(20, 50)]
+        + [("c", i) for i in range(100, 105)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in kmv_set_ops(df, "v", "g", k=64).collect()
+    }
+    # every group below capacity -> sketches complete -> estimates exact
+    ab = got[("a", "b")]
+    assert (ab.est_union, ab.est_inter) == (50, 10)
+    assert (ab.exact_union, ab.exact_inter) == (50, 10)
+    assert ab.jaccard_ppm == 10 * 10**6 // 50
+    ac = got[("a", "c")]
+    assert (ac.est_inter, ac.exact_inter) == (0, 0)
+    assert ac.est_union == 35
+
+
+def test_kmv_set_ops_estimation_accuracy(spark):
+    from nebula_importer_spark.operators.sketch import kmv_set_ops
+
+    # 3000-element groups with a 1000-element overlap, k=256
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(2000, 5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_set_ops(df, "v", "g", k=256).collect()[0]
+    assert (r.exact_union, r.exact_inter) == (5000, 1000)
+    assert abs(r.est_union - 5000) < 1250
+    assert abs(r.est_inter - 1000) < 500
+
+
+def test_kmv_set_ops_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sketch import kmv_set_ops
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_set_ops(df, "v", "g", k=4)
+    with pytest.raises(ValueError, match="not in input"):
+        kmv_set_ops(df, "zz", "g")
+    with pytest.raises(ValueError, match="group column"):
+        kmv_set_ops(df, "g", "g")
