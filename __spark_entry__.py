@@ -8063,6 +8063,47 @@ _KMV_SET_OPS_SQL = """
 
 
 
+def q_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact recency-decayed engagement (operators/temporal.py:
+    decayed_score): per-user Σ 2^-age over day buckets with a 7-day
+    half-life — the feature-store freshness signal, hash-gateable
+    because decay is pinned to powers of two and every age-class
+    contribution floors independently to micro-units (integer shift
+    division; no float sum anywhere). "Now" is the corpus max bucket,
+    so the score is a pure function of the data."""
+    from nebula_importer_spark.operators.temporal import decayed_score
+
+    return decayed_score(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        bucket_sec=86400,
+        half_life_buckets=7,
+    )
+
+
+_EVENTS_DECAY_SQL = """
+    WITH b AS (
+        SELECT user_id AS k,
+               epoch_us(ts) // 1000000 // 86400 AS bkt
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    nw AS (SELECT MAX(bkt) AS now FROM b),
+    cls AS (
+        SELECT k, (now - bkt) // 7 AS e, COUNT(*)::BIGINT AS c,
+               MIN(now - bkt) AS mina
+        FROM b CROSS JOIN nw GROUP BY 1, 2
+    )
+    SELECT k AS user_id, SUM(c)::BIGINT AS n_events,
+           MIN(mina)::BIGINT AS last_age_buckets,
+           SUM(CASE WHEN e <= 62
+                    THEN (c * 1000000) // (1::BIGINT << e::INT)
+                    ELSE 0 END)::BIGINT AS score_micro
+    FROM cls GROUP BY 1
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9310,6 +9351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": q_readability_docs,
         "nb_lang_docs": q_nb_lang_docs,
         "kmv_overlap_types": q_kmv_overlap_types,
+        "events_decay": q_events_decay,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10721,6 +10763,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _READABILITY_SQL,
         "nb_lang_docs": _NB_LANG_SQL,
         "kmv_overlap_types": _KMV_SET_OPS_SQL,
+        "events_decay": _EVENTS_DECAY_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

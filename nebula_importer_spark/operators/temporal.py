@@ -1940,3 +1940,89 @@ def band_join(
         "diff",
         (F.col(left_val).cast("long") - F.col(rv_final).cast("long")),
     )
+
+
+def decayed_score(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_sec: int = 86400,
+    half_life_buckets: int = 7,
+) -> DataFrame:
+    """Exact recency-decayed engagement score — the feature-store
+    freshness signal (``Σ 2^-age`` over a key's events) made
+    hash-gateable by pinning the decay to POWERS OF TWO and flooring
+    each age-class contribution independently to micro-units.
+
+    Contract: events bucket by ``epoch div bucket_sec``; "now" is the
+    corpus-wide max bucket (deterministic from the data, no wall
+    clock); an event's age class is ``e = (now − bucket) div
+    half_life_buckets`` and its weight ``2^-e`` (full weight inside the
+    first half-life, then exact halving). Per (key, age class) the
+    count aggregates first, then contributes
+    ``(count · 10^6) div 2^e`` micro-units — integer shift division,
+    floored PER AGE CLASS (documented: this is the pinned semantics,
+    not a float sum rounded at the end), so the per-key score is a sum
+    of exact integers — accumulation-order-proof on any engine. Age
+    classes past 62 half-lives contribute 0 (their weight is below a
+    micro-unit for any class count under ~9·10^12 — a loud guard
+    rejects the absurdity beyond that instead of silently wrapping).
+
+    Scale shape: ONE partial-agg'd groupBy to (key, age class) — raw
+    events reduce map-side — a 1-row broadcast for "now", and one
+    |keys|·|classes|-row final agg. No window, no sort. Returns
+    ``(key_col, n_events, last_age_buckets, score_micro)``.
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if half_life_buckets < 1:
+        raise ValueError(
+            f"half_life_buckets must be >= 1, got {half_life_buckets}"
+        )
+    for c in (key_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    b = df.select(
+        F.col(key_col).alias("_k"),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec))
+        .cast("long")
+        .alias("_b"),
+    ).filter(F.col("_k").isNotNull() & F.col("_b").isNotNull())
+    now = b.agg(F.max("_b").alias("_now"))
+    classes = (
+        b.join(F.broadcast(now))
+        .select(
+            "_k",
+            "_b",
+            F.expr(f"div(_now - _b, {int(half_life_buckets)})").alias("_e"),
+            (F.col("_now") - F.col("_b")).alias("_age"),
+        )
+        .groupBy("_k", "_e")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_age").alias("_min_age"),
+        )
+    )
+    term = F.expr(
+        "CASE WHEN _e <= 62 THEN div(_c * 1000000L, shiftleft(1L, cast(_e AS INT)))"
+        " WHEN _c <= 4000000000000 THEN 0L"
+        " ELSE raise_error('decayed_score: age-class count too large for"
+        " exact zero-weight floor past 62 half-lives') END"
+    )
+    return (
+        classes.select("_k", "_c", "_min_age", term.alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.sum("_c").cast("long").alias("n_events"),
+            F.min("_min_age").cast("long").alias("last_age_buckets"),
+            F.sum("_t").cast("long").alias("score_micro"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_events",
+            "last_age_buckets",
+            "score_micro",
+        )
+    )

@@ -1784,3 +1784,57 @@ def test_band_join_validation(spark):
     li = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError, match="both sides"):
         band_join(li, r, left_val="v", right_val="w", eps=1, on=["g"])
+
+
+def test_decayed_score_exact_values(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.temporal import decayed_score
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for d, n in ((0, 3), (7, 2), (21, 1)):
+        rows += [(1, base - dt.timedelta(days=d))] * n
+    rows.append((2, base - dt.timedelta(days=70)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in decayed_score(df).collect()}
+    # u1: 3 events in class 0 (x1.0), 2 in class 1 (x0.5), 1 in class 3
+    # (x0.125) -> 3_000_000 + 1_000_000 + 125_000
+    assert got[1].score_micro == 4_125_000
+    assert (got[1].n_events, got[1].last_age_buckets) == (6, 0)
+    # u2: one event 10 half-lives old -> 1e6 >> 10 = 976 (floored)
+    assert got[2].score_micro == 976
+    assert got[2].last_age_buckets == 70
+
+
+def test_decayed_score_per_class_floor_pinned(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.temporal import decayed_score
+
+    base = dt.datetime(2026, 1, 1)
+    # 3 events in class 1: per-class floor gives (3*1e6)//2 = 1_500_000,
+    # NOT 3*(1e6//2); and one class-70 event (>62) contributes exactly 0
+    rows = [(1, base - dt.timedelta(days=7))] * 3
+    rows.append((1, base - dt.timedelta(days=7 * 70)))
+    rows.append((1, base))  # anchors now at class 0
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = decayed_score(df).collect()[0]
+    assert r.score_micro == 1_000_000 + 1_500_000 + 0
+    assert r.n_events == 5
+
+
+def test_decayed_score_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.temporal import decayed_score
+
+    df = spark.createDataFrame([(1,)], "user_id long").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"]).current_timestamp()
+    )
+    with pytest.raises(ValueError, match="bucket_sec"):
+        decayed_score(df, bucket_sec=0)
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_score(df, half_life_buckets=0)
+    with pytest.raises(ValueError, match="not in input"):
+        decayed_score(df, key_col="zz")
