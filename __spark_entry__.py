@@ -8104,6 +8104,92 @@ _EVENTS_DECAY_SQL = """
 
 
 
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass (operators/graph.py:trustrank, Gyöngyi et
+    al. VLDB 2004) over the customer↔supplier graph with every 17th
+    customer as a trusted seed — the link-spam detector: teleport mass
+    lands only on seeds, and rank a node holds beyond what trust
+    reaches (``spam_mass_ppm``) flags farm-boosted nodes. Both
+    recurrences (rank + trust) ride the same superstep join as scaled
+    longs with floor division — the exact-integer discipline that lets
+    the gate hash a seeded iterative algorithm; oracle = the dual
+    recurrence unrolled CTE-per-superstep."""
+    from nebula_importer_spark.operators.graph import trustrank
+
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 17 == 0)
+        .select(F.concat(F.lit("c_"), F.col("c_custkey")).alias("node"))
+    )
+    return trustrank(_cs_graph(spark, sf_dir), seeds, iterations=4)
+
+
+def _trustrank_sql(iterations: int = 4) -> str:
+    """DuckDB twin of q_graph_trustrank: the dual (rank, trust) integer
+    recurrence unrolled one CTE per superstep; seeds = every 17th
+    customer that appears in the graph. MATERIALIZED per round (each
+    round is referenced by the next's join)."""
+    scale = 10**12
+    ctes = [
+        """cs AS (
+            SELECT DISTINCT 'c_' || o_custkey AS c, 's_' || l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM cs
+              UNION ALL SELECT s, c FROM cs),
+        deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        sd AS (
+            SELECT node FROM n
+            WHERE node IN (
+                SELECT 'c_' || c_custkey FROM customer
+                WHERE c_custkey %% 17 = 0
+            )
+        ),
+        prm AS (SELECT
+                    CAST(%d AS BIGINT) // (SELECT COUNT(*) FROM n) AS ip,
+                    CAST(%d AS BIGINT) // (SELECT COUNT(*) FROM n)
+                        * 15 // 100 AS bp,
+                    CAST(%d AS BIGINT) // (SELECT COUNT(*) FROM sd) AS it,
+                    CAST(%d AS BIGINT) // (SELECT COUNT(*) FROM sd)
+                        * 15 // 100 AS bt),
+        r0 AS (
+            SELECT n.node, (SELECT ip FROM prm) AS pr,
+                   CASE WHEN sd.node IS NULL THEN 0
+                        ELSE (SELECT it FROM prm) END AS tr,
+                   CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS isd
+            FROM n LEFT JOIN sd ON sd.node = n.node
+        )""" % (scale, scale, scale, scale)
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+            SELECT b.node,
+                   CAST((SELECT bp FROM prm)
+                        + (85 * COALESCE(m.mp, 0)) // 100 AS BIGINT) AS pr,
+                   CAST(b.isd * (SELECT bt FROM prm)
+                        + (85 * COALESCE(m.mt, 0)) // 100 AS BIGINT) AS tr,
+                   b.isd
+            FROM r0 b LEFT JOIN (
+                SELECT e.dst, SUM(p.pr // deg.dg) AS mp,
+                       SUM(p.tr // deg.dg) AS mt
+                FROM e JOIN deg USING (src) JOIN r{k - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            ) m ON m.dst = b.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node, pr AS rank_scaled, tr AS trust_scaled,
+               CASE WHEN pr > 0 THEN ((pr - tr) * 1000000) // pr
+                    ELSE 0 END::BIGINT AS spam_mass_ppm
+        FROM r{iterations}"""
+    )
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9352,6 +9438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_docs": q_nb_lang_docs,
         "kmv_overlap_types": q_kmv_overlap_types,
         "events_decay": q_events_decay,
+        "graph_trustrank": q_graph_trustrank,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10764,6 +10851,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_docs": _NB_LANG_SQL,
         "kmv_overlap_types": _KMV_SET_OPS_SQL,
         "events_decay": _EVENTS_DECAY_SQL,
+        "graph_trustrank": _trustrank_sql(4),
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

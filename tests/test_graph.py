@@ -2185,3 +2185,66 @@ def test_rich_club_validation(spark):
         rich_club(df, thresholds=[-1])
     with pytest.raises(ValueError, match="not in input"):
         rich_club(df, src="zz")
+
+
+def test_trustrank_python_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.graph import trustrank
+
+    rng = random.Random(99)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)})
+    seeds = [0, 5, 9]
+    scale, d, iters = 10**12, 85, 4
+
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    seeds_in = [x for x in seeds if x in nodes]
+    init_pr, init_tr = scale // n, scale // len(seeds_in)
+    base_pr = init_pr * (100 - d) // 100
+    base_tr = init_tr * (100 - d) // 100
+    outdeg = {}
+    for s_, _ in edges:
+        outdeg[s_] = outdeg.get(s_, 0) + 1
+    pr = {v: init_pr for v in nodes}
+    tr = {v: init_tr if v in seeds_in else 0 for v in nodes}
+    for _ in range(iters):
+        mp, mt = {}, {}
+        for s_, t_ in edges:
+            mp[t_] = mp.get(t_, 0) + pr[s_] // outdeg[s_]
+            mt[t_] = mt.get(t_, 0) + tr[s_] // outdeg[s_]
+        pr = {v: base_pr + d * mp.get(v, 0) // 100 for v in nodes}
+        tr = {
+            v: (base_tr if v in seeds_in else 0) + d * mt.get(v, 0) // 100
+            for v in nodes
+        }
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r.node: (r.rank_scaled, r.trust_scaled, r.spam_mass_ppm)
+        for r in trustrank(edf, sdf, iterations=iters).collect()
+    }
+    for v in nodes:
+        sm = (pr[v] - tr[v]) * 10**6
+        # exact truncation toward zero (Spark div semantics)
+        if pr[v] > 0:
+            sm = sm // pr[v] if sm >= 0 else -((-sm) // pr[v])
+        else:
+            sm = 0
+        assert got[v] == (pr[v], tr[v], sm), f"node {v}"
+
+
+def test_trustrank_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s0 = spark.createDataFrame([(9,)], "node long")
+    with pytest.raises(ValueError, match="no seed"):
+        trustrank(e, s0).collect()
+    with pytest.raises(ValueError, match="iterations"):
+        trustrank(e, s0, iterations=0)
+    with pytest.raises(ValueError, match="not in seeds"):
+        trustrank(e, e.select("src"), seed_col="node")
