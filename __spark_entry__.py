@@ -8190,6 +8190,74 @@ def _trustrank_sql(iterations: int = 4) -> str:
 
 
 
+def q_spearman_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation (operators/metrics.py:
+    spearman_corr) between document char length and whitespace token
+    count — the monotone-association grade beside kendall_doclen's
+    concordance view. Both variables take doubled midranks from the
+    exact_auc order-preserving bucket machinery (no global sort); all
+    five sufficient statistics are exact DECIMAL(38,0) sums; the single
+    output row costs two sqrts and one division."""
+    from nebula_importer_spark.operators.metrics import spearman_corr
+    from nebula_importer_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return spearman_corr(
+        d.select(
+            F.col("n_chars").cast("long").alias("x"),
+            token_count(F.col("text")).alias("y"),
+        ),
+        "x",
+        "y",
+    )
+
+
+_SPEARMAN_SQL = """
+    WITH v AS (
+        SELECT n_chars::BIGINT AS x,
+               len(regexp_extract_all(COALESCE(text, ''),
+                   '[^\t\n\f\r ]+'))::BIGINT AS y
+        FROM documents
+    ),
+    val AS (SELECT x, y FROM v WHERE x IS NOT NULL AND y IS NOT NULL),
+    nn AS (
+        SELECT COUNT(*) FILTER (x IS NULL OR y IS NULL)::BIGINT AS n_null
+        FROM v
+    ),
+    dx AS (SELECT x AS v, COUNT(*)::HUGEINT AS n FROM val GROUP BY 1),
+    rx AS (
+        SELECT v, (2 * COALESCE(SUM(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n + 1)::BIGINT AS r2
+        FROM dx
+    ),
+    dy AS (SELECT y AS v, COUNT(*)::HUGEINT AS n FROM val GROUP BY 1),
+    ry AS (
+        SELECT v, (2 * COALESCE(SUM(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n + 1)::BIGINT AS r2
+        FROM dy
+    ),
+    j AS (
+        SELECT rx.r2::HUGEINT AS a, ry.r2::HUGEINT AS b
+        FROM val JOIN rx ON rx.v = val.x JOIN ry ON ry.v = val.y
+    ),
+    s AS (
+        SELECT COUNT(*)::HUGEINT AS n, SUM(a) AS sx, SUM(b) AS sy,
+               SUM(a * a) AS sxx, SUM(b * b) AS syy, SUM(a * b) AS sxy
+        FROM j
+    )
+    SELECT n::BIGINT AS n, (SELECT n_null FROM nn) AS n_null,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+           END AS rho
+    FROM s
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9439,6 +9507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_types": q_kmv_overlap_types,
         "events_decay": q_events_decay,
         "graph_trustrank": q_graph_trustrank,
+        "spearman_doclen": q_spearman_doclen,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10852,6 +10921,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap_types": _KMV_SET_OPS_SQL,
         "events_decay": _EVENTS_DECAY_SQL,
         "graph_trustrank": _trustrank_sql(4),
+        "spearman_doclen": _SPEARMAN_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1871,3 +1871,119 @@ def regression_report(
             f" / {sst} AS BIGINT) END"
         ).alias("r2_milli"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between two integral
+    columns — the monotone-association grade (quality score vs human
+    rating, length vs tokens) where Pearson assumes linearity and
+    Kendall costs a pair join.
+
+    Exactness: both variables take DOUBLED midranks (``2·below + tied
+    + 1`` per member, always an odd integer — the ``exact_auc``
+    discipline), so every sufficient statistic (Σrx, Σry, Σrx², Σry²,
+    Σrx·ry) is an exact DECIMAL(38,0) sum — accumulation-order-proof
+    where a float covariance drifts. The classic
+    ``ρ = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) √(nΣy²−(Σy)²)`` then costs
+    exactly two sqrts and one division per OUTPUT ROW (one row total),
+    from integers both engines cast identically.
+
+    Distributed shape: ranks are value-functions, so each variable
+    collapses to one row per DISTINCT value (the only data-sized
+    shuffles, both on longs); midranks come from the ``exact_auc``
+    order-preserving bucket machinery — a per-bucket cumulative window
+    plus an exclusive prefix over the ≤64 bucket totals (no
+    single-partition window over the distinct table, no global sort);
+    rows join their two midranks back on long keys; ONE final
+    aggregation emits the statistics. No driver collect.
+
+    NULL-x or NULL-y rows are excluded and counted. A constant variable
+    has zero rank variance → NULL rho (visible, not 0). Returns one row
+    ``(n, n_null, rho)`` with rho rounded to 6 places.
+    """
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (x_col, y_col):
+        if not isinstance(by_name[c], integral):
+            raise ValueError(
+                f"spearman_corr needs integral variables (quantize floats "
+                f"caller-side): {c} is {by_name[c]}"
+            )
+
+    x, y = F.col(x_col), F.col(y_col)
+    valid = df.select(
+        x.cast("long").alias("_x"), y.cast("long").alias("_y")
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    nulls = df.agg(
+        F.sum(F.when(x.isNull() | y.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null")
+    )
+
+    def _ranks(col: str, n_buckets: int = 64) -> DataFrame:
+        per = valid.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        stats = per.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+        bucketed = per.crossJoin(F.broadcast(stats)).withColumn(
+            "_b", F.expr(f"((_v - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        )
+        w = (
+            Window.partitionBy("_b")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = bucketed.withColumn(
+            "_bl", F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long"))
+        )
+        totals = bucketed.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+        wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            "_b",
+            F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long")).alias(
+                "_off"
+            ),
+        )
+        return local.join(F.broadcast(offsets), "_b").select(
+            "_v",
+            (
+                F.lit(2) * (F.col("_bl") + F.col("_off"))
+                + F.col("_n")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("_r2"),
+        )
+
+    rx = _ranks("_x").select(F.col("_v").alias("_x"), F.col("_r2").alias("_rx"))
+    ry = _ranks("_y").select(F.col("_v").alias("_y"), F.col("_r2").alias("_ry"))
+    joined = valid.join(rx, "_x").join(ry, "_y")
+    d = "CAST({} AS DECIMAL(38,0))"
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"sum({d.format('_rx')})").alias("_sx"),
+        F.expr(f"sum({d.format('_ry')})").alias("_sy"),
+        F.expr(f"sum({d.format('_rx')} * {d.format('_rx')})").alias("_sxx"),
+        F.expr(f"sum({d.format('_ry')} * {d.format('_ry')})").alias("_syy"),
+        F.expr(f"sum({d.format('_rx')} * {d.format('_ry')})").alias("_sxy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.round(
+        num.cast("double")
+        / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        6,
+    )
+    return agg.crossJoin(F.broadcast(nulls)).select(
+        "n",
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        F.when((dx > 0) & (dy > 0), rho).alias("rho"),
+    )

@@ -1512,3 +1512,75 @@ def test_regression_report_validation(spark):
     empty = spark.createDataFrame([], "label long, pred long")
     r = regression_report(empty).collect()[0]
     assert r.n == 0 and r.mae_micro is None and r.r2_milli is None
+
+
+def _py_spearman(pairs):
+    import math
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+
+    def ranks2(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for u in vals if u < v)
+            tied = sum(1 for u in vals if u == v)
+            out.append(2 * below + tied + 1)
+        return out
+
+    rx, ry = ranks2(xs), ranks2(ys)
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return None
+    return round(num / (math.sqrt(dx) * math.sqrt(dy)), 6)
+
+
+def test_spearman_random_parity(spark):
+    import random
+
+    from nebula_importer_spark.operators.metrics import spearman_corr
+
+    rng = random.Random(31)
+    pairs = [
+        (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)
+    ] + [(7, 7)] * 20  # heavy tie block
+    df = spark.createDataFrame(pairs, "x long, y long")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r.n == 320 and r.n_null == 0
+    assert r.rho == _py_spearman(pairs)
+
+
+def test_spearman_monotone_and_degenerate(spark):
+    from nebula_importer_spark.operators.metrics import spearman_corr
+
+    up = spark.createDataFrame(
+        [(i, i * i) for i in range(50)], "x long, y long"
+    )
+    assert spearman_corr(up, "x", "y").collect()[0].rho == 1.0
+    down = spark.createDataFrame(
+        [(i, -3 * i) for i in range(50)], "x long, y long"
+    )
+    assert spearman_corr(down, "x", "y").collect()[0].rho == -1.0
+    const = spark.createDataFrame(
+        [(i, 5) for i in range(10)] + [(None, 1)], "x long, y long"
+    )
+    r = spearman_corr(const, "x", "y").collect()[0]
+    assert r.rho is None and r.n_null == 1 and r.n == 10
+
+
+def test_spearman_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.metrics import spearman_corr
+
+    df = spark.createDataFrame([(1, 0.5)], "x long, y double")
+    with pytest.raises(ValueError, match="integral"):
+        spearman_corr(df, "x", "y")
+    with pytest.raises(ValueError, match="not in input"):
+        spearman_corr(df, "zz", "x")
