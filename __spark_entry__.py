@@ -8258,6 +8258,69 @@ _SPEARMAN_SQL = """
 
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (operators/text.py:
+    vocab_growth): distinct-token count and type-token ratio after each
+    tenth of the corpus in crawl (doc_id) order — the sublinearity check
+    that catches id-like junk flooding the token space. First
+    appearances are gram_novelty-style first-owner argmins; crawl ranks
+    come from the order-preserving two-level bucket machinery; the
+    curve itself is a 10-row cumulative sum of exact longs."""
+    from nebula_importer_spark.operators.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n_points=10)
+
+
+_VOCAB_GROWTH_SQL = """
+    WITH base AS (
+        SELECT doc_id::BIGINT AS id, COALESCE(text, '') AS t
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    rk AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS r,
+               (SELECT COUNT(*) FROM base) AS d
+        FROM base
+    ),
+    toks AS (
+        SELECT rk.r, rk.d,
+               unnest(regexp_extract_all(b.t, '[^\t\n\f\r ]+')) AS w
+        FROM base b JOIN rk ON rk.id = b.id
+    ),
+    tp AS (
+        SELECT (r * 10 + d - 1) // d AS p, COUNT(*)::BIGINT AS ntok
+        FROM toks GROUP BY 1
+    ),
+    vp AS (
+        SELECT p, COUNT(*)::BIGINT AS nvoc FROM (
+            SELECT w, MIN((r * 10 + d - 1) // d) AS p FROM toks GROUP BY w
+        ) GROUP BY 1
+    ),
+    dp AS (
+        SELECT (r * 10 + d - 1) // d AS p, COUNT(*)::BIGINT AS ndoc
+        FROM rk GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS p),
+    c AS (
+        SELECT g.p, COALESCE(ndoc, 0) AS ndoc, COALESCE(ntok, 0) AS ntok,
+               COALESCE(nvoc, 0) AS nvoc
+        FROM grid g
+        LEFT JOIN dp ON dp.p = g.p
+        LEFT JOIN tp ON tp.p = g.p
+        LEFT JOIN vp ON vp.p = g.p
+    )
+    SELECT p::BIGINT AS checkpoint,
+           (SUM(ndoc) OVER w)::BIGINT AS n_docs,
+           (SUM(ntok) OVER w)::BIGINT AS n_tokens,
+           (SUM(nvoc) OVER w)::BIGINT AS vocab,
+           CASE WHEN SUM(ntok) OVER w > 0
+                THEN (SUM(nvoc) OVER w * 1000000) // (SUM(ntok) OVER w)
+           END::BIGINT AS ttr_ppm
+    FROM c
+    WINDOW w AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9508,6 +9571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decay": q_events_decay,
         "graph_trustrank": q_graph_trustrank,
         "spearman_doclen": q_spearman_doclen,
+        "vocab_growth_docs": q_vocab_growth,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10922,6 +10986,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decay": _EVENTS_DECAY_SQL,
         "graph_trustrank": _trustrank_sql(4),
         "spearman_doclen": _SPEARMAN_SQL,
+        "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1248,3 +1248,124 @@ _SQL_EASE_NUM = (
     "206835 * n_sentences * n_words - 1015 * n_words * n_words"
     " - 84600 * n_syllables * n_sentences"
 )
+
+
+def vocab_growth(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_points: int = 10,
+):
+    """Heaps-law vocabulary growth curve — distinct-token count and
+    type-token ratio after each prefix of the corpus in crawl order
+    (ascending ``id_col``), the instrument behind "how much NEW
+    vocabulary does the next crawl tranche buy?" and the sanity check
+    that a dedup'd corpus still grows sublinearly (V ≈ K·nᵝ, β < 1; a
+    β near 1 means boilerplate or id-like junk is flooding the token
+    space).
+
+    Exactness: a token's first appearance is an argmin (the gram_novelty
+    first-owner discipline) — ``min(crawl rank of owning doc)`` over one
+    partial-agg'd groupBy where token strings shuffle once as grams;
+    each token/document then maps to the FIRST checkpoint covering it
+    with exact integer math (``p = ceil(rank·P / D)``), so the curve is
+    a P-row cumulative sum of exact longs. Crawl ranks come from the
+    order-preserving two-level bucket machinery (no global sort).
+
+    Scale shape: one doc-rank pass (distinct ids), one (token → min
+    rank) aggregation, two ≤P-row cumulative windows. Returns one row
+    per checkpoint: ``(checkpoint, n_docs, n_tokens, vocab, ttr_ppm)``
+    where ``ttr_ppm = vocab·10⁶ div n_tokens``.
+    """
+    if not 1 <= n_points <= 1000:
+        raise ValueError(f"n_points must be in [1, 1000], got {n_points}")
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql.window import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).filter(F.col("_id").isNotNull())
+
+    # crawl rank per doc (ids are distinct): order-preserving buckets +
+    # two-level prefix, the exact_auc/token_budget machinery
+    ids = base.select(F.col("_id").cast("long").alias("_v")).distinct()
+    stats = ids.agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_d"),
+    )
+    bucketed = ids.crossJoin(F.broadcast(stats)).withColumn(
+        "_b", F.expr("((_v - _mn) * 64) div (_mx - _mn + 1)")
+    )
+    wloc = W.partitionBy("_b").orderBy("_v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "_bl", F.coalesce(F.count(F.lit(1)).over(wloc), F.lit(0))
+    )
+    totals = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bt"))
+    woff = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off")
+    )
+    ranks = local.join(F.broadcast(offsets), "_b").select(
+        F.col("_v").alias("_rid"),
+        (F.col("_bl") + F.col("_off") + 1).cast("long").alias("_r"),
+        F.col("_d"),
+    )
+
+    toks = base.select(
+        F.col("_id").cast("long").alias("_rid"),
+        F.explode(F.regexp_extract_all("_t", F.lit(NOT_WS + "+"), F.lit(0))).alias(
+            "_w"
+        ),
+    ).join(ranks, "_rid")
+    # first checkpoint covering rank r: p = ceil(r*P/D)
+    pexpr = f"div(_r * {int(n_points)} + _d - 1, _d)"
+    tok_by_p = toks.select(F.expr(pexpr).alias("_p")).groupBy("_p").agg(
+        F.count(F.lit(1)).cast("long").alias("_ntok")
+    )
+    voc_by_p = (
+        toks.groupBy("_w")
+        .agg(F.min(F.expr(pexpr)).alias("_p"))
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nvoc"))
+    )
+    docs_by_p = ranks.select(F.expr(pexpr).alias("_p")).groupBy("_p").agg(
+        F.count(F.lit(1)).cast("long").alias("_ndoc")
+    )
+    spark = df.sparkSession
+    grid = spark.range(1, n_points + 1).select(F.col("id").alias("_p"))
+    wcum = W.orderBy("_p").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        grid.join(docs_by_p, "_p", "left")
+        .join(tok_by_p, "_p", "left")
+        .join(voc_by_p, "_p", "left")
+        .select(
+            "_p",
+            F.coalesce("_ndoc", F.lit(0)).alias("_ndoc"),
+            F.coalesce("_ntok", F.lit(0)).alias("_ntok"),
+            F.coalesce("_nvoc", F.lit(0)).alias("_nvoc"),
+        )
+        .select(
+            F.col("_p").cast("long").alias("checkpoint"),
+            F.sum("_ndoc").over(wcum).cast("long").alias("n_docs"),
+            F.sum("_ntok").over(wcum).cast("long").alias("n_tokens"),
+            F.sum("_nvoc").over(wcum).cast("long").alias("vocab"),
+        )
+    )
+    return curve.select(
+        "checkpoint",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("vocab * 1000000L div n_tokens"),
+        )
+        .cast("long")
+        .alias("ttr_ppm"),
+    )

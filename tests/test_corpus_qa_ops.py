@@ -1294,3 +1294,42 @@ def test_readability_validation_and_plan(spark):
     # map-only contract: no Exchange anywhere in the physical plan
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_growth_exact_curve(spark):
+    from nebula_importer_spark.operators.text import vocab_growth
+
+    rows = [(1, "a b c"), (2, "a b d"), (3, "a e"), (4, "f f f"), (10, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.checkpoint, r.n_docs, r.n_tokens, r.vocab, r.ttr_ppm)
+        for r in vocab_growth(df, n_points=5).orderBy("checkpoint").collect()
+    ]
+    assert got == [
+        (1, 1, 3, 3, 1000000),
+        (2, 2, 6, 4, 666666),
+        (3, 3, 8, 5, 625000),
+        (4, 4, 11, 6, 545454),
+        (5, 5, 11, 6, 545454),  # empty doc adds nothing
+    ]
+
+
+def test_vocab_growth_sparse_ids_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import vocab_growth
+
+    # sparse non-contiguous ids: rank order, not id arithmetic, drives
+    # the checkpoints
+    rows = [(1000, "x"), (5, "x y"), (70, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.checkpoint: (r.n_docs, r.vocab)
+        for r in vocab_growth(df, n_points=3).collect()
+    }
+    # crawl order: 5 ("x y"), 70 ("z"), 1000 ("x")
+    assert got == {1: (1, 2), 2: (2, 3), 3: (3, 3)}
+    with pytest.raises(ValueError, match="n_points"):
+        vocab_growth(df, n_points=0)
+    with pytest.raises(ValueError, match="not in input"):
+        vocab_growth(df, text_col="zz")
