@@ -8321,6 +8321,62 @@ _VOCAB_GROWTH_SQL = """
 
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain crawl statistics (operators/web.py:
+    domain_stats over parse_urls): the politeness/budget table keyed on
+    the public-suffix registrable domain. The gate synthesizes
+    deterministic URLs from the documents table (subdomain by
+    doc_id%3, a .co.uk multi-label suffix every 4th doc, a query
+    string every 5th) and the ORACLE derives the expected stats
+    directly from the GENERATOR — independent machinery: the regexp
+    parser and the PSL heuristic must reconstruct exactly what the
+    construction implies (3-label registrable under .co.uk, host
+    spread, depth-2 paths, query share)."""
+    from nebula_importer_spark.operators.web import domain_stats
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?ref=1")).otherwise(
+            F.lit("")
+        ),
+    )
+    return domain_stats(d.select(url.alias("url")))
+
+
+_DOMAIN_STATS_SQL = """
+    WITH u AS (
+        SELECT source || CASE WHEN doc_id % 4 = 0
+                              THEN '.co.uk' ELSE '.com' END AS dom,
+               (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                     WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+               || source
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '.co.uk' ELSE '.com' END AS host,
+               2 AS depth,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS q
+        FROM documents
+    )
+    SELECT dom AS registrable_domain, COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT host)::BIGINT AS n_hosts,
+           (SUM(depth) * 1000 // COUNT(*))::BIGINT AS mean_depth_milli,
+           (SUM(q) * 1000000 // COUNT(*))::BIGINT AS query_ppm
+    FROM u GROUP BY 1
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9572,6 +9628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trustrank": q_graph_trustrank,
         "spearman_doclen": q_spearman_doclen,
         "vocab_growth_docs": q_vocab_growth,
+        "domain_stats_docs": q_domain_stats,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -10987,6 +11044,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_trustrank": _trustrank_sql(4),
         "spearman_doclen": _SPEARMAN_SQL,
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
+        "domain_stats_docs": _DOMAIN_STATS_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1,0 +1,52 @@
+import pytest
+
+from nebula_importer_spark.operators.web import domain_stats, parse_urls
+
+
+def test_parse_urls_fields(spark):
+    urls = [
+        (1, "https://www.Example.co.uk:8443/a/b/c?q=1#frag"),
+        (2, "http://sub.deep.example.com/page"),
+        (3, "https://example.com"),
+        (4, "ftp://user:pw@files.example.org/pub/x.txt"),
+        (5, "http://localhost/x"),
+        (6, "not a url"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {r.id: r for r in parse_urls(df).collect()}
+    r1 = got[1]
+    assert (r1.scheme, r1.host, r1.port) == ("https", "www.example.co.uk", 8443)
+    assert (r1.path, r1.path_depth, r1.has_query) == ("/a/b/c", 3, True)
+    assert r1.registrable_domain == "example.co.uk"  # 3-label PSL rule
+    assert got[2].registrable_domain == "example.com"
+    assert got[3].path is None and got[3].path_depth is None
+    assert got[4].host == "files.example.org"  # userinfo stripped
+    assert got[5].registrable_domain == "localhost"  # single label
+    for i in (6, 7):
+        assert got[i].host is None and got[i].registrable_domain is None
+
+
+def test_domain_stats_exact(spark):
+    urls = [
+        ("https://a.example.com/x/y",),
+        ("https://b.example.com/z?q=1",),
+        ("https://example.com",),
+        ("junk",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = {r.registrable_domain: r for r in domain_stats(df).collect()}
+    ex = got["example.com"]
+    assert (ex.n_urls, ex.n_hosts) == (3, 3)
+    assert ex.mean_depth_milli == (2 + 1 + 0) * 1000 // 3
+    assert ex.query_ppm == 1 * 10**6 // 3
+    assert got[None].n_urls == 1  # unparseable rows stay visible
+
+
+def test_parse_urls_validation(spark):
+    df = spark.createDataFrame([("x",)], "url string")
+    with pytest.raises(ValueError, match="not in input"):
+        parse_urls(df, url_col="zz")
+    # map-only contract
+    plan = parse_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
