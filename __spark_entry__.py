@@ -8377,6 +8377,47 @@ _DOMAIN_STATS_SQL = """
 
 
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine weight-balanced shard assignment (operators/layout.py:
+    balanced_shards): documents spread over 16 training shards by
+    whitespace-token weight with snake-draft balancing — a pure
+    function of (weight, id), reproducible where random packers are
+    not. Global ranks via the order-preserving two-level bucket
+    machinery (no global sort); the oracle is the direct
+    ROW_NUMBER-over-(weight DESC, id) twin plus the same serpentine
+    arithmetic."""
+    from nebula_importer_spark.operators.layout import balanced_shards
+    from nebula_importer_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return balanced_shards(
+        d.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
+        n_shards=16,
+    )
+
+
+_BALANCED_SHARDS_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               len(regexp_extract_all(COALESCE(text, ''),
+                   '[^\t\n\f\r ]+'))::BIGINT AS n_tokens
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    rk AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (
+                   ORDER BY n_tokens DESC, doc_id ASC)::BIGINT AS rank
+        FROM w
+    )
+    SELECT doc_id, n_tokens, rank,
+           CASE WHEN ((rank - 1) // 16) % 2 = 0
+                THEN (rank - 1) % 16
+                ELSE 15 - (rank - 1) % 16 END::BIGINT AS shard
+    FROM rk
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9629,6 +9670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_doclen": q_spearman_doclen,
         "vocab_growth_docs": q_vocab_growth,
         "domain_stats_docs": q_domain_stats,
+        "balanced_shards_docs": q_balanced_shards,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11045,6 +11087,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_doclen": _SPEARMAN_SQL,
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "domain_stats_docs": _DOMAIN_STATS_SQL,
+        "balanced_shards_docs": _BALANCED_SHARDS_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -460,3 +460,100 @@ def pruning_audit(
             "(rows_total - rows_scanned) * 1000000L div rows_total"
         ).alias("skip_ppm"),
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_shards: int = 16,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic weight-balanced shard assignment — the
+    training-shard packer: spread documents over ``n_shards`` so every
+    shard carries a near-equal token total, without a driver-side bin
+    packer. The rule is SERPENTINE round-robin over the global
+    (weight desc, id asc) rank: rows chunk into waves of ``n_shards``;
+    odd waves reverse direction, so the shard that took a wave's
+    heaviest row takes the next wave's lightest (classic snake-draft
+    balancing — the max/min shard gap is bounded by one wave's spread,
+    far tighter than plain round-robin on skewed weights). The
+    assignment is a pure function of (weight, id) — reproducible on any
+    engine, which a salted or random packer can never be.
+
+    Distributed shape: the global rank comes from the order-preserving
+    two-level bucket machinery (per-bucket window + exclusive prefix
+    over ≤``n_buckets`` totals — no global sort of the data); the
+    serpentine map is one arithmetic projection. Weights must be
+    integral and non-negative (raise loudly otherwise — the
+    exact_weighted_quantiles rule).
+
+    Returns ``(id_col, weight_col, rank, shard)`` with shard in
+    ``[0, n_shards)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    for c in (id_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(by_name[weight_col], integral):
+        raise ValueError(
+            f"balanced_shards needs an integral weight: "
+            f"{weight_col} is {by_name[weight_col]}"
+        )
+
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter(F.col("_id").isNotNull() & F.col("_w").isNotNull())
+    rows = rows.withColumn(
+        "_w",
+        F.when(
+            F.col("_w") >= 0, F.col("_w")
+        ).otherwise(
+            F.raise_error(
+                F.lit("balanced_shards: negative weight encountered")
+            ).cast("long")
+        ),
+    )
+    stats = rows.agg(F.min("_w").alias("_mn"), F.max("_w").alias("_mx"))
+    # bucket on DESCENDING weight so bucket order == rank order
+    bucketed = rows.crossJoin(F.broadcast(stats)).withColumn(
+        "_b", F.expr(f"((_mx - _w) * {n_buckets}) div (_mx - _mn + 1)")
+    )
+    wloc = W.partitionBy("_b").orderBy(
+        F.col("_w").desc(), F.col("_id").asc()
+    ).rowsBetween(W.unboundedPreceding, -1)
+    local = bucketed.withColumn(
+        "_bl", F.coalesce(F.count(F.lit(1)).over(wloc), F.lit(0))
+    )
+    totals = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bt"))
+    woff = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_b").select(
+        "_id",
+        "_w",
+        (F.col("_bl") + F.col("_off") + 1).cast("long").alias("rank"),
+    )
+    n = int(n_shards)
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        "rank",
+        F.expr(
+            f"CASE WHEN div(rank - 1, {n}) % 2 = 0"
+            f" THEN (rank - 1) % {n}"
+            f" ELSE {n} - 1 - (rank - 1) % {n} END"
+        )
+        .cast("long")
+        .alias("shard"),
+    )

@@ -364,3 +364,59 @@ def test_pruning_audit_validation(spark):
         )
     with pytest.raises(ValueError, match="lo"):
         pruning_audit(df, {"n": "b"}, [("p", "x", 5, 1)])
+
+
+def test_balanced_shards_serpentine_exact(spark):
+    from nebula_importer_spark.operators.layout import balanced_shards
+
+    # weights force rank order 10,9,...,1 over ids 0..9; n_shards=4:
+    # wave0 ranks 1-4 -> shards 0,1,2,3; wave1 ranks 5-8 -> 3,2,1,0;
+    # wave2 ranks 9,10 -> 0,1
+    rows = [(i, 10 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.rank, r.shard)
+        for r in balanced_shards(df, n_shards=4).collect()
+    }
+    assert got == {
+        0: (1, 0), 1: (2, 1), 2: (3, 2), 3: (4, 3),
+        4: (5, 3), 5: (6, 2), 6: (7, 1), 7: (8, 0),
+        8: (9, 0), 9: (10, 1),
+    }
+
+
+def test_balanced_shards_balance_and_ties(spark):
+    import random
+
+    from nebula_importer_spark.operators.layout import balanced_shards
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 10000)) for i in range(500)]
+    # duplicate-weight block: id tiebreak keeps ranks unique
+    rows += [(1000 + i, 777) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = balanced_shards(df, n_shards=8)
+    ranks = [r.rank for r in out.collect()]
+    assert sorted(ranks) == list(range(1, 521))
+    tot = {
+        r.shard: r["sum(n_tokens)"]
+        for r in out.groupBy("shard").sum("n_tokens").collect()
+    }
+    assert len(tot) == 8
+    spread = max(tot.values()) - min(tot.values())
+    assert spread < 10000  # bounded by one wave's weight spread
+
+
+def test_balanced_shards_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.layout import balanced_shards
+
+    df = spark.createDataFrame([(1, 2.5)], "doc_id long, n_tokens double")
+    with pytest.raises(ValueError, match="integral"):
+        balanced_shards(df)
+    ok = spark.createDataFrame([(1, -3)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="negative weight"):
+        balanced_shards(ok).collect()
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(ok, n_shards=0)
