@@ -8418,6 +8418,57 @@ _BALANCED_SHARDS_SQL = """
 
 
 
+def q_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (operators/text.py:js_divergence)
+    between the en and zh token distributions — the bounded symmetric
+    drift measure beside ks_doclen_langs' numeric test and
+    assoc_lang_source's categorical one. Per-token log terms floor to
+    micro-nats over exact counts (order-proof integer KL sums); Spark
+    shuffles xxhash64 token keys, the oracle groups raw strings."""
+    from nebula_importer_spark.operators.text import js_divergence
+
+    return js_divergence(
+        _t(spark, sf_dir, "documents"), "lang", "en", "zh"
+    )
+
+
+_JS_DIVERGENCE_SQL = """
+    WITH toks AS (
+        SELECT lang = 'en' AS isa,
+               unnest(regexp_extract_all(COALESCE(text, ''),
+                      '[^\t\n\f\r ]+')) AS w
+        FROM documents WHERE lang IN ('en', 'zh')
+    ),
+    counts AS (
+        SELECT w, SUM(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS ca,
+               SUM(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS cb
+        FROM toks GROUP BY w
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM counts),
+    terms AS (
+        SELECT ca, cb, na, nb,
+               ca::DOUBLE / na AS p, cb::DOUBLE / nb AS q
+        FROM counts CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+               COUNT(*)::BIGINT AS vocab_union,
+               SUM(CASE WHEN ca > 0 THEN
+                   ca * FLOOR(ln(2.0 * p / (p + q)) * 1000000)::BIGINT
+                   ELSE 0 END)::BIGINT AS sa,
+               SUM(CASE WHEN cb > 0 THEN
+                   cb * FLOOR(ln(2.0 * q / (p + q)) * 1000000)::BIGINT
+                   ELSE 0 END)::BIGINT AS sb
+        FROM terms
+    )
+    SELECT n_tokens_a::BIGINT AS n_tokens_a,
+           n_tokens_b::BIGINT AS n_tokens_b, vocab_union,
+           ((sa // n_tokens_a + sb // n_tokens_b) // 2)::BIGINT AS jsd_micro
+    FROM agg
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9671,6 +9722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_docs": q_vocab_growth,
         "domain_stats_docs": q_domain_stats,
         "balanced_shards_docs": q_balanced_shards,
+        "js_divergence_langs": q_js_divergence_langs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11088,6 +11140,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "domain_stats_docs": _DOMAIN_STATS_SQL,
         "balanced_shards_docs": _BALANCED_SHARDS_SQL,
+        "js_divergence_langs": _JS_DIVERGENCE_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1369,3 +1369,109 @@ def vocab_growth(
         .cast("long")
         .alias("ttr_ppm"),
     )
+
+
+def js_divergence(
+    df,
+    label_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    precision: int = 1_000_000,
+):
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    token distributions — the symmetric, bounded (≤ ln 2) drift measure
+    between domains/languages/snapshots that KL cannot give (KL is
+    infinite on any token one side lacks; JSD's mixture midpoint
+    absorbs them).
+
+    ``JSD = ½ KL(P‖M) + ½ KL(Q‖M)`` with ``M = (P+Q)/2``; per token the
+    log term is ``ln(2p/(p+q))`` where p, q are the slice-relative
+    frequencies. Exactness discipline (the bigram_lm/NB ethos): each
+    token's log term is floored to integer micro-nats and multiplied by
+    its exact count, so both KL sums are exact integers —
+    accumulation-order-proof; the probability ratios inside the single
+    ``ln`` per distinct token are fixed IEEE double chains
+    (``c::double / N``) both engines execute identically. The final
+    result is two exact integer divisions and one halving.
+
+    Scale shape: one token-count aggregation shuffling ``xxhash64``
+    keys only (the raw-string oracle surfaces any collision), a 1-row
+    totals broadcast, ONE final aggregation. Returns one row:
+    ``(n_tokens_a, n_tokens_b, vocab_union, jsd_micro)``. Raises if
+    either slice has no tokens (a divergence from nothing is not 0).
+    """
+    if precision < 1:
+        raise ValueError(f"precision must be >= 1, got {precision}")
+    for c in (label_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    from nebula_importer_spark.operators.skew import spread_small_input
+
+    tc = F.coalesce(F.col(text_col), F.lit(""))
+    sel = spread_small_input(
+        df.filter(F.col(label_col).isin(group_a, group_b))
+    ).select(
+        (F.col(label_col) == group_a).alias("_isa"),
+        F.explode(_word_ngrams_all(tc, 1)).alias("_w"),
+    )
+    counts = sel.groupBy(F.xxhash64("_w").alias("_k")).agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(F.col("_isa"), 0).otherwise(1)).cast("long").alias("_cb"),
+    )
+    tot = counts.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    terms = counts.join(F.broadcast(tot)).select(
+        "_ca",
+        "_cb",
+        "_na",
+        "_nb",
+        (F.col("_ca").cast("double") / F.col("_na")).alias("_p"),
+        (F.col("_cb").cast("double") / F.col("_nb")).alias("_q"),
+    )
+    micro_a = F.when(
+        F.col("_ca") > 0,
+        F.col("_ca")
+        * F.floor(
+            F.log(F.lit(2.0) * F.col("_p") / (F.col("_p") + F.col("_q")))
+            * precision
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    micro_b = F.when(
+        F.col("_cb") > 0,
+        F.col("_cb")
+        * F.floor(
+            F.log(F.lit(2.0) * F.col("_q") / (F.col("_p") + F.col("_q")))
+            * precision
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = terms.agg(
+        F.max("_na").alias("n_tokens_a"),
+        F.max("_nb").alias("n_tokens_b"),
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+        F.sum(micro_a).cast("long").alias("_sa"),
+        F.sum(micro_b).cast("long").alias("_sb"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0),
+            F.col("n_tokens_a"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("js_divergence: a slice has no tokens")
+            ).cast("long")
+        )
+        .alias("n_tokens_a"),
+        "n_tokens_b",
+        "vocab_union",
+        F.expr(
+            "div(div(_sa, n_tokens_a) + div(_sb, n_tokens_b), 2L)"
+        )
+        .cast("long")
+        .alias("jsd_micro"),
+    )

@@ -1333,3 +1333,73 @@ def test_vocab_growth_sparse_ids_and_validation(spark):
         vocab_growth(df, n_points=0)
     with pytest.raises(ValueError, match="not in input"):
         vocab_growth(df, text_col="zz")
+
+
+def test_js_divergence_python_parity(spark):
+    import math
+    import random
+
+    from nebula_importer_spark.operators.text import js_divergence
+
+    rng = random.Random(13)
+    va = ["x", "y", "z", "w", "common"]
+    vb = ["p", "q", "r", "w", "common"]
+    rows = []
+    for i in range(60):
+        lab, voc = ("a", va) if i % 2 == 0 else ("b", vb)
+        rows.append(
+            (lab, " ".join(rng.choice(voc) for _ in range(rng.randint(1, 9))))
+        )
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = js_divergence(df, "lang", "a", "b").collect()[0]
+
+    ca, cb = {}, {}
+    for lab, text in rows:
+        tgt = ca if lab == "a" else cb
+        for w in text.split():
+            tgt[w] = tgt.get(w, 0) + 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    sa = sb = 0
+    for w in set(ca) | set(cb):
+        p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+        if ca.get(w, 0) > 0:
+            sa += ca[w] * math.floor(math.log(2 * p / (p + q)) * 10**6)
+        if cb.get(w, 0) > 0:
+            sb += cb[w] * math.floor(math.log(2 * q / (p + q)) * 10**6)
+
+    def trunc(x, y):
+        return x // y if (x >= 0) == (y >= 0) else -((-x) // y)
+
+    want = trunc(trunc(sa, na) + trunc(sb, nb), 2)
+    assert (got.n_tokens_a, got.n_tokens_b) == (na, nb)
+    assert got.vocab_union == len(set(ca) | set(cb))
+    assert got.jsd_micro == want
+    assert 0 <= got.jsd_micro <= 693148  # bounded by ln 2
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from nebula_importer_spark.operators.text import js_divergence
+
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "lang string, text string"
+    )
+    assert js_divergence(same, "lang", "a", "b").collect()[0].jsd_micro == 0
+    disj = spark.createDataFrame(
+        [("a", "x x"), ("b", "y y")], "lang string, text string"
+    )
+    got = js_divergence(disj, "lang", "a", "b").collect()[0].jsd_micro
+    assert abs(got - 693147) <= 2  # ln 2 in micro-nats, floor slack
+
+
+def test_js_divergence_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.text import js_divergence
+
+    df = spark.createDataFrame([("a", "x")], "lang string, text string")
+    with pytest.raises(ValueError, match="must differ"):
+        js_divergence(df, "lang", "a", "a")
+    with pytest.raises(ValueError, match="not in input"):
+        js_divergence(df, "zz", "a", "b")
+    with pytest.raises(Exception, match="no tokens"):
+        js_divergence(df, "lang", "a", "b").collect()
