@@ -8469,6 +8469,80 @@ _JS_DIVERGENCE_SQL = """
 
 
 
+#: Shared name pool for the phonetic gate — both engines index the SAME
+#: literal list (the normalize_text accent-map precedent).
+_SOUNDEX_NAMES = (
+    "Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "Honeyman",
+    "Washington", "Gutierrez", "Jackson", "Euler", "Gauss", "Hilbert",
+    "Knuth", "Lloyd", "VanDeusen", "McDonald", "Smith", "Smyth",
+    "Obrien", "Lee", "Chen", "Nakamura", "Singh", "Okafor",
+)
+
+
+def q_soundex_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-Soundex phonetic keys (operators/linking.py:
+    soundex_key) — the ER blocking key complementary to SymSpell
+    edit-distance blocking (sound-preserving spelling variants land in
+    one block). The gate synthesizes two-part names from a shared
+    literal pool indexed by custkey and value-checks the ENTIRE
+    expression chain (strip, code, run-collapse, zero-strip, pad)
+    against the oracle's identical RE2-safe chain."""
+    from nebula_importer_spark.operators.linking import soundex_key
+
+    pool = F.array(*[F.lit(n) for n in _SOUNDEX_NAMES])
+    c = _t(spark, sf_dir, "customer")
+    name = F.concat(
+        F.element_at(pool, (F.col("c_custkey") % 24 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(pool, ((F.col("c_custkey") * 7 + 3) % 24 + 1).cast("int")),
+    )
+    return c.select(
+        "c_custkey",
+        name.alias("name"),
+        soundex_key(name).alias("skey"),
+    )
+
+
+def _soundex_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{n}')" for i, n in enumerate(_SOUNDEX_NAMES)
+    )
+    return f"""
+    WITH pool(i, nm) AS (VALUES {vals}),
+    named AS (
+        SELECT c_custkey,
+               p1.nm || ' ' || p2.nm AS name
+        FROM customer
+        JOIN pool p1 ON p1.i = c_custkey % 24
+        JOIN pool p2 ON p2.i = (c_custkey * 7 + 3) % 24
+    ),
+    chain AS (
+        SELECT c_custkey, name,
+               upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS up
+        FROM named
+    ),
+    coded AS (
+        SELECT c_custkey, name, up,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                   translate(up, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             '01230120022455012623010202'),
+                   '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'),
+                   '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'),
+                   '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g') AS cd
+        FROM chain
+    )
+    SELECT c_custkey, name,
+           CASE WHEN up = '' THEN NULL
+                ELSE substr(up, 1, 1) ||
+                     substr(regexp_replace(substr(cd, 2), '0', '', 'g')
+                            || '000', 1, 3)
+           END AS skey
+    FROM coded
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9723,6 +9797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats_docs": q_domain_stats,
         "balanced_shards_docs": q_balanced_shards,
         "js_divergence_langs": q_js_divergence_langs,
+        "soundex_customers": q_soundex_customers,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11141,6 +11216,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats_docs": _DOMAIN_STATS_SQL,
         "balanced_shards_docs": _BALANCED_SHARDS_SQL,
         "js_divergence_langs": _JS_DIVERGENCE_SQL,
+        "soundex_customers": _soundex_sql(),
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -759,3 +759,80 @@ def alias_bootstrap(
             "purity_ppm",
         )
     )
+
+
+#: Letter → Soundex digit map (A..Z). H and W take 0 (vowel-like), i.e.
+#: the SIMPLIFIED Soundex variant: classic American Soundex additionally
+#: merges same-coded letters separated by H/W, a rule that needs
+#: backreferences RE2 (the DuckDB oracle engine) cannot express. The
+#: variant is pinned here as the operator contract — every engine
+#: computes the same chain, which is what blocking needs (key equality,
+#: not archival-standard codes).
+SOUNDEX_MAP = "01230120022455012623010202"
+_SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def soundex_key(col) -> Column:
+    """Simplified-Soundex phonetic key (see :data:`SOUNDEX_MAP`) as a
+    pure expression chain — uppercase, strip non-ASCII-alpha, code
+    letters, collapse same-digit runs (six alternation-free regexp
+    passes, RE2-safe), drop the first letter's own code, strip the
+    vowel zeros, pad/truncate to ``X123`` shape. NULL/empty/no-letter
+    input → NULL key. Map-only; the classic ER blocking key (typos that
+    preserve sound land in the same block: Robert/Rupert → R163)."""
+    c = F.col(col) if isinstance(col, str) else col
+    up = F.upper(F.regexp_replace(F.coalesce(c, F.lit("")), "[^A-Za-z]", ""))
+    coded = F.translate(up, _SOUNDEX_ALPHA, SOUNDEX_MAP)
+    for d in "123456":
+        coded = F.regexp_replace(coded, f"{d}{d}+", d)
+    digits = F.regexp_replace(F.substring(coded, 2, 1000), "0", "")
+    key = F.concat(
+        F.substring(up, 1, 1), F.substring(F.concat(digits, F.lit("000")), 1, 3)
+    )
+    return F.when(up == "", F.lit(None).cast("string")).otherwise(key)
+
+
+def phonetic_block_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Phonetic candidate pairs: ids whose names share a Soundex key —
+    the classic cheap ER blocking step before an edit-distance or
+    alias-dictionary verify (SymSpell catches typos that CHANGE sound;
+    Soundex catches spelling variants that preserve it — the two
+    blockers are complementary). One map-only key projection + one
+    key equi-join with ``id_a < id_b``; blocks larger than
+    ``max_block_size`` are DROPPED AND REPORTED via the capped-universe
+    contract used by cooccurrence_edges (a mega-block is a stop-name —
+    pairing inside it is noise at quadratic cost).
+
+    Returns ``(id_a, id_b, skey)``.
+    """
+    if max_block_size < 2:
+        raise ValueError(f"max_block_size must be >= 2, got {max_block_size}")
+    for c in (id_col, name_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    keyed = df.select(
+        F.col(id_col).alias("_id"), soundex_key(name_col).alias("skey")
+    ).filter(F.col("skey").isNotNull() & F.col("_id").isNotNull())
+    sizes = keyed.groupBy("skey").agg(F.count(F.lit(1)).alias("_n"))
+    ok = keyed.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_block_size).select("skey")),
+        "skey",
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.skey") == F.col("b.skey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.skey").alias("skey"),
+        )
+    )
