@@ -481,10 +481,14 @@ def balanced_shards(
     assignment is a pure function of (weight, id) — reproducible on any
     engine, which a salted or random packer can never be.
 
-    Distributed shape: the global rank comes from the order-preserving
-    two-level bucket machinery (per-bucket window + exclusive prefix
-    over ≤``n_buckets`` totals — no global sort of the data); the
-    serpentine map is one arithmetic projection. Weights must be
+    Distributed shape: the global rank decomposes as (#heavier rows) +
+    (#same-weight rows with smaller id) + 1. The heavier-count runs on
+    the DISTINCT-weight table through the order-preserving two-level
+    bucket machinery; the within-weight id rank is id-SUB-BUCKETED, so
+    a corpus of heavily tied weights (all docs the same length) spreads
+    over ~``n_buckets`` window partitions per weight instead of
+    serializing in one — no global sort anywhere, no driver collect.
+    The serpentine map is one arithmetic projection. Weights must be
     integral and non-negative (raise loudly otherwise — the
     exact_weighted_quantiles rule).
 
@@ -523,26 +527,60 @@ def balanced_shards(
             ).cast("long")
         ),
     )
-    stats = rows.agg(F.min("_w").alias("_mn"), F.max("_w").alias("_mx"))
-    # bucket on DESCENDING weight so bucket order == rank order
-    bucketed = rows.crossJoin(F.broadcast(stats)).withColumn(
+    # rank = (#rows heavier) + (#same-weight rows with smaller id) + 1.
+    # Part A — weight offsets over the DISTINCT-weight table (exact_auc
+    # shape: collapsing first means a corpus of tied weights is ONE row
+    # here, not a mega window partition).
+    per_w = rows.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
+    wstats = per_w.agg(F.min("_w").alias("_mn"), F.max("_w").alias("_mx"))
+    wbuck = per_w.crossJoin(F.broadcast(wstats)).withColumn(
         "_b", F.expr(f"((_mx - _w) * {n_buckets}) div (_mx - _mn + 1)")
     )
-    wloc = W.partitionBy("_b").orderBy(
-        F.col("_w").desc(), F.col("_id").asc()
-    ).rowsBetween(W.unboundedPreceding, -1)
-    local = bucketed.withColumn(
-        "_bl", F.coalesce(F.count(F.lit(1)).over(wloc), F.lit(0))
+    wloc = W.partitionBy("_b").orderBy(F.col("_w").desc()).rowsBetween(
+        W.unboundedPreceding, -1
     )
-    totals = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bt"))
+    wlocal = wbuck.withColumn(
+        "_heavier_local", F.coalesce(F.sum("_cw").over(wloc), F.lit(0))
+    )
+    wtot = wbuck.groupBy("_b").agg(F.sum("_cw").alias("_bt"))
     woff = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_b", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off")
+    woffsets = wtot.select(
+        "_b", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_woff")
     )
-    ranked = local.join(F.broadcast(offsets), "_b").select(
-        "_id",
-        "_w",
-        (F.col("_bl") + F.col("_off") + 1).cast("long").alias("rank"),
+    heavier = wlocal.join(F.broadcast(woffsets), "_b").select(
+        "_w", (F.col("_heavier_local") + F.col("_woff")).alias("_heavier")
+    )
+    # Part B — within-weight id rank, id-sub-bucketed so a hot (heavily
+    # tied) weight splits across ~n_buckets window partitions instead of
+    # serializing in one.
+    istats = rows.agg(F.min("_id").alias("_imn"), F.max("_id").alias("_imx"))
+    ibuck = rows.crossJoin(F.broadcast(istats)).withColumn(
+        "_ib", F.expr(f"((_id - _imn) * {n_buckets}) div (_imx - _imn + 1)")
+    )
+    iloc = W.partitionBy("_w", "_ib").orderBy(F.col("_id").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ilocal = ibuck.withColumn(
+        "_il", F.coalesce(F.count(F.lit(1)).over(iloc), F.lit(0))
+    )
+    itot = ibuck.groupBy("_w", "_ib").agg(F.count(F.lit(1)).alias("_it"))
+    ioffw = W.partitionBy("_w").orderBy("_ib").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ioffsets = itot.select(
+        "_w", "_ib",
+        F.coalesce(F.sum("_it").over(ioffw), F.lit(0)).alias("_ioff"),
+    )
+    ranked = (
+        ilocal.join(ioffsets, ["_w", "_ib"])
+        .join(heavier, "_w")
+        .select(
+            "_id",
+            "_w",
+            (F.col("_heavier") + F.col("_il") + F.col("_ioff") + 1)
+            .cast("long")
+            .alias("rank"),
+        )
     )
     n = int(n_shards)
     return ranked.select(

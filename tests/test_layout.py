@@ -420,3 +420,16 @@ def test_balanced_shards_validation(spark):
         balanced_shards(ok).collect()
     with pytest.raises(ValueError, match="n_shards"):
         balanced_shards(ok, n_shards=0)
+
+
+def test_balanced_shards_all_tied_weights(spark):
+    from nebula_importer_spark.operators.layout import balanced_shards
+
+    # every weight identical: rank must be pure id order, ranks unique
+    rows = [(i * 3 + 1, 500) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r.rank, r.doc_id) for r in balanced_shards(df, n_shards=4).collect()
+    )
+    assert [r for r, _ in got] == list(range(1, 101))
+    assert [d for _, d in got] == sorted(d for d, _ in rows)
