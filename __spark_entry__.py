@@ -8543,6 +8543,58 @@ def _soundex_sql() -> str:
 
 
 
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS resampling (operators/sampling.py:
+    systematic_sample): exactly k=200 picks over the documents table
+    with multiplicity proportional to n_chars — the importance-
+    resampling materialization step after DSIR weighting, variance-free
+    and reproducible. Per-row pick counts are closed-form integer
+    ceilings over the two-level distributed prefix sum (no probe join,
+    no global sort); Σ n_picks = k exactly. The oracle walks the same
+    md5-ordered cumulative line with a single window."""
+    from nebula_importer_spark.operators.sampling import systematic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return systematic_sample(
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        200,
+        weight_col="n_chars",
+    )
+
+
+_SYSTEMATIC_SQL = """
+    WITH rows_ AS (
+        SELECT doc_id, n_chars::BIGINT AS w,
+               md5('sys' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT doc_id, w,
+               COALESCE(SUM(w) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cp,
+               (SELECT SUM(w) FROM rows_)::BIGINT AS tw
+        FROM rows_
+    ),
+    picks AS (
+        SELECT doc_id, w,
+               CASE WHEN 2 * 200 * cp <= tw THEN 0
+                    ELSE (2 * 200 * cp - tw + 2 * tw - 1) // (2 * tw)
+               END AS imin,
+               CASE WHEN 2 * 200 * (cp + w) <= tw THEN -1
+                    ELSE (2 * 200 * (cp + w) - tw + 2 * tw - 1)
+                         // (2 * tw) - 1
+               END AS imax
+        FROM cum
+    )
+    SELECT doc_id, w AS n_chars,
+           greatest(0, least(imax, 199) - imin + 1)::BIGINT AS n_picks
+    FROM picks
+    WHERE greatest(0, least(imax, 199) - imin + 1) >= 1
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9798,6 +9850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards_docs": q_balanced_shards,
         "js_divergence_langs": q_js_divergence_langs,
         "soundex_customers": q_soundex_customers,
+        "systematic_sample_docs": q_systematic_sample,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11217,6 +11270,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_shards_docs": _BALANCED_SHARDS_SQL,
         "js_divergence_langs": _JS_DIVERGENCE_SQL,
         "soundex_customers": _soundex_sql(),
+        "systematic_sample_docs": _SYSTEMATIC_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -571,3 +571,131 @@ def temperature_sample(
         .filter(F.col("_rk") <= F.col("alloc"))
         .drop("_rk", "alloc")
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    salt: str = "sys",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic systematic PPS sampling WITH replacement — draw
+    exactly ``k`` picks where each row's expected multiplicity is
+    proportional to its weight (the materialization step after DSIR/
+    importance weighting: ``dsir_weights`` says HOW MUCH each document
+    matters, this emits the resampled multiset). Classic systematic
+    sampling: lay rows on the cumulative-weight line in md5(id) order
+    (the deterministic stand-in for a random shuffle) and probe at the
+    ``k`` midpoints ``(2i+1)·W div 2k``; a row is picked once per probe
+    inside its weight interval, so ``Σ n_picks = k`` EXACTLY and no row
+    can be picked more than ``⌈w·k/W⌉`` times — the variance-free
+    sampler, fully reproducible on any engine or layout.
+
+    The per-row pick count is CLOSED-FORM (no probe join): with
+    exclusive prefix ``C`` and interval ``[C, C+w)``, picks are the
+    integers ``i`` with ``2k·C ≤ (2i+1)·W < 2k·(C+w)`` — two exact
+    integer ceilings per row. Prefixes come from the token_budget
+    two-level order-preserving bucket machinery (no single-window
+    serialization); the weight total is a 1-row broadcast. An overflow
+    guard rejects ``2k·W`` beyond int64 loudly; negative weights raise
+    (the exact_weighted_quantiles rule).
+
+    Returns rows with ``n_picks ≥ 1``: ``(id_col, weight_col,
+    n_picks)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1 or 65536 % n_buckets != 0:
+        raise ValueError(f"n_buckets must divide 65536, got {n_buckets}")
+    for c in (id_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(w >= 0, w)
+        .otherwise(
+            F.raise_error(
+                F.lit("systematic_sample: negative weight encountered")
+            ).cast("long")
+        )
+        .alias("_w"),
+    ).filter(F.col("_id").isNotNull())
+    span = 65536 // n_buckets
+    key = _md5_key("_id", salt)
+    base = rows.withColumn("_key", key).withColumn(
+        "_bkt",
+        F.conv(F.substring("_key", 1, 4), 16, 10).cast("long") / span,
+    ).withColumn("_bkt", F.col("_bkt").cast("long"))
+    wloc = (
+        Window.partitionBy("_bkt")
+        .orderBy("_key", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_cl", F.coalesce(F.sum("_w").over(wloc), F.lit(0).cast("long"))
+    )
+    btot = base.groupBy("_bkt").agg(F.sum("_w").alias("_bt"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bt").over(woff), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+    )
+    tot = rows.agg(F.sum("_w").cast("long").alias("_tw"))
+    lim = (2**63 - 1) // (2 * k)
+    kk = int(k)
+    picked = (
+        local.join(F.broadcast(offs), "_bkt")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "_tw",
+            F.when(F.col("_tw") <= F.lit(lim), F.col("_tw")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "systematic_sample: 2k*W exceeds int64 — lower k "
+                        "or rescale weights"
+                    )
+                ).cast("long")
+            ),
+        )
+        .withColumn("_cp", F.col("_cl") + F.col("_off"))
+        .withColumn("_ce", F.col("_cp") + F.col("_w"))
+        .withColumn(
+            "_imin",
+            F.expr(
+                f"CASE WHEN 2 * {kk} * _cp <= _tw THEN 0L"
+                f" ELSE div(2 * {kk} * _cp - _tw + 2 * _tw - 1, 2 * _tw)"
+                f" END"
+            ),
+        )
+        .withColumn(
+            "_imax",
+            F.expr(
+                f"CASE WHEN 2 * {kk} * _ce <= _tw THEN -1L"
+                f" ELSE div(2 * {kk} * _ce - _tw + 2 * _tw - 1, 2 * _tw)"
+                f" - 1 END"
+            ),
+        )
+        .withColumn(
+            "n_picks",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    F.least(F.col("_imax"), F.lit(kk - 1))
+                    - F.col("_imin")
+                    + 1
+                ).cast("long"),
+            ),
+        )
+    )
+    return picked.filter(F.col("n_picks") >= 1).select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        "n_picks",
+    )

@@ -476,3 +476,53 @@ def test_temperature_sample_validation(spark):
         temperature_sample(df, domain_col="source", id_col="doc_id", budget=0)
     with pytest.raises(ValueError, match="not in input"):
         temperature_sample(df, domain_col="zz", id_col="doc_id", budget=5)
+
+
+def test_systematic_sample_python_parity(spark):
+    import hashlib
+    import random
+
+    from nebula_importer_spark.operators.sampling import systematic_sample
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    k = 50
+    got = {
+        r.doc_id: r.n_picks for r in systematic_sample(df, k).collect()
+    }
+
+    # independent reference: explicit probe walk over the md5-ordered line
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"sys{r[0]}".encode()).hexdigest(), r[0])
+    )
+    W = sum(w for _, w in rows)
+    probes = [((2 * i + 1) * W) // (2 * k) for i in range(k)]
+    want, c = {}, 0
+    for did, w in order:
+        n = sum(1 for p in probes if c <= p < c + w)
+        if n:
+            want[did] = n
+        c += w
+    assert got == want
+    assert sum(got.values()) == k
+
+
+def test_systematic_sample_heavy_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sampling import systematic_sample
+
+    rows = [(i, 1) for i in range(10)] + [(99, 990)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r.doc_id: r.n_picks for r in systematic_sample(df, 100).collect()}
+    # heavy row holds 99% of the mass -> 99 picks
+    assert got[99] == 99
+    assert sum(got.values()) == 100
+    with pytest.raises(ValueError, match="k must be"):
+        systematic_sample(df, 0)
+    with pytest.raises(ValueError, match="not in input"):
+        systematic_sample(df, 5, weight_col="zz")
+    neg = spark.createDataFrame([(1, -4)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="negative weight"):
+        systematic_sample(neg, 5).collect()
