@@ -8595,6 +8595,59 @@ _SYSTEMATIC_SQL = """
 
 
 
+def q_quantile_norm_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization (operators/profile.py:
+    quantile_normalize): per-language document lengths mapped onto the
+    global length distribution — the calibration step that makes
+    per-domain quality scores comparable before a single keep/drop
+    threshold. Within-group ranks are value-sub-bucketed, the global
+    rank→value lookup goes through bucketed rank intervals (no global
+    sort), and every normalized value is an element PICK carried
+    bit-identically."""
+    from nebula_importer_spark.operators.profile import quantile_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_normalize(
+        d.select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        ),
+        "lang",
+        "n_chars",
+        "doc_id",
+    )
+
+
+_QUANTILE_NORM_SQL = """
+    WITH rows_ AS (
+        SELECT doc_id AS id, lang AS g, n_chars::BIGINT AS v FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+          AND n_chars IS NOT NULL
+    ),
+    gref AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM rows_
+    ),
+    rk AS (
+        SELECT id, g, v,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS r,
+               COUNT(*) OVER (PARTITION BY g) AS ng,
+               (SELECT COUNT(*) FROM rows_) AS nt
+        FROM rows_
+    ),
+    tgt AS (
+        SELECT id, g, v,
+               CASE WHEN ng = 1 THEN (nt + 1) // 2
+                    ELSE 1 + ((r - 1) * (nt - 1) * 2 + (ng - 1))
+                             // ((ng - 1) * 2)
+               END AS gt
+        FROM rk
+    )
+    SELECT t.id AS doc_id, t.g AS lang, t.v AS n_chars,
+           gl.v AS norm_value
+    FROM tgt t JOIN gref gl ON gl.rk = t.gt
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9851,6 +9904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_langs": q_js_divergence_langs,
         "soundex_customers": q_soundex_customers,
         "systematic_sample_docs": q_systematic_sample,
+        "quantile_norm_doclen": q_quantile_norm_doclen,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11271,6 +11325,7 @@ def oracle_sql() -> dict[str, str]:
         "js_divergence_langs": _JS_DIVERGENCE_SQL,
         "soundex_customers": _soundex_sql(),
         "systematic_sample_docs": _SYSTEMATIC_SQL,
+        "quantile_norm_doclen": _QUANTILE_NORM_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,
