@@ -8648,6 +8648,49 @@ _QUANTILE_NORM_SQL = """
 
 
 
+def q_temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with embargo (operators/sampling.py:
+    temporal_split): newest 20% of events by time become test, a 1-day
+    embargo band before the cut is quarantined — the walk-forward /
+    purged-split rule grouped_split cannot express (time, not group
+    identity, carries the leakage). The cut is an exact element pick at
+    global rank N − floor(N/5) via the two-level bucket machinery; ties
+    at the cut pin to the train side."""
+    from nebula_importer_spark.operators.sampling import temporal_split
+
+    return temporal_split(
+        _t(spark, sf_dir, "events"),
+        id_col="event_id",
+        ts_col="ts",
+        test_ppm=200_000,
+        embargo_sec=86400,
+    )
+
+
+_TEMPORAL_SPLIT_SQL = """
+    WITH rows_ AS (
+        SELECT event_id AS id, ts, epoch_us(ts) // 1000000 AS e
+        FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    rk AS (
+        SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS r,
+               (SELECT COUNT(*) FROM rows_) AS nt
+        FROM rows_
+    ),
+    cut AS (
+        SELECT e AS cut_epoch FROM rk
+        WHERE r = nt - (nt * 200000) // 1000000
+    )
+    SELECT id AS event_id, ts, e AS epoch,
+           CASE WHEN e > cut_epoch THEN 'test'
+                WHEN e <= cut_epoch - 86400 THEN 'train'
+                ELSE 'embargo' END AS split,
+           cut_epoch
+    FROM rows_ CROSS JOIN cut
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9905,6 +9948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_customers": q_soundex_customers,
         "systematic_sample_docs": q_systematic_sample,
         "quantile_norm_doclen": q_quantile_norm_doclen,
+        "temporal_split_events": q_temporal_split_events,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11326,6 +11370,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_customers": _soundex_sql(),
         "systematic_sample_docs": _SYSTEMATIC_SQL,
         "quantile_norm_doclen": _QUANTILE_NORM_SQL,
+        "temporal_split_events": _TEMPORAL_SPLIT_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -699,3 +699,90 @@ def systematic_sample(
         F.col("_w").alias(weight_col),
         "n_picks",
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    test_ppm: int = 200_000,
+    embargo_sec: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    time-series complement of :func:`grouped_split`: the newest
+    ``test_ppm`` fraction of rows (by event time) becomes the test set,
+    and rows within ``embargo_sec`` BEFORE the cut are quarantined
+    (labelled ``embargo``, visible, used by neither side) so
+    slow-decaying features computed on train rows cannot leak across
+    the boundary (the standard walk-forward / purged-split rule).
+
+    Pinned contract: the cut is the epoch-second value at exact global
+    rank ``N − floor(N·test_ppm/10⁶)`` over the (multiset of) event
+    times — an element pick via the order-preserving two-level bucket
+    machinery over DISTINCT epochs (no global sort); rows with
+    ``epoch > cut`` are ``test``; ``epoch ≤ cut − embargo_sec`` are
+    ``train``; the rest are ``embargo``. Ties at the cut land on the
+    train side of the boundary — deterministic, engine-identical.
+
+    Returns ``(id_col, ts_col, epoch, split, cut_epoch)``; NULL
+    id/ts rows are excluded.
+    """
+    if not 0 < test_ppm < 10**6:
+        raise ValueError(f"test_ppm must be in (0, 1e6), got {test_ppm}")
+    if embargo_sec < 0:
+        raise ValueError(f"embargo_sec must be >= 0, got {embargo_sec}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    for c in (id_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("_e"),
+    ).filter(F.col("_id").isNotNull() & F.col("_e").isNotNull())
+
+    per_e = rows.groupBy("_e").agg(F.count(F.lit(1)).alias("_n"))
+    stats = per_e.agg(
+        F.min("_e").alias("_mn"),
+        F.max("_e").alias("_mx"),
+        F.sum("_n").alias("_nt"),
+    )
+    pb = per_e.crossJoin(F.broadcast(stats)).withColumn(
+        "_b", F.expr(f"((_e - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+    )
+    wl = Window.partitionBy("_b").orderBy("_e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    loc = pb.withColumn("_bl", F.coalesce(F.sum("_n").over(wl), F.lit(0)))
+    tot = pb.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "_b", F.coalesce(F.sum("_bt").over(wo), F.lit(0)).alias("_off")
+    )
+    # cut = the distinct epoch whose rank interval contains cut_rank
+    cut = (
+        loc.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "_cut_rank", F.expr(f"_nt - div(_nt * {int(test_ppm)}, 1000000)")
+        )
+        .filter(
+            (F.col("_bl") + F.col("_off") + 1 <= F.col("_cut_rank"))
+            & (F.col("_cut_rank") <= F.col("_bl") + F.col("_off") + F.col("_n"))
+        )
+        .select(F.col("_e").alias("cut_epoch"))
+    )
+    emb = int(embargo_sec)
+    return rows.join(F.broadcast(cut)).select(
+        F.col("_id").alias(id_col),
+        F.col("_ts").alias(ts_col),
+        F.col("_e").alias("epoch"),
+        F.when(F.col("_e") > F.col("cut_epoch"), F.lit("test"))
+        .when(F.col("_e") <= F.col("cut_epoch") - emb, F.lit("train"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+        "cut_epoch",
+    )

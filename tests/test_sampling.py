@@ -526,3 +526,57 @@ def test_systematic_sample_heavy_and_validation(spark):
     neg = spark.createDataFrame([(1, -4)], "doc_id long, n_tokens long")
     with pytest.raises(Exception, match="negative weight"):
         systematic_sample(neg, 5).collect()
+
+
+def test_temporal_split_exact_counts_and_embargo(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.sampling import temporal_split
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = temporal_split(df, test_ppm=200_000, embargo_sec=5 * 3600).collect()
+    got = {r.event_id: r.split for r in out}
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert c == {"train": 75, "test": 20, "embargo": 5}
+    # boundary pinning: row at the cut itself is NOT test
+    cut = out[0].cut_epoch
+    at_cut = [r for r in out if r.epoch == cut]
+    assert at_cut and all(r.split != "test" for r in at_cut)
+    # no train row inside the embargo window
+    assert all(
+        r.epoch <= cut - 5 * 3600 for r in out if r.split == "train"
+    )
+
+
+def test_temporal_split_tied_timestamps(spark):
+    import datetime as dt
+
+    from nebula_importer_spark.operators.sampling import temporal_split
+
+    base = dt.datetime(2026, 1, 1)
+    # 10 rows all at the same instant: cut lands on that epoch; ties go
+    # to the train side, so nothing is test
+    rows = [(i, base) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = temporal_split(df, test_ppm=300_000).collect()
+    assert all(r.split == "train" for r in out)
+
+
+def test_temporal_split_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame([(1,)], "event_id long").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"]).current_timestamp()
+    )
+    with pytest.raises(ValueError, match="test_ppm"):
+        temporal_split(df, test_ppm=0)
+    with pytest.raises(ValueError, match="embargo"):
+        temporal_split(df, embargo_sec=-1)
+    with pytest.raises(ValueError, match="not in input"):
+        temporal_split(df, ts_col="zz")
