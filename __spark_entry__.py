@@ -8691,6 +8691,65 @@ _TEMPORAL_SPLIT_SQL = """
 
 
 
+def q_fuse_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record field fusion (operators/linking.py:fuse_records):
+    customers grouped into 5-member clusters (custkey div 5 — the
+    deterministic stand-in for dedup components) fuse their mktsegment
+    and nationkey by exact majority vote with value-ascending ties —
+    the MDM step past select_survivors, where each FIELD takes its
+    most-attested value independently. One melt + one vote agg + one
+    WindowGroupLimit top-1 + one pivot back."""
+    from nebula_importer_spark.operators.linking import fuse_records
+
+    c = _t(spark, sf_dir, "customer")
+    return fuse_records(
+        c.select(
+            F.expr("c_custkey div 5").alias("canonical_id"),
+            F.col("c_custkey").alias("doc_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        ),
+        fields=["c_mktsegment", "c_nationkey"],
+    )
+
+
+_FUSE_CUSTOMERS_SQL = """
+    WITH base AS (
+        SELECT c_custkey // 5 AS c, c_custkey AS id,
+               c_mktsegment, c_nationkey
+        FROM customer
+    ),
+    members AS (
+        SELECT c, COUNT(DISTINCT id)::BIGINT AS n_members FROM base GROUP BY c
+    ),
+    melted AS (
+        SELECT c, 'c_mktsegment' AS f, c_mktsegment::VARCHAR AS v FROM base
+        UNION ALL
+        SELECT c, 'c_nationkey', c_nationkey::VARCHAR FROM base
+    ),
+    votes AS (
+        SELECT c, f, v, COUNT(*) AS n FROM melted
+        WHERE v IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    winners AS (
+        SELECT c, f, v FROM (
+            SELECT c, f, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c, f ORDER BY n DESC, v ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT m.c AS canonical_id, m.n_members,
+           MAX(CASE WHEN w.f = 'c_mktsegment' THEN w.v END)
+               AS fused_c_mktsegment,
+           MAX(CASE WHEN w.f = 'c_nationkey' THEN w.v END)
+               AS fused_c_nationkey
+    FROM members m LEFT JOIN winners w ON w.c = m.c
+    GROUP BY 1, 2
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -9949,6 +10008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "systematic_sample_docs": q_systematic_sample,
         "quantile_norm_doclen": q_quantile_norm_doclen,
         "temporal_split_events": q_temporal_split_events,
+        "fuse_customers": q_fuse_customers,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11371,6 +11431,7 @@ def oracle_sql() -> dict[str, str]:
         "systematic_sample_docs": _SYSTEMATIC_SQL,
         "quantile_norm_doclen": _QUANTILE_NORM_SQL,
         "temporal_split_events": _TEMPORAL_SPLIT_SQL,
+        "fuse_customers": _FUSE_CUSTOMERS_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -836,3 +836,84 @@ def phonetic_block_pairs(
             F.col("a.skey").alias("skey"),
         )
     )
+
+
+def fuse_records(
+    records: DataFrame,
+    *,
+    cluster_col: str = "canonical_id",
+    id_col: str = "doc_id",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Golden-record field fusion — the master-data step AFTER
+    connected components and survivor selection: instead of keeping one
+    member's row wholesale (``dedup.select_survivors``), fuse each
+    FIELD independently by majority vote across the cluster's members,
+    so the golden record combines the most-attested value per column
+    (two members agree on the phone, a third has the newer address —
+    the fused row takes both).
+
+    Deterministic contract: per (cluster, field) the winning value is
+    the exact argmax of ``(vote count, value)`` — count descending,
+    value ascending as the tiebreak; NULLs do not vote (a field with no
+    non-NULL values fuses to NULL, visible). Values vote as their
+    canonical string rendering (document: casts are engine-pinned for
+    ints/strings — the repo's id/key types).
+
+    Distributed shape: one melt (|fields| rows per member — map-side),
+    one partial-agg'd vote count on (cluster, field, value), one
+    top-1 window Spark ≥3.5 plans as WindowGroupLimit, and one
+    cluster-keyed pivot back (max-when over |fields| literals). Cluster
+    sizes are dup-cluster sizes — bounded by the upstream pair
+    threshold, never corpus-scale.
+
+    Returns one row per cluster: ``(cluster_col, n_members,
+    fused_<field>...)``.
+    """
+    if not fields:
+        raise ValueError("fields must be a non-empty list of column names")
+    for c in [cluster_col, id_col, *fields]:
+        if c not in records.columns:
+            raise ValueError(f"column {c!r} not in input: {records.columns}")
+    from pyspark.sql.window import Window as W
+
+    base = records.filter(
+        F.col(cluster_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    members = base.groupBy(F.col(cluster_col).alias("_c")).agg(
+        F.count_distinct(id_col).cast("long").alias("n_members")
+    )
+    melted = base.select(
+        F.col(cluster_col).alias("_c"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f).alias("_f"),
+                    F.col(f).cast("string").alias("_v"),
+                )
+                for f in fields
+            ])
+        ).alias("_m"),
+    ).select("_c", F.col("_m._f").alias("_f"), F.col("_m._v").alias("_v"))
+    votes = (
+        melted.filter(F.col("_v").isNotNull())
+        .groupBy("_c", "_f", "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = W.partitionBy("_c", "_f").orderBy(
+        F.col("_n").desc(), F.col("_v").asc()
+    )
+    winners = votes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    fused = winners.groupBy("_c").agg(
+        *[
+            F.max(F.when(F.col("_f") == f, F.col("_v"))).alias(f"fused_{f}")
+            for f in fields
+        ]
+    )
+    return members.join(fused, "_c", "left").select(
+        F.col("_c").alias(cluster_col),
+        "n_members",
+        *[f"fused_{f}" for f in fields],
+    )

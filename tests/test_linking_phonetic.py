@@ -57,3 +57,42 @@ def test_phonetic_block_pairs_and_guard(spark):
         phonetic_block_pairs(df, max_block_size=1)
     with pytest.raises(ValueError, match="not in input"):
         phonetic_block_pairs(df, name_col="zz")
+
+
+def test_fuse_records_majority_and_ties(spark):
+    from nebula_importer_spark.operators.linking import fuse_records
+
+    rows = [
+        ("c1", 1, "Alice", "NYC"),
+        ("c1", 2, "Alice", "NY"),
+        ("c1", 3, "Alyce", "NYC"),
+        ("c2", 4, None, "LA"),
+        ("c2", 5, None, None),
+        # c3: 1-1 tie on name -> smallest value wins
+        ("c3", 6, "Bob", "SF"),
+        ("c3", 7, "Ann", "SF"),
+    ]
+    df = spark.createDataFrame(
+        rows, "canonical_id string, doc_id long, name string, city string"
+    )
+    got = {
+        r.canonical_id: (r.n_members, r.fused_name, r.fused_city)
+        for r in fuse_records(df, fields=["name", "city"]).collect()
+    }
+    assert got["c1"] == (3, "Alice", "NYC")
+    assert got["c2"] == (2, None, "LA")  # all-NULL field fuses to NULL
+    assert got["c3"] == (2, "Ann", "SF")  # tie -> value-ascending
+
+
+def test_fuse_records_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.linking import fuse_records
+
+    df = spark.createDataFrame(
+        [("c", 1, "x")], "canonical_id string, doc_id long, name string"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        fuse_records(df, fields=[])
+    with pytest.raises(ValueError, match="not in input"):
+        fuse_records(df, fields=["zz"])
