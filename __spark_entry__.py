@@ -8750,6 +8750,57 @@ _FUSE_CUSTOMERS_SQL = """
 
 
 
+def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (operators/profile.py:
+    fd_discovery) over four orders columns — the schema-mining sweep
+    that FINDS candidate dependencies where dq's fd audit checks a
+    known one: exact g3 violation counts for all 12 ordered pairs from
+    ONE melt + ONE id-keyed self-join (no per-pair rescan)."""
+    from nebula_importer_spark.operators.profile import fd_discovery
+
+    return fd_discovery(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+_FD_DISCOVERY_SQL = """
+    WITH melted AS (
+        SELECT o_orderkey AS id, 'o_custkey' AS f,
+               o_custkey::VARCHAR AS v FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'o_orderstatus', o_orderstatus::VARCHAR
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'o_orderpriority', o_orderpriority::VARCHAR
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'o_orderdate', o_orderdate::VARCHAR
+        FROM orders
+    ),
+    pairs AS (
+        SELECT a.f AS col_a, b.f AS col_b, a.v AS va, b.v AS vb
+        FROM melted a JOIN melted b ON a.id = b.id AND a.f <> b.f
+        WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+    ),
+    cell AS (
+        SELECT col_a, col_b, va, vb, COUNT(*)::BIGINT AS n
+        FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    per_a AS (
+        SELECT col_a, col_b, va, SUM(n) AS na, MAX(n) AS maxb
+        FROM cell GROUP BY 1, 2, 3
+    )
+    SELECT col_a, col_b, SUM(na)::BIGINT AS n_rows,
+           SUM(na - maxb)::BIGINT AS n_violations,
+           ((SUM(na) - SUM(na - maxb)) * 1000000 // SUM(na))::BIGINT
+               AS fd_ppm
+    FROM per_a GROUP BY 1, 2
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10009,6 +10060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_doclen": q_quantile_norm_doclen,
         "temporal_split_events": q_temporal_split_events,
         "fuse_customers": q_fuse_customers,
+        "fd_discovery_orders": q_fd_discovery_orders,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11432,6 +11484,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_norm_doclen": _QUANTILE_NORM_SQL,
         "temporal_split_events": _TEMPORAL_SPLIT_SQL,
         "fuse_customers": _FUSE_CUSTOMERS_SQL,
+        "fd_discovery_orders": _FD_DISCOVERY_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -1910,3 +1910,82 @@ def quantile_normalize(
         F.col("_v").alias(value_col),
         F.col("_gv").alias("norm_value"),
     )
+
+
+def fd_discovery(
+    df: DataFrame,
+    id_col: str,
+    columns: list[str],
+) -> DataFrame:
+    """Functional-dependency DISCOVERY over every ordered column pair —
+    the schema-mining sweep behind source onboarding ("which columns
+    determine which?"): for each pair ``A → B`` the exact g3 violation
+    count (minimum rows to delete for the FD to hold: ``Σ_a (n_a −
+    max_b n_ab)``) and the held-fraction in ppm. The single-pair audit
+    (``dq.fd_violations``) checks a KNOWN dependency; this finds the
+    candidates.
+
+    Distributed shape: ONE melt keyed by the caller's row id (k rows
+    per input row), ONE id-keyed self-join producing the k·(k−1)
+    ordered pair stream map-side, then two partial-agg'd aggregations
+    — (pair, v_a, v_b) counts, then per-(pair, v_a) argmax — and a
+    pair-level rollup. Everything shuffles on fixed-width keys; no
+    per-pair rescan of the input (k² scans is the naive shape this
+    avoids). Values vote as canonical strings; rows where either side
+    is NULL are excluded from that pair (and counted).
+
+    Returns ``(col_a, col_b, n_rows, n_violations, fd_ppm)`` per
+    ordered pair, ``fd_ppm = (n_rows − viol)·10⁶ div n_rows``.
+    """
+    if not columns or len(columns) < 2:
+        raise ValueError("columns must list at least two column names")
+    if len(set(columns)) != len(columns):
+        raise ValueError("columns must be distinct")
+    for c in [id_col, *columns]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql.window import Window as W
+
+    melted = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("_f"), F.col(c).cast("string").alias("_v")
+                )
+                for c in columns
+            ])
+        ).alias("_m"),
+    ).select("_id", F.col("_m._f").alias("_f"), F.col("_m._v").alias("_v"))
+    a = melted.select(
+        F.col("_id").alias("_ida"), F.col("_f").alias("col_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = melted.select(
+        F.col("_id").alias("_idb"), F.col("_f").alias("col_b"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = a.join(b, F.col("_ida") == F.col("_idb")).filter(
+        (F.col("col_a") != F.col("col_b"))
+        & F.col("_va").isNotNull()
+        & F.col("_vb").isNotNull()
+    )
+    cell = pairs.groupBy("col_a", "col_b", "_va", "_vb").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_a = cell.groupBy("col_a", "col_b", "_va").agg(
+        F.sum("_n").alias("_na"), F.max("_n").alias("_maxb")
+    )
+    out = per_a.groupBy("col_a", "col_b").agg(
+        F.sum("_na").cast("long").alias("n_rows"),
+        F.sum(F.col("_na") - F.col("_maxb")).cast("long").alias("n_violations"),
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        "n_rows",
+        "n_violations",
+        F.expr("(n_rows - n_violations) * 1000000L div n_rows")
+        .cast("long")
+        .alias("fd_ppm"),
+    )

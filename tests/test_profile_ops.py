@@ -47,3 +47,40 @@ def test_quantile_normalize_endpoints_and_validation(spark):
         quantile_normalize(fl, "g", "v", "id")
     with pytest.raises(ValueError, match="not in input"):
         quantile_normalize(df, "zz", "v", "id")
+
+
+def test_fd_discovery_exact_g3(spark):
+    from nebula_importer_spark.operators.profile import fd_discovery
+
+    rows = [(1, "a", "x", 1), (2, "a", "x", 1), (3, "b", "y", 1), (4, "b", "z", 1)]
+    df = spark.createDataFrame(rows, "id long, u string, v string, w long")
+    got = {
+        (r.col_a, r.col_b): (r.n_violations, r.fd_ppm)
+        for r in fd_discovery(df, "id", ["u", "v", "w"]).collect()
+    }
+    assert got[("u", "v")] == (1, 750000)   # b -> {y,z}: delete 1 of 4
+    assert got[("v", "u")] == (0, 1000000)  # v determines u perfectly
+    assert got[("u", "w")] == (0, 1000000)
+    assert got[("w", "u")] == (2, 500000)   # constant w: keep max class
+    assert len(got) == 6  # all ordered pairs
+
+
+def test_fd_discovery_nulls_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import fd_discovery
+
+    rows = [(1, "a", "x"), (2, "a", None), (3, None, "y")]
+    df = spark.createDataFrame(rows, "id long, u string, v string")
+    got = {
+        (r.col_a, r.col_b): r.n_rows
+        for r in fd_discovery(df, "id", ["u", "v"]).collect()
+    }
+    # only row 1 has both sides non-NULL
+    assert got[("u", "v")] == 1 and got[("v", "u")] == 1
+    with pytest.raises(ValueError, match="at least two"):
+        fd_discovery(df, "id", ["u"])
+    with pytest.raises(ValueError, match="distinct"):
+        fd_discovery(df, "id", ["u", "u"])
+    with pytest.raises(ValueError, match="not in input"):
+        fd_discovery(df, "id", ["u", "zz"])
