@@ -554,8 +554,26 @@ def balanced_shards(
     # tied) weight splits across ~n_buckets window partitions instead of
     # serializing in one.
     istats = rows.agg(F.min("_id").alias("_imn"), F.max("_id").alias("_imx"))
+    # ids routinely span hash ranges; an id span past int64/n_buckets
+    # would wrap the bucket arithmetic negative — fail loudly, do not
+    # mis-bucket (the span itself is fine, only the *n_buckets product
+    # can wrap, so guard the product's headroom)
     ibuck = rows.crossJoin(F.broadcast(istats)).withColumn(
-        "_ib", F.expr(f"((_id - _imn) * {n_buckets}) div (_imx - _imn + 1)")
+        "_ispan",
+        F.when(
+            (F.col("_imx") - F.col("_imn") >= 0)
+            & (F.col("_imx") - F.col("_imn") < (2**62) // n_buckets),
+            F.col("_imx") - F.col("_imn") + 1,
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "balanced_shards: id span too wide for exact bucket "
+                    "arithmetic — remap ids to a dense range first"
+                )
+            ).cast("long")
+        ),
+    ).withColumn(
+        "_ib", F.expr(f"((_id - _imn) * {n_buckets}) div _ispan")
     )
     iloc = W.partitionBy("_w", "_ib").orderBy(F.col("_id").asc()).rowsBetween(
         W.unboundedPreceding, -1

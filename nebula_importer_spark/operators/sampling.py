@@ -648,7 +648,9 @@ def systematic_sample(
         ),
     )
     tot = rows.agg(F.sum("_w").cast("long").alias("_tw"))
-    lim = (2**63 - 1) // (2 * k)
+    # the ceiling numerators reach (2k+2)·W − 1, so the guard needs the
+    # extra +2 margin, not just 2k
+    lim = (2**63 - 1) // (2 * k + 2)
     kk = int(k)
     picked = (
         local.join(F.broadcast(offs), "_bkt")

@@ -1282,6 +1282,17 @@ def vocab_growth(
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from pyspark.sql import types as T
+
+    id_type = {f.name: f.dataType for f in df.schema.fields}[id_col]
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"vocab_growth needs an integral crawl-order id: "
+            f"{id_col} is {id_type} (a string id would cast to NULL and "
+            f"silently drop every document)"
+        )
     from pyspark.sql.window import Window as W
 
     base = df.select(
