@@ -9903,16 +9903,25 @@ _GATE_WINDOW = [
     "stream_events_hourly", "stream_sessionize", "stream_hll_distinct",
     # temporal
     "asof_click_error", "sessionize_users",
-    # text + summarization
-    "text_lang_id", "text_redact_pii", "chunk_documents", "textrank_docs",
+    # text + summarization (textrank tail-gated: its exact-integer
+    # PageRank machinery is graph_pagerank's, its tokenization the
+    # text rows')
+    "text_lang_id", "text_redact_pii", "chunk_documents",
+    # trained-filter loop: NB train→predict (pure-aggregation training)
+    "nb_lang_docs",
     # LM quality + corpus comparison
     "kn_lm_perplexity", "log_odds_tokens",
-    # corpus prep
-    "decontaminate", "sample_token_budget", "mix_domains",
+    # corpus prep (mix_domains tail-gated: its md5-threshold scan
+    # machinery rides sample_token_budget's key order)
+    "decontaminate", "sample_token_budget",
+    # systematic PPS resampling (closed-form picks over the prefix line)
+    "systematic_sample_docs",
     # retrieval + tokenizer
     "search_bm25", "bpe_token_counts",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    # banded pigeonhole Hamming pair join (all-pairs completeness oracle)
+    "phash_ham_pairs",
     # entity linking
     "fuzzy_customer_names",
     # ANN / embedding analytics + preference ranking
@@ -9924,17 +9933,29 @@ _GATE_WINDOW = [
     "graph_pagerank", "graph_kcore", "graph_msf", "graph_scc",
     # transcripts / behavior
     "conv_stats", "retention_cohorts",
-    # multimodal + KG snapshot diff + dictionary-ambiguity audit
-    "multimodal_doc_features", "kg_snapshot_diff", "kg_ambiguity",
+    # multimodal + KG snapshot diff (kg_ambiguity tail-gated: alias
+    # profiling aggs ride kg_snapshot_diff's fact machinery)
+    "multimodal_doc_features", "kg_snapshot_diff",
+    # golden-record field fusion (majority-vote MDM merge)
+    "fuse_customers",
     # privacy BUILDER (t-closeness audit tail-gated; mondrian also
     # exercises exact_quantiles internally) + layout pruning audit
     # (computes zorder buckets internally; hilbert tail-gated)
     "mondrian_customers", "layout_pruning",
-    # data-quality contracts + forensic digits + V-optimal DP histogram
-    "dq_constraints_orders", "benford_orders", "voptimal_doclen",
-    # profiling / skew / cdc / runtime-prune / eval / change-point
-    "profile_customer", "events_skew_report", "cdc_user_state",
+    # data-quality contracts (benford tail-gated: one-agg digit
+    # histogram, dq_constraints' shared-agg machinery; voptimal
+    # tail-gated: DP over the bounded cell sketch auc_doc_length's
+    # bucket machinery builds)
+    "dq_constraints_orders",
+    # cross-group quantile normalization (element-pick calibration)
+    "quantile_norm_doclen",
+    # profiling / cdc / runtime-prune / eval / change-point
+    # (events_skew_report tail-gated: exact-ppm share aggs,
+    # profile_customer's single-pass machinery)
+    "profile_customer", "cdc_user_state",
     "bloom_semi_lineitem", "auc_doc_length", "cusum_events",
+    # theta-sketch set operations (KMV union/intersection estimates)
+    "kmv_overlap_types",
 ]
 
 
