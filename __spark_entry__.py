@@ -8801,6 +8801,48 @@ _FD_DISCOVERY_SQL = """
 
 
 
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV maintenance under the driver gate
+    (streaming/sketches.py:run_incremental_kmv): events drained through
+    foreachBatch into per-batch bottom-k sketch partitions, read back
+    as the re-min'd merged estimate. Bottom-k of a union equals the
+    re-bottom-k over per-batch bottom-k sets and replays are absorbed
+    by the read-side distinct — stream ≡ batch exactly, so the oracle
+    IS the batch kmv_distinct_users oracle; the hash match is that
+    proof under the gate."""
+    import tempfile
+
+    from nebula_importer_spark.streaming.events import EVENT_SCHEMA
+    from nebula_importer_spark.streaming.sketches import (
+        read_kmv,
+        run_incremental_kmv,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nis-streamkmv-")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    run_incremental_kmv(
+        stream,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        col="user_id",
+        k=256,
+        group_cols=["event_type"],
+    )
+    est = read_kmv(spark, f"{tmp}/out", k=256, group_cols=["event_type"])
+    tru = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("true_distinct"))
+    )
+    return est.join(tru, "event_type")
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10082,6 +10124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split_events": q_temporal_split_events,
         "fuse_customers": q_fuse_customers,
         "fd_discovery_orders": q_fd_discovery_orders,
+        "stream_kmv_distinct": q_stream_kmv_distinct,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -14445,4 +14488,7 @@ def _with_salted_twins(sql: dict[str, str]) -> dict[str, str]:
     # max-merge makes the streamed HLL ≡ the batch sketch of the union
     sql["stream_hll_distinct"] = sql["hll_distinct_users"]
     sql["stream_cusum"] = sql["cusum_events"]
+    # bottom-k re-min'd over per-batch bottom-k sets equals the batch
+    # sketch of the union — the streamed KMV shares the batch oracle
+    sql["stream_kmv_distinct"] = sql["kmv_distinct_users"]
     return sql

@@ -231,3 +231,114 @@ def read_cusum(
         buckets, key_col="key", max_span_buckets=max_span_buckets
     )
     return out.withColumnRenamed("key", key_col)
+
+
+def run_incremental_kmv(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "kmv",
+    available_now: bool = True,
+) -> dict:
+    """Drain a stream into per-batch KMV bottom-k sketch partitions at
+    ``<out_dir>/kmv/_batch_id=N`` — the streaming leg of
+    ``operators/sketch.py:kmv_distinct`` (and the register source
+    ``kmv_set_ops`` needs for live audience-overlap estimates).
+    Bottom-k is MERGEABLE AND replay-proof: the k smallest distinct
+    hashes of a union equal the k smallest over the per-batch bottom-k
+    sets, re-min'd — a replayed batch re-contributes the same hashes,
+    which the read-side distinct absorbs, so stream ≡ batch under any
+    replay (the HLL max-merge argument, for order statistics).
+    Per-batch state is ≤ k rows per group at any history length.
+
+    Returns {"batches": n}; with ``available_now=False`` the live
+    StreamingQuery handle is under "query".
+    """
+    from pyspark.sql.window import Window as W
+
+    from nebula_importer_spark.operators.sketch import _kmv_hash
+
+    if k < 16:
+        raise ValueError(f"k must be >= 16 for a usable estimate, got {k}")
+    groups = list(group_cols or [])
+    kmv_dir = f"{str(out_dir).rstrip('/')}/kmv"
+    seen: dict = {"batches": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hx = batch_df.select(
+            *groups, _kmv_hash(F.col(col), salt).alias("_h")
+        ).distinct()
+        if groups:
+            w = W.partitionBy(*groups).orderBy("_h")
+            kept = hx.withColumn("_r", F.row_number().over(w)).filter(
+                F.col("_r") <= k
+            ).drop("_r")
+        else:
+            kept = hx.orderBy("_h").limit(k)
+        (
+            kept.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(kmv_dir)
+        )
+        seen["batches"] += 1
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return dict(seen)
+    seen["query"] = writer.start()
+    return seen
+
+
+def read_kmv(
+    spark,
+    out_dir: str,
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The live merged KMV estimate across every drained batch
+    partition: batch sketches union, re-distinct (replay absorption),
+    re-bottom-k, then the same ``(k−1)·2^52 div h_(k)`` estimate as the
+    batch operator — so the result is bit-identical to
+    ``kmv_distinct`` over the union of all drained rows, which is what
+    lets the gate row share the batch oracle. Output schema matches
+    ``kmv_distinct``: ``(*group_cols, n_kept, est_distinct)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    from nebula_importer_spark.operators.sketch import KMV_SPACE
+
+    groups = list(group_cols or [])
+    kmv_dir = f"{str(out_dir).rstrip('/')}/kmv"
+    hx = spark.read.parquet(kmv_dir).select(*groups, "_h").distinct()
+    if groups:
+        w = W.partitionBy(*groups).orderBy("_h")
+        kept = hx.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= k
+        )
+        agg = kept.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth")
+        )
+    else:
+        kept = hx.orderBy("_h").limit(k)
+        agg = kept.agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth")
+        )
+    return agg.select(
+        *groups,
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.expr(f"({k - 1} * {KMV_SPACE}) div _kth"))
+        .cast("long")
+        .alias("est_distinct"),
+    )

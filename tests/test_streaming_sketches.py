@@ -230,3 +230,62 @@ def test_cusum_from_buckets_validation(spark):
         cusum_from_buckets(df, max_span_buckets=0)
     with pytest.raises(ValueError, match="not in input"):
         cusum_from_buckets(df, n_col="zz")
+
+
+def test_incremental_kmv_stream_equals_batch_and_replay(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.operators.sketch import kmv_distinct
+    from nebula_importer_spark.streaming.sketches import (
+        read_kmv,
+        run_incremental_kmv,
+    )
+
+    src = tmp_path / "src"
+    rows = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"),
+    )
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    rows.repartition(3).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    res = run_incremental_kmv(
+        stream, str(out), str(ckpt), col="v", k=64, group_cols=["g"]
+    )
+    assert res["batches"] >= 2  # genuinely multi-batch
+
+    got = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in read_kmv(spark, str(out), k=64, group_cols=["g"]).collect()
+    }
+    want = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in kmv_distinct(rows, "v", k=64, group_cols=["g"]).collect()
+    }
+    assert got == want  # stream == batch, bit-exact
+
+    # replay idempotence: wipe the checkpoint, re-drain everything
+    shutil.rmtree(ckpt)
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    run_incremental_kmv(
+        stream2, str(out), str(ckpt), col="v", k=64, group_cols=["g"]
+    )
+    got2 = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in read_kmv(spark, str(out), k=64, group_cols=["g"]).collect()
+    }
+    assert got2 == want
