@@ -8843,6 +8843,38 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints (operators/dq.py:
+    table_fingerprint): per-orderstatus digests of the orders table —
+    the constant-size reconciliation primitive two pipelines compare
+    before paying for a full table_diff. Row hashes are md5-derived
+    52-bit ints over a pinned canonical rendering; the digest is their
+    exact DECIMAL sum mod 2^62 — layout/order-independent by
+    commutativity, which is exactly what the oracle twin (same digest
+    over DuckDB's own row order) proves."""
+    from nebula_importer_spark.operators.dq import table_fingerprint
+
+    return table_fingerprint(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"],
+        group_cols=["o_orderstatus"],
+    )
+
+
+_FINGERPRINT_SQL = """
+    SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
+           (SUM(('0x' || substr(md5(
+                o_orderkey::VARCHAR || '|' ||
+                COALESCE(o_custkey::VARCHAR, chr(0) || 'null') || '|' ||
+                COALESCE(o_orderpriority, chr(0) || 'null') || '|' ||
+                COALESCE(o_orderdate::VARCHAR, chr(0) || 'null')
+            ), 1, 13))::BIGINT::HUGEINT)
+            % 4611686018427387904)::BIGINT AS fingerprint
+    FROM orders GROUP BY 1
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10125,6 +10157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_customers": q_fuse_customers,
         "fd_discovery_orders": q_fd_discovery_orders,
         "stream_kmv_distinct": q_stream_kmv_distinct,
+        "fingerprint_orders": q_fingerprint_orders,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11549,6 +11582,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split_events": _TEMPORAL_SPLIT_SQL,
         "fuse_customers": _FUSE_CUSTOMERS_SQL,
         "fd_discovery_orders": _FD_DISCOVERY_SQL,
+        "fingerprint_orders": _FINGERPRINT_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

@@ -501,3 +501,72 @@ def referential_integrity(
             f" AS BIGINT) END"
         ).alias("orphan_ppm"),
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    columns: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive table fingerprint — a constant-size digest two
+    pipelines (or two snapshots, or Spark and a replica engine) can
+    compare to decide "same multiset of rows?" without shipping or
+    joining the data: the reconciliation primitive behind
+    migration sign-off and cross-cluster copies, where ``table_diff``
+    (which needs both tables co-located) is the expensive follow-up run
+    only when fingerprints disagree.
+
+    Digest contract (pinned, engine-reproducible): each row renders
+    canonically — the listed ``columns`` IN THE GIVEN ORDER, values as
+    canonical strings with the ``\\0null`` NULL sentinel, joined by
+    ``|`` — then hashes to a 52-bit integer (first 13 hex digits of
+    md5, the sketch-family hash), and the fingerprint is the exact SUM
+    of row hashes mod 2^62 (DECIMAL(38,0) internally — a BIGINT sum
+    wraps past ~2000 G rows). Sum is commutative/associative, so the
+    digest is independent of layout, partitioning, and row order, and
+    ANY single-row difference changes it (equal multisets ⟹ equal
+    digests; a collision needs an adversarial 52-bit match). Float
+    columns must be quantized caller-side (their string renderings are
+    not engine-pinned — the exact_auc rule).
+
+    One map pass + one partial-agg'd aggregation (per group with
+    ``group_cols`` — partition-level reconciliation — or one global
+    row). Returns ``(*group_cols, n_rows, fingerprint)``.
+    """
+    if not columns:
+        raise ValueError("columns must be a non-empty list")
+    groups = list(group_cols or [])
+    for c in [*columns, *groups]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    overlap = set(columns) & set(groups)
+    if overlap:
+        raise ValueError(f"group_cols overlap digest columns: {sorted(overlap)}")
+    from pyspark.sql import types as T
+
+    floaty = (T.FloatType, T.DoubleType)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in columns:
+        if isinstance(by_name[c], floaty):
+            raise ValueError(
+                f"table_fingerprint needs engine-pinned renderings: "
+                f"quantize float column {c!r} caller-side"
+            )
+
+    rendered = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in columns
+        ],
+    )
+    h = F.conv(F.substring(F.md5(rendered), 1, 13), 16, 10).cast("long")
+    base = df.select(*groups, h.alias("_h"))
+    agg = base.groupBy(*groups) if groups else base.groupBy()
+    out = agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST(_h AS DECIMAL(38,0))) % {2**62} AS BIGINT)"
+        ).alias("fingerprint"),
+    )
+    return out

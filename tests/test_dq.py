@@ -254,3 +254,56 @@ def test_referential_integrity_validation(spark):
         referential_integrity(c, p, fk_cols=["zz"], pk_cols=["b"])
     with pytest.raises(ValueError, match="not in parent"):
         referential_integrity(c, p, fk_cols=["a"], pk_cols=["zz"])
+
+
+def test_table_fingerprint_layout_and_sensitivity(spark):
+    import hashlib
+
+    from nebula_importer_spark.operators.dq import table_fingerprint
+
+    rows = [(1, "a", None), (2, "b", "x"), (3, "c", "y")]
+    df = spark.createDataFrame(rows, "id long, u string, v string")
+    a = table_fingerprint(df, ["id", "u", "v"]).collect()[0]
+    b = table_fingerprint(
+        df.repartition(7).orderBy("v"), ["id", "u", "v"]
+    ).collect()[0]
+    assert (a.n_rows, a.fingerprint) == (b.n_rows, b.fingerprint)
+
+    # independent reference of the pinned digest
+    want = 0
+    for i, u, v in rows:
+        r = f"{i}|{u}|" + (v if v is not None else "\x00null")
+        want += int(hashlib.md5(r.encode()).hexdigest()[:13], 16)
+    assert a.fingerprint == want % 2**62
+
+    # any single-row change must move the digest
+    c = table_fingerprint(df.filter("id != 2"), ["id", "u", "v"]).collect()[0]
+    assert c.fingerprint != a.fingerprint
+    d = spark.createDataFrame(
+        [(1, "a", None), (2, "B", "x"), (3, "c", "y")],
+        "id long, u string, v string",
+    )
+    assert (
+        table_fingerprint(d, ["id", "u", "v"]).collect()[0].fingerprint
+        != a.fingerprint
+    )
+
+
+def test_table_fingerprint_groups_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.dq import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "id long, u string, f double"
+    )
+    g = table_fingerprint(df, ["id"], group_cols=["u"]).collect()
+    assert len(g) == 1 and g[0].u == "a" and g[0].n_rows == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        table_fingerprint(df, [])
+    with pytest.raises(ValueError, match="quantize float"):
+        table_fingerprint(df, ["f"])
+    with pytest.raises(ValueError, match="overlap"):
+        table_fingerprint(df, ["id"], group_cols=["id"])
+    with pytest.raises(ValueError, match="not in input"):
+        table_fingerprint(df, ["zz"])
