@@ -8875,6 +8875,85 @@ _FINGERPRINT_SQL = """
 
 
 
+def q_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi tokenization (operators/bpe.py:unigram_vocab
+    + unigram_word_segments) — the SentencePiece-family complement to
+    bpe_train: every distinct corpus word segmented to maximize total
+    piece score in integer micro-nats, ties to fewest pieces (the DP
+    state is the packed integer 100·score − pieces). The Arrow-batched
+    kernel runs once per DISTINCT word with the score dict a plan
+    constant; the ORACLE unrolls the Viterbi recurrence one
+    MATERIALIZED CTE per word position (corpus max word length is 8;
+    the unroll covers 10), so the gate hash checks the full DP — vocab
+    construction, coverage fallback, objective, and tie rule."""
+    from nebula_importer_spark.operators.bpe import (
+        unigram_vocab,
+        unigram_word_segments,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = unigram_vocab(d, min_count=2, max_piece_len=4)
+    return unigram_word_segments(d, v, max_piece_len=4)
+
+
+def _unigram_sql(positions: int = 10, piece_len: int = 4) -> str:
+    ctes = ["""words AS MATERIALIZED (
+        SELECT w, COUNT(*)::BIGINT AS cnt, len(w) AS n FROM (
+            SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                   '[^\t\n\f\r ]+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    pc AS (
+        SELECT substr(w, i, l) AS piece, SUM(cnt)::BIGINT AS c
+        FROM words, range(1, 97) t(i), range(1, %d) u(l)
+        WHERE i <= n AND i + l - 1 <= n
+        GROUP BY 1
+    ),
+    kept AS (SELECT piece, c FROM pc WHERE c >= 2 OR len(piece) = 1),
+    tot AS (SELECT SUM(c) AS t FROM kept),
+    sc AS MATERIALIZED (
+        SELECT piece,
+               FLOOR(ln(c::DOUBLE / (SELECT t FROM tot))
+                     * 1000000)::BIGINT AS s
+        FROM kept
+    ),
+    v0 AS (SELECT w, n, 0::BIGINT AS val FROM words)""" % (piece_len + 1)]
+    for i in range(1, positions + 1):
+        js = range(max(0, i - piece_len), i)
+        legs = [
+            f"""SELECT vj.w, vj.n, vj.val + sc.s * 100 - 1 AS val
+            FROM v{j} vj JOIN sc ON sc.piece = substr(vj.w, {j + 1}, {i - j})
+            WHERE vj.n >= {i}"""
+            for j in js
+        ]
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+        SELECT w, n, MAX(val) AS val FROM (
+            {" UNION ALL ".join(legs)}
+        ) GROUP BY w, n
+    )"""
+        )
+    best = " UNION ALL ".join(
+        f"SELECT w, val FROM v{i} WHERE n = {i}"
+        for i in range(1, positions + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    best AS ({best})
+    SELECT words.w AS word, words.cnt AS count,
+           CASE WHEN b.val IS NOT NULL
+                THEN (b.val + (-b.val) % 100) // 100 END::BIGINT
+               AS best_micro,
+           CASE WHEN b.val IS NOT NULL
+                THEN (-b.val) % 100 END::BIGINT AS n_pieces
+    FROM words LEFT JOIN best b ON b.w = words.w"""
+    )
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10158,6 +10237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_orders": q_fd_discovery_orders,
         "stream_kmv_distinct": q_stream_kmv_distinct,
         "fingerprint_orders": q_fingerprint_orders,
+        "unigram_segments_docs": q_unigram_segments,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11583,6 +11663,7 @@ def oracle_sql() -> dict[str, str]:
         "fuse_customers": _FUSE_CUSTOMERS_SQL,
         "fd_discovery_orders": _FD_DISCOVERY_SQL,
         "fingerprint_orders": _FINGERPRINT_SQL,
+        "unigram_segments_docs": _unigram_sql(10),
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

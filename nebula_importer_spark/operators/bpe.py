@@ -184,3 +184,133 @@ def _fold_merge(syms, left: str, right: str, merged: str):
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (the SentencePiece family, Kudo
+    2018, simplified to the deterministic core): every character
+    n-gram (1..``max_piece_len``) of the corpus words with frequency ≥
+    ``min_count`` — single characters are ALWAYS kept so every word
+    stays segmentable — scored ``floor(ln(count/total)·10⁶)`` micro-nats
+    over the kept-piece total. One corpus scan builds the word-frequency
+    table (the BPE observation: tokenizer statistics live on the WORD
+    VOCABULARY); piece enumeration is a bounded JVM transform over it.
+
+    Returns ``(piece, count, score_micro)``.
+    """
+    if not 1 <= max_piece_len <= 8:
+        raise ValueError(f"max_piece_len must be in [1, 8], got {max_piece_len}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if text_col not in docs.columns:
+        raise ValueError(f"column {text_col!r} not in input: {docs.columns}")
+    vocab = _word_vocab(docs, text_col)
+    pieces = F.expr(
+        f"flatten(transform(sequence(1, length(_w)), i -> "
+        f"transform(sequence(i, least(i + {max_piece_len - 1}, length(_w))), "
+        f"j -> substring(_w, i, j - i + 1))))"
+    )
+    counts = (
+        vocab.select(F.explode(pieces).alias("piece"), "_cnt")
+        .groupBy("piece")
+        .agg(F.sum("_cnt").cast("long").alias("count"))
+        .filter((F.col("count") >= min_count) | (F.length("piece") == 1))
+    )
+    tot = counts.agg(F.sum("count").cast("long").alias("_t"))
+    return counts.join(F.broadcast(tot)).select(
+        "piece",
+        "count",
+        F.floor(F.log(F.col("count").cast("double") / F.col("_t")) * 10**6)
+        .cast("long")
+        .alias("score_micro"),
+    )
+
+
+def unigram_word_segments(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi segmentation of every DISTINCT corpus word under a
+    unigram-LM vocabulary — the tokenize step of the SentencePiece
+    family, exactly checkable because the objective is an integer:
+    maximize total piece score in micro-nats, ties to the FEWEST
+    pieces (the DP state is the single packed integer
+    ``score·100 − pieces``, whose natural ordering IS that
+    lexicographic rule — exact for any word under 100 pieces).
+
+    Distributed shape: segmentation runs once per DISTINCT word (the
+    vocabulary-distinct discipline of entity linking), as an
+    Arrow-batched ``mapInPandas`` kernel with the piece-score dict a
+    broadcast plan constant (tokenizer vocabularies are bounded —
+    ≤ |char n-grams| under the min_count cut); per-word cost is
+    ``len·max_piece_len`` dict probes. Words over 96 characters (the
+    packing bound) and words with unreachable positions (characters
+    outside the vocabulary) return NULL segment stats — visible, never
+    dropped.
+
+    Returns ``(word, count, best_micro, n_pieces)`` — per-document
+    token counts are one weighted join-back away.
+    """
+    if not 1 <= max_piece_len <= 8:
+        raise ValueError(f"max_piece_len must be in [1, 8], got {max_piece_len}")
+    for c, d, side in ((text_col, docs, "docs"), ("piece", vocab, "vocab"),
+                       ("score_micro", vocab, "vocab")):
+        if c not in d.columns:
+            raise ValueError(f"column {c!r} not in {side} input: {d.columns}")
+    import pandas as pd
+
+    scores = {
+        r["piece"]: int(r["score_micro"])
+        for r in vocab.select("piece", "score_micro").toLocalIterator()
+    }
+    L = int(max_piece_len)
+    words = _word_vocab(docs, text_col).select(
+        F.col("_w").alias("word"), F.col("_cnt").alias("count")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for word, cnt in zip(pdf["word"], pdf["count"]):
+                n = len(word)
+                if n == 0 or n > 96:
+                    outs.append((word, int(cnt), None, None))
+                    continue
+                v = [None] * (n + 1)
+                v[0] = 0
+                for i in range(1, n + 1):
+                    best = None
+                    for j in range(max(0, i - L), i):
+                        if v[j] is None:
+                            continue
+                        s = scores.get(word[j:i])
+                        if s is None:
+                            continue
+                        cand = v[j] + s * 100 - 1
+                        if best is None or cand > best:
+                            best = cand
+                    v[i] = best
+                if v[n] is None:
+                    outs.append((word, int(cnt), None, None))
+                else:
+                    # packed = 100·Σscore − pieces; pieces ≤ 96 < 100
+                    pieces = (-v[n]) % 100
+                    score = (v[n] + pieces) // 100
+                    outs.append((word, int(cnt), score, pieces))
+            yield pd.DataFrame(
+                outs, columns=["word", "count", "best_micro", "n_pieces"]
+            )
+
+    return words.mapInPandas(
+        kernel,
+        schema="word string, count long, best_micro long, n_pieces long",
+    )

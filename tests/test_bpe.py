@@ -170,3 +170,92 @@ def test_bpe_token_counts_equal_vocab_resolution(spark):
                          (2, "new newer newest low")]:
         assert len(enc[doc_id]) == sum(per_word[w] for w in text.split())
     assert enc[3] == [] and enc[4] == []
+
+
+def _py_unigram(words_with_counts, scores, L=4):
+    out = {}
+    for word, cnt in words_with_counts.items():
+        n = len(word)
+        v = [None] * (n + 1)
+        v[0] = 0
+        for i in range(1, n + 1):
+            best = None
+            for j in range(max(0, i - L), i):
+                if v[j] is None:
+                    continue
+                s = scores.get(word[j:i])
+                if s is None:
+                    continue
+                cand = v[j] + s * 100 - 1
+                if best is None or cand > best:
+                    best = cand
+            v[i] = best
+        if v[n] is None:
+            out[word] = (cnt, None, None)
+        else:
+            p = (-v[n]) % 100
+            out[word] = (cnt, (v[n] + p) // 100, p)
+    return out
+
+
+def test_unigram_tokenizer_random_parity(spark):
+    import math
+    import random
+
+    from nebula_importer_spark.operators.bpe import (
+        unigram_vocab,
+        unigram_word_segments,
+    )
+
+    rng = random.Random(17)
+    alphabet = "abcdef"
+    docs = []
+    for i in range(40):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    v = unigram_vocab(df, min_count=2)
+    got = {
+        r["word"]: (r["count"], r["best_micro"], r["n_pieces"])
+        for r in unigram_word_segments(df, v).collect()
+    }
+
+    # independent reference: rebuild vocab + DP in plain Python
+    wc = {}
+    for _, text in docs:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    pc = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for l in range(1, 5):
+                if i + l <= len(w):
+                    pc[w[i:i + l]] = pc.get(w[i:i + l], 0) + c
+    kept = {p: c for p, c in pc.items() if c >= 2 or len(p) == 1}
+    tot = sum(kept.values())
+    scores = {p: math.floor(math.log(c / tot) * 10**6) for p, c in kept.items()}
+    assert got == _py_unigram(wc, scores)
+
+
+def test_unigram_vocab_coverage_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.bpe import (
+        unigram_vocab,
+        unigram_word_segments,
+    )
+
+    df = spark.createDataFrame([(1, "xyzzy q")], "doc_id long, text string")
+    v = unigram_vocab(df, min_count=5)
+    pieces = {r.piece for r in v.collect()}
+    # rare multigrams cut, but every single char survives (coverage)
+    assert pieces == {"x", "y", "z", "q"}
+    segs = {r.word: r.n_pieces for r in unigram_word_segments(df, v).collect()}
+    assert segs == {"xyzzy": 5, "q": 1}  # char-by-char fallback
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_vocab(df, max_piece_len=0)
+    with pytest.raises(ValueError, match="not in vocab"):
+        unigram_word_segments(df, df)
