@@ -270,7 +270,7 @@ def unigram_word_segments(
 
     scores = {
         r["piece"]: int(r["score_micro"])
-        for r in vocab.select("piece", "score_micro").toLocalIterator()
+        for r in vocab.select("piece", "score_micro").collect()
     }
     L = int(max_piece_len)
     words = _word_vocab(docs, text_col).select(
