@@ -8954,6 +8954,46 @@ def _unigram_sql(positions: int = 10, piece_len: int = 4) -> str:
 
 
 
+def q_psi_doclen_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/profile.py:psi_drift)
+    between en and zh document-length distributions — the
+    mass-movement drift score beside ks_doclen_langs' sup-distance
+    test. Exact floor-division cells over combined bounds, add-one
+    smoothed probabilities, per-bucket micro-floors from fixed IEEE
+    chains; the total is a ≤10-term integer sum."""
+    from nebula_importer_spark.operators.profile import psi_drift
+
+    return psi_drift(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "en", "zh",
+        n_cells=10,
+    )
+
+
+_PSI_SQL = """
+    WITH vals AS (
+        SELECT lang = 'en' AS isa, n_chars::BIGINT AS v FROM documents
+        WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+    ),
+    b AS (SELECT MIN(v) AS mn, MAX(v) - MIN(v) + 1 AS span FROM vals),
+    cells AS (
+        SELECT ((v - mn) * 10) // span AS c,
+               SUM(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS ca,
+               SUM(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS cb
+        FROM vals CROSS JOIN b GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM cells)
+    SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           10::BIGINT AS n_cells,
+           SUM(FLOOR(
+               ((ca + 1)::DOUBLE / (na + 10) - (cb + 1)::DOUBLE / (nb + 10))
+               * ln(((ca + 1)::DOUBLE / (na + 10))
+                    / ((cb + 1)::DOUBLE / (nb + 10)))
+               * 1000000)::BIGINT)::BIGINT AS psi_micro
+    FROM cells CROSS JOIN tot
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10238,6 +10278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_distinct": q_stream_kmv_distinct,
         "fingerprint_orders": q_fingerprint_orders,
         "unigram_segments_docs": q_unigram_segments,
+        "psi_doclen_langs": q_psi_doclen_langs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11664,6 +11705,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_discovery_orders": _FD_DISCOVERY_SQL,
         "fingerprint_orders": _FINGERPRINT_SQL,
         "unigram_segments_docs": _unigram_sql(10),
+        "psi_doclen_langs": _PSI_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

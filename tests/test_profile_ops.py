@@ -84,3 +84,52 @@ def test_fd_discovery_nulls_and_validation(spark):
         fd_discovery(df, "id", ["u", "u"])
     with pytest.raises(ValueError, match="not in input"):
         fd_discovery(df, "id", ["u", "zz"])
+
+
+def test_psi_drift_python_parity_and_sensitivity(spark):
+    import math
+    import random
+
+    from nebula_importer_spark.operators.profile import psi_drift
+
+    rng = random.Random(2)
+    rows = [("a", rng.randint(0, 100)) for _ in range(500)]
+    rows += [("b", rng.randint(30, 130)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = psi_drift(df, "g", "v", "a", "b", n_cells=10).collect()[0]
+
+    vs = [v for _, v in rows]
+    mn, span = min(vs), max(vs) - min(vs) + 1
+    ca, cb = [0] * 10, [0] * 10
+    for g, v in rows:
+        (ca if g == "a" else cb)[(v - mn) * 10 // span] += 1
+    na, nb = sum(ca), sum(cb)
+    want = 0
+    for i in range(10):
+        p = (ca[i] + 1) / (na + 10)
+        q = (cb[i] + 1) / (nb + 10)
+        want += math.floor((p - q) * math.log(p / q) * 10**6)
+    assert (got.n_a, got.n_b, got.psi_micro) == (na, nb, want)
+    assert got.psi_micro > 250_000  # clearly drifted
+
+    same = spark.createDataFrame(
+        [("a", i % 50) for i in range(1000)]
+        + [("b", i % 50) for i in range(1000)],
+        "g string, v long",
+    )
+    r = psi_drift(same, "g", "v", "a", "b").collect()[0]
+    assert r.psi_micro == 0  # identical distributions
+
+
+def test_psi_drift_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="n_cells"):
+        psi_drift(df, "g", "v", "a", "b", n_cells=1)
+    with pytest.raises(ValueError, match="must differ"):
+        psi_drift(df, "g", "v", "a", "a")
+    with pytest.raises(Exception, match="slice is empty"):
+        psi_drift(df, "g", "v", "a", "b").collect()
