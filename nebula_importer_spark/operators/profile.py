@@ -1827,6 +1827,10 @@ def quantile_normalize(
         & F.col("_g").isNotNull()
         & F.col("_v").isNotNull()
     )
+    # the projection feeds four subtrees (group ranks, group sizes,
+    # distinct-value intervals, the total) — materialize once instead of
+    # re-scanning the source per branch (the HITS multi-reference rule)
+    rows = rows.localCheckpoint(eager=True)
 
     # ---- within-group rank r over (value, id), value-sub-bucketed
     vstats = rows.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
