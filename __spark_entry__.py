@@ -8994,6 +8994,104 @@ _PSI_SQL = """
 
 
 
+def q_nb_confusion_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained-filter evaluation IN ONE PLAN: the
+    nb_lang_docs classifier's held-out predictions (odd doc_ids,
+    trained on even) graded by the per-class confusion report — the
+    full train→predict→evaluate loop a production filter runs before
+    its predictions gate a corpus, exactly checkable because every
+    stage (NB aggregation training, micro-nat scoring, confusion
+    marginals) is integer arithmetic. Zero-token documents are absent
+    from predictions and excluded by the truth join on BOTH engines."""
+    from nebula_importer_spark.operators.classify import nb_classify
+    from nebula_importer_spark.operators.metrics import confusion_report
+
+    d = _t(spark, sf_dir, "documents")
+    preds = nb_classify(
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang"),
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        label_col="lang",
+    )
+    pairs = preds.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).filter(F.col("lang").isNotNull()).select(
+        F.col("lang").alias("label"), F.col("pred_label").alias("pred")
+    )
+    return confusion_report(pairs)
+
+
+_CONF_TAIL_SQL = """
+    cells AS (
+        SELECT label, pred, COUNT(*)::HUGEINT AS n
+        FROM pairs GROUP BY 1, 2
+    ),
+    lab AS (SELECT label AS c, SUM(n) AS nl FROM cells GROUP BY 1),
+    prd AS (SELECT pred AS c, SUM(n) AS np FROM cells GROUP BY 1),
+    diag AS (SELECT label AS c, n AS tp FROM cells WHERE label = pred),
+    k AS (
+        SELECT COALESCE(lab.c, prd.c) AS c,
+               COALESCE(nl, 0) AS support,
+               COALESCE(tp, 0) AS tp,
+               COALESCE(np, 0) - COALESCE(tp, 0) AS fp,
+               COALESCE(nl, 0) - COALESCE(tp, 0) AS fn
+        FROM lab FULL JOIN prd ON lab.c = prd.c
+        LEFT JOIN diag ON diag.c = COALESCE(lab.c, prd.c)
+    ),
+    pc AS (
+        SELECT c, support, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE tp * 1000000 // (tp + fp) END AS p_ppm,
+               CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE tp * 1000000 // (tp + fn) END AS r_ppm,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f_ppm
+        FROM k
+    ),
+    mi AS (
+        SELECT '<micro>' AS c, SUM(support) AS support,
+               SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+        FROM pc
+    ),
+    mi2 AS (
+        SELECT c, support, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE tp * 1000000 // (tp + fp) END AS p_ppm,
+               CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE tp * 1000000 // (tp + fn) END AS r_ppm,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f_ppm
+        FROM mi
+    ),
+    ma AS (
+        SELECT '<macro>' AS c, SUM(support) AS support,
+               NULL::HUGEINT AS tp, NULL::HUGEINT AS fp,
+               NULL::HUGEINT AS fn,
+               SUM(COALESCE(p_ppm, 0)) // COUNT(*) AS p_ppm,
+               SUM(COALESCE(r_ppm, 0)) // COUNT(*) AS r_ppm,
+               SUM(COALESCE(f_ppm, 0)) // COUNT(*) AS f_ppm
+        FROM pc
+    )
+    SELECT c AS class, support::BIGINT AS support, tp::BIGINT AS tp,
+           fp::BIGINT AS fp, fn::BIGINT AS fn,
+           p_ppm::BIGINT AS precision_ppm,
+           r_ppm::BIGINT AS recall_ppm, f_ppm::BIGINT AS f1_ppm
+    FROM (SELECT * FROM pc UNION ALL SELECT * FROM mi2
+          UNION ALL SELECT * FROM ma)
+"""
+
+
+def _nb_confusion_sql() -> str:
+    return (
+        "WITH nb AS (" + _NB_LANG_SQL + "),\n"
+        "    pairs AS (\n"
+        "        SELECT d.lang AS label, nb.pred_label AS pred\n"
+        "        FROM nb JOIN documents d ON d.doc_id = nb.doc_id\n"
+        "        WHERE d.lang IS NOT NULL\n"
+        "    ),\n" + _CONF_TAIL_SQL
+    )
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10279,6 +10377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_orders": q_fingerprint_orders,
         "unigram_segments_docs": q_unigram_segments,
         "psi_doclen_langs": q_psi_doclen_langs,
+        "nb_confusion_langs": q_nb_confusion_langs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11706,6 +11805,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_orders": _FINGERPRINT_SQL,
         "unigram_segments_docs": _unigram_sql(10),
         "psi_doclen_langs": _PSI_SQL,
+        "nb_confusion_langs": _nb_confusion_sql(),
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,
