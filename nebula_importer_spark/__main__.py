@@ -141,6 +141,73 @@ def _cmd_sniff(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_validate(args: argparse.Namespace) -> int:
+    """Dry-run config validation: parse + compile every id/prop/rank/
+    filter to Column expressions WITHOUT reading any data — the CI
+    pre-flight the reference only provides implicitly by failing at
+    import time. Prints one line per element with the implied minimum
+    source width; exit 2 on any config/compile error."""
+    from nebula_importer_spark.config.parse import load_config
+    from nebula_importer_spark.functions.filter_dsl import compile_filter
+    from nebula_importer_spark.functions.picker import (
+        compile_id,
+        compile_prop,
+        compile_rank,
+    )
+    from nebula_importer_spark.session import get_spark
+
+    cfg = load_config(args.config)
+    # Column construction needs a JVM; a local[1] session is the dry-run
+    # cost (no data is read)
+    get_spark("nebula-importer-validate", master=args.master or "local[1]")
+
+    def _max_index(spec) -> int:
+        mx = -1
+        for p in getattr(spec, "props", []):
+            mx = max(mx, p.index if p.index is not None else -1,
+                     *(list(p.alternative_indices or []) or [-1]))
+        for idspec in filter(None, [getattr(spec, "id", None),
+                                    getattr(spec, "src", None),
+                                    getattr(spec, "dst", None)]):
+            if getattr(idspec, "index", None) is not None:
+                mx = max(mx, idspec.index)
+            for it in getattr(idspec, "concat_items", None) or []:
+                if isinstance(it, int):
+                    mx = max(mx, it)
+        r = getattr(spec, "rank_index", None)
+        if r is not None:
+            mx = max(mx, r)
+        return mx
+
+    n_elements = 0
+    for source in cfg.sources:
+        for kind, specs in (("tag", source.tags), ("edge", source.edges)):
+            for spec in specs:
+                width = _max_index(spec) + 1
+                cols = [f"_c{i}" for i in range(max(width, 1))]
+                if spec.filter:
+                    compile_filter(spec.filter, cols)
+                if kind == "tag":
+                    compile_id(spec.id, cols, "vid")
+                else:
+                    compile_id(spec.src, cols, "src")
+                    compile_id(spec.dst, cols, "dst")
+                    if spec.rank_index is not None:
+                        compile_rank(spec.rank_index, cols)
+                for p in spec.props:
+                    compile_prop(p, cols)
+                n_elements += 1
+                print(
+                    f"ok {kind} {spec.name}: source={source.path} "
+                    f"props={len(spec.props)} min_columns={width} "
+                    f"mode={getattr(getattr(spec, 'mode', None), 'value', 'INSERT')}"
+                    + (f" filter={spec.filter!r}" if spec.filter else "")
+                )
+    print(f"config valid: {len(cfg.sources)} sources, {n_elements} elements")
+    return 0
+
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nebula_importer_spark")
     # lazy banner: argparse's version= evaluates at PARSER construction, so
@@ -188,6 +255,13 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--delimiter", default=",")
     sn.add_argument("--master", default=None)
     sn.set_defaults(fn=_cmd_sniff)
+
+    va = sub.add_parser(
+        "validate", help="dry-run: parse + compile a config, read no data"
+    )
+    va.add_argument("-c", "--config", required=True)
+    va.add_argument("--master", default=None)
+    va.set_defaults(fn=_cmd_validate)
 
     args = ap.parse_args(argv)
     try:

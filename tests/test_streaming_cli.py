@@ -336,3 +336,51 @@ def test_cli_sniff_prints_loadable_config(tmp_path):
     assert run.returncode == 0, run.stderr[-2000:]
     payload = json.loads(run.stdout[run.stdout.index("{"):])
     assert payload["total_written"] == 2 and not payload["failed"]
+
+
+def test_cli_validate_dry_run(tmp_path):
+    """`validate` compiles every element without reading data: a good
+    config exits 0 with a per-element report; a bad filter exits 2 with
+    one clean config-error line."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+manager: {spaceName: vtest}
+sources:
+  - path: /nonexistent/never-read.csv
+    tags:
+      - name: person
+        id: {type: STRING, concatItems: [p_, 0]}
+        filter: 'Record[2] != ""'
+        props:
+          - {name: name, type: STRING, index: 1}
+          - {name: age, type: INT, index: 7, nullable: true}
+    edges:
+      - name: knows
+        src: {id: {type: STRING, index: 0}}
+        dst: {id: {type: STRING, index: 3}}
+        props: []
+"""
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "validate",
+         "-c", str(cfg)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok tag person" in out.stdout
+    assert "min_columns=8" in out.stdout  # index 7 -> needs 8 columns
+    assert "ok edge knows" in out.stdout
+    assert "config valid: 1 sources, 2 elements" in out.stdout
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        cfg.read_text().replace("Record[2] != \"\"", "Record[2] !! oops")
+    )
+    out2 = subprocess.run(
+        [sys.executable, "-m", "nebula_importer_spark", "validate",
+         "-c", str(bad)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out2.returncode == 2
+    assert "error" in out2.stderr.lower()
