@@ -9092,6 +9092,52 @@ def _nb_confusion_sql() -> str:
 
 
 
+def q_rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (operators/search.py:rrf_fuse, Cormack
+    2009) — the hybrid-retrieval combiner over two deterministic
+    document rankings (a lexical stand-in: n_chars; a semantic
+    stand-in: the md5-derived 52-bit score the sketch family uses).
+    Per-system ranks pin ties by id; contributions are exact
+    10⁶ div (k+rank) integers, so the fused ordering is hash-stable
+    where float RRF is not."""
+    from nebula_importer_spark.operators.search import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    r1 = d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    r2 = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rrf"), F.col("doc_id").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("double").alias("score"),
+    )
+    return rrf_fuse([r1, r2], k=60)
+
+
+_RRF_SQL = """
+    WITH r1 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY n_chars::DOUBLE DESC, doc_id ASC) AS r
+        FROM documents
+    ),
+    r2 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY ('0x' || substr(md5('rrf' || CAST(doc_id AS VARCHAR)),
+                      1, 13))::BIGINT::DOUBLE DESC, doc_id ASC) AS r
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, r, 1000000 // (60 + r) AS c FROM r1
+        UNION ALL
+        SELECT doc_id, r, 1000000 // (60 + r) FROM r2
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_systems,
+           SUM(c)::BIGINT AS rrf_micro, MIN(r)::BIGINT AS best_rank
+    FROM uni GROUP BY doc_id
+"""
+
+
+
 def _ams_sql(k: int = 16, salt: str = "ams") -> str:
     sign = (
         "SUM(CASE WHEN ('0x' || substr(md5('{s}{j}|' "
@@ -10378,6 +10424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segments_docs": q_unigram_segments,
         "psi_doclen_langs": q_psi_doclen_langs,
         "nb_confusion_langs": q_nb_confusion_langs,
+        "rrf_fuse_docs": q_rrf_fuse_docs,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "harmonic_hyperball": q_harmonic_hyperball,
         "pseudonymize_customers": q_pseudonymize_customers,
@@ -11806,6 +11853,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_segments_docs": _unigram_sql(10),
         "psi_doclen_langs": _PSI_SQL,
         "nb_confusion_langs": _nb_confusion_sql(),
+        "rrf_fuse_docs": _RRF_SQL,
         "ams_selfjoin_users": _ams_sql(k=16),
         "harmonic_hyperball": _HARMONIC_HB_SQL,
         "pseudonymize_customers": _PSEUDONYMIZE_SQL,

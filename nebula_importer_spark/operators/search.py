@@ -248,3 +248,74 @@ def inverted_index(
         ).alias("postings"),
     )
     return out.filter(F.col("doc_freq") >= min_df)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    query_col: str | None = None,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
+    hybrid-retrieval standard for combining heterogeneous rankings
+    (BM25 lexical + ANN semantic, or any scored candidate lists)
+    without score calibration: each system contributes
+    ``1/(k + rank)``, so agreement near the top dominates and scales
+    never need reconciling.
+
+    Pinned exactness: per system, ranks are ``row_number`` over
+    ``(score desc, id asc)`` (the id tiebreak makes equal scores
+    deterministic); each contribution floors to
+    ``10⁶ div (k + rank)`` micro-units, so the fused score is a small
+    sum of exact integers — order-proof and hash-stable where the
+    textbook float sum is not. Items missing from a system simply
+    contribute nothing (the standard semantics).
+
+    Distributed shape: one window per input ranking (partitioned by
+    ``query_col`` when given — global rankings use the
+    order-preserving caveat that a single-system global ranking is a
+    one-partition window, so PRE-LIMIT per-system candidates to top-N
+    per query upstream, which is how RRF is used in practice), then a
+    full-outer union aggregated on (query, id). Returns
+    ``(query_col?, id_col, n_systems, rrf_micro, best_rank)``.
+    """
+    if not rankings or len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window as W
+
+    parts = []
+    for idx, df in enumerate(rankings):
+        for c in filter(None, [id_col, score_col, query_col]):
+            if c not in df.columns:
+                raise ValueError(
+                    f"column {c!r} not in ranking {idx}: {df.columns}"
+                )
+        w = (
+            W.partitionBy(query_col) if query_col else W.partitionBy()
+        ).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        sel = [F.col(id_col).alias("_id")]
+        if query_col:
+            sel.append(F.col(query_col).alias("_q"))
+        parts.append(
+            df.select(*sel, F.row_number().over(w).alias("_r")).select(
+                "*",
+                F.expr(f"div(1000000L, {int(k)} + _r)").alias("_c"),
+            )
+        )
+    from functools import reduce
+
+    uni = reduce(lambda a, b: a.unionByName(b), parts)
+    keys = (["_q"] if query_col else []) + ["_id"]
+    out = uni.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+        F.sum("_c").cast("long").alias("rrf_micro"),
+        F.min("_r").cast("long").alias("best_rank"),
+    )
+    renames = [F.col("_id").alias(id_col)]
+    if query_col:
+        renames.insert(0, F.col("_q").alias(query_col))
+    return out.select(*renames, "n_systems", "rrf_micro", "best_rank")

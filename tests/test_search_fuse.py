@@ -85,3 +85,56 @@ def test_hybrid_bm25_leg_end_to_end(spark):
     out = {r["doc_id"]: r for r in rrf_fuse([lex, sem]).collect()}
     assert set(out) <= {1, 2, 3} and 2 in out
     assert out[2]["n_legs"] == 2
+
+
+def test_rrf_fuse_exact_values_and_ties(spark):
+    from nebula_importer_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    r2 = spark.createDataFrame(
+        [(3, 0.9), (1, 0.5), (4, 0.4)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: (r.n_systems, r.rrf_micro, r.best_rank)
+        for r in rrf_fuse([r1, r2], k=60).collect()
+    }
+    assert got[1] == (2, 10**6 // 61 + 10**6 // 62, 1)
+    assert got[3] == (2, 10**6 // 63 + 10**6 // 61, 1)
+    assert got[2] == (1, 10**6 // 62, 2)
+    assert got[4] == (1, 10**6 // 63, 3)
+    # tied scores rank by id ascending — deterministic
+    tie = spark.createDataFrame(
+        [(7, 1.0), (5, 1.0)], "doc_id long, score double"
+    )
+    t = {r.doc_id: r.best_rank for r in rrf_fuse([tie, tie]).collect()}
+    assert t == {5: 1, 7: 2}
+
+
+def test_rrf_fuse_per_query_and_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 1.0), ("q2", 1, 5.0)],
+        "q string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 9.0), ("q2", 3, 1.0)],
+        "q string, doc_id long, score double",
+    )
+    got = {
+        (r.q, r.doc_id): r.rrf_micro
+        for r in rrf_fuse([a, b], query_col="q", k=60).collect()
+    }
+    # q1 doc2: rank 2 in a, rank 1 in b
+    assert got[("q1", 2)] == 10**6 // 62 + 10**6 // 61
+    assert got[("q2", 3)] == 10**6 // 61
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([a])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([a, b], k=0)
+    with pytest.raises(ValueError, match="not in ranking"):
+        rrf_fuse([a, b.drop("score")])
