@@ -3841,9 +3841,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical top-20 + embedding-cosine top-20 fused
     by Reciprocal Rank Fusion (operators/search.py:rrf_fuse). Fusion is
-    exact-integer (RRF_SCALE div (k+rank)), so the combined score is
-    bit-identical across engines; both legs pre-round their float scores to
-    the shared 6dp before ranking (the ROUND(·,6) oracle discipline)."""
+    exact-integer (RRF_MICRO div (k+rank) micro-units), so the combined
+    score is bit-identical across engines; both legs pre-round their float
+    scores to the shared 6dp before ranking (the ROUND(·,6) oracle
+    discipline). Output: (doc_id, n_systems, rrf_micro, best_rank)."""
     from nebula_importer_spark.operators.search import bm25_scores, rrf_fuse
     from nebula_importer_spark.operators.similarity import brute_force_topk
 
@@ -13156,9 +13157,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, rank FROM sem
             )
-            SELECT doc_id, COUNT(*)::BIGINT AS n_legs,
-                   MIN(rank)::BIGINT AS best_rank,
-                   SUM(1000000000000 // (60 + rank))::BIGINT AS rrf_scaled
+            SELECT doc_id, COUNT(*)::BIGINT AS n_systems,
+                   SUM(1000000 // (60 + rank))::BIGINT AS rrf_micro,
+                   MIN(rank)::BIGINT AS best_rank
             FROM u GROUP BY doc_id
         """,
         "event_transitions": """

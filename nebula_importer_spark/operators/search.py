@@ -116,67 +116,6 @@ def bm25_scores(
     )
 
 
-RRF_SCALE = 10**12
-
-
-def rrf_fuse(
-    legs: list[DataFrame],
-    *,
-    id_col: str = "doc_id",
-    score_col: str = "score",
-    k: int = 60,
-) -> DataFrame:
-    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) over bounded
-    candidate lists — the standard hybrid-retrieval combiner (lexical BM25
-    leg + embedding-cosine leg feeding one ranking, the RAG data-curation
-    shape). Each leg is an ``(id, score)`` DataFrame; the fused score of a
-    document is ``Σ_legs 1/(k + rank_leg)`` over the legs that ranked it.
-
-    Scale contract: the LEGS are where corpus-scale work happens (BM25 is
-    a scan, ANN is a bucketed funnel — both already bounded to top-N
-    candidate lists by their own operators). Fusion itself runs on ≤
-    Σ|legs| rows, so the per-leg ranking window (a global sort over one
-    small list) is bounded by construction — this operator must NOT be
-    handed a whole corpus (pre-truncate each leg; that is the caller's
-    explicit top-N policy decision, not a hidden cap here).
-
-    Determinism discipline: rank = row_number over (score DESC, id ASC) —
-    callers should pre-round engine-variable float scores (the shared
-    ROUND(·,6) oracle discipline) so the sort key is engine-identical.
-    Each rank contribution is the INTEGER ``RRF_SCALE div (k + rank)``
-    (floor division — exact, no libm), so the fused sum is exact-integer
-    arithmetic: bit-identical across engines, partitionings, and
-    aggregation orders for any number of legs (a float Σ 1/(k+r) is not
-    associative; with >2 legs its value would depend on agg order).
-
-    Returns ``(id_col, n_legs, best_rank, rrf_scaled)``; ``rrf_scaled /
-    RRF_SCALE`` is the conventional RRF score.
-    """
-    if not legs:
-        raise ValueError("rrf_fuse requires at least one leg")
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    from pyspark.sql.window import Window as W
-
-    ranked = None
-    w = W.orderBy(F.col("_s").desc(), F.col("_id").asc())
-    for leg in legs:
-        r = (
-            leg.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
-            .select("_id", F.row_number().over(w).cast("long").alias("_rank"))
-        )
-        ranked = r if ranked is None else ranked.unionByName(r)
-    return (
-        ranked.groupBy("_id")
-        .agg(
-            F.count("*").alias("n_legs"),
-            F.min("_rank").alias("best_rank"),
-            F.sum(F.expr(f"{RRF_SCALE} div ({k} + _rank)")).alias("rrf_scaled"),
-        )
-        .select(F.col("_id").alias(id_col), "n_legs", "best_rank", "rrf_scaled")
-    )
-
-
 def inverted_index(
     df: DataFrame,
     *,
@@ -250,6 +189,10 @@ def inverted_index(
     return out.filter(F.col("doc_freq") >= min_df)
 
 
+#: RRF contributions are integer micro-units: 10**6 div (k + rank).
+RRF_MICRO = 10**6
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,
@@ -257,6 +200,7 @@ def rrf_fuse(
     score_col: str = "score",
     query_col: str | None = None,
     k: int = 60,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
     hybrid-retrieval standard for combining heterogeneous rankings
@@ -280,11 +224,22 @@ def rrf_fuse(
     per query upstream, which is how RRF is used in practice), then a
     full-outer union aggregated on (query, id). Returns
     ``(query_col?, id_col, n_systems, rrf_micro, best_rank)``.
+
+    The pre-truncate contract is ENFORCED, not advised: without
+    ``query_col`` the per-system ranking is a single-partition global
+    window, so a ranking wider than ``max_rows`` (default 10^5) raises
+    at execution time — the same capped-universe discipline as the other
+    bounded-fan-out operators. The guard is a ``raise_error`` on the
+    already-computed row_number, so it costs zero extra jobs or
+    exchanges. Pass ``max_rows=None`` only for query-partitioned inputs
+    where per-query lists are bounded by construction.
     """
     if not rankings or len(rankings) < 2:
         raise ValueError("rrf_fuse needs at least two rankings")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_rows is not None and max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1 or None, got {max_rows}")
     from pyspark.sql.window import Window as W
 
     parts = []
@@ -300,10 +255,26 @@ def rrf_fuse(
         sel = [F.col(id_col).alias("_id")]
         if query_col:
             sel.append(F.col(query_col).alias("_q"))
+        ranked = df.select(*sel, F.row_number().over(w).alias("_r"))
+        if max_rows is not None and not query_col:
+            ranked = ranked.withColumn(
+                "_r",
+                F.when(
+                    F.col("_r") > max_rows,
+                    F.raise_error(
+                        F.lit(
+                            f"rrf_fuse: ranking {idx} exceeds max_rows="
+                            f"{max_rows} without query_col — pre-truncate "
+                            "each system to its top-N candidates (the "
+                            "global ranking window is single-partition)"
+                        )
+                    ).cast("int"),
+                ).otherwise(F.col("_r")),
+            )
         parts.append(
-            df.select(*sel, F.row_number().over(w).alias("_r")).select(
+            ranked.select(
                 "*",
-                F.expr(f"div(1000000L, {int(k)} + _r)").alias("_c"),
+                F.expr(f"div({RRF_MICRO}L, {int(k)} + _r)").alias("_c"),
             )
         )
     from functools import reduce

@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: ratio unit: 10^12 == 1.0 — matches PAGERANK_SCALE / RRF_SCALE so every
-#: scaled ratio in the repo reads the same way.
+#: ratio unit: 10^12 == 1.0 — matches PAGERANK_SCALE so every scaled
+#: ratio in the repo reads the same way.
 SCHEMA_SCALE = 10**12
 
 _FACT_COLS = ("subj", "pred", "obj")
