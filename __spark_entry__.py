@@ -8863,15 +8863,27 @@ def q_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
+    WITH esc AS (
+        SELECT o_orderstatus,
+               replace(replace(replace(o_orderkey::VARCHAR,
+                   '\\', '\\\\'), '|', '\\|'), chr(0), '\\0') AS c0,
+               COALESCE(replace(replace(replace(o_custkey::VARCHAR,
+                   '\\', '\\\\'), '|', '\\|'), chr(0), '\\0'),
+                   chr(0) || 'null') AS c1,
+               COALESCE(replace(replace(replace(o_orderpriority,
+                   '\\', '\\\\'), '|', '\\|'), chr(0), '\\0'),
+                   chr(0) || 'null') AS c2,
+               COALESCE(replace(replace(replace(o_orderdate::VARCHAR,
+                   '\\', '\\\\'), '|', '\\|'), chr(0), '\\0'),
+                   chr(0) || 'null') AS c3
+        FROM orders
+    )
     SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
            (SUM(('0x' || substr(md5(
-                o_orderkey::VARCHAR || '|' ||
-                COALESCE(o_custkey::VARCHAR, chr(0) || 'null') || '|' ||
-                COALESCE(o_orderpriority, chr(0) || 'null') || '|' ||
-                COALESCE(o_orderdate::VARCHAR, chr(0) || 'null')
+                c0 || '|' || c1 || '|' || c2 || '|' || c3
             ), 1, 13))::BIGINT::HUGEINT)
             % 4611686018427387904)::BIGINT AS fingerprint
-    FROM orders GROUP BY 1
+    FROM esc GROUP BY 1
 """
 
 

@@ -518,9 +518,14 @@ def table_fingerprint(
 
     Digest contract (pinned, engine-reproducible): each row renders
     canonically — the listed ``columns`` IN THE GIVEN ORDER, values as
-    canonical strings with the ``\\0null`` NULL sentinel, joined by
-    ``|`` — then hashes to a 52-bit integer (first 13 hex digits of
-    md5, the sketch-family hash), and the fingerprint is the exact SUM
+    canonical strings, ESCAPED so the rendering is injective
+    (``\\`` → ``\\\\``, then ``|`` → ``\\|``, then NUL → ``\\0`` —
+    without this, rows ``('a|b','c')`` and ``('a','b|c')`` would render
+    identically), NULLs as the ``NUL+"null"`` sentinel (a raw NUL can
+    never survive escaping, so the sentinel cannot collide with any
+    value), joined by ``|`` — then hashes to a 52-bit integer (first 13
+    hex digits of md5, the sketch-family hash), and the fingerprint is
+    the exact SUM
     of row hashes mod 2^62 (DECIMAL(38,0) internally — a BIGINT sum
     wraps past ~2000 G rows). Sum is commutative/associative, so the
     digest is independent of layout, partitioning, and row order, and
@@ -553,13 +558,16 @@ def table_fingerprint(
                 f"quantize float column {c!r} caller-side"
             )
 
-    rendered = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in columns
-        ],
-    )
+    def _esc(c: str):
+        # escape order matters: backslash first, then the delimiter and
+        # the NUL used by the NULL sentinel — rendering stays injective
+        v = F.col(c).cast("string")
+        v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+        v = F.replace(v, F.lit("|"), F.lit("\\|"))
+        v = F.replace(v, F.lit("\x00"), F.lit("\\0"))
+        return F.coalesce(v, F.lit("\x00null"))
+
+    rendered = F.concat_ws("|", *[_esc(c) for c in columns])
     h = F.conv(F.substring(F.md5(rendered), 1, 13), 16, 10).cast("long")
     base = df.select(*groups, h.alias("_h"))
     agg = base.groupBy(*groups) if groups else base.groupBy()

@@ -289,6 +289,42 @@ def test_table_fingerprint_layout_and_sensitivity(spark):
     )
 
 
+def test_table_fingerprint_rendering_is_injective(spark):
+    """Values containing the delimiter, the escape char, or the NULL
+    sentinel's NUL must NOT let two different tables share a rendering
+    — ('a|b','c') vs ('a','b|c'), 'a\\' vs 'a\\\\', and a literal
+    '\\x00null' vs a real NULL all fingerprint differently."""
+    import hashlib
+
+    from nebula_importer_spark.operators.dq import table_fingerprint
+
+    def fp(rows):
+        df = spark.createDataFrame(rows, "u string, v string")
+        return table_fingerprint(df, ["u", "v"]).collect()[0].fingerprint
+
+    assert fp([("a|b", "c")]) != fp([("a", "b|c")])
+    assert fp([("a\\", "b")]) != fp([("a", "\\b")])
+    assert fp([("a\\|", "b")]) != fp([("a\\", "|b")])
+    assert fp([("\x00null", "b")]) != fp([(None, "b")])
+
+    # pin the escaped rendering against an independent model
+    def esc(v):
+        if v is None:
+            return "\x00null"
+        return (
+            v.replace("\\", "\\\\").replace("|", "\\|").replace("\x00", "\\0")
+        )
+
+    rows = [("a|b", None), ("x\\y", "\x00z")]
+    want = 0
+    for u, v in rows:
+        want += int(
+            hashlib.md5(f"{esc(u)}|{esc(v)}".encode()).hexdigest()[:13], 16
+        )
+    got = fp(rows)
+    assert got == want % 2**62
+
+
 def test_table_fingerprint_groups_and_validation(spark):
     import pytest
 
