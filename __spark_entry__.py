@@ -8988,11 +8988,19 @@ _PSI_SQL = """
         WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
     ),
     b AS (SELECT MIN(v) AS mn, MAX(v) - MIN(v) + 1 AS span FROM vals),
-    cells AS (
+    cells0 AS (
         SELECT ((v - mn) * 10) // span AS c,
                SUM(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS ca,
                SUM(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS cb
         FROM vals CROSS JOIN b GROUP BY 1
+    ),
+    -- both-empty buckets still carry an add-one smoothing term:
+    -- complete the 0..n_cells-1 grid with zero counts
+    cells AS (
+        SELECT g.c, COALESCE(ca, 0)::BIGINT AS ca,
+               COALESCE(cb, 0)::BIGINT AS cb
+        FROM (SELECT range AS c FROM range(10)) g
+        LEFT JOIN cells0 ON g.c = cells0.c
     ),
     tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM cells)
     SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,

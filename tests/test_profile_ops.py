@@ -120,6 +120,35 @@ def test_psi_drift_python_parity_and_sensitivity(spark):
     r = psi_drift(same, "g", "v", "a", "b").collect()[0]
     assert r.psi_micro == 0  # identical distributions
 
+    # buckets empty on BOTH sides still contribute their smoothing term
+    # when n_a != n_b — values land only in the extreme cells, the 8
+    # middle cells are empty everywhere, and the slice sizes differ
+    gap_rows = [("a", 0)] * 30 + [("a", 99)] * 30 + [("b", 0)] * 7 + [
+        ("b", 99)
+    ] * 7
+    gap = spark.createDataFrame(gap_rows, "g string, v long")
+    gg = psi_drift(gap, "g", "v", "a", "b", n_cells=10).collect()[0]
+    gca, gcb = [0] * 10, [0] * 10
+    for g, v in gap_rows:
+        (gca if g == "a" else gcb)[(v - 0) * 10 // 100] += 1
+    gwant = 0
+    for i in range(10):
+        p = (gca[i] + 1) / (60 + 10)
+        q = (gcb[i] + 1) / (14 + 10)
+        gwant += math.floor((p - q) * math.log(p / q) * 10**6)
+    assert (gg.n_a, gg.n_b, gg.psi_micro) == (60, 14, gwant)
+    # the 8 both-empty cells' terms are strictly positive here, so the
+    # completed-grid sum must exceed the occupied-cells-only sum
+    occupied_only = sum(
+        math.floor(
+            ((gca[i] + 1) / 70 - (gcb[i] + 1) / 24)
+            * math.log(((gca[i] + 1) / 70) / ((gcb[i] + 1) / 24))
+            * 10**6
+        )
+        for i in (0, 9)
+    )
+    assert gg.psi_micro > occupied_only
+
 
 def test_psi_drift_validation(spark):
     import pytest
