@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
@@ -534,7 +536,7 @@ def balanced_shards(
     per_w = rows.groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
     wstats = per_w.agg(F.min("_w").alias("_mn"), F.max("_w").alias("_mx"))
     wbuck = per_w.crossJoin(F.broadcast(wstats)).withColumn(
-        "_b", F.expr(f"((_mx - _w) * {n_buckets}) div (_mx - _mn + 1)")
+        "_b", guarded_bucket("_mx - _w", n_buckets, op="balanced_shards")
     )
     wloc = W.partitionBy("_b").orderBy(F.col("_w").desc()).rowsBetween(
         W.unboundedPreceding, -1

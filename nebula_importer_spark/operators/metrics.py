@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 #: AUC is returned as an integer in millionths of a millionth (1e12).
 AUC_SCALE = 10**12
 
@@ -106,7 +108,7 @@ def exact_auc(
         F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
     )
     bucketed = per_score.crossJoin(F.broadcast(stats)).withColumn(
-        "_b", F.expr(f"((_s - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        "_b", guarded_bucket("_s - _mn", n_buckets, op="exact_auc")
     )
     w = (
         Window.partitionBy("_b")
@@ -835,6 +837,11 @@ def isotonic_calibration(
     if bounds["_mn"] is None:
         return spark.createDataFrame([], out_schema)
     mn, mx = int(bounds["_mn"]), int(bounds["_mx"])
+    if mx - mn >= (2**62) // n_cells:
+        raise ValueError(
+            "isotonic_calibration: score span too wide for exact cell "
+            "arithmetic — quantize scores to a denser range first"
+        )
     span = mx - mn + 1
     cells = (
         vals.select(
@@ -1112,9 +1119,7 @@ def gini_stump(
         melted.join(F.broadcast(bounds), "_f")
         .select(
             "_f",
-            F.expr(
-                f"((_x - _mn) * {n_cells}) div (_mx - _mn + 1)"
-            ).alias("_c"),
+            guarded_bucket("_x - _mn", n_cells, op="gini_stump").alias("_c"),
             "_x",
             "_y",
         )
@@ -1933,7 +1938,7 @@ def spearman_corr(
         )
         stats = per.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
         bucketed = per.crossJoin(F.broadcast(stats)).withColumn(
-            "_b", F.expr(f"((_v - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+            "_b", guarded_bucket("_v - _mn", n_buckets, op="spearman_corr")
         )
         w = (
             Window.partitionBy("_b")

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Profile ``cols`` (default: every column): returns one row per
@@ -370,8 +372,9 @@ def join_size_estimate(
             keys.crossJoin(F.broadcast(dom))
             .withColumn(
                 "bucket",
-                F.expr(f"((_k - _mn) * {n_buckets}) div (_mx - _mn + 1)")
-                .cast("int"),
+                guarded_bucket(
+                    "_k - _mn", n_buckets, op="join_size_estimate"
+                ).cast("int"),
             )
             .groupBy("bucket")
             .agg(
@@ -1835,7 +1838,7 @@ def quantile_normalize(
     # ---- within-group rank r over (value, id), value-sub-bucketed
     vstats = rows.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
     b = rows.crossJoin(F.broadcast(vstats)).withColumn(
-        "_vb", F.expr(f"((_v - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        "_vb", guarded_bucket("_v - _mn", n_buckets, op="quantile_normalize")
     )
     wl = (
         Window.partitionBy("_g", "_vb")
@@ -1863,7 +1866,7 @@ def quantile_normalize(
     # ---- global rank intervals per DISTINCT value (two-level machinery)
     per_v = rows.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
     pb = per_v.crossJoin(F.broadcast(vstats)).withColumn(
-        "_vb", F.expr(f"((_v - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        "_vb", guarded_bucket("_v - _mn", n_buckets, op="quantile_normalize")
     )
     wpl = Window.partitionBy("_vb").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2016,7 +2019,13 @@ def psi_drift(
     empty bucket on one side must not produce ln(0)); each bucket's
     contribution floors to micro-units from a fixed IEEE double chain
     (exact-int counts → two divisions, one ln, one multiply), so the
-    total is a sum of ≤ ``n_cells`` exact integers — order-proof.
+    total is a sum of EXACTLY ``n_cells`` exact integers — order-proof.
+    The sum really is over all ``n_cells`` buckets: cell counts are
+    right-joined against the full 0..n_cells−1 grid (counts coalesced
+    to 0), because under add-one smoothing a bucket empty on BOTH
+    sides still contributes a non-zero positive term whenever
+    ``n_a != n_b`` — dropping both-empty buckets (what a bare groupBy
+    does) would understate the documented PSI.
 
     One data pass (partial-agg'd bucket counts), a 1-row bounds
     broadcast, a ≤ n_cells-row finish. Returns one row
@@ -2039,12 +2048,12 @@ def psi_drift(
     )
     bounds = vals.agg(
         F.min("_v").alias("_mn"),
-        (F.max("_v") - F.min("_v") + 1).alias("_span"),
+        F.max("_v").alias("_mx"),
     )
     cells = (
         vals.crossJoin(F.broadcast(bounds))
         .select(
-            F.expr(f"((_v - _mn) * {n_cells}) div _span").alias("_c"),
+            guarded_bucket("_v - _mn", n_cells, op="psi_drift").alias("_c"),
             "_isa",
         )
         .groupBy("_c")
@@ -2052,6 +2061,15 @@ def psi_drift(
             F.sum(F.when(F.col("_isa"), 1).otherwise(0)).cast("long").alias("_ca"),
             F.sum(F.when(F.col("_isa"), 0).otherwise(1)).cast("long").alias("_cb"),
         )
+    )
+    # both-empty buckets still carry a smoothing term — complete the grid
+    grid = df.sparkSession.range(int(n_cells)).select(
+        F.col("id").cast("long").alias("_c")
+    )
+    cells = grid.join(cells, "_c", "left").select(
+        "_c",
+        F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
     )
     tot = cells.agg(
         F.sum("_ca").cast("long").alias("_na"),

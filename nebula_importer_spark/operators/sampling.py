@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 HEX_WIDTH = 8  # rate granularity = 1 / 16^8 ≈ 2.3e-10
 
 
@@ -657,7 +659,20 @@ def systematic_sample(
         .join(F.broadcast(tot))
         .withColumn(
             "_tw",
-            F.when(F.col("_tw") <= F.lit(lim), F.col("_tw")).otherwise(
+            F.when(
+                F.col("_tw") <= F.lit(0),
+                # all-zero weights would make the 2*_tw divisor NULL the
+                # interval math and silently return an EMPTY frame,
+                # violating the "Σ n_picks = k EXACTLY" contract
+                F.raise_error(
+                    F.lit(
+                        "systematic_sample: total weight is 0 — every "
+                        "row has zero weight, no PPS sample exists"
+                    )
+                ).cast("long"),
+            )
+            .when(F.col("_tw") <= F.lit(lim), F.col("_tw"))
+            .otherwise(
                 F.raise_error(
                     F.lit(
                         "systematic_sample: 2k*W exceeds int64 — lower k "
@@ -754,7 +769,7 @@ def temporal_split(
         F.sum("_n").alias("_nt"),
     )
     pb = per_e.crossJoin(F.broadcast(stats)).withColumn(
-        "_b", F.expr(f"((_e - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        "_b", guarded_bucket("_e - _mn", n_buckets, op="temporal_split")
     )
     wl = Window.partitionBy("_b").orderBy("_e").rowsBetween(
         Window.unboundedPreceding, -1

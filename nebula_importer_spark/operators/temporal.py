@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 
 def _us(col) -> Column:
     """Exact integer microseconds since epoch. Parquet-sourced timestamps may
@@ -1018,7 +1020,7 @@ def max_concurrent(
         else deltas.crossJoin(F.broadcast(stats))
     )
     bucketed = joined.withColumn(
-        "_b", F.expr(f"((_t - _mn) * {n_buckets}) div (_mx - _mn + 1)")
+        "_b", guarded_bucket("_t - _mn", n_buckets, op="max_concurrent")
     )
     w_local = (
         Window.partitionBy(*key, "_b")

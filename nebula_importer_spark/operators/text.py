@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from nebula_importer_spark.operators._buckets import guarded_bucket
+
 # Whitespace written as an EXPLICIT class rather than \s/\S: Java regex
 # (Spark) counts \x0B (vertical tab) as whitespace, RE2 (the DuckDB oracles)
 # does not — the literal class pins both engines to identical RE2 semantics,
@@ -1309,7 +1311,7 @@ def vocab_growth(
         F.count(F.lit(1)).alias("_d"),
     )
     bucketed = ids.crossJoin(F.broadcast(stats)).withColumn(
-        "_b", F.expr("((_v - _mn) * 64) div (_mx - _mn + 1)")
+        "_b", guarded_bucket("_v - _mn", 64, op="vocab_growth")
     )
     wloc = W.partitionBy("_b").orderBy("_v").rowsBetween(
         W.unboundedPreceding, -1
