@@ -201,9 +201,11 @@ def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, C) uint8 array.
 
-    PIL when importable (any format it knows); otherwise the built-in PNG
-    decoder for PNG payloads. Anything else raises NotImplementedError and
-    the calling kernels degrade to the deterministic stand-in path."""
+    PIL when importable (any format it knows); otherwise the built-in
+    pure-numpy codecs — PNG (all five row filters) and baseline JPEG
+    (SOF0/SOF1 + Huffman, operators/jpeg.py). Anything else (WebP,
+    progressive JPEG, ...) raises NotImplementedError and the calling
+    kernels degrade to the deterministic stand-in path."""
     try:
         from io import BytesIO
 
@@ -232,9 +234,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         pass
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from nebula_importer_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload)  # NotImplementedError on progressive
+        return arr[:, :, None] if arr.ndim == 2 else arr
     raise NotImplementedError(
         "no codec for this payload format in this environment "
-        "(built-in codec handles PNG; install PIL for JPEG etc.)"
+        "(built-in codecs handle PNG and baseline JPEG; install PIL for "
+        "WebP / progressive JPEG etc.)"
     )
 
 
