@@ -3865,6 +3865,56 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], id_col="doc_id", score_col="score")
 
 
+def q_filter_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter DSL's expr-lang array closures end-to-end through the
+    registered gate (functions/filter_dsl.py): documents rendered as a
+    3-field Record (lang, source, text — the reference's view of a row as
+    a string array), filtered by ``any(...{hasPrefix})``, a ``count``
+    closure over field lengths, and an ``all`` non-empty check. Each
+    closure compiles to a Spark higher-order function (exists / size ∘
+    filter / forall) — one JVM-side expression, no UDF; the oracle states
+    the same predicate in plain SQL, proving the closure TRANSLATION, not
+    just its parse."""
+    from nebula_importer_spark.functions.filter_dsl import compile_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("c0"),
+        F.coalesce(F.col("source"), F.lit("")).alias("c1"),
+        F.coalesce(F.col("text"), F.lit("")).alias("c2"),
+    )
+    expr = (
+        'any(Record, {hasPrefix(#, "en")})'
+        " && count(Record, {len(#) > 2}) >= 2"
+        ' && all(Record, {# != ""})'
+    )
+    return d.filter(compile_filter(expr, ["c0", "c1", "c2"])).select("doc_id")
+
+
+def q_rrf_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-partitioned Reciprocal Rank Fusion (operators/search.py:
+    rrf_fuse with ``query_col``) — the production RRF shape: per-query
+    candidate lists from two systems (a length-scored leg and a
+    deterministic md5-scored leg over documents, partitioned by lang as
+    the query key), ranked per query and fused in exact integer
+    micro-units. Covers the window-partitioned path the global
+    rrf_fuse_docs gate cannot reach."""
+    from nebula_importer_spark.operators.search import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    r1 = d.select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("score")
+    )
+    r2 = d.select(
+        "lang",
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("long").alias("score"),
+    )
+    return rrf_fuse([r1, r2], query_col="lang")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (operators/behavior.py:event_transitions) — one user-keyed window
@@ -10663,6 +10713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": q_grouped_split,
         # retrieval fusion of two window-checked legs (bm25 + ann cosine)
         "hybrid_search": q_hybrid_search,
+        "filter_closures": q_filter_closures,
+        "rrf_per_query": q_rrf_per_query,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
@@ -13181,6 +13233,41 @@ def oracle_sql() -> dict[str, str]:
                    SUM(1000000 // (60 + rank))::BIGINT AS rrf_micro,
                    MIN(rank)::BIGINT AS best_rank
             FROM u GROUP BY doc_id
+        """,
+        "filter_closures": """
+            SELECT doc_id FROM (
+                SELECT doc_id, COALESCE(lang, '') AS c0,
+                       COALESCE(source, '') AS c1,
+                       COALESCE(text, '') AS c2
+                FROM documents
+            )
+            WHERE (starts_with(c0, 'en') OR starts_with(c1, 'en')
+                   OR starts_with(c2, 'en'))
+              AND ((len(c0) > 2)::INT + (len(c1) > 2)::INT
+                   + (len(c2) > 2)::INT) >= 2
+              AND c0 <> '' AND c1 <> '' AND c2 <> ''
+        """,
+        "rrf_per_query": """
+            WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+                       WHERE lang IS NOT NULL),
+            r1 AS (
+                SELECT lang, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS r
+                FROM d
+            ),
+            r2 AS (
+                SELECT lang, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 13))::BIGINT DESC, doc_id ASC) AS r
+                FROM d
+            ),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+            SELECT lang, doc_id, COUNT(*)::BIGINT AS n_systems,
+                   SUM(1000000 // (60 + r))::BIGINT AS rrf_micro,
+                   MIN(r)::BIGINT AS best_rank
+            FROM u GROUP BY 1, 2
         """,
         "event_transitions": """
             WITH seq AS (
