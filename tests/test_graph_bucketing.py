@@ -54,8 +54,9 @@ def test_pagerank_bucketed_plan_has_no_edge_side_exchange(no_broadcast):
     # in the node-set subtree is not an edge-side join exchange.
     edge_join_exchange = re.compile(r"Exchange hashpartitioning\(_s#\d+L, \d+\)")
     assert not edge_join_exchange.search(plan)
-    # sanity: the plan still exchanges the score side per superstep
-    assert plan.count("Exchange hashpartitioning(node") >= 2
+    # sanity: each superstep's receive-side aggregation still exchanges
+    # by _d (the |V|-sized rank-mass shuffle — the one that SHOULD exist)
+    assert plan.count("Exchange hashpartitioning(_d") >= 3
     # and the control WITHOUT bucketing does exchange edges per superstep
     ctl = _plan(pagerank(e, iterations=3, bucket_by_src=False))
     assert len(edge_join_exchange.findall(ctl)) >= 2
