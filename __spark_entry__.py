@@ -3915,6 +3915,38 @@ def q_rrf_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([r1, r2], query_col="lang")
 
 
+def q_rouge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 per (candidate, reference) pair (operators/metrics.py:
+    rouge_n) — each document graded against the next document of its
+    language (a deterministic aligned-pair stand-in for (document,
+    summary) pairs): exact clipped bigram multiset intersection, ppm
+    floors from pure integer counts. One (pair, gram)-keyed shuffle."""
+    from pyspark.sql.window import Window
+
+    from nebula_importer_spark.operators.metrics import rouge_n
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.col("text").alias("cand"),
+            F.lead("text").over(w).alias("ref"),
+        )
+        .filter(F.col("ref").isNotNull())
+    )
+    return rouge_n(pairs, id_col="doc_id", cand_col="cand", ref_col="ref", n=2)
+
+
+def q_distinct_ngrams_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per language slice (operators/metrics.py:
+    distinct_ngrams) — the degeneracy check on a corpus slice: distinct
+    bigrams over total bigrams, grams shuffling as xxhash64 longs."""
+    from nebula_importer_spark.operators.metrics import distinct_ngrams
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    return distinct_ngrams(d, group_col="lang", text_col="text", n=2)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (operators/behavior.py:event_transitions) — one user-keyed window
@@ -10715,6 +10747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "filter_closures": q_filter_closures,
         "rrf_per_query": q_rrf_per_query,
+        "rouge_docs": q_rouge_docs,
+        "distinct_ngrams_langs": q_distinct_ngrams_langs,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
@@ -13268,6 +13302,79 @@ def oracle_sql() -> dict[str, str]:
                    SUM(1000000 // (60 + r))::BIGINT AS rrf_micro,
                    MIN(r)::BIGINT AS best_rank
             FROM u GROUP BY 1, 2
+        """,
+        # exact clipped bigram intersection: per-side gram counts joined on
+        # (pair, gram), SUM(LEAST) — the same multiset semantics as the
+        # Spark operator, independent machinery (list_transform + unnest)
+        "rouge_docs": """
+            WITH p AS (
+                SELECT doc_id, text AS cand,
+                       LEAD(text) OVER (PARTITION BY lang ORDER BY doc_id)
+                           AS ref
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(cand, '')),
+                           '[^\t\n\f\r ]+') AS ct,
+                       regexp_extract_all(lower(coalesce(ref, '')),
+                           '[^\t\n\f\r ]+') AS rt
+                FROM p WHERE ref IS NOT NULL
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ct) >= 2 THEN list_transform(
+                           range(1, len(ct)), i -> ct[i] || chr(31)
+                               || ct[i + 1])
+                       ELSE [] END AS cg,
+                       CASE WHEN len(rt) >= 2 THEN list_transform(
+                           range(1, len(rt)), i -> rt[i] || chr(31)
+                               || rt[i + 1])
+                       ELSE [] END AS rg
+                FROM t
+            ),
+            cc AS (SELECT doc_id, u.g AS gr, COUNT(*) AS nc
+                   FROM g, UNNEST(cg) AS u(g) GROUP BY 1, 2),
+            rc AS (SELECT doc_id, u.g AS gr, COUNT(*) AS nr
+                   FROM g, UNNEST(rg) AS u(g) GROUP BY 1, 2),
+            m AS (SELECT cc.doc_id, SUM(LEAST(nc, nr)) AS mt
+                  FROM cc JOIN rc USING (doc_id, gr) GROUP BY 1)
+            SELECT g.doc_id,
+                   len(cg)::BIGINT AS cand_grams,
+                   len(rg)::BIGINT AS ref_grams,
+                   COALESCE(mt, 0)::BIGINT AS matched,
+                   (CASE WHEN len(rg) > 0
+                         THEN COALESCE(mt, 0) * 1000000 // len(rg)
+                         ELSE 0 END)::BIGINT AS recall_ppm,
+                   (CASE WHEN len(cg) > 0
+                         THEN COALESCE(mt, 0) * 1000000 // len(cg)
+                         ELSE 0 END)::BIGINT AS precision_ppm,
+                   (CASE WHEN len(cg) + len(rg) > 0
+                         THEN 2 * COALESCE(mt, 0) * 1000000
+                              // (len(cg) + len(rg))
+                         ELSE 0 END)::BIGINT AS f1_ppm
+            FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+        """,
+        "distinct_ngrams_langs": """
+            WITH t AS (
+                SELECT lang,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                           '[^\t\n\f\r ]+') AS tk
+                FROM documents WHERE lang IS NOT NULL
+            ),
+            g AS (
+                SELECT lang, u.g AS gr
+                FROM (SELECT lang, CASE WHEN len(tk) >= 2 THEN
+                          list_transform(range(1, len(tk)),
+                              i -> tk[i] || chr(31) || tk[i + 1])
+                          ELSE [] END AS gs FROM t),
+                     UNNEST(gs) AS u(g)
+            )
+            SELECT lang, COUNT(*)::BIGINT AS total_grams,
+                   COUNT(DISTINCT gr)::BIGINT AS distinct_grams,
+                   (COUNT(DISTINCT gr) * 1000000 // COUNT(*))::BIGINT
+                       AS distinct_ppm
+            FROM g GROUP BY 1
         """,
         "event_transitions": """
             WITH seq AS (

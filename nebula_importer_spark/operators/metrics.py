@@ -1992,3 +1992,169 @@ def spearman_corr(
         F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
         F.when((dx > 0) & (dy > 0), rho).alias("rho"),
     )
+
+
+def rouge_n(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N (Lin, 2004) per candidate/reference pair — the n-gram
+    overlap grade summarization/translation training-data curation runs
+    before trusting a (document, summary) pair: clipped n-gram matches
+    against the reference, reported as recall (ROUGE's headline number),
+    precision (= BLEU-n modified precision for one reference), and F1.
+
+    Pinned exactness: tokens are the repo-wide explicit-whitespace
+    convention (text.py:NOT_WS, RE2/DuckDB-identical), lowercased;
+    n-grams join tokens with the \\x1f unit separator (cannot appear
+    inside a token — tokens never contain whitespace and \\x1f is not
+    produced by NOT_WS splitting, so gram rendering is injective);
+    ``matched = Σ_g min(count_cand(g), count_ref(g))`` is the exact
+    clipped multiset intersection; the three scores floor to ppm from
+    pure integer counts (F1 needs no float detour:
+    ``2·matched·10⁶ div (cand_total + ref_total)``). Empty sides score
+    0, not NULL.
+
+    Distributed shape: gram totals are map-side ``size()`` on the gram
+    arrays (no shuffle); the clipped intersection is ONE shuffle keyed
+    by (pair id, gram) — partial-agg'd counts, then a per-pair sum of
+    ``least``. No window, no collect; a hot pair costs its own gram
+    count only.
+
+    Returns ``(id_col, cand_grams, ref_grams, matched, recall_ppm,
+    precision_ppm, f1_ppm)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in (id_col, cand_col, ref_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from nebula_importer_spark.operators.text import NOT_WS
+
+    sep = "\x1f"
+
+    def grams(col: str):
+        toks = F.expr(
+            f"regexp_extract_all(lower(coalesce(`{col}`, '')), '{NOT_WS}+', 0)"
+        )
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), sep),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        grams(cand_col).alias("_cg"),
+        grams(ref_col).alias("_rg"),
+    ).localCheckpoint(eager=True)
+    totals = base.select(
+        "_id",
+        F.size("_cg").cast("long").alias("cand_grams"),
+        F.size("_rg").cast("long").alias("ref_grams"),
+    )
+    cc = (
+        base.select("_id", F.explode("_cg").alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+    )
+    rc = (
+        base.select("_id", F.explode("_rg").alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nr"))
+    )
+    matched = (
+        cc.join(rc, ["_id", "_g"])
+        .groupBy("_id")
+        .agg(F.sum(F.least("_nc", "_nr")).cast("long").alias("matched"))
+    )
+    out = (
+        totals.join(matched, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cand_grams",
+            "ref_grams",
+            F.coalesce("matched", F.lit(0)).cast("long").alias("matched"),
+        )
+        .select(
+            id_col,
+            "cand_grams",
+            "ref_grams",
+            "matched",
+            F.when(
+                F.col("ref_grams") > 0,
+                F.expr("matched * 1000000L div ref_grams"),
+            ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+            F.when(
+                F.col("cand_grams") > 0,
+                F.expr("matched * 1000000L div cand_grams"),
+            ).otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
+            F.when(
+                F.col("cand_grams") + F.col("ref_grams") > 0,
+                F.expr("2 * matched * 1000000L div (cand_grams + ref_grams)"),
+            ).otherwise(F.lit(0)).cast("long").alias("f1_ppm"),
+        )
+    )
+    return out
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    *,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Distinct-N diversity (Li et al., 2016) per group — the standard
+    degeneracy check on a text slice (a generation run, a domain, a
+    dedup survivor set): distinct n-grams over total n-grams. A slice
+    whose distinct_ppm collapses is repeating itself.
+
+    Same token/gram conventions as :func:`rouge_n` (NOT_WS tokens,
+    lowercased, \\x1f-joined grams). One shuffle keyed by
+    (group, gram-hash) — grams shuffle as xxhash64 longs, never as
+    strings (the dedup-family discipline; a 64-bit collision inside one
+    group is the accepted sketch-family risk, and the count_distinct is
+    EXACT over those hashes). Totals partial-aggregate map-side.
+
+    Returns ``(group_col, total_grams, distinct_grams, distinct_ppm)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in (group_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from nebula_importer_spark.operators.text import NOT_WS
+
+    sep = "\x1f"
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce(`{text_col}`, '')), '{NOT_WS}+', 0)"
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(group_col).alias("_grp"), F.explode(grams).alias("_g")
+    ).select("_grp", F.xxhash64("_g").alias("_h"))
+    out = exploded.groupBy("_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("total_grams"),
+        F.count_distinct("_h").cast("long").alias("distinct_grams"),
+    )
+    return out.select(
+        F.col("_grp").alias(group_col),
+        "total_grams",
+        "distinct_grams",
+        F.expr("distinct_grams * 1000000L div total_grams")
+        .cast("long")
+        .alias("distinct_ppm"),
+    )

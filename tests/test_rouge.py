@@ -1,0 +1,108 @@
+"""rouge_n / distinct_ngrams — n-gram overlap grading and diversity.
+
+Checked against an independent Python model (plain dict multisets) on
+hand cases and randomized corpora, plus the edge cases the ppm guards
+pin (empty sides, n longer than the text).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _py_grams(text: str, n: int) -> list[str]:
+    toks = text.lower().split()
+    return ["\x1f".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _py_rouge(cand: str, ref: str, n: int):
+    from collections import Counter
+
+    cg, rg = _py_grams(cand or "", n), _py_grams(ref or "", n)
+    cc, rc = Counter(cg), Counter(rg)
+    m = sum(min(cnt, rc[g]) for g, cnt in cc.items())
+    rec = m * 10**6 // len(rg) if rg else 0
+    prec = m * 10**6 // len(cg) if cg else 0
+    f1 = 2 * m * 10**6 // (len(cg) + len(rg)) if cg or rg else 0
+    return (len(cg), len(rg), m, rec, prec, f1)
+
+
+def _run(spark, rows, n=2):
+    from nebula_importer_spark.operators.metrics import rouge_n
+
+    df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+    got = rouge_n(df, id_col="doc_id", cand_col="cand", ref_col="ref", n=n)
+    return {
+        r.doc_id: (
+            r.cand_grams, r.ref_grams, r.matched,
+            r.recall_ppm, r.precision_ppm, r.f1_ppm,
+        )
+        for r in got.collect()
+    }
+
+
+def test_rouge_hand_case(spark):
+    rows = [
+        (1, "the cat sat on the mat", "the cat was on the mat"),
+        (2, "a b a b", "a b"),
+        (3, "", "x y"),
+        (4, "x y", ""),
+        (5, "one", "one"),  # shorter than a bigram on both sides
+    ]
+    got = _run(spark, rows, n=2)
+    for i, cand, ref in rows:
+        assert got[i] == _py_rouge(cand, ref, 2), i
+    # pinned: "the cat" + "on the" + "the mat" match → 3 of 5 bigrams
+    assert got[1][2] == 3 and got[1][3] == 3 * 10**6 // 5
+    # clipping: candidate repeats "a b" twice, reference has it once
+    assert got[2][2] == 1
+
+
+def test_rouge_randomized_model_parity(spark):
+    rng = random.Random(17)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+            " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+        )
+        for i in range(30)
+    ]
+    for n in (1, 2, 3):
+        got = _run(spark, rows, n=n)
+        for i, cand, ref in rows:
+            assert got[i] == _py_rouge(cand, ref, n), (n, i)
+
+
+def test_rouge_validation(spark):
+    from nebula_importer_spark.operators.metrics import rouge_n
+
+    df = spark.createDataFrame([(1, "a", "b")], "doc_id long, cand string, ref string")
+    with pytest.raises(ValueError, match="n must be"):
+        rouge_n(df, n=0)
+    with pytest.raises(ValueError, match="not in input"):
+        rouge_n(df, cand_col="zz")
+
+
+def test_distinct_ngrams_hand_and_model(spark):
+    from nebula_importer_spark.operators.metrics import distinct_ngrams
+
+    rows = [
+        ("en", "a b a b a"),   # bigrams: ab ba ab ba → 2 distinct of 4
+        ("en", "a b"),          # ab → total 5, distinct 2
+        ("zh", "x y z"),        # xy yz → 2 of 2
+        ("fr", "w"),            # no bigram → group absent
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.lang: (r.total_grams, r.distinct_grams, r.distinct_ppm)
+        for r in distinct_ngrams(df, group_col="lang", n=2).collect()
+    }
+    assert got["en"] == (5, 2, 2 * 10**6 // 5)
+    assert got["zh"] == (2, 2, 10**6)
+    assert "fr" not in got  # no grams → no row (explode semantics)
+    with pytest.raises(ValueError, match="n must be"):
+        distinct_ngrams(df, group_col="lang", n=0)
