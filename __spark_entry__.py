@@ -3947,6 +3947,33 @@ def q_distinct_ngrams_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_ngrams(d, group_col="lang", text_col="text", n=2)
 
 
+def q_corpus_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU (operators/metrics.py:corpus_bleu) over a
+    deterministic mixed pair corpus: even doc_ids are graded against
+    themselves (perfect matches at every n) and odd ones against the
+    next document of their language — pooling exact and divergent pairs
+    makes every clipped precision level non-degenerate, so the gate
+    hashes a real log-space BLEU, not a 0. All counts exact longs; the
+    scalar ln/exp chain follows the kn_lm micro-nat discipline."""
+    from pyspark.sql.window import Window
+
+    from nebula_importer_spark.operators.metrics import corpus_bleu
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("text").alias("cand"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            .otherwise(F.lead("text").over(w))
+            .alias("ref"),
+        )
+        .filter(F.col("ref").isNotNull())
+    )
+    return corpus_bleu(pairs, max_n=4)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (operators/behavior.py:event_transitions) — one user-keyed window
@@ -10749,6 +10776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_per_query": q_rrf_per_query,
         "rouge_docs": q_rouge_docs,
         "distinct_ngrams_langs": q_distinct_ngrams_langs,
+        "corpus_bleu_docs": q_corpus_bleu_docs,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
@@ -13375,6 +13403,83 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(DISTINCT gr) * 1000000 // COUNT(*))::BIGINT
                        AS distinct_ppm
             FROM g GROUP BY 1
+        """,
+        "corpus_bleu_docs": """
+            WITH p0 AS (
+                SELECT doc_id, text AS cand,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE LEAD(text) OVER (PARTITION BY lang
+                                                  ORDER BY doc_id)
+                       END AS ref
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id AS pid,
+                       regexp_extract_all(lower(coalesce(cand, '')),
+                           '[^\t\n\f\r ]+') AS ct,
+                       regexp_extract_all(lower(coalesce(ref, '')),
+                           '[^\t\n\f\r ]+') AS rt
+                FROM p0 WHERE ref IS NOT NULL
+            ),
+            lens AS (SELECT SUM(len(ct))::BIGINT AS cand_len,
+                            SUM(len(rt))::BIGINT AS ref_len FROM t),
+            g AS (
+                SELECT pid, nn.n AS n,
+                       CASE WHEN len(ct) >= nn.n THEN list_transform(
+                           range(1, len(ct) - nn.n + 2),
+                           i -> array_to_string(ct[i:i + nn.n - 1], chr(31)))
+                       ELSE [] END AS cg,
+                       CASE WHEN len(rt) >= nn.n THEN list_transform(
+                           range(1, len(rt) - nn.n + 2),
+                           i -> array_to_string(rt[i:i + nn.n - 1], chr(31)))
+                       ELSE [] END AS rg
+                FROM t, (SELECT unnest([1, 2, 3, 4]) AS n) nn
+            ),
+            cc AS (SELECT pid, n, u.g AS gr, COUNT(*) AS nc
+                   FROM g, UNNEST(cg) AS u(g) GROUP BY 1, 2, 3),
+            rc AS (SELECT pid, n, u.g AS gr, COUNT(*) AS nr
+                   FROM g, UNNEST(rg) AS u(g) GROUP BY 1, 2, 3),
+            per AS (
+                SELECT cc.n,
+                       SUM(LEAST(nc, COALESCE(nr, 0)))::BIGINT AS m,
+                       SUM(nc)::BIGINT AS c
+                FROM cc LEFT JOIN rc USING (pid, n, gr) GROUP BY 1
+            ),
+            wide AS (
+                SELECT
+                    SUM(CASE WHEN n = 1 THEN m ELSE 0 END)::BIGINT AS matched_1,
+                    SUM(CASE WHEN n = 2 THEN m ELSE 0 END)::BIGINT AS matched_2,
+                    SUM(CASE WHEN n = 3 THEN m ELSE 0 END)::BIGINT AS matched_3,
+                    SUM(CASE WHEN n = 4 THEN m ELSE 0 END)::BIGINT AS matched_4,
+                    SUM(CASE WHEN n = 1 THEN c ELSE 0 END)::BIGINT AS cand_grams_1,
+                    SUM(CASE WHEN n = 2 THEN c ELSE 0 END)::BIGINT AS cand_grams_2,
+                    SUM(CASE WHEN n = 3 THEN c ELSE 0 END)::BIGINT AS cand_grams_3,
+                    SUM(CASE WHEN n = 4 THEN c ELSE 0 END)::BIGINT AS cand_grams_4
+                FROM per
+            )
+            SELECT cand_len, ref_len,
+                   matched_1, matched_2, matched_3, matched_4,
+                   cand_grams_1, cand_grams_2, cand_grams_3, cand_grams_4,
+                   (CASE WHEN cand_len <= 0 OR matched_1 <= 0
+                              OR matched_2 <= 0 OR matched_3 <= 0
+                              OR matched_4 <= 0 OR cand_grams_1 <= 0
+                              OR cand_grams_2 <= 0 OR cand_grams_3 <= 0
+                              OR cand_grams_4 <= 0
+                         THEN 0
+                         ELSE FLOOR(exp((
+                             FLOOR(LEAST(0.0, 1.0 - ref_len::DOUBLE
+                                             / cand_len) * 1000000)
+                             + (FLOOR(ln(matched_1::DOUBLE / cand_grams_1)
+                                      * 1000000)
+                                + FLOOR(ln(matched_2::DOUBLE / cand_grams_2)
+                                        * 1000000)
+                                + FLOOR(ln(matched_3::DOUBLE / cand_grams_3)
+                                        * 1000000)
+                                + FLOOR(ln(matched_4::DOUBLE / cand_grams_4)
+                                        * 1000000)) / 4.0
+                             ) / 1000000) * 1000000)
+                    END)::BIGINT AS bleu_micro
+            FROM wide, lens
         """,
         "event_transitions": """
             WITH seq AS (

@@ -74,10 +74,15 @@ def nb_classify(
 
     tc = F.coalesce(F.col(text_col), F.lit(""))
     tr = spread_small_input(train_df).filter(F.col(label_col).isNotNull())
+    # tokenize + hash the training corpus ONCE: ltoks feeds three
+    # aggregations (per-(label,token) counts, per-label totals, vocab
+    # size) — unmaterialized, the explode would run three times, and the
+    # token STRINGS never need to exist past the hash (every consumer
+    # keys on xxhash64)
     ltoks = tr.select(
         F.col(label_col).alias("_l"), F.explode(_word_ngrams_all(tc, 1)).alias("_w")
-    )
-    counts = ltoks.groupBy("_l", F.xxhash64("_w").alias("_k")).agg(
+    ).select("_l", F.xxhash64("_w").alias("_k")).localCheckpoint(eager=True)
+    counts = ltoks.groupBy("_l", "_k").agg(
         F.count(F.lit(1)).alias("_c")
     )
     # label dim: token totals + document priors (|labels| rows, broadcast)
@@ -86,7 +91,7 @@ def nb_classify(
         F.count(F.lit(1)).alias("_dl")
     )
     dtot = tr.agg(F.count(F.lit(1)).alias("_d"))
-    vocab = ltoks.agg(F.count_distinct(F.xxhash64("_w")).alias("_v"))
+    vocab = ltoks.agg(F.count_distinct("_k").alias("_v"))
     ldim = (
         ntok.join(prior, "_l")
         .join(F.broadcast(dtot))

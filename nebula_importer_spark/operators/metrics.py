@@ -2158,3 +2158,150 @@ def distinct_ngrams(
         .cast("long")
         .alias("distinct_ppm"),
     )
+
+
+def corpus_bleu(
+    df: DataFrame,
+    *,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al., 2002) over (candidate,
+    reference) pairs — the other standard n-gram grade beside
+    :func:`rouge_n`: corpus-pooled clipped precisions p_1..p_N, the
+    brevity penalty, and ``BLEU = BP · exp(Σ ln p_n / N)``.
+
+    Exactness discipline (the kn_lm/nb micro-nat rule): every count is
+    an exact long from one (pair, n, gram)-keyed aggregation; each
+    ``ln p_n`` and the BP exponent floor to micro-nats through a fixed
+    IEEE chain on the 1-row totals frame, so the only float ops are a
+    handful of scalar ln/exp on integer-derived inputs — the same
+    accumulation-order-proof shape the gate already hashes for the LM
+    scorers. A zero clipped count for any n (BLEU undefined in log
+    space) reports ``bleu_micro = 0`` — the standard smoothing-free
+    convention, stated rather than NaN'd.
+
+    Distributed shape: tokens/grams are map-side array ops; ONE shuffle
+    keyed by (pair, n, gram) produces per-side counts; the clipped sums
+    partial-aggregate to a single row. Returns one row:
+    ``(cand_len, ref_len, matched_1..N, cand_grams_1..N, bleu_micro)``.
+    """
+    if not 1 <= max_n <= 8:
+        raise ValueError(f"max_n must be in [1, 8], got {max_n}")
+    for c in (cand_col, ref_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    from nebula_importer_spark.operators.text import NOT_WS
+
+    sep = "\x1f"
+
+    def toks(col: str):
+        return F.expr(
+            f"regexp_extract_all(lower(coalesce(`{col}`, '')), '{NOT_WS}+', 0)"
+        )
+
+    def grams(tcol, n: int):
+        return F.when(
+            F.size(tcol) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tcol) - n),
+                lambda i: F.array_join(F.slice(tcol, i + 1, n), sep),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.monotonically_increasing_id().alias("_pid"),
+        toks(cand_col).alias("_ct"),
+        toks(ref_col).alias("_rt"),
+    ).localCheckpoint(eager=True)
+
+    lens = base.agg(
+        F.sum(F.size("_ct")).cast("long").alias("cand_len"),
+        F.sum(F.size("_rt")).cast("long").alias("ref_len"),
+    )
+
+    legs = None
+    for n in range(1, max_n + 1):
+        leg = base.select(
+            "_pid",
+            F.lit(n).alias("_n"),
+            grams(F.col("_ct"), n).alias("_cg"),
+            grams(F.col("_rt"), n).alias("_rg"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    cc = (
+        legs.select("_pid", "_n", F.explode("_cg").alias("_g"))
+        .groupBy("_pid", "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    rc = (
+        legs.select("_pid", "_n", F.explode("_rg").alias("_g"))
+        .groupBy("_pid", "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_nr"))
+    )
+    per_n = (
+        cc.join(rc, ["_pid", "_n", "_g"], "left")
+        .groupBy("_n")
+        .agg(
+            F.sum(F.least("_nc", F.coalesce("_nr", F.lit(0))))
+            .cast("long")
+            .alias("_m"),
+            F.sum("_nc").cast("long").alias("_c"),
+        )
+    )
+    # pivot the ≤N rows wide on the driver-free path: conditional aggs
+    aggs = []
+    for n in range(1, max_n + 1):
+        aggs.append(
+            F.sum(F.when(F.col("_n") == n, F.col("_m")).otherwise(0))
+            .cast("long")
+            .alias(f"matched_{n}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_n") == n, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias(f"cand_grams_{n}")
+        )
+    wide = per_n.agg(*aggs).join(F.broadcast(lens))
+
+    # log-space assembly on the 1-row frame: micro-nat floors per term
+    logp_terms = []
+    any_zero = F.lit(False)
+    for n in range(1, max_n + 1):
+        m, c = F.col(f"matched_{n}"), F.col(f"cand_grams_{n}")
+        any_zero = any_zero | (m <= 0) | (c <= 0)
+        logp_terms.append(
+            F.floor(
+                F.log(m.cast("double") / c.cast("double")) * F.lit(10**6)
+            ).cast("long")
+        )
+    sum_logp = logp_terms[0]
+    for t in logp_terms[1:]:
+        sum_logp = sum_logp + t
+    bp_exp = F.floor(
+        F.least(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double"),
+        )
+        * F.lit(10**6)
+    ).cast("long")
+    bleu = F.floor(
+        F.exp(
+            (bp_exp.cast("double") + sum_logp.cast("double") / max_n)
+            / F.lit(10**6)
+        )
+        * F.lit(10**6)
+    ).cast("long")
+    out = wide.select(
+        "cand_len",
+        "ref_len",
+        *[f"matched_{n}" for n in range(1, max_n + 1)],
+        *[f"cand_grams_{n}" for n in range(1, max_n + 1)],
+        F.when(any_zero | (F.col("cand_len") <= 0), F.lit(0).cast("long"))
+        .otherwise(bleu)
+        .alias("bleu_micro"),
+    )
+    return out

@@ -106,3 +106,77 @@ def test_distinct_ngrams_hand_and_model(spark):
     assert "fr" not in got  # no grams → no row (explode semantics)
     with pytest.raises(ValueError, match="n must be"):
         distinct_ngrams(df, group_col="lang", n=0)
+
+
+def _py_bleu(pairs, max_n=4):
+    import math
+    from collections import Counter
+
+    m = [0] * (max_n + 1)
+    c = [0] * (max_n + 1)
+    cand_len = ref_len = 0
+    for cand, ref in pairs:
+        ct, rt = (cand or "").lower().split(), (ref or "").lower().split()
+        cand_len += len(ct)
+        ref_len += len(rt)
+        for n in range(1, max_n + 1):
+            cg = Counter(_py_grams(cand or "", n))
+            rg = Counter(_py_grams(ref or "", n))
+            m[n] += sum(min(k, rg[g]) for g, k in cg.items())
+            c[n] += sum(cg.values())
+    if cand_len <= 0 or any(m[n] <= 0 or c[n] <= 0 for n in range(1, max_n + 1)):
+        bleu = 0
+    else:
+        s = sum(math.floor(math.log(m[n] / c[n]) * 10**6) for n in range(1, max_n + 1))
+        bp = math.floor(min(0.0, 1.0 - ref_len / cand_len) * 10**6)
+        bleu = math.floor(math.exp((bp + s / max_n) / 10**6) * 10**6)
+    return (cand_len, ref_len, *m[1:], *c[1:], bleu)
+
+
+def test_corpus_bleu_model_parity(spark):
+    from nebula_importer_spark.operators.metrics import corpus_bleu
+
+    rng = random.Random(23)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    pairs = []
+    for _ in range(25):
+        # candidates share long spans with their references (so 4-grams
+        # match and BLEU is non-degenerate) but diverge at the tail
+        cand = rng.choices(vocab, k=rng.randint(6, 15))
+        ref = list(cand)
+        for _ in range(rng.randint(0, 3)):
+            ref[rng.randrange(len(ref))] = rng.choice(vocab)
+        pairs.append((" ".join(cand), " ".join(ref)))
+    df = spark.createDataFrame(pairs, "cand string, ref string")
+    row = corpus_bleu(df).collect()[0]
+    want = _py_bleu(pairs)
+    got = (
+        row.cand_len, row.ref_len,
+        row.matched_1, row.matched_2, row.matched_3, row.matched_4,
+        row.cand_grams_1, row.cand_grams_2, row.cand_grams_3, row.cand_grams_4,
+        row.bleu_micro,
+    )
+    assert got == want
+    assert 0 < row.bleu_micro < 10**6  # random overlap: neither 0 nor perfect
+
+    # perfect corpus → BLEU exactly 1.0 (bp 0, all p_n = 1)
+    same = spark.createDataFrame(
+        [("a b c d e f", "a b c d e f")], "cand string, ref string"
+    )
+    assert corpus_bleu(same).collect()[0].bleu_micro == 10**6
+
+    # any empty n-level (no 4-gram matches) → 0 by the stated convention
+    short = spark.createDataFrame(
+        [("a b", "a b")], "cand string, ref string"
+    )
+    assert corpus_bleu(short).collect()[0].bleu_micro == 0
+
+
+def test_corpus_bleu_validation(spark):
+    from nebula_importer_spark.operators.metrics import corpus_bleu
+
+    df = spark.createDataFrame([("a", "b")], "cand string, ref string")
+    with pytest.raises(ValueError, match="max_n"):
+        corpus_bleu(df, max_n=0)
+    with pytest.raises(ValueError, match="not in input"):
+        corpus_bleu(df, cand_col="zz")
