@@ -3974,6 +3974,46 @@ def q_corpus_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_bleu(pairs, max_n=4)
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (operators/web.py:
+    canonicalize_urls). The gate synthesizes deliberately MESSY
+    deterministic URLs from documents (uppercased scheme/www, default
+    and non-default ports, duplicate and trailing slashes, unsorted
+    query params with utm_/ref tracking noise, fragments) and the
+    oracle derives the expected canonical string DIRECTLY FROM THE
+    GENERATOR — the domain_stats independence pattern: the regexp
+    canonicalizer must reconstruct exactly what the construction
+    implies (lowered scheme+host, www and :80 dropped, :8080 kept,
+    slash runs collapsed, trailing slash stripped, params sorted with
+    tracking removed, fragment gone)."""
+    from nebula_importer_spark.operators.web import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("//"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?z=1&utm_source=g&a=2")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return canonicalize_urls(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "canonical_url"
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (operators/behavior.py:event_transitions) — one user-keyed window
@@ -10777,6 +10817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_docs": q_rouge_docs,
         "distinct_ngrams_langs": q_distinct_ngrams_langs,
         "corpus_bleu_docs": q_corpus_bleu_docs,
+        "canonical_urls": q_canonical_urls,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
@@ -13480,6 +13521,21 @@ def oracle_sql() -> dict[str, str]:
                              ) / 1000000) * 1000000)
                     END)::BIGINT AS bleu_micro
             FROM wide, lens
+        """,
+        # oracle derives the canonical string from the GENERATOR, not by
+        # re-running a canonicalizer: %2 picks the scheme (and the only
+        # query, which sorts to a=2&z=1 after utm_ drops), %4==0's :80
+        # rides http (always dropped), %4==1's :8080 rides https (kept),
+        # www/slash-run/trailing-slash/fragment all vanish by spec
+        "canonical_urls": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                   || '://' || source || '.com'
+                   || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+                   || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '?a=2&z=1'
+                       ELSE '' END) AS canonical_url
+            FROM documents
         """,
         "event_transitions": """
             WITH seq AS (

@@ -138,3 +138,76 @@ def domain_stats(
             F.expr("_nq * 1000000L div n_urls").cast("long").alias("query_ppm"),
         )
     )
+
+
+#: query parameters dropped by canonicalize_urls: pure click-tracking
+#: identifiers (the de-facto crawl-dedup list; utm_* is matched by prefix)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "ref")
+
+_TRACKING_RE = "^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|ref)(=|$)"
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Crawl-dedup URL canonicalization, map-only: two URLs that differ
+    only in case of scheme/host, a default port, duplicate or trailing
+    slashes, fragment, query-parameter ORDER, or click-tracking
+    parameters (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``,
+    ``igshid``, ``ref``) canonicalize to the same string — the key a
+    frontier dedups on before fetching, and the join key for
+    cross-crawl URL-level dedup.
+
+    Pinned normalization (documented scope — no percent-decoding, no
+    IDN, both of which are representation changes a crawler does NOT
+    want silently merged): lowercase scheme+host; drop ``www.`` (flag);
+    drop ``:80``/``:443`` for http/https (other ports kept); collapse
+    ``//+`` runs in the path and strip trailing slashes (empty path →
+    ``/``); drop the fragment; drop tracking params; SORT the surviving
+    params bytewise (order is almost never semantic, and unsorted
+    params are the top cause of crawl-frontier duplicates). Rows with
+    no parseable ``scheme://host`` get NULL — visible, not dropped.
+
+    Every step is a regexp/array Column expression — zero Exchange,
+    zero UDF; the whole operator inlines into the scan. Adds
+    ``canonical_url``.
+    """
+    if url_col not in df.columns:
+        raise ValueError(f"column {url_col!r} not in input: {df.columns}")
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    scheme = F.lower(F.nullif(F.regexp_extract(u, _SCHEME_RE, 1), F.lit("")))
+    host0 = F.lower(F.nullif(F.regexp_extract(u, _HOST_RE, 1), F.lit("")))
+    host = F.regexp_replace(host0, "^www\\.", "") if strip_www else host0
+    port = F.regexp_extract(u, _PORT_RE, 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path0 = F.regexp_extract(u, _PATH_RE, 1)
+    path1 = F.regexp_replace(path0, "/{2,}", "/")
+    path2 = F.regexp_replace(path1, "/+$", "")
+    path = F.when(path2 == "", F.lit("/")).otherwise(path2)
+    query0 = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query0, "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(_TRACKING_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canon = F.when(
+        scheme.isNull() | host.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    return df.select("*", canon.alias("canonical_url"))

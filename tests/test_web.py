@@ -50,3 +50,56 @@ def test_parse_urls_validation(spark):
     # map-only contract
     plan = parse_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonicalize_urls_hand_cases(spark):
+    from nebula_importer_spark.operators.web import canonicalize_urls
+
+    cases = [
+        # case/port/fragment/tracking/ordering all collapse
+        ("HTTPS://WWW.Example.COM:443/a//b/?z=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&z=2"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x/", "http://example.com:8080/x"),
+        ("https://cdn.site.co.uk/p?gclid=abc&ref=tw&b=2&a=1",
+         "https://cdn.site.co.uk/p?a=1&b=2"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?utm_campaign=x&utm_medium=y",
+         "https://example.com/"),
+        ("ftp://Files.example.com/Dir//file.txt",
+         "ftp://files.example.com/Dir/file.txt"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+    # identical after canonicalization → usable as a dedup key
+    dup = spark.createDataFrame(
+        [(1, "https://www.a.com/x?b=2&a=1"), (2, "https://a.com/x/?a=1&b=2")],
+        "i long, url string",
+    )
+    vals = {r.canonical_url for r in canonicalize_urls(dup).collect()}
+    assert vals == {"https://a.com/x?a=1&b=2"}
+    # strip_www=False keeps the label
+    keep = canonicalize_urls(
+        spark.createDataFrame([(1, "https://www.a.com/")], "i long, url string"),
+        strip_www=False,
+    ).collect()[0]
+    assert keep.canonical_url == "https://www.a.com/"
+
+
+def test_canonicalize_urls_validation(spark):
+    import pytest
+
+    from nebula_importer_spark.operators.web import canonicalize_urls
+
+    df = spark.createDataFrame([(1,)], "i long")
+    with pytest.raises(ValueError, match="not in input"):
+        canonicalize_urls(df)
