@@ -430,7 +430,15 @@ class _Parser:
         elem_t = arr_t[len("list_"):]
         self._eat("op", ",")
         self._eat("op", "{")
+        # the lambda variable must not collide with any SOURCE COLUMN
+        # name: Spark resolves a backticked attribute inside a lambda to
+        # the lambda variable when the names match, which would silently
+        # turn Record[i] references into the closure element (review
+        # finding — cols=['_x0'] broke `count(Record, {# != Record[0]})`)
         var = f"_x{len(self.closure)}"
+        if self.cols:
+            while var in self.cols:
+                var = "_" + var
         self.closure.append((var, elem_t))
         try:
             body_sql, body_t = self._or()

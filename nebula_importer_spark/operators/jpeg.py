@@ -284,6 +284,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
+        # legal fill bytes: any run of 0xFF before the marker code
+        # (T.81 B.1.1.2) — skip to the last 0xFF of the run
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -550,8 +554,12 @@ def encode_jpeg(
         coeff = np.einsum("ij,yxjk,kl->yxil", _DCT_M, blocks, _DCT_M.T)
         qt = qts[min(ci, len(qts) - 1)]
         zz = coeff.reshape(nby, nbx, 64)[:, :, ZIGZAG]
+        # zz[k] is the coefficient at natural position ZIGZAG[k], so its
+        # quantizer is qt[ZIGZAG[k]] — exactly what the emitted DQT
+        # declares for zigzag slot k (dividing by qt[k] would scale ACs
+        # by the wrong step; caught by the noise round-trip test)
         quantized.append(
-            np.round(zz / qt[None, None, :]).astype(np.int64)
+            np.round(zz / qt[ZIGZAG][None, None, :]).astype(np.int64)
         )
 
     w = _BitWriter()

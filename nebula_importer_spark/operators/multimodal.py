@@ -425,9 +425,11 @@ def _phash_pair(payload: bytes) -> tuple[bool, int, int]:
     mean via floor div (stated: the exactness contract)."""
     try:
         arr = decode_image(payload)
-    except NotImplementedError:
-        # deterministic stand-in so plumbing tests run without a codec:
-        # hash bits from sha256, flagged undecoded
+    except Exception:
+        # no codec for this format OR a corrupt payload of a known
+        # format (e.g. a truncated JPEG raising JpegError) → the
+        # deterministic stand-in, flagged undecoded — same broad-degrade
+        # contract as _feature/_resized
         d = hashlib.sha256(payload or b"").digest()
         a = int.from_bytes(d[:8], "big") & (2**63 - 1)
         b = int.from_bytes(d[8:16], "big") & (2**63 - 1)

@@ -35,7 +35,10 @@ _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# anchored to the first '?' BEFORE any '#': an unanchored \?([^#]*) would
+# treat a '?' inside the fragment (SPA routes like '#/r?tab=2') as the
+# query start, leaking fragment content into has_query/canonical_url
+_QUERY_RE = "^[^#?]*\\?([^#]*)"
 
 
 def parse_urls(

@@ -470,3 +470,20 @@ def test_closure_validate_without_schema():
     validate_filter('any(map(Record, {len(#)}), {# > 2})')
     with pytest.raises(FilterError):
         validate_filter("map(Record, {len(#)})")  # not boolean at top
+
+
+def test_closure_lambda_never_shadows_column_names(spark):
+    """Review finding: a source column literally named _x0 referenced via
+    Record[i] INSIDE a closure resolved to the lambda variable, silently
+    turning the predicate into a self-comparison."""
+    rows = [("a", "b"), ("c", "c")]
+    df = spark.createDataFrame(rows, "`_x0` string, c1 string")
+    expr = "count(Record, {# != Record[0]}) == 1"
+    got = [
+        tuple(r)
+        for r in df.filter(compile_filter(expr, ["_x0", "c1"])).collect()
+    ]
+    # ('a','b'): elements {'a','b'} vs Record[0]='a' → exactly one differs
+    assert got == [("a", "b")]
+    sql = translate_filter(expr, ["_x0", "c1"])
+    assert "`_x0`" in sql and "__x0 ->" in sql and " _x0 ->" not in sql

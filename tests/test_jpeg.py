@@ -139,3 +139,35 @@ def test_phash_now_decodes_jpeg():
     assert decoded is True
     decoded2, _, _ = _phash_pair(b"RIFF....WEBPVP8 ")  # WebP-ish → stand-in
     assert decoded2 is False
+
+
+def test_noise_round_trip_error_bounded_by_quant_step():
+    """Random noise is the adversarial content for DCT coding; with the
+    correct zigzag-aligned quantizer the reconstruction error stays near
+    the quantization step (review finding: dividing zigzag-ordered
+    coefficients by the natural-order table passed the smooth-gradient
+    tests while being ~9x off on noise)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=85))
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= 40, err  # was 161 with the misaligned quantizer
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker."""
+    data = (DATA / "sample_color.jpg").read_bytes()
+    i = data.find(b"\xff\xdb")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_phash_degrades_on_corrupt_jpeg(spark):
+    """A truncated FF D8 payload must hit the deterministic stand-in
+    (decoded=False), not crash the kernel (review finding: only
+    NotImplementedError was caught, JpegError escaped)."""
+    from nebula_importer_spark.operators.multimodal import _phash_pair
+
+    truncated = (DATA / "sample_color.jpg").read_bytes()[:60]
+    decoded, a, d = _phash_pair(truncated)
+    assert decoded is False and a >= 0 and d >= 0

@@ -103,3 +103,29 @@ def test_canonicalize_urls_validation(spark):
     df = spark.createDataFrame([(1,)], "i long")
     with pytest.raises(ValueError, match="not in input"):
         canonicalize_urls(df)
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    """Review finding: the unanchored query regex treated '?' inside a
+    fragment as the query start, leaking fragment content into the
+    canonical URL (and has_query)."""
+    from nebula_importer_spark.operators.web import (
+        canonicalize_urls,
+        parse_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://example.com/p#sec?x=1"),
+            (2, "http://example.com/p"),
+            (3, "https://a.com/#/route?tab=2"),
+            (4, "https://a.com/?real=1#frag?fake=2"),
+        ],
+        "i long, url string",
+    )
+    canon = {r.i: r.canonical_url for r in canonicalize_urls(df).collect()}
+    assert canon[1] == canon[2] == "http://example.com/p"
+    assert canon[3] == "https://a.com/"
+    assert canon[4] == "https://a.com/?real=1"
+    hq = {r.i: r.has_query for r in parse_urls(df).collect()}
+    assert hq == {1: False, 2: False, 3: False, 4: True}
