@@ -10416,8 +10416,11 @@ _GATE_WINDOW = [
     "text_lang_id", "text_redact_pii", "chunk_documents",
     # trained-filter loop: NB train→predict (pure-aggregation training)
     "nb_lang_docs",
-    # LM quality + corpus comparison
-    "kn_lm_perplexity", "log_odds_tokens",
+    # LM quality + corpus comparison (log_odds tail-gated: micro-nat
+    # integer text stats, kn_lm_perplexity + nb_lang_docs machinery)
+    "kn_lm_perplexity",
+    # r5: ROUGE-N pair grading (exact clipped n-gram intersection)
+    "rouge_docs",
     # corpus prep (mix_domains tail-gated: its md5-threshold scan
     # machinery rides sample_token_budget's key order)
     "decontaminate", "sample_token_budget",
@@ -10432,12 +10435,21 @@ _GATE_WINDOW = [
     # entity linking
     "fuzzy_customer_names",
     # ANN / embedding analytics + preference ranking
-    "ann_cosine_topk", "embedding_pca", "embedding_correlation",
+    # (embedding_correlation tail-gated: its exact integer sufficient
+    # stats are embedding_pca's machinery)
+    "ann_cosine_topk", "embedding_pca",
     "supplier_duels",
+    # r5: hybrid RRF fusion (the round-4 red row, re-greened) + the
+    # filter-DSL closure grammar driven end-to-end
+    "hybrid_search", "filter_closures",
     # KG construction + linking hygiene
     "kg_triples", "kg_extract_docs",
-    # iterative graph analytics (SCC = the directed-reachability row)
-    "graph_pagerank", "graph_kcore", "graph_msf", "graph_scc",
+    # iterative graph analytics (SCC = the directed-reachability row;
+    # graph_msf tail-gated: per-round BSP + checkpoint machinery rides
+    # kcore/scc/pagerank)
+    "graph_pagerank", "graph_kcore", "graph_scc",
+    # r5: crawl-frontier URL canonicalization (generator-derived oracle)
+    "canonical_urls",
     # transcripts / behavior
     "conv_stats", "retention_cohorts",
     # multimodal + KG snapshot diff (kg_ambiguity tail-gated: alias
@@ -10459,8 +10471,10 @@ _GATE_WINDOW = [
     # profiling / cdc / runtime-prune / eval / change-point
     # (events_skew_report tail-gated: exact-ppm share aggs,
     # profile_customer's single-pass machinery)
+    # (cusum tail-gated: prefix-sum temporal machinery rides
+    # asof_click_error + sessionize_users)
     "profile_customer", "cdc_user_state",
-    "bloom_semi_lineitem", "auc_doc_length", "cusum_events",
+    "bloom_semi_lineitem", "auc_doc_length",
     # theta-sketch set operations (KMV union/intersection estimates)
     "kmv_overlap_types",
 ]
@@ -10509,9 +10523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": q_textrank_docs,
         "dq_constraints_orders": q_dq_constraints_orders,
         "table_diff_orders": q_table_diff_orders,
-        "embedding_correlation": q_embedding_correlation,
-        "log_odds_tokens": q_log_odds_tokens,
-        "graph_msf": q_graph_msf,
+        # r5 window promotions: the re-greened RRF fusion row, the
+        # closure-grammar row, and the ROUGE pair grade
+        "hybrid_search": q_hybrid_search,
+        "filter_closures": q_filter_closures,
+        "rouge_docs": q_rouge_docs,
         "hll_rolling_users": q_hll_rolling_users,
         "association_rules": q_association_rules,
         "kcenter_select": q_kcenter_select,
@@ -10689,8 +10705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         # exact distributed Mann-Whitney AUC (evaluation-metrics family)
         "auc_doc_length": q_auc_doc_length,
-        # CUSUM sustained-shift change points (drift-detection family)
-        "cusum_events": q_cusum_events,
+        # crawl-frontier URL canonicalization (r5 window promotion)
+        "canonical_urls": q_canonical_urls,
         # exact integer lag-k autocorrelation of the hourly rate series
         # (temporal family — cusum finds the shift, acf its stickiness)
         "events_acf": q_events_acf,
@@ -10810,14 +10826,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         # md5-threshold split twin (machinery = sample_token_budget row)
         "grouped_split": q_grouped_split,
-        # retrieval fusion of two window-checked legs (bm25 + ann cosine)
-        "hybrid_search": q_hybrid_search,
-        "filter_closures": q_filter_closures,
+        # displaced by r5 window promotions — machinery stays window-
+        # checked: embedding_correlation's integer sufficient stats by
+        # embedding_pca; log_odds' micro-nat text stats by
+        # kn_lm_perplexity + nb_lang_docs; graph_msf's iterative BSP +
+        # per-round checkpoints by graph_kcore/graph_scc/graph_pagerank;
+        # cusum's prefix-sum temporal machinery by asof_click_error +
+        # sessionize_users
+        "embedding_correlation": q_embedding_correlation,
+        "log_odds_tokens": q_log_odds_tokens,
+        "graph_msf": q_graph_msf,
+        "cusum_events": q_cusum_events,
         "rrf_per_query": q_rrf_per_query,
-        "rouge_docs": q_rouge_docs,
         "distinct_ngrams_langs": q_distinct_ngrams_langs,
         "corpus_bleu_docs": q_corpus_bleu_docs,
-        "canonical_urls": q_canonical_urls,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
