@@ -4014,6 +4014,19 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixed_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-consistency profile (operators/text.py:
+    mixed_language_profile) — chunk-level lang-id disagreement, the
+    mixed-language cleaning signal a whole-document argmax hides.
+    Composition of the window-checked chunk_documents and text_lang_id
+    machinery; majority = exact min(struct(-count, lang))."""
+    from nebula_importer_spark.operators.text import mixed_language_profile
+
+    return mixed_language_profile(
+        _t(spark, sf_dir, "documents"), chunk_tokens=20
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (operators/behavior.py:event_transitions) — one user-keyed window
@@ -10840,6 +10853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_per_query": q_rrf_per_query,
         "distinct_ngrams_langs": q_distinct_ngrams_langs,
         "corpus_bleu_docs": q_corpus_bleu_docs,
+        "mixed_lang_docs": q_mixed_lang_docs,
         # embedding variants (band machinery = dedup_minhash/embedding rows)
         # IVF = kmeans cells + cosine verify (both window-checked); the
         # reduced-nprobe recall path is pytest-gated
@@ -13558,6 +13572,60 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 2 = 0 THEN '?a=2&z=1'
                        ELSE '' END) AS canonical_url
             FROM documents
+        """,
+        "mixed_lang_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+                FROM documents
+            ),
+            i AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+                           AS ci
+                FROM t
+            ),
+            ch AS (
+                SELECT doc_id,
+                       array_to_string(
+                           toks[ci * 20 + 1 : ci * 20 + 20], ' ')
+                           AS chunk_text
+                FROM i
+            ),
+            r AS (
+                SELECT doc_id,
+                       case when len(regexp_extract_all(chunk_text, '\\S+')) = 0 then 0.0 else len(regexp_extract_all(lower(chunk_text), '\\b(the|a|and|of|to|in|is|that|it|for)\\b'))::DOUBLE / len(regexp_extract_all(chunk_text, '\\S+')) end AS r_en, case when len(regexp_extract_all(chunk_text, '\\S+')) = 0 then 0.0 else len(regexp_extract_all(lower(chunk_text), '\\b(der|die|das|und|ist|nicht|ein|mit|auf)\\b'))::DOUBLE / len(regexp_extract_all(chunk_text, '\\S+')) end AS r_de,
+                       case when len(regexp_extract_all(chunk_text, '\\S+')) = 0 then 0.0 else len(regexp_extract_all(lower(chunk_text), '\\b(le|la|et|les|des|est|un|une|dans)\\b'))::DOUBLE / len(regexp_extract_all(chunk_text, '\\S+')) end AS r_fr, case when len(regexp_extract_all(chunk_text, '\\S+')) = 0 then 0.0 else len(regexp_extract_all(lower(chunk_text), '\\b(el|la|los|que|es|una|por|con|para)\\b'))::DOUBLE / len(regexp_extract_all(chunk_text, '\\S+')) end AS r_es
+                FROM ch
+            ),
+            lg AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN r_en > 0 AND r_en >= r_de AND r_en >= r_fr
+                              AND r_en >= r_es THEN 'en'
+                         WHEN r_de > 0 AND r_de > r_en AND r_de >= r_fr
+                              AND r_de >= r_es THEN 'de'
+                         WHEN r_fr > 0 AND r_fr > r_en AND r_fr > r_de
+                              AND r_fr >= r_es THEN 'fr'
+                         WHEN r_es > 0 AND r_es > r_en AND r_es > r_de
+                              AND r_es > r_fr THEN 'es'
+                         ELSE 'und'
+                       END AS cl
+                FROM r
+            ),
+            c AS (SELECT doc_id, cl, COUNT(*)::BIGINT AS n
+                  FROM lg GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(n)::BIGINT AS n_chunks,
+                           COUNT(*)::BIGINT AS n_langs
+                    FROM c GROUP BY 1),
+            m AS (SELECT doc_id, cl, n, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY n DESC, cl ASC) AS rk
+                  FROM c)
+            SELECT tot.doc_id, tot.n_chunks, tot.n_langs,
+                   m.cl AS major_lang,
+                   (m.n * 1000000 // tot.n_chunks)::BIGINT AS major_ppm,
+                   tot.n_langs > 1 AS is_mixed
+            FROM tot JOIN m ON tot.doc_id = m.doc_id AND m.rk = 1
         """,
         "event_transitions": """
             WITH seq AS (

@@ -1560,3 +1560,60 @@ def compression_signals(
             )
 
     return src.mapInPandas(kernel, schema)
+
+
+def mixed_language_profile(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+):
+    """Per-document language-consistency profile — the mixed-language
+    detector corpus cleaning runs after per-document lang-id: a document
+    whose CHUNKS disagree about their language (boilerplate wrappers
+    around translated bodies, code-switched spam, concatenation
+    artifacts) is a known quality hazard that a single whole-document
+    argmax hides.
+
+    Composition of two oracle-proven pieces: :func:`chunk_documents`
+    (k-token map-only slicing) and :func:`lang_id` (stopword-ratio
+    argmax with the pinned en>de>fr>es tie order) per chunk, then one
+    (doc, lang)-keyed partial-agg'd count and a per-doc argmax —
+    majority = highest chunk count, ties to the lexicographically
+    smallest language (exact ``min(struct(-n, lang))``, no engine
+    order). Documents with no tokens produce no row (chunk semantics).
+
+    Returns ``(id_col, n_chunks, n_langs, major_lang, major_ppm,
+    is_mixed)`` — ``major_ppm`` is the majority language's chunk share;
+    ``is_mixed = n_langs > 1``.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in input: {df.columns}")
+    ch = chunk_documents(df, text_col, chunk_tokens, [id_col])
+    per = ch.select(
+        F.col(id_col).alias("_id"), lang_id(F.col("chunk_text")).alias("_l")
+    )
+    counts = per.groupBy("_id", "_l").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    agg = counts.groupBy("_id").agg(
+        F.sum("_n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(
+            F.struct((-F.col("_n")).alias("nc"), F.col("_l").alias("l"))
+        ).alias("_m"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_chunks",
+        "n_langs",
+        F.col("_m.l").alias("major_lang"),
+        F.expr("(-_m.nc) * 1000000L div n_chunks")
+        .cast("long")
+        .alias("major_ppm"),
+        (F.col("n_langs") > 1).alias("is_mixed"),
+    )

@@ -180,3 +180,38 @@ def test_corpus_bleu_validation(spark):
         corpus_bleu(df, max_n=0)
     with pytest.raises(ValueError, match="not in input"):
         corpus_bleu(df, cand_col="zz")
+
+
+def test_mixed_language_profile(spark):
+    from nebula_importer_spark.operators.text import mixed_language_profile
+
+    en = "the cat and the dog went to the house in the morning and it was for"
+    de = "der hund und die katze ist nicht mit ein auf der und das ist auf"
+    rows = [
+        (1, en + " " + en),            # 2+ chunks, all en
+        (2, en + " " + de + " " + de), # mixed: en + de chunks, de majority
+        (3, ""),                       # no tokens → no row
+        (4, "zz qq ww"),               # one 'und' chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_langs, r.major_lang, r.major_ppm, r.is_mixed)
+        for r in mixed_language_profile(df, chunk_tokens=16).collect()
+    }
+    assert 3 not in got
+    assert got[1][1] == 1 and got[1][2] == "en" and got[1][4] is False
+    assert got[1][3] == 10**6
+    assert got[2][4] is True and got[2][1] >= 2
+    assert got[4] == (1, 1, "und", 10**6, False)
+    # majority tie → lexicographically smallest language
+    tie = spark.createDataFrame(
+        [(9, en + " " + de)], "doc_id long, text string"
+    )
+    r = mixed_language_profile(tie, chunk_tokens=16).collect()[0]
+    if r.n_langs == 2 and r.major_ppm == 500_000:
+        assert r.major_lang == "de"  # de < en lexicographically
+
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        mixed_language_profile(df, chunk_tokens=0)
