@@ -1,4 +1,5 @@
 import pytest
+from pyspark.sql import functions as F
 
 from nebula_importer_spark.operators.web import domain_stats, parse_urls
 
@@ -129,3 +130,38 @@ def test_fragment_question_mark_is_not_a_query(spark):
     assert canon[4] == "https://a.com/?real=1"
     hq = {r.i: r.has_query for r in parse_urls(df).collect()}
     assert hq == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the output is a fixed
+    point (already lowercased, de-tracked, sorted, slash-normalized), so
+    re-canonicalizing a frontier that stored canonical keys is a no-op —
+    property-tested over a generated mess of URLs."""
+    import random
+
+    rng = random.Random(31)
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["www.Example.com", "cdn.site.co.uk", "A.B.ORG", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a//b/", "/x/y", "/x/"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?z=1&ref=t&a=2", "?a"]
+    frags = ["", "#top", "#/r?tab=2"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(120)
+    ]
+    from nebula_importer_spark.operators.web import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = canonicalize_urls(df).select(
+        "i", F.col("canonical_url").alias("url")
+    )
+    twice = canonicalize_urls(once.filter(F.col("url").isNotNull()))
+    mismatch = twice.filter(
+        F.col("canonical_url") != F.col("url")
+    ).collect()
+    assert mismatch == [], mismatch[:5]
+
